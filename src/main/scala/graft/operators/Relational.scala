@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational gate queries — the Spark substrate every other
+  * operator builds on. Shapes mirror the reference's SQL surface
+  * (/root/reference/queries.py) generalized to the testdata star
+  * schema. Doubles are rounded at the final projection for oracle
+  * (DuckDB) hash parity; every top-k has a full deterministic
+  * tie-break.
+  */
+object Relational {
+
+  /** Pricing-summary aggregate (scan → filter → partial+final hash agg).
+    * Filter and the 7-column projection push to the parquet scan.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** Revenue top-10 (fact ⋈ fact ⋈ broadcast dim). The customer
+    * filter prunes before the join; customer is broadcast.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
+  /** Running per-supplier revenue ordered by ship date (window agg).
+    * Partitioned by supplier — parallel across the shuffle, no
+    * global sort.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter($"l_suppkey" <= 10)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice", $"l_shipdate")
+      .withColumn("running_rev", round(sum($"l_extendedprice").over(w), 2))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_rev")
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+       FROM lineitem
+       WHERE l_suppkey <= 10"""
+}
