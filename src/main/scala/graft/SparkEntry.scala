@@ -19,6 +19,21 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Agg _,
     "q3_join" -> Relational.q3Join _,
     "q_window_running" -> Relational.windowRunning _,
+    "etl_split_explode" -> Analytics.etlSplitExplode _,
+    "etl_dim_tokens" -> Analytics.etlDimTokens _,
+    "etl_bridge" -> Analytics.etlBridge _,
+    "etl_nsplit" -> Analytics.etlNsplit _,
+    "etl_gender" -> Analytics.etlGender _,
+    "validate_orphan_orders" -> Analytics.validateOrphanOrders _,
+    "validate_orphan_customers" -> Analytics.validateOrphanCustomers _,
+    "analytics_top_token" -> Analytics.topToken _,
+    "analytics_longest_gap" -> Analytics.longestGap _,
+    "analytics_month_histogram" -> Analytics.monthHistogram _,
+    "analytics_yoy_growth" -> Analytics.yoyGrowth _,
+    "analytics_cooccurrence" -> Analytics.cooccurrence _,
+    "events_json_extract" -> Events.jsonExtract _,
+    "events_sessionize" -> Events.sessionize _,
+    "events_hourly_rollup" -> Events.hourlyRollup _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -29,5 +44,20 @@ object SparkEntry {
     "q1_agg" -> Relational.q1AggSql,
     "q3_join" -> Relational.q3JoinSql,
     "q_window_running" -> Relational.windowRunningSql,
+    "etl_split_explode" -> Analytics.etlSplitExplodeSql,
+    "etl_dim_tokens" -> Analytics.etlDimTokensSql,
+    "etl_bridge" -> Analytics.etlBridgeSql,
+    "etl_nsplit" -> Analytics.etlNsplitSql,
+    "etl_gender" -> Analytics.etlGenderSql,
+    "validate_orphan_orders" -> Analytics.validateOrphanOrdersSql,
+    "validate_orphan_customers" -> Analytics.validateOrphanCustomersSql,
+    "analytics_top_token" -> Analytics.topTokenSql,
+    "analytics_longest_gap" -> Analytics.longestGapSql,
+    "analytics_month_histogram" -> Analytics.monthHistogramSql,
+    "analytics_yoy_growth" -> Analytics.yoyGrowthSql,
+    "analytics_cooccurrence" -> Analytics.cooccurrenceSql,
+    "events_json_extract" -> Events.jsonExtractSql,
+    "events_sessionize" -> Events.sessionizeSql,
+    "events_hourly_rollup" -> Events.hourlyRollupSql,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Parquet table loaders for the driver-generated testdata layout
   * (`<dir>/<name>.parquet`). All gate queries read through here so
@@ -17,7 +18,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * outright; read it as raw nanos (SPARK-40819 legacy conf) and
+    * truncate to a µs timestamp — identical to what a µs-precision
+    * scan would produce. Integer `div`, not `/`: ns epochs overflow
+    * a double's 53-bit mantissa.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.pipeline.DimensionalEtl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the reference's ETL transform surface
+  * (task.py:74-139) and its SQL query library (queries.py) —
+  * generalized from Netflix columns to the testdata star schema.
+  * Each `xxxSql` is the DuckDB oracle with identical aliases.
+  */
+object Analytics {
+
+  // ── ETL transform surface ────────────────────────────────────────
+
+  /** #2/#3/#5: split+trim+explode documents.text → (doc_id, token). */
+  def etlSplitExplode(spark: SparkSession, dir: String): DataFrame =
+    DimensionalEtl.docTokens(spark, dir)
+
+  val etlSplitExplodeSql: String =
+    """SELECT doc_id, trim(t) AS token
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       WHERE length(trim(t)) > 0"""
+
+  /** #6/#7: union of token extracts → distinct dim + ordered
+    * surrogate id + gender enrichment (#9).
+    */
+  def etlDimTokens(spark: SparkSession, dir: String): DataFrame =
+    DimensionalEtl.tokenDim(spark, dir)
+
+  val etlDimTokensSql: String =
+    s"""SELECT token,
+        row_number() OVER (ORDER BY token) AS token_id,
+        ${TextFns.genderGuessSql("token")} AS gender
+        FROM (
+          SELECT DISTINCT trim(t) AS token FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            UNION ALL
+            SELECT unnest(string_split(p_name, ' ')) AS t FROM part)
+          WHERE length(trim(t)) > 0)"""
+
+  /** #10: bridge table (entity_id, token_id, source_type). */
+  def etlBridge(spark: SparkSession, dir: String): DataFrame =
+    DimensionalEtl.bridge(spark, dir)
+
+  val etlBridgeSql: String =
+    """WITH dim AS (
+         SELECT token, row_number() OVER (ORDER BY token) AS token_id
+         FROM (
+           SELECT DISTINCT trim(t) AS token FROM (
+             SELECT unnest(string_split(text, ' ')) AS t FROM documents
+             UNION ALL
+             SELECT unnest(string_split(p_name, ' ')) AS t FROM part)
+           WHERE length(trim(t)) > 0)),
+       doc_tok AS (
+         SELECT doc_id, trim(t) AS token
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE length(trim(t)) > 0),
+       part_tok AS (
+         SELECT p_partkey, trim(t) AS token
+         FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS t FROM part)
+         WHERE length(trim(t)) > 0)
+       SELECT CAST(doc_id AS BIGINT) AS entity_id, token_id, 'doc' AS source_type
+         FROM doc_tok JOIN dim USING (token)
+       UNION ALL
+       SELECT CAST(p_partkey AS BIGINT) AS entity_id, token_id, 'part' AS source_type
+         FROM part_tok JOIN dim USING (token)"""
+
+  /** #8: first-space name split (nsplit, task.py:55). */
+  def etlNsplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        TextFns.firstWord($"text").as("first_word"),
+        length(TextFns.restWords($"text")).as("rest_len"))
+  }
+
+  val etlNsplitSql: String =
+    """SELECT doc_id,
+       CASE WHEN strpos(text, ' ') > 0
+            THEN substring(text, 1, strpos(text, ' ') - 1) ELSE text END AS first_word,
+       CAST(length(CASE WHEN strpos(text, ' ') > 0
+            THEN substring(text, strpos(text, ' ') + 1) ELSE '' END) AS INT) AS rest_len
+       FROM documents"""
+
+  /** #9: gender heuristic over the exploded tokens (distinct). */
+  def etlGender(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    DimensionalEtl.docTokens(spark, dir)
+      .select($"token").distinct()
+      .withColumn("gender", TextFns.genderGuess($"token"))
+  }
+
+  val etlGenderSql: String =
+    s"""SELECT token, ${TextFns.genderGuessSql("token")} AS gender
+        FROM (SELECT DISTINCT trim(t) AS token
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE length(trim(t)) > 0)"""
+
+  // ── Validation (queries.py:40-51: anti-join missing-data counts) ──
+
+  /** #14: orders with no lineitem (≙ shows with no crew). */
+  def validateOrphanOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).select($"o_orderkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+  }
+
+  val validateOrphanOrdersSql: String =
+    """SELECT count(*) AS n_orphans
+       FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_orderkey IS NULL"""
+
+  /** #14: customers with no orders (≙ shows with no listings). */
+  def validateOrphanCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(Tables.orders(spark, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+  }
+
+  val validateOrphanCustomersSql: String =
+    """SELECT count(*) AS n_orphans
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       WHERE o_custkey IS NULL"""
+
+  // ── Analytics (queries.py:54-121) ────────────────────────────────
+
+  /** #15 (q5_1): most common 'female' token among document tokens —
+    * the explode→enrich→group-count→top-1 chain.
+    */
+  def topToken(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    DimensionalEtl.docTokens(spark, dir)
+      .withColumn("gender", TextFns.genderGuess($"token"))
+      .filter($"gender" === "female")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(1)
+  }
+
+  val topTokenSql: String =
+    s"""SELECT token, count(*) AS n
+        FROM (SELECT trim(t) AS token
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE length(trim(t)) > 0)
+        WHERE ${TextFns.genderGuessSql("token")} = 'female'
+        GROUP BY token ORDER BY n DESC, token LIMIT 1"""
+
+  /** #16 (q5_2): longest order→last-shipment gap, top-1. */
+  def longestGap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(max($"l_shipdate").as("last_ship"))
+      .select($"o_orderkey", datediff($"last_ship", $"o_orderdate").as("gap_days"))
+      .orderBy($"gap_days".desc, $"o_orderkey")
+      .limit(1)
+  }
+
+  val longestGapSql: String =
+    """SELECT o_orderkey,
+       CAST(date_diff('day', o_orderdate, last_ship) AS INT) AS gap_days
+       FROM (SELECT o_orderkey, o_orderdate, max(l_shipdate) AS last_ship
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             GROUP BY o_orderkey, o_orderdate)
+       ORDER BY gap_days DESC, o_orderkey LIMIT 1"""
+
+  /** #17 (q5_3): calendar month with the most orders, top-1. */
+  def monthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(month($"o_orderdate").cast("long").as("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"month")
+      .limit(1)
+  }
+
+  val monthHistogramSql: String =
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, count(*) AS n
+       FROM orders GROUP BY 1 ORDER BY n DESC, month LIMIT 1"""
+
+  /** #18 (q5_4): year with the largest YoY % increase in finished
+    * orders. The reference self-joins on year+1 (queries.py:93); a
+    * lag window over the tiny per-year aggregate is the Spark-native
+    * equivalent with one fewer shuffle.
+    */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byYear = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .groupBy(year($"o_orderdate").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"))
+    byYear
+      .withColumn("prev_n", lag($"n", 1).over(Window.orderBy($"yr")))
+      .filter($"prev_n".isNotNull)
+      .select($"yr", $"n", $"prev_n",
+        round(($"n" - $"prev_n") * lit(100.0) / $"prev_n", 4).as("growth_pct"))
+      .orderBy($"growth_pct".desc, $"yr")
+      .limit(1)
+  }
+
+  val yoyGrowthSql: String =
+    """SELECT yr, n, prev_n,
+       round((n - prev_n) * 100.0 / prev_n, 4) AS growth_pct
+       FROM (SELECT yr, n, lag(n) OVER (ORDER BY yr) AS prev_n
+             FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n
+                   FROM orders WHERE o_orderstatus = 'F' GROUP BY 1))
+       WHERE prev_n IS NOT NULL
+       ORDER BY growth_pct DESC, yr LIMIT 1"""
+
+  /** #19 (q5_5): suppliers co-occurring in the same orders as
+    * supplier 0 more than once — semi-join prefilter (the reference's
+    * two-phase shape, queries.py:110-121) then a distinct-order
+    * count. The anchor's order set is the only thing shuffled.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val anchorOrders = li.filter($"l_suppkey" === 0)
+      .select($"l_orderkey").distinct()
+    val coCounts = li.filter($"l_suppkey" =!= 0)
+      .join(anchorOrders, "l_orderkey")
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"l_orderkey").as("n_shared"))
+      .filter($"n_shared" > 1)
+    coCounts
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"n_shared")
+      .orderBy($"n_shared".desc, $"s_name")
+  }
+
+  val cooccurrenceSql: String =
+    """WITH anchor AS (
+         SELECT DISTINCT l_orderkey FROM lineitem WHERE l_suppkey = 0)
+       SELECT s_name, count(DISTINCT l.l_orderkey) AS n_shared
+       FROM lineitem l
+       JOIN anchor USING (l_orderkey)
+       JOIN supplier ON l.l_suppkey = s_suppkey
+       WHERE l.l_suppkey <> 0
+       GROUP BY s_name
+       HAVING count(DISTINCT l.l_orderkey) > 1
+       ORDER BY n_shared DESC, s_name"""
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Normalize, SurrogateKey}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's dimensional-model build (task.py:74-139)
+  * re-expressed Spark-first over the testdata: `documents.text` and
+  * `part.p_name` stand in for the Netflix multi-value columns
+  * (cast/director). Produces:
+  *
+  *  - token dimension (≙ personnel): union of both sources, distinct,
+  *    surrogate ids, gender enrichment
+  *  - doc_token bridge (≙ movie_crew): (entity_id, token_id,
+  *    source_type), built by joining the exploded facts back to the
+  *    dimension on the natural key — the dimension is broadcast, so
+  *    the bridge build never shuffles the fact side.
+  */
+object DimensionalEtl {
+
+  /** Exploded (doc_id, token) pairs from documents.text. */
+  def docTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Normalize.splitTrimExplode(
+      Tables.documents(spark, dir).select($"doc_id", $"text"),
+      $"text", " ", "token"
+    ).select($"doc_id", $"token")
+  }
+
+  /** Exploded (p_partkey, token) pairs from part.p_name. */
+  def partTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Normalize.splitTrimExplode(
+      Tables.part(spark, dir).select($"p_partkey", $"p_name"),
+      $"p_name", " ", "token"
+    ).select($"p_partkey", $"token")
+  }
+
+  /** Token dimension: union both sources (≙ actors ∪ directors),
+    * distinct, ordered surrogate id, gender heuristic. The distinct
+    * output is a small post-aggregation dim, so the ordered
+    * row_number window is safe; swap to SurrogateKey.scalable for
+    * high-cardinality dims.
+    */
+  def tokenDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = docTokens(spark, dir).select($"token")
+      .union(partTokens(spark, dir).select($"token"))
+      .distinct()
+    SurrogateKey.ordered(all, "token", "token_id")
+      .withColumn("gender", TextFns.genderGuess($"token"))
+      .select($"token", $"token_id", $"gender")
+  }
+
+  /** Bridge (≙ movie_crew): entity→token_id with a source tag, dim
+    * broadcast into both exploded fact sides.
+    */
+  def bridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = broadcast(tokenDim(spark, dir).select($"token", $"token_id"))
+    val docs = docTokens(spark, dir)
+      .join(dim, "token")
+      .select($"doc_id".cast("long").as("entity_id"), $"token_id",
+        lit("doc").as("source_type"))
+    val parts = partTokens(spark, dir)
+      .join(dim, "token")
+      .select($"p_partkey".cast("long").as("entity_id"), $"token_id",
+        lit("part").as("source_type"))
+    docs.union(parts)
+  }
+
+  /** Full star-schema build + parquet load (≙ task.py load(), with a
+    * partitioned parquet lake in place of Postgres). Returns the
+    * written paths.
+    */
+  def buildAndLoad(spark: SparkSession, dir: String, outDir: String): Seq[String] = {
+    val tables = Seq(
+      "token_dim" -> tokenDim(spark, dir),
+      "doc_token_bridge" -> bridge(spark, dir),
+      "documents_fact" -> Tables.documents(spark, dir))
+    tables.map { case (name, df) =>
+      val path = s"$outDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      path
+    }
+  }
+}
