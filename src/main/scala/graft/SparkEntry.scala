@@ -34,6 +34,19 @@ object SparkEntry {
     "events_json_extract" -> Events.jsonExtract _,
     "events_sessionize" -> Events.sessionize _,
     "events_hourly_rollup" -> Events.hourlyRollup _,
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairs _,
+    "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
+    "dedup_simhash" -> ((s, d) => SimHash.nearDuplicates(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
+    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "text_langid" -> TextAnalysis.langId _,
+    "text_quality" -> TextAnalysis.quality _,
+    "text_tokens" -> TextAnalysis.tokenCounts _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprint _,
+    "multimodal_features" -> Multimodal.features _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -59,5 +72,16 @@ object SparkEntry {
     "events_json_extract" -> Events.jsonExtractSql,
     "events_sessionize" -> Events.sessionizeSql,
     "events_hourly_rollup" -> Events.hourlyRollupSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    // dedup_minhash / dedup_simhash / sim_lsh_topk: hash families not
+    // reproducible in ANSI SQL → rows-only gate + property specs.
+    "dedup_embedding_cosine" -> Similarity.embeddingDedupSql(),
+    "sim_bruteforce_topk" -> Similarity.bruteforceTopKSql(),
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_tokens" -> TextAnalysis.tokenCountsSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "multimodal_features" -> Multimodal.featuresSql,
   )
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation. All token /
+  * shingle construction is shared column-expression code (no UDFs) so
+  * the whole family stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Whitespace tokens with empties dropped — identical semantics to
+    * Normalize.splitTrimExplode but kept as an array (no generator).
+    */
+  def tokensCol(c: Column): Column =
+    filter(transform(split(trim(c), " "), t => trim(t)), t => length(t) > 0)
+
+  /** Distinct k-word shingles over [[tokensCol]]. Callers must guard
+    * size(tokens) >= k (Spark's `sequence` turns descending for
+    * empty ranges).
+    */
+  def shinglesCol(tokens: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tokens) - lit(k - 1)),
+      i => concat_ws(" ", slice(tokens, i, lit(k)))))
+
+  /** #28 exact dedup: group identical payloads, keep the smallest id
+    * (canonical representative). One hash-shuffle on the payload —
+    * at 100 TB, pre-hash the payload to a 128-bit key so the shuffle
+    * moves 16-byte keys, not document bodies (see exactByHash).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"text", $"n_copies")
+  }
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+       FROM documents GROUP BY text"""
+
+  /** Scale path for exact dedup: shuffle a 128-bit payload hash
+    * instead of the payload. Collision probability at 10^12 docs is
+    * ~10^-14 (birthday bound) — acceptable for curation; use
+    * `exact` when bytes must be compared.
+    */
+  def exactByHash(df: DataFrame, payload: Column, id: Column): DataFrame =
+    df.groupBy(md5(payload).as("payload_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** #31 n-gram (3-word shingle) Jaccard near-dup pairs via an
+    * inverted-index (posting-list) self-join: explode distinct
+    * shingles, join postings on (shingle, lang), count common
+    * shingles per pair, then jaccard = common / (|A|+|B|−common).
+    * Cost is Σ_shingle postings² — bounded by shingle rarity, not by
+    * block size, so it scales where a per-block cross product
+    * (array_intersect over every pair) is quadratic. A pair can only
+    * reach jaccard ≥ t if it shares ≥1 shingle, so the posting join
+    * loses nothing.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", tokensCol($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", $"lang", shinglesCol($"toks", 3).as("sh"))
+    // carry |set| on each posting row (one int) so jaccard needs no
+    // re-join against a per-doc sizes table
+    val post = docs.select($"doc_id", $"lang", size($"sh").as("n"),
+      explode($"sh").as("shingle"))
+    post.as("x").join(post.as("y"),
+        $"x.shingle" === $"y.shingle" && $"x.lang" === $"y.lang" &&
+          $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first($"x.n").as("n_a"), first($"y.n").as("n_b"))
+      .select($"doc_a", $"doc_b",
+        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                            x -> length(x) > 0) AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, lang,
+                list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(len(list_intersect(a.s, b.s)) * 1.0 /
+                    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                   len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5"""
+}

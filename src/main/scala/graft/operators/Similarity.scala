@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators over `embeddings`
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Dot products run in double via zip_with + aggregate — sequential
+  * summation, matching the DuckDB oracle's semantics. No UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** #33 brute-force cosine top-k: every query vector (vec_id <
+    * nQueries) against the full corpus. The query side is broadcast,
+    * so the corpus is scanned exactly once with no shuffle before
+    * the per-query top-k.
+    */
+  def bruteforceTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    cands.join(broadcast(queries), $"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id",
+        round(cosineCol($"q_emb", $"c_emb"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+  }
+
+  def bruteforceTopKSql(nQueries: Int = 5, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < $nQueries),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 round(
+                   list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(q.q_emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                    * sqrt(list_reduce(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+                 4) AS cos
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= $k"""
+
+  /** #32 blocked embedding near-dup: pairs within the same `label`
+    * block above a cosine threshold. Blocking bounds the pair space;
+    * at scale the block key becomes an LSH bucket (see lshTopK).
+    */
+  def embeddingDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding")
+    val a = emb.select($"vec_id".as("vec_a"), $"label", $"embedding".as("e_a"))
+    val b = emb.select($"vec_id".as("vec_b"), $"label", $"embedding".as("e_b"))
+    a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", round(cosineCol($"e_a", $"e_b"), 4).as("cos"))
+      .filter($"cos" >= threshold)
+  }
+
+  def embeddingDedupSql(threshold: Double = 0.35): String =
+    s"""WITH scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(
+                   list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
+                 4) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $threshold"""
+
+  // ── #34 random-hyperplane LSH ANN ─────────────────────────────────
+
+  val PLANES = 16
+
+  /** Deterministic pseudo-random hyperplanes (seeded LCG → values in
+    * [-1, 1]); planes are literal arrays folded into codegen.
+    */
+  private lazy val planes: Array[Array[Double]] = {
+    var s = 1234567L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(PLANES)(Array.fill(64)(next()))
+  }
+
+  /** 16-bit hyperplane signature of an embedding column. */
+  def lshSignatureCol(emb: Column): Column = {
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dotCol(emb, pl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via signature buckets: candidates share the exact 16-bit
+    * signature OR differ in one band of 4 bits (multi-probe by 4-bit
+    * chunk equality), then exact cosine + top-k within candidates.
+    * Rows-only gate; recall vs bruteforceTopK asserted in spec.
+    */
+  def lshTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", lshSignatureCol($"embedding").as("sig"))
+    val chunked = emb.select($"vec_id", $"embedding", posexplode(
+        transform(sequence(lit(0), lit(3)), c =>
+          call_function("shiftright", $"sig", c * 4).bitwiseAND(lit(0xfL)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val queries = chunked.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"chunk_idx", $"chunk")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    chunked.join(broadcast(queries),
+        Seq("chunk_idx", "chunk"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"), $"q_emb", $"embedding")
+      .distinct()
+      .select($"query_id", $"cand_id",
+        round(cosineCol($"q_emb", $"embedding"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+  }
+}

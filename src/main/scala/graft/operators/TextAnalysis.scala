@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** #35-38 text-analysis operators for corpus curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * single-pass column expressions over the document scan — at 100 TB
+  * these run at parquet-read speed with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies for the n-gram/stopword language heuristic.
+    * Order is the deterministic tie-break (first wins on equal
+    * score).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "or"),
+    "de" -> Seq("data", "row", "table"),
+    "es" -> Seq("join", "merge", "part"),
+    "fr" -> Seq("fast", "slow", "small"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  private def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  /** #35 language ID: argmax of marker-word hits, declared order as
+    * tie-break.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Dedup.tokensCol($"text")
+    val cols = Seq($"doc_id", $"lang") ++
+      langMarkers.map { case (l, m) => markerHits(toks, m).as(s"s_$l") }
+    val scored = Tables.documents(spark, dir).select(cols: _*)
+    val best = langMarkers.map(_._1).map(l => col(s"s_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select($"doc_id", pred.as("pred_lang"),
+      when($"lang" === pred, 1L).otherwise(0L).as("is_match"))
+  }
+
+  val langIdSql: String = {
+    val toks =
+      """list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+         x -> length(x) > 0)"""
+    val scores = langMarkers.map { case (l, m) =>
+      val in = m.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toks, t -> t IN ($in))) AS s_$l"
+    }.mkString(", ")
+    val best = "greatest(" + langMarkers.map(l => s"s_${l._1}").mkString(", ") + ")"
+    val pred = langMarkers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+        withbest AS (SELECT *, $best AS best FROM scored)
+        SELECT doc_id, $pred AS pred_lang,
+               CASE WHEN lang = $pred THEN 1 ELSE 0 END AS is_match
+        FROM withbest"""
+  }
+
+  /** #36 quality score: length/stopword/word-shape signals combined
+    * into [0,1]. Weights are arbitrary but fixed; the operator shape
+    * (single-pass, no shuffle) is the point.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Dedup.tokensCol($"text")
+    val stop = Seq("the", "a", "or", "and", "of")
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks.as("toks"), length($"text").as("n_chars"))
+      .select($"doc_id", $"n_chars".cast("long").as("n_chars"),
+        size($"toks").cast("long").as("n_tokens"),
+        round(markerHits($"toks", stop).cast("double") / size($"toks"), 4)
+          .as("stop_ratio"),
+        round(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size($"toks"), 4).as("avg_token_len"))
+      .withColumn("quality", {
+        // 0.4·min(n_tokens/100,1) + 0.3·(1−stop_ratio) +
+        // 0.3·min(avg_token_len/8,1), evaluated in integer units of
+        // 1e-8 so the 4-decimal rounding has no fp ties (JVM HALF_UP
+        // vs DuckDB binary rounding disagree on exact .5 ulps).
+        val s = round($"stop_ratio" * 10000).cast("long")
+        val a = round($"avg_token_len" * 10000).cast("long")
+        val qe8 = lit(400000L) * least($"n_tokens", lit(100L)) +
+          lit(30000L) * (lit(10000L) - s) +
+          least(lit(375L) * a, lit(30000000L))
+        floor((qe8 + lit(5000L)) / lit(10000.0)).cast("long") / lit(10000.0)
+      })
+  }
+
+  val qualitySql: String = {
+    val toks =
+      """list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+         x -> length(x) > 0)"""
+    s"""WITH base AS (
+          SELECT doc_id, $toks AS toks, CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+        m AS (
+          SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+            round(len(list_filter(toks, t -> t IN ('the','a','or','and','of'))) * 1.0
+                  / len(toks), 4) AS stop_ratio,
+            round(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)),
+                  (x, y) -> x + y) * 1.0 / len(toks), 4) AS avg_token_len
+          FROM base)
+        SELECT doc_id, n_chars, n_tokens, stop_ratio, avg_token_len,
+          CAST(floor((400000 * least(n_tokens, 100)
+                + 30000 * (10000 - CAST(round(stop_ratio * 10000) AS BIGINT))
+                + least(375 * CAST(round(avg_token_len * 10000) AS BIGINT),
+                        30000000) + 5000) / 10000.0) AS BIGINT) / 10000.0
+            AS quality
+        FROM m"""
+  }
+
+  /** #37 token counting: whitespace tokens + a BPE-ish regex lexer
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"))
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+       CAST(len(list_filter(list_transform(string_split(trim(text), ' '),
+            x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS BIGINT) AS n_bpe_tokens
+       FROM documents"""
+
+  /** #38 fingerprint: md5 of whitespace-normalized text (the
+    * oracle-checkable half; the custom-codegen rolling hash is
+    * rollingFingerprint).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_md5"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+       FROM documents"""
+
+  /** #38b polynomial rolling hash via the native codegen Expression
+    * (graft.functions.RollingHash) — rows-only gate + value spec.
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", RollingHash.rolling_hash(
+        trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_roll"))
+  }
+}
