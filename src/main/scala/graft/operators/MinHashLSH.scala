@@ -22,50 +22,40 @@ object MinHashLSH {
   val BANDS = 16
   val R = 4    // rows per band; H = BANDS * R
 
-  /** Deterministic odd multipliers / offsets for the H universal
-    * hash functions (seeded LCG — no runtime randomness).
+  /** Per-doc signature as H flat columns (m0..m63): explode distinct
+    * shingles, then H codegen'd `min(xxhash64(shingle, i))` hash
+    * aggregates. The hash family is xxhash64 seeded by position —
+    * independent 64-bit hashes with no multiply, so no ANSI overflow
+    * (an LCG `a·h+b` family overflows), and the whole signature
+    * build stays inside whole-stage codegen with map-side partial
+    * aggregation — no interpreted higher-order functions, one
+    * shuffle on doc_id.
     */
-  private val (hashA, hashB): (Array[Long], Array[Long]) = {
-    var s = 42L
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    val a = Array.fill(H)(next() | 1L)
-    val b = Array.fill(H)(next())
-    (a, b)
-  }
-
-  private val POS = 0x7fffffffffffffffL
-
-  /** MinHash signature (array<bigint> length H) over a distinct
-    * shingle array column.
-    */
-  def signatureCol(shingles: Column): Column = {
-    val aLit = array(hashA.map(lit): _*)
-    val bLit = array(hashB.map(lit): _*)
-    val hashes = transform(shingles, s => xxhash64(s))
-    transform(sequence(lit(0), lit(H - 1)), i =>
-      array_min(transform(hashes, h =>
-        bitwiseAND(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(POS)))))
-  }
-
-  private def bitwiseAND(l: Column, r: Column): Column = l.bitwiseAND(r)
-
-  /** (doc_id, sig) for every document with ≥3 tokens. */
-  def signatures(spark: SparkSession, dir: String): DataFrame = {
+  def signatureFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val exploded = Tables.documents(spark, dir)
       .select($"doc_id", Dedup.tokensCol($"text").as("toks"))
       .filter(size($"toks") >= 3)
-      .select($"doc_id", signatureCol(Dedup.shinglesCol($"toks", 3)).as("sig"))
+      .select($"doc_id", explode(Dedup.shinglesCol($"toks", 3)).as("sh"))
+    val aggs = (0 until H).map(i => min(xxhash64($"sh", lit(i))).as(s"m$i"))
+    exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Explode each signature into its B band keys:
-    * (doc_id, band_idx, band_hash).
+  /** (doc_id, sig: array<bigint> length H). */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    signatureFrame(spark, dir)
+      .select($"doc_id", array((0 until H).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Band keys (doc_id, band_idx, band_hash) straight off the flat
+    * signature frame: band b hashes its R component columns — no
+    * array slicing, still codegen.
     */
-  def bands(sigs: DataFrame): DataFrame = {
-    import sigs.sparkSession.implicits._
-    sigs.select($"doc_id", posexplode(
-      transform(sequence(lit(0), lit(BANDS - 1)), b =>
-        xxhash64(concat_ws(",", slice($"sig", b * R + lit(1), lit(R))), b))))
+  def bands(frame: DataFrame): DataFrame = {
+    import frame.sparkSession.implicits._
+    frame.select($"doc_id", posexplode(array((0 until BANDS).map(b =>
+        xxhash64((b * R until (b + 1) * R).map(i => col(s"m$i")) :+ lit(b): _*)): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
   }
@@ -75,8 +65,10 @@ object MinHashLSH {
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = signatures(spark, dir).cache()
-    val bk = bands(sigs)
+    val frame = signatureFrame(spark, dir).cache()
+    val sigs = frame.select($"doc_id",
+      array((0 until H).map(i => col(s"m$i")): _*).as("sig"))
+    val bk = bands(frame)
     val pairs = bk.as("x").join(bk.as("y"),
         $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
           $"x.doc_id" < $"y.doc_id")

@@ -24,6 +24,10 @@ object SimHash {
 
   /** 64-bit SimHash of a token array: bit b is set when
     * Σ_tokens (±1 by bit b of xxhash64(token)) > 0.
+    *
+    * Kept as the reference column form (interpreted higher-order
+    * functions) for small/ad-hoc frames; [[fingerprints]] uses the
+    * codegen explode+aggregate form for corpus-scale runs.
     */
   def simhashCol(tokens: Column): Column = {
     val sums = aggregate(
@@ -37,11 +41,28 @@ object SimHash {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** (doc_id, simhash) fingerprints. */
+  /** (doc_id, simhash) fingerprints, built codegen-first: explode
+    * tokens (duplicates kept — SimHash weights by frequency), one
+    * hash aggregate with 64 `sum(±1 by bit)` columns (map-side
+    * partial agg, single doc_id shuffle), then fold the 64 sums into
+    * the fingerprint. Matches simhashCol bit-for-bit for docs with
+    * ≥1 token; token-less docs are dropped (they'd all collide at
+    * fingerprint 0 and flood the pair stage with garbage).
+    */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", simhashCol(Dedup.tokensCol($"text")).as("simhash"))
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Dedup.tokensCol($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist (≤ 15 keeps the

@@ -122,10 +122,16 @@ object Similarity {
     sigBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN via signature buckets: candidates share the exact 16-bit
-    * signature OR differ in one band of 4 bits (multi-probe by 4-bit
-    * chunk equality), then exact cosine + top-k within candidates.
-    * Rows-only gate; recall vs bruteforceTopK asserted in spec.
+  /** ANN via multi-probe signature buckets: the 16-bit hyperplane
+    * signature is split into 4 chunks of 4 bits; a corpus vector is a
+    * candidate when any chunk matches any *probe* of the query's
+    * chunk — the chunk itself plus its four single-bit flips
+    * (multi-probe LSH: nearby buckets hold near-misses where one
+    * hyperplane voted differently). Probing expands only the
+    * broadcast query side (5× rows), leaving the corpus scan and
+    * bucket join shape unchanged, then exact cosine + top-k over
+    * candidates. Rows-only gate; recall vs bruteforceTopK asserted
+    * in SimilaritySpec.
     */
   def lshTopK(spark: SparkSession, dir: String,
       nQueries: Int = 5, k: Int = 5): DataFrame = {
@@ -138,7 +144,11 @@ object Similarity {
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val queries = chunked.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        $"chunk_idx", $"chunk")
+        $"chunk_idx", explode(array(
+          $"chunk",
+          $"chunk".bitwiseXOR(lit(1L)), $"chunk".bitwiseXOR(lit(2L)),
+          $"chunk".bitwiseXOR(lit(4L)), $"chunk".bitwiseXOR(lit(8L))))
+          .as("chunk"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
     chunked.join(broadcast(queries),
         Seq("chunk_idx", "chunk"))

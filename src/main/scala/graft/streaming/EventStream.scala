@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream — mirrors the `events` table schema
+  * (`props` omitted: stateful ops only need the typed core).
+  */
+case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Open-session accumulator carried in flatMapGroupsWithState. */
+case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
+/** A closed session emitted downstream. */
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double)
+
+/** #40/#41 Structured Streaming operators. Both take an *unbounded*
+  * input DataFrame/Dataset (from readStream / MemoryStream) and
+  * return a streaming result — the streaming mirror of the batch
+  * operators in graft.operators.Events, sharing their column names
+  * so batch/stream equivalence is assertable in specs.
+  *
+  * Scale: state is per-key and bounded — windowed agg state is
+  * dropped once the watermark passes window end, session state holds
+  * ONE open session per user and is reaped by event-time timeout.
+  * Shuffle is the single groupBy on the key, same as batch.
+  */
+object EventStream {
+
+  /** #40 watermarked tumbling-window rollup: (hour, event_type) →
+    * count/sum. Late rows beyond `watermark` are dropped; in append
+    * mode a window only emits once finalized, so downstream sinks see
+    * each (hour, event_type) exactly once.
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("hour"), $"event_type", $"n_events",
+        $"sum_value")
+  }
+
+  /** #41 stateful gap sessionization: a session closes when
+    * `gapMinutes` pass with no event (emitted by the event-time
+    * timeout once the watermark crosses last+gap) — streaming mirror
+    * of Events.sessionize.
+    */
+  def sessionize(events: Dataset[StreamEvent], gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[StreamEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(user, s))
+          } else {
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += out(user, s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def out(user: Long, s: OpenSession): SessionOut =
+    SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n,
+      math.rint(s.sum * 10000) / 10000)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.{DimensionalEtl, History}
+import graft.sources.StarSchemaSink
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("history ledger is idempotent") {
+    val dir = Files.createTempDirectory("graft_history").toString
+    val h = new History(spark, s"$dir/ledger")
+    assert(h.recordIfNew("batch_2024_01"))
+    assert(!h.recordIfNew("batch_2024_01"))
+    assert(h.recordIfNew("batch_2024_02"))
+    assert(new History(spark, s"$dir/ledger").processed ==
+      Set("batch_2024_01", "batch_2024_02"))
+  }
+
+  test("star-schema sink writes partitioned fact + dims, pruning works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val fact = Tables.orders(spark, SF)
+      .withColumn("o_year", year($"o_orderdate"))
+    val dims = Seq("customer" -> Tables.customer(spark, SF))
+    val paths = StarSchemaSink.write(dir, ("orders", fact, Seq("o_year")), dims)
+    val back = spark.read.parquet(paths("orders"))
+    assert(back.count() == fact.count())
+    // partition pruning: a year filter must prune, not scan-and-filter
+    val pruned = back.filter($"o_year" === 1995)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == fact.filter($"o_year" === 1995).count())
+    assert(!scan.contains("PushedFilters: [IsNotNull(o_year)"),
+      "o_year reached data filters — it should be partition-pruned")
+    assert(spark.read.parquet(paths("customer")).count() ==
+      Tables.customer(spark, SF).count())
+  }
+
+  test("dimensional ETL: surrogate keys dense, bridge joins back clean") {
+    import spark.implicits._
+    val dim = DimensionalEtl.tokenDim(spark, SF).cache()
+    val n = dim.count()
+    assert(dim.select("token_id").distinct().count() == n)
+    assert(dim.agg(min($"token_id"), max($"token_id")).collect()(0)
+      .toSeq == Seq(1L, n))
+    val bridge = DimensionalEtl.bridge(spark, SF)
+    // every bridge row resolves to a dim token
+    assert(bridge.join(dim, "token_id").count() == bridge.count())
+    dim.unpersist()
+  }
+}

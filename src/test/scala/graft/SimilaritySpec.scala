@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosineCol on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f), 1.0),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)
+    ).toDF("a", "b", "want")
+    df.select(Similarity.cosineCol($"a", $"b").as("got"), $"want")
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      }
+  }
+
+  test("LSH top-k recall vs brute force ≥ 0.5 at k=5") {
+    val brute = Similarity.bruteforceTopK(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, f"recall=$recall%.2f (${(brute & lsh).size}/${brute.size})")
+  }
+
+  test("brute force returns exactly k neighbors per query") {
+    val counts = Similarity.bruteforceTopK(spark, SF, nQueries = 5, k = 5)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length == 5 && counts.forall(_ == 5))
+  }
+}

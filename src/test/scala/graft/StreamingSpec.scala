@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Events
+import graft.streaming.{EventStream, StreamEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  test("streaming hourly rollup ≡ batch hourly rollup (complete mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows)
+    val q = EventStream.hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("rollup_stream")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rollup_stream")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Events.hourlyRollup(spark, SF)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
+  test("stateful sessionize closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10' apart (one session), then one 3h later
+      // (gap closes session 1 in-batch)
+      mem.addData(Seq(
+        StreamEvent(1, ts(0), 1, "click", 1.0),
+        StreamEvent(2, ts(10), 1, "click", 2.0),
+        StreamEvent(3, ts(180), 1, "view", 5.0)))
+      q.processAllAvailable()
+      // sentinel far ahead → watermark passes session 2's timeout
+      mem.addData(Seq(StreamEvent(99, ts(600), 42, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(100, ts(1200), 42, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_stream")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)), s"got=$got")
+    assert(got.contains((1L, ts(180), ts(180), 1L, 5.0)), s"got=$got")
+  }
+}

@@ -60,11 +60,15 @@ def canon(df: pd.DataFrame) -> tuple:
 fails = []
 names = sorted(d for d in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, d)))
-# every oracle key must have spark output — a query that threw inside
-# Verify would otherwise vanish silently
-for missing in sorted(set(oracle) - set(names)):
+# every declared query must have spark output — a query that threw
+# inside Verify would otherwise vanish silently (rows-only ones too)
+declared = set(oracle)
+qman = os.path.join(out_dir, "queries.json")
+if os.path.exists(qman):
+    declared |= set(json.load(open(qman)))
+for missing in sorted(declared - set(names)):
     fails.append(missing)
-    print(f"FAIL {missing}: declared in oracleSql but no spark output")
+    print(f"FAIL {missing}: declared but no spark output")
 for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
