@@ -15,6 +15,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (children: Seq[Expression]) => VecCosine(children(0), children(1))))
   }
 }
 

@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — native codegen kernel
+    * (graft.functions.VecDot), registered via GraftExtensions.
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
+  /** Fused single-pass cosine (graft.functions.VecCosine). */
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    call_function("vec_cosine", a, b)
+
+  /** Reference HOF formulation, kept for spec cross-validation of
+    * the native kernels.
+    */
+  def dotColHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** #33 brute-force cosine top-k: every query vector (vec_id <
     * nQueries) against the full corpus. The query side is broadcast,
@@ -113,10 +122,13 @@ object Similarity {
     Array.fill(PLANES)(Array.fill(64)(next()))
   }
 
-  /** 16-bit hyperplane signature of an embedding column. */
+  /** 16-bit hyperplane signature of an embedding column (planes as
+    * float literals — the native kernel takes array<float> on both
+    * sides).
+    */
   def lshSignatureCol(emb: Column): Column = {
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = array(p.map(v => lit(v.toFloat)): _*)
       when(dotCol(emb, pl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     sigBits.reduce((a, b) => a.bitwiseOR(b))
