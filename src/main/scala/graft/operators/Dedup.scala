@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation. All token /
@@ -24,6 +25,44 @@ object Dedup {
     array_distinct(transform(
       sequence(lit(1), size(tokens) - lit(k - 1)),
       i => concat_ws(" ", slice(tokens, i, lit(k)))))
+
+  /** (doc_id, lang, pos, token) rows — the codegen-native token
+    * path: explode the raw split, then trim/filter as plain
+    * predicates on the exploded rows. The [[tokensCol]] array form
+    * runs interpreted (higher-order functions don't codegen); this
+    * shape stays inside whole-stage codegen end-to-end, which is
+    * what you want feeding signature builds over a 100 TB corpus.
+    * `pos` orders tokens within a doc (gaps from dropped empties are
+    * harmless — consumers use windows, not index arithmetic).
+    */
+  def tokenRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", posexplode(split(trim($"text"), " ")))
+      .select($"doc_id", $"lang", $"pos", trim($"col").as("token"))
+      .filter(length($"token") > 0)
+  }
+
+  /** Distinct 3-shingle postings (doc_id, lang, n, shingle) where
+    * `n` = the doc's distinct-shingle count: consecutive tokens via
+    * two `lead`s over the per-doc window, distinct via groupBy, size
+    * via a whole-partition count window. One shuffle on doc_id,
+    * everything codegen — equivalent to
+    * `explode(shinglesCol(tokensCol(text), 3))` with sizes attached.
+    */
+  def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    tokenRows(spark, dir)
+      .withColumn("t2", lead($"token", 1).over(w))
+      .withColumn("t3", lead($"token", 2).over(w))
+      .filter($"t3".isNotNull)
+      .groupBy($"doc_id", $"lang",
+        concat_ws(" ", $"token", $"t2", $"t3").as("shingle"))
+      .agg(count(lit(1)).as("dup_count"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"lang", $"n", $"shingle")
+  }
 
   /** #28 exact dedup: group identical payloads, keep the smallest id
     * (canonical representative). One hash-shuffle on the payload —
@@ -63,14 +102,9 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", tokensCol($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", $"lang", shinglesCol($"toks", 3).as("sh"))
-    // carry |set| on each posting row (one int) so jaccard needs no
+    // |set| rides on each posting row (one int) so jaccard needs no
     // re-join against a per-doc sizes table
-    val post = docs.select($"doc_id", $"lang", size($"sh").as("n"),
-      explode($"sh").as("shingle"))
+    val post = shinglePostings(spark, dir)
     post.as("x").join(post.as("y"),
         $"x.shingle" === $"y.shingle" && $"x.lang" === $"y.lang" &&
           $"x.doc_id" < $"y.doc_id")

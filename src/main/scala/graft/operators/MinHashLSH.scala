@@ -33,10 +33,8 @@ object MinHashLSH {
     */
   def signatureFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val exploded = Tables.documents(spark, dir)
-      .select($"doc_id", Dedup.tokensCol($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(Dedup.shinglesCol($"toks", 3)).as("sh"))
+    val exploded = Dedup.shinglePostings(spark, dir)
+      .select($"doc_id", $"shingle".as("sh"))
     val aggs = (0 until H).map(i => min(xxhash64($"sh", lit(i))).as(s"m$i"))
     exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -51,9 +51,8 @@ object SimHash {
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", explode(Dedup.tokensCol($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
+    val toks = Dedup.tokenRows(spark, dir)
+      .select($"doc_id", xxhash64($"token").as("h"))
     val aggs = (0 until 64).map { i =>
       sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$i")
