@@ -1,21 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", graft.functions.GraftExtensions.NAME)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Graft.session(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // local[N] at test SFs is CPU-bound on byte-tiny shuffles (pair
+    // enumeration, 64-agg signatures) — AQE's size-based coalescing
+    // collapses those to 1 partition and serializes them. On a real
+    // cluster with IO-bound shuffles, leave it on (Graft default).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // two passes, min per query: pass 1 absorbs JVM/codegen/
+    // parquet-footer warmup, pass 2 is steady-state
+    def timeAll(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val warm = timeAll()
+    val steady = timeAll()
+    val results = warm.map { case (k, v) => k -> math.min(v, steady(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Explain-audit regression gates (SURVEY §6): the physical plans we
+  * designed for must stay the plans Catalyst picks. Each test pins a
+  * scale-critical property — pushdown, pruning, broadcast, codegen —
+  * so a refactor that silently degrades the plan fails CI, not the
+  * 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to parquet, scan pruned to the 7 used columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"scan reads unused columns: $read")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q3_join: dimension side broadcast, no shuffle of the dim") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed:\n$p")
+  }
+
+  test("q_window_running: suppkey filter pushed below the window shuffle") {
+    val p = plan("q_window_running")
+    assert(p.contains("LessThanOrEqual(l_suppkey,10)"),
+      s"suppkey filter not pushed to scan:\n$p")
+  }
+
+  test("sim_bruteforce_topk: query side broadcast — corpus scanned once, no shuffle") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("dedup_exact: single hash-shuffle with map-side partial aggregation") {
+    val p = plan("dedup_exact")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("documents scan for text ops prunes to the used columns") {
+    val p = SparkEntry.queries("text_tokens")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("source") && !read.contains("lang"),
+      s"text_tokens reads unused columns: $read")
+  }
+
+  test("embedding kernels stay inside whole-stage codegen") {
+    import spark.implicits._
+    val p = Tables.embeddings(spark, SF)
+      .select(Similarity.cosineCol($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"cosine fell out of codegen:\n$p")
+  }
+}
