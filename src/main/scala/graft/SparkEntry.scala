@@ -47,6 +47,9 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprint _,
     "multimodal_features" -> Multimodal.features _,
+    "dedup_ngram_clusters" -> Dedup.ngramJaccardClusters _,
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sql_passthrough" -> SqlInterface.passthrough _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -83,5 +86,10 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "multimodal_features" -> Multimodal.featuresSql,
+    "dedup_ngram_clusters" -> Dedup.ngramJaccardClustersSql,
+    // sim_ivf_topk: centroid assignment not ANSI-expressible without
+    // the same engine-side argmin — rows-only + recall spec.
+    // sql_passthrough: the SAME SQL string runs on both engines.
+    "sql_passthrough" -> SqlInterface.passthroughSql,
   )
 }

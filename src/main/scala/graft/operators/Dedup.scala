@@ -117,8 +117,11 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
   }
 
-  val ngramJaccardPairsSql: String =
-    """WITH toks AS (
+  /** Pair CTEs shared by the pairs oracle and the recursive
+    * clustering oracle.
+    */
+  private val pairsCte: String =
+    """toks AS (
          SELECT doc_id, lang,
                 list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
                             x -> length(x) > 0) AS t
@@ -127,11 +130,68 @@ object Dedup {
          SELECT doc_id, lang,
                 list_distinct([array_to_string(t[i:i+2], ' ')
                                for i in range(1, len(t) - 1)]) AS s
-         FROM toks WHERE len(t) >= 3)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              round(len(list_intersect(a.s, b.s)) * 1.0 /
-                    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
-                   len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5"""
+         FROM toks WHERE len(t) >= 3),
+       pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(len(list_intersect(a.s, b.s)) * 1.0 /
+                        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5)"""
+
+  val ngramJaccardPairsSql: String =
+    s"WITH $pairsCte SELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation — each iteration joins current labels across the
+    * undirected edge set and keeps the per-node min; stop at
+    * fixpoint. Cluster diameter bounds the iteration count (dup
+    * clusters are shallow); every iteration is a plain shuffle join,
+    * the driver only orchestrates, and at cluster scale you'd
+    * checkpoint `labels` every few rounds to cut lineage.
+    *
+    * Output: (doc_id, cluster_id = min doc_id in the component) for
+    * every doc that appears in a pair.
+    */
+  def clusters(pairs: DataFrame, idA: String = "doc_a",
+      idB: String = "doc_b"): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val und = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cache()
+    var labels = und.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select($"src".as("id"), $"label")
+      val next = labels.union(viaNeighbor)
+        .groupBy($"id").agg(min($"label").as("label")).cache()
+      changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter($"n.label" =!= $"o.label").count()
+      labels.unpersist()
+      labels = next
+    }
+    und.unpersist()
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** Gate query: clusters over the ≥0.5-jaccard pair graph. */
+  def ngramJaccardClusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(ngramJaccardPairs(spark, dir))
+
+  /** DuckDB oracle via a recursive CTE: reach(id, r) closes the
+    * undirected edge relation; cluster_id = min reachable id.
+    */
+  val ngramJaccardClustersSql: String =
+    s"""WITH RECURSIVE $pairsCte,
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 }

@@ -173,4 +173,42 @@ object Similarity {
       .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
   }
+
+  // ── #34b IVF (inverted-file) ANN ──────────────────────────────────
+
+  /** IVF ANN: assign every vector to its nearest of `nlist` coarse
+    * centroids (one broadcast pass — the inverted file), then answer
+    * a query by searching only its `nprobe` nearest cells. The
+    * centroids here are the first `nlist` corpus vectors — a
+    * deterministic stand-in for an offline-trained quantizer (no
+    * k-means dependency in-container); the engine shape (assignment
+    * scan, cell-restricted search, nprobe recall knob) is what
+    * scales: corpus shuffles once on cell_id, queries touch
+    * nprobe/nlist of the data.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = emb.filter($"vec_id" < nlist)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"c_cos".desc, $"cell_id")
+    val assigned = emb.join(broadcast(cents), expr("true"))
+      .select($"vec_id", $"embedding", $"cell_id",
+        cosineCol($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("ark", row_number().over(wAssign))
+    val cells = assigned.filter($"ark" === 1)
+      .select($"vec_id", $"embedding", $"cell_id")
+    val probes = assigned.filter($"vec_id" < nQueries && $"ark" <= nprobe)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cell_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    cells.join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(cosineCol($"q_emb", $"embedding"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+  }
 }
