@@ -47,6 +47,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprint _,
     "multimodal_features" -> Multimodal.features _,
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClusters _,
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sql_passthrough" -> SqlInterface.passthrough _,
@@ -86,6 +87,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "multimodal_features" -> Multimodal.featuresSql,
+    "multimodal_frames" -> Multimodal.frameSampleSql(),
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClustersSql,
     // sim_ivf_topk: centroid assignment not ANSI-expressible without
     // the same engine-side argmin — rows-only + recall spec.

@@ -91,6 +91,44 @@ object Multimodal {
       .select($"doc_id", $"fmt", $"n_bytes", $"n_frames", $"mean_byte")
   }
 
+  /** Frame sampling: every `everyN`-th fixed-size frame of each
+    * payload as its own row — the decode-side of video/audio
+    * ingestion (a real decoder would emit keyframes; the 256-byte
+    * frame grid is the deterministic stand-in). Pure generator +
+    * binary substring: `sequence` enumerates sampled frame indices,
+    * `explode` fans out, `substring` slices bytes — all codegen, no
+    * UDF, and the frame fan-out happens executor-side (never
+    * collects payloads to the driver).
+    */
+  val FRAME_BYTES = 256
+
+  def frameSample(spark: SparkSession, dir: String, everyN: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).toDF()
+      .select($"doc_id", $"payload", $"n_bytes",
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $FRAME_BYTES"),
+          lit(everyN.toLong))).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        expr(s"substring(payload, cast(frame_idx * $FRAME_BYTES + 1 as int), " +
+          s"$FRAME_BYTES)").as("frame"))
+      .select($"doc_id", $"frame_idx",
+        octet_length($"frame").cast("long").as("frame_len"),
+        md5($"frame").as("frame_md5"))
+  }
+
+  /** ASCII payloads ⇒ byte-slicing the blob ≡ substring on the text
+    * (DuckDB has no BLOB substring); md5 hashes the same bytes.
+    */
+  def frameSampleSql(everyN: Int = 4): String =
+    s"""SELECT doc_id, frame_idx,
+          CAST(length(substring(text, CAST(frame_idx * $FRAME_BYTES + 1 AS BIGINT),
+               $FRAME_BYTES)) AS BIGINT) AS frame_len,
+          md5(substring(text, CAST(frame_idx * $FRAME_BYTES + 1 AS BIGINT),
+               $FRAME_BYTES)) AS frame_md5
+        FROM (SELECT doc_id, text, unnest(range(0,
+                (length(text) - 1) // $FRAME_BYTES + 1, $everyN)) AS frame_idx
+              FROM documents)"""
+
   /** The testdata text is pure ASCII (driver-verified), so per-char
     * `ord` equals the UTF-8 byte value.
     */

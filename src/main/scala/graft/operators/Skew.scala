@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hand-salting for skewed shuffle joins — the explicit fallback
+  * when AQE's skew-join splitting can't apply (e.g. the skewed side
+  * feeds an aggregation first, or the join is one AQE can't re-plan
+  * mid-stage). Salting trades a `factor`× replication of the small
+  * side for an even spread of a hot key's rows across `factor`
+  * shuffle partitions.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, with big's rows scattered
+    * across `factor` sub-keys and small's rows replicated to all of
+    * them. Result equals the plain join row-for-row.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int, joinType: String = "inner"): DataFrame = {
+    // deterministic per-row salt: hash of the whole row, not rand()
+    // (retries/speculative tasks must re-derive the same salt)
+    val salted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(factor)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Top-N heavy-hitter keys of `df` by count — the diagnosis step
+    * that decides whether salting is worth the replication.
+    */
+  def heavyHitters(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
+    df.groupBy(key.as("key")).count()
+      .orderBy(col("count").desc, col("key"))
+      .limit(topN)
+}

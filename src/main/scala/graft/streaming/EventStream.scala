@@ -94,4 +94,17 @@ object EventStream {
   private def out(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n,
       math.rint(s.sum * 10000) / 10000)
+
+  /** Streaming exact dedup on an arbitrary key (e.g. a document
+    * fingerprint): first occurrence passes, replays within the
+    * watermark horizon are dropped, and — the part a naive
+    * `dropDuplicates` gets wrong on an unbounded stream — state for
+    * keys older than the watermark is evicted instead of growing
+    * forever.
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

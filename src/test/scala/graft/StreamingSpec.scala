@@ -61,4 +61,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)), s"got=$got")
     assert(got.contains((1L, ts(180), ts(180), 1L, 5.0)), s"got=$got")
   }
+
+  test("streaming dedup drops within-watermark replays, keeps first occurrence") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.dedupByKey(
+        mem.toDF().withColumn("fp", org.apache.spark.sql.functions.col("event_type")),
+        Seq("fp"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(
+        StreamEvent(1, ts(0), 1, "doc_a", 1.0),
+        StreamEvent(2, ts(1), 2, "doc_a", 2.0), // replay, same batch
+        StreamEvent(3, ts(2), 1, "doc_b", 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        StreamEvent(4, ts(5), 3, "doc_a", 4.0))) // replay, later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(ids == Set(1L, 3L), s"got event ids $ids")
+  }
 }
