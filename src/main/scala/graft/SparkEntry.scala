@@ -26,7 +26,9 @@ object SparkEntry {
     "etl_gender" -> Analytics.etlGender _,
     "validate_orphan_orders" -> Analytics.validateOrphanOrders _,
     "validate_orphan_customers" -> Analytics.validateOrphanCustomers _,
-    "analytics_top_token" -> Analytics.topToken _,
+    "analytics_top_token" -> ((s, d) => Analytics.topToken(s, d, "female")),
+    "analytics_top_token_male" -> ((s, d) => Analytics.topToken(s, d, "male")),
+    "analytics_top_token_unknown" -> ((s, d) => Analytics.topToken(s, d, "unknown")),
     "analytics_longest_gap" -> Analytics.longestGap _,
     "analytics_month_histogram" -> Analytics.monthHistogram _,
     "analytics_yoy_growth" -> Analytics.yoyGrowth _,
@@ -68,7 +70,9 @@ object SparkEntry {
     "etl_gender" -> Analytics.etlGenderSql,
     "validate_orphan_orders" -> Analytics.validateOrphanOrdersSql,
     "validate_orphan_customers" -> Analytics.validateOrphanCustomersSql,
-    "analytics_top_token" -> Analytics.topTokenSql,
+    "analytics_top_token" -> Analytics.topTokenSql("female"),
+    "analytics_top_token_male" -> Analytics.topTokenSql("male"),
+    "analytics_top_token_unknown" -> Analytics.topTokenSql("unknown"),
     "analytics_longest_gap" -> Analytics.longestGapSql,
     "analytics_month_histogram" -> Analytics.monthHistogramSql,
     "analytics_yoy_growth" -> Analytics.yoyGrowthSql,

@@ -132,25 +132,27 @@ object Analytics {
 
   // ── Analytics (queries.py:54-121) ────────────────────────────────
 
-  /** #15 (q5_1): most common 'female' token among document tokens —
-    * the explode→enrich→group-count→top-1 chain.
+  /** #15 (q5_1_1..3): most common token per gender class — the
+    * explode→enrich→group-count→top-1 chain, one gate query per
+    * reference variant (female/male/unknown).
     */
-  def topToken(spark: SparkSession, dir: String): DataFrame = {
+  def topToken(spark: SparkSession, dir: String,
+      gender: String = "female"): DataFrame = {
     import spark.implicits._
     DimensionalEtl.docTokens(spark, dir)
       .withColumn("gender", TextFns.genderGuess($"token"))
-      .filter($"gender" === "female")
+      .filter($"gender" === gender)
       .groupBy($"token").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"token")
       .limit(1)
   }
 
-  val topTokenSql: String =
+  def topTokenSql(gender: String = "female"): String =
     s"""SELECT token, count(*) AS n
         FROM (SELECT trim(t) AS token
               FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
               WHERE length(trim(t)) > 0)
-        WHERE ${TextFns.genderGuessSql("token")} = 'female'
+        WHERE ${TextFns.genderGuessSql("token")} = '$gender'
         GROUP BY token ORDER BY n DESC, token LIMIT 1"""
 
   /** #16 (q5_2): longest order→last-shipment gap, top-1. */
