@@ -36,6 +36,7 @@ object SparkEntry {
     "events_json_extract" -> Events.jsonExtract _,
     "events_sessionize" -> Events.sessionize _,
     "events_hourly_rollup" -> Events.hourlyRollup _,
+    "events_asof_signup" -> AsOfJoin.eventsAsOfSignup _,
     "dedup_exact" -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairs _,
     "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "events_json_extract" -> Events.jsonExtractSql,
     "events_sessionize" -> Events.sessionizeSql,
     "events_hourly_rollup" -> Events.hourlyRollupSql,
+    "events_asof_signup" -> AsOfJoin.eventsAsOfSignupSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     // dedup_minhash / dedup_simhash / sim_lsh_topk: hash families not

@@ -1,0 +1,40 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(m: Long) = new Timestamp(1704067200000L + m * 60000L)
+
+  test("as-of picks the latest right row ≤ t, null when none precedes") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, ts(5), 7L),   // after r10 → r?? no: rights at 0 and 10 → picks 0
+      (2L, ts(10), 7L),  // exactly at a right row → that row (>= semantics)
+      (3L, ts(25), 7L),  // after both → picks 10
+      (4L, ts(1), 8L)    // other key, no right rows → null
+    ).toDF("event_id", "ts", "user_id")
+    val rights = Seq(
+      (7L, ts(0), 100L),
+      (7L, ts(10), 200L)
+    ).toDF("user_id", "ts", "ref_id")
+    val got = AsOfJoin.asOf(probes, rights, Seq("user_id"), "ts", "ts",
+        Seq("ref_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(1L -> 100L, 2L -> 200L, 3L -> 200L, 4L -> -1L))
+  }
+
+  test("single shuffle: exactly one exchange in the plan") {
+    import spark.implicits._
+    val probes = Seq((1L, ts(5), 7L)).toDF("event_id", "ts", "user_id")
+    val rights = Seq((7L, ts(0), 100L)).toDF("user_id", "ts", "ref_id")
+    val plan = AsOfJoin.asOf(probes, rights, Seq("user_id"), "ts", "ts",
+        Seq("ref_id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}
