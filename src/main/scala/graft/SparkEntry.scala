@@ -37,6 +37,7 @@ object SparkEntry {
     "events_sessionize" -> Events.sessionize _,
     "events_hourly_rollup" -> Events.hourlyRollup _,
     "events_asof_signup" -> AsOfJoin.eventsAsOfSignup _,
+    "events_range_follow" -> RangeJoin.errorsAfterSignup _,
     "dedup_exact" -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairs _,
     "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "events_sessionize" -> Events.sessionizeSql,
     "events_hourly_rollup" -> Events.hourlyRollupSql,
     "events_asof_signup" -> AsOfJoin.eventsAsOfSignupSql,
+    "events_range_follow" -> RangeJoin.errorsAfterSignupSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     // dedup_minhash / dedup_simhash / sim_lsh_topk: hash families not
