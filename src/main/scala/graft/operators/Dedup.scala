@@ -165,12 +165,15 @@ object Dedup {
       val viaNeighbor = und
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select($"src".as("id"), $"label")
+      // localCheckpoint truncates the per-iteration lineage growth
+      // (plan size would otherwise double each round); on a cluster
+      // use reliable checkpoint() against the checkpoint dir instead
       val next = labels.union(viaNeighbor)
-        .groupBy($"id").agg(min($"label").as("label")).cache()
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), "id")
         .filter($"n.label" =!= $"o.label").count()
-      labels.unpersist()
       labels = next
     }
     und.unpersist()
