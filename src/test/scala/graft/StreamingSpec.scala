@@ -62,6 +62,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, ts(180), ts(180), 1L, 5.0)), s"got=$got")
   }
 
+  test("streaming sessionize ≡ batch sessionize on the real event table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_equiv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every open session
+      mem.addData(Seq(StreamEvent(-1, new Timestamp(maxTs + 36000000L),
+        -999, "x", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(-2, new Timestamp(maxTs + 72000000L),
+        -999, "x", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions_equiv")
+      .filter($"user_id" =!= -999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+    // batch sessions re-aggregated to the same (user, start, end, n) shape
+    val batch = Events.sessionize(spark, SF)
+      .join(Tables.events(spark, SF).select($"event_id", $"ts", $"value"),
+        "event_id")
+      .groupBy($"user_id", $"session_id")
+      .agg(org.apache.spark.sql.functions.min($"ts").as("s"),
+        org.apache.spark.sql.functions.max($"ts").as("e"),
+        org.apache.spark.sql.functions.count($"event_id").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000,
+        r.getTimestamp(3).getTime / 1000, r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming dedup drops within-watermark replays, keeps first occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

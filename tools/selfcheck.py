@@ -21,7 +21,7 @@ if not no_spark:
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(
         ["sbt", f'runMain graft.Verify {sf_dir} {out_dir}'],
-        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1200)
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=3000)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:])
         sys.exit("sbt runMain graft.Verify failed")
