@@ -103,10 +103,14 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // |set| rides on each posting row (one int) so jaccard needs no
-    // re-join against a per-doc sizes table
+    // re-join against a per-doc sizes table; the join key is the
+    // 64-bit shingle hash — the exchange moves 8-byte longs instead
+    // of ~25-char strings (collisions at 2^-64 per pair shift a
+    // count by ±1 in the 4th decimal at worst)
     val post = shinglePostings(spark, dir)
+      .select($"doc_id", $"lang", $"n", xxhash64($"shingle").as("sh_h"))
     post.as("x").join(post.as("y"),
-        $"x.shingle" === $"y.shingle" && $"x.lang" === $"y.lang" &&
+        $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
           $"x.doc_id" < $"y.doc_id")
       .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("common"),
@@ -158,8 +162,10 @@ object Dedup {
     import pairs.sparkSession.implicits._
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val und = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cache()
-    var labels = und.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).cache()
+    // seed with min(self, direct neighbors) — one aggregation that
+    // saves a full propagation round vs label := self
+    var labels = und.groupBy($"src".as("id"))
+      .agg(least(min($"dst"), first($"src")).as("label")).cache()
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = und
