@@ -55,6 +55,11 @@ object SparkEntry {
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClusters _,
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sql_passthrough" -> SqlInterface.passthrough _,
+    "olap_rollup" -> Olap.rollupOrders _,
+    "olap_pivot" -> Olap.pivotEvents _,
+    "olap_window_ranks" -> Olap.supplierRanks _,
+    "olap_stats_summary" -> Olap.statsSummary _,
+    "profile_documents" -> Profile.profileDocuments _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -101,5 +106,10 @@ object SparkEntry {
     // the same engine-side argmin — rows-only + recall spec.
     // sql_passthrough: the SAME SQL string runs on both engines.
     "sql_passthrough" -> SqlInterface.passthroughSql,
+    "olap_rollup" -> Olap.rollupOrdersSql,
+    "olap_pivot" -> Olap.pivotEventsSql,
+    "olap_window_ranks" -> Olap.supplierRanksSql,
+    "olap_stats_summary" -> Olap.statsSummarySql,
+    "profile_documents" -> Profile.profileDocumentsSql,
   )
 }

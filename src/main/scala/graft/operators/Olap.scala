@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP aggregation surface beyond plain GROUP BY: rollup hierarchies,
+  * pivots, ranking windows, exact distribution stats. All shapes are
+  * single-shuffle hash aggregates / windows — rollup computes every
+  * grouping level in ONE pass (Expand + partial agg), where the naive
+  * alternative is one job per level unioned.
+  */
+object Olap {
+
+  /** ROLLUP (status, year): per-status-and-year, per-status, and
+    * grand-total rows from one scan.
+    */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        year($"o_orderdate").cast("long").as("yr"), $"o_totalprice")
+      .rollup($"status", $"yr")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  val rollupOrdersSql: String =
+    """SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS BIGINT) AS yr,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP (status, yr)"""
+
+  /** Pivot event counts: one row per hour-of-day, one column per
+    * event type. The type list is explicit — at scale an unbounded
+    * pivot means a driver-side distinct first; fixing the vocabulary
+    * keeps it one pass.
+    */
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(hour($"ts").cast("long").as("hod"), $"event_type")
+      .groupBy($"hod")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+  }
+
+  val pivotEventsSql: String = {
+    val cols = eventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS $t").mkString(", ")
+    s"SELECT CAST(hour(ts) AS BIGINT) AS hod, $cols FROM events GROUP BY hod"
+  }
+
+  /** Ranking window family over suppliers per nation: rank,
+    * dense_rank, quartile, percent_rank in one window pass.
+    */
+  def supplierRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"s_nationkey")
+      .orderBy($"s_acctbal".desc, $"s_suppkey")
+    Tables.supplier(spark, dir)
+      .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
+      .select($"s_nationkey", $"s_suppkey",
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"))
+  }
+
+  val supplierRanksSql: String =
+    """SELECT s_nationkey, s_suppkey,
+         CAST(rank() OVER w AS BIGINT) AS rk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 4) AS pct_rank
+       FROM supplier
+       WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)"""
+
+  /** Exact distribution stats per event type: count, mean, sample
+    * stddev, interpolated median — one hash aggregate. (Approximate
+    * sketch variants are spec-gated: see OlapSpec HLL test.)
+    */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 4).as("mean"),
+        round(stddev_samp($"value"), 4).as("sd"),
+        round(percentile($"value", lit(0.5)), 4).as("median"))
+  }
+
+  val statsSummarySql: String =
+    """SELECT event_type, count(*) AS n,
+         round(avg(value), 4) AS mean,
+         round(stddev_samp(value), 4) AS sd,
+         round(quantile_cont(value, 0.5), 4) AS median
+       FROM events GROUP BY event_type"""
+}
