@@ -95,6 +95,28 @@ object EventStream {
     SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n,
       math.rint(s.sum * 10000) / 10000)
 
+  /** Stream-stream inner join with a time-bound: each left event
+    * matched to right events for the same user within
+    * [left.ts, left.ts + window]. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so each side's join
+    * state is evicted once the watermark clears its window — the
+    * combination Structured Streaming requires for state not to grow
+    * forever on an unbounded join.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import left.sparkSession.implicits._
+    val l = left.withWatermark("ts", watermark)
+      .select($"event_id".as("l_id"), $"user_id", $"ts".as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select($"event_id".as("r_id"), $"user_id".as("r_user"), $"ts".as("r_ts"))
+    l.join(r,
+      $"user_id" === $"r_user" &&
+        $"r_ts" >= $"l_ts" &&
+        $"r_ts" <= $"l_ts" + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select($"l_id", $"r_id", $"user_id", $"l_ts", $"r_ts")
+  }
+
   /** Streaming exact dedup on an arbitrary key (e.g. a document
     * fingerprint): first occurrence passes, replays within the
     * watermark horizon are dropped, and — the part a naive

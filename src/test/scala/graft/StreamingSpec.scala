@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("stream-stream join matches pairs inside the time bound only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lmem = MemoryStream[StreamEvent]
+    val rmem = MemoryStream[StreamEvent]
+    val q = EventStream.streamStreamJoin(lmem.toDF(), rmem.toDF(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(Seq(StreamEvent(1, ts(0), 7, "signup", 0.0)))
+      rmem.addData(Seq(
+        StreamEvent(10, ts(10), 7, "error", 0.0),  // in window
+        StreamEvent(11, ts(29), 7, "error", 0.0),  // in window (≤30')
+        StreamEvent(12, ts(45), 7, "error", 0.0),  // outside
+        StreamEvent(13, ts(10), 8, "error", 0.0))) // other user
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L)), s"got $pairs")
+  }
+
   test("streaming dedup drops within-watermark replays, keeps first occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
