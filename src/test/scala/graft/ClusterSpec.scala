@@ -33,12 +33,12 @@ class ClusterSpec extends SparkSpec {
     assert(badId == 0)
   }
 
-  test("IVF top-k recall vs brute force ≥ 0.4 at nprobe=4/16") {
-    val brute = operators.Similarity.bruteforceTopK(spark, SF)
+  test("IVF top-k recall ≥ 0.6 at nprobe=4/16 over 20 queries (measured 0.85)") {
+    val brute = operators.Similarity.bruteforceTopK(spark, SF, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = operators.Similarity.ivfTopK(spark, SF)
+    val ivf = operators.Similarity.ivfTopK(spark, SF, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.4, f"recall=$recall%.2f")
+    assert(recall >= 0.6, f"recall=$recall%.2f")
   }
 }
