@@ -37,6 +37,23 @@ class PipelineSpec extends SparkSpec {
       Tables.customer(spark, SF).count())
   }
 
+  test("end-to-end ETL job: builds the lake once, skips the replay") {
+    import graft.pipeline.EtlJob
+    val out = Files.createTempDirectory("graft_lake").toString
+    val first = EtlJob.run(spark, SF, out, inputName = "batch_A")
+    assert(!first.skipped)
+    assert(first.tablesWritten.size == 3)
+    assert(first.orphanOrders >= 0 && first.orphanCustomers >= 0)
+    assert(first.topFemaleToken.nonEmpty && first.topMaleToken.nonEmpty)
+    // written star is readable
+    first.tablesWritten.foreach { p =>
+      assert(spark.read.parquet(p).count() > 0)
+    }
+    // idempotency: the same input name is a no-op
+    val replay = EtlJob.run(spark, SF, out, inputName = "batch_A")
+    assert(replay.skipped)
+  }
+
   test("dimensional ETL: surrogate keys dense, bridge joins back clean") {
     import spark.implicits._
     val dim = DimensionalEtl.tokenDim(spark, SF).cache()
