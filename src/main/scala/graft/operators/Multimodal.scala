@@ -81,6 +81,34 @@ object Multimodal {
     media.mapPartitions(_.grouped(BATCH).flatMap(stubDecode))
   }
 
+  /** STUB resize — deterministic nearest-neighbor downsample of the
+    * payload viewed as a ⌈√n⌉-square byte grid, standing in for an
+    * image resize kernel. The Spark-side contract is the real part:
+    * batched mapPartitions, output payload is `side²` bytes, metadata
+    * updated to the new geometry.
+    */
+  def resize(media: Dataset[MediaRow], side: Int = 8): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BATCH).flatMap(_.map { m =>
+      val n = m.payload.length
+      val srcSide = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val out = new Array[Byte](side * side)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val sy = y * srcSide / side
+          val sx = x * srcSide / side
+          val idx = sy * srcSide + sx
+          out(y * side + x) = if (idx < n) m.payload(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(m.doc_id, m.fmt, out, out.length.toLong)
+    }))
+  }
+
   /** Gate query: metadata + frame count through the real batched
     * decode path. Columns restricted to what ANSI SQL can reproduce;
     * the feature vector itself is asserted in MultimodalSpec.

@@ -26,6 +26,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize emits fixed-geometry payloads, deterministic, metadata consistent") {
+    val a = Multimodal.resize(Multimodal.mediaTable(spark, SF), side = 8)
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.resize(Multimodal.mediaTable(spark, SF), side = 8)
+      .collect().sortBy(_.doc_id)
+    assert(a.length == 500)
+    a.foreach { m =>
+      assert(m.payload.length == 64 && m.n_bytes == 64)
+    }
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.payload.sameElements(y.payload), s"doc ${x.doc_id}")
+    }
+  }
+
   test("payload column prunes away for metadata-only projections") {
     val scan = Multimodal.mediaTable(spark, SF)
       .select("doc_id", "fmt")
