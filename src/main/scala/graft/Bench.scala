@@ -15,17 +15,19 @@ object Bench {
     // collapses those to 1 partition and serializes them. On a real
     // cluster with IO-bound shuffles, leave it on (Graft default).
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    // two passes, min per query: pass 1 absorbs JVM/codegen/
-    // parquet-footer warmup, pass 2 is steady-state
+    // min over three passes: pass 1 absorbs JVM/codegen/parquet-
+    // footer warmup, the min over passes 2-3 shrugs off GC and
+    // scheduler noise
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val warm = timeAll()
-    val steady = timeAll()
-    val results = warm.map { case (k, v) => k -> math.min(v, steady(k)) }
+    val passes = Seq(timeAll(), timeAll(), timeAll())
+    val results = passes.head.keys.map { k =>
+      k -> passes.map(_(k)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
