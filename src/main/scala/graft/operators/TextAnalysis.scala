@@ -14,7 +14,14 @@ object TextAnalysis {
 
   /** Marker vocabularies for the n-gram/stopword language heuristic.
     * Order is the deterministic tie-break (first wins on equal
-    * score).
+    * score). NOTE: the synthetic testdata draws every doc from one
+    * shared vocabulary and assigns `lang` labels randomly, so NO
+    * marker set can beat chance there — `is_match` (~0.16 ≈ 1/5)
+    * measures that honestly. What the gate validates is the operator
+    * shape (per-class marker scoring, argmax, fixed tie-break —
+    * exactly a real stopword-profile langid); swap the marker lists
+    * for real profiles (e.g. most-frequent-words per language) on a
+    * real corpus.
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "or"),
