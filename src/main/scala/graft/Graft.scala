@@ -35,4 +35,7 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // testdata events.parquet is TIMESTAMP(NANOS), which Spark 4
+      // rejects outright; read raw nanos (Tables.events truncates)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }
