@@ -22,7 +22,7 @@ object Profile {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.toSeq.tail: _*).collect()(0)
     val out = df.columns.zipWithIndex.map { case (c, i) =>
       (c, row.getLong(4 * i), row.getLong(4 * i + 1),
         Option(row.getString(4 * i + 2)).getOrElse(""),

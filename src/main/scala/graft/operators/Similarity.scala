@@ -128,7 +128,7 @@ object Similarity {
     */
   def lshSignatureCol(emb: Column): Column = {
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(v => lit(v.toFloat)): _*)
+      val pl = array(p.toSeq.map(v => lit(v.toFloat)): _*)
       when(dotCol(emb, pl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     sigBits.reduce((a, b) => a.bitwiseOR(b))

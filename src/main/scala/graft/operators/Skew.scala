@@ -21,7 +21,7 @@ object Skew {
     // deterministic per-row salt: hash of the whole row, not rand()
     // (retries/speculative tasks must re-derive the same salt)
     val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(factor)))
+      pmod(hash(big.columns.toSeq.map(col): _*), lit(factor)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
