@@ -37,6 +37,22 @@ class PipelineSpec extends SparkSpec {
       Tables.customer(spark, SF).count())
   }
 
+  test("compaction collapses a fragmented table without changing its data") {
+    import graft.pipeline.Maintenance
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_frag").toString + "/t"
+    val df = Tables.lineitem(spark, SF).select($"l_orderkey", $"l_quantity")
+    df.repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val sum0 = before.agg(sum($"l_quantity")).collect()(0).getDouble(0)
+    val n0 = before.count()
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir)
+    assert(nBefore == 40 && nAfter < 5, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == n0)
+    assert(math.abs(after.agg(sum($"l_quantity")).collect()(0).getDouble(0) - sum0) < 1e-6)
+  }
+
   test("end-to-end ETL job: builds the lake once, skips the replay") {
     import graft.pipeline.EtlJob
     val out = Files.createTempDirectory("graft_lake").toString
