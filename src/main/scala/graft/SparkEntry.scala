@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDuplicates(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "text_langid" -> TextAnalysis.langId _,
