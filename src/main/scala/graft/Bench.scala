@@ -19,15 +19,19 @@ object Bench {
     // min over three passes: pass 1 absorbs JVM/codegen/parquet-
     // footer warmup, the min over passes 2-3 shrugs off GC and
     // scheduler noise
+    // a failed query records -1, never its elapsed-to-failure time —
+    // a breakage must not masquerade as a fast result
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val passes = Seq(timeAll(), timeAll(), timeAll())
     val results = passes.head.keys.map { k =>
-      k -> passes.map(_(k)).min
+      val ts = passes.map(_(k)).filter(_ >= 0)
+      k -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,8 +43,12 @@ object AsOfJoin {
       .select(Seq(col("_t"), col("_side")) ++ leftCols.map(c =>
         if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(p => col(p).as(s"_p_$p")): _*)
+    // payload columns as the final tie-break: with two right rows at
+    // the same (key, t), `last` would otherwise pick by shuffle order
+    // — nondeterministic across runs
+    val tieBreak = payload.map(p => col(s"_p_$p").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy($"_t".asc, $"_side".asc)
+      .orderBy(Seq($"_t".asc, $"_side".asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .select((leftCols.map(col) :+ col("_side")) ++

@@ -180,6 +180,7 @@ object Dedup {
       changed = next.as("n")
         .join(labels.as("o"), "id")
         .filter($"n.label" =!= $"o.label").count()
+      labels.unpersist()
       labels = next
     }
     und.unpersist()

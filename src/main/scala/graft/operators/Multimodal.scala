@@ -133,6 +133,10 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, everyN: Int = 4): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).toDF()
+      // empty payloads have no frames — and Spark's `div` truncates
+      // toward zero where the oracle's // floors, so (0-1) div 256
+      // would fabricate a phantom frame_idx 0
+      .filter($"n_bytes" > 0)
       .select($"doc_id", $"payload", $"n_bytes",
         explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $FRAME_BYTES"),
           lit(everyN.toLong))).as("frame_idx"))
@@ -155,7 +159,7 @@ object Multimodal {
                $FRAME_BYTES)) AS frame_md5
         FROM (SELECT doc_id, text, unnest(range(0,
                 (length(text) - 1) // $FRAME_BYTES + 1, $everyN)) AS frame_idx
-              FROM documents)"""
+              FROM documents WHERE length(text) > 0)"""
 
   /** The testdata text is pure ASCII (driver-verified), so per-char
     * `ord` equals the UTF-8 byte value.

@@ -17,7 +17,10 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = df.columns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: sum over zero rows is null, and a profiler must
+      // survive an empty input rather than NPE in getLong
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls"),
         count_distinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))

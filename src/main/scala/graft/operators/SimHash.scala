@@ -64,16 +64,17 @@ object SimHash {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist (≤ 15 keeps the
-    * 4-chunk pigeonhole sound: ≤3 differing chunks of 16 bits each
-    * can hold at most 48 flipped bits, and any distance ≤ 15 forces
-    * ≥1 identical chunk... strictly, distance ≤ 3 guarantees it; we
-    * gate at 3).
+  /** Near-dup pairs with Hamming distance ≤ maxDist. The 4×16-bit
+    * pigeonhole banding is complete only for maxDist ≤ 3 (4 flipped
+    * bits can land one per chunk and share nothing) — enforced, not
+    * documented away.
     */
   def nearDuplicates(spark: SparkSession, dir: String): DataFrame =
     nearDuplicatesFrom(fingerprints(spark, dir), maxDist = 3)
 
   def nearDuplicatesFrom(fps: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4-chunk banding is only complete for maxDist <= 3, got $maxDist")
     import fps.sparkSession.implicits._
     val chunks = fps.select($"doc_id", $"simhash", posexplode(
         transform(sequence(lit(0), lit(3)), c =>

@@ -18,6 +18,12 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `factor` null-padded copies of every
+    // unmatched (replicated) small-side row — not the plain join
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
     // deterministic per-row salt: hash of the whole row, not rand()
     // (retries/speculative tasks must re-derive the same salt)
     val salted = big.withColumn("_salt",

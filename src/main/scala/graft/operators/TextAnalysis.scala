@@ -93,8 +93,10 @@ object TextAnalysis {
         // vs DuckDB binary rounding disagree on exact .5 ulps).
         val s = round($"stop_ratio" * 10000).cast("long")
         val a = round($"avg_token_len" * 10000).cast("long")
+        // term scales at 1e8: 0.4·min(nt/100,1) → 400000·min(nt,100);
+        // 0.3·(1−s/1e4) → 3000·(1e4−s); 0.3·min(a/(8·1e4),1) → 375·a
         val qe8 = lit(400000L) * least($"n_tokens", lit(100L)) +
-          lit(30000L) * (lit(10000L) - s) +
+          lit(3000L) * (lit(10000L) - s) +
           least(lit(375L) * a, lit(30000000L))
         floor((qe8 + lit(5000L)) / lit(10000.0)).cast("long") / lit(10000.0)
       })
@@ -116,7 +118,7 @@ object TextAnalysis {
           FROM base)
         SELECT doc_id, n_chars, n_tokens, stop_ratio, avg_token_len,
           CAST(floor((400000 * least(n_tokens, 100)
-                + 30000 * (10000 - CAST(round(stop_ratio * 10000) AS BIGINT))
+                + 3000 * (10000 - CAST(round(stop_ratio * 10000) AS BIGINT))
                 + least(375 * CAST(round(avg_token_len * 10000) AS BIGINT),
                         30000000) + 5000) / 10000.0) AS BIGINT) / 10000.0
             AS quality

@@ -26,8 +26,18 @@ object Maintenance {
       .repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     val bak = new Path(dir + "_precompact")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    // HDFS-style rename signals failure by returning false, not by
+    // throwing — check every step, and only drop the backup once the
+    // swap has definitely landed (a stale backup from a crashed run
+    // must not silently absorb the rename either)
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"cannot clear stale backup $bak")
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"rename $path -> $bak failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore; table was only at bak
+      throw new java.io.IOException(s"rename $tmp -> $path failed; original restored")
+    }
     fs.delete(bak, true)
     val after = fs.listStatus(path)
       .count(_.getPath.getName.endsWith(".parquet"))

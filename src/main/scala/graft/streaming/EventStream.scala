@@ -74,7 +74,10 @@ object EventStream {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
+                  // max: a late straggler must not move the session
+                  // end (and thus the timeout) backwards
+                  open = Some(OpenSession(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += out(user, s)
                   open = Some(OpenSession(t, t, 1, e.value))
@@ -84,7 +87,12 @@ object EventStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp: setTimeoutTimestamp throws if the target is
+              // not beyond the current watermark, which a late-event
+              // session (flatMapGroupsWithState does NOT drop late
+              // rows) would otherwise hit and kill the query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.result().iterator
           }
