@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.TextAnalysis
+import graft.streaming.{EventStream, StreamEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class QualityContractSpec extends SparkSpec {
+
+  test("quality scores stay inside [0,1] (weights sum to 1)") {
+    import spark.implicits._
+    val bad = TextAnalysis.quality(spark, SF)
+      .filter($"quality" < 0.0 || $"quality" > 1.0)
+      .count()
+    assert(bad == 0)
+    // and the score actually uses its range, not a constant
+    val range = TextAnalysis.quality(spark, SF)
+      .agg(max($"quality") - min($"quality")).collect()(0).getDouble(0)
+    assert(range > 0.01)
+  }
+
+  test("sessionize survives a straggler behind the watermark (dropped, not fatal)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(m: Long) = new Timestamp(1704067200000L + m * 60000L)
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 pushes the watermark far ahead (max ts 10h − 1h delay)
+      mem.addData(Seq(StreamEvent(1, ts(600), 42, "click", 0.0)))
+      q.processAllAvailable()
+      // batch 2: a straggler 10h behind the watermark. Spark 4
+      // filters late rows before flatMapGroupsWithState, so the row
+      // is DROPPED (no state, no session) — and the operator's
+      // timeout clamp keeps even a hypothetical unfiltered straggler
+      // from killing the query
+      mem.addData(Seq(StreamEvent(2, ts(0), 7, "click", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(3, ts(1200), 42, "click", 0.0)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    val users = spark.table("late_sessions")
+      .collect().map(_.getLong(0)).toSet
+    // the straggler never becomes a session; the healthy user's
+    // gap-closed session did emit
+    assert(!users.contains(7L))
+    assert(users.contains(42L))
+  }
+}
