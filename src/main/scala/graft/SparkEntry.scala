@@ -35,6 +35,7 @@ object SparkEntry {
     "analytics_cooccurrence" -> Analytics.cooccurrence _,
     "events_json_extract" -> Events.jsonExtract _,
     "events_sessionize" -> Events.sessionize _,
+    "events_session_window" -> Events.sessionWindows _,
     "events_hourly_rollup" -> Events.hourlyRollup _,
     "events_asof_signup" -> AsOfJoin.eventsAsOfSignup _,
     "events_range_follow" -> RangeJoin.errorsAfterSignup _,
@@ -87,6 +88,7 @@ object SparkEntry {
     "analytics_cooccurrence" -> Analytics.cooccurrenceSql,
     "events_json_extract" -> Events.jsonExtractSql,
     "events_sessionize" -> Events.sessionizeSql,
+    "events_session_window" -> Events.sessionWindowsSql,
     "events_hourly_rollup" -> Events.hourlyRollupSql,
     "events_asof_signup" -> AsOfJoin.eventsAsOfSignupSql,
     "events_range_follow" -> RangeJoin.errorsAfterSignupSql,

@@ -57,6 +57,49 @@ object Events {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
        FROM g"""
 
+  /** #26b: the same sessionization through Spark's native
+    * `session_window` operator (gap-merged windows in one pass) —
+    * cross-validated against the manual lag+cumsum form by sharing
+    * an oracle derived from it. Emitted in epoch seconds: the
+    * window's end is exclusive (last event + gap).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", timestamp_seconds(unix_timestamp($"ts")).as("tss"),
+        $"event_id")
+      .groupBy($"user_id", session_window($"tss", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_timestamp($"session_window.start").as("start_sec"),
+        unix_timestamp($"session_window.end").as("end_sec"),
+        $"n_events")
+  }
+
+  /** Oracle: the lag+cumsum session ids re-aggregated to window
+    * extents; end = last event + gap (session_window's exclusive
+    * end).
+    */
+  val sessionWindowsSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       g AS (
+         SELECT event_id, user_id, ts_sec,
+                ts_sec - lag(ts_sec) OVER w AS gap
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+       s AS (
+         SELECT event_id, user_id, ts_sec,
+                sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+         FROM g)
+       SELECT user_id, min(ts_sec) AS start_sec,
+              max(ts_sec) + 1800 AS end_sec,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, session_id"""
+
   /** #27: hourly rollup — the batch equivalent of the streaming
     * tumbling-window aggregation.
     */
