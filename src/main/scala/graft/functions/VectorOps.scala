@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  /** Mismatched lengths mean corrupt or mixed-model embeddings; a
+    * silent min-length truncation would return plausible-but-wrong
+    * similarities, so fail loudly instead.
+    */
+  protected def checkSameLength(n1: Int, n2: Int): Unit =
+    if (n1 != n2) throw VectorBinaryExpression.lengthMismatch(prettyName, n1, n2)
+
   private def isFloatArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -41,7 +48,8 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    checkSameLength(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +65,11 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       code"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          throw graft.functions.VectorBinaryExpression.lengthMismatch(
+            "vec_dot", $n, $b.numElements());
+        }
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -70,7 +82,20 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** cos(a,b) = a·b / (‖a‖·‖b‖), one fused pass over both arrays. */
+object VectorBinaryExpression {
+  /** Shared by interpreted eval and generated code (codegen can only
+    * call public static-reachable members).
+    */
+  def lengthMismatch(fn: String, n1: Int, n2: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$fn: vector length mismatch ($n1 vs $n2) — corrupt or mixed-model embeddings")
+}
+
+/** cos(a,b) = a·b / (‖a‖·‖b‖), one fused pass over both arrays.
+  * Zero-norm inputs (all-zero vector) are defined as cosine 0.0
+  * rather than NaN, so they rank last in any top-k instead of
+  * poisoning the ordering.
+  */
 case class VecCosine(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
@@ -79,7 +104,8 @@ case class VecCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    checkSameLength(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -88,7 +114,8 @@ case class VecCosine(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -100,15 +127,21 @@ case class VecCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       code"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          throw graft.functions.VectorBinaryExpression.lengthMismatch(
+            "vec_cosine", $n, $b.numElements());
+        }
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $xv = (double) $a.getFloat($i);
           double $yv = (double) $b.getFloat($i);
           $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
       """.toString
     })
 

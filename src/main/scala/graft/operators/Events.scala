@@ -52,9 +52,10 @@ object Events {
                 ts_sec - lag(ts_sec) OVER w AS gap
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
        SELECT event_id, user_id,
-              sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
        FROM g"""
 
   /** #26b: the same sessionization through Spark's native

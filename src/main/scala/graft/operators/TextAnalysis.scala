@@ -74,18 +74,31 @@ object TextAnalysis {
     * into [0,1]. Weights are arbitrary but fixed; the operator shape
     * (single-pass, no shuffle) is the point.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(spark, Tables.documents(spark, dir))
+
+  /** Same scoring over any (doc_id, text) frame — lets specs drive
+    * degenerate inputs (empty/whitespace-only docs) through the real
+    * code path.
+    */
+  def qualityOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val toks = Dedup.tokensCol($"text")
     val stop = Seq("the", "a", "or", "and", "of")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", toks.as("toks"), length($"text").as("n_chars"))
       .select($"doc_id", $"n_chars".cast("long").as("n_chars"),
         size($"toks").cast("long").as("n_tokens"),
-        round(markerHits($"toks", stop).cast("double") / size($"toks"), 4)
-          .as("stop_ratio"),
-        round(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / size($"toks"), 4).as("avg_token_len"))
+        // empty/whitespace-only docs are certain in real curation
+        // input: unguarded 0.0/0 is NaN, and round(NaN).cast(long)
+        // throws under Spark 4's default ANSI mode
+        when(size($"toks") > 0,
+          round(markerHits($"toks", stop).cast("double") / size($"toks"), 4))
+          .otherwise(0.0).as("stop_ratio"),
+        when(size($"toks") > 0,
+          round(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size($"toks"), 4))
+          .otherwise(0.0).as("avg_token_len"))
       .withColumn("quality", {
         // 0.4·min(n_tokens/100,1) + 0.3·(1−stop_ratio) +
         // 0.3·min(avg_token_len/8,1), evaluated in integer units of
@@ -111,10 +124,12 @@ object TextAnalysis {
           FROM documents),
         m AS (
           SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
-            round(len(list_filter(toks, t -> t IN ('the','a','or','and','of'))) * 1.0
-                  / len(toks), 4) AS stop_ratio,
-            round(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)),
-                  (x, y) -> x + y) * 1.0 / len(toks), 4) AS avg_token_len
+            CASE WHEN len(toks) > 0 THEN
+              round(len(list_filter(toks, t -> t IN ('the','a','or','and','of'))) * 1.0
+                    / len(toks), 4) ELSE 0.0 END AS stop_ratio,
+            CASE WHEN len(toks) > 0 THEN
+              round(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)),
+                    (x, y) -> x + y) * 1.0 / len(toks), 4) ELSE 0.0 END AS avg_token_len
           FROM base)
         SELECT doc_id, n_chars, n_tokens, stop_ratio, avg_token_len,
           CAST(floor((400000 * least(n_tokens, 100)

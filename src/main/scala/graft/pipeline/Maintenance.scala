@@ -7,9 +7,16 @@ import org.apache.spark.sql.SparkSession
   * frequent small merges fragment a table into thousands of tiny
   * parquet files; every downstream scan then pays per-file open +
   * footer-read + scheduling cost. Compaction rewrites a table
-  * directory to ~`targetBytes` files (atomic swap via rename), which
-  * at 100 TB is the difference between a scan spending its time in
-  * IO and spending it in file bookkeeping.
+  * directory to ~`targetBytes` files, then swaps via two renames.
+  *
+  * Swap semantics: the two-rename swap is NOT reader-atomic — between
+  * rename(path→bak) and rename(tmp→path) the table directory does not
+  * exist, so a concurrent reader in that window fails its scan (and a
+  * crash in the window leaves the table at `_precompact`, recoverable
+  * by hand or by the next compact run's stale-backup check). True
+  * reader-atomicity needs a manifest/indirection layer (a table
+  * format like the lakehouse formats provide); this operator is for
+  * maintenance windows where the table is quiesced.
   */
 object Maintenance {
 
@@ -35,7 +42,11 @@ object Maintenance {
     if (!fs.rename(path, bak))
       throw new java.io.IOException(s"rename $path -> $bak failed")
     if (!fs.rename(tmp, path)) {
-      fs.rename(bak, path) // restore; table was only at bak
+      // restore; table was only at bak — and a failed restore must be
+      // loud (it means the table is currently missing entirely)
+      if (!fs.rename(bak, path))
+        throw new java.io.IOException(
+          s"rename $tmp -> $path failed AND restore failed: table data is at $bak")
       throw new java.io.IOException(s"rename $tmp -> $path failed; original restored")
     }
     fs.delete(bak, true)

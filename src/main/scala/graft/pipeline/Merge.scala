@@ -34,9 +34,12 @@ object Merge {
   def scd2(current: DataFrame, updates: DataFrame, key: String,
       batchTs: Timestamp): DataFrame = {
     val attrs = updates.columns.filterNot(_ == key).toSeq
-    val uh = updates.withColumn("_h", hash(attrs.map(col): _*))
+    // xxhash64, not the 32-bit murmur `hash`: a 32-bit collision
+    // between old and new attrs silently skips a close/insert —
+    // ~2^-32 per updated key is a real event at warehouse scale
+    val uh = updates.withColumn("_h", xxhash64(attrs.map(col): _*))
     val open = current.filter(col("valid_to").isNull)
-      .withColumn("_h", hash(attrs.map(col): _*))
+      .withColumn("_h", xxhash64(attrs.map(col): _*))
     val history = current.filter(col("valid_to").isNotNull)
 
     // keys whose open version differs, plus brand-new keys

@@ -22,6 +22,20 @@ class QualityContractSpec extends SparkSpec {
     assert(range > 0.01)
   }
 
+  test("empty and whitespace-only documents score without NaN or ANSI error") {
+    import spark.implicits._
+    // degenerate docs the synthetic testdata never contains — the
+    // unguarded 0/0 was NaN, and round(NaN).cast(long) throws under ANSI
+    val rows = TextAnalysis.qualityOf(spark,
+        Seq((1L, ""), (2L, "   "), (3L, "the fox")).toDF("doc_id", "text"))
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (ratio, q) = (r.getAs[Double]("stop_ratio"), r.getAs[Double]("quality"))
+      assert(!ratio.isNaN && !q.isNaN && q >= 0.0 && q <= 1.0)
+    }
+  }
+
   test("sessionize survives a straggler behind the watermark (dropped, not fatal)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

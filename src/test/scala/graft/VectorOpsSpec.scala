@@ -32,6 +32,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("length mismatch fails loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Similarity.cosineCol($"a", $"b")).collect()
+    }
+    // root cause may be wrapped by Spark's executor exception chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause).toList)
+    assert(messages(e).exists(m => m != null && m.contains("length mismatch")))
+  }
+
+  test("zero-norm cosine is 0.0, not NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosineCol($"a", $"b")).collect()(0).getDouble(0)
+    assert(c == 0.0)
+  }
+
   test("kernels run inside whole-stage codegen") {
     import spark.implicits._
     val plan = Tables.embeddings(spark, SF)
