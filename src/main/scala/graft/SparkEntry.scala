@@ -94,19 +94,25 @@ object SparkEntry {
     "events_range_follow" -> RangeJoin.errorsAfterSignupSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
-    // dedup_minhash / dedup_simhash / sim_lsh_topk: hash families not
-    // reproducible in ANSI SQL → rows-only gate + property specs.
+    // the LSH/hash-family gates are exact: the hash families are
+    // md5-derived (minhash/simhash) or literal hyperplanes with
+    // IEEE-identical fold semantics (embedding LSH / IVF), so DuckDB
+    // re-derives each full pipeline value-for-value.
+    "dedup_minhash" -> MinHashLSH.nearDuplicatesSql,
+    "dedup_simhash" -> SimHash.nearDuplicatesSql,
     "dedup_embedding_cosine" -> Similarity.embeddingDedupSql(),
+    "dedup_embedding_lsh" -> Similarity.embeddingDedupLshSql(),
     "sim_bruteforce_topk" -> Similarity.bruteforceTopKSql(),
+    "sim_lsh_topk" -> Similarity.lshTopKSql(),
+    "sim_ivf_topk" -> Similarity.ivfTopKSql(),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprintSql,
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frames" -> Multimodal.frameSampleSql(),
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClustersSql,
-    // sim_ivf_topk: centroid assignment not ANSI-expressible without
-    // the same engine-side argmin — rows-only + recall spec.
     // sql_passthrough: the SAME SQL string runs on both engines.
     "sql_passthrough" -> SqlInterface.passthroughSql,
     "olap_rollup" -> Olap.rollupOrdersSql,

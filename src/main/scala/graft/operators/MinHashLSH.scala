@@ -1,42 +1,63 @@
 package graft.operators
 
-import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** #29 MinHash + banded LSH near-duplicate detection:
-  * shingle → xxhash64 → H permutation-min signature → B bands of R
-  * rows → bucket-join on (band, band-hash) → candidate pairs →
+  * shingle → 64-permutation min-signature → B bands of R rows →
+  * bucket-join on (band, band-hash) → candidate pairs →
   * signature-estimated Jaccard.
   *
   * Everything up to the bucket join is per-row column expressions
   * (no shuffle, no UDF); the only shuffles are the band-bucket join
-  * (key = 16 bytes) and the final pair distinct. Pair enumeration is
+  * (key = 8 bytes) and the final pair distinct. Pair enumeration is
   * per-bucket, so cost is Σ bucket² — the LSH property keeps buckets
   * tiny for non-duplicates. This is the scale path the quadratic
   * Dedup.ngramJaccardPairs verifier can't walk.
+  *
+  * Hash family: one md5 per distinct shingle split into two 28-bit
+  * halves (h1, h2), then h_i = (h1 + i·(2·h2+1)) mod 2³¹−1 — the
+  * Kirsch-Mitzenmacher two-hash construction (public bloom-filter /
+  * minhash folklore). Properties that matter here:
+  *   - 64 hashes cost ONE digest + 64 integer ops per shingle
+  *     (cheaper than 64 independent xxhash64 calls re-reading the
+  *     string), all inside whole-stage codegen;
+  *   - no multiplication ever exceeds 2³⁵, so default-ANSI Spark 4
+  *     cannot overflow;
+  *   - every step is reproducible in ANSI SQL, so the DuckDB oracle
+  *     checks the ENTIRE pipeline exactly (not rows-only).
   */
 object MinHashLSH {
 
   val H = 64   // signature length
   val BANDS = 16
   val R = 4    // rows per band; H = BANDS * R
+  val M = 2147483647L // 2^31-1, Mersenne prime
+
+  /** 28-bit integers from hex prefixes of one md5 — portable to any
+    * engine with md5 + hex parsing.
+    */
+  private def md5Half(c: Column, from: Int): Column =
+    conv(substring(md5(c), from, 7), 16, 10).cast("long")
+
+  /** h_i = (h1 + i·(2·h2+1)) mod M; the 2·h2+1 keeps the stride odd
+    * (a zero stride would collapse all 64 hashes to h1).
+    */
+  private def kmHash(h1: Column, h2: Column, i: Int): Column =
+    (h1 + lit(i.toLong) * (h2 * 2L + 1L)) % M
 
   /** Per-doc signature as H flat columns (m0..m63): explode distinct
-    * shingles, then H codegen'd `min(xxhash64(shingle, i))` hash
-    * aggregates. The hash family is xxhash64 seeded by position —
-    * independent 64-bit hashes with no multiply, so no ANSI overflow
-    * (an LCG `a·h+b` family overflows), and the whole signature
-    * build stays inside whole-stage codegen with map-side partial
-    * aggregation — no interpreted higher-order functions, one
-    * shuffle on doc_id.
+    * shingles, project the two md5 halves once per shingle row, then
+    * H codegen'd `min((h1 + i·stride) % M)` aggregates — map-side
+    * partial aggregation, one shuffle on doc_id.
     */
   def signatureFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val exploded = Dedup.shinglePostings(spark, dir)
-      .select($"doc_id", $"shingle".as("sh"))
-    val aggs = (0 until H).map(i => min(xxhash64($"sh", lit(i))).as(s"m$i"))
-    exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val halves = Dedup.shinglePostings(spark, dir)
+      .select($"doc_id",
+        md5Half($"shingle", 1).as("h1"), md5Half($"shingle", 9).as("h2"))
+    val aggs = (0 until H).map(i => min(kmHash($"h1", $"h2", i)).as(s"m$i"))
+    halves.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, sig: array<bigint> length H). */
@@ -47,19 +68,24 @@ object MinHashLSH {
   }
 
   /** Band keys (doc_id, band_idx, band_hash) straight off the flat
-    * signature frame: band b hashes its R component columns — no
-    * array slicing, still codegen.
+    * signature frame: band b's key is a 60-bit md5 prefix of its R
+    * comma-joined component values — an 8-byte join key instead of a
+    * ~44-byte string, same derivation on the oracle side.
     */
   def bands(frame: DataFrame): DataFrame = {
     import frame.sparkSession.implicits._
-    frame.select($"doc_id", posexplode(array((0 until BANDS).map(b =>
-        xxhash64((b * R until (b + 1) * R).map(i => col(s"m$i")) :+ lit(b): _*)): _*)))
+    frame.select($"doc_id", posexplode(array((0 until BANDS).map { b =>
+        val key = concat_ws(",", (b * R until (b + 1) * R).map(i => col(s"m$i")): _*)
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+      }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
   }
 
   /** Candidate pairs sharing ≥1 band bucket, with the
     * signature-estimated Jaccard (fraction of agreeing positions).
+    * est_jaccard = k/64 is a dyadic rational — exactly representable
+    * in a double, so no rounding is needed for oracle parity.
     */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -76,19 +102,63 @@ object MinHashLSH {
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        round(aggregate(zip_with($"sig_a", $"sig_b",
+        (aggregate(zip_with($"sig_a", $"sig_b",
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(H), 4)
+          lit(0), (acc, v) => acc + v).cast("double") / lit(H))
           .as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Candidates filtered to likely duplicates. Rows-only gate (the
-    * hash family isn't reproducible in ANSI SQL); the recall property
-    * vs exact Jaccard is asserted in MinHashSpec.
+  /** Candidates filtered to likely duplicates. Exact DuckDB gate
+    * ([[nearDuplicatesSql]]); the recall property vs exact Jaccard is
+    * additionally asserted in MinHashSpec.
     */
   def nearDuplicates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     candidatePairs(spark, dir).filter($"est_jaccard" >= 0.5)
   }
+
+  /** The full pipeline re-derived in DuckDB SQL: same shingles, same
+    * md5-half hash family, same band keys, same candidate join, same
+    * agreement count — hash-exact, not rows-only.
+    */
+  val nearDuplicatesSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                             x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        halves AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h1,
+                 ('0x' || substr(md5(shingle), 9, 7))::BIGINT AS h2
+          FROM sh),
+        sig AS (
+          SELECT doc_id, i, min((h1 + i * (2 * h2 + 1)) % $M) AS m
+          FROM halves CROSS JOIN range($H) t(i)
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, i // $R AS band_idx,
+                 ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT
+                   AS band_hash
+          FROM sig GROUP BY doc_id, i // $R),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / $H
+                   AS est_jaccard
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.doc_a
+          JOIN sig b ON b.doc_id = c.doc_b AND b.i = a.i
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
 }

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity operators over `embeddings`
   * (vec_id, embedding: array<float>, label).
   *
-  * Dot products run in double via zip_with + aggregate — sequential
-  * summation, matching the DuckDB oracle's semantics. No UDFs.
+  * Dot products run in double precision, sequential order — the
+  * native kernels (graft.functions.VecDot/VecCosine) match a SQL
+  * list_reduce left fold bit-for-bit, which is what lets every
+  * operator here carry an exact DuckDB oracle: identical IEEE
+  * operations produce identical doubles, so even sign thresholds
+  * (LSH bits) and top-k orderings agree between engines. No UDFs.
   */
 object Similarity {
 
@@ -31,6 +35,16 @@ object Similarity {
   def dotColHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB rendering of the same sequential-fold dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"""
+
+  /** DuckDB rendering of VecCosine (dot / (‖a‖·‖b‖)). */
+  private def cosineSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)}
+         / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 
   /** #33 brute-force cosine top-k: every query vector (vec_id <
     * nQueries) against the full corpus. The query side is broadcast,
@@ -58,14 +72,7 @@ object Similarity {
                    FROM embeddings WHERE vec_id < $nQueries),
         scored AS (
           SELECT q.query_id, c.vec_id AS cand_id,
-                 round(
-                   list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
-                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
-                   / (sqrt(list_reduce(list_transform(q.q_emb,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-                    * sqrt(list_reduce(list_transform(c.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
-                 4) AS cos
+                 round(${cosineSql("q.q_emb", "c.embedding")}, 4) AS cos
           FROM embeddings c CROSS JOIN q
           WHERE c.vec_id <> q.query_id)
         SELECT query_id, cand_id, cos, rk FROM (
@@ -77,7 +84,8 @@ object Similarity {
 
   /** #32 blocked embedding near-dup: pairs within the same `label`
     * block above a cosine threshold. Blocking bounds the pair space;
-    * at scale the block key becomes an LSH bucket (see lshTopK).
+    * at scale the block key becomes an LSH bucket (see
+    * embeddingDedupLsh).
     */
   def embeddingDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
@@ -94,74 +102,36 @@ object Similarity {
   def embeddingDedupSql(threshold: Double = 0.35): String =
     s"""WITH scored AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(
-                   list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-                   / (sqrt(list_reduce(list_transform(a.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(b.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
-                 4) AS cos
+                 round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $threshold"""
 
-  /** Label-free near-dup pairs at scale: block by shared LSH
-    * signature chunk instead of a ground-truth label — the pair space
-    * is Σ bucket² over 4-bit hyperplane buckets, and the exact cosine
-    * filter runs only inside buckets. Recall vs the exhaustive pair
-    * set is spec-gated (high-cosine pairs agree on most hyperplanes,
-    * so they share chunks with high probability).
-    */
-  def embeddingDedupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", lshSignatureCol($"embedding").as("sig"))
-    val chunked = emb.select($"vec_id", $"embedding", posexplode(
-        transform(sequence(lit(0), lit(3)), c =>
-          call_function("shiftright", $"sig", c * 4).bitwiseAND(lit(0xfL)))))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    // multi-probe one side: emit each chunk plus its 4 single-bit
-    // flips, so pairs that disagree on one hyperplane per chunk still
-    // collide somewhere (recall ~0.46 → ~0.94 at cos 0.35)
-    val probed = chunked.select($"vec_id", $"embedding", $"chunk_idx",
-      explode(array(
-        $"chunk",
-        $"chunk".bitwiseXOR(lit(1L)), $"chunk".bitwiseXOR(lit(2L)),
-        $"chunk".bitwiseXOR(lit(4L)), $"chunk".bitwiseXOR(lit(8L))))
-        .as("chunk"))
-    probed.as("x").join(chunked.as("y"),
-        $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk" === $"y.chunk" &&
-          $"x.vec_id" < $"y.vec_id")
-      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"),
-        $"x.embedding".as("e_a"), $"y.embedding".as("e_b"))
-      .distinct()
-      .select($"vec_a", $"vec_b", round(cosineCol($"e_a", $"e_b"), 4).as("cos"))
-      .filter($"cos" >= threshold)
-  }
-
-  // ── #34 random-hyperplane LSH ANN ─────────────────────────────────
-
-  val PLANES = 16
+  // ── random-hyperplane LSH machinery (shared by #32b and #34) ──────
 
   /** Deterministic pseudo-random hyperplanes (seeded LCG → values in
-    * [-1, 1]); planes are literal arrays folded into codegen.
+    * [-1, 1]). Sign-threshold LSH only needs directions, and the
+    * exact component values are embedded as literals in both the
+    * Spark plan and the generated DuckDB oracle.
     */
-  private lazy val planes: Array[Array[Double]] = {
+  def planesFor(nPlanes: Int): Array[Array[Double]] = {
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
     var s = 1234567L
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L
       (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    Array.fill(PLANES)(Array.fill(64)(next()))
+    Array.fill(nPlanes)(Array.fill(64)(next()))
   }
 
-  /** 16-bit hyperplane signature of an embedding column (planes as
+  val PLANES = 16
+  private lazy val planes16 = planesFor(PLANES)
+
+  /** n-bit hyperplane signature of an embedding column (planes as
     * float literals — the native kernel takes array<float> on both
     * sides).
     */
-  def lshSignatureCol(emb: Column): Column = {
+  def lshSignatureColFor(emb: Column, planes: Array[Array[Double]]): Column = {
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.toSeq.map(v => lit(v.toFloat)): _*)
       when(dotCol(emb, pl) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -169,16 +139,133 @@ object Similarity {
     sigBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN via multi-probe signature buckets: the 16-bit hyperplane
-    * signature is split into 4 chunks of 4 bits; a corpus vector is a
-    * candidate when any chunk matches any *probe* of the query's
-    * chunk — the chunk itself plus its four single-bit flips
-    * (multi-probe LSH: nearby buckets hold near-misses where one
-    * hyperplane voted differently). Probing expands only the
-    * broadcast query side (5× rows), leaving the corpus scan and
-    * bucket join shape unchanged, then exact cosine + top-k over
-    * candidates. Rows-only gate; recall vs bruteforceTopK asserted
-    * in SimilaritySpec.
+  def lshSignatureCol(emb: Column): Column =
+    lshSignatureColFor(emb, planes16)
+
+  /** (vec_id, chunk_idx, chunk) rows — ids only, embeddings pruned
+    * before any generator, so nothing downstream shuffles arrays.
+    */
+  private def chunkRows(emb: DataFrame, planes: Array[Array[Double]],
+      chunkBits: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val nChunks = planes.length / chunkBits
+    val mask = (1L << chunkBits) - 1
+    emb.select($"vec_id", lshSignatureColFor($"embedding", planes).as("sig"))
+      .select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(nChunks - 1)), c =>
+          call_function("shiftright", $"sig", c * chunkBits).bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+  }
+
+  /** Multi-probe expansion: the chunk itself plus its single-bit
+    * flips, so pairs that disagree on one hyperplane per chunk still
+    * collide somewhere.
+    */
+  private def probeCol(chunk: Column, chunkBits: Int): Column =
+    explode(array(chunk +:
+      (0 until chunkBits).map(b => chunk.bitwiseXOR(lit(1L << b))): _*))
+
+  /** SQL fragments mirroring [[chunkRows]]: a `planes(pi, pv)` VALUES
+    * CTE and a relational bits→chunks derivation (DuckDB refuses
+    * `1::BIGINT << 63`, so the signature never gets packed there).
+    */
+  private def chunkCtes(planes: Array[Array[Double]], chunkBits: Int): String = {
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      "(" + i + ", [" + p.map(v => s"CAST($v AS FLOAT)").mkString(", ") + "])"
+    }.mkString(",\n            ")
+    s"""planes AS (
+          SELECT * FROM (VALUES
+            $planeRows) p(pi, pv)),
+        bits AS (
+          SELECT e.vec_id, p.pi,
+                 CASE WHEN ${dotSql("e.embedding", "p.pv")} > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END AS b
+          FROM embeddings e CROSS JOIN planes p),
+        chunks AS (
+          SELECT vec_id, pi // $chunkBits AS chunk_idx,
+                 sum(b << (pi % $chunkBits)) AS chunk
+          FROM bits GROUP BY vec_id, pi // $chunkBits)"""
+  }
+
+  private def probeFlipsSql(chunkBits: Int): String =
+    "[0" + (0 until chunkBits).map(b => ", " + (1L << b)).mkString + "]"
+
+  /** #32b label-free near-dup pairs at scale: block by shared LSH
+    * signature chunk instead of a ground-truth label.
+    *
+    * Scale posture: the band join and the pair distinct move ONLY
+    * (vec_id, chunk_idx, chunk) longs — embeddings are pruned at the
+    * scan projection and re-attached per distinct pair afterwards
+    * (at 100 TB that's ~24 bytes/row through the hot shuffle instead
+    * of ~20× the corpus in 256-byte arrays). Parameterize by corpus
+    * size via [[lshParamsFor]]: buckets per band = 2^chunkBits must
+    * grow with N or Σ bucket² turns quadratic. The defaults here are
+    * the gate parameters for the test corpus (~10³ vectors).
+    */
+  def embeddingDedupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, nPlanes: Int = 16, chunkBits: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nPlanes % chunkBits == 0, "nPlanes must be a multiple of chunkBits")
+    val planes = planesFor(nPlanes)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val chunked = chunkRows(emb, planes, chunkBits)
+    val probed = chunked.select($"vec_id", $"chunk_idx",
+      probeCol($"chunk", chunkBits).as("chunk"))
+    val pairs = probed.as("x").join(chunked.as("y"),
+        $"x.chunk_idx" === $"y.chunk_idx" && $"x.chunk" === $"y.chunk" &&
+          $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    pairs
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("e_a")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("e_b")), "vec_b")
+      .select($"vec_a", $"vec_b", round(cosineCol($"e_a", $"e_b"), 4).as("cos"))
+      .filter($"cos" >= threshold)
+  }
+
+  /** Parameter derivation for a corpus of `n` vectors: buckets per
+    * band ≈ n / targetBucket keeps expected bucket size (and so the
+    * Σ bucket² candidate cost per band) bounded as the corpus grows.
+    * Recall at a given cosine threshold is then tuned by the number
+    * of bands (nPlanes / chunkBits) and the probe set — near-dup
+    * thresholds in practice are high (cos ≥ 0.9), where per-plane
+    * agreement is ~0.85+ and 16-bit chunks retain recall; the low
+    * test threshold (0.35) is only viable because the test corpus is
+    * small enough for 4-bit chunks.
+    */
+  def lshParamsFor(n: Long, targetBucket: Int = 64): (Int, Int) = {
+    val chunkBits = math.min(16, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    (4 * chunkBits, chunkBits) // 4 bands
+  }
+
+  def embeddingDedupLshSql(threshold: Double = 0.35, nPlanes: Int = 16,
+      chunkBits: Int = 4): String =
+    s"""WITH ${chunkCtes(planesFor(nPlanes), chunkBits)},
+        probed AS (
+          SELECT vec_id, chunk_idx, xor(chunk, f.fl) AS chunk
+          FROM chunks CROSS JOIN unnest(${probeFlipsSql(chunkBits)}) f(fl)),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM probed x JOIN chunks y
+            ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+               AND x.vec_id < y.vec_id),
+        scored AS (
+          SELECT p.vec_a, p.vec_b,
+                 round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+          FROM pairs p
+          JOIN embeddings a ON a.vec_id = p.vec_a
+          JOIN embeddings b ON b.vec_id = p.vec_b)
+        SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $threshold"""
+
+  /** #34 ANN via multi-probe signature buckets: a corpus vector is a
+    * candidate when any chunk matches any probe of the query's chunk.
+    * Probing expands only the broadcast query side (5× rows); the
+    * corpus never shuffles (broadcast band join), and the cosine is
+    * computed BEFORE the candidate distinct so the dedup and the
+    * top-k window move only (query_id, cand_id, cos) scalars — no
+    * array ever crosses an exchange. Recall vs bruteforceTopK is
+    * additionally asserted in SimilaritySpec.
     */
   def lshTopK(spark: SparkSession, dir: String,
       nQueries: Int = 5, k: Int = 5): DataFrame = {
@@ -191,52 +278,85 @@ object Similarity {
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val queries = chunked.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        $"chunk_idx", explode(array(
-          $"chunk",
-          $"chunk".bitwiseXOR(lit(1L)), $"chunk".bitwiseXOR(lit(2L)),
-          $"chunk".bitwiseXOR(lit(4L)), $"chunk".bitwiseXOR(lit(8L))))
-          .as("chunk"))
+        $"chunk_idx", probeCol($"chunk", 4).as("chunk"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    chunked.join(broadcast(queries),
-        Seq("chunk_idx", "chunk"))
+    chunked.join(broadcast(queries), Seq("chunk_idx", "chunk"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("cand_id"), $"q_emb", $"embedding")
-      .distinct()
-      .select($"query_id", $"cand_id",
+      .select($"query_id", $"vec_id".as("cand_id"),
         round(cosineCol($"q_emb", $"embedding"), 4).as("cos"))
+      .distinct()
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
   }
 
+  def lshTopKSql(nQueries: Int = 5, k: Int = 5): String =
+    s"""WITH ${chunkCtes(planes16, 4)},
+        qprobes AS (
+          SELECT c.vec_id AS query_id, c.chunk_idx, xor(c.chunk, f.fl) AS chunk
+          FROM chunks c CROSS JOIN unnest(${probeFlipsSql(4)}) f(fl)
+          WHERE c.vec_id < $nQueries),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS cand_id,
+                 round(${cosineSql("qe.embedding", "ce.embedding")}, 4) AS cos
+          FROM qprobes q
+          JOIN chunks c ON c.chunk_idx = q.chunk_idx AND c.chunk = q.chunk
+                        AND c.vec_id <> q.query_id
+          JOIN embeddings qe ON qe.vec_id = q.query_id
+          JOIN embeddings ce ON ce.vec_id = c.vec_id)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+          FROM cand)
+        WHERE rk <= $k"""
+
   // ── #34b IVF (inverted-file) ANN ──────────────────────────────────
 
   /** IVF ANN: assign every vector to its nearest of `nlist` coarse
-    * centroids (one broadcast pass — the inverted file), then answer
-    * a query by searching only its `nprobe` nearest cells. The
-    * centroids here are the first `nlist` corpus vectors — a
-    * deterministic stand-in for an offline-trained quantizer (no
-    * k-means dependency in-container); the engine shape (assignment
-    * scan, cell-restricted search, nprobe recall knob) is what
-    * scales: corpus shuffles once on cell_id, queries touch
-    * nprobe/nlist of the data.
+    * centroids, then answer a query by searching only its `nprobe`
+    * nearest cells. The centroids are the first `nlist` corpus
+    * vectors — a deterministic stand-in for an offline-trained
+    * quantizer (no k-means dependency in-container).
+    *
+    * Scale posture: the quantizer is metadata-scale (nlist ≤ ~2¹⁶
+    * vectors), so it's collected once and folded into the plan as
+    * FLOAT literals — cell assignment is then `nlist` codegen cosine
+    * columns + an argmax CASE chain evaluated map-side during the
+    * corpus scan: ZERO exchanges before assignment (the previous
+    * formulation shuffled corpus×nlist rows, embeddings included,
+    * through a per-vector ranking window). Probes expand only the
+    * query side; the search join broadcasts probes, so the corpus
+    * never shuffles and the only exchange in the whole plan is the
+    * scalar top-k window.
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cents = emb.filter($"vec_id" < nlist)
-      .select($"vec_id".as("cell_id"), $"embedding".as("c_emb"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"c_cos".desc, $"cell_id")
-    val assigned = emb.join(broadcast(cents), expr("true"))
-      .select($"vec_id", $"embedding", $"cell_id",
-        cosineCol($"embedding", $"c_emb").as("c_cos"))
-      .withColumn("ark", row_number().over(wAssign))
-    val cells = assigned.filter($"ark" === 1)
-      .select($"vec_id", $"embedding", $"cell_id")
-    val probes = assigned.filter($"vec_id" < nQueries && $"ark" <= nprobe)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cell_id")
+    val cents: Array[(Long, Array[Float])] = emb.filter($"vec_id" < nlist)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // nlist cosine columns against literal centroids — pure map-side
+    val withCos = emb.select($"vec_id" +: $"embedding" +: cents.map { case (cid, v) =>
+      cosineCol($"embedding", array(v.toSeq.map(lit(_)): _*)).as(s"c$cid")
+    }: _*)
+    val best = cents.map { case (cid, _) => col(s"c$cid") }
+      .reduce((a, b) => greatest(a, b))
+    // first-match CASE chain in ascending cell_id order = the
+    // (cos DESC, cell_id ASC) argmax tie-break
+    val cell = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
+      when(col(s"c$cid") === best, lit(cid)).otherwise(acc)
+    }
+    val cells = withCos.select($"vec_id", $"embedding", cell.as("cell_id"))
+    // query probes: sort the nlist (−cos, cell_id) structs ascending,
+    // take nprobe — query side only (nQueries rows)
+    val cellStructs = array(cents.map { case (cid, _) =>
+      struct((-col(s"c$cid")).as("neg_cos"), lit(cid).as("cell_id"))
+    }: _*)
+    val probes = withCos.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(slice(sort_array(cellStructs), 1, nprobe)).as("pc"))
+      .select($"query_id", $"q_emb", $"pc.cell_id".as("cell_id"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
     cells.join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -246,4 +366,38 @@ object Similarity {
       .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
   }
+
+  /** Oracle re-derives assignment relationally (rank cells per vector
+    * by the identical fp cosine, tie-break cell_id) — same cells,
+    * same probes, same top-k.
+    */
+  def ivfTopKSql(nQueries: Int = 5, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4): String =
+    s"""WITH cents AS (
+          SELECT vec_id AS cell_id, embedding AS c_emb
+          FROM embeddings WHERE vec_id < $nlist),
+        assigned AS (
+          SELECT vec_id, cell_id, ark FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cell_id)
+                     AS ark
+            FROM embeddings e CROSS JOIN cents c)),
+        cells AS (SELECT vec_id, cell_id FROM assigned WHERE ark = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell_id
+          FROM assigned WHERE vec_id < $nQueries AND ark <= $nprobe),
+        cand AS (
+          SELECT p.query_id, s.vec_id AS cand_id,
+                 round(${cosineSql("qe.embedding", "ce.embedding")}, 4) AS cos
+          FROM probes p
+          JOIN cells s ON s.cell_id = p.cell_id AND s.vec_id <> p.query_id
+          JOIN embeddings qe ON qe.vec_id = p.query_id
+          JOIN embeddings ce ON ce.vec_id = s.vec_id)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+          FROM cand)
+        WHERE rk <= $k"""
 }

@@ -176,7 +176,8 @@ object TextAnalysis {
        FROM documents"""
 
   /** #38b polynomial rolling hash via the native codegen Expression
-    * (graft.functions.RollingHash) — rows-only gate + value spec.
+    * (graft.functions.RollingHash), exact-gated by a DuckDB fold over
+    * the same bytes.
     */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -184,4 +185,20 @@ object TextAnalysis {
       .select($"doc_id", RollingHash.rolling_hash(
         trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp_roll"))
   }
+
+  /** Karp-Rabin fold re-derived in SQL: h = fold (h·257 + byte) mod
+    * 2³¹−1 over the normalized text. The testdata corpus is pure
+    * ASCII, so `ord(char)` equals the UTF-8 byte the native kernel
+    * hashes (same assumption the multimodal oracle already relies
+    * on); list_prepend(0) supplies the fold's initial accumulator.
+    */
+  val rollingFingerprintSql: String =
+    """WITH norm AS (
+         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents)
+       SELECT doc_id,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(range(1, length(t) + 1), i -> ord(t[i])::BIGINT)),
+                (h, c) -> (h * 257 + c) % 2147483647) AS fp_roll
+       FROM norm"""
 }

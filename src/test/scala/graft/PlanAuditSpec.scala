@@ -64,4 +64,53 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project"), s"cosine fell out of codegen:\n$p")
   }
+
+  /** Every shuffle exchange in a query's plan, with its output
+    * schema. AQE wraps the plan in AdaptiveSparkPlanExec (whose
+    * children are hidden from collect), so the plan is built with
+    * AQE off — the logical shuffle structure under audit is the
+    * same either way.
+    */
+  private def shuffleOutputs(name: String) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e.output
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_embedding_lsh: no shuffle exchange carries embedding arrays") {
+    // the band join + pair distinct move (vec_id, chunk_idx, chunk)
+    // longs only; embeddings re-attach AFTER the distinct (broadcast
+    // at this scale; a by-id join — 1× corpus — at cluster scale,
+    // vs ~20× the corpus in arrays if they rode the band join)
+    val shuffles = shuffleOutputs("dedup_embedding_lsh")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+  }
+
+  test("sim_lsh_topk: no shuffle exchange carries embedding arrays") {
+    // corpus joins broadcast queries (no corpus shuffle); cosine is
+    // computed pre-distinct so distinct + top-k move scalars only
+    val shuffles = shuffleOutputs("sim_lsh_topk")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+  }
+
+  test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
+    // the quantizer is literal centroids, so assignment adds ZERO
+    // exchanges; the sole shuffle in the plan is the scalar
+    // per-query ranking window over candidates
+    val shuffles = shuffleOutputs("sim_ivf_topk")
+    assert(shuffles.length == 1,
+      s"expected exactly 1 shuffle (top-k window), got ${shuffles.length}")
+    assert(!shuffles.head.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"top-k shuffle carries arrays: ${shuffles.head.map(_.name)}")
+  }
 }
