@@ -21,8 +21,15 @@ object Bench {
     // scheduler noise
     // a failed query records -1, never its elapsed-to-failure time —
     // a breakage must not masquerade as a fast result
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local
+    // iteration aid; driver leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

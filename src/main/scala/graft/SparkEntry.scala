@@ -41,6 +41,7 @@ object SparkEntry {
     "events_range_follow" -> RangeJoin.errorsAfterSignup _,
     "dedup_exact" -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairs _,
+    "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDuplicates(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingDedup(s, d)),
@@ -94,6 +95,8 @@ object SparkEntry {
     "events_range_follow" -> RangeJoin.errorsAfterSignupSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    // prefix filter is lossless, so it shares the unfiltered oracle
+    "dedup_ngram_prefix" -> Dedup.ngramJaccardPairsSql,
     // the LSH/hash-family gates are exact: the hash families are
     // md5-derived (minhash/simhash) or literal hyperplanes with
     // IEEE-identical fold semantics (embedding LSH / IVF), so DuckDB

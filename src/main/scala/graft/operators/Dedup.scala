@@ -121,6 +121,87 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** #31b frequent-shingle release valve: the same ≥t Jaccard pairs
+    * as [[ngramJaccardPairs]], but candidate generation runs only on
+    * each doc's PREFIX of globally-rarest shingles (PPJoin-style
+    * prefix filter, Xiao et al.), so one boilerplate shingle shared
+    * by 10^6 docs no longer creates a 10^12-row bucket — a heavy
+    * hitter enters the join only for docs with almost nothing else.
+    *
+    * Lossless: jaccard(A,B) ≥ t ⇒ |A∩B| ≥ ⌈β·(|A|+|B|)⌉ with
+    * β = t/(1+t); if both prefixes have length |X| − ⌈β·|X|⌉ + 1
+    * under one total order (global freq asc, hash asc) and were
+    * disjoint, every common shingle would sit in one of the two
+    * suffixes, giving |A∩B| ≤ (⌈β|A|⌉−1) + (⌈β|B|⌉−1) < β(|A|+|B|) —
+    * contradiction. So every qualifying pair shares a prefix shingle.
+    * A size filter (t·max ≤ min, since |A∩B| ≤ min and ≥ t·max)
+    * prunes cross-size candidates before they materialize.
+    *
+    * Candidates are then verified EXACTLY against the full posting
+    * lists (ids-only join, counts recomputed), so output ≡ the
+    * unfiltered posting join — the gate shares its oracle.
+    */
+  def ngramJaccardPairsPrefix(spark: SparkSession, dir: String,
+      t: Double = 0.5): DataFrame = {
+    val post = shinglePostings(spark, dir).cache()
+    verifiedJaccardPairs(post, prefixCandidates(post, t), t)
+  }
+
+  /** Prefix-filtered candidate pairs. `post` must have columns
+    * (doc_id, lang, n, shingle) with distinct shingles per doc and
+    * n = the doc's distinct-shingle count (= [[shinglePostings]]).
+    */
+  def prefixCandidates(post: DataFrame, t: Double): DataFrame = {
+    import post.sparkSession.implicits._
+    val beta = t / (1 + t)
+    val hashed = post.select($"doc_id", $"lang", $"n",
+      xxhash64($"shingle").as("sh_h"))
+    // rank each doc's shingles by global rarity (total order:
+    // freq asc, hash asc); keep the provably-sufficient prefix
+    val freq = hashed.groupBy($"lang", $"sh_h").agg(count(lit(1)).as("freq"))
+    val prefix = hashed.join(freq, Seq("lang", "sh_h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"freq", $"sh_h")))
+      .filter($"rk" <= $"n" - ceil(lit(beta) * $"n") + lit(1))
+      .select($"doc_id", $"lang", $"n", $"sh_h")
+    // prefix-only self-join + size filter, ids only through the
+    // exchange — no payloads, no full posting lists
+    prefix.as("x").join(prefix.as("y"),
+        $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
+          $"x.doc_id" < $"y.doc_id" &&
+          greatest($"x.n", $"y.n") * lit(t) <= least($"x.n", $"y.n"))
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact verification: recount common shingles over the FULL
+    * postings, but only for candidate pairs — cost is
+    * Σ_pairs (|A| + common), not Σ_shingle postings².
+    */
+  def verifiedJaccardPairs(post: DataFrame, cand: DataFrame,
+      t: Double): DataFrame = {
+    import post.sparkSession.implicits._
+    val hashed = post.select($"doc_id", $"lang", $"n",
+      xxhash64($"shingle").as("sh_h"))
+    val pa = hashed.select($"doc_id".as("doc_a"), $"lang".as("la"),
+      $"n".as("n_a"), $"sh_h".as("ha"))
+    val pb = hashed.select($"doc_id".as("doc_b"), $"lang".as("lb"),
+      $"n".as("n_b"), $"sh_h".as("hb"))
+    // the ha===hb / la===lb predicates become equi-join keys of the
+    // second join (Catalyst extracts them), so this is two hash
+    // joins, not a per-pair cross product
+    cand.join(pa, "doc_a")
+      .join(pb, Seq("doc_b"))
+      .filter($"ha" === $"hb" && $"la" === $"lb")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("common"),
+        first($"n_a").as("n_a"), first($"n_b").as("n_b"))
+      .select($"doc_a", $"doc_b",
+        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= t)
+  }
+
   /** Pair CTEs shared by the pairs oracle and the recursive
     * clustering oracle.
     */
@@ -146,13 +227,24 @@ object Dedup {
   val ngramJaccardPairsSql: String =
     s"WITH $pairsCte SELECT doc_a, doc_b, jaccard FROM pairs"
 
-  /** Connected components over near-dup pairs: iterative min-label
-    * propagation — each iteration joins current labels across the
-    * undirected edge set and keeps the per-node min; stop at
-    * fixpoint. Cluster diameter bounds the iteration count (dup
-    * clusters are shallow); every iteration is a plain shuffle join,
-    * the driver only orchestrates, and at cluster scale you'd
-    * checkpoint `labels` every few rounds to cut lineage.
+  /** Connected components over near-dup pairs: frontier-based
+    * min-label propagation (the incremental form of Kiveris-style
+    * large-graph CC). Only labels that IMPROVED last round are joined
+    * against the edge set, so per-round cost tracks the shrinking
+    * frontier instead of staying O(E) every round, and convergence is
+    * simply "the frontier is empty" — no second full-label diff join.
+    *
+    * Completeness: every label value a node ever holds is offered to
+    * all its neighbors the round after it is assigned (the node is in
+    * that round's frontier), so at empty-frontier fixpoint adjacent
+    * labels are equal in both directions of `und` → labels are
+    * constant per component → the min id, which seeds as its own
+    * label and never decreases.
+    *
+    * The edge set is hash-partitioned on `src` once and cached, so
+    * each round's propagate join only exchanges the (small) frontier;
+    * `localCheckpoint` truncates per-round lineage (reliable
+    * `checkpoint()` on a real cluster).
     *
     * Output: (doc_id, cluster_id = min doc_id in the component) for
     * every doc that appears in a pair.
@@ -161,27 +253,32 @@ object Dedup {
       idB: String = "doc_b"): DataFrame = {
     import pairs.sparkSession.implicits._
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val und = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cache()
+    val und = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src").cache()
     // seed with min(self, direct neighbors) — one aggregation that
     // saves a full propagation round vs label := self
     var labels = und.groupBy($"src".as("id"))
-      .agg(least(min($"dst"), first($"src")).as("label")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val viaNeighbor = und
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select($"src".as("id"), $"label")
-      // localCheckpoint truncates the per-iteration lineage growth
-      // (plan size would otherwise double each round); on a cluster
-      // use reliable checkpoint() against the checkpoint dir instead
-      val next = labels.union(viaNeighbor)
-        .groupBy($"id").agg(min($"label").as("label"))
+      .agg(least(min($"dst"), first($"src")).as("label")).localCheckpoint()
+    // every seed label is new information, so the whole node set is
+    // the first frontier
+    var frontier = labels
+    var active = 1L
+    while (active > 0) {
+      // offer each frontier label to the frontier nodes' neighbors
+      val offers = und
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(min($"label").as("offer"))
+      // one left join derives both next labels and the next frontier;
+      // checkpoint it once so the frontier count and both downstream
+      // reads hit materialized blocks instead of recomputing
+      val step = labels.join(offers, Seq("id"), "left")
+        .select($"id",
+          when($"offer" < $"label", $"offer").otherwise($"label").as("label"),
+          coalesce($"offer" < $"label", lit(false)).as("improved"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter($"n.label" =!= $"o.label").count()
-      labels.unpersist()
-      labels = next
+      frontier = step.filter($"improved").select($"id", $"label")
+      active = frontier.count()
+      labels = step.select($"id", $"label")
     }
     und.unpersist()
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** PPJoin-style prefix filter: the frequent-shingle release valve for
+  * the posting self-join. Two contracts: (1) a heavy-hitter shingle
+  * shared by every doc creates ZERO candidate pairs (the naive
+  * posting join would create n·(n−1)/2), and (2) the filtered path is
+  * lossless — identical output to the exact posting join.
+  */
+class PrefixFilterSpec extends SparkSpec {
+
+  test("degenerate common shingle produces bounded candidates, not n²") {
+    import spark.implicits._
+    // 50 docs, each: 8 unique shingles + 1 boilerplate shared by ALL.
+    // True jaccard of any pair = 1/17 < 0.5; the naive posting join
+    // still enumerates all 1225 pairs through the BOILER bucket.
+    val post = (1 to 50).flatMap { d =>
+      val sh = (1 to 8).map(i => s"u${d}_$i") :+ "BOILER"
+      sh.map(s => (d.toLong, "en", 9L, s))
+    }.toDF("doc_id", "lang", "n", "shingle")
+    val cands = Dedup.prefixCandidates(post, 0.5).count()
+    assert(cands == 0,
+      s"$cands candidates from a corpus whose only shared shingle is " +
+        "the global heavy hitter — prefix filter isn't pruning it")
+  }
+
+  test("prefix filter keeps genuinely similar pairs (completeness)") {
+    import spark.implicits._
+    // doc 1 and 2 share 9 of 10 shingles (jaccard 9/11 ≈ 0.82), and
+    // the shared shingles include the corpus-wide heavy hitter
+    val common = (1 to 9).map(i => s"c_$i")
+    val post = (
+      common.map(s => (1L, "en", 10L, s)) ++ Seq((1L, "en", 10L, "only1")) ++
+      common.map(s => (2L, "en", 10L, s)) ++ Seq((2L, "en", 10L, "only2")) ++
+      (3 to 30).flatMap { d =>
+        ((1 to 9).map(i => s"u${d}_$i") :+ "c_1").map(s => (d.toLong, "en", 10L, s))
+      }
+    ).toDF("doc_id", "lang", "n", "shingle")
+    val got = Dedup.verifiedJaccardPairs(post, Dedup.prefixCandidates(post, 0.5), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.8182)), s"got $got")
+  }
+
+  test("prefix-filtered path ≡ exact posting join on the test corpus") {
+    val exact = Dedup.ngramJaccardPairs(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filtered = Dedup.ngramJaccardPairsPrefix(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "no ≥0.5 pairs in testdata — spec is vacuous")
+    assert(filtered == exact,
+      s"missing=${exact -- filtered} extra=${filtered -- exact}")
+  }
+}
