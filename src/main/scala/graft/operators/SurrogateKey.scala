@@ -24,6 +24,20 @@ object SurrogateKey {
   def ordered(df: DataFrame, orderCol: String, idCol: String): DataFrame =
     df.withColumn(idCol, row_number().over(Window.orderBy(col(orderCol))).cast(LongType))
 
+  /** Ordered ids WITHOUT the all-to-one window: range-repartition on
+    * the order column (partition i's keys all sort before partition
+    * i+1's), sort within partitions, then assign partition-offset
+    * indices. Output ≡ [[ordered]] whenever `orderCol` is unique
+    * (range boundaries only ever split BETWEEN key values, and
+    * zipWithIndex numbers partitions in ascending partition order),
+    * but every stage is parallel — use this in ETL paths where the
+    * dimension can be vocabulary-sized.
+    */
+  def orderedScalable(df: DataFrame, orderCol: String, idCol: String): DataFrame =
+    scalable(
+      df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol)),
+      idCol)
+
   def scalable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField(idCol, LongType, nullable = false))

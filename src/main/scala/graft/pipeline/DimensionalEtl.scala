@@ -39,17 +39,18 @@ object DimensionalEtl {
   }
 
   /** Token dimension: union both sources (≙ actors ∪ directors),
-    * distinct, ordered surrogate id, gender heuristic. The distinct
-    * output is a small post-aggregation dim, so the ordered
-    * row_number window is safe; swap to SurrogateKey.scalable for
-    * high-cardinality dims.
+    * distinct, ordered surrogate id, gender heuristic. Ids come from
+    * SurrogateKey.orderedScalable — same rank-by-token ids as a
+    * global row_number (tokens are distinct here), but assigned via
+    * range partitions + per-partition offsets, so a web-corpus-sized
+    * vocabulary never funnels through one window partition.
     */
   def tokenDim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = docTokens(spark, dir).select($"token")
       .union(partTokens(spark, dir).select($"token"))
       .distinct()
-    SurrogateKey.ordered(all, "token", "token_id")
+    SurrogateKey.orderedScalable(all, "token", "token_id")
       .withColumn("gender", TextFns.genderGuess($"token"))
       .select($"token", $"token_id", $"gender")
   }
