@@ -16,16 +16,25 @@ object Readers {
     * given format at read time (≙ the reference's
     * pd.to_datetime(date_added) in task.py:79).
     */
+  /** `multiLine` parses quoted fields containing newlines (the
+    * Netflix CSV has one such record). It disables intra-file split
+    * parallelism — fine for CSV ingest (parallelism comes from file
+    * count); the lake itself is parquet.
+    */
   def csv(spark: SparkSession, path: String, schema: StructType,
       dateCols: Seq[String] = Nil, dateFormat: String = "MMMM d, yyyy",
-      header: Boolean = true): DataFrame = {
+      header: Boolean = true, multiLine: Boolean = false): DataFrame = {
     val raw = spark.read
       .schema(schema)
       .option("header", header.toString)
+      .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
+    // try_to_date: empty/malformed date strings → null instead of an
+    // ANSI runtime error (Spark 4 default) — consistent with the
+    // PERMISSIVE quarantine posture above
     dateCols.foldLeft(raw)((df, c) =>
-      df.withColumn(c, to_date(trim(col(c)), dateFormat)))
+      df.withColumn(c, try_to_date(trim(col(c)), dateFormat)))
   }
 
   def parquet(spark: SparkSession, path: String): DataFrame =

@@ -2,6 +2,46 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 
+/** One table write behind a pluggable target, so the star-schema
+  * load can go to the parquet lake (default) or a JDBC warehouse
+  * (the reference's literal to_sql target, task.py:143) without the
+  * pipeline knowing which.
+  */
+trait TableSink {
+  /** Write `df` as `name`; returns a location descriptor. */
+  def write(name: String, df: DataFrame, partitionCols: Seq[String] = Nil): String
+}
+
+/** Partitioned parquet lake writer — the scale path. */
+class ParquetSink(outDir: String) extends TableSink {
+  def write(name: String, df: DataFrame, partitionCols: Seq[String]): String = {
+    val path = s"$outDir/$name"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    path
+  }
+}
+
+/** JDBC warehouse writer (≙ task.py:143 `to_sql` + queries.py:1-34
+  * DDL — Spark derives the DDL from the schema). Each upstream
+  * partition opens its own connection and batch-inserts, so the
+  * write parallelism is `numPartitions`, bounded to respect the
+  * database's connection budget — unlike the reference's
+  * single-connection pandas to_sql. `partitionCols` is accepted but
+  * ignored: layout belongs to the database.
+  */
+class JdbcSink(url: String, props: java.util.Properties = new java.util.Properties,
+    numPartitions: Int = 8, batchSize: Int = 10000) extends TableSink {
+  def write(name: String, df: DataFrame, partitionCols: Seq[String]): String = {
+    df.coalesce(numPartitions).write
+      .mode("overwrite")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, name, props)
+    s"$url#$name"
+  }
+}
+
 /** Load step (≙ task.py:143 `to_sql` into Postgres), re-expressed as
   * a partitioned parquet lake: the fact table partitioned by a
   * low-cardinality column (partition pruning at read), dims written
@@ -14,18 +54,20 @@ import org.apache.spark.sql.DataFrame
   */
 object StarSchemaSink {
 
-  /** Write one star: returns the written paths keyed by table name. */
-  def write(outDir: String, fact: (String, DataFrame, Seq[String]),
+  /** Write one star through any [[TableSink]]: returns locations
+    * keyed by table name.
+    */
+  def writeTo(sink: TableSink, fact: (String, DataFrame, Seq[String]),
       dims: Seq[(String, DataFrame)]): Map[String, String] = {
     val (fname, fdf, partCols) = fact
-    val fpath = s"$outDir/$fname"
-    val w = fdf.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(fpath)
     val dimPaths = dims.map { case (name, df) =>
-      val p = s"$outDir/$name"
-      df.coalesce(1).write.mode("overwrite").parquet(p)
-      name -> p
+      name -> sink.write(name, df.coalesce(1))
     }
-    (dimPaths :+ (fname -> fpath)).toMap
+    (dimPaths :+ (fname -> sink.write(fname, fdf, partCols))).toMap
   }
+
+  /** Write one star to the parquet lake: returns the written paths. */
+  def write(outDir: String, fact: (String, DataFrame, Seq[String]),
+      dims: Seq[(String, DataFrame)]): Map[String, String] =
+    writeTo(new ParquetSink(outDir), fact, dims)
 }
