@@ -63,6 +63,8 @@ object SparkEntry {
     "olap_window_ranks" -> Olap.supplierRanks _,
     "olap_stats_summary" -> Olap.statsSummary _,
     "profile_documents" -> Profile.profileDocuments _,
+    "sample_hash_docs" -> Sampling.sampleDocs _,
+    "sample_stratified_docs" -> Sampling.sampleStratified _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -123,5 +125,7 @@ object SparkEntry {
     "olap_window_ranks" -> Olap.supplierRanksSql,
     "olap_stats_summary" -> Olap.statsSummarySql,
     "profile_documents" -> Profile.profileDocumentsSql,
+    "sample_hash_docs" -> Sampling.sampleDocsSql,
+    "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
   )
 }

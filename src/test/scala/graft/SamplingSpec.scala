@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(ratePerMille: Int, salt: String = ""): Set[Long] = {
+    import spark.implicits._
+    Sampling.hashSample(Tables.documents(spark, SF), $"doc_id",
+        ratePerMille, salt)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("hash sampling is deterministic and nested by rate") {
+    val s100a = ids(100)
+    val s100b = ids(100)
+    assert(s100a == s100b, "same rate+salt must give the identical sample")
+    val s50 = ids(50)
+    val s200 = ids(200)
+    assert(s50.subsetOf(s100a) && s100a.subsetOf(s200),
+      "lower-rate samples must nest inside higher-rate ones")
+  }
+
+  test("sample size tracks the rate and salts draw independently") {
+    val n = Tables.documents(spark, SF).count().toDouble
+    val s200 = ids(200)
+    assert(math.abs(s200.size / n - 0.2) < 0.1,
+      s"200 per-mille sample kept ${s200.size}/$n")
+    val other = ids(200, salt = "v2")
+    assert(other != s200, "a different salt must draw a different sample")
+  }
+
+  test("stratified rates hold per stratum") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val kept = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      Map("en" -> 1000), defaultPerMille = 0)
+    // en fully kept, everything else fully dropped
+    val langs = kept.select($"lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    assert(kept.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("sampling stays a zero-shuffle scan filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sampling.hashSample(
+        Tables.documents(spark, SF), $"doc_id", 100)
+        .queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "hash sampling must not introduce an exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
