@@ -65,6 +65,7 @@ object SparkEntry {
     "profile_documents" -> Profile.profileDocuments _,
     "sample_hash_docs" -> Sampling.sampleDocs _,
     "sample_stratified_docs" -> Sampling.sampleStratified _,
+    "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -127,5 +128,6 @@ object SparkEntry {
     "profile_documents" -> Profile.profileDocumentsSql,
     "sample_hash_docs" -> Sampling.sampleDocsSql,
     "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
+    "pack_sequences" -> Packing.packSequencesSql,
   )
 }
