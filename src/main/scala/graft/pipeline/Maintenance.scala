@@ -13,10 +13,10 @@ import org.apache.spark.sql.SparkSession
   * rename(path→bak) and rename(tmp→path) the table directory does not
   * exist, so a concurrent reader in that window fails its scan (and a
   * crash in the window leaves the table at `_precompact`, recoverable
-  * by hand or by the next compact run's stale-backup check). True
-  * reader-atomicity needs a manifest/indirection layer (a table
-  * format like the lakehouse formats provide); this operator is for
-  * maintenance windows where the table is quiesced.
+  * by hand or by the next compact run's stale-backup check). This
+  * operator is for maintenance windows where the table is quiesced —
+  * for live tables use [[ManifestTable]], whose manifest indirection
+  * makes publish (and compaction) reader-atomic.
   */
 object Maintenance {
 

@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipeline.ManifestTable
+import org.apache.spark.sql.functions._
+
+class ManifestTableSpec extends SparkSpec {
+
+  private def freshTable(): ManifestTable =
+    new ManifestTable(spark,
+      java.nio.file.Files.createTempDirectory("manifest_tbl").toString + "/t")
+
+  test("write → read round trip, versions advance") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(t.currentVersion.isEmpty)
+    val v1 = t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    assert(v1 == 1 && t.currentVersion.contains(1L))
+    assert(t.read().count() == 2)
+    val v2 = t.write(Seq((3, "c")).toDF("id", "s"))
+    assert(v2 == 2)
+    assert(t.read().collect().map(_.getInt(0)).toSet == Set(3))
+  }
+
+  test("publish is reader-atomic: an in-flight reader of the old version survives a new commit") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1 to 100).toDF("id"))
+    val oldReader = t.read() // resolves v1, lazily
+    t.write((200 to 205).toDF("id"))
+    // the old version's files still exist — the pre-commit resolution
+    // stays valid even though the live table moved on
+    assert(oldReader.count() == 100)
+    assert(t.read().count() == 6)
+  }
+
+  test("compact shrinks file count as a new version without touching the old one") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1 to 1000).toDF("id").repartition(16))
+    val (before, after) = t.compact(targetBytes = 1024L * 1024 * 1024)
+    assert(before == 16 && after == 1)
+    assert(t.currentVersion.contains(2L))
+    assert(t.read().count() == 1000)
+  }
+
+  test("commit conflict loses cleanly and vacuum bounds history") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1 to 10).toDF("id"))
+    t.write((1 to 20).toDF("id"))
+    t.write((1 to 30).toDF("id"))
+    val removed = t.vacuum(keep = 1)
+    assert(removed == 2)
+    assert(t.read().count() == 30) // live version untouched
+    // race: we stage version 4; a concurrent writer commits 4 first;
+    // our commit must lose cleanly — our staged dir removed, the
+    // winner's manifest and data untouched
+    val loserDir = t.stage((1 to 5).toDF("id"), 4L)
+    val root = loserDir.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val winnerDir = t.stage((100 to 100).toDF("id"), 4L)
+    t.commit(4L, winnerDir)
+    intercept[java.io.IOException] { t.commit(4L, loserDir) }
+    assert(!fs.exists(loserDir), "losing writer must clean its staged directory")
+    assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(100),
+      "winner's commit must be the live version")
+  }
+}
