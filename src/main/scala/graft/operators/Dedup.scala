@@ -157,19 +157,28 @@ object Dedup {
     val hashed = post.select($"doc_id", $"lang", $"n",
       xxhash64($"shingle").as("sh_h"))
     // rank each doc's shingles by global rarity (total order:
-    // freq asc, hash asc); keep the provably-sufficient prefix
-    val freq = hashed.groupBy($"lang", $"sh_h").agg(count(lit(1)).as("freq"))
-    val prefix = hashed.join(freq, Seq("lang", "sh_h"))
+    // freq asc, hash asc); keep the provably-sufficient prefix.
+    // freq comes from a count window instead of groupBy+join — one
+    // fewer postings-sized exchange
+    val prefix = hashed
+      .withColumn("freq", count(lit(1)).over(
+        Window.partitionBy($"lang", $"sh_h")))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"freq", $"sh_h")))
       .filter($"rk" <= $"n" - ceil(lit(beta) * $"n") + lit(1))
       .select($"doc_id", $"lang", $"n", $"sh_h")
     // prefix-only self-join + size filter, ids only through the
-    // exchange — no payloads, no full posting lists
+    // exchange — no payloads, no full posting lists. The size bound
+    // (jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min) compares in integer
+    // per-mille so a boundary pair (e.g. exactly t) can never be
+    // lost to floating-point (t·max rounding a hair above min)
+    // floor, not round: the integer threshold must never exceed the
+    // true t·1000 or the bound turns incomplete
+    val tPerMille = math.floor(t * 1000).toLong
     prefix.as("x").join(prefix.as("y"),
         $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
           $"x.doc_id" < $"y.doc_id" &&
-          greatest($"x.n", $"y.n") * lit(t) <= least($"x.n", $"y.n"))
+          greatest($"x.n", $"y.n") * lit(tPerMille) <= least($"x.n", $"y.n") * lit(1000L))
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
   }
