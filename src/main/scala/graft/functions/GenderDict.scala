@@ -84,9 +84,14 @@ object GenderDict {
     * apply the category mapping. Unmatched names → unknown.
     */
   def enrich(df: DataFrame, nameCol: Column, dict: DataFrame,
-      out: String = "gender"): DataFrame =
-    df.join(broadcast(dict),
-        lower(TextFns.firstWord(nameCol)) === dict("nm"), "left")
-      .withColumn(out, mapCategory(dict("category")))
-      .drop("nm", "category")
+      out: String = "gender"): DataFrame = {
+    // collision-proof internal names: a plain drop("nm"/"category")
+    // would also delete same-named columns the CALLER owns
+    val d = dict.select(dict("nm").as("__gd_nm"),
+      dict("category").as("__gd_category"))
+    df.join(broadcast(d),
+        lower(TextFns.firstWord(nameCol)) === d("__gd_nm"), "left")
+      .withColumn(out, mapCategory(d("__gd_category")))
+      .drop("__gd_nm", "__gd_category")
+  }
 }

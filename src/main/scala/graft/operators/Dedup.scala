@@ -143,6 +143,11 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(spark: SparkSession, dir: String,
       t: Double = 0.5): DataFrame = {
+    // postings feed four consumers (freq window, prefix join ×2,
+    // verify ×2) — cache is the right trade. CacheManager keys on
+    // the logical plan, so repeat invocations share ONE entry per
+    // (dir); the entry outlives the query (standard table-cache
+    // semantics) and is evicted LRU or by spark.catalog.clearCache.
     val post = shinglePostings(spark, dir).cache()
     verifiedJaccardPairs(post, prefixCandidates(post, t), t)
   }
@@ -153,28 +158,35 @@ object Dedup {
     */
   def prefixCandidates(post: DataFrame, t: Double): DataFrame = {
     import post.sparkSession.implicits._
-    val beta = t / (1 + t)
+    // all threshold arithmetic in exact integers (t quantized to
+    // per-mille, floored so the quantized threshold never exceeds t):
+    // β = t/(1+t) becomes tPM/(1000+tPM), and ⌈β·n⌉ =
+    // (tPM·n + d − 1) div d with d = 1000+tPM. A double β that
+    // rounds UP (e.g. t=0.25 → β_fp > 0.2) would shorten the prefix
+    // by one and silently lose a boundary-jaccard pair.
+    val tPerMille = math.floor(t * 1000).toLong
+    val denom = 1000L + tPerMille
     val hashed = post.select($"doc_id", $"lang", $"n",
       xxhash64($"shingle").as("sh_h"))
     // rank each doc's shingles by global rarity (total order:
     // freq asc, hash asc); keep the provably-sufficient prefix.
     // freq comes from a count window instead of groupBy+join — one
     // fewer postings-sized exchange
+    // `div` = exact integer division (Column./ would detour through
+    // doubles and truncate)
+    val ceilBetaN = expr(s"(n * $tPerMille + ${denom - 1}) div $denom")
     val prefix = hashed
       .withColumn("freq", count(lit(1)).over(
         Window.partitionBy($"lang", $"sh_h")))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"freq", $"sh_h")))
-      .filter($"rk" <= $"n" - ceil(lit(beta) * $"n") + lit(1))
+      .filter($"rk" <= $"n" - ceilBetaN + lit(1))
       .select($"doc_id", $"lang", $"n", $"sh_h")
     // prefix-only self-join + size filter, ids only through the
     // exchange — no payloads, no full posting lists. The size bound
-    // (jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min) compares in integer
-    // per-mille so a boundary pair (e.g. exactly t) can never be
-    // lost to floating-point (t·max rounding a hair above min)
-    // floor, not round: the integer threshold must never exceed the
-    // true t·1000 or the bound turns incomplete
-    val tPerMille = math.floor(t * 1000).toLong
+    // (jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min) compares in the same
+    // integer per-mille so a boundary pair (e.g. exactly t) can
+    // never be lost to floating-point (t·max rounding above min)
     prefix.as("x").join(prefix.as("y"),
         $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
           $"x.doc_id" < $"y.doc_id" &&
@@ -251,46 +263,60 @@ object Dedup {
     * label and never decreases.
     *
     * The edge set is hash-partitioned on `src` once and cached, so
-    * each round's propagate join only exchanges the (small) frontier;
-    * `localCheckpoint` truncates per-round lineage (reliable
-    * `checkpoint()` on a real cluster).
+    * each round's propagate join only exchanges the (small) frontier.
+    * Each round materializes into an explicitly-persisted RDD (which
+    * both truncates lineage and gives a handle to free), and the
+    * PREVIOUS round's blocks are unpersisted as soon as the next
+    * round is materialized — live memory is one label-set copy plus
+    * the edges, not one copy per round. The final round's blocks back
+    * the returned DataFrame (persisted; caller may unpersist via its
+    * rdd when done).
     *
     * Output: (doc_id, cluster_id = min doc_id in the component) for
     * every doc that appears in a pair.
     */
   def clusters(pairs: DataFrame, idA: String = "doc_a",
       idB: String = "doc_b"): DataFrame = {
-    import pairs.sparkSession.implicits._
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val und = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .repartition($"src").cache()
-    // seed with min(self, direct neighbors) — one aggregation that
-    // saves a full propagation round vs label := self
-    var labels = und.groupBy($"src".as("id"))
-      .agg(least(min($"dst"), first($"src")).as("label")).localCheckpoint()
-    // every seed label is new information, so the whole node set is
-    // the first frontier
-    var frontier = labels
-    var active = 1L
-    while (active > 0) {
-      // offer each frontier label to the frontier nodes' neighbors
-      val offers = und
-        .join(frontier.withColumnRenamed("id", "src"), "src")
-        .groupBy($"dst".as("id")).agg(min($"label").as("offer"))
-      // one left join derives both next labels and the next frontier;
-      // checkpoint it once so the frontier count and both downstream
-      // reads hit materialized blocks instead of recomputing
-      val step = labels.join(offers, Seq("id"), "left")
-        .select($"id",
-          when($"offer" < $"label", $"offer").otherwise($"label").as("label"),
-          coalesce($"offer" < $"label", lit(false)).as("improved"))
-        .localCheckpoint()
-      frontier = step.filter($"improved").select($"id", $"label")
-      active = frontier.count()
-      labels = step.select($"id", $"label")
+    // materialize: persist the row RDD and rebuild a DataFrame on it —
+    // lineage truncated at the RDD, blocks freeable by handle
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    und.unpersist()
-    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    try {
+      // seed with min(self, direct neighbors) — one aggregation that
+      // saves a full propagation round vs label := self
+      var (labels, liveRdd) = materialize(und.groupBy($"src".as("id"))
+        .agg(least(min($"dst"), first($"src")).as("label")))
+      // every seed label is new information, so the whole node set is
+      // the first frontier
+      var frontier = labels
+      var active = 1L
+      while (active > 0) {
+        // offer each frontier label to the frontier nodes' neighbors
+        val offers = und
+          .join(frontier.withColumnRenamed("id", "src"), "src")
+          .groupBy($"dst".as("id")).agg(min($"label").as("offer"))
+        // one left join derives both next labels and the next
+        // frontier from a single materialized step
+        val (step, stepRdd) = materialize(labels.join(offers, Seq("id"), "left")
+          .select($"id",
+            when($"offer" < $"label", $"offer").otherwise($"label").as("label"),
+            coalesce($"offer" < $"label", lit(false)).as("improved")))
+        frontier = step.filter($"improved").select($"id", $"label")
+        active = frontier.count() // materializes stepRdd
+        liveRdd.unpersist()
+        liveRdd = stepRdd
+        labels = step.select($"id", $"label")
+      }
+      labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    } finally und.unpersist()
   }
 
   /** Gate query: clusters over the ≥0.5-jaccard pair graph. */

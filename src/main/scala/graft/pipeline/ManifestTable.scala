@@ -43,30 +43,48 @@ class ManifestTable(spark: SparkSession, root: String) {
   private val ManifestName = """_v(\d{8})\.manifest""".r
   private val DataDirName = """v(\d{8})-.*""".r
 
-  /** Highest committed version, if any. */
+  /** Highest claimed version, if any (a burned/incomplete manifest
+    * still reserves its number for version allocation; [[read]]
+    * resolves past it).
+    */
   def currentVersion: Option[Long] = {
-    if (!fs.exists(rootPath)) return None
-    val vs = fs.listStatus(rootPath).iterator.flatMap { st =>
+    val vs = committedVersions
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The data directory version `v`'s manifest points at, if the
+    * manifest is readable and complete. An empty or unreadable
+    * manifest (a commit caught mid-content-write, or one whose
+    * writer died between create and write) resolves to None — the
+    * version is treated as never committed.
+    */
+  private def dataDir(v: Long): Option[Path] =
+    try {
+      val in = fs.open(manifest(v))
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (name.isEmpty) None
+      else Some(new Path(rootPath, name)).filter(fs.exists)
+    } catch { case _: java.io.IOException => None }
+
+  def read(): DataFrame = {
+    // newest manifest whose contents resolve — skipping a manifest
+    // that is mid-commit (content not yet flushed) instead of
+    // failing, so readers are never disturbed by an in-flight commit
+    val vs = committedVersions.sorted.reverse
+    val dir = vs.iterator.flatMap(dataDir).buffered.headOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    spark.read.parquet(dir.toString)
+  }
+
+  private def committedVersions: Seq[Long] = {
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).iterator.flatMap { st =>
       st.getPath.getName match {
         case ManifestName(d) => Some(d.toLong)
         case _ => None
       }
-    }
-    if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** The committed data directory for version `v`. */
-  private def dataDir(v: Long): Path = {
-    val in = fs.open(manifest(v))
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    new Path(rootPath, name)
-  }
-
-  def read(): DataFrame = {
-    val v = currentVersion.getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    spark.read.parquet(dataDir(v).toString)
+    }.toSeq
   }
 
   /** Write `df` as the next version and commit it. Returns the
@@ -91,20 +109,34 @@ class ManifestTable(spark: SparkSession, root: String) {
     dir
   }
 
-  /** Atomic create-no-overwrite of the manifest IS the commit; its
-    * contents point readers at the staged directory. On a race loss
-    * only THIS writer's staged directory is removed — the winner's
-    * data is untouched.
+  /** Atomic create-no-overwrite of the manifest claims the version;
+    * its contents point readers at the staged directory (readers
+    * skip a manifest whose contents haven't landed yet, so the
+    * create→write gap never surfaces). On a race loss only THIS
+    * writer's staged directory is removed — the winner's data is
+    * untouched. A create failure that ISN'T a race (no manifest
+    * exists — e.g. a transient filesystem error) propagates without
+    * destroying the staged data; a content-write failure burns the
+    * version number (best-effort manifest delete) but also keeps the
+    * staged data for a retry at a fresh version.
     */
   def commit(v: Long, stagedDir: Path): Unit = {
     val out = try fs.create(manifest(v), false)
     catch {
-      case e: java.io.IOException =>
+      case e: java.io.IOException if fs.exists(manifest(v)) =>
         fs.delete(stagedDir, true)
         throw new java.io.IOException(
           s"commit conflict on version $v of $root (concurrent writer won); retry", e)
     }
-    try out.write(stagedDir.getName.getBytes(UTF_8)) finally out.close()
+    try { out.write(stagedDir.getName.getBytes(UTF_8)); out.close() }
+    catch {
+      case e: java.io.IOException =>
+        try out.close() catch { case _: java.io.IOException => () }
+        fs.delete(manifest(v), false) // best effort; readers skip it anyway
+        throw new java.io.IOException(
+          s"manifest content write failed for version $v of $root; " +
+            s"staged data kept at $stagedDir — retry commits a fresh version", e)
+    }
   }
 
   /** Rewrite the live version into ~targetBytes files as a NEW
@@ -112,9 +144,9 @@ class ManifestTable(spark: SparkSession, root: String) {
     * @return (filesBefore, filesAfter)
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val v = currentVersion.getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    val live = dataDir(v)
+    val live = committedVersions.sorted.reverse.iterator.flatMap(dataDir)
+      .buffered.headOption.getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version under $root"))
     def parquetFiles(p: Path) =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles(live)
@@ -122,37 +154,36 @@ class ManifestTable(spark: SparkSession, root: String) {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val committed = write(spark.read.parquet(live.toString).repartition(nOut))
-    (before, parquetFiles(dataDir(committed)))
+    (before, parquetFiles(dataDir(committed).get))
   }
 
-  /** Delete committed versions older than the newest `keep`, plus any
-    * abandoned staging directory whose version is at or below the
-    * current one (a crashed writer's leftovers — by then it can never
-    * legally commit). Returns how many committed versions were
-    * removed. Manifests are deleted BEFORE their data so a crash
-    * mid-vacuum never leaves a manifest pointing at deleted files.
+  /** Delete committed versions older than the newest `keep`, plus
+    * abandoned staging directories whose version is STRICTLY below
+    * the current one — such a stager already lost its race (every
+    * version ≤ current has a manifest, so its commit can only throw
+    * conflict) and has had at least one full version cycle to notice.
+    * A stager AT the current version is spared: it may still be
+    * writing, and deleting under an active job turns its clean
+    * conflict error into task-level chaos. Returns how many committed
+    * versions were removed. Manifests are deleted BEFORE their data
+    * so a crash mid-vacuum never leaves a manifest pointing at
+    * deleted files.
     */
   def vacuum(keep: Int = 1): Int = {
     require(keep >= 1, "must keep at least the live version")
     val cur = currentVersion.getOrElse(return 0)
-    val all = fs.listStatus(rootPath).iterator.flatMap { st =>
-      st.getPath.getName match {
-        case ManifestName(d) => Some(d.toLong)
-        case _ => None
-      }
-    }.toSeq.sorted
+    val all = committedVersions.sorted
     val drop = all.dropRight(keep).filter(_ < cur)
     drop.foreach { v =>
       val dir = dataDir(v)
       fs.delete(manifest(v), false)
-      fs.delete(dir, true)
+      dir.foreach(fs.delete(_, true))
     }
-    // sweep staging dirs no manifest references (committed dirs of
-    // retained versions are excluded by construction)
-    val referenced = (all.toSet -- drop).map(v => dataDir(v).getName)
+    // sweep stale staging dirs no retained manifest references
+    val referenced = (all.toSet -- drop).flatMap(v => dataDir(v).map(_.getName))
     fs.listStatus(rootPath).foreach { st =>
       st.getPath.getName match {
-        case DataDirName(d) if d.toLong <= cur &&
+        case DataDirName(d) if d.toLong < cur &&
             !referenced.contains(st.getPath.getName) =>
           fs.delete(st.getPath, true)
         case _ => ()

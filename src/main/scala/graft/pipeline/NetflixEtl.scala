@@ -101,16 +101,20 @@ object NetflixEtl {
     Star(showsOut, personnel, movieCrew, listings)
   }
 
-  /** extract → transform → partitioned parquet load (≙ task.py run).
-    * Returns the star for assertion/reuse.
+  /** extract → transform → star load through any [[graft.sources.TableSink]]
+    * (≙ task.py run; pass a JdbcSink for the reference's literal
+    * to_sql target). Returns the star for assertion/reuse.
     */
-  def runAndLoad(spark: SparkSession, csvPath: String, outDir: String): Star = {
+  def runAndLoad(spark: SparkSession, csvPath: String,
+      sink: graft.sources.TableSink): Star = {
     val star = transform(extract(spark, csvPath))
-    Seq("shows" -> star.shows, "personnel" -> star.personnel,
-      "movie_crew" -> star.movieCrew, "listings" -> star.listings)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
-      }
+    graft.sources.StarSchemaSink.writeTo(sink,
+      fact = ("shows", star.shows, Nil),
+      dims = Seq("personnel" -> star.personnel,
+        "movie_crew" -> star.movieCrew, "listings" -> star.listings))
     star
   }
+
+  def runAndLoad(spark: SparkSession, csvPath: String, outDir: String): Star =
+    runAndLoad(spark, csvPath, new graft.sources.ParquetSink(outDir))
 }

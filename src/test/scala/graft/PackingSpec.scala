@@ -39,11 +39,20 @@ class PackingSpec extends SparkSpec {
   }
 
   test("packing is reproducible at different parallelism") {
-    import spark.implicits._
     val a = packed.collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-    val b = Packing.packSequences(spark, SF)
-      .repartition(13) // perturb physical layout; result must not move
-      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-    assert(a == b)
+    // perturb the parallelism the packing COMPUTATION runs at (window
+    // shuffle layout + scan splits), not just the output layout
+    val (p0, b0) = (spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val b = Packing.packSequences(spark, SF)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", p0)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b0)
+    }
   }
 }

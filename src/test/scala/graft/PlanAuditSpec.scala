@@ -102,23 +102,8 @@ class PlanAuditSpec extends SparkSpec {
       s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
-  test("ETL dim/bridge plans contain no single-partition window") {
-    // SurrogateKey.orderedScalable replaced the global row_number in
-    // tokenDim: a vocabulary-sized dim must never funnel through one
-    // WindowExec partition. Guards the whole ETL path (bridge embeds
-    // the dim build).
-    import org.apache.spark.sql.execution.window.WindowExec
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Seq("etl_dim_tokens", "etl_bridge").foreach { q =>
-      val allToOne = SparkEntry.queries(q)(spark, SF)
-        .queryExecution.executedPlan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }
-      assert(allToOne.isEmpty,
-        s"$q has ${allToOne.length} unpartitioned WindowExec node(s)")
-    }
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-  }
+  // ETL dim/bridge single-partition-window regressions are covered by
+  // WindowAuditSpec's repo-wide sweep (etl_* are not in its exempt map).
 
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
     // the quantizer is literal centroids, so assignment adds ZERO
