@@ -132,6 +132,37 @@ object EventStream {
     * keys older than the watermark is evicted instead of growing
     * forever.
     */
+  /** Stream into a [[graft.pipeline.ManifestTable]]: each micro-batch
+    * publishes the table's FULL new state (previous live version ∪
+    * batch) as one atomically-committed version, so downstream batch
+    * readers always see a complete, consistent snapshot — never a
+    * partially-written directory, which is exactly what a raw
+    * `writeStream.parquet` sink cannot promise mid-batch.
+    *
+    * foreachBatch gives at-least-once batch delivery; dedup the
+    * stream upstream (dedupByKey) or make rows idempotent if replays
+    * matter. Rewrite-on-append is O(table) per batch — right for
+    * dimension-sized streamed state (session summaries, rollups);
+    * fact-scale appends want a version manifest listing immutable
+    * segment files instead (same commit protocol, append-only
+    * segments), noted as the scale follow-on.
+    */
+  def intoManifestTable(stream: DataFrame, table: graft.pipeline.ManifestTable,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = table.currentVersion match {
+          case Some(_) => table.read().unionByName(batch)
+          case None => batch
+        }
+        // read() resolves the OLD version's directory before write()
+        // commits the new one — union is computed against a stable
+        // snapshot, then published atomically
+        table.write(next)
+        ()
+      }
+
   def dedupByKey(events: DataFrame, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events

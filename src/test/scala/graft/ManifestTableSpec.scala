@@ -43,6 +43,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().count() == 1000)
   }
 
+  test("streaming micro-batches publish as atomic versions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t = freshTable()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("manifest_ckpt").toString
+    val q = graft.streaming.EventStream
+      .intoManifestTable(mem.toDF(), t, ckpt).start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(t.currentVersion.contains(1L))
+      assert(t.read().count() == 3)
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(t.currentVersion.contains(2L))
+      assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("commit conflict loses cleanly and vacuum bounds history") {
     import spark.implicits._
     val t = freshTable()

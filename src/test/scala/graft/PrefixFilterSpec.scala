@@ -43,6 +43,32 @@ class PrefixFilterSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.8182)), s"got $got")
   }
 
+  test("losslessness holds at non-dyadic thresholds (fp-rounding regression)") {
+    import spark.implicits._
+    // thresholds whose β = t/(1+t) is not exactly representable as a
+    // double (0.25 → 0.2, 0.3 → 3/13) — an fp prefix bound that
+    // rounds up shortens the prefix and can drop pairs. Ground truth:
+    // verify EVERY pair sharing ≥1 shingle (complete for any t > 0).
+    val post = Dedup.shinglePostings(spark, SF).cache()
+    val hashed = post.select($"doc_id", $"lang",
+      org.apache.spark.sql.functions.xxhash64($"shingle").as("sh_h"))
+    val allCand = hashed.as("x").join(hashed.as("y"),
+        $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    for (t <- Seq(0.25, 0.3)) {
+      val exact = Dedup.verifiedJaccardPairs(post, allCand, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val filtered = Dedup.verifiedJaccardPairs(post,
+          Dedup.prefixCandidates(post, t), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, s"t=$t has no qualifying pairs — vacuous")
+      assert(filtered == exact,
+        s"t=$t: missing=${exact -- filtered} extra=${filtered -- exact}")
+    }
+    post.unpersist()
+  }
+
   test("prefix-filtered path ≡ exact posting join on the test corpus") {
     val exact = Dedup.ngramJaccardPairs(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
