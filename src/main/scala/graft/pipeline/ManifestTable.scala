@@ -10,27 +10,33 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * {{{
   *   <root>/v00000001-<token>/...parquet   immutable, writer-unique
-  *   <root>/v00000002-<token>/...parquet   data directories
+  *   <root>/v00000002-<token>/...parquet   segment directories
   *   <root>/_v00000001.manifest            commit marker; contents =
-  *   <root>/_v00000002.manifest            the data directory name
+  *   <root>/_v00000002.manifest            the segment dir names, one
+  *                                         per line
   * }}}
   *
   * The live version is the highest committed manifest; its contents
-  * name the data directory. Publishing = atomically creating the
+  * list the segment directories that make up the table (one for a
+  * full rewrite, many for an append chain — appends reuse the
+  * previous version's segments and add one, so publishing a batch is
+  * O(batch), not O(table)). Publishing = atomically creating the
   * manifest file (create-no-overwrite, which every Hadoop FileSystem
   * provides atomically), so a reader resolves either the old version
-  * or the new one — never a missing or half-written directory (data
-  * lands BEFORE the manifest appears). Each writer stages into its
-  * OWN token-suffixed directory, so racing writers never touch each
-  * other's files: both race to create the same manifest name,
-  * exactly one wins, and the loser deletes only its own staging dir
-  * and retries at a fresh version — optimistic concurrency, the
-  * contract the lakehouse table formats build on (simplified: the
-  * manifest carries just the directory pointer, no schema/stats).
+  * or the new one — never a missing or half-written directory
+  * (segments land BEFORE the manifest appears). Each writer stages
+  * into its OWN token-suffixed directory, so racing writers never
+  * touch each other's files: both race to create the same manifest
+  * name, exactly one wins, and the loser deletes only its own
+  * staging dir and retries at a fresh version — optimistic
+  * concurrency, the contract the lakehouse table formats build on
+  * (simplified: the manifest carries just directory pointers, no
+  * schema/stats).
   *
   * Old versions stay readable by in-flight scans until [[vacuum]],
-  * the explicit bounded deletion step (which also sweeps abandoned
-  * uncommitted staging dirs).
+  * the explicit bounded deletion step (segment-sharing-aware: a
+  * segment referenced by any retained version survives; it also
+  * sweeps abandoned uncommitted staging dirs).
   */
 class ManifestTable(spark: SparkSession, root: String) {
 
@@ -52,29 +58,34 @@ class ManifestTable(spark: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The data directory version `v`'s manifest points at, if the
-    * manifest is readable and complete. An empty or unreadable
-    * manifest (a commit caught mid-content-write, or one whose
-    * writer died between create and write) resolves to None — the
-    * version is treated as never committed.
+  /** The segment directories version `v`'s manifest lists, if the
+    * manifest is readable and every listed segment exists. An empty
+    * or unreadable manifest (a commit caught mid-content-write, or
+    * one whose writer died between create and write) resolves to
+    * None — the version is treated as never committed.
     */
-  private def dataDir(v: Long): Option[Path] =
+  private def segments(v: Long): Option[Seq[Path]] =
     try {
       val in = fs.open(manifest(v))
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
-      if (name.isEmpty) None
-      else Some(new Path(rootPath, name)).filter(fs.exists)
+      if (names.isEmpty) None
+      else Some(names.map(new Path(rootPath, _))).filter(_.forall(fs.exists))
     } catch { case _: java.io.IOException => None }
 
+  /** Newest version whose manifest fully resolves, with its segments
+    * — skips a manifest that is mid-commit instead of failing, so
+    * readers are never disturbed by an in-flight commit.
+    */
+  private def liveSegments: Option[(Long, Seq[Path])] =
+    committedVersions.sorted.reverse.iterator
+      .flatMap(v => segments(v).map(v -> _)).buffered.headOption
+
   def read(): DataFrame = {
-    // newest manifest whose contents resolve — skipping a manifest
-    // that is mid-commit (content not yet flushed) instead of
-    // failing, so readers are never disturbed by an in-flight commit
-    val vs = committedVersions.sorted.reverse
-    val dir = vs.iterator.flatMap(dataDir).buffered.headOption.getOrElse(
+    val (_, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(segs.map(_.toString): _*)
   }
 
   private def committedVersions: Seq[Long] = {
@@ -87,15 +98,28 @@ class ManifestTable(spark: SparkSession, root: String) {
     }.toSeq
   }
 
-  /** Write `df` as the next version and commit it. Returns the
-    * committed version. Throws on a commit race loss (another writer
-    * claimed the same version) — this writer's staging directory is
-    * cleaned up and the caller may retry.
+  /** Write `df` as the next version's SOLE segment (a full rewrite)
+    * and commit it. Returns the committed version. Throws on a commit
+    * race loss (another writer claimed the same version) — this
+    * writer's staging directory is cleaned up and the caller may
+    * retry.
     */
   def write(df: DataFrame): Long = {
     val v = currentVersion.getOrElse(0L) + 1
     val dir = stage(df, v)
-    commit(v, dir)
+    commit(v, Seq(dir), ownStaged = Seq(dir))
+    v
+  }
+
+  /** Publish `df` as ONE new segment appended to the live version's
+    * segment list — O(batch) data written regardless of table size.
+    * Returns the committed version.
+    */
+  def append(df: DataFrame): Long = {
+    val prev = liveSegments.map(_._2).getOrElse(Nil)
+    val v = currentVersion.getOrElse(0L) + 1
+    val dir = stage(df, v)
+    commit(v, prev :+ dir, ownStaged = Seq(dir))
     v
   }
 
@@ -110,77 +134,74 @@ class ManifestTable(spark: SparkSession, root: String) {
   }
 
   /** Atomic create-no-overwrite of the manifest claims the version;
-    * its contents point readers at the staged directory (readers
-    * skip a manifest whose contents haven't landed yet, so the
-    * create→write gap never surfaces). On a race loss only THIS
-    * writer's staged directory is removed — the winner's data is
-    * untouched. A create failure that ISN'T a race (no manifest
-    * exists — e.g. a transient filesystem error) propagates without
-    * destroying the staged data; a content-write failure burns the
-    * version number (best-effort manifest delete) but also keeps the
-    * staged data for a retry at a fresh version.
+    * its contents list the version's segments (readers skip a
+    * manifest whose contents haven't landed yet, so the create→write
+    * gap never surfaces). On a race loss only the directories THIS
+    * writer staged (`ownStaged`) are removed — inherited segments
+    * and the winner's data are untouched. A create failure that
+    * ISN'T a race (no manifest exists — e.g. a transient filesystem
+    * error) propagates without destroying staged data; a
+    * content-write failure burns the version number (best-effort
+    * manifest delete) but also keeps the staged data for a retry at
+    * a fresh version.
     */
-  def commit(v: Long, stagedDir: Path): Unit = {
+  def commit(v: Long, segs: Seq[Path], ownStaged: Seq[Path]): Unit = {
     val out = try fs.create(manifest(v), false)
     catch {
       case e: java.io.IOException if fs.exists(manifest(v)) =>
-        fs.delete(stagedDir, true)
+        ownStaged.foreach(fs.delete(_, true))
         throw new java.io.IOException(
           s"commit conflict on version $v of $root (concurrent writer won); retry", e)
     }
-    try { out.write(stagedDir.getName.getBytes(UTF_8)); out.close() }
+    try { out.write(segs.map(_.getName).mkString("\n").getBytes(UTF_8)); out.close() }
     catch {
       case e: java.io.IOException =>
         try out.close() catch { case _: java.io.IOException => () }
         fs.delete(manifest(v), false) // best effort; readers skip it anyway
         throw new java.io.IOException(
           s"manifest content write failed for version $v of $root; " +
-            s"staged data kept at $stagedDir — retry commits a fresh version", e)
+            s"staged data kept at ${ownStaged.mkString(",")} — retry commits a fresh version", e)
     }
   }
 
-  /** Rewrite the live version into ~targetBytes files as a NEW
-    * version — readers of the old version are never disturbed.
-    * @return (filesBefore, filesAfter)
+  /** Rewrite the live segments into one ~targetBytes-file segment as
+    * a NEW version — readers of the old version are never disturbed.
+    * This is also how an append chain's accumulated small segments
+    * get folded down. @return (filesBefore, filesAfter)
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val live = committedVersions.sorted.reverse.iterator.flatMap(dataDir)
-      .buffered.headOption.getOrElse(
-        throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val (_, live) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
     def parquetFiles(p: Path) =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles(live)
-    val totalBytes = fs.listStatus(live)
+    val before = live.map(parquetFiles).sum
+    val totalBytes = live.flatMap(fs.listStatus(_))
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val committed = write(spark.read.parquet(live.toString).repartition(nOut))
-    (before, parquetFiles(dataDir(committed).get))
+    val committed = write(
+      spark.read.parquet(live.map(_.toString): _*).repartition(nOut))
+    (before, segments(committed).get.map(parquetFiles).sum)
   }
 
-  /** Delete committed versions older than the newest `keep`, plus
-    * abandoned staging directories whose version is STRICTLY below
-    * the current one — such a stager already lost its race (every
-    * version ≤ current has a manifest, so its commit can only throw
-    * conflict) and has had at least one full version cycle to notice.
-    * A stager AT the current version is spared: it may still be
-    * writing, and deleting under an active job turns its clean
-    * conflict error into task-level chaos. Returns how many committed
-    * versions were removed. Manifests are deleted BEFORE their data
-    * so a crash mid-vacuum never leaves a manifest pointing at
-    * deleted files.
+  /** Delete manifests of committed versions older than the newest
+    * `keep`, then every segment/staging directory that (a) no
+    * RETAINED manifest references — segments shared along an append
+    * chain survive as long as any retained version lists them — and
+    * (b) is versioned STRICTLY below the current version. A stager
+    * AT the current version is spared: it may still be writing, and
+    * deleting under an active job turns its clean conflict error
+    * into task-level chaos. Manifests are deleted BEFORE data so a
+    * crash mid-vacuum never leaves a manifest pointing at deleted
+    * files. Returns how many committed versions were removed.
     */
   def vacuum(keep: Int = 1): Int = {
     require(keep >= 1, "must keep at least the live version")
     val cur = currentVersion.getOrElse(return 0)
     val all = committedVersions.sorted
     val drop = all.dropRight(keep).filter(_ < cur)
-    drop.foreach { v =>
-      val dir = dataDir(v)
-      fs.delete(manifest(v), false)
-      dir.foreach(fs.delete(_, true))
-    }
-    // sweep stale staging dirs no retained manifest references
-    val referenced = (all.toSet -- drop).flatMap(v => dataDir(v).map(_.getName))
+    drop.foreach(v => fs.delete(manifest(v), false))
+    val referenced = (all.toSet -- drop)
+      .flatMap(v => segments(v).getOrElse(Nil).map(_.getName))
     fs.listStatus(rootPath).foreach { st =>
       st.getPath.getName match {
         case DataDirName(d) if d.toLong < cur &&

@@ -133,33 +133,25 @@ object EventStream {
     * forever.
     */
   /** Stream into a [[graft.pipeline.ManifestTable]]: each micro-batch
-    * publishes the table's FULL new state (previous live version ∪
-    * batch) as one atomically-committed version, so downstream batch
-    * readers always see a complete, consistent snapshot — never a
-    * partially-written directory, which is exactly what a raw
-    * `writeStream.parquet` sink cannot promise mid-batch.
+    * lands as ONE new segment and commits as one atomically-published
+    * version (the manifest lists previous segments + the new one), so
+    * downstream batch readers always see a complete, consistent
+    * snapshot — never a partially-written directory, which is exactly
+    * what a raw `writeStream.parquet` sink cannot promise mid-batch.
+    * Per-batch cost is O(batch) regardless of table size; fold the
+    * accumulated small segments down periodically with
+    * `table.compact()` + `vacuum()`.
     *
     * foreachBatch gives at-least-once batch delivery; dedup the
     * stream upstream (dedupByKey) or make rows idempotent if replays
-    * matter. Rewrite-on-append is O(table) per batch — right for
-    * dimension-sized streamed state (session summaries, rollups);
-    * fact-scale appends want a version manifest listing immutable
-    * segment files instead (same commit protocol, append-only
-    * segments), noted as the scale follow-on.
+    * matter.
     */
   def intoManifestTable(stream: DataFrame, table: graft.pipeline.ManifestTable,
       checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = table.currentVersion match {
-          case Some(_) => table.read().unionByName(batch)
-          case None => batch
-        }
-        // read() resolves the OLD version's directory before write()
-        // commits the new one — union is computed against a stable
-        // snapshot, then published atomically
-        table.write(next)
+        table.append(batch)
         ()
       }
 

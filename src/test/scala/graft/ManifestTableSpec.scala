@@ -43,6 +43,28 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().count() == 1000)
   }
 
+  test("append chains share segments; vacuum never deletes a segment a retained version lists") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1 to 10).toDF("id"))          // v1: segment A
+    t.append((11 to 15).toDF("id"))        // v2: A + B
+    t.append((16 to 18).toDF("id"))        // v3: A + B + C
+    assert(t.currentVersion.contains(3L))
+    assert(t.read().count() == 18)
+    // dropping v1 and v2 must keep segment A (and B): v3 lists them
+    val removed = t.vacuum(keep = 1)
+    assert(removed == 2)
+    assert(t.read().count() == 18,
+      "live append chain broken by vacuum — a shared segment was deleted")
+    // compact folds the chain into one segment as a new version
+    val (before, after) = t.compact(targetBytes = 1024L * 1024 * 1024)
+    assert(before >= 3 && after == 1)
+    assert(t.read().count() == 18)
+    // now the old segments are unreferenced and vacuum may drop them
+    t.vacuum(keep = 1)
+    assert(t.read().count() == 18)
+  }
+
   test("streaming micro-batches publish as atomic versions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -79,9 +101,12 @@ class ManifestTableSpec extends SparkSpec {
     val root = loserDir.getParent
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val winnerDir = t.stage((100 to 100).toDF("id"), 4L)
-    t.commit(4L, winnerDir)
-    intercept[java.io.IOException] { t.commit(4L, loserDir) }
+    t.commit(4L, Seq(winnerDir), ownStaged = Seq(winnerDir))
+    intercept[java.io.IOException] {
+      t.commit(4L, Seq(loserDir), ownStaged = Seq(loserDir))
+    }
     assert(!fs.exists(loserDir), "losing writer must clean its staged directory")
+    assert(fs.exists(winnerDir), "winner's data must be untouched by the loser")
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(100),
       "winner's commit must be the live version")
   }
