@@ -50,6 +50,8 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.quality _,
+    "text_clean" -> TextAnalysis.clean _,
+    "text_repetition" -> TextAnalysis.repetition _,
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprint _,
@@ -113,6 +115,8 @@ object SparkEntry {
     "sim_ivf_topk" -> Similarity.ivfTopKSql(),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
+    "text_clean" -> TextAnalysis.cleanSql,
+    "text_repetition" -> TextAnalysis.repetitionSql,
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_rolling_fingerprint" -> TextAnalysis.rollingFingerprintSql,

@@ -74,6 +74,74 @@ object TextAnalysis {
     * into [0,1]. Weights are arbitrary but fixed; the operator shape
     * (single-pass, no shuffle) is the point.
     */
+  /** #36b text cleaning: the normalization pass a curation pipeline
+    * runs before hashing/scoring — strip URLs and e-mail addresses,
+    * collapse whitespace runs, trim. Pure codegen regexp_replace
+    * chain; identical regex semantics in the DuckDB oracle.
+    */
+  def clean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val noUrl = regexp_replace($"text", "https?://[^ ]+", " ")
+    val noMail = regexp_replace(noUrl, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", " ")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        trim(regexp_replace(noMail, " +", " ")).as("clean_text"))
+  }
+
+  val cleanSql: String =
+    """SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(text,
+         'https?://[^ ]+', ' ', 'g'),
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', ' ', 'g'),
+         ' +', ' ', 'g')) AS clean_text
+       FROM documents"""
+
+  /** #36c n-gram repetition ratio (the Gopher-style repetition
+    * filter, Rae et al. 2021): fraction of a doc's 3-shingle
+    * occurrences that are repeats of an already-seen shingle —
+    * 0 = no repetition, →1 = the doc loops. Rides the existing
+    * shingle-posting build: one doc_id shuffle, all codegen.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // shinglePostings carries per-(doc, shingle) dup_count internally
+    // but only exposes distinct rows; recompute both totals here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    Dedup.tokenRows(spark, dir)
+      .withColumn("t2", lead($"token", 1).over(w))
+      .withColumn("t3", lead($"token", 2).over(w))
+      .filter($"t3".isNotNull)
+      .groupBy($"doc_id",
+        concat_ws(" ", $"token", $"t2", $"t3").as("shingle"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("total"), count(lit(1)).as("distinct_sh"))
+      .select($"doc_id",
+        round(($"total" - $"distinct_sh").cast("double") / $"total", 4)
+          .as("rep_ratio"))
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id,
+         round((total - distinct_sh) * 1.0 / total, 4) AS rep_ratio
+       FROM (
+         SELECT doc_id, sum(occ) AS total, count(*) AS distinct_sh
+         FROM (
+           SELECT doc_id, s, count(*) AS occ FROM (
+             SELECT doc_id,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s,
+                    i
+             FROM (
+               SELECT doc_id,
+                      list_filter(list_transform(string_split(trim(text), ' '),
+                                  x -> trim(x)), x -> length(x) > 0) AS t
+               FROM documents),
+               LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+             WHERE len(t) >= 3)
+           GROUP BY doc_id, s)
+         GROUP BY doc_id)"""
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     qualityOf(spark, Tables.documents(spark, dir))
 
