@@ -72,19 +72,19 @@ object DimensionalEtl {
     docs.union(parts)
   }
 
-  /** Full star-schema build + parquet load (≙ task.py load(), with a
-    * partitioned parquet lake in place of Postgres). Returns the
-    * written paths.
+  /** Full star-schema build + load through any TableSink (≙ task.py
+    * load(); ParquetSink is the lake default, JdbcSink the
+    * reference's literal warehouse target). Returns the written
+    * locations.
     */
-  def buildAndLoad(spark: SparkSession, dir: String, outDir: String): Seq[String] = {
-    val tables = Seq(
-      "token_dim" -> tokenDim(spark, dir),
-      "doc_token_bridge" -> bridge(spark, dir),
-      "documents_fact" -> Tables.documents(spark, dir))
-    tables.map { case (name, df) =>
-      val path = s"$outDir/$name"
-      df.write.mode("overwrite").parquet(path)
-      path
-    }
-  }
+  def buildAndLoad(spark: SparkSession, dir: String,
+      sink: graft.sources.TableSink): Seq[String] = Seq(
+    // vocabulary-sized dim → single file; bridge and fact keep their
+    // upstream partitioning (both scale with the corpus)
+    sink.write("token_dim", tokenDim(spark, dir).coalesce(1)),
+    sink.write("doc_token_bridge", bridge(spark, dir)),
+    sink.write("documents_fact", Tables.documents(spark, dir)))
+
+  def buildAndLoad(spark: SparkSession, dir: String, outDir: String): Seq[String] =
+    buildAndLoad(spark, dir, new graft.sources.ParquetSink(outDir))
 }

@@ -64,15 +64,29 @@ class ManifestTable(spark: SparkSession, root: String) {
     * one whose writer died between create and write) resolves to
     * None — the version is treated as never committed.
     */
-  private def segments(v: Long): Option[Seq[Path]] =
+  private def manifestLines(v: Long): Option[Seq[String]] =
     try {
       val in = fs.open(manifest(v))
-      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
+      Some(lines)
+    } catch { case _: java.io.IOException => None }
+
+  private def segments(v: Long): Option[Seq[Path]] =
+    manifestLines(v).flatMap { lines =>
+      val names = lines.filterNot(_.startsWith("#"))
       if (names.isEmpty) None
       else Some(names.map(new Path(rootPath, _))).filter(_.forall(fs.exists))
-    } catch { case _: java.io.IOException => None }
+    }
+
+  /** The `#batch=<id>` marker of version `v`, if present — set by
+    * [[append]] when a caller passes a batch id.
+    */
+  private def batchIdOf(v: Long): Option[Long] =
+    manifestLines(v).flatMap(_.collectFirst {
+      case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+    })
 
   /** Newest version whose manifest fully resolves, with its segments
     * — skips a manifest that is mid-commit instead of failing, so
@@ -114,13 +128,24 @@ class ManifestTable(spark: SparkSession, root: String) {
   /** Publish `df` as ONE new segment appended to the live version's
     * segment list — O(batch) data written regardless of table size.
     * Returns the committed version.
+    *
+    * `batchId` makes replays idempotent: if the LIVE version already
+    * carries this batch id (a foreachBatch retry after a crash
+    * between commit and checkpoint), the append is skipped and the
+    * existing version returned — upgrading the streaming sink from
+    * at-least-once to effectively-once for the crash-replay case.
     */
-  def append(df: DataFrame): Long = {
-    val prev = liveSegments.map(_._2).getOrElse(Nil)
-    val v = currentVersion.getOrElse(0L) + 1
-    val dir = stage(df, v)
-    commit(v, prev :+ dir, ownStaged = Seq(dir))
-    v
+  def append(df: DataFrame, batchId: Option[Long] = None): Long = {
+    val live = liveSegments
+    (for { id <- batchId; (v, _) <- live; committed <- batchIdOf(v)
+           if committed == id } yield v).getOrElse {
+      val prev = live.map(_._2).getOrElse(Nil)
+      val v = currentVersion.getOrElse(0L) + 1
+      val dir = stage(df, v)
+      commit(v, prev :+ dir, ownStaged = Seq(dir),
+        extraLines = batchId.map(id => s"#batch=$id").toSeq)
+      v
+    }
   }
 
   /** Land the data files for `v` in a writer-unique directory (no
@@ -145,7 +170,8 @@ class ManifestTable(spark: SparkSession, root: String) {
     * manifest delete) but also keeps the staged data for a retry at
     * a fresh version.
     */
-  def commit(v: Long, segs: Seq[Path], ownStaged: Seq[Path]): Unit = {
+  def commit(v: Long, segs: Seq[Path], ownStaged: Seq[Path],
+      extraLines: Seq[String] = Nil): Unit = {
     val out = try fs.create(manifest(v), false)
     catch {
       case e: java.io.IOException if fs.exists(manifest(v)) =>
@@ -153,7 +179,10 @@ class ManifestTable(spark: SparkSession, root: String) {
         throw new java.io.IOException(
           s"commit conflict on version $v of $root (concurrent writer won); retry", e)
     }
-    try { out.write(segs.map(_.getName).mkString("\n").getBytes(UTF_8)); out.close() }
+    try {
+      out.write((segs.map(_.getName) ++ extraLines).mkString("\n").getBytes(UTF_8))
+      out.close()
+    }
     catch {
       case e: java.io.IOException =>
         try out.close() catch { case _: java.io.IOException => () }

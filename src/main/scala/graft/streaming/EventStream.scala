@@ -142,16 +142,17 @@ object EventStream {
     * accumulated small segments down periodically with
     * `table.compact()` + `vacuum()`.
     *
-    * foreachBatch gives at-least-once batch delivery; dedup the
-    * stream upstream (dedupByKey) or make rows idempotent if replays
-    * matter.
+    * The batch id rides in the committed manifest, so a foreachBatch
+    * replay of an already-published batch (crash between commit and
+    * checkpoint — the at-least-once window) is detected and skipped:
+    * effectively-once publishing without any external state.
     */
   def intoManifestTable(stream: DataFrame, table: graft.pipeline.ManifestTable,
       checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.append(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch, Some(batchId))
         ()
       }
 

@@ -65,6 +65,17 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().count() == 18)
   }
 
+  test("replaying the same batch id is idempotent (effectively-once)") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = t.append((1 to 3).toDF("id"), batchId = Some(7L))
+    val v2 = t.append((1 to 3).toDF("id"), batchId = Some(7L)) // crash replay
+    assert(v1 == v2 && t.currentVersion.contains(v1))
+    assert(t.read().count() == 3, "replayed batch must not duplicate rows")
+    val v3 = t.append((4 to 5).toDF("id"), batchId = Some(8L))
+    assert(v3 == v1 + 1 && t.read().count() == 5)
+  }
+
   test("streaming micro-batches publish as atomic versions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
