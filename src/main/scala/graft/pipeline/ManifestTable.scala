@@ -64,6 +64,12 @@ class ManifestTable(spark: SparkSession, root: String) {
     * one whose writer died between create and write) resolves to
     * None — the version is treated as never committed.
     */
+  /** One committed segment: its directory plus optional per-column
+    * numeric (min, max) stats for data skipping. Manifest line
+    * format: `dirname` or `dirname|col|min|max[|col2|min2|max2…]`.
+    */
+  case class Segment(dir: Path, stats: Map[String, (Double, Double)])
+
   private def manifestLines(v: Long): Option[Seq[String]] =
     try {
       val in = fs.open(manifest(v))
@@ -73,11 +79,24 @@ class ManifestTable(spark: SparkSession, root: String) {
       Some(lines)
     } catch { case _: java.io.IOException => None }
 
-  private def segments(v: Long): Option[Seq[Path]] =
+  private def parseSegment(line: String): Segment = {
+    val parts = line.split('|')
+    val stats = parts.drop(1).grouped(3).collect {
+      case Array(c, lo, hi) => c -> (lo.toDouble, hi.toDouble)
+    }.toMap
+    Segment(new Path(rootPath, parts.head), stats)
+  }
+
+  private def renderSegment(s: Segment): String =
+    (s.dir.getName +: s.stats.toSeq.sortBy(_._1).flatMap {
+      case (c, (lo, hi)) => Seq(c, lo.toString, hi.toString)
+    }).mkString("|")
+
+  private def segments(v: Long): Option[Seq[Segment]] =
     manifestLines(v).flatMap { lines =>
-      val names = lines.filterNot(_.startsWith("#"))
-      if (names.isEmpty) None
-      else Some(names.map(new Path(rootPath, _))).filter(_.forall(fs.exists))
+      val segs = lines.filterNot(_.startsWith("#")).map(parseSegment)
+      if (segs.isEmpty) None
+      else Some(segs).filter(_.forall(s => fs.exists(s.dir)))
     }
 
   /** The `#batch=<id>` marker of version `v`, if present — set by
@@ -92,14 +111,35 @@ class ManifestTable(spark: SparkSession, root: String) {
     * — skips a manifest that is mid-commit instead of failing, so
     * readers are never disturbed by an in-flight commit.
     */
-  private def liveSegments: Option[(Long, Seq[Path])] =
+  private def liveSegments: Option[(Long, Seq[Segment])] =
     committedVersions.sorted.reverse.iterator
       .flatMap(v => segments(v).map(v -> _)).buffered.headOption
 
   def read(): DataFrame = {
     val (_, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    spark.read.parquet(segs.map(_.toString): _*)
+    spark.read.parquet(segs.map(_.dir.toString): _*)
+  }
+
+  /** Data-skipping read: scan only segments whose committed
+    * [min, max] for `col` overlaps [lo, hi] (a segment with no stats
+    * for `col` is always scanned — skipping is an optimization,
+    * never a filter), then apply the row-level predicate. On an
+    * append-only stream with any natural ordering (time, id), this
+    * turns a point/range query into a scan of the few segments that
+    * can contain it — the manifest works as a coarse zone map.
+    */
+  def readWhere(col: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val (_, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val hit = segs.filter(_.stats.get(col)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (hit.isEmpty)
+      read().filter(c(col).between(lo, hi)).limit(0)
+    else
+      spark.read.parquet(hit.map(_.dir.toString): _*)
+        .filter(c(col).between(lo, hi))
   }
 
   private def committedVersions: Seq[Long] = {
@@ -118,10 +158,10 @@ class ManifestTable(spark: SparkSession, root: String) {
     * writer's staging directory is cleaned up and the caller may
     * retry.
     */
-  def write(df: DataFrame): Long = {
+  def write(df: DataFrame, statCols: Seq[String] = Nil): Long = {
     val v = currentVersion.getOrElse(0L) + 1
-    val dir = stage(df, v)
-    commit(v, Seq(dir), ownStaged = Seq(dir))
+    val seg = stage(df, v, statCols)
+    commit(v, Seq(seg), ownStaged = Seq(seg.dir))
     v
   }
 
@@ -135,27 +175,45 @@ class ManifestTable(spark: SparkSession, root: String) {
     * existing version returned — upgrading the streaming sink from
     * at-least-once to effectively-once for the crash-replay case.
     */
-  def append(df: DataFrame, batchId: Option[Long] = None): Long = {
+  def append(df: DataFrame, batchId: Option[Long] = None,
+      statCols: Seq[String] = Nil): Long = {
     val live = liveSegments
     (for { id <- batchId; (v, _) <- live; committed <- batchIdOf(v)
            if committed == id } yield v).getOrElse {
       val prev = live.map(_._2).getOrElse(Nil)
       val v = currentVersion.getOrElse(0L) + 1
-      val dir = stage(df, v)
-      commit(v, prev :+ dir, ownStaged = Seq(dir),
+      val seg = stage(df, v, statCols)
+      commit(v, prev :+ seg, ownStaged = Seq(seg.dir),
         extraLines = batchId.map(id => s"#batch=$id").toSeq)
       v
     }
   }
 
   /** Land the data files for `v` in a writer-unique directory (no
-    * commit — invisible to readers). Returns the staged directory.
+    * commit — invisible to readers). Numeric `statCols` min/max are
+    * collected DURING the write via an Observation — no second scan
+    * — and ride the manifest for [[readWhere]] data skipping.
+    * Returns the staged segment.
     */
-  def stage(df: DataFrame, v: Long): Path = {
+  def stage(df: DataFrame, v: Long, statCols: Seq[String] = Nil): Segment = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val dir = new Path(rootPath,
       f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.write.mode("errorifexists").parquet(dir.toString)
-    dir
+    val obs = statCols.map(_ -> new org.apache.spark.sql.Observation())
+    val observed = obs.foldLeft(df) { case (d, (c2, o)) =>
+      d.observe(o, min(col(c2).cast("double")).as("mn"),
+        max(col(c2).cast("double")).as("mx"))
+    }
+    observed.write.mode("errorifexists").parquet(dir.toString)
+    val stats = obs.flatMap { case (c2, o) =>
+      val m = o.get
+      (Option(m("mn")), Option(m("mx"))) match {
+        case (Some(mn: Number), Some(mx: Number)) =>
+          Some(c2 -> (mn.doubleValue(), mx.doubleValue()))
+        case _ => None // all-null column: no stats, never skipped
+      }
+    }.toMap
+    Segment(dir, stats)
   }
 
   /** Atomic create-no-overwrite of the manifest claims the version;
@@ -170,7 +228,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     * manifest delete) but also keeps the staged data for a retry at
     * a fresh version.
     */
-  def commit(v: Long, segs: Seq[Path], ownStaged: Seq[Path],
+  def commit(v: Long, segs: Seq[Segment], ownStaged: Seq[Path],
       extraLines: Seq[String] = Nil): Unit = {
     val out = try fs.create(manifest(v), false)
     catch {
@@ -180,7 +238,7 @@ class ManifestTable(spark: SparkSession, root: String) {
           s"commit conflict on version $v of $root (concurrent writer won); retry", e)
     }
     try {
-      out.write((segs.map(_.getName) ++ extraLines).mkString("\n").getBytes(UTF_8))
+      out.write((segs.map(renderSegment) ++ extraLines).mkString("\n").getBytes(UTF_8))
       out.close()
     }
     catch {
@@ -203,13 +261,17 @@ class ManifestTable(spark: SparkSession, root: String) {
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
     def parquetFiles(p: Path) =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-    val before = live.map(parquetFiles).sum
-    val totalBytes = live.flatMap(fs.listStatus(_))
+    val before = live.map(s => parquetFiles(s.dir)).sum
+    val totalBytes = live.flatMap(s => fs.listStatus(s.dir))
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // stats survive compaction: recollect over the union of columns
+    // the live segments tracked
+    val statCols = live.flatMap(_.stats.keys).distinct
     val committed = write(
-      spark.read.parquet(live.map(_.toString): _*).repartition(nOut))
-    (before, segments(committed).get.map(parquetFiles).sum)
+      spark.read.parquet(live.map(_.dir.toString): _*).repartition(nOut),
+      statCols)
+    (before, segments(committed).get.map(s => parquetFiles(s.dir)).sum)
   }
 
   /** Delete manifests of committed versions older than the newest
@@ -230,7 +292,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val drop = all.dropRight(keep).filter(_ < cur)
     drop.foreach(v => fs.delete(manifest(v), false))
     val referenced = (all.toSet -- drop)
-      .flatMap(v => segments(v).getOrElse(Nil).map(_.getName))
+      .flatMap(v => segments(v).getOrElse(Nil).map(_.dir.getName))
     fs.listStatus(rootPath).foreach { st =>
       st.getPath.getName match {
         case DataDirName(d) if d.toLong < cur &&

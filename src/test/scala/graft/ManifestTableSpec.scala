@@ -65,6 +65,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().count() == 18)
   }
 
+  test("segment stats skip non-overlapping segments in readWhere") {
+    import spark.implicits._
+    val t = freshTable()
+    // three appended segments with disjoint id ranges, stats on id
+    t.write((1 to 100).toDF("id"), statCols = Seq("id"))
+    t.append((101 to 200).toDF("id"), statCols = Seq("id"))
+    t.append((201 to 300).toDF("id"), statCols = Seq("id"))
+    val q = t.readWhere("id", 150, 160)
+    assert(q.collect().map(_.getInt(0)).sorted.toSeq == (150 to 160).toSeq)
+    // only the middle segment's files are planned
+    val dirs = q.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getParent.getName).distinct
+    assert(dirs.length == 1, s"expected 1 segment scanned, got ${dirs.toSeq}")
+    // a range outside every segment reads empty without error
+    assert(t.readWhere("id", 1000, 2000).count() == 0)
+    // stats survive compaction
+    t.compact(targetBytes = 1024L * 1024 * 1024)
+    assert(t.readWhere("id", 150, 160).count() == 11)
+  }
+
   test("replaying the same batch id is idempotent (effectively-once)") {
     import spark.implicits._
     val t = freshTable()
@@ -108,16 +128,16 @@ class ManifestTableSpec extends SparkSpec {
     // race: we stage version 4; a concurrent writer commits 4 first;
     // our commit must lose cleanly — our staged dir removed, the
     // winner's manifest and data untouched
-    val loserDir = t.stage((1 to 5).toDF("id"), 4L)
-    val root = loserDir.getParent
+    val loser = t.stage((1 to 5).toDF("id"), 4L)
+    val root = loser.dir.getParent
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val winnerDir = t.stage((100 to 100).toDF("id"), 4L)
-    t.commit(4L, Seq(winnerDir), ownStaged = Seq(winnerDir))
+    val winner = t.stage((100 to 100).toDF("id"), 4L)
+    t.commit(4L, Seq(winner), ownStaged = Seq(winner.dir))
     intercept[java.io.IOException] {
-      t.commit(4L, Seq(loserDir), ownStaged = Seq(loserDir))
+      t.commit(4L, Seq(loser), ownStaged = Seq(loser.dir))
     }
-    assert(!fs.exists(loserDir), "losing writer must clean its staged directory")
-    assert(fs.exists(winnerDir), "winner's data must be untouched by the loser")
+    assert(!fs.exists(loser.dir), "losing writer must clean its staged directory")
+    assert(fs.exists(winner.dir), "winner's data must be untouched by the loser")
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(100),
       "winner's commit must be the live version")
   }
