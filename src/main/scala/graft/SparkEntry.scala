@@ -59,6 +59,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClusters _,
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, rerank = 50)),
     "sql_passthrough" -> SqlInterface.passthrough _,
     "olap_rollup" -> Olap.rollupOrders _,
     "olap_pivot" -> Olap.pivotEvents _,
@@ -113,6 +114,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> Similarity.bruteforceTopKSql(),
     "sim_lsh_topk" -> Similarity.lshTopKSql(),
     "sim_ivf_topk" -> Similarity.ivfTopKSql(),
+    "sim_pq_topk" -> Similarity.pqTopKSql(rerank = 50),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_clean" -> TextAnalysis.cleanSql,

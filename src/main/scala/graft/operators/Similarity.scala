@@ -367,6 +367,242 @@ object Similarity {
       .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
   }
 
+  // ── #34c product-quantization (PQ) ANN, asymmetric distance ───────
+
+  /** PQ compresses each (L2-normalized) 64-dim float vector to
+    * M=8 4-bit codes — 4 bytes per vector, a 64× scan-size cut —
+    * by quantizing each 8-dim subvector to its nearest of K=16
+    * codebook entries. Search is ADC (Jégou et al., TPAMI 2011):
+    * the query precomputes a K×M distance table, and a candidate's
+    * approximate distance is the sum of 8 table lookups — no float
+    * vectors touched on the corpus side at query time.
+    *
+    * Codebooks are the subvectors of the first K normalized corpus
+    * vectors (the same deterministic offline-trained-quantizer
+    * stand-in as IVF's centroids) and are folded into the plan as
+    * literals, so BOTH encode and ADC are pure map-side codegen over
+    * the scan: the only exchange in the plan is the scalar top-k
+    * window. Normalizing first makes L2 order ≡ cosine order
+    * (‖â−b̂‖² = 2−2cos), so recall is measured against the cosine
+    * brute force.
+    *
+    * Every arithmetic step (normalize, subtract, square, 8-term and
+    * M-term left-associated sums, CASE-chain argmin with ascending
+    * tie-break) is mirrored op-for-op in the generated DuckDB oracle,
+    * so the gate is exact like the rest of the family.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, m: Int = 8, codes: Int = 16,
+      books: Option[Array[Array[Array[Double]]]] = None,
+      rerank: Int = 0): DataFrame = {
+    import spark.implicits._
+    val dim = 64; val sub = dim / m
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val bk = books.getOrElse(pqBooks(spark, dir, m, codes))
+    val nrm = sqrt(dotCol($"embedding", $"embedding"))
+    // d²(q̂_m, book[m][j]) as a fixed 8-term left-assoc expression
+    def l2sq(mIdx: Int, j: Int): Column =
+      (0 until sub).map { i =>
+        val d = element_at($"embedding", mIdx * sub + i + 1).cast("double") / $"nrm" -
+          lit(bk(mIdx)(j)(i))
+        d * d
+      }.reduceLeft(_ + _)
+    // corpus: argmin code per subspace — first-match CASE = asc tie-break
+    val coded = emb.withColumn("nrm", nrm).select($"vec_id" +:
+      (0 until m).map { mi =>
+        val ds = (0 until codes).map(l2sq(mi, _))
+        val best = ds.reduce((a, b) => least(a, b))
+        ds.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
+          when(d === best, lit(j)).otherwise(acc)
+        }.as(s"code_$mi")
+      }: _*)
+    // queries: the K×M distance table as 128 scalar columns
+    val qtab = emb.filter($"vec_id" < nQueries).withColumn("nrm", nrm)
+      .select($"vec_id".as("query_id") +:
+        (for (mi <- 0 until m; j <- 0 until codes)
+          yield l2sq(mi, j).as(s"d_${mi}_$j")): _*)
+    // ADC: Σ_m table[m][code_m], fixed m order, CASE lookup per m
+    val adist = (0 until m).map { mi =>
+      (0 until codes).foldRight(lit(Double.MaxValue)) { case (j, acc) =>
+        when(col(s"code_$mi") === j, col(s"d_${mi}_$j")).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"cand_id")
+    val shortlist = coded.join(broadcast(qtab), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(adist, 4).as("adist"))
+      .withColumn("rk", row_number().over(w))
+    if (rerank <= 0)
+      shortlist.filter($"rk" <= k)
+        .select($"query_id", $"cand_id", $"adist", $"rk".cast("long").as("rk"))
+    else {
+      // ADC shortlist of `rerank`, then EXACT cosine re-rank of those
+      // few candidates (the standard ADC+re-rank refinement): the
+      // expensive float vectors are touched for nQueries×rerank rows
+      // only, via broadcast of the tiny shortlist — the corpus scan
+      // stays codes-only
+      val short = shortlist.filter($"rk" <= rerank)
+        .select($"query_id", $"cand_id")
+      val qe = emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val w2 = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+      emb.join(broadcast(short), $"vec_id" === $"cand_id")
+        .join(broadcast(qe), Seq("query_id"))
+        .select($"query_id", $"cand_id",
+          round(cosineCol($"q_emb", $"embedding"), 4).as("cos"))
+        .withColumn("rk", row_number().over(w2))
+        .filter($"rk" <= k)
+        .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+    }
+  }
+
+  /** Codebooks: subvector m of the first K L2-normalized corpus
+    * vectors, computed once driver-side in double precision (they
+    * become literals in both engines, so cross-engine fp identity is
+    * by construction).
+    */
+  def pqBooks(spark: SparkSession, dir: String, m: Int,
+      codes: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val dim = 64; val sub = dim / m
+    val firstK = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < codes).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    Array.tabulate(m) { mi =>
+      firstK.map { case (_, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        Array.tabulate(sub)(i => v(mi * sub + i).toDouble / n)
+      }
+    }
+  }
+
+  /** Lloyd-iteration k-means per subspace over a bounded sample of
+    * normalized vectors — the offline codebook trainer. Driver-side
+    * on a collected sample (codebook training is a sample problem:
+    * thousands of vectors suffice regardless of corpus size; for
+    * billion-vector corpora feed it `hashSample`d rows). Trained
+    * books go to [[pqTopK]]'s `books` parameter; they are NOT the
+    * gate default because k-means means have no cross-engine
+    * bit-exact form (summation order), which the oracle requires.
+    */
+  def pqTrainBooks(spark: SparkSession, dir: String, m: Int = 8,
+      codes: Int = 16, sampleMax: Int = 4096, iters: Int = 10): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val dim = 64; val sub = dim / m
+    val sample = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < sampleMax).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map { case (_, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        v.map(_.toDouble / n)
+      }
+    Array.tabulate(m) { mi =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var cents = pts.distinct.take(codes)
+      for (_ <- 0 until iters) {
+        val assign = pts.map { p =>
+          cents.zipWithIndex.minBy { case (c, _) =>
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - c(i); d += t * t; i += 1 }; d
+          }._2
+        }
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          val mine = pts.indices.filter(assign(_) == ci)
+          if (mine.isEmpty) old
+          else {
+            val s2 = Array.fill(sub)(0.0)
+            mine.foreach { pi => var i = 0; while (i < sub) { s2(i) += pts(pi)(i); i += 1 } }
+            s2.map(_ / mine.size)
+          }
+        }
+      }
+      cents
+    }
+  }
+
+  /** The identical computation as static ANSI SQL: the codebooks are
+    * re-derived relationally (16 single-row cross joins over the
+    * same normalized first-K vectors), and every normalize/subtract/
+    * square/sum/argmin step mirrors [[pqTopK]] op-for-op — the Scala
+    * driver-side book fold and DuckDB's list_reduce fold run the
+    * same IEEE operations in the same order, so the doubles agree
+    * bit-for-bit.
+    */
+  def pqTopKSql(nQueries: Int = 5, k: Int = 5, m: Int = 8,
+      codes: Int = 16, rerank: Int = 0): String = {
+    val dim = 64; val sub = dim / m
+    // book element (mi, j, i): normalized component of book vector j
+    def bk(j: Int, idx: Int): String =
+      s"(CAST(bk$j.embedding[$idx] AS DOUBLE) / bk$j.nrm)"
+    def l2sq(tbl: String, mIdx: Int, j: Int): String =
+      (0 until sub).map { i =>
+        val idx = mIdx * sub + i + 1
+        val d = s"(CAST($tbl.embedding[$idx] AS DOUBLE) / $tbl.nrm - ${bk(j, idx)})"
+        s"$d * $d"
+      }.reduceLeft((a, b) => s"($a + $b)")
+    val bookJoins = (0 until codes).map(j =>
+      s"CROSS JOIN (SELECT embedding, nrm FROM normed WHERE vec_id = $j) bk$j")
+      .mkString("\n")
+    val normed =
+      s"""normed AS (SELECT vec_id, embedding,
+            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
+    val codeCols = (0 until m).map { mi =>
+      val ds = (0 until codes).map(l2sq("e", mi, _))
+      val best = ds.reduceLeft((a, b) => s"least($a, $b)")
+      val chain = (0 until codes).map(j => s"WHEN ${ds(j)} = best_$mi THEN $j")
+        .mkString(" ")
+      (s"$best AS best_$mi", s"CASE $chain ELSE -1 END AS code_$mi")
+    }
+    val qCols = for (mi <- 0 until m; j <- 0 until codes)
+      yield s"${l2sq("q", mi, j)} AS d_${mi}_$j"
+    val adist = (0 until m).map { mi =>
+      val chain = (0 until codes).map(j =>
+        s"WHEN c.code_$mi = $j THEN q.d_${mi}_$j").mkString(" ")
+      s"CASE $chain ELSE 1.7976931348623157e308 END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val prelude = s"""WITH $normed,
+        bests AS (SELECT e.vec_id, e.embedding, e.nrm,
+                  ${codeCols.map(_._1).mkString(",\n")}
+                  FROM normed e
+                  $bookJoins),
+        coded AS (SELECT e.vec_id,
+                  ${codeCols.map(_._2).mkString(",\n")}
+                  FROM bests e
+                  $bookJoins),
+        qtab AS (SELECT q.vec_id AS query_id,
+                 ${qCols.mkString(",\n")}
+                 FROM normed q
+                 $bookJoins
+                 WHERE q.vec_id < $nQueries),
+        adc AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 round($adist, 4) AS adist,
+                 CAST(row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round($adist, 4) ASC, c.vec_id) AS BIGINT) AS rk
+          FROM coded c CROSS JOIN qtab q
+          WHERE c.vec_id <> q.query_id)"""
+    if (rerank <= 0)
+      s"""$prelude
+          SELECT query_id, cand_id, adist, rk FROM adc WHERE rk <= $k"""
+    else
+      // exact-cosine refinement of the ADC shortlist, mirroring the
+      // Spark re-rank stage op-for-op (raw embeddings, round 4,
+      // cand_id tie-break)
+      s"""$prelude,
+          short AS (SELECT query_id, cand_id FROM adc WHERE rk <= $rerank),
+          rr AS (
+            SELECT s.query_id, s.cand_id,
+                   round(${cosineSql("qe.embedding", "ce.embedding")}, 4) AS cos
+            FROM short s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.cand_id)
+          SELECT query_id, cand_id, cos, rk FROM (
+            SELECT query_id, cand_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+            FROM rr)
+          WHERE rk <= $k"""
+  }
+
   /** Oracle re-derives assignment relationally (rank cells per vector
     * by the identical fp cosine, tie-break cell_id) — same cells,
     * same probes, same top-k.

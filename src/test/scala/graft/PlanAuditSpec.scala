@@ -105,6 +105,20 @@ class PlanAuditSpec extends SparkSpec {
   // ETL dim/bridge single-partition-window regressions are covered by
   // WindowAuditSpec's repo-wide sweep (etl_* are not in its exempt map).
 
+  test("sim_pq_topk: encode and ADC are map-side — only scalar ranking windows shuffle") {
+    // codebooks are literals and the query table / shortlist are
+    // broadcast: corpus encoding and the ADC lookup-sum add ZERO
+    // exchanges. The two shuffles are the ADC shortlist window and
+    // the re-rank window, both scalar-only.
+    val shuffles = shuffleOutputs("sim_pq_topk")
+    assert(shuffles.length == 2,
+      s"expected 2 shuffles (shortlist + re-rank windows), got ${shuffles.length}")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+  }
+
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
     // the quantizer is literal centroids, so assignment adds ZERO
     // exchanges; the sole shuffle in the plan is the scalar

@@ -44,6 +44,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"recall=$recall%.2f (${(exact & lsh).size}/${exact.size})")
   }
 
+  test("PQ ADC+re-rank top-k recall ≥ 0.6 over 20 queries (measured 0.77)") {
+    val brute = Similarity.bruteforceTopK(spark, SF, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the gate config: codes-only ADC builds a shortlist of 50, exact
+    // cosine re-ranks it — pure ADC@5 on these near-random synthetic
+    // vectors is ~0.2, the re-rank recovers what the 4-bit codes blur
+    val pq = Similarity.pqTopK(spark, SF, nQueries = 20, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, f"recall=$recall%.2f (${(brute & pq).size}/${brute.size})")
+  }
+
+  test("PQ codebook trainer yields valid books that beat the stand-in on quantization error") {
+    import spark.implicits._
+    val m = 8; val sub = 8
+    val standIn = Similarity.pqBooks(spark, SF, m, 16)
+    val trained = Similarity.pqTrainBooks(spark, SF, m = m)
+    assert(trained.length == m && trained.forall(b => b.length == 16 &&
+      b.forall(_.length == sub)))
+    // mean quantization error over the corpus: trained ≤ stand-in
+    val vecs = Tables.embeddings(spark, SF).select($"embedding")
+      .as[Array[Float]].collect().map { v =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        v.map(_.toDouble / n)
+      }
+    def mse(books: Array[Array[Array[Double]]]): Double = vecs.map { v =>
+      (0 until m).map { mi =>
+        books(mi).map { c =>
+          (0 until sub).map { i => val d = v(mi * sub + i) - c(i); d * d }.sum
+        }.min
+      }.sum
+    }.sum / vecs.length
+    assert(mse(trained) <= mse(standIn),
+      s"trained books quantize worse than the stand-in: ${mse(trained)} vs ${mse(standIn)}")
+  }
+
   test("brute force returns exactly k neighbors per query") {
     val counts = Similarity.bruteforceTopK(spark, SF, nQueries = 5, k = 5)
       .groupBy("query_id").count().collect().map(_.getLong(1))
