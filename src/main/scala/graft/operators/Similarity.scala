@@ -386,10 +386,12 @@ object Similarity {
     * (‖â−b̂‖² = 2−2cos), so recall is measured against the cosine
     * brute force.
     *
-    * Every arithmetic step (normalize, subtract, square, 8-term and
-    * M-term left-associated sums, CASE-chain argmin with ascending
-    * tie-break) is mirrored op-for-op in the generated DuckDB oracle,
-    * so the gate is exact like the rest of the family.
+    * Sub-distances use the ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form —
+    * one `vec_dot` kernel call per (m, code) — and every arithmetic
+    * step (normalization, the kernel's sequential fold, the scalar
+    * combination order, CASE-chain argmin with ascending tie-break)
+    * is mirrored op-for-op in the generated DuckDB oracle, so the
+    * gate is exact like the rest of the family.
     */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, m: Int = 8, codes: Int = 16,
@@ -399,28 +401,54 @@ object Similarity {
     val dim = 64; val sub = dim / m
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bk = books.getOrElse(pqBooks(spark, dir, m, codes))
+    // the book entries the engines actually compare against are the
+    // float-cast normalized subvectors (the vec_dot kernel takes
+    // array<float>); ‖c‖² is folded driver-side over those floats in
+    // the kernel's own summation order
+    val bkF: Array[Array[Array[Float]]] = bk.map(_.map(_.map(_.toFloat)))
+    val c2: Array[Array[Double]] = bkF.map(_.map(
+      _.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     val nrm = sqrt(dotCol($"embedding", $"embedding"))
-    // d²(q̂_m, book[m][j]) as a fixed 8-term left-assoc expression
-    def l2sq(mIdx: Int, j: Int): Column =
-      (0 until sub).map { i =>
-        val d = element_at($"embedding", mIdx * sub + i + 1).cast("double") / $"nrm" -
-          lit(bk(mIdx)(j)(i))
-        d * d
-      }.reduceLeft(_ + _)
-    // corpus: argmin code per subspace — first-match CASE = asc tie-break
-    val coded = emb.withColumn("nrm", nrm).select($"vec_id" +:
+    // d²(ê_m, c) = ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ — one vec_dot
+    // kernel call per (m, j) instead of an 8-term elementwise tree
+    // (the elementwise form's 128 fat expressions exceeded the
+    // codegen method budget; the interpreted fallback then shipped a
+    // multi-MB serialized plan per task — measured OOM at 32
+    // concurrent tasks — and plan analysis alone cost seconds)
+    val base = emb.withColumn("nrm", nrm)
+      .select(Seq($"vec_id", $"nrm") ++
+        (0 until m).map(mi =>
+          slice($"embedding", mi * sub + 1, sub).as(s"s_$mi")): _*)
+    val withSq = base.select(Seq($"vec_id", $"nrm") ++
+      (0 until m).map(mi => col(s"s_$mi")) ++
+      (0 until m).map(mi =>
+        dotCol(col(s"s_$mi"), col(s"s_$mi")).as(s"sq_$mi")): _*)
+    def l2sq(mIdx: Int, j: Int): Column = {
+      val cLit = array(bkF(mIdx)(j).toSeq.map(lit(_)): _*)
+      (col(s"sq_$mIdx") / ($"nrm" * $"nrm") + lit(c2(mIdx)(j))) -
+        ((lit(2.0) * dotCol(col(s"s_$mIdx"), cLit)) / $"nrm")
+    }
+    // sub-distances as their own projection; the argmin stage then
+    // references ATTRIBUTES (first-match CASE = asc tie-break), so
+    // nothing is triplicated through least+CASE (CollapseProject
+    // keeps the stages apart: non-cheap, multiply referenced)
+    val withDs = withSq.select($"vec_id" +:
+      (for (mi <- 0 until m; j <- 0 until codes)
+        yield l2sq(mi, j).as(s"ds_${mi}_$j")): _*)
+    val coded = withDs.select($"vec_id" +:
       (0 until m).map { mi =>
-        val ds = (0 until codes).map(l2sq(mi, _))
+        val ds = (0 until codes).map(j => col(s"ds_${mi}_$j"))
         val best = ds.reduce((a, b) => least(a, b))
         ds.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
           when(d === best, lit(j)).otherwise(acc)
         }.as(s"code_$mi")
       }: _*)
-    // queries: the K×M distance table as 128 scalar columns
-    val qtab = emb.filter($"vec_id" < nQueries).withColumn("nrm", nrm)
+    // queries reuse the SAME sub-distance projection — the table is
+    // just the query rows of it
+    val qtab = withDs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id") +:
         (for (mi <- 0 until m; j <- 0 until codes)
-          yield l2sq(mi, j).as(s"d_${mi}_$j")): _*)
+          yield col(s"ds_${mi}_$j").as(s"d_${mi}_$j")): _*)
     // ADC: Σ_m table[m][code_m], fixed m order, CASE lookup per m
     val adist = (0 until m).map { mi =>
       (0 until codes).foldRight(lit(Double.MaxValue)) { case (j, acc) =>
@@ -530,49 +558,58 @@ object Similarity {
   def pqTopKSql(nQueries: Int = 5, k: Int = 5, m: Int = 8,
       codes: Int = 16, rerank: Int = 0): String = {
     val dim = 64; val sub = dim / m
-    // book element (mi, j, i): normalized component of book vector j
-    def bk(j: Int, idx: Int): String =
-      s"(CAST(bk$j.embedding[$idx] AS DOUBLE) / bk$j.nrm)"
-    def l2sq(tbl: String, mIdx: Int, j: Int): String =
-      (0 until sub).map { i =>
-        val idx = mIdx * sub + i + 1
-        val d = s"(CAST($tbl.embedding[$idx] AS DOUBLE) / $tbl.nrm - ${bk(j, idx)})"
-        s"$d * $d"
-      }.reduceLeft((a, b) => s"($a + $b)")
+    def lo(mi: Int) = mi * sub + 1
+    def hi(mi: Int) = (mi + 1) * sub
     val bookJoins = (0 until codes).map(j =>
       s"CROSS JOIN (SELECT embedding, nrm FROM normed WHERE vec_id = $j) bk$j")
       .mkString("\n")
     val normed =
       s"""normed AS (SELECT vec_id, embedding,
             sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
+    // books: one row of float-cast normalized subvectors + their ‖c‖²
+    val cCols = for (mi <- 0 until m; j <- 0 until codes)
+      yield s"list_transform(bk$j.embedding[${lo(mi)}:${hi(mi)}], " +
+        s"x -> CAST(CAST(x AS DOUBLE) / bk$j.nrm AS FLOAT)) AS c_${mi}_$j"
+    val c2Cols = for (mi <- 0 until m; j <- 0 until codes)
+      yield s"${dotSql(s"c_${mi}_$j", s"c_${mi}_$j")} AS c2_${mi}_$j"
+    // per-vector slices and their squared norms, then one dot per
+    // (m, j) — same ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form and
+    // association order as the Spark side
+    val sCols = (0 until m).map(mi => s"embedding[${lo(mi)}:${hi(mi)}] AS s_$mi")
+    val sqCols = (0 until m).map(mi => s"${dotSql(s"s_$mi", s"s_$mi")} AS sq_$mi")
+    val dsCols = for (mi <- 0 until m; j <- 0 until codes)
+      yield s"((sq_$mi / (nrm * nrm) + c2_${mi}_$j) - " +
+        s"((2.0 * ${dotSql(s"s_$mi", s"c_${mi}_$j")}) / nrm)) AS ds_${mi}_$j"
     val codeCols = (0 until m).map { mi =>
-      val ds = (0 until codes).map(l2sq("e", mi, _))
+      val ds = (0 until codes).map(j => s"ds_${mi}_$j")
       val best = ds.reduceLeft((a, b) => s"least($a, $b)")
-      val chain = (0 until codes).map(j => s"WHEN ${ds(j)} = best_$mi THEN $j")
+      val chain = (0 until codes).map(j => s"WHEN ds_${mi}_$j = best_$mi THEN $j")
         .mkString(" ")
       (s"$best AS best_$mi", s"CASE $chain ELSE -1 END AS code_$mi")
     }
-    val qCols = for (mi <- 0 until m; j <- 0 until codes)
-      yield s"${l2sq("q", mi, j)} AS d_${mi}_$j"
     val adist = (0 until m).map { mi =>
       val chain = (0 until codes).map(j =>
         s"WHEN c.code_$mi = $j THEN q.d_${mi}_$j").mkString(" ")
       s"CASE $chain ELSE 1.7976931348623157e308 END"
     }.reduceLeft((a, b) => s"($a + $b)")
     val prelude = s"""WITH $normed,
-        bests AS (SELECT e.vec_id, e.embedding, e.nrm,
-                  ${codeCols.map(_._1).mkString(",\n")}
-                  FROM normed e
-                  $bookJoins),
-        coded AS (SELECT e.vec_id,
-                  ${codeCols.map(_._2).mkString(",\n")}
-                  FROM bests e
-                  $bookJoins),
-        qtab AS (SELECT q.vec_id AS query_id,
-                 ${qCols.mkString(",\n")}
-                 FROM normed q
-                 $bookJoins
-                 WHERE q.vec_id < $nQueries),
+        books0 AS (SELECT ${cCols.mkString(",\n")} FROM (SELECT 1) one
+                   $bookJoins),
+        books AS (SELECT *, ${c2Cols.mkString(",\n")} FROM books0),
+        sliced AS (SELECT vec_id, nrm, ${sCols.mkString(",\n")} FROM normed),
+        sq AS (SELECT vec_id, nrm, ${(0 until m).map(mi => s"s_$mi").mkString(", ")},
+               ${sqCols.mkString(",\n")} FROM sliced),
+        ds AS (SELECT vec_id, ${dsCols.mkString(",\n")}
+               FROM sq CROSS JOIN books),
+        bests AS (SELECT vec_id, ${(for (mi <- 0 until m; j <- 0 until codes)
+                   yield s"ds_${mi}_$j").mkString(", ")},
+                  ${codeCols.map(_._1).mkString(",\n")} FROM ds),
+        coded AS (SELECT vec_id,
+                  ${codeCols.map(_._2).mkString(",\n")} FROM bests),
+        qtab AS (SELECT vec_id AS query_id,
+                 ${(for (mi <- 0 until m; j <- 0 until codes)
+                    yield s"ds_${mi}_$j AS d_${mi}_$j").mkString(",\n")}
+                 FROM ds WHERE vec_id < $nQueries),
         adc AS (
           SELECT q.query_id, c.vec_id AS cand_id,
                  round($adist, 4) AS adist,
