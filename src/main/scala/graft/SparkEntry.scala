@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_ngram_clusters" -> Dedup.ngramJaccardClusters _,
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, rerank = 50)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sql_passthrough" -> SqlInterface.passthrough _,
     "olap_rollup" -> Olap.rollupOrders _,
     "olap_pivot" -> Olap.pivotEvents _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "sim_lsh_topk" -> Similarity.lshTopKSql(),
     "sim_ivf_topk" -> Similarity.ivfTopKSql(),
     "sim_pq_topk" -> Similarity.pqTopKSql(rerank = 50),
+    "sim_ivfpq_topk" -> Similarity.ivfPqTopKSql(),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_clean" -> TextAnalysis.cleanSql,

@@ -401,60 +401,14 @@ object Similarity {
     val dim = 64; val sub = dim / m
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bk = books.getOrElse(pqBooks(spark, dir, m, codes))
-    // the book entries the engines actually compare against are the
-    // float-cast normalized subvectors (the vec_dot kernel takes
-    // array<float>); ‖c‖² is folded driver-side over those floats in
-    // the kernel's own summation order
-    val bkF: Array[Array[Array[Float]]] = bk.map(_.map(_.map(_.toFloat)))
-    val c2: Array[Array[Double]] = bkF.map(_.map(
-      _.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-    val nrm = sqrt(dotCol($"embedding", $"embedding"))
-    // d²(ê_m, c) = ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ — one vec_dot
-    // kernel call per (m, j) instead of an 8-term elementwise tree
-    // (the elementwise form's 128 fat expressions exceeded the
-    // codegen method budget; the interpreted fallback then shipped a
-    // multi-MB serialized plan per task — measured OOM at 32
-    // concurrent tasks — and plan analysis alone cost seconds)
-    val base = emb.withColumn("nrm", nrm)
-      .select(Seq($"vec_id", $"nrm") ++
-        (0 until m).map(mi =>
-          slice($"embedding", mi * sub + 1, sub).as(s"s_$mi")): _*)
-    val withSq = base.select(Seq($"vec_id", $"nrm") ++
-      (0 until m).map(mi => col(s"s_$mi")) ++
-      (0 until m).map(mi =>
-        dotCol(col(s"s_$mi"), col(s"s_$mi")).as(s"sq_$mi")): _*)
-    def l2sq(mIdx: Int, j: Int): Column = {
-      val cLit = array(bkF(mIdx)(j).toSeq.map(lit(_)): _*)
-      (col(s"sq_$mIdx") / ($"nrm" * $"nrm") + lit(c2(mIdx)(j))) -
-        ((lit(2.0) * dotCol(col(s"s_$mIdx"), cLit)) / $"nrm")
-    }
-    // sub-distances as their own projection; the argmin stage then
-    // references ATTRIBUTES (first-match CASE = asc tie-break), so
-    // nothing is triplicated through least+CASE (CollapseProject
-    // keeps the stages apart: non-cheap, multiply referenced)
-    val withDs = withSq.select($"vec_id" +:
-      (for (mi <- 0 until m; j <- 0 until codes)
-        yield l2sq(mi, j).as(s"ds_${mi}_$j")): _*)
-    val coded = withDs.select($"vec_id" +:
-      (0 until m).map { mi =>
-        val ds = (0 until codes).map(j => col(s"ds_${mi}_$j"))
-        val best = ds.reduce((a, b) => least(a, b))
-        ds.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
-          when(d === best, lit(j)).otherwise(acc)
-        }.as(s"code_$mi")
-      }: _*)
+    val (withDs, coded, adistOf) = pqStages(emb, bk, m, codes, Nil)
     // queries reuse the SAME sub-distance projection — the table is
     // just the query rows of it
     val qtab = withDs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id") +:
         (for (mi <- 0 until m; j <- 0 until codes)
           yield col(s"ds_${mi}_$j").as(s"d_${mi}_$j")): _*)
-    // ADC: Σ_m table[m][code_m], fixed m order, CASE lookup per m
-    val adist = (0 until m).map { mi =>
-      (0 until codes).foldRight(lit(Double.MaxValue)) { case (j, acc) =>
-        when(col(s"code_$mi") === j, col(s"d_${mi}_$j")).otherwise(acc)
-      }
-    }.reduceLeft(_ + _)
+    val adist = adistOf
     val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"cand_id")
     val shortlist = coded.join(broadcast(qtab), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("cand_id"),
@@ -482,6 +436,132 @@ object Similarity {
         .filter($"rk" <= k)
         .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
     }
+  }
+
+  /** The shared PQ plan stages: sub-distance projection (`ds_*`) and
+    * code assignment (`code_*`), plus the ADC lookup-sum expression.
+    * `carry` columns are evaluated in the FIRST projection (where
+    * `embedding`/`nrm` are still in scope) and ride every stage as
+    * attributes — ivfPqTopK carries its coarse cell id this way, so
+    * cells and codes come out of ONE scan with no self-join.
+    *
+    * Staging rationale: sub-distances are one `vec_dot` kernel call
+    * per (m, j) in the ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form, and
+    * argmin runs over the resulting ATTRIBUTES — inlining fat
+    * elementwise trees into least+CASE triplicated them past the
+    * codegen method budget (the interpreted fallback then shipped a
+    * multi-MB serialized plan per task; measured OOM at 32 tasks).
+    * CollapseProject keeps the stages apart (non-cheap, multiply
+    * referenced).
+    */
+  private def pqStages(emb: DataFrame,
+      bk: Array[Array[Array[Double]]], m: Int, codes: Int,
+      carry: Seq[(String, Column)]): (DataFrame, DataFrame, Column) = {
+    import emb.sparkSession.implicits._
+    val dim = 64; val sub = dim / m
+    // the book entries the engines compare against are the
+    // float-cast normalized subvectors (the vec_dot kernel takes
+    // array<float>); ‖c‖² is folded driver-side over those floats in
+    // the kernel's own summation order
+    val bkF: Array[Array[Array[Float]]] = bk.map(_.map(_.map(_.toFloat)))
+    val c2: Array[Array[Double]] = bkF.map(_.map(
+      _.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val nrm = sqrt(dotCol($"embedding", $"embedding"))
+    val carryAttrs = carry.map { case (n, _) => col(n) }
+    val base = emb.withColumn("nrm", nrm)
+      .select(Seq($"vec_id", $"nrm") ++
+        (0 until m).map(mi =>
+          slice($"embedding", mi * sub + 1, sub).as(s"s_$mi")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
+    val withSq = base.select(Seq($"vec_id", $"nrm") ++
+      (0 until m).map(mi => col(s"s_$mi")) ++
+      (0 until m).map(mi =>
+        dotCol(col(s"s_$mi"), col(s"s_$mi")).as(s"sq_$mi")) ++
+      carryAttrs: _*)
+    def l2sq(mIdx: Int, j: Int): Column = {
+      val cLit = array(bkF(mIdx)(j).toSeq.map(lit(_)): _*)
+      (col(s"sq_$mIdx") / ($"nrm" * $"nrm") + lit(c2(mIdx)(j))) -
+        ((lit(2.0) * dotCol(col(s"s_$mIdx"), cLit)) / $"nrm")
+    }
+    val withDs = withSq.select($"vec_id" +:
+      ((for (mi <- 0 until m; j <- 0 until codes)
+        yield l2sq(mi, j).as(s"ds_${mi}_$j")) ++ carryAttrs): _*)
+    val coded = withDs.select($"vec_id" +:
+      ((0 until m).map { mi =>
+        val ds = (0 until codes).map(j => col(s"ds_${mi}_$j"))
+        val best = ds.reduce((a, b) => least(a, b))
+        ds.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
+          when(d === best, lit(j)).otherwise(acc)
+        }.as(s"code_$mi")
+      } ++ carryAttrs): _*)
+    // ADC: Σ_m table[m][code_m], fixed m order, CASE lookup per m
+    val adist = (0 until m).map { mi =>
+      (0 until codes).foldRight(lit(Double.MaxValue)) { case (j, acc) =>
+        when(col(s"code_$mi") === j, col(s"d_${mi}_$j")).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+    (withDs, coded, adist)
+  }
+
+  /** IVF×PQ (the paper's IVFADC): coarse cells bound WHICH vectors a
+    * query compares against (nprobe of nlist cells), PQ codes bound
+    * WHAT each comparison costs (8 table lookups, no floats), and the
+    * exact re-rank restores precision on the shortlist. Cell id and
+    * codes come out of one scan projection (cell carry through
+    * [[pqStages]]); the probe table is broadcast, so the corpus never
+    * shuffles — the two exchanges are the scalar shortlist and
+    * re-rank windows, same as [[pqTopK]].
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      codes: Int = 16, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val bk = pqBooks(spark, dir, m, codes)
+    val cents: Array[(Long, Array[Float])] = emb.filter($"vec_id" < nlist)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // coarse cell argmax as ONE carried expression (cos DESC,
+    // cell_id ASC first-match — identical to ivfTopK's assignment)
+    def cellCos(cid: Long): Column =
+      cosineCol($"embedding", array(cents.find(_._1 == cid).get._2.toSeq.map(lit(_)): _*))
+    val bestCos = cents.map { case (cid, _) => cellCos(cid) }
+      .reduce((a, b) => greatest(a, b))
+    val cellExpr = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
+      when(cellCos(cid) === bestCos, lit(cid)).otherwise(acc)
+    }
+    val (withDs, coded, adist) =
+      pqStages(emb, bk, m, codes, Seq("cell_id" -> cellExpr))
+    // query probes: nprobe nearest cells per query (query rows only)
+    val cellStructs = array(cents.map { case (cid, _) =>
+      struct((-cellCos(cid)).as("neg_cos"), lit(cid).as("cell_id"))
+    }: _*)
+    val qprobes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        explode(slice(sort_array(cellStructs), 1, nprobe)).as("pc"))
+      .select($"query_id", $"pc.cell_id".as("p_cell"))
+    val qtab = withDs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id") +:
+        (for (mi <- 0 until m; j <- 0 until codes)
+          yield col(s"ds_${mi}_$j").as(s"d_${mi}_$j")): _*)
+      .join(qprobes, Seq("query_id"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"cand_id")
+    val shortlist = coded
+      .join(broadcast(qtab),
+        $"cell_id" === $"p_cell" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"), round(adist, 4).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= rerank)
+      .select($"query_id", $"cand_id")
+    val qe = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w2 = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    emb.join(broadcast(shortlist), $"vec_id" === $"cand_id")
+      .join(broadcast(qe), Seq("query_id"))
+      .select($"query_id", $"cand_id",
+        round(cosineCol($"q_emb", $"embedding"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w2))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
   }
 
   /** Codebooks: subvector m of the first K L2-normalized corpus
@@ -555,8 +635,10 @@ object Similarity {
     * same IEEE operations in the same order, so the doubles agree
     * bit-for-bit.
     */
-  def pqTopKSql(nQueries: Int = 5, k: Int = 5, m: Int = 8,
-      codes: Int = 16, rerank: Int = 0): String = {
+  /** The shared PQ CTE chain (normed → … → coded), mirroring
+    * [[pqStages]] op-for-op. Returned WITHOUT the leading `WITH`.
+    */
+  private def pqSqlCtes(m: Int, codes: Int): String = {
     val dim = 64; val sub = dim / m
     def lo(mi: Int) = mi * sub + 1
     def hi(mi: Int) = (mi + 1) * sub
@@ -587,12 +669,7 @@ object Similarity {
         .mkString(" ")
       (s"$best AS best_$mi", s"CASE $chain ELSE -1 END AS code_$mi")
     }
-    val adist = (0 until m).map { mi =>
-      val chain = (0 until codes).map(j =>
-        s"WHEN c.code_$mi = $j THEN q.d_${mi}_$j").mkString(" ")
-      s"CASE $chain ELSE 1.7976931348623157e308 END"
-    }.reduceLeft((a, b) => s"($a + $b)")
-    val prelude = s"""WITH $normed,
+    s"""$normed,
         books0 AS (SELECT ${cCols.mkString(",\n")} FROM (SELECT 1) one
                    $bookJoins),
         books AS (SELECT *, ${c2Cols.mkString(",\n")} FROM books0),
@@ -605,10 +682,46 @@ object Similarity {
                    yield s"ds_${mi}_$j").mkString(", ")},
                   ${codeCols.map(_._1).mkString(",\n")} FROM ds),
         coded AS (SELECT vec_id,
-                  ${codeCols.map(_._2).mkString(",\n")} FROM bests),
+                  ${codeCols.map(_._2).mkString(",\n")} FROM bests)"""
+  }
+
+  /** ADC lookup-sum over `c.code_*` / `q.d_*`, fixed m order. */
+  private def pqSqlAdist(m: Int, codes: Int): String =
+    (0 until m).map { mi =>
+      val chain = (0 until codes).map(j =>
+        s"WHEN c.code_$mi = $j THEN q.d_${mi}_$j").mkString(" ")
+      s"CASE $chain ELSE 1.7976931348623157e308 END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+
+  private def pqSqlQtabCols(m: Int, codes: Int): String =
+    (for (mi <- 0 until m; j <- 0 until codes)
+      yield s"ds_${mi}_$j AS d_${mi}_$j").mkString(",\n")
+
+  /** Exact-cosine refinement of an `adc` shortlist + final top-k,
+    * mirroring the Spark re-rank stage op-for-op.
+    */
+  private def pqSqlRerank(k: Int, rerank: Int): String =
+    s""",
+        short AS (SELECT query_id, cand_id FROM adc WHERE rk <= $rerank),
+        rr AS (
+          SELECT s.query_id, s.cand_id,
+                 round(${cosineSql("qe.embedding", "ce.embedding")}, 4) AS cos
+          FROM short s
+          JOIN embeddings qe ON qe.vec_id = s.query_id
+          JOIN embeddings ce ON ce.vec_id = s.cand_id)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+          FROM rr)
+        WHERE rk <= $k"""
+
+  def pqTopKSql(nQueries: Int = 5, k: Int = 5, m: Int = 8,
+      codes: Int = 16, rerank: Int = 0): String = {
+    val adist = pqSqlAdist(m, codes)
+    val prelude = s"""WITH ${pqSqlCtes(m, codes)},
         qtab AS (SELECT vec_id AS query_id,
-                 ${(for (mi <- 0 until m; j <- 0 until codes)
-                    yield s"ds_${mi}_$j AS d_${mi}_$j").mkString(",\n")}
+                 ${pqSqlQtabCols(m, codes)}
                  FROM ds WHERE vec_id < $nQueries),
         adc AS (
           SELECT q.query_id, c.vec_id AS cand_id,
@@ -621,23 +734,48 @@ object Similarity {
       s"""$prelude
           SELECT query_id, cand_id, adist, rk FROM adc WHERE rk <= $k"""
     else
-      // exact-cosine refinement of the ADC shortlist, mirroring the
-      // Spark re-rank stage op-for-op (raw embeddings, round 4,
-      // cand_id tie-break)
-      s"""$prelude,
-          short AS (SELECT query_id, cand_id FROM adc WHERE rk <= $rerank),
-          rr AS (
-            SELECT s.query_id, s.cand_id,
-                   round(${cosineSql("qe.embedding", "ce.embedding")}, 4) AS cos
-            FROM short s
-            JOIN embeddings qe ON qe.vec_id = s.query_id
-            JOIN embeddings ce ON ce.vec_id = s.cand_id)
-          SELECT query_id, cand_id, cos, rk FROM (
-            SELECT query_id, cand_id, cos,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
-            FROM rr)
-          WHERE rk <= $k"""
+      prelude + pqSqlRerank(k, rerank)
+  }
+
+  /** IVF×PQ oracle: the IVF CTEs bound the comparison set, the PQ
+    * CTEs price each comparison, the re-rank refines — all three
+    * already proven exact in isolation.
+    */
+  def ivfPqTopKSql(nQueries: Int = 5, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+      rerank: Int = 50): String = {
+    val adist = pqSqlAdist(m, codes)
+    s"""WITH ${pqSqlCtes(m, codes)},
+        cents AS (
+          SELECT vec_id AS cell_id, embedding AS c_emb
+          FROM embeddings WHERE vec_id < $nlist),
+        assigned AS (
+          SELECT vec_id, cell_id, ark FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.cell_id)
+                     AS ark
+            FROM embeddings e CROSS JOIN cents c)),
+        cells AS (SELECT vec_id, cell_id FROM assigned WHERE ark = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell_id AS p_cell
+          FROM assigned WHERE vec_id < $nQueries AND ark <= $nprobe),
+        codedc AS (SELECT coded.*, cells.cell_id
+                   FROM coded JOIN cells USING (vec_id)),
+        qtab AS (
+          SELECT d.query_id, p.p_cell, d.* EXCLUDE (query_id) FROM (
+            SELECT vec_id AS query_id,
+                   ${pqSqlQtabCols(m, codes)}
+            FROM ds WHERE vec_id < $nQueries) d
+          JOIN probes p USING (query_id)),
+        adc AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 round($adist, 4) AS adist,
+                 CAST(row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round($adist, 4) ASC, c.vec_id) AS BIGINT) AS rk
+          FROM codedc c JOIN qtab q
+            ON c.cell_id = q.p_cell AND c.vec_id <> q.query_id)""" +
+      pqSqlRerank(k, rerank)
   }
 
   /** Oracle re-derives assignment relationally (rank cells per vector

@@ -119,6 +119,18 @@ class PlanAuditSpec extends SparkSpec {
       s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
+  test("sim_ivfpq_topk: cells + codes from one scan — only scalar ranking windows shuffle") {
+    // coarse cell and PQ codes are both carried out of a single
+    // map-side projection; probes and shortlist broadcast
+    val shuffles = shuffleOutputs("sim_ivfpq_topk")
+    assert(shuffles.length == 2,
+      s"expected 2 shuffles (shortlist + re-rank windows), got ${shuffles.length}")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+  }
+
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
     // the quantizer is literal centroids, so assignment adds ZERO
     // exchanges; the sole shuffle in the plan is the scalar

@@ -56,6 +56,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"recall=$recall%.2f (${(brute & pq).size}/${brute.size})")
   }
 
+  test("IVF×PQ top-k recall over 20 queries (cells bound, codes price, re-rank refines)") {
+    val brute = Similarity.bruteforceTopK(spark, SF, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, SF, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    // bounded by the IVF cell restriction (~0.85 alone) times PQ
+    // shortlist loss; the floor pins both stages stay functional
+    assert(recall >= 0.5, f"recall=$recall%.2f (${(brute & ivfpq).size}/${brute.size})")
+  }
+
   test("PQ codebook trainer yields valid books that beat the stand-in on quantization error") {
     import spark.implicits._
     val m = 8; val sub = 8
