@@ -516,24 +516,30 @@ object Similarity {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       codes: Int = 16, rerank: Int = 50): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val emb0 = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bk = pqBooks(spark, dir, m, codes)
-    val cents: Array[(Long, Array[Float])] = emb.filter($"vec_id" < nlist)
+    val cents: Array[(Long, Array[Float])] = emb0.filter($"vec_id" < nlist)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // coarse cell argmax as ONE carried expression (cos DESC,
+    // centroid cosines STAGED as columns — the argmax CASE and the
+    // probe structs then reference attributes; inlining the kernel
+    // calls (each holding a 64-float literal) 16× into the CASE
+    // chain ballooned plan analysis to seconds
+    val emb = emb0.select($"vec_id" +: $"embedding" +:
+      cents.map { case (cid, v) =>
+        cosineCol($"embedding", array(v.toSeq.map(lit(_)): _*)).as(s"ccos_$cid")
+      }: _*)
+    // coarse cell argmax carried into the PQ scan (cos DESC,
     // cell_id ASC first-match — identical to ivfTopK's assignment)
-    def cellCos(cid: Long): Column =
-      cosineCol($"embedding", array(cents.find(_._1 == cid).get._2.toSeq.map(lit(_)): _*))
-    val bestCos = cents.map { case (cid, _) => cellCos(cid) }
+    val bestCos = cents.map { case (cid, _) => col(s"ccos_$cid") }
       .reduce((a, b) => greatest(a, b))
     val cellExpr = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
-      when(cellCos(cid) === bestCos, lit(cid)).otherwise(acc)
+      when(col(s"ccos_$cid") === bestCos, lit(cid)).otherwise(acc)
     }
     val (withDs, coded, adist) =
       pqStages(emb, bk, m, codes, Seq("cell_id" -> cellExpr))
     // query probes: nprobe nearest cells per query (query rows only)
     val cellStructs = array(cents.map { case (cid, _) =>
-      struct((-cellCos(cid)).as("neg_cos"), lit(cid).as("cell_id"))
+      struct((-col(s"ccos_$cid")).as("neg_cos"), lit(cid).as("cell_id"))
     }: _*)
     val qprobes = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
