@@ -45,7 +45,7 @@ object Packing {
   val packSequencesSql: String =
     s"""SELECT doc_id, shard, n_tokens,
           CAST(floor(tokens_before / 256) AS BIGINT) AS seq_id,
-          tokens_before % 256 AS seq_offset
+          CAST(tokens_before % 256 AS BIGINT) AS seq_offset
         FROM (
           SELECT doc_id, shard, n_tokens,
                  coalesce(sum(n_tokens) OVER (PARTITION BY shard
