@@ -23,6 +23,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (children: Seq[Expression]) => VecCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children.head)))
+    // PQ kernels take the codebooks as a CONSTANT second argument,
+    // folded at resolution time into the expression (never a per-row
+    // child — a 1k-literal CreateArray evaluated per row would undo
+    // the kernel's point)
+    ext.injectFunction((
+      FunctionIdentifier("pq_dtable"),
+      new ExpressionInfo(classOf[PqDTable].getName, "pq_dtable"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "pq_dtable: books must be a constant")
+        PqDTable(children.head, PqKernels.parseBooks(children(1).eval(null)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "pq_encode: books must be a constant")
+        PqEncode(children.head, PqKernels.parseBooks(children(1).eval(null)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
   }
 }
 

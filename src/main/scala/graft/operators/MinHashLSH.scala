@@ -46,12 +46,29 @@ object MinHashLSH {
   private def kmHash(h1: Column, h2: Column, i: Int): Column =
     (h1 + lit(i.toLong) * (h2 * 2L + 1L)) % M
 
-  /** Per-doc signature as H flat columns (m0..m63): explode distinct
-    * shingles, project the two md5 halves once per shingle row, then
-    * H codegen'd `min((h1 + i·stride) % M)` aggregates — map-side
-    * partial aggregation, one shuffle on doc_id.
+  /** Per-doc signature as H flat columns (m0..m63), via the native
+    * per-row kernel (graft.functions.MinHashSigs): the raw
+    * space-split token array feeds one kernel call per document that
+    * builds distinct 3-shingles and folds all H mins in a tight
+    * loop — signature construction is a pure scan with ZERO
+    * exchanges (the aggregate form below shuffles the full shingle
+    * set on doc_id). Docs with < 3 tokens have no shingle and are
+    * dropped (kernel returns null), matching the aggregate path.
     */
   def signatureFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        call_function("minhash_sigs", split(trim($"text"), " ")).as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id" +: (0 until H).map(i => $"sig"(i).as(s"m$i")): _*)
+  }
+
+  /** The previous explode + H `min(...)`-aggregate formulation (one
+    * doc_id shuffle, map-side partial agg) — kept as the column-API
+    * reference the kernel is cross-validated against in MinHashSpec.
+    */
+  def signatureFrameAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val halves = Dedup.shinglePostings(spark, dir)
       .select($"doc_id",

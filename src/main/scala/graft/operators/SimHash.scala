@@ -53,16 +53,29 @@ object SimHash {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** (doc_id, simhash) fingerprints, built codegen-first: explode
-    * tokens (duplicates kept — SimHash weights by frequency), project
-    * the 16 md5 hex digits once per token row, one hash aggregate
-    * with 64 `sum(±1 by bit)` columns (map-side partial agg, single
-    * doc_id shuffle), then fold the 64 sums into the fingerprint.
-    * Matches simhashCol bit-for-bit for docs with ≥1 token;
-    * token-less docs are dropped (they'd all collide at fingerprint 0
-    * and flood the pair stage with garbage).
+  /** (doc_id, simhash) fingerprints via the native per-row kernel
+    * (graft.functions.SimHash64): the raw space-split token array
+    * (codegen `split`, no higher-order functions) feeds one kernel
+    * call per document — fingerprinting is a pure scan with ZERO
+    * exchanges. Token-less docs are dropped (they'd all collide at
+    * fingerprint 0 and flood the pair stage with garbage); `≥1
+    * token` ⇔ trimmed text non-empty, since tokens are space-split.
+    * Matches simhashCol and [[fingerprintsAgg]] bit-for-bit.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        call_function("simhash64", split(trim($"text"), " ")).as("simhash"))
+  }
+
+  /** The previous explode + 64-`sum(±1)`-aggregate formulation (one
+    * doc_id shuffle, map-side partial agg) — kept as the
+    * column-API reference the kernel is cross-validated against in
+    * SimHashSpec.
+    */
+  def fingerprintsAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val digitCols = (0 until 16).map(j =>
       conv(substring($"hx", j + 1, 1), 16, 10).cast("long").as(s"d$j"))

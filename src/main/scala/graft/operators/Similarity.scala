@@ -386,33 +386,43 @@ object Similarity {
     * (‖â−b̂‖² = 2−2cos), so recall is measured against the cosine
     * brute force.
     *
-    * Sub-distances use the ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form —
-    * one `vec_dot` kernel call per (m, code) — and every arithmetic
-    * step (normalization, the kernel's sequential fold, the scalar
-    * combination order, CASE-chain argmin with ascending tie-break)
-    * is mirrored op-for-op in the generated DuckDB oracle, so the
-    * gate is exact like the rest of the family.
+    * Sub-distances use the ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form,
+    * computed by the native PQ kernels (graft.functions.PqKernels:
+    * one `pq_encode` call on the corpus side, one `pq_dtable` +
+    * `pq_adc` on the query side), and every arithmetic step
+    * (normalization, sequential-fold dots, the scalar combination
+    * order, first-match argmin with ascending tie-break) is mirrored
+    * op-for-op in the generated DuckDB oracle, so the gate is exact
+    * like the rest of the family.
     */
+  /** The [m][codes][sub] codebooks as a constant nested-array
+    * column — builder-folded into the PQ kernel expressions, never
+    * evaluated per row.
+    */
+  private def booksCol(bkF: Array[Array[Array[Float]]]): Column =
+    array(bkF.map(mi => array(mi.map(cb =>
+      array(cb.map(lit(_)).toSeq: _*)).toSeq: _*)).toSeq: _*)
+
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, m: Int = 8, codes: Int = 16,
       books: Option[Array[Array[Array[Double]]]] = None,
       rerank: Int = 0): DataFrame = {
     import spark.implicits._
-    val dim = 64; val sub = dim / m
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bk = books.getOrElse(pqBooks(spark, dir, m, codes))
-    val (withDs, coded, adistOf) = pqStages(emb, bk, m, codes, Nil)
-    // queries reuse the SAME sub-distance projection — the table is
-    // just the query rows of it
-    val qtab = withDs.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id") +:
-        (for (mi <- 0 until m; j <- 0 until codes)
-          yield col(s"ds_${mi}_$j").as(s"d_${mi}_$j")): _*)
-    val adist = adistOf
+    val bc = booksCol(bk.map(_.map(_.map(_.toFloat))))
+    // corpus side carries ONE kernel expression (codes), query side
+    // one (the ADC lookup table) — same flops as the staged column
+    // form, none of its hundreds-of-projections plan
+    val coded = emb.select($"vec_id",
+      call_function("pq_encode", $"embedding", bc).as("codes"))
+    val qtab = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        call_function("pq_dtable", $"embedding", bc).as("dtab"))
     val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"cand_id")
     val shortlist = coded.join(broadcast(qtab), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("cand_id"),
-        round(adist, 4).as("adist"))
+        round(call_function("pq_adc", $"codes", $"dtab"), 4).as("adist"))
       .withColumn("rk", row_number().over(w))
     if (rerank <= 0)
       shortlist.filter($"rk" <= k)
@@ -438,79 +448,14 @@ object Similarity {
     }
   }
 
-  /** The shared PQ plan stages: sub-distance projection (`ds_*`) and
-    * code assignment (`code_*`), plus the ADC lookup-sum expression.
-    * `carry` columns are evaluated in the FIRST projection (where
-    * `embedding`/`nrm` are still in scope) and ride every stage as
-    * attributes — ivfPqTopK carries its coarse cell id this way, so
-    * cells and codes come out of ONE scan with no self-join.
-    *
-    * Staging rationale: sub-distances are one `vec_dot` kernel call
-    * per (m, j) in the ‖e_m‖²/‖e‖² + ‖c‖² − 2·(e_m·c)/‖e‖ form, and
-    * argmin runs over the resulting ATTRIBUTES — inlining fat
-    * elementwise trees into least+CASE triplicated them past the
-    * codegen method budget (the interpreted fallback then shipped a
-    * multi-MB serialized plan per task; measured OOM at 32 tasks).
-    * CollapseProject keeps the stages apart (non-cheap, multiply
-    * referenced).
-    */
-  private def pqStages(emb: DataFrame,
-      bk: Array[Array[Array[Double]]], m: Int, codes: Int,
-      carry: Seq[(String, Column)]): (DataFrame, DataFrame, Column) = {
-    import emb.sparkSession.implicits._
-    val dim = 64; val sub = dim / m
-    // the book entries the engines compare against are the
-    // float-cast normalized subvectors (the vec_dot kernel takes
-    // array<float>); ‖c‖² is folded driver-side over those floats in
-    // the kernel's own summation order
-    val bkF: Array[Array[Array[Float]]] = bk.map(_.map(_.map(_.toFloat)))
-    val c2: Array[Array[Double]] = bkF.map(_.map(
-      _.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-    val nrm = sqrt(dotCol($"embedding", $"embedding"))
-    val carryAttrs = carry.map { case (n, _) => col(n) }
-    val base = emb.withColumn("nrm", nrm)
-      .select(Seq($"vec_id", $"nrm") ++
-        (0 until m).map(mi =>
-          slice($"embedding", mi * sub + 1, sub).as(s"s_$mi")) ++
-        carry.map { case (n, c) => c.as(n) }: _*)
-    val withSq = base.select(Seq($"vec_id", $"nrm") ++
-      (0 until m).map(mi => col(s"s_$mi")) ++
-      (0 until m).map(mi =>
-        dotCol(col(s"s_$mi"), col(s"s_$mi")).as(s"sq_$mi")) ++
-      carryAttrs: _*)
-    def l2sq(mIdx: Int, j: Int): Column = {
-      val cLit = array(bkF(mIdx)(j).toSeq.map(lit(_)): _*)
-      (col(s"sq_$mIdx") / ($"nrm" * $"nrm") + lit(c2(mIdx)(j))) -
-        ((lit(2.0) * dotCol(col(s"s_$mIdx"), cLit)) / $"nrm")
-    }
-    val withDs = withSq.select($"vec_id" +:
-      ((for (mi <- 0 until m; j <- 0 until codes)
-        yield l2sq(mi, j).as(s"ds_${mi}_$j")) ++ carryAttrs): _*)
-    val coded = withDs.select($"vec_id" +:
-      ((0 until m).map { mi =>
-        val ds = (0 until codes).map(j => col(s"ds_${mi}_$j"))
-        val best = ds.reduce((a, b) => least(a, b))
-        ds.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
-          when(d === best, lit(j)).otherwise(acc)
-        }.as(s"code_$mi")
-      } ++ carryAttrs): _*)
-    // ADC: Σ_m table[m][code_m], fixed m order, CASE lookup per m
-    val adist = (0 until m).map { mi =>
-      (0 until codes).foldRight(lit(Double.MaxValue)) { case (j, acc) =>
-        when(col(s"code_$mi") === j, col(s"d_${mi}_$j")).otherwise(acc)
-      }
-    }.reduceLeft(_ + _)
-    (withDs, coded, adist)
-  }
-
   /** IVF×PQ (the paper's IVFADC): coarse cells bound WHICH vectors a
     * query compares against (nprobe of nlist cells), PQ codes bound
     * WHAT each comparison costs (8 table lookups, no floats), and the
     * exact re-rank restores precision on the shortlist. Cell id and
-    * codes come out of one scan projection (cell carry through
-    * [[pqStages]]); the probe table is broadcast, so the corpus never
-    * shuffles — the two exchanges are the scalar shortlist and
-    * re-rank windows, same as [[pqTopK]].
+    * codes come out of one scan projection (staged centroid cosines +
+    * the pq_encode kernel); the probe table is broadcast, so the
+    * corpus never shuffles — the two exchanges are the scalar
+    * shortlist and re-rank windows, same as [[pqTopK]].
     */
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
@@ -535,8 +480,12 @@ object Similarity {
     val cellExpr = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
       when(col(s"ccos_$cid") === bestCos, lit(cid)).otherwise(acc)
     }
-    val (withDs, coded, adist) =
-      pqStages(emb, bk, m, codes, Seq("cell_id" -> cellExpr))
+    val bc = booksCol(bk.map(_.map(_.map(_.toFloat))))
+    // cells and codes out of ONE scan projection: the cell argmax
+    // reads the staged ccos attributes, the codes come from the
+    // pq_encode kernel
+    val coded = emb.select($"vec_id", cellExpr.as("cell_id"),
+      call_function("pq_encode", $"embedding", bc).as("codes"))
     // query probes: nprobe nearest cells per query (query rows only)
     val cellStructs = array(cents.map { case (cid, _) =>
       struct((-col(s"ccos_$cid")).as("neg_cos"), lit(cid).as("cell_id"))
@@ -545,16 +494,16 @@ object Similarity {
       .select($"vec_id".as("query_id"),
         explode(slice(sort_array(cellStructs), 1, nprobe)).as("pc"))
       .select($"query_id", $"pc.cell_id".as("p_cell"))
-    val qtab = withDs.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id") +:
-        (for (mi <- 0 until m; j <- 0 until codes)
-          yield col(s"ds_${mi}_$j").as(s"d_${mi}_$j")): _*)
+    val qtab = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        call_function("pq_dtable", $"embedding", bc).as("dtab"))
       .join(qprobes, Seq("query_id"))
     val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"cand_id")
     val shortlist = coded
       .join(broadcast(qtab),
         $"cell_id" === $"p_cell" && $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("cand_id"), round(adist, 4).as("adist"))
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(call_function("pq_adc", $"codes", $"dtab"), 4).as("adist"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= rerank)
       .select($"query_id", $"cand_id")

@@ -45,6 +45,19 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("native kernel signatures match the explode+aggregate form") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    val fast = asMap(MinHashLSH.signatureFrame(spark, SF))
+    val agg = asMap(MinHashLSH.signatureFrameAgg(spark, SF))
+    assert(fast.keySet == agg.keySet,
+      s"doc sets differ: only-fast=${fast.keySet -- agg.keySet} " +
+        s"only-agg=${agg.keySet -- fast.keySet}")
+    fast.foreach { case (id, sig) => assert(agg(id) == sig, s"doc $id") }
+  }
+
   test("precision guard: candidates are not the full cross product") {
     val nDocs = Tables.documents(spark, SF).count()
     assert(candidates.size < nDocs * (nDocs - 1) / 20,

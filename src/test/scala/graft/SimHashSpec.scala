@@ -19,7 +19,7 @@ class SimHashSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
-  test("codegen aggregate form matches the reference column form") {
+  test("native kernel matches the reference column form") {
     import spark.implicits._
     val ref = Tables.documents(spark, SF)
       .select($"doc_id", SimHash.simhashCol(Dedup.tokensCol($"text")).as("s"))
@@ -30,6 +30,17 @@ class SimHashSpec extends SparkSpec {
     fast.foreach { case (id, s) =>
       assert(ref(id) == s, s"doc $id: ref=${ref(id)} fast=$s")
     }
+  }
+
+  test("native kernel matches the explode+aggregate form, same doc set") {
+    val agg = SimHash.fingerprintsAgg(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = SimHash.fingerprints(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.keySet == agg.keySet,
+      s"doc sets differ: only-fast=${fast.keySet -- agg.keySet} " +
+        s"only-agg=${agg.keySet -- fast.keySet}")
+    fast.foreach { case (id, s) => assert(agg(id) == s, s"doc $id") }
   }
 
   test("pigeonhole banding finds all hamming ≤ 3 pairs (vs brute force)") {
