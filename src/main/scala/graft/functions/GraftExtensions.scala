@@ -53,6 +53,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ss_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "ss_topk"),
+      (children: Seq[Expression]) =>
+        SpaceSavingTopK(children(0), children(1), children(2))
+          .toAggregateExpression()))
+    // Spark's own bloom-filter expression pair (the machinery behind
+    // runtime-filter joins), surfaced as SQL functions so incremental
+    // dedup can build/probe corpus-fingerprint filters declaratively:
+    // bloom_agg(xxhash64(key)[, estItems]) → binary sketch;
+    // bloom_might_contain(<constant sketch>, xxhash64(key)) → boolean.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg =
+          if (children.size >= 2) new BloomFilterAggregate(children(0), children(1))
+          else new BloomFilterAggregate(children.head)
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data curation step that
+  * flags training documents sharing verbatim n-grams with an
+  * evaluation set (the standard k-gram overlap check, cf. GPT-3
+  * appendix C / PaLM §7: held-out eval items must not leak into the
+  * training corpus).
+  *
+  * Shape at 100 TB: eval sets are benchmark-sized (thousands of
+  * documents), so their distinct n-gram set fits comfortably in a
+  * broadcast. The corpus side then never shuffles for the membership
+  * test — each executor probes the broadcast hash set during its
+  * scan, and the only exchange is the per-doc hit aggregation (keyed
+  * on doc_id, map-side partial). Grams travel as 64-bit xxhash64
+  * values, not strings.
+  */
+object Decontaminate {
+
+  /** Training docs that share ≥1 distinct 3-token shingle with the
+    * eval split, with hit counts and the contaminated fraction of the
+    * doc's distinct shingles. The eval split is the deterministic
+    * md5-bucket sample (`Sampling.bucket(doc_id, "eval") <
+    * evalPerMille`) — reproducible across engines, so the DuckDB
+    * oracle re-derives the exact same split.
+    */
+  def contaminated(spark: SparkSession, dir: String,
+      evalPerMille: Int = 50): DataFrame = {
+    import spark.implicits._
+    val post = Dedup.shinglePostings(spark, dir)
+      .withColumn("b", Sampling.bucket($"doc_id", "eval"))
+    // distinct eval grams as 8-byte hashes: benchmark-sized, broadcast
+    val evalGrams = post.filter($"b" < evalPerMille)
+      .select(xxhash64($"shingle").as("g")).distinct()
+    val train = post.filter($"b" >= evalPerMille)
+      .select($"doc_id", $"n", xxhash64($"shingle").as("g"))
+    train.join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), min($"n").as("n_grams"))
+      .select($"doc_id", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams", 4).as("contam_frac"))
+  }
+
+  /** Oracle: same split (md5 bucket), same distinct-3-shingle build,
+    * joined on the gram STRING (the Spark side joins on xxhash64 of
+    * it — identical output barring a 2^-64-per-pair hash collision,
+    * the stance every jaccard/minhash gate already takes).
+    */
+  def contaminatedSql(evalPerMille: Int = 50): String = {
+    val bucket = Sampling.bucketSql("doc_id", "eval")
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                             x -> trim(x)), x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, len(t) - 1)]) AS s
+          FROM toks WHERE len(t) >= 3),
+        ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+               WHERE $bucket < $evalPerMille),
+        tr AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+               WHERE $bucket >= $evalPerMille)
+        SELECT doc_id, count(*) AS n_hits,
+               round(count(*) * 1.0 / min(n), 4) AS contam_frac
+        FROM tr JOIN ev USING (g) GROUP BY doc_id"""
+  }
+}
