@@ -71,9 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_agg"),
       (children: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        val agg =
-          if (children.size >= 2) new BloomFilterAggregate(children(0), children(1))
-          else new BloomFilterAggregate(children.head)
+        val agg = children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, items) => new BloomFilterAggregate(c, items)
+          case Seq(c, items, bits) => new BloomFilterAggregate(c, items, bits)
+          case _ => throw new IllegalArgumentException(
+            s"bloom_agg expects 1-3 arguments, got ${children.size}")
+        }
         agg.toAggregateExpression()
       }))
     ext.injectFunction((

@@ -63,10 +63,16 @@ case class SpaceSavingTopK(
         s"ss_topk key must be BIGINT or STRING, got ${child.dataType.sql}")
     else if (!kExpr.foldable || !capExpr.foldable)
       TypeCheckResult.TypeCheckFailure("ss_topk k and capacity must be constants")
-    else if (kExpr.eval(null) == null || capExpr.eval(null) == null ||
-        capExpr.eval(null).asInstanceOf[Number].intValue() < 1)
-      TypeCheckResult.TypeCheckFailure("ss_topk capacity must be a positive constant")
-    else TypeCheckResult.TypeCheckSuccess
+    else (kExpr.eval(null), capExpr.eval(null)) match {
+      case (kv: Number, cv: Number) if kv.intValue() >= 1 && cv.intValue() >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (_: Number, _: Number) =>
+        TypeCheckResult.TypeCheckFailure(
+          "ss_topk k and capacity must be positive")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "ss_topk k and capacity must be numeric constants")
+    }
 
   override def createAggregationBuffer(): Buffer = new Buffer
 
@@ -120,8 +126,13 @@ case class SpaceSavingTopK(
     out.writeBoolean(isString)
     out.writeInt(buf.m.size)
     buf.m.foreach { case (key, (c, e)) =>
-      if (isString) out.writeUTF(key.asInstanceOf[String])
-      else out.writeLong(key.asInstanceOf[Long])
+      if (isString) {
+        // length-prefixed raw UTF-8, not writeUTF — modified-UTF-8
+        // caps at 65535 bytes and long-text string keys exceed it
+        val b = key.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      } else out.writeLong(key.asInstanceOf[Long])
       out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
@@ -134,7 +145,11 @@ case class SpaceSavingTopK(
     val buf = new Buffer
     var i = 0
     while (i < n) {
-      val key: Any = if (str) in.readUTF() else in.readLong()
+      val key: Any = if (str) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      } else in.readLong()
       val c = in.readLong(); val e = in.readLong()
       buf.m.put(key, (c, e))
       i += 1

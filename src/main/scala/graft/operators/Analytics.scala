@@ -201,13 +201,13 @@ object Analytics {
       .filter($"o_orderstatus" === "F")
       .groupBy(year($"o_orderdate").cast("long").as("yr"))
       .agg(count(lit(1)).as("n"))
-    // Constant partition key: the window input is the per-year
+    // Deliberately unpartitioned: the window input is the per-year
     // aggregate (decades of rows forever), so one partition IS the
-    // plan — the lit key just keeps WindowExec's all-to-one warning
-    // out of logs where it would mask a real unpartitioned window.
+    // plan. WindowAuditSpec carries the exemption; a foldable
+    // partition key would be erased by EliminateWindowPartitions
+    // anyway, so there is nothing to dress up here.
     byYear
-      .withColumn("prev_n",
-        lag($"n", 1).over(Window.partitionBy(lit(0)).orderBy($"yr")))
+      .withColumn("prev_n", lag($"n", 1).over(Window.orderBy($"yr")))
       .filter($"prev_n".isNotNull)
       .select($"yr", $"n", $"prev_n",
         round(($"n" - $"prev_n") * lit(100.0) / $"prev_n", 4).as("growth_pct"))
