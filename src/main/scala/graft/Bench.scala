@@ -42,11 +42,21 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] over the 3 passes, so a reader can
+    // tell an engineering regression from run-to-run variance (at
+    // sf0.1 a ±15% swing on a sub-second query is pure noise; the
+    // spread makes that visible instead of arguable)
+    val spread = passes.head.keys.map { k =>
+      val ts = passes.map(_(k)).filter(_ >= 0).sorted
+      val s = if (ts.isEmpty) Seq(-1.0, -1.0, -1.0)
+        else Seq(ts.min, ts(ts.size / 2), ts.max)
+      s"\"" + k + "\":[" + s.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // total sums only successful queries — the -1 sentinels would
     // otherwise make a broken round look FASTER than a working one
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,7 @@ object SparkEntry {
     "sample_hash_docs" -> Sampling.sampleDocs _,
     "sample_stratified_docs" -> Sampling.sampleStratified _,
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
+    "decontaminate" -> ((s, d) => Decontaminate.contaminated(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -137,5 +138,6 @@ object SparkEntry {
     "sample_hash_docs" -> Sampling.sampleDocsSql,
     "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
     "pack_sequences" -> Packing.packSequencesSql,
+    "decontaminate" -> Decontaminate.contaminatedSql(),
   )
 }

@@ -16,7 +16,16 @@ object Verify {
     // so wall time ≈ the critical path instead of the serial sum
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the dump to named queries
+    // (local iteration aid, same contract as Bench; driver leaves it
+    // unset → full suite). The oracle/manifest dumps are restricted
+    // to the same set so the checker's declared-vs-output match holds.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,12 +51,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // manifest of ALL declared queries, so the checker can flag a
     // rows-only query that threw (it would have no output dir)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -70,11 +70,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
       (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.types.LongType
+        // the aggregate demands BIGINT constants for items/bits, but
+        // SQL integer literals arrive as INT — fold a cast in (stays
+        // foldable, so the constant check still passes)
+        def asLong(e: Expression): Expression =
+          if (e.dataType == LongType) e else Cast(e, LongType)
         val agg = children match {
           case Seq(c) => new BloomFilterAggregate(c)
-          case Seq(c, items) => new BloomFilterAggregate(c, items)
-          case Seq(c, items, bits) => new BloomFilterAggregate(c, items, bits)
+          case Seq(c, items) => new BloomFilterAggregate(c, asLong(items))
+          case Seq(c, items, bits) =>
+            new BloomFilterAggregate(c, asLong(items), asLong(bits))
           case _ => throw new IllegalArgumentException(
             s"bloom_agg expects 1-3 arguments, got ${children.size}")
         }

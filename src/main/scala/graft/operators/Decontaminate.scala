@@ -43,6 +43,37 @@ object Decontaminate {
         round($"n_hits".cast("double") / $"n_grams", 4).as("contam_frac"))
   }
 
+  /** Same result as [[contaminated]], via a Bloom pre-filter instead
+    * of a broadcast hash-set join — the valve for when the eval gram
+    * set outgrows the broadcast budget (an exact 8-byte hash set at
+    * 10⁸ grams costs gigabytes per executor; the bloom sketch costs
+    * `numBits/8` ≈ 1 MB at the 3% design point and any size). The
+    * corpus scan probes the constant sketch (zero shuffle); only the
+    * ~3%-inflated probable-hit slice reaches the exact gram join
+    * that rescues bloom false positives, so the shuffle is hits-sized
+    * rather than corpus-sized. The driver-side `.head` fetches one
+    * binary sketch row — metadata scale, like the ANN codebooks.
+    */
+  def contaminatedViaBloom(spark: SparkSession, dir: String,
+      evalPerMille: Int = 50, estGrams: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val post = Dedup.shinglePostings(spark, dir)
+      .withColumn("b", Sampling.bucket($"doc_id", "eval"))
+    val evalGrams = post.filter($"b" < evalPerMille)
+      .select(xxhash64($"shingle").as("g")).distinct()
+    val sketch = evalGrams
+      .agg(call_function("bloom_agg", $"g", lit(estGrams)).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val train = post.filter($"b" >= evalPerMille)
+      .select($"doc_id", $"n", xxhash64($"shingle").as("g"))
+    train.filter(call_function("bloom_might_contain", lit(sketch), $"g"))
+      .join(evalGrams, "g") // exact: discards the bloom's false positives
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), min($"n").as("n_grams"))
+      .select($"doc_id", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams", 4).as("contam_frac"))
+  }
+
   /** Oracle: same split (md5 bucket), same distinct-3-shingle build,
     * joined on the gram STRING (the Spark side joins on xxhash64 of
     * it — identical output barring a 2^-64-per-pair hash collision,

@@ -34,9 +34,30 @@ object Skew {
   }
 
   /** Top-N heavy-hitter keys of `df` by count — the diagnosis step
-    * that decides whether salting is worth the replication.
+    * that decides whether salting is worth the replication. Runs the
+    * ss_topk SpaceSaving sketch (functions/HeavyHitters.scala): one
+    * pass, O(capacity) memory per partition, and the shuffle moves
+    * one sketch per partition instead of one row per distinct key —
+    * the groupBy-count alternative shuffles the full key space, which
+    * for a diagnosis query over a 100 TB skewed fact is itself the
+    * skewed shuffle being diagnosed. Exact (err=0) whenever the
+    * distinct-key count stays under `capacity`; otherwise `est`
+    * over-counts by at most `err` and any key with true count >
+    * N/capacity is guaranteed present — precisely the keys salting
+    * decisions care about. Key must be BIGINT or STRING (ss_topk's
+    * domain); columns: (key, est, err), est desc.
     */
-  def heavyHitters(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
+  def heavyHitters(df: DataFrame, key: Column, topN: Int = 20,
+      capacity: Int = 4096): DataFrame =
+    df.agg(call_function("ss_topk", key, lit(topN), lit(capacity)).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.key").as("key"), col("hh.est").as("est"),
+        col("hh.err").as("err"))
+
+  /** Exact variant (full groupBy-count shuffle) — for when the key
+    * space is known small or an audit demands exact counts.
+    */
+  def heavyHittersExact(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key.as("key")).count()
       .orderBy(col("count").desc, col("key"))
       .limit(topN)

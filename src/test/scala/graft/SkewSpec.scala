@@ -21,11 +21,36 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("heavy hitters ranks the hottest key first") {
+  test("heavy hitters ranks the hottest key first (sketch path, exact at capacity)") {
     import spark.implicits._
     val df = Seq.fill(50)("hot").map(Tuple1(_)).toDF("k")
       .union(Seq("a", "b", "c").map(Tuple1(_)).toDF("k"))
     val top = Skew.heavyHitters(df, $"k", topN = 1).collect()(0)
-    assert(top.getString(0) == "hot" && top.getLong(1) == 50L)
+    assert(top.getString(0) == "hot" && top.getLong(1) == 50L
+      && top.getLong(2) == 0L)
+  }
+
+  test("sketch heavy hitters matches the exact groupBy on real data") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, SF)
+    // 10 supplier keys at sf0.001 — capacity default far exceeds it,
+    // so the sketch is exact and must agree with the full shuffle
+    val sketch = Skew.heavyHitters(li, $"l_suppkey", topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Skew.heavyHittersExact(li, $"l_suppkey", topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sketch.map(_._2) == exact.map(_._2)) // same count profile
+    assert(sketch.toMap == exact.toMap)         // same key → count
+  }
+
+  test("sketch heavy hitters plan: single sketch aggregate, no key-space shuffle") {
+    import spark.implicits._
+    val plan = Skew.heavyHitters(Tables.lineitem(spark, SF), $"l_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ss_topk"))
+    // one exchange (the per-partition sketches to one reducer) — the
+    // exact path needs hash(key) + the top-N sort exchanges
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges in:\n$plan")
   }
 }
