@@ -22,9 +22,16 @@ object Bench {
     // a failed query records -1, never its elapsed-to-failure time —
     // a breakage must not masquerade as a fast result
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local
-    // iteration aid; driver leaves it unset → full suite)
+    // iteration aid; driver leaves it unset → full suite). Unknown
+    // names fail fast — a typo must not produce a silently-empty run
+    // that looks green.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
@@ -40,23 +47,32 @@ object Bench {
       val ts = passes.map(_(k)).filter(_ >= 0)
       k -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms) — full double precision would waste ~10
+    // chars/query against the harvester's bounded tail capture
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query [min, median, max] over the 3 passes, so a reader can
     // tell an engineering regression from run-to-run variance (at
     // sf0.1 a ±15% swing on a sub-second query is pure noise; the
-    // spread makes that visible instead of arguable)
+    // spread makes that visible instead of arguable). Printed as its
+    // OWN line, before the compact line: the harvester keeps only the
+    // last ~2 KB of stdout and parses the final {"metric":...} line,
+    // so the (longer) spread line must never displace it — round 5
+    // merged them into one line and the harvester recorded null.
     val spread = passes.head.keys.map { k =>
       val ts = passes.map(_(k)).filter(_ >= 0).sorted
       val s = if (ts.isEmpty) Seq(-1.0, -1.0, -1.0)
         else Seq(ts.min, ts(ts.size / 2), ts.max)
-      s"\"" + k + "\":[" + s.mkString(",") + "]"
+      s"\"" + k + "\":[" + s.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // total sums only successful queries — the -1 sentinels would
     // otherwise make a broken round look FASTER than a working one
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

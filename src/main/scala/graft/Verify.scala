@@ -20,8 +20,16 @@ object Verify {
     // (local iteration aid, same contract as Bench; driver leaves it
     // unset → full suite). The oracle/manifest dumps are restricted
     // to the same set so the checker's declared-vs-output match holds.
+    // Unknown names fail fast — a typo'd name would otherwise select
+    // nothing, dump an empty manifest, and let the checker's
+    // declared-vs-output match pass vacuously while testing nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }

@@ -27,13 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  /** k copies of df with `keys` shifted by copy*step (step = max+1);
-    * keeps the `_copy` index column for per-copy rewrites.
+  /** k copies of df with `keys` shifted by copy*step; keeps the
+    * `_copy` index column for per-copy rewrites. `step` defaults to
+    * max(key)+1 per key; pass it explicitly when two tables share a
+    * key domain and must shift in lockstep.
     */
   private def shifted(spark: SparkSession, df: DataFrame, k: Int,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], step: Option[Long] = None): DataFrame = {
     val steps = keys.map { c =>
-      c -> (df.agg(max(col(c))).head.getLong(0) + 1L)
+      c -> step.getOrElse(df.agg(max(col(c))).head.getLong(0) + 1L)
     }
     val copies = spark.range(0, k).withColumnRenamed("id", "_copy")
     steps.foldLeft(df.crossJoin(broadcast(copies))) { case (acc, (c, step)) =>
@@ -54,9 +56,18 @@ object ScaleGen {
       df.drop("_copy").write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
 
-    write(shifted(spark, Tables.lineitem(spark, inDir), k, Seq("l_orderkey")),
+    // lineitem and orders share the orderkey domain: one shared step
+    // (max over BOTH tables) keeps the join aligned in every copy —
+    // per-table maxes would silently misalign copies >= 1 whenever an
+    // order had no lineitems at the top of the key range.
+    val li = Tables.lineitem(spark, inDir)
+    val ord = Tables.orders(spark, inDir)
+    val orderStep = math.max(
+      li.agg(max(col("l_orderkey"))).head.getLong(0),
+      ord.agg(max(col("o_orderkey"))).head.getLong(0)) + 1L
+    write(shifted(spark, li, k, Seq("l_orderkey"), Some(orderStep)),
       "lineitem")
-    write(shifted(spark, Tables.orders(spark, inDir), k, Seq("o_orderkey")),
+    write(shifted(spark, ord, k, Seq("o_orderkey"), Some(orderStep)),
       "orders")
     // per-copy token suffix — kills cross-copy shingle identity
     write(shifted(spark, Tables.documents(spark, inDir), k, Seq("doc_id"))

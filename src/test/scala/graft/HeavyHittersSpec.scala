@@ -106,10 +106,12 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("bloom_agg three-arg form (explicit numBits) builds a working filter") {
+    // own view — no ordering dependency on the two-arg test above
+    spark.range(0, 2000).toDF("k").createOrReplaceTempView("bloom3_in")
     val falseNeg = spark.sql(
-      """SELECT count(*) FROM bloom_in
+      """SELECT count(*) FROM bloom3_in
          WHERE NOT bloom_might_contain(
-           (SELECT bloom_agg(xxhash64(k), 2000, 100000) FROM bloom_in), xxhash64(k))""")
+           (SELECT bloom_agg(xxhash64(k), 2000, 100000) FROM bloom3_in), xxhash64(k))""")
       .collect()(0).getLong(0)
     assert(falseNeg == 0L)
   }

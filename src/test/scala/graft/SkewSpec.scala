@@ -48,9 +48,11 @@ class SkewSpec extends SparkSpec {
     val plan = Skew.heavyHitters(Tables.lineitem(spark, SF), $"l_suppkey")
       .queryExecution.executedPlan.toString
     assert(plan.contains("ss_topk"))
-    // one exchange (the per-partition sketches to one reducer) — the
-    // exact path needs hash(key) + the top-N sort exchanges
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges in:\n$plan")
+    // the point of the sketch path: no exchange hash-partitions on the
+    // key (that is the exact path's full key-space shuffle). Asserting
+    // the ABSENCE of that pattern is robust to AQE's plan-string form
+    // and exchange-count drift, unlike an exact substring count.
+    assert(!plan.contains("hashpartitioning(l_suppkey"),
+      s"sketch path must not shuffle the key space:\n$plan")
   }
 }
