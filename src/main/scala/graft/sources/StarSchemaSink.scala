@@ -10,6 +10,11 @@ import org.apache.spark.sql.DataFrame
 trait TableSink {
   /** Write `df` as `name`; returns a location descriptor. */
   def write(name: String, df: DataFrame, partitionCols: Seq[String] = Nil): String
+
+  /** Drop `name` if present; a no-op when it doesn't exist (the
+    * reference's `DROP TABLE IF EXISTS`, task.py:170).
+    */
+  def drop(name: String): Unit
 }
 
 /** Partitioned parquet lake writer — the scale path. */
@@ -20,6 +25,15 @@ class ParquetSink(outDir: String) extends TableSink {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
     path
+  }
+
+  // recursive delete through the Hadoop FS API, so the same call
+  // works against local disk, HDFS, or object stores
+  def drop(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    p.getFileSystem(conf).delete(p, true)
   }
 }
 
@@ -39,6 +53,18 @@ class JdbcSink(url: String, props: java.util.Properties = new java.util.Properti
       .option("batchsize", batchSize.toString)
       .jdbc(url, name, props)
     s"$url#$name"
+  }
+
+  // plain DROP TABLE with a swallowed does-not-exist error, because
+  // `IF EXISTS` isn't portable (Derby lacks it; Postgres has it)
+  def drop(name: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $name")
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    } finally conn.close()
   }
 }
 
@@ -70,4 +96,12 @@ object StarSchemaSink {
   def write(outDir: String, fact: (String, DataFrame, Seq[String]),
       dims: Seq[(String, DataFrame)]): Map[String, String] =
     writeTo(new ParquetSink(outDir), fact, dims)
+
+  /** Drop every named table through the sink — the reference's
+    * `purge()` (task.py:170: DROP TABLE IF EXISTS over the five star
+    * tables), for resetting a target before a clean re-load. Missing
+    * tables are ignored, so purge is idempotent.
+    */
+  def purge(sink: TableSink, tables: Seq[String]): Unit =
+    tables.foreach(sink.drop)
 }

@@ -38,5 +38,14 @@ class JdbcSinkSpec extends SparkSpec {
       fact = ("fact_amounts", fact, Nil), dims = Seq("dim_names" -> dim))
     assert(spark.read.jdbc(url, "fact_amounts", new java.util.Properties)
       .count() == 50)
+
+    // purge (≙ task.py:170): drops both tables, ignores a never-
+    // written one, and a second purge is a no-op — after which the
+    // table is really gone (reading it must fail)
+    val sink = new JdbcSink(url)
+    StarSchemaSink.purge(sink, Seq("fact_amounts", "dim_names", "history"))
+    StarSchemaSink.purge(sink, Seq("fact_amounts", "dim_names", "history"))
+    intercept[Exception](
+      spark.read.jdbc(url, "fact_amounts", new java.util.Properties).collect())
   }
 }

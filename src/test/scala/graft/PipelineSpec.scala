@@ -37,6 +37,23 @@ class PipelineSpec extends SparkSpec {
       Tables.customer(spark, SF).count())
   }
 
+  test("purge drops the named star tables and is idempotent (task.py:170)") {
+    import graft.sources.ParquetSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_purge").toString
+    val sink = new ParquetSink(dir)
+    StarSchemaSink.writeTo(sink,
+      fact = ("shows", Seq((1L, "a"), (2L, "b")).toDF("id", "title"), Nil),
+      dims = Seq("personnel" -> Seq((1L, "x")).toDF("id", "name")))
+    assert(new java.io.File(s"$dir/shows").exists())
+    assert(new java.io.File(s"$dir/personnel").exists())
+    // drops what exists, ignores what doesn't (history never written)
+    StarSchemaSink.purge(sink, Seq("shows", "personnel", "history"))
+    assert(!new java.io.File(s"$dir/shows").exists())
+    assert(!new java.io.File(s"$dir/personnel").exists())
+    StarSchemaSink.purge(sink, Seq("shows", "personnel", "history")) // replay-safe
+  }
+
   test("compaction collapses a fragmented table without changing its data") {
     import graft.pipeline.Maintenance
     import spark.implicits._
