@@ -16,6 +16,15 @@ object Bench {
     // collapses those to 1 partition and serializes them. On a real
     // cluster with IO-bound shuffles, leave it on (Graft default).
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Scale-up runs: at sub-GB SFs the default 128MB split target +
+    // 4MB open cost packs whole tables into 2-4 scan partitions, so
+    // wall time measures split packing, not the operator. On a real
+    // cluster data >> split size and this knob is moot. Set e.g. 8m
+    // to restore map-side parallelism for the scaled-data curve.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").foreach { v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    }
     // min over three passes: pass 1 absorbs JVM/codegen/parquet-
     // footer warmup, the min over passes 2-3 shrugs off GC and
     // scheduler noise

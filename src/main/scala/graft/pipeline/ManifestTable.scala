@@ -121,6 +121,26 @@ class ManifestTable(spark: SparkSession, root: String) {
     spark.read.parquet(segs.map(_.dir.toString): _*)
   }
 
+  /** Time-travel read: the table exactly as committed at version `v`.
+    * Any version still retained is readable — [[vacuum]]'s `keep` is
+    * the retention horizon; a vacuumed, burned, or never-committed
+    * version throws. Reading an old version is safe concurrently with
+    * appends/compactions (they only ADD versions) — only vacuum
+    * retires one.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val segs = segments(v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $v of $root is not readable (never committed, burned, or vacuumed)"))
+    spark.read.parquet(segs.map(_.dir.toString): _*)
+  }
+
+  /** Readable (fully committed, still retained) versions, ascending —
+    * the valid inputs to [[readVersion]].
+    */
+  def versions: Seq[Long] =
+    committedVersions.filter(v => segments(v).isDefined).sorted
+
   /** Data-skipping read: scan only segments whose committed
     * [min, max] for `col` overlaps [lo, hi] (a segment with no stats
     * for `col` is always scanned — skipping is an optimization,

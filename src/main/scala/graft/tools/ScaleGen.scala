@@ -52,8 +52,16 @@ object ScaleGen {
       shufflePartitions = cpus.toInt, appName = "graft-scalegen")
     spark.sparkContext.setLogLevel("WARN")
 
+    // A k-fold crossJoin inherits the tiny input's partition count, so
+    // without a repartition the scaled table lands as 1-2 giant files
+    // and downstream scans get ~bytes/128MB splits instead of cluster
+    // parallelism — an unrealistic layout (real large tables are many
+    // files) that throttles exactly the scan-bound queries the scaled
+    // data exists to measure. Spread every scaled write across the
+    // session's parallelism.
+    val outParts = spark.sparkContext.defaultParallelism
     def write(df: DataFrame, name: String): Unit =
-      df.drop("_copy").write.mode("overwrite")
+      df.drop("_copy").repartition(outParts).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
 
     // lineitem and orders share the orderkey domain: one shared step

@@ -21,6 +21,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSet == Set(3))
   }
 
+  test("time travel: readVersion reads any retained version; vacuum retires it") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))       // v1
+    t.append(Seq((3, "c")).toDF("id", "s"))                // v2 = v1 + seg
+    t.write(Seq((9, "z")).toDF("id", "s"))                 // v3 full rewrite
+    assert(t.versions == Seq(1L, 2L, 3L))
+    assert(t.readVersion(1).collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(t.readVersion(2).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    assert(t.readVersion(3).collect().map(_.getInt(0)).toSet == Set(9))
+    intercept[java.io.FileNotFoundException](t.readVersion(7))
+    t.vacuum(keep = 1)
+    assert(t.versions == Seq(3L))
+    intercept[java.io.FileNotFoundException](t.readVersion(1))
+    assert(t.readVersion(3).count() == 1) // live version unaffected
+  }
+
   test("publish is reader-atomic: an in-flight reader of the old version survives a new commit") {
     import spark.implicits._
     val t = freshTable()
