@@ -71,6 +71,12 @@ object SparkEntry {
     "sample_stratified_docs" -> Sampling.sampleStratified _,
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "decontaminate" -> ((s, d) => Decontaminate.contaminated(s, d)),
+    "text_pii" -> Pii.piiRedact _,
+    "text_gopher_filter" -> Curation.gopherFilter _,
+    "text_vocabulary" -> ((s, d) => Search.vocabulary(s, d)),
+    "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
+    "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
+    "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -139,5 +145,11 @@ object SparkEntry {
     "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
     "pack_sequences" -> Packing.packSequencesSql,
     "decontaminate" -> Decontaminate.contaminatedSql(),
+    "text_pii" -> Pii.piiRedactSql,
+    "text_gopher_filter" -> Curation.gopherFilterSql,
+    "text_vocabulary" -> Search.vocabularySql(),
+    "search_bm25" -> Search.bm25TopKSql(),
+    "sample_mixture" -> Sampling.sampleMixtureSql(),
+    "dedup_semantic" -> SemDedup.semanticDedupSql(),
   )
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document filter bundle (Rae et al. 2021 §A1.1): the
+  * cheap rule battery a curation pipeline applies before any
+  * near-dup or model-based scoring. One pass of column expressions
+  * over the scan — zero shuffles; at 100 TB the filter runs at
+  * parquet-read speed and its selectivity feeds straight into the
+  * downstream operators' input size.
+  *
+  * Every ratio rule is evaluated in cross-multiplied INTEGER
+  * arithmetic (`sum_len >= 4*n` rather than `sum_len/n >= 4.0`), so
+  * rule booleans are exact in both engines — no fp threshold can
+  * disagree on a boundary doc. The displayed ratio columns are
+  * round-4 doubles for humans; the booleans don't read them.
+  */
+object Curation {
+
+  val stopWords = Seq("the", "a", "or", "and", "of")
+
+  /** Rules (bounds tuned so the synthetic corpus genuinely mixes
+    * keep/drop; the shape, not the constants, is the operator):
+    *   ok_len    n_tokens in [30, 5000]
+    *   ok_wl     mean word length in [4, 10]
+    *   ok_alpha  ≥ 80% of tokens contain a letter
+    *   ok_stop   ≥ 2 stop-word hits
+    *   keep      all of the above
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherFilterOf(spark, Tables.documents(spark, dir))
+
+  /** Same rules over any (doc_id, text) frame — lets specs drive
+    * boundary docs (exactly-30-token, exactly-mean-4) through the
+    * real code path.
+    */
+  def gopherFilterOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = Dedup.tokensCol($"text")
+    docs
+      .select($"doc_id",
+        size(toks).cast("long").as("n"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        size(filter(toks, t => t.isin(stopWords.map(lit): _*)))
+          .cast("long").as("stop_hits"))
+      .select($"doc_id",
+        $"n".as("n_tokens"),
+        when($"n" > 0, round($"sum_len".cast("double") / $"n", 4))
+          .otherwise(0.0).as("mean_wl"),
+        $"stop_hits",
+        when($"n" >= 30 && $"n" <= 5000, 1L).otherwise(0L).as("ok_len"),
+        when($"sum_len" >= lit(4L) * $"n" && $"sum_len" <= lit(10L) * $"n"
+          && $"n" > 0, 1L).otherwise(0L).as("ok_wl"),
+        when(lit(5L) * $"n_alpha" >= lit(4L) * $"n" && $"n" > 0, 1L)
+          .otherwise(0L).as("ok_alpha"),
+        when($"stop_hits" >= 2, 1L).otherwise(0L).as("ok_stop"))
+      .withColumn("keep",
+        when($"ok_len" + $"ok_wl" + $"ok_alpha" + $"ok_stop" === 4L, 1L)
+          .otherwise(0L))
+  }
+
+  val gopherFilterSql: String = {
+    val stopIn = stopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                             x -> trim(x)), x -> length(x) > 0) AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                   (a, b) -> a + b) AS sum_len,
+                 CAST(len(list_filter(toks,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_filter(toks, x -> x IN ($stopIn))) AS BIGINT)
+                   AS stop_hits
+          FROM t),
+        r AS (
+          SELECT doc_id, n AS n_tokens,
+                 CASE WHEN n > 0 THEN round(sum_len * 1.0 / n, 4)
+                      ELSE 0.0 END AS mean_wl,
+                 stop_hits,
+                 CASE WHEN n >= 30 AND n <= 5000 THEN 1 ELSE 0 END AS ok_len,
+                 CASE WHEN sum_len >= 4 * n AND sum_len <= 10 * n AND n > 0
+                      THEN 1 ELSE 0 END AS ok_wl,
+                 CASE WHEN 5 * n_alpha >= 4 * n AND n > 0 THEN 1 ELSE 0 END
+                   AS ok_alpha,
+                 CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS ok_stop
+          FROM m)
+        SELECT doc_id, n_tokens, mean_wl, stop_hits,
+               CAST(ok_len AS BIGINT) AS ok_len,
+               CAST(ok_wl AS BIGINT) AS ok_wl,
+               CAST(ok_alpha AS BIGINT) AS ok_alpha,
+               CAST(ok_stop AS BIGINT) AS ok_stop,
+               CAST(CASE WHEN ok_len + ok_wl + ok_alpha + ok_stop = 4
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM r"""
+  }
+}

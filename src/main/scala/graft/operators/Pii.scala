@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the scrubbing pass a training-data
+  * pipeline runs before anything else sees the text (cf. the C4 /
+  * RefinedWeb cleanup stages: e-mail, phone, and IP literals are the
+  * canonical regex-detectable classes). Pure single-pass
+  * `regexp_extract_all` / `regexp_replace` column expressions: zero
+  * shuffles, whole-stage codegen, runs at parquet-scan speed at any
+  * corpus size.
+  *
+  * The patterns are written to the common subset of java.util.regex
+  * (Spark) and RE2 (DuckDB) — no backrefs, no lookaround — so the
+  * oracle applies the IDENTICAL pattern strings.
+  */
+object Pii {
+
+  /** E-mail: local part @ dotted domain with an alphabetic TLD. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4a
+    * don't half-match).
+    */
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Phone-like digit run: ≥7 chars of digits/space/()/- starting
+    * with an optional +. The class has no '.', so dotted IPs can't
+    * match; applied AFTER e-mail and IP redaction so their digit
+    * spans are gone.
+    */
+  val phoneRe = "\\+?[0-9][0-9() -]{5,}[0-9]"
+
+  /** Per-type match counts + redacted text for any text column.
+    * Counts are independent matches of each pattern against the
+    * input; redaction applies e-mail → IP → phone sequentially (the
+    * phone class can't span the '.' in an un-redacted IP, but the
+    * fixed order makes the composition well-defined regardless).
+    */
+  def redactCols(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(ipRe), lit(0))).cast("long").as("n_ip"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>").as("redacted"))
+
+  /** Gate: the synthetic corpus is digit-free word salad, so a
+    * redaction run over raw `text` would be vacuously green. Instead
+    * both engines append the same deterministic PII-shaped tail
+    * (e-mail / phone / IP literals derived from doc_id) and the gate
+    * verifies detection counts and the redacted result — the regex
+    * semantics, not the corpus, are what's under test. doc_id is
+    * bounded mod 10⁵ in the e-mail local part so its digit run stays
+    * below phoneRe's 7-char floor at any scale factor.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val piiText = concat($"text",
+      lit(" reach me at u"), ($"doc_id" % 100000).cast("string"),
+      lit("@mail.example.com or +1 (555) 010-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), ($"doc_id" % 256).cast("string"),
+      lit(".0."), (($"doc_id" * 7) % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .select($"doc_id" +: redactCols(piiText): _*)
+  }
+
+  val piiRedactSql: String =
+    s"""WITH pii AS (
+          SELECT doc_id,
+                 text || ' reach me at u' || (doc_id % 100000)::VARCHAR
+                      || '@mail.example.com or +1 (555) 010-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      || ' from 10.' || (doc_id % 256)::VARCHAR
+                      || '.0.' || ((doc_id * 7) % 256)::VARCHAR AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '$emailRe', '<EMAIL>', 'g'),
+                 '$ipRe', '<IP>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g') AS redacted
+        FROM pii"""
+}

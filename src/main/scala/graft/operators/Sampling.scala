@@ -75,4 +75,66 @@ object Sampling {
         WHERE ${bucketSql("doc_id")} <
           CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 50 ELSE 100 END
         GROUP BY lang"""
+
+  /** Temperature-based multi-source mixing (the training-mix
+    * construction of multilingual/multi-domain pipelines, cf. the
+    * α-smoothed sampling of mC4/XLM-R): per-source keep rates
+    * ∝ n_source^α / n_source, normalized so the expected total kept
+    * is `targetPerMille` of the corpus — α < 1 upweights rare
+    * sources relative to proportional sampling. α is fixed at 0.5:
+    * sqrt is IEEE-correctly-rounded in both engines (a general
+    * `pow(x, α)` is not, which would break the exact gate; other
+    * dyadic α compose from sqrt). The weights are converted to
+    * integer micro-units before normalization and the rate is pure
+    * integer arithmetic, so both engines derive bit-identical
+    * per-mille rates; membership is the same md5 bucket as
+    * [[hashSample]].
+    *
+    * Shape at 100 TB: source counts are a partial-agg'd tiny frame,
+    * rates broadcast back, membership is a zero-shuffle scan filter —
+    * the corpus never shuffles.
+    */
+  def sampleMixture(spark: SparkSession, dir: String,
+      targetPerMille: Int = 200): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("spow",
+        round(sqrt($"n_docs".cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = counts.agg(sum($"n_docs").as("n_total"), sum($"spow").as("sum_pow"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr(s"($targetPerMille * n_total * spow) div (sum_pow * n_docs)")))
+      .select($"source", $"n_docs", $"rate_pm")
+    val kept = docs
+      .join(broadcast(rates.select($"source", $"rate_pm")), "source")
+      .filter(bucket($"doc_id", "mix") < $"rate_pm")
+      .groupBy($"source").agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs", $"rate_pm",
+        coalesce($"kept", lit(0L)).as("n_kept"))
+  }
+
+  def sampleMixtureSql(targetPerMille: Int = 200): String =
+    s"""WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        p AS (
+          SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0::DOUBLE)
+                      AS BIGINT) AS spow
+          FROM c),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                     CAST(sum(spow) AS BIGINT) AS sum_pow FROM p),
+        r AS (
+          SELECT source, n_docs,
+                 least(1000::BIGINT,
+                   ($targetPerMille * t.n_total * p.spow)
+                     // (t.sum_pow * p.n_docs)) AS rate_pm
+          FROM p CROSS JOIN t)
+        SELECT r.source, r.n_docs, CAST(r.rate_pm AS BIGINT) AS rate_pm,
+               CAST(count(d.doc_id) AS BIGINT) AS n_kept
+        FROM r LEFT JOIN documents d
+          ON d.source = r.source AND ${bucketSql("d.doc_id", "mix")} < r.rate_pm
+        GROUP BY 1, 2, 3"""
 }

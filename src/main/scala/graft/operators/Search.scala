@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical search primitives over the document corpus: vocabulary
+  * (Zipf) statistics and BM25 keyword retrieval (Robertson/Walker,
+  * Okapi BM25). Both ride the shared codegen token path
+  * ([[Dedup.tokenRows]]).
+  *
+  * Scale posture: vocabulary output is |vocab|-sized (orders smaller
+  * than the corpus) behind two map-side-partial aggregations; BM25
+  * filters the token stream to the query terms BEFORE its first
+  * shuffle, so the exchanges carry matched postings, not the corpus.
+  * Term/document-frequency tables are broadcast (they are
+  * benchmark-query-sized).
+  *
+  * Cross-engine exactness: each (query, doc, term) BM25 contribution
+  * is rational arithmetic over integers (tf, df, dl, N) and fixed
+  * literals — identical IEEE doubles in both engines — converted to
+  * integer micro-units before the per-doc sum, so summation order
+  * can't flip a bit. The final score is a single exact integer
+  * divided by 1e6: no round() call sits on a representability
+  * boundary.
+  */
+object Search {
+
+  // ── vocabulary / Zipf statistics ──────────────────────────────────
+
+  /** Top-K tokens by collection frequency with document frequency —
+    * the corpus-vocabulary profile (tokenizer audits, stop-list
+    * construction, Zipf-curve checks). Two shuffles, both partial-
+    * aggregated; the global rank window sees |vocab| rows only.
+    */
+  def vocabulary(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val tf = Dedup.tokenRows(spark, dir)
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+    // window input = distinct tokens (vocabulary-sized): exempted in
+    // WindowAuditSpec with that justification
+    val w = Window.orderBy($"coll_freq".desc, $"token")
+    tf.groupBy($"token")
+      .agg(sum($"c").as("coll_freq"), count(lit(1)).as("doc_freq"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"rk", $"token", $"coll_freq", $"doc_freq")
+  }
+
+  def vocabularySql(k: Int = 50): String =
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        v AS (SELECT token, CAST(sum(c) AS BIGINT) AS coll_freq,
+                     CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY 1)
+        SELECT rk, token, coll_freq, doc_freq FROM (
+          SELECT CAST(row_number() OVER (ORDER BY coll_freq DESC, token)
+                      AS BIGINT) AS rk, *
+          FROM v)
+        WHERE rk <= $k"""
+
+  // ── BM25 keyword retrieval ────────────────────────────────────────
+
+  /** Gate query workload: three keyword queries over the corpus
+    * vocabulary.
+    */
+  val bm25Workload: Seq[(String, Seq[String])] = Seq(
+    "q0" -> Seq("spark", "stream", "batch"),
+    "q1" -> Seq("join", "merge"),
+    "q2" -> Seq("customer", "window", "table"))
+
+  /** BM25 top-k documents per query. k1/b are the textbook defaults;
+    * idf uses the shifted-odds form (N − df + 0.5)/(df + 0.5) without
+    * the log — log is monotone so per-TERM ordering is unchanged, and
+    * dropping it keeps the pipeline transcendental-free, which is
+    * what makes the DuckDB gate exact (ln differs by ulps across
+    * libm implementations). Documented scoring variant, not an
+    * accident.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKOf(spark, Tables.documents(spark, dir), bm25Workload, k)
+
+  /** Same retrieval over any (doc_id, text) frame and workload — lets
+    * specs assert ranking behavior on crafted corpora through the
+    * real code path.
+    */
+  def bm25TopKOf(spark: SparkSession, docs: DataFrame,
+      workload: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val allTerms = workload.flatMap(_._2).distinct
+    val queryTerms = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val docLen = docs
+      .select($"doc_id", size(Dedup.tokensCol($"text")).cast("long").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    // codegen token path (same semantics as Dedup.tokenRows)
+    val tf = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .filter($"token".isin(allTerms.map(lit): _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(queryTerms), "token")
+      .join(broadcast(df_), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("idf",
+        ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("cu", round($"idf" *
+          (($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
+          * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy($"query_id").orderBy($"su".desc, $"doc_id")
+    contrib.groupBy($"query_id", $"doc_id").agg(sum($"cu").as("su"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"doc_id",
+        ($"su".cast("double") / lit(1000000.0)).as("score"), $"rk")
+  }
+
+  def bm25TopKSql(k: Int = 10): String = {
+    val qvals = bm25Workload
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, token) AS (VALUES $qvals),
+        t AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0) AS toks
+          FROM documents),
+        dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(round(
+                   ((s.n_docs - dfs.df + 0.5::DOUBLE) / (dfs.df + 0.5::DOUBLE))
+                   * ((tf.tf * 2.2::DOUBLE) /
+                      (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE +
+                        0.75::DOUBLE * (dls.dl /
+                          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+                   * 1000000.0::DOUBLE) AS BIGINT) AS cu
+          FROM tf JOIN q USING (token) JOIN dfs USING (token)
+               JOIN dls USING (doc_id) CROSS JOIN stats s),
+        scored AS (
+          SELECT query_id, doc_id, CAST(sum(cu) AS BIGINT) AS su
+          FROM contrib GROUP BY 1, 2)
+        SELECT query_id, doc_id, CAST(su AS DOUBLE) / 1000000.0::DOUBLE AS score,
+               rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY su DESC, doc_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= $k"""
+  }
+}

@@ -42,7 +42,7 @@ object Similarity {
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"""
 
   /** DuckDB rendering of VecCosine (dot / (‖a‖·‖b‖)). */
-  private def cosineSql(a: String, b: String): String =
+  private[operators] def cosineSql(a: String, b: String): String =
     s"""(${dotSql(a, b)}
          / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Pii
+import org.apache.spark.sql.functions.col
+
+/** PII redaction on crafted strings: the gate proves cross-engine
+  * regex equality on the synthetic tail; this spec pins the pattern
+  * SEMANTICS — what each class must and must not match.
+  */
+class PiiSpec extends SparkSpec {
+
+  private def run(texts: (Long, String)*): Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id") +: Pii.redactCols(col("text")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))))
+      .toMap
+  }
+
+  test("e-mail, IP, and phone are each detected and redacted") {
+    val out = run(
+      1L -> "write to jane.doe+spam@sub.example.org today",
+      2L -> "server at 192.168.0.1 answered",
+      3L -> "call +1 (555) 010-4242 now")
+    assert(out(1L) == ((1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(out(2L) == ((0L, 1L, 0L, "server at <IP> answered")))
+    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> now")))
+  }
+
+  test("all three classes in one document, counted independently") {
+    val (ne, ni, np, red) =
+      run(1L -> "a@b.com vs 10.0.0.1 vs 555-123456")(1L)
+    assert((ne, ni, np) == ((1L, 1L, 1L)))
+    assert(red == "<EMAIL> vs <IP> vs <PHONE>")
+  }
+
+  test("non-PII near-misses stay untouched") {
+    val out = run(
+      1L -> "versions 1.2.3.4a and 1.2 are fine",   // no \b after octet / too few
+      2L -> "user at host dot com",                  // no @
+      3L -> "short 12345 digits")                    // under phone's 7-char floor
+    assert(out(1L) == ((0L, 0L, 0L, "versions 1.2.3.4a and 1.2 are fine")))
+    assert(out(2L) == ((0L, 0L, 0L, "user at host dot com")))
+    assert(out(3L) == ((0L, 0L, 0L, "short 12345 digits")))
+  }
+
+  test("dotted IP is not half-eaten by the phone pattern") {
+    // phone class has no '.', so redaction order can't produce
+    // <PHONE> fragments out of an IP's octets
+    val (_, ni, np, red) = run(1L -> "from 10.255.0.255 thanks")(1L)
+    assert((ni, np) == ((1L, 0L)))
+    assert(red == "from <IP> thanks")
+  }
+
+  test("the gate's synthetic tail detects exactly one of each class") {
+    val gate = Pii.piiRedact(spark, SF)
+    assert(gate.count() > 0)
+    val bad = gate.filter(
+      col("n_email") =!= 1L || col("n_ip") =!= 1L || col("n_phone") =!= 1L)
+    assert(bad.count() == 0)
+    val leftover = gate.filter(
+      col("redacted").rlike("@|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+    assert(leftover.count() == 0)
+  }
+}

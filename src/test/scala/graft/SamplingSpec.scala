@@ -43,6 +43,33 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("mixture sampling upweights rare sources and hits the target") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val rows = Sampling.sampleMixture(spark, SF, targetPerMille = 200)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rate_pm"), r.getAs[Long]("n_kept")))
+    assert(rows.map(_._2).sum == docs.count())
+    // α = 0.5 ⇒ keep-rate ∝ n^-0.5: rarer sources get higher rates
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._3 >= byN.last._3,
+      s"rarest source rate ${byN.head._3}‰ < commonest ${byN.last._3}‰")
+    // expected kept = Σ n_s·rate_s/1000 ≈ target (floor rounding only
+    // loses < 1 doc per source)
+    val expectedKept = rows.map(r => r._2 * r._3 / 1000.0).sum
+    val target = docs.count() * 0.2
+    assert(math.abs(expectedKept - target) <= rows.length,
+      s"expected kept $expectedKept vs target $target")
+    // n_kept re-derives from the same hash membership
+    val rates = rows.map(r => r._1 -> r._3).toMap
+    val kept = docs
+      .withColumn("b", Sampling.bucket($"doc_id", "mix"))
+      .collect()
+      .count(r => r.getAs[Long]("b") < rates(r.getAs[String]("source")))
+    assert(kept.toLong == rows.map(_._4).sum)
+  }
+
   test("sampling stays a zero-shuffle scan filter") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Dedup, Search}
+import org.apache.spark.sql.functions._
+
+/** Lexical search properties the exact gates can't express: BM25's
+  * ranking behavior and the vocabulary's consistency invariants.
+  */
+class SearchSpec extends SparkSpec {
+
+  test("vocabulary: ranks are contiguous, ordered, and frequency-consistent") {
+    val v = Search.vocabulary(spark, SF, k = 20).orderBy("rk").collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getAs[Long]("rk")).toSeq == (1L to v.length).toSeq)
+    val freqs = v.map(_.getAs[Long]("coll_freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, "coll_freq not non-increasing")
+    assert(v.forall(r => r.getAs[Long]("coll_freq") >= r.getAs[Long]("doc_freq")),
+      "a token can't appear in more docs than it has occurrences")
+  }
+
+  test("vocabulary totals reconcile with the raw token stream") {
+    val total = Dedup.tokenRows(spark, SF).count()
+    val vocabTotal = Search.vocabulary(spark, SF, k = 1000000)
+      .agg(sum("coll_freq")).collect().head.getLong(0)
+    assert(vocabTotal == total)
+  }
+
+  test("bm25: every hit contains a query term, ranks ordered by score") {
+    val hits = Search.bm25TopK(spark, SF).collect()
+    assert(hits.nonEmpty)
+    val docs = graft.Tables.documents(spark, SF)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val terms = Search.bm25Workload.toMap
+    hits.foreach { r =>
+      val q = r.getAs[String]("query_id")
+      val d = r.getAs[Long]("doc_id")
+      assert(docs(d).intersect(terms(q).toSet).nonEmpty,
+        s"hit ($q, $d) shares no term with the query")
+    }
+    hits.groupBy(_.getAs[String]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to g.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, "score not non-increasing in rank")
+    }
+  }
+
+  test("bm25: more matched occurrences outrank fewer at equal length") {
+    import spark.implicits._
+    // same dl=4 everywhere; doc 1 has 2 'spark' hits, doc 2 has 1,
+    // doc 3 none → expect 1 before 2, 3 absent
+    val docs = Seq(
+      (1L, "spark spark pad pad"),
+      (2L, "spark pad pad pad"),
+      (3L, "pad pad pad pad")).toDF("doc_id", "text")
+    val hits = Search.bm25TopKOf(spark, docs, Seq("q" -> Seq("spark")), k = 10)
+      .orderBy("rk").collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(hits(0).getAs[Double]("score") > hits(1).getAs[Double]("score"))
+  }
+
+  test("bm25: shorter doc outranks longer at equal term frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark pad"),
+      (2L, "spark pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val hits = Search.bm25TopKOf(spark, docs, Seq("q" -> Seq("spark")), k = 10)
+      .orderBy("rk").collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+  }
+}

@@ -16,7 +16,11 @@ class WindowAuditSpec extends SparkSpec {
     "analytics_yoy_growth" ->
       ("lag over per-year order counts: the window input is one row " +
         "per calendar year (dozens of rows at any corpus size) — the " +
-        "aggregation below it already reduced the data")
+        "aggregation below it already reduced the data"),
+    "text_vocabulary" ->
+      ("global rank over per-token aggregates: the window input is " +
+        "one row per distinct token (vocabulary-sized, orders smaller " +
+        "than the corpus) — both shuffles below it are partial-agg'd")
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {
