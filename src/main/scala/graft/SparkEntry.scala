@@ -77,6 +77,7 @@ object SparkEntry {
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
     "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
+    "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -151,5 +152,6 @@ object SparkEntry {
     "search_bm25" -> Search.bm25TopKSql(),
     "sample_mixture" -> Sampling.sampleMixtureSql(),
     "dedup_semantic" -> SemDedup.semanticDedupSql(),
+    "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
   )
 }

@@ -135,6 +135,119 @@ object MinHashLSH {
     candidatePairs(spark, dir).filter($"est_jaccard" >= 0.5)
   }
 
+  /** (doc_id, sig) for any (doc_id, text) frame — the building block
+    * for a PERSISTED dedup index: run once over the corpus, store the
+    * result, and dedup each incoming batch against it with
+    * [[incrementalNearDuplicates]] instead of re-scanning the corpus.
+    */
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        call_function("minhash_sigs", split(trim($"text"), " ")).as("sig"))
+      .filter($"sig".isNotNull)
+  }
+
+  /** Band keys straight off the (doc_id, sig array) form — same
+    * derivation as [[bands]], for index-shaped inputs.
+    */
+  def bandsOfSig(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"doc_id", posexplode(array((0 until BANDS).map { b =>
+        val key = concat_ws(",", (b * R until (b + 1) * R).map(i => $"sig"(i)): _*)
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+      }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Incremental near-dedup: an incoming batch against a stored
+    * signature index — the daily-ingest shape (dedup the day's crawl
+    * against the whole corpus WITHOUT touching corpus text). The
+    * batch side is day-sized, so its band keys broadcast and the
+    * index never shuffles; candidate enumeration stays per-bucket.
+    * Emits (batch_id, corpus_id, est_jaccard ≥ threshold).
+    */
+  def incrementalNearDuplicates(batch: DataFrame, index: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import batch.sparkSession.implicits._
+    val bs = signaturesOf(batch)
+    val bb = bandsOfSig(bs)
+      .select($"doc_id".as("batch_id"), $"band_idx", $"band_hash")
+    val ib = bandsOfSig(index)
+      .select($"doc_id".as("corpus_id"), $"band_idx", $"band_hash")
+    val pairs = ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
+      .select($"batch_id", $"corpus_id").distinct()
+    pairs
+      .join(broadcast(bs.select($"doc_id".as("batch_id"), $"sig".as("sig_a"))),
+        "batch_id")
+      .join(index.select($"doc_id".as("corpus_id"), $"sig".as("sig_b")),
+        "corpus_id")
+      .select($"batch_id", $"corpus_id",
+        (aggregate(zip_with($"sig_a", $"sig_b",
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(H))
+          .as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+  }
+
+  /** Gate: a reproducible md5-bucket split (10% batch / 90% corpus —
+    * the same cross-engine split device the decontaminate gate uses)
+    * drives the incremental path, so the DuckDB oracle re-derives
+    * index, batch, bands, and estimates exactly.
+    */
+  def incrementalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    val b = Sampling.bucket($"doc_id", "inc")
+    incrementalNearDuplicates(
+      docs.filter(b < 100),
+      signaturesOf(docs.filter(b >= 100)))
+  }
+
+  def incrementalGateSql: String = {
+    val bucketX = Sampling.bucketSql("x.doc_id", "inc")
+    val bucketY = Sampling.bucketSql("y.doc_id", "inc")
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                             x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        halves AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h1,
+                 ('0x' || substr(md5(shingle), 9, 7))::BIGINT AS h2
+          FROM sh),
+        sig AS (
+          SELECT doc_id, i, min((h1 + i * (2 * h2 + 1)) % $M) AS m
+          FROM halves CROSS JOIN range($H) t(i)
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, i // $R AS band_idx,
+                 ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT
+                   AS band_hash
+          FROM sig GROUP BY doc_id, i // $R),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          WHERE $bucketX < 100 AND $bucketY >= 100),
+        est AS (
+          SELECT c.batch_id, c.corpus_id,
+                 CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / $H
+                   AS est_jaccard
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.batch_id
+          JOIN sig b ON b.doc_id = c.corpus_id AND b.i = a.i
+          GROUP BY c.batch_id, c.corpus_id)
+        SELECT batch_id, corpus_id, est_jaccard FROM est
+        WHERE est_jaccard >= 0.5"""
+  }
+
   /** The full pipeline re-derived in DuckDB SQL: same shingles, same
     * md5-half hash family, same band keys, same candidate join, same
     * agreement count — hash-exact, not rows-only.

@@ -48,6 +48,27 @@ object Search {
       .select($"rk", $"token", $"coll_freq", $"doc_freq")
   }
 
+  /** Sketch-path vocabulary: collection-frequency top-K via the
+    * ss_topk SpaceSaving aggregate (functions/HeavyHitters.scala) —
+    * one pass, O(capacity) memory per partition, and the shuffle
+    * moves one sketch per partition instead of one row per distinct
+    * token. The exact [[vocabulary]] shuffles the full vocabulary,
+    * which for a web-scale corpus (10⁸+ distinct tokens) is itself a
+    * heavy exchange; the sketch caps that at `capacity` entries and
+    * is exact (err = 0) whenever the distinct-token count stays under
+    * capacity. No doc_freq (the sketch counts occurrences, not
+    * postings) — columns (rk, token, est, err).
+    */
+  def vocabularyApprox(spark: SparkSession, dir: String, k: Int = 50,
+      capacity: Int = 65536): DataFrame = {
+    import spark.implicits._
+    Dedup.tokenRows(spark, dir)
+      .agg(call_function("ss_topk", $"token", lit(k), lit(capacity)).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "hh")))
+      .select(($"pos" + 1).cast("long").as("rk"), $"hh.key".as("token"),
+        $"hh.est".as("est"), $"hh.err".as("err"))
+  }
+
   def vocabularySql(k: Int = 50): String =
     s"""WITH tok AS (
           SELECT doc_id,

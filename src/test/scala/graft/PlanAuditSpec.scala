@@ -131,6 +131,51 @@ class PlanAuditSpec extends SparkSpec {
       s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
+  test("text_pii and text_gopher_filter run shuffle-free at scan speed") {
+    Seq("text_pii", "text_gopher_filter").foreach { q =>
+      assert(shuffleOutputs(q).isEmpty, s"$q must not introduce an exchange")
+    }
+  }
+
+  test("text_vocabulary: both shuffles carry per-token aggregates only") {
+    val shuffles = shuffleOutputs("text_vocabulary")
+    assert(shuffles.length == 2, s"expected 2 shuffles, got ${shuffles.length}")
+    shuffles.foreach { out =>
+      assert(!out.exists(_.name == "text"),
+        s"document bodies in a vocabulary exchange: ${out.map(_.name)}")
+    }
+  }
+
+  test("search_bm25: no exchange carries document bodies; stats broadcast") {
+    val shuffles = shuffleOutputs("search_bm25")
+    shuffles.foreach { out =>
+      assert(!out.exists(_.name == "text"),
+        s"document bodies in a bm25 exchange: ${out.map(_.name)}")
+    }
+    val p = plan("search_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query/df tables not broadcast:\n$p")
+  }
+
+  test("sample_mixture: the corpus never shuffles — exchanges are per-source counts") {
+    val shuffles = shuffleOutputs("sample_mixture")
+    shuffles.foreach { out =>
+      assert(!out.exists(a => a.name == "doc_id" || a.name == "text"),
+        s"corpus rows in a mixture exchange: ${out.map(_.name)}")
+    }
+  }
+
+  test("dedup_semantic: cell assignment is map-side; no exchange carries embeddings") {
+    // literal centroids make assignment a scan-side projection; at
+    // audit scale the cell self-join broadcasts, leaving only the
+    // scalar victim aggregation in the exchange set
+    val shuffles = shuffleOutputs("dedup_semantic")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"embedding arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+  }
+
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
     // the quantizer is literal centroids, so assignment adds ZERO
     // exchanges; the sole shuffle in the plan is the scalar

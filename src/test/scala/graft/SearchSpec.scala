@@ -25,6 +25,21 @@ class SearchSpec extends SparkSpec {
     assert(vocabTotal == total)
   }
 
+  test("vocabularyApprox in exact mode reproduces the exact vocabulary") {
+    // capacity ≥ distinct tokens ⇒ SpaceSaving is exact (err = 0) and
+    // shares the (freq desc, token asc) tie-break
+    val exact = Search.vocabulary(spark, SF, k = 20).orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[String]("token"),
+        r.getAs[Long]("coll_freq")))
+    val approx = Search.vocabularyApprox(spark, SF, k = 20).orderBy("rk")
+      .collect()
+    assert(approx.forall(_.getAs[Long]("err") == 0L),
+      "sketch not exact despite capacity ≥ |vocab|")
+    val got = approx.map(r => (r.getAs[Long]("rk"), r.getAs[String]("token"),
+      r.getAs[Long]("est")))
+    assert(got.toSeq == exact.toSeq)
+  }
+
   test("bm25: every hit contains a query term, ranks ordered by score") {
     val hits = Search.bm25TopK(spark, SF).collect()
     assert(hits.nonEmpty)
