@@ -78,6 +78,8 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
     "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
+    "dedup_spans" -> Spans.spanDedup _,
+    "overlap_sources" -> Spans.sourceOverlap _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -153,5 +155,7 @@ object SparkEntry {
     "sample_mixture" -> Sampling.sampleMixtureSql(),
     "dedup_semantic" -> SemDedup.semanticDedupSql(),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
+    "dedup_spans" -> Spans.spanDedupSql,
+    "overlap_sources" -> Spans.sourceOverlapSql,
   )
 }

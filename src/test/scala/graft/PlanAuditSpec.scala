@@ -157,6 +157,18 @@ class PlanAuditSpec extends SparkSpec {
       s"query/df tables not broadcast:\n$p")
   }
 
+  test("dedup_spans / overlap_sources: no exchange carries gram text or bodies") {
+    // gram strings are hashed to 60-bit longs BEFORE the signature
+    // shuffle — the hot exchanges move (doc_id, pos, h) / (source, h)
+    // triples, never the grams themselves and never document bodies
+    Seq("dedup_spans", "overlap_sources").foreach { q =>
+      shuffleOutputs(q).foreach { out =>
+        assert(!out.exists(a => a.name == "gram" || a.name == "text"),
+          s"$q shuffles gram/document text: ${out.map(_.name)}")
+      }
+    }
+  }
+
   test("sample_mixture: the corpus never shuffles — exchanges are per-source counts") {
     val shuffles = shuffleOutputs("sample_mixture")
     shuffles.foreach { out =>
