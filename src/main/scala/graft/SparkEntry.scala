@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
     "dedup_spans" -> Spans.spanDedup _,
     "overlap_sources" -> Spans.sourceOverlap _,
+    "text_quantile_cut" -> Curation.quantileCut _,
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -157,5 +158,6 @@ object SparkEntry {
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
     "dedup_spans" -> Spans.spanDedupSql,
     "overlap_sources" -> Spans.sourceOverlapSql,
+    "text_quantile_cut" -> Curation.quantileCutSql,
   )
 }

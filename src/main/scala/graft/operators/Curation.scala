@@ -62,6 +62,96 @@ object Curation {
           .otherwise(0L))
   }
 
+  /** #36f global quantile cut: keep documents whose token count lies
+    * within the corpus's [p10, p90] band — the distribution-RELATIVE
+    * filter (trim both tails) that complements [[gopherFilter]]'s
+    * absolute thresholds; the same shape curates any per-doc score.
+    *
+    * Exact distributed percentile WITHOUT sorting the corpus: one
+    * partial-agg'd groupBy collapses the scan to a value histogram
+    * (one row per distinct token count — bounded by max doc length,
+    * orders smaller than the corpus), a running-count window over
+    * that aggregate locates the threshold values, and the two-value
+    * threshold row broadcasts back onto the scan. The histogram
+    * window is unpartitioned by construction and exempt in
+    * WindowAuditSpec with that justification. All rank arithmetic is
+    * integer cross-multiplied (`cum*den >= total*num` ⟺
+    * `cum >= ceil(total*q)` for the smallest such value) — no fp
+    * rank can disagree on a boundary value.
+    */
+  def quantileCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantileCutOf(Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
+      "n_tokens", loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
+  }
+
+  /** The cut over any (id, value) frame with rational bounds
+    * lo = loNum/loDen, hi = hiNum/hiDen: keep rows with
+    * loVal <= value <= hiVal where qVal = min{v : cum(v) ≥ ceil(q·n)}.
+    */
+  def quantileCutOf(scored: DataFrame, valueCol: String,
+      loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
+    import scored.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val hist = scored.groupBy(v.as("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("total", sum($"cnt").over(wAll))
+      .agg(
+        min(when($"cum" * loDen >= $"total" * loNum, $"v")).as("lo_val"),
+        min(when($"cum" * hiDen >= $"total" * hiNum, $"v")).as("hi_val"))
+    scored.crossJoin(broadcast(thr))
+      .filter(v.between($"lo_val", $"hi_val"))
+      .select(scored.columns.map(col): _*)
+  }
+
+  /** The one-pass sketch path for the same cut: thresholds from
+    * `percentile_approx` instead of the exact histogram — for when
+    * even the value histogram is too wide to be "aggregate-sized"
+    * (real-valued model scores over a 100 TB corpus). Rank error is
+    * ≤ n/accuracy; CurationSpec pins the approx path to the exact
+    * one on integer data at tight accuracy.
+    */
+  def quantileCutApproxOf(scored: DataFrame, valueCol: String,
+      lo: Double, hi: Double, accuracy: Int = 100000): DataFrame = {
+    import scored.sparkSession.implicits._
+    val v = col(valueCol)
+    val thr = scored.agg(
+      percentile_approx(v, lit(lo), lit(accuracy)).as("lo_val"),
+      percentile_approx(v, lit(hi), lit(accuracy)).as("hi_val"))
+    scored.crossJoin(broadcast(thr))
+      .filter(v.between($"lo_val", $"hi_val"))
+      .select(scored.columns.map(col): _*)
+  }
+
+  val quantileCutSql: String =
+    """WITH scored AS (
+         SELECT doc_id,
+                CAST(len(list_filter(list_transform(string_split(trim(text), ' '),
+                       x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         FROM documents),
+       hist AS (
+         SELECT n_tokens AS v, count(*) AS cnt FROM scored GROUP BY v),
+       cum AS (
+         SELECT v,
+                CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER () AS BIGINT) AS total
+         FROM hist),
+       thr AS (
+         SELECT min(CASE WHEN cum * 10 >= total * 1 THEN v END) AS lo_val,
+                min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS hi_val
+         FROM cum)
+       SELECT doc_id, n_tokens
+       FROM scored, thr WHERE n_tokens BETWEEN lo_val AND hi_val"""
+
   val gopherFilterSql: String = {
     val stopIn = stopWords.map(w => s"'$w'").mkString(", ")
     s"""WITH t AS (

@@ -60,4 +60,55 @@ class CurationSpec extends SparkSpec {
     assert(byKeep.getOrElse(1L, 0L) > 0, "no document kept")
     assert(byKeep.getOrElse(0L, 0L) > 0, "no document dropped")
   }
+
+  // ---- quantile cut ----
+
+  private def cutOf(values: Seq[Long], loNum: Long, loDen: Long,
+      hiNum: Long, hiDen: Long): Set[Long] = {
+    import spark.implicits._
+    val scored = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    Curation.quantileCutOf(scored, "v", loNum, loDen, hiNum, hiDen)
+      .collect().map(_.getAs[Long]("id")).toSet
+  }
+
+  test("quantile cut thresholds at exact rank: ceil(q*n)-th smallest value") {
+    // 10 values 1..10: p10 rank = ceil(1) = 1 → lo_val = 1;
+    // p90 rank = ceil(9) = 9 → hi_val = 9 — drops only the max
+    assert(cutOf(1L to 10L, 1, 10, 9, 10) == (0 to 8).map(_.toLong).toSet)
+    // median-only band on an odd count: ceil(5·1/2) = rank 3 → value 3
+    assert(cutOf(Seq(1L, 2L, 3L, 4L, 5L), 1, 2, 1, 2) == Set(2L))
+  }
+
+  test("quantile cut handles ties: a heavy value straddling the rank stays whole") {
+    // 8 copies of 5 + 1 and 9: p10 picks 1? ceil(10·1/10)=1 → lo=1;
+    // p90: ceil(9) → cum(5)=9 ≥ 9 → hi=5 — all the 5s kept, 9 cut
+    val vals = Seq(1L) ++ Seq.fill(8)(5L) ++ Seq(9L)
+    val kept = cutOf(vals, 1, 10, 9, 10)
+    assert(kept.size == 9 && !kept.contains(9L))
+  }
+
+  test("approx quantile cut matches the exact cut on the corpus") {
+    import spark.implicits._
+    val scored = Tables.documents(spark, SF)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.operators.Dedup.tokensCol($"text")).cast("long").as("n_tokens"))
+    val exact = Curation.quantileCutOf(scored, "n_tokens", 1, 10, 9, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Curation.quantileCutApproxOf(scored, "n_tokens", 0.1, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // tight-accuracy sketch on integer data: identical thresholds are
+    // expected; tolerate only a hair of rank slack at the boundaries
+    val sym = (exact diff approx) ++ (approx diff exact)
+    assert(sym.size <= exact.size / 50,
+      s"approx cut diverges from exact on ${sym.size} of ${exact.size} docs")
+  }
+
+  test("gate: both tails trimmed, bulk kept") {
+    val all = Tables.documents(spark, SF).count()
+    val kept = SparkEntry.queries("text_quantile_cut")(spark, SF).count()
+    assert(kept < all, "nothing trimmed")
+    assert(kept >= all * 7 / 10, s"cut too deep: $kept of $all")
+  }
 }

@@ -20,7 +20,12 @@ class WindowAuditSpec extends SparkSpec {
     "text_vocabulary" ->
       ("global rank over per-token aggregates: the window input is " +
         "one row per distinct token (vocabulary-sized, orders smaller " +
-        "than the corpus) — both shuffles below it are partial-agg'd")
+        "than the corpus) — both shuffles below it are partial-agg'd"),
+    "text_quantile_cut" ->
+      ("running count over the value HISTOGRAM (one row per distinct " +
+        "token count, bounded by max doc length) — the groupBy below " +
+        "already collapsed the corpus; the window input is " +
+        "domain-sized, not data-sized")
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {
