@@ -149,18 +149,40 @@ class ManifestTable(spark: SparkSession, root: String) {
     * turns a point/range query into a scan of the few segments that
     * can contain it — the manifest works as a coarse zone map.
     */
-  def readWhere(col: String, lo: Double, hi: Double): DataFrame = {
+  def readWhere(col: String, lo: Double, hi: Double): DataFrame =
+    readWhereAll(Seq((col, lo, hi)))
+
+  /** Multi-column data-skipping read: scan only segments whose
+    * committed [min, max] overlaps EVERY predicate's [lo, hi] (a
+    * segment missing stats for a column always survives that
+    * predicate — skipping never filters), then apply the row-level
+    * conjunction. On a [[writeClustered]] table this is the payoff
+    * read: z-ordered segments are tight on every clustered dimension
+    * at once, so a box predicate prunes multiplicatively instead of
+    * on the leading column only.
+    */
+  def readWhereAll(preds: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
+    val rowFilter = preds.map { case (n, lo, hi) => c(n).between(lo, hi) }
+      .reduce(_ && _)
+    val hit = overlappingSegments(preds)
+    if (hit.isEmpty) read().filter(rowFilter).limit(0)
+    else spark.read.parquet(hit.map(_.dir.toString): _*).filter(rowFilter)
+  }
+
+  /** The live segments a box predicate cannot rule out — exposed so
+    * callers (and specs) can measure skipping effectiveness:
+    * `overlappingSegments(preds).size` vs [[segmentCount]].
+    */
+  def overlappingSegments(preds: Seq[(String, Double, Double)]): Seq[Segment] = {
     val (_, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    val hit = segs.filter(_.stats.get(col)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
-    if (hit.isEmpty)
-      read().filter(c(col).between(lo, hi)).limit(0)
-    else
-      spark.read.parquet(hit.map(_.dir.toString): _*)
-        .filter(c(col).between(lo, hi))
+    segs.filter(s => preds.forall { case (n, lo, hi) =>
+      s.stats.get(n).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
   }
+
+  def segmentCount: Int = liveSegments.map(_._2.size).getOrElse(0)
 
   private def committedVersions: Seq[Long] = {
     if (!fs.exists(rootPath)) return Nil
@@ -207,6 +229,82 @@ class ManifestTable(spark: SparkSession, root: String) {
         extraLines = batchId.map(id => s"#batch=$id").toSeq)
       v
     }
+  }
+
+  /** Write `df` z-order-clustered on `clusterCols` as `nSegments`
+    * SEGMENTS of one new version — the layout step that makes
+    * [[readWhereAll]] box queries prune multiplicatively. Pipeline:
+    *
+    *  1. per-column min/max (one tiny aggregate — metadata scale)
+    *     parameterize [[Zorder.zvalue]];
+    *  2. approxQuantile on the z-value rank-balances the segment
+    *     boundaries (skewed data moves the cuts, not the balance);
+    *  3. ONE partitionBy write lands every bucket as its own
+    *     directory in a single pass — no per-segment job, no
+    *     per-segment scan;
+    *  4. one column-pruned aggregate over the staged files collects
+    *     per-bucket min/max for `statCols` (the cluster columns are
+    *     always tracked), and each bucket directory is renamed into
+    *     a first-class segment of the committed version.
+    *
+    * Single-column `clusterCols` degrades to plain range clustering
+    * — the control case a spec compares against. Returns the
+    * committed version.
+    */
+  def writeClustered(df: DataFrame, clusterCols: Seq[String],
+      nSegments: Int, statCols: Seq[String] = Nil, bits: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, when}
+    require(clusterCols.nonEmpty && nSegments >= 1)
+    val v = currentVersion.getOrElse(0L) + 1
+
+    val mmAggs = clusterCols.flatMap(c2 =>
+      Seq(min(col(c2).cast("double")), max(col(c2).cast("double"))))
+    val mmRow = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val dims = clusterCols.zipWithIndex.map { case (c2, i) =>
+      (col(c2), mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))
+    }
+    val zdf = df.withColumn("_z", Zorder.zvalue(dims, bits))
+
+    // rank-even z-range boundaries; duplicates collapse (heavy z
+    // cells may merge buckets — fewer, never unbalanced, segments)
+    val cuts = zdf.stat
+      .approxQuantile("_z", (1 until nSegments).map(_.toDouble / nSegments).toArray, 0.001)
+      .distinct.sorted
+    val bucket = cuts.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("_z") > b, 1).otherwise(0)
+    }
+
+    val parent = new Path(rootPath,
+      f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}-stg")
+    zdf.withColumn("_zb", bucket).drop("_z")
+      .repartition(col("_zb"))
+      .write.mode("errorifexists").partitionBy("_zb").parquet(parent.toString)
+
+    val tracked = (clusterCols ++ statCols).distinct
+    val statAggs = tracked.flatMap(c2 =>
+      Seq(min(col(c2).cast("double")), max(col(c2).cast("double"))))
+    val statRows = spark.read.parquet(parent.toString)
+      .groupBy(col("_zb"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+
+    val segs = statRows.map { r =>
+      val zb = r.getInt(0)
+      val dir = new Path(rootPath, f"${parent.getName.stripSuffix("-stg")}-b$zb%04d")
+      if (!fs.rename(new Path(parent, s"_zb=$zb"), dir))
+        throw new java.io.IOException(s"rename of staged bucket $zb to $dir failed")
+      val stats = tracked.zipWithIndex.flatMap { case (c2, i) =>
+        (Option(r.get(2 * i + 1)), Option(r.get(2 * i + 2))) match {
+          case (Some(mn: Number), Some(mx: Number)) =>
+            Some(c2 -> (mn.doubleValue(), mx.doubleValue()))
+          case _ => None
+        }
+      }.toMap
+      Segment(dir, stats)
+    }.sortBy(_.dir.getName).toSeq
+    fs.delete(parent, true)
+    commit(v, segs, ownStaged = segs.map(_.dir))
+    v
   }
 
   /** Land the data files for `v` in a writer-unique directory (no
