@@ -146,7 +146,59 @@ object Spans {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(Tables.documents(spark, dir))
 
+  /** Chooses the bitmask path when the source list fits a long's
+    * bits, the pair self-join otherwise. Both produce identical
+    * matrices (SpansSpec pins the equivalence).
+    */
   def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcs = docs.select($"source").distinct()
+      .orderBy($"source").collect().map(_.getString(0)) // metadata-scale
+    if (srcs.length <= 62) sourceOverlapBitmaskOf(docs, srcs)
+    else sourceOverlapPairsOf(docs)
+  }
+
+  /** Bitmask path: each gram aggregates to ONE row carrying the
+    * bit-or of its sources' bit indices, the mask histogram (≤
+    * distinct-mask rows — tiny against the gram stream whenever
+    * sources co-occur in patterns, which is exactly when the pair
+    * join blows up) is crossed with the CONSTANT i<j pair list, and
+    * pair counts sum per (i, j). Worst case matches the pair join's
+    * Σ sources-per-gram²; the typical case collapses it to one
+    * bit_or aggregate. Source names ride literal maps both ways —
+    * nothing driver-sized moves.
+    */
+  private[graft] def sourceOverlapBitmaskOf(docs: DataFrame,
+      srcs: Array[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sg = spanPostingsOf(docs)
+      .select($"source", md5Long($"gram").as("h")).distinct()
+    val perSrc = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    val srcIdx = map(srcs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }.toSeq: _*)
+    val idxSrc = map(srcs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(i), lit(s)) }.toSeq: _*)
+    val maskHist = sg
+      .select($"h", call_function("shiftleft", lit(1L),
+        element_at(srcIdx, $"source")).as("bit"))
+      .groupBy($"h").agg(call_function("bit_or", $"bit").as("mask"))
+      .groupBy($"mask").agg(count(lit(1)).as("cnt"))
+    val pairList = array((for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+    val pairs = maskHist
+      .select($"cnt", explode(filter(pairList, p =>
+        $"mask".bitwiseAND(call_function("shiftleft", lit(1L), p("i"))) =!= 0 &&
+          $"mask".bitwiseAND(call_function("shiftleft", lit(1L), p("j"))) =!= 0))
+        .as("p"))
+      .groupBy(element_at(idxSrc, $"p.i").as("source_a"),
+        element_at(idxSrc, $"p.j").as("source_b"))
+      .agg(sum($"cnt").as("shared_grams"))
+    withContainment(pairs, perSrc)
+  }
+
+  /** Pair-join path for >62 sources: per-gram source self-join. */
+  private[graft] def sourceOverlapPairsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sg = spanPostingsOf(docs)
       .select($"source", md5Long($"gram").as("h")).distinct()
@@ -155,6 +207,11 @@ object Spans {
       .filter($"a.source" < $"b.source")
       .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
+    withContainment(pairs, perSrc)
+  }
+
+  private def withContainment(pairs: DataFrame, perSrc: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     pairs
       .join(broadcast(perSrc.select($"source".as("source_a"), $"n".as("grams_a"))),
         Seq("source_a"))

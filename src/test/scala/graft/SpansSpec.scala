@@ -83,6 +83,23 @@ class SpansSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == 0.5) // 1 / min(5, 2)
   }
 
+  test("bitmask and pair-join overlap paths produce the identical matrix") {
+    import org.apache.spark.sql.Row
+    val d = Tables.documents(spark, SF)
+    val srcs = d.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    def canon(rows: Array[Row]) =
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(t => (t._1, t._2))
+    val bit = canon(Spans.sourceOverlapBitmaskOf(d, srcs)
+      .select("source_a", "source_b", "grams_a", "grams_b", "shared_grams", "containment")
+      .collect())
+    val pair = canon(Spans.sourceOverlapPairsOf(d)
+      .select("source_a", "source_b", "grams_a", "grams_b", "shared_grams", "containment")
+      .collect())
+    assert(bit.nonEmpty && bit.sameElements(pair))
+  }
+
   test("gate shape on the real corpus: some but not all instances dup") {
     val rows = SparkEntry.queries("dedup_spans")(spark, SF).collect()
     val total = rows.map(_.getLong(1)).sum
