@@ -112,6 +112,67 @@ object Curation {
       .select(scored.columns.map(col): _*)
   }
 
+  /** #36g per-group quantile cut: the same [p10, p90] band computed
+    * WITHIN each language — a long Chinese doc and a long German doc
+    * face their own language's distribution, not a global one skewed
+    * by whichever language dominates the crawl. Same
+    * histogram-then-rank shape as [[quantileCutOf]] but every window
+    * is PARTITIONED by the group key (no unpartitioned-window
+    * exemption needed); the per-group threshold frame is
+    * group-count-sized and broadcasts back onto the scan.
+    */
+  def quantileCutByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantileCutByOf(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
+      "lang", "n_tokens", loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
+  }
+
+  def quantileCutByOf(scored: DataFrame, keyCol: String, valueCol: String,
+      loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
+    import scored.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (k, v) = (col(keyCol), col(valueCol))
+    val hist = scored.groupBy(k.as("k"), v.as("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"k").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"k")
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("total", sum($"cnt").over(wAll))
+      .groupBy($"k")
+      .agg(
+        min(when($"cum" * loDen >= $"total" * loNum, $"v")).as("lo_val"),
+        min(when($"cum" * hiDen >= $"total" * hiNum, $"v")).as("hi_val"))
+    scored.join(broadcast(thr), k === $"k")
+      .filter(v.between($"lo_val", $"hi_val"))
+      .select(scored.columns.map(col): _*)
+  }
+
+  val quantileCutByLangSql: String =
+    """WITH scored AS (
+         SELECT doc_id, lang,
+                CAST(len(list_filter(list_transform(string_split(trim(text), ' '),
+                       x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         FROM documents),
+       hist AS (
+         SELECT lang AS k, n_tokens AS v, count(*) AS cnt
+         FROM scored GROUP BY k, v),
+       cum AS (
+         SELECT k, v,
+                CAST(sum(cnt) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS total
+         FROM hist),
+       thr AS (
+         SELECT k, min(CASE WHEN cum * 10 >= total * 1 THEN v END) AS lo_val,
+                min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS hi_val
+         FROM cum GROUP BY k)
+       SELECT doc_id, lang, n_tokens
+       FROM scored JOIN thr ON scored.lang = thr.k
+       WHERE n_tokens BETWEEN lo_val AND hi_val"""
+
   /** The one-pass sketch path for the same cut: thresholds from
     * `percentile_approx` instead of the exact histogram — for when
     * even the value histogram is too wide to be "aggregate-sized"

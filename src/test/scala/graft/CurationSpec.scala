@@ -105,6 +105,30 @@ class CurationSpec extends SparkSpec {
       s"approx cut diverges from exact on ${sym.size} of ${exact.size} docs")
   }
 
+  test("grouped cut: each group faces its own distribution") {
+    import spark.implicits._
+    // group a: 1..10 (p10=1, p90=9 → drops only 10)
+    // group b: 101..105 (5 values: lo rank ceil(0.5)=1 → 101;
+    //          hi rank ceil(4.5)=5 → 105 → keeps all)
+    val scored = ((1L to 10L).map(v => ("a", v)) ++
+      (101L to 105L).map(v => ("b", v)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val kept = Curation.quantileCutByOf(scored, "g", "v", 1, 10, 9, 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")))
+    assert(kept.filter(_._1 == "a").map(_._2).toSet == (1L to 9L).toSet)
+    assert(kept.filter(_._1 == "b").map(_._2).toSet == (101L to 105L).toSet)
+  }
+
+  test("grouped gate: per-lang cut differs from the global cut") {
+    val global = SparkEntry.queries("text_quantile_cut")(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    val byLang = SparkEntry.queries("text_quantile_cut_lang")(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    assert(byLang.nonEmpty && byLang != global,
+      "per-lang thresholds should move at least one boundary doc")
+  }
+
   test("gate: both tails trimmed, bulk kept") {
     val all = Tables.documents(spark, SF).count()
     val kept = SparkEntry.queries("text_quantile_cut")(spark, SF).count()
