@@ -53,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    // Coarse-quantizer assignment: like the PQ kernels, the centroid
+    // codebook and ids are CONSTANT arguments folded at resolution
+    // time into one reference object — nlist can reach 10⁴–10⁵
+    // without an O(nlist·dim)-literal expression tree
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "nearest_cells(embedding, centroids, ids, n)")
+        require(children(1).foldable && children(2).foldable && children(3).foldable,
+          "nearest_cells: centroids, ids, n must be constants")
+        NearestCells(children.head,
+          CellAssign.parseCents(children(1).eval(null)),
+          CellAssign.parseIds(children(2).eval(null)),
+          children(3).eval(null).asInstanceOf[Number].intValue)
+      }))
     ext.injectFunction((
       FunctionIdentifier("ss_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "ss_topk"),

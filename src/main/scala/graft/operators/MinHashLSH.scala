@@ -177,9 +177,13 @@ object MinHashLSH {
       .select($"doc_id".as("corpus_id"), $"band_idx", $"band_hash")
     val pairs = ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
       .select($"batch_id", $"corpus_id").distinct()
-    pairs
-      .join(broadcast(bs.select($"doc_id".as("batch_id"), $"sig".as("sig_a"))),
-        "batch_id")
+    // the verify side (pairs ⋈ batch sigs) is batch-bounded, so it is
+    // broadcast EXPLICITLY — "the index never shuffles" then holds by
+    // construction, not by AQE's runtime broadcast conversion
+    // (PlanAuditSpec pins no exchange on the index relation)
+    broadcast(pairs
+        .join(broadcast(bs.select($"doc_id".as("batch_id"), $"sig".as("sig_a"))),
+          "batch_id"))
       .join(index.select($"doc_id".as("corpus_id"), $"sig".as("sig_b")),
         "corpus_id")
       .select($"batch_id", $"corpus_id",

@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * file trick the ANN family uses — so the quadratic step never sees
   * the corpus, only cells.
   *
-  * Shares IVF's quantizer stand-in (the first `nlist` corpus vectors
-  * as centroids, folded into the plan as float literals — a trained
-  * k-means drops in the same way): cell assignment is `nlist` codegen
-  * cosine columns + an argmax CASE evaluated map-side during the scan,
-  * zero exchanges before assignment. The only shuffles are the
-  * cell-keyed self-join and the per-victim aggregation. At 100 TB you
-  * raise `nlist` so cells stay bounded (SemDeDup uses k ≈ 10⁴-10⁵ for
-  * exactly this reason); probe-side skew is AQE's skew-join case.
+  * Shares IVF's quantizer plumbing (Similarity.firstCentroids /
+  * cellCol — a trained Similarity.kmeansCentroids drops in via the
+  * `centroids` parameter): cell assignment is ONE native
+  * nearest_cells kernel call (graft.functions.NearestCells) evaluated
+  * map-side during the scan, zero exchanges before assignment, and
+  * the plan stays O(1)-sized as nlist grows. The only shuffles are
+  * the cell-keyed self-join and the per-victim aggregation. At 100 TB
+  * you raise `nlist` so cells stay bounded (SemDeDup uses k ≈ 10⁴-10⁵
+  * for exactly this reason — which is why assignment must NOT be an
+  * O(nlist·dim)-literal expression tree); probe-side skew is AQE's
+  * skew-join case.
   *
   * Exactness: assignment ties break (cos DESC, cell_id ASC) in both
   * engines; cosines are the shared sequential-fold kernel, so the
@@ -32,20 +35,13 @@ object SemDedup {
     * smallest such vec_a), the cell, and the dup evidence.
     */
   def semanticDedup(spark: SparkSession, dir: String,
-      nlist: Int = 16, tau: Double = 0.35): DataFrame = {
+      nlist: Int = 16, tau: Double = 0.35,
+      centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cents: Array[(Long, Array[Float])] = emb.filter($"vec_id" < nlist)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val withCos = emb.select($"vec_id" +: $"embedding" +: cents.map { case (cid, v) =>
-      Similarity.cosineCol($"embedding", array(v.toSeq.map(lit(_)): _*)).as(s"c$cid")
-    }: _*)
-    val best = cents.map { case (cid, _) => col(s"c$cid") }
-      .reduce((a, b) => greatest(a, b))
-    val cell = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
-      when(col(s"c$cid") === best, lit(cid)).otherwise(acc)
-    }
-    val cells = withCos.select($"vec_id", $"embedding", cell.as("cell_id"))
+    val cents = centroids.getOrElse(Similarity.firstCentroids(spark, dir, nlist))
+    val cells = emb.select($"vec_id", $"embedding",
+      Similarity.cellCol($"embedding", cents).as("cell_id"))
     val a = cells.select($"cell_id", $"vec_id".as("vec_a"), $"embedding".as("e_a"))
     val b = cells.select($"cell_id", $"vec_id".as("vec_b"), $"embedding".as("e_b"))
     a.join(b, Seq("cell_id")).filter($"vec_a" < $"vec_b")

@@ -311,52 +311,131 @@ object Similarity {
           FROM cand)
         WHERE rk <= $k"""
 
+  // ── coarse-quantizer plumbing shared by IVF / IVF×PQ / SemDedup ───
+
+  /** The deterministic quantizer stand-in: the first `nlist` corpus
+    * vectors as (cell_id, centroid). Metadata-scale (nlist ≤ ~10⁵
+    * rows) — the ONLY collect in the IVF family.
+    */
+  def firstCentroids(spark: SparkSession, dir: String,
+      nlist: Int): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      .filter($"vec_id" < nlist)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** Spherical-k-means trained quantizer (Lloyd iterations over a
+    * bounded sample of L2-normalized vectors, means re-normalized
+    * each round so max-cosine assignment ≡ min-L2). Driver-side on a
+    * collected sample — quantizer training is a sample problem:
+    * thousands of vectors suffice regardless of corpus size (feed it
+    * `hashSample`d rows for billion-vector corpora). Cell ids are
+    * 0..k-1 ascending, as [[cellCol]]'s tie-break requires. NOT the
+    * gate default: trained means have no cross-engine bit-exact form
+    * (summation order), which the DuckDB oracle requires — recall
+    * and balance vs the stand-in are spec'd in SimilaritySpec.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      sampleMax: Int = 4096, iters: Int = 10): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    val sample: Array[Array[Double]] = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < sampleMax).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map { case (_, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        if (n == 0.0) v.map(_.toDouble) else v.map(_.toDouble / n)
+      }
+    require(sample.length >= k, s"k-means: sample ${sample.length} < k=$k")
+    val dim = sample.head.length
+    def renorm(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = sample.distinct.take(k)
+    for (_ <- 0 until iters) {
+      val assign = sample.map { p =>
+        var bestC = 0; var best = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += p(i) * cents(ci)(i); i += 1 }
+          if (dot > best) { best = dot; bestC = ci }
+          ci += 1
+        }
+        bestC
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        val mine = sample.indices.filter(assign(_) == ci)
+        if (mine.isEmpty) old
+        else {
+          val s = Array.fill(dim)(0.0)
+          mine.foreach { pi =>
+            var i = 0; while (i < dim) { s(i) += sample(pi)(i); i += 1 }
+          }
+          renorm(s.map(_ / mine.size))
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (c, ci) => (ci.toLong, c.map(_.toFloat)) }
+  }
+
+  /** The centroid codebook / ids as SINGLE nested-array literals
+    * (one Literal node each, not nlist·dim CreateArray children) —
+    * the builder folds them into the nearest_cells kernel.
+    */
+  private def centsLit(cents: Array[(Long, Array[Float])]): Column =
+    typedLit(cents.map(_._2.toSeq).toSeq)
+
+  private def centIdsLit(cents: Array[(Long, Array[Float])]): Column =
+    typedLit(cents.map(_._1).toSeq)
+
+  /** Nearest-centroid cell id (cos DESC, cell_id ASC) — one native
+    * kernel call (graft.functions.NearestCells) evaluated map-side
+    * during the scan, plan size O(1) in nlist.
+    */
+  def cellCol(emb: Column, cents: Array[(Long, Array[Float])]): Column =
+    call_function("nearest_cells", emb, centsLit(cents), centIdsLit(cents),
+      lit(1)).getItem(0)
+
+  /** The `nprobe` nearest cell ids in (cos DESC, cell_id ASC) order,
+    * as an explode-ready array — query-side only.
+    */
+  def probeCellsCol(emb: Column, cents: Array[(Long, Array[Float])],
+      nprobe: Int): Column =
+    call_function("nearest_cells", emb, centsLit(cents), centIdsLit(cents),
+      lit(nprobe))
+
   // ── #34b IVF (inverted-file) ANN ──────────────────────────────────
 
   /** IVF ANN: assign every vector to its nearest of `nlist` coarse
     * centroids, then answer a query by searching only its `nprobe`
-    * nearest cells. The centroids are the first `nlist` corpus
+    * nearest cells. Default centroids are the first `nlist` corpus
     * vectors — a deterministic stand-in for an offline-trained
-    * quantizer (no k-means dependency in-container).
+    * quantizer ([[kmeansCentroids]] drops in via `centroids`).
     *
-    * Scale posture: the quantizer is metadata-scale (nlist ≤ ~2¹⁶
-    * vectors), so it's collected once and folded into the plan as
-    * FLOAT literals — cell assignment is then `nlist` codegen cosine
-    * columns + an argmax CASE chain evaluated map-side during the
-    * corpus scan: ZERO exchanges before assignment (the previous
-    * formulation shuffled corpus×nlist rows, embeddings included,
-    * through a per-vector ranking window). Probes expand only the
-    * query side; the search join broadcasts probes, so the corpus
-    * never shuffles and the only exchange in the whole plan is the
-    * scalar top-k window.
+    * Scale posture: the quantizer is metadata-scale, collected once
+    * and folded into ONE [[graft.functions.NearestCells]] kernel —
+    * cell assignment is a single codegen expression evaluated
+    * map-side during the corpus scan, ZERO exchanges before
+    * assignment, and the plan stays O(1)-sized as nlist grows to the
+    * 10⁴–10⁵ a 100 TB corpus needs (the previous literal-column
+    * argmax hit Janino's constant-pool/method limits near nlist ≈
+    * 10³). Probes expand only the query side; the search join
+    * broadcasts probes, so the corpus never shuffles and the only
+    * exchange in the whole plan is the scalar top-k window.
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cents: Array[(Long, Array[Float])] = emb.filter($"vec_id" < nlist)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // nlist cosine columns against literal centroids — pure map-side
-    val withCos = emb.select($"vec_id" +: $"embedding" +: cents.map { case (cid, v) =>
-      cosineCol($"embedding", array(v.toSeq.map(lit(_)): _*)).as(s"c$cid")
-    }: _*)
-    val best = cents.map { case (cid, _) => col(s"c$cid") }
-      .reduce((a, b) => greatest(a, b))
-    // first-match CASE chain in ascending cell_id order = the
-    // (cos DESC, cell_id ASC) argmax tie-break
-    val cell = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
-      when(col(s"c$cid") === best, lit(cid)).otherwise(acc)
-    }
-    val cells = withCos.select($"vec_id", $"embedding", cell.as("cell_id"))
-    // query probes: sort the nlist (−cos, cell_id) structs ascending,
-    // take nprobe — query side only (nQueries rows)
-    val cellStructs = array(cents.map { case (cid, _) =>
-      struct((-col(s"c$cid")).as("neg_cos"), lit(cid).as("cell_id"))
-    }: _*)
-    val probes = withCos.filter($"vec_id" < nQueries)
+    val cents = centroids.getOrElse(firstCentroids(spark, dir, nlist))
+    val cells = emb.select($"vec_id", $"embedding",
+      cellCol($"embedding", cents).as("cell_id"))
+    // query probes: nprobe nearest cells per query (query rows only)
+    val probes = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(slice(sort_array(cellStructs), 1, nprobe)).as("pc"))
-      .select($"query_id", $"q_emb", $"pc.cell_id".as("cell_id"))
+        explode(probeCellsCol($"embedding", cents, nprobe)).as("cell_id"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
     cells.join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -461,39 +540,20 @@ object Similarity {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       codes: Int = 16, rerank: Int = 50): DataFrame = {
     import spark.implicits._
-    val emb0 = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bk = pqBooks(spark, dir, m, codes)
-    val cents: Array[(Long, Array[Float])] = emb0.filter($"vec_id" < nlist)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // centroid cosines STAGED as columns — the argmax CASE and the
-    // probe structs then reference attributes; inlining the kernel
-    // calls (each holding a 64-float literal) 16× into the CASE
-    // chain ballooned plan analysis to seconds
-    val emb = emb0.select($"vec_id" +: $"embedding" +:
-      cents.map { case (cid, v) =>
-        cosineCol($"embedding", array(v.toSeq.map(lit(_)): _*)).as(s"ccos_$cid")
-      }: _*)
-    // coarse cell argmax carried into the PQ scan (cos DESC,
-    // cell_id ASC first-match — identical to ivfTopK's assignment)
-    val bestCos = cents.map { case (cid, _) => col(s"ccos_$cid") }
-      .reduce((a, b) => greatest(a, b))
-    val cellExpr = cents.foldRight(lit(-1L)) { case ((cid, _), acc) =>
-      when(col(s"ccos_$cid") === bestCos, lit(cid)).otherwise(acc)
-    }
+    val cents = firstCentroids(spark, dir, nlist)
     val bc = booksCol(bk.map(_.map(_.map(_.toFloat))))
-    // cells and codes out of ONE scan projection: the cell argmax
-    // reads the staged ccos attributes, the codes come from the
-    // pq_encode kernel
-    val coded = emb.select($"vec_id", cellExpr.as("cell_id"),
+    // cells and codes out of ONE scan projection: two native kernel
+    // calls (nearest_cells + pq_encode), both O(1) plan size — the
+    // previous staged-ccos formulation was O(nlist) columns
+    val coded = emb.select($"vec_id",
+      cellCol($"embedding", cents).as("cell_id"),
       call_function("pq_encode", $"embedding", bc).as("codes"))
     // query probes: nprobe nearest cells per query (query rows only)
-    val cellStructs = array(cents.map { case (cid, _) =>
-      struct((-col(s"ccos_$cid")).as("neg_cos"), lit(cid).as("cell_id"))
-    }: _*)
     val qprobes = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
-        explode(slice(sort_array(cellStructs), 1, nprobe)).as("pc"))
-      .select($"query_id", $"pc.cell_id".as("p_cell"))
+        explode(probeCellsCol($"embedding", cents, nprobe)).as("p_cell"))
     val qtab = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
         call_function("pq_dtable", $"embedding", bc).as("dtab"))

@@ -177,8 +177,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_incremental: the signature index never shuffles — by construction, not AQE") {
+    // band keys and the verify side (pairs ⋈ batch sigs) are batch-
+    // bounded and broadcast EXPLICITLY, so the corpus signature index
+    // is only ever the streamed side of broadcast joins: the sole
+    // exchange is the scalar candidate-pair distinct, and no exchange
+    // carries signature arrays at any batch size or AQE setting
+    val shuffles = shuffleOutputs("dedup_minhash_incremental")
+    val offenders = shuffles.filter(_.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"signature arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+    assert(shuffles.length == 1,
+      s"expected exactly 1 shuffle (pair distinct), got ${shuffles.length}")
+  }
+
   test("dedup_semantic: cell assignment is map-side; no exchange carries embeddings") {
-    // literal centroids make assignment a scan-side projection; at
+    // the nearest_cells kernel makes assignment a scan-side
+    // projection (one expression, O(1) plan size in nlist); at
     // audit scale the cell self-join broadcasts, leaving only the
     // scalar victim aggregation in the exchange set
     val shuffles = shuffleOutputs("dedup_semantic")
@@ -189,9 +205,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
-    // the quantizer is literal centroids, so assignment adds ZERO
-    // exchanges; the sole shuffle in the plan is the scalar
-    // per-query ranking window over candidates
+    // the quantizer rides the nearest_cells kernel as a reference
+    // object, so assignment adds ZERO exchanges; the sole shuffle in
+    // the plan is the scalar per-query ranking window over candidates
     val shuffles = shuffleOutputs("sim_ivf_topk")
     assert(shuffles.length == 1,
       s"expected exactly 1 shuffle (top-k window), got ${shuffles.length}")

@@ -91,6 +91,54 @@ class SimilaritySpec extends SparkSpec {
       s"trained books quantize worse than the stand-in: ${mse(trained)} vs ${mse(standIn)}")
   }
 
+  test("trained k-means quantizer: balanced cells, recall not below the stand-in") {
+    import spark.implicits._
+    val trained = Similarity.kmeansCentroids(spark, SF, k = 16)
+    assert(trained.length == 16 && trained.map(_._1).toSeq == (0L until 16L),
+      "k-means must emit k ascending cell ids")
+    // cell balance via Σ cell² — the pair-cost functional SemDedup's
+    // cell self-join actually pays. The stand-in (first-16 vectors)
+    // leaves assignment to the data order; trained centroids must
+    // spread the corpus at least as evenly (5% tolerance: the test
+    // vectors are near-random, so both quantizers sit close to
+    // uniform and single-vector jitter is noise, not signal)
+    def sumSq(cents: Array[(Long, Array[Float])]): Long =
+      Tables.embeddings(spark, SF)
+        .select(Similarity.cellCol($"embedding", cents).as("cell_id"))
+        .groupBy($"cell_id").count()
+        .agg(sum($"count" * $"count")).head().getLong(0)
+    val standIn = Similarity.firstCentroids(spark, SF, 16)
+    val (sqTrained, sqStandIn) = (sumSq(trained), sumSq(standIn))
+    assert(sqTrained <= (sqStandIn * 1.05).toLong,
+      s"trained quantizer pair cost worse: Σcell² $sqTrained vs $sqStandIn")
+    // the k-means objective itself — mean cosine to the assigned
+    // centroid — must beat the stand-in (this is the deterministic
+    // win; per-query recall at a fixed tiny nprobe is boundary noise
+    // on near-random test vectors)
+    import org.apache.spark.sql.Column
+    def meanBestCos(cents: Array[(Long, Array[Float])]): Double = {
+      val best: Column = cents.map { case (_, c) =>
+        Similarity.cosineCol($"embedding", typedLit(c.toSeq))
+      }.reduce((a, b) => greatest(a, b))
+      Tables.embeddings(spark, SF).select(avg(best)).head().getDouble(0)
+    }
+    assert(meanBestCos(trained) > meanBestCos(standIn),
+      s"trained quantizer fits worse: ${meanBestCos(trained)} vs ${meanBestCos(standIn)}")
+    // recall vs brute force stays functional (within noise of the
+    // stand-in, and above the family floor)
+    val brute = Similarity.bruteforceTopK(spark, SF, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(c: Option[Array[(Long, Array[Float])]]): Double = {
+      val got = Similarity.ivfTopK(spark, SF, nQueries = 20, centroids = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val (rTrained, rStandIn) = (recall(Some(trained)), recall(None))
+    assert(rTrained >= rStandIn - 0.1,
+      f"trained recall $rTrained%.2f < stand-in $rStandIn%.2f - 0.1")
+    assert(rTrained >= 0.5, f"trained recall $rTrained%.2f below floor")
+  }
+
   test("brute force returns exactly k neighbors per query") {
     val counts = Similarity.bruteforceTopK(spark, SF, nQueries = 5, k = 5)
       .groupBy("query_id").count().collect().map(_.getLong(1))
