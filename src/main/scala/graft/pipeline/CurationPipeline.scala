@@ -35,16 +35,13 @@ object CurationPipeline {
       Seq(input, afterRules, afterQuantile, afterExact, afterSpans, sampled)
   }
 
-  /** Curate the documents table at `dir`. Returns the curated corpus
-    * (full document rows) and the per-stage survivor counts.
-    *
-    * @param maxDupPerMille span-stage cut: drop docs whose duplicated
-    *        gram instances exceed this per-mille of their grams
-    *        (integer cross-multiplied — no fp boundary)
-    * @param samplePerMille final deterministic downsample rate
+  /** The staged survivor chain, in order, as (stage name, frame) —
+    * `stages.last._2` is the curated corpus. Exposed so callers that
+    * need per-stage instrumentation (tools/CurationScale's wall-time
+    * runs) can action each stage themselves.
     */
-  def run(spark: SparkSession, dir: String, maxDupPerMille: Long = 300,
-      samplePerMille: Int = 800): (DataFrame, Report) = {
+  def stages(spark: SparkSession, dir: String, maxDupPerMille: Long = 300,
+      samplePerMille: Int = 800): Seq[(String, DataFrame)] = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
 
@@ -70,8 +67,23 @@ object CurationPipeline {
 
     val out = Sampling.hashSample(d4, $"doc_id", samplePerMille,
       salt = "curation")
-    val report = Report(docs.count(), d1.count(), d2.count(), d3.count(),
-      d4.count(), out.count())
-    (out, report)
+    Seq("input" -> docs, "rules" -> d1, "quantile" -> d2,
+      "exact" -> d3, "spans" -> d4, "sample" -> out)
+  }
+
+  /** Curate the documents table at `dir`. Returns the curated corpus
+    * (full document rows) and the per-stage survivor counts.
+    *
+    * @param maxDupPerMille span-stage cut: drop docs whose duplicated
+    *        gram instances exceed this per-mille of their grams
+    *        (integer cross-multiplied — no fp boundary)
+    * @param samplePerMille final deterministic downsample rate
+    */
+  def run(spark: SparkSession, dir: String, maxDupPerMille: Long = 300,
+      samplePerMille: Int = 800): (DataFrame, Report) = {
+    val st = stages(spark, dir, maxDupPerMille, samplePerMille)
+    val counts = st.map(_._2.count())
+    (st.last._2, Report(counts(0), counts(1), counts(2), counts(3),
+      counts(4), counts(5)))
   }
 }

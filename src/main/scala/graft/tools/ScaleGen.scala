@@ -77,9 +77,22 @@ object ScaleGen {
       "lineitem")
     write(shifted(spark, ord, k, Seq("o_orderkey"), Some(orderStep)),
       "orders")
-    // per-copy token suffix — kills cross-copy shingle identity
+    // per-copy token BIJECTION with stop words as fixed points: each
+    // copy suffixes every non-stop token with its copy index. This
+    // kills cross-copy shingle/gram identity (every shingle holds a
+    // non-stop token except all-stop runs, which are rare and
+    // bounded) while preserving, exactly, everything the content-
+    // sensitive operators read: stop-word hits and token counts
+    // (Gopher rules, quantile cuts) and within-copy duplicate
+    // structure (gram (t1..t5) maps to (f(t1)..f(t5)), so exact/span
+    // dedup see the same within-copy workload the base SF had). The
+    // round-6 every-token suffix broke stop-word matching and zeroed
+    // the rule filter on scaled data — a different corpus, not a
+    // bigger one.
+    val stopAlt = graft.operators.Curation.stopWords.mkString("|")
     write(shifted(spark, Tables.documents(spark, inDir), k, Seq("doc_id"))
-      .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+      .withColumn("text", regexp_replace(col("text"),
+        lit("(?<=^|\\s)(?!(?:" + stopAlt + ")(?=\\s|$))(\\S+)"),
         concat(lit("$1q"), col("_copy")))), "documents")
     write(shifted(spark, Tables.embeddings(spark, inDir), k, Seq("vec_id")),
       "embeddings")
