@@ -65,8 +65,15 @@ class NetflixEtlSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byName.get("David").contains("male"))
     assert(byName.get("Maria").contains("female"))
+    // hit-rate floor on the reference's own cast/director names: the
+    // round-7 extended dictionary classifies ~42% of the 36,924
+    // distinct personnel (19% before). `unknown` undercounts hits
+    // (andy-category names resolve to unknown BY DESIGN), so this is
+    // a conservative floor against dictionary regressions.
+    val total = star.personnel.count()
     val matched = star.personnel.filter($"gender" =!= "unknown").count()
-    assert(matched > 1000, s"only $matched personnel matched the dictionary")
+    assert(matched.toDouble / total >= 0.38,
+      s"dictionary hit rate ${matched}/$total below the 38% floor")
   }
 
   test("dictionary category mapping collapses exactly like task.py:43-51") {
