@@ -82,6 +82,7 @@ object SparkEntry {
     "overlap_sources" -> Spans.sourceOverlap _,
     "text_quantile_cut" -> Curation.quantileCut _,
     "text_quantile_cut_lang" -> Curation.quantileCutByLang _,
+    "lake_zorder_read" -> ((s, d) => Lake.zorderRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -161,5 +162,8 @@ object SparkEntry {
     "overlap_sources" -> Spans.sourceOverlapSql,
     "text_quantile_cut" -> Curation.quantileCutSql,
     "text_quantile_cut_lang" -> Curation.quantileCutByLangSql,
+    // layout-independent result: the clustered write + zone-map
+    // skipping read must return exactly what a plain filter does
+    "lake_zorder_read" -> Lake.zorderReadSql(),
   )
 }
