@@ -69,11 +69,16 @@ object CellAssign {
       * and n is 1 (assignment) or nprobe (queries), never nlist.
       */
     def nearest(e: ArrayData): ArrayData = {
-      val dim = e.numElements()
+      // one primitive copy up front: the nlist×dim hot loop then runs
+      // over float[] (JIT-vectorizable) instead of nlist×dim virtual
+      // ArrayData.getFloat calls — same elements, same op order, so
+      // the doubles are unchanged
+      val ev = e.toFloatArray()
+      val dim = ev.length
       var na = 0.0
       var i = 0
       while (i < dim) {
-        val v = e.getFloat(i).toDouble
+        val v = ev(i).toDouble
         na += v * v
         i += 1
       }
@@ -82,20 +87,10 @@ object CellAssign {
       val topCos = new Array[Double](k)
       val topPos = new Array[Int](k)
       var filled = 0
-      var ci = 0
-      while (ci < cents.length) {
-        val c = cents(ci)
-        if (c.length != dim)
-          throw VectorBinaryExpression.lengthMismatch("nearest_cells", dim, c.length)
-        var dot = 0.0
-        var j = 0
-        while (j < dim) {
-          dot += e.getFloat(j).toDouble * c(j).toDouble
-          j += 1
-        }
-        val denom = sna * math.sqrt(c2(ci))
-        val cos = if (denom == 0.0) 0.0 else dot / denom
-        // strict > : ties keep the earlier (lower-id) centroid
+
+      // strict > : ties keep the earlier (lower-id) centroid.
+      // Candidates MUST arrive in ascending ci for that to hold.
+      def offer(cos: Double, ci: Int): Unit = {
         var idx = 0
         while (idx < filled && cos <= topCos(idx)) idx += 1
         if (idx < k) {
@@ -108,6 +103,52 @@ object CellAssign {
           topPos(idx) = ci
           if (filled < k) filled += 1
         }
+      }
+
+      @inline def cosOf(dot: Double, ci: Int): Double = {
+        val denom = sna * math.sqrt(c2(ci))
+        if (denom == 0.0) 0.0 else dot / denom
+      }
+
+      // 4 centroids per pass: four INDEPENDENT accumulator chains —
+      // each dot is still its own sequential ascending-j fold, so
+      // every per-centroid double is bit-identical to the scalar
+      // loop; the unroll only buys instruction-level parallelism the
+      // strict-order chain otherwise forbids
+      var ci = 0
+      while (ci + 4 <= cents.length) {
+        val c0 = cents(ci); val c1 = cents(ci + 1)
+        val c2v = cents(ci + 2); val c3 = cents(ci + 3)
+        if (c0.length != dim || c1.length != dim ||
+            c2v.length != dim || c3.length != dim)
+          throw VectorBinaryExpression.lengthMismatch("nearest_cells", dim, c0.length)
+        var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+        var j = 0
+        while (j < dim) {
+          val v = ev(j).toDouble
+          d0 += v * c0(j).toDouble
+          d1 += v * c1(j).toDouble
+          d2 += v * c2v(j).toDouble
+          d3 += v * c3(j).toDouble
+          j += 1
+        }
+        offer(cosOf(d0, ci), ci)
+        offer(cosOf(d1, ci + 1), ci + 1)
+        offer(cosOf(d2, ci + 2), ci + 2)
+        offer(cosOf(d3, ci + 3), ci + 3)
+        ci += 4
+      }
+      while (ci < cents.length) {
+        val c = cents(ci)
+        if (c.length != dim)
+          throw VectorBinaryExpression.lengthMismatch("nearest_cells", dim, c.length)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) {
+          dot += ev(j).toDouble * c(j).toDouble
+          j += 1
+        }
+        offer(cosOf(dot, ci), ci)
         ci += 1
       }
       val out = new Array[Long](filled)
