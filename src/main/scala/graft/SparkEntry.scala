@@ -71,6 +71,7 @@ object SparkEntry {
     "sample_stratified_docs" -> Sampling.sampleStratified _,
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "decontaminate" -> ((s, d) => Decontaminate.contaminated(s, d)),
+    "decontaminate_clean" -> ((s, d) => Decontaminate.cleaned(s, d)),
     "text_pii" -> Pii.piiRedact _,
     "text_gopher_filter" -> Curation.gopherFilter _,
     "text_vocabulary" -> ((s, d) => Search.vocabulary(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
     "pack_sequences" -> Packing.packSequencesSql,
     "decontaminate" -> Decontaminate.contaminatedSql(),
+    "decontaminate_clean" -> Decontaminate.cleanedSql(),
     "text_pii" -> Pii.piiRedactSql,
     "text_gopher_filter" -> Curation.gopherFilterSql,
     "text_vocabulary" -> Search.vocabularySql(),

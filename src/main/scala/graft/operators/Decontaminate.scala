@@ -74,6 +74,74 @@ object Decontaminate {
         round($"n_hits".cast("double") / $"n_grams", 4).as("contam_frac"))
   }
 
+  /** The curation DECISION on top of [[contaminated]]'s report: the
+    * training split with dirty documents removed. A document is dirty
+    * when contaminated distinct shingles reach `thetaPerMille` of its
+    * distinct shingles (integer cross-multiplied — no fp boundary; a
+    * whole-document drop at a fraction threshold is the GPT-3 appx-C
+    * / Llama-style policy, with θ=0‰ degenerating to the any-overlap
+    * drop). Documents sharing nothing with the eval split never enter
+    * the hit join and pass through the anti-join untouched — including
+    * sub-shingle-length docs that have no postings at all.
+    *
+    * Same scale posture as the report: eval grams broadcast, the
+    * corpus never shuffles for membership, and the anti-join's right
+    * side is the dirty-id set (hits-sized, broadcast), so the clean
+    * corpus comes off the scan in one pass.
+    */
+  def cleaned(spark: SparkSession, dir: String, evalPerMille: Int = 50,
+      thetaPerMille: Long = 100): DataFrame = {
+    import spark.implicits._
+    val post = Dedup.shinglePostings(spark, dir)
+      .withColumn("b", Sampling.bucket($"doc_id", "eval"))
+    val evalGrams = post.filter($"b" < evalPerMille)
+      .select(xxhash64($"shingle").as("g")).distinct()
+    val train = post.filter($"b" >= evalPerMille)
+      .select($"doc_id", $"n", xxhash64($"shingle").as("g"))
+    // same hit aggregation as [[contaminated]] but keeping the raw
+    // (n_hits, n_grams) pair: the dirty test is integer
+    // cross-multiplied, not a comparison on the rounded fraction
+    val dirty = train.join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), min($"n").as("n_grams"))
+      .filter($"n_hits" * 1000L >= $"n_grams" * thetaPerMille)
+      .select($"doc_id")
+    graft.Tables.documents(spark, dir)
+      .filter(Sampling.bucket($"doc_id", "eval") >= evalPerMille)
+      .join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source")
+  }
+
+  /** n_hits is count(*) over the per-doc hit join and n_grams rides
+    * min(n) exactly as the report's SQL does, so the dirty set — and
+    * therefore the kept set — matches the Spark side row-for-row.
+    */
+  def cleanedSql(evalPerMille: Int = 50, thetaPerMille: Long = 100): String = {
+    val bucket = Sampling.bucketSql("doc_id", "eval")
+    val bucketD = Sampling.bucketSql("d.doc_id", "eval")
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                             x -> trim(x)), x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, len(t) - 1)]) AS s
+          FROM toks WHERE len(t) >= 3),
+        ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+               WHERE $bucket < $evalPerMille),
+        tr AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+               WHERE $bucket >= $evalPerMille),
+        dirty AS (
+          SELECT doc_id FROM tr JOIN ev USING (g)
+          GROUP BY doc_id
+          HAVING count(*) * 1000 >= min(n) * $thetaPerMille)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE $bucketD >= $evalPerMille
+          AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"""
+  }
+
   /** Oracle: same split (md5 bucket), same distinct-3-shingle build,
     * joined on the gram STRING (the Spark side joins on xxhash64 of
     * it — identical output barring a 2^-64-per-pair hash collision,

@@ -19,6 +19,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("cleaned(θ) partitions the training split: kept ⊎ dirty, θ=0 drops every overlap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val train = Tables.documents(spark, SF)
+      .filter(graft.operators.Sampling.bucket($"doc_id", "eval") >= 50)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val overlapping = Decontaminate.contaminated(spark, SF)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // θ=0: any overlap is dirty — kept must be exactly train \ overlapping
+    val kept0 = Decontaminate.cleaned(spark, SF, thetaPerMille = 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0 == train -- overlapping)
+    // the gate θ=100‰ keeps a superset of θ=0 and stays inside train
+    val kept100 = Decontaminate.cleaned(spark, SF)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0.subsetOf(kept100) && kept100.subsetOf(train))
+    // only sub-threshold-fraction docs were re-admitted (contam_frac
+    // is the rounded report column — allow its half-ulp at 4 decimals)
+    val readmitted = kept100 -- kept0
+    val fracs = Decontaminate.contaminated(spark, SF)
+      .filter($"doc_id".isin(readmitted.toSeq: _*))
+      .select($"contam_frac").collect().map(_.getDouble(0))
+    assert(fracs.forall(_ < 0.1 + 5e-5),
+      "a re-admitted doc meets the dirty threshold")
+  }
+
   test("bloom probe is a pre-join scan filter, not a shuffle") {
     val plan = Decontaminate.contaminatedViaBloom(spark, SF)
       .queryExecution.executedPlan.toString

@@ -127,6 +127,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (1L, 11L)), s"got $pairs")
   }
 
+  test("curation stages are stream-safe: gopher rules + PII redaction, batch ≡ stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the rule battery and the redactor are stateless column
+    // expressions (zero shuffle — PlanAuditSpec pins that), so the
+    // SAME operator code must run unchanged on a stream in append
+    // mode with no watermark: filter-at-ingest is how a production
+    // crawl applies these before anything hits the lake
+    val rows = Tables.documents(spark, SF)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Curation.gopherFilterOf(spark, streamDf)
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val batch = graft.operators.Curation.gopherFilterOf(spark,
+      Tables.documents(spark, SF).select($"doc_id", $"text"))
+    assert(key(spark.table("curation_stream")) == key(batch))
+
+    val pmem = MemoryStream[(Long, String)]
+    pmem.addData(rows)
+    val pcols = graft.operators.Pii.redactCols($"text")
+    val pq = pmem.toDF().toDF("doc_id", "text")
+      .select($"doc_id" +: pcols: _*)
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(OutputMode.Append).start()
+    try pq.processAllAvailable() finally pq.stop()
+    val pbatch = Tables.documents(spark, SF)
+      .select($"doc_id" +: pcols: _*)
+    assert(key(spark.table("pii_stream")) == key(pbatch))
+  }
+
   test("streaming dedup drops within-watermark replays, keeps first occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
