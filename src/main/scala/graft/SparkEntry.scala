@@ -84,6 +84,7 @@ object SparkEntry {
     "text_quantile_cut" -> Curation.quantileCut _,
     "text_quantile_cut_lang" -> Curation.quantileCutByLang _,
     "lake_zorder_read" -> ((s, d) => Lake.zorderRead(s, d)),
+    "lake_time_travel" -> ((s, d) => Lake.timeTravelRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -167,5 +168,8 @@ object SparkEntry {
     // layout-independent result: the clustered write + zone-map
     // skipping read must return exactly what a plain filter does
     "lake_zorder_read" -> Lake.zorderReadSql(),
+    // a version snapshot is definitionally the filter that built it;
+    // the gate pins that later appends don't leak into old versions
+    "lake_time_travel" -> Lake.timeTravelReadSql(),
   )
 }

@@ -38,4 +38,28 @@ object Lake {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id BETWEEN $idLo AND $idHi
           AND n_chars BETWEEN $chLo AND $chHi"""
+
+  /** Gate-shaped time travel: commit the short-document slice as v1,
+    * append the rest (v2 = the whole table), then read v1 back
+    * through the manifest. The v1 snapshot is definitionally the
+    * filter that built it, so a plain DuckDB filter hash-gates the
+    * versioned write → commit → readVersion path — including that
+    * the append did NOT leak v2 rows into the v1 snapshot.
+    */
+  def timeTravelRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val t = new ManifestTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_lake_tt").toString
+        + "/documents")
+    val v1 = t.write(docs.filter($"n_chars" <= cut))
+    t.append(docs.filter($"n_chars" > cut))
+    t.readVersion(v1).select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def timeTravelReadSql(cut: Long = 300): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars <= $cut"""
 }
