@@ -77,6 +77,7 @@ object SparkEntry {
     "text_vocabulary" -> ((s, d) => Search.vocabulary(s, d)),
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
+    "sample_token_budget" -> ((s, d) => Sampling.sampleTokenBudget(s, d)),
     "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
     "dedup_spans" -> Spans.spanDedup _,
@@ -159,6 +160,7 @@ object SparkEntry {
     "text_vocabulary" -> Search.vocabularySql(),
     "search_bm25" -> Search.bm25TopKSql(),
     "sample_mixture" -> Sampling.sampleMixtureSql(),
+    "sample_token_budget" -> Sampling.sampleTokenBudgetSql(),
     "dedup_semantic" -> SemDedup.semanticDedupSql(),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
     "dedup_spans" -> Spans.spanDedupSql,

@@ -115,6 +115,64 @@ object Sampling {
         coalesce($"kept", lit(0L)).as("n_kept"))
   }
 
+  /** Per-source token-budget cap — "take at most `budgetTokens`
+    * tokens from each source", the other half of training-mix
+    * construction (mixture sampling fixes RATES; a budget cap fixes
+    * TOTALS, e.g. "CommonCrawl contributes at most X tokens").
+    * Documents are admitted in deterministic md5-bucket order (the
+    * same portable hash as [[hashSample]], doc_id tie-break), so the
+    * admitted set is reproducible across engines/runs and monotone in
+    * the budget: a bigger budget admits a superset. The running total
+    * is monotone, so the kept set is a contiguous prefix of each
+    * source's hash order — a doc is kept while the cumulative token
+    * count INCLUDING it stays within budget.
+    *
+    * Shape at 100 TB: the window moves (doc_id, source, n_tokens)
+    * scalars only — text never shuffles. Ordered admission is
+    * inherently per-source-sequential, so a pathologically hot source
+    * serializes its own partition; when that bites, cap approximately
+    * instead: estimate tokens/doc from a sample and reuse the
+    * zero-shuffle rate machinery of [[sampleMixture]].
+    */
+  def capTokensPerSource(df: DataFrame, budgetTokens: Long,
+      salt: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import df.sparkSession.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(bucket($"doc_id", salt), $"doc_id")
+    df.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budgetTokens)
+  }
+
+  /** Gate: each source capped at 800 tokens (the test corpus carries
+    * ~1.1-1.6k tokens per source, so the cap genuinely cuts).
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String,
+      budgetTokens: Long = 800): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens"))
+    capTokensPerSource(docs, budgetTokens)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+  }
+
+  def sampleTokenBudgetSql(budgetTokens: Long = 800): String =
+    s"""WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(list_transform(
+                        string_split(trim(text), ' '), x -> trim(x)),
+                        x -> length(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        cum AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY ${bucketSql("doc_id", "cap")}, doc_id)
+                   AS BIGINT) AS cum_tokens
+          FROM toks)
+        SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+        WHERE cum_tokens <= $budgetTokens"""
+
   def sampleMixtureSql(targetPerMille: Int = 200): String =
     s"""WITH c AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -70,6 +70,38 @@ class SamplingSpec extends SparkSpec {
     assert(kept.toLong == rows.map(_._4).sum)
   }
 
+  test("token-budget cap: within budget, prefix-contiguous, monotone in budget, no text shuffled") {
+    import spark.implicits._
+    def kept(b: Long) = Sampling.sampleTokenBudget(spark, SF, budgetTokens = b)
+    val rows = kept(800).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every source's admitted total respects the budget, and cum is
+    // consistent: per source, max(cum) == sum(n_tokens)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val maxCum = rs.map(_._4).max
+      assert(maxCum <= 800, s"$src exceeded budget: $maxCum")
+      assert(maxCum == rs.map(_._3).sum, s"$src cum inconsistent")
+    }
+    // the cap genuinely cut something on this corpus
+    val total = Tables.documents(spark, SF).count()
+    assert(rows.length < total, "budget did not bind — vacuous gate")
+    // monotone: a bigger budget admits a superset
+    val ids800 = rows.map(_._1).toSet
+    val ids1200 = kept(1200).collect().map(_.getLong(0)).toSet
+    assert(ids800.subsetOf(ids1200))
+    // the window shuffle moves scalars only, never document text
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = kept(800).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.output }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach(out => assert(!out.exists(_.name == "text"),
+        s"document text in the budget-cap exchange: ${out.map(_.name)}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sampling stays a zero-shuffle scan filter") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
