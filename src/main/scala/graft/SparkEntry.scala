@@ -74,6 +74,7 @@ object SparkEntry {
     "decontaminate_clean" -> ((s, d) => Decontaminate.cleaned(s, d)),
     "text_pii" -> Pii.piiRedact _,
     "text_gopher_filter" -> Curation.gopherFilter _,
+    "text_quality_model" -> QualityModel.scoreDocuments _,
     "text_vocabulary" -> ((s, d) => Search.vocabulary(s, d)),
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
@@ -157,6 +158,7 @@ object SparkEntry {
     "decontaminate_clean" -> Decontaminate.cleanedSql(),
     "text_pii" -> Pii.piiRedactSql,
     "text_gopher_filter" -> Curation.gopherFilterSql,
+    "text_quality_model" -> QualityModel.scoreDocumentsSql,
     "text_vocabulary" -> Search.vocabularySql(),
     "search_bm25" -> Search.bm25TopKSql(),
     "sample_mixture" -> Sampling.sampleMixtureSql(),
