@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Sampling, Spans}
+import graft.operators.{Curation, Dedup, QualityModel, Sampling, Spans}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * smaller corpus):
   *
   *  1. Gopher rule battery        (zero-shuffle scan filter)
-  *  2. per-language quantile band (histogram ranks, broadcast back)
-  *  3. exact dedup, keep-first    (16-byte md5 keys shuffle)
-  *  4. span-duplication cut       (gram-key window + per-doc agg)
-  *  5. deterministic hash sample  (zero-shuffle md5 bucket)
+  *  2. model-based quality filter (hashed-BoW linear scorer,
+  *                                 one doc-keyed partial-agg sum)
+  *  3. per-language quantile band (histogram ranks, broadcast back)
+  *  4. exact dedup, keep-first    (16-byte md5 keys shuffle)
+  *  5. span-duplication cut       (gram-key window + per-doc agg)
+  *  6. per-source token budget    (scalars-only source window)
+  *  7. deterministic hash sample  (zero-shuffle md5 bucket)
   *
   * Stage outputs are survivor ID sets; the corpus flows through
   * LEFT SEMI joins on doc_id, so document text crosses the wire
@@ -29,10 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  case class Report(input: Long, afterRules: Long, afterQuantile: Long,
-      afterExact: Long, afterSpans: Long, sampled: Long) {
+  case class Report(input: Long, afterRules: Long, afterModel: Long,
+      afterQuantile: Long, afterExact: Long, afterSpans: Long,
+      afterBudget: Long, sampled: Long) {
     def stages: Seq[Long] =
-      Seq(input, afterRules, afterQuantile, afterExact, afterSpans, sampled)
+      Seq(input, afterRules, afterModel, afterQuantile, afterExact,
+        afterSpans, afterBudget, sampled)
   }
 
   /** The staged survivor chain, in order, as (stage name, frame) —
@@ -41,7 +46,8 @@ object CurationPipeline {
     * runs) can action each stage themselves.
     */
   def stages(spark: SparkSession, dir: String, maxDupPerMille: Long = 300,
-      samplePerMille: Int = 800): Seq[(String, DataFrame)] = {
+      samplePerMille: Int = 800,
+      budgetTokens: Long = 600): Seq[(String, DataFrame)] = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
 
@@ -49,26 +55,37 @@ object CurationPipeline {
       .filter($"keep" === 1L).select($"doc_id")
     val d1 = docs.join(rulesOk, Seq("doc_id"), "left_semi")
 
+    val modelOk = QualityModel.score(d1.select($"doc_id", $"text"))
+      .filter($"keep" === 1L).select($"doc_id")
+    val d2 = d1.join(modelOk, Seq("doc_id"), "left_semi")
+
     val quantOk = Curation.quantileCutByOf(
-      d1.select($"doc_id", $"lang",
+      d2.select($"doc_id", $"lang",
         size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
       "lang", "n_tokens", loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
       .select($"doc_id")
-    val d2 = d1.join(quantOk, Seq("doc_id"), "left_semi")
+    val d3 = d2.join(quantOk, Seq("doc_id"), "left_semi")
 
-    val exactOk = Dedup.exactByHash(d2, $"text", $"doc_id")
+    val exactOk = Dedup.exactByHash(d3, $"text", $"doc_id")
       .select($"keep_id".as("doc_id"))
-    val d3 = d2.join(exactOk, Seq("doc_id"), "left_semi")
+    val d4 = d3.join(exactOk, Seq("doc_id"), "left_semi")
 
-    val spanOk = Spans.spanDedupOf(d3.select($"doc_id", $"source", $"text"))
+    val spanOk = Spans.spanDedupOf(d4.select($"doc_id", $"source", $"text"))
       .filter($"dup_instances" * 1000L <= $"n_grams" * maxDupPerMille)
       .select($"doc_id")
-    val d4 = d3.join(spanOk, Seq("doc_id"), "left_semi")
+    val d5 = d4.join(spanOk, Seq("doc_id"), "left_semi")
 
-    val out = Sampling.hashSample(d4, $"doc_id", samplePerMille,
+    val budgetOk = Sampling.capTokensPerSource(
+      d5.select($"doc_id", $"source",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
+      budgetTokens, salt = "curation-cap")
+      .select($"doc_id")
+    val d6 = d5.join(budgetOk, Seq("doc_id"), "left_semi")
+
+    val out = Sampling.hashSample(d6, $"doc_id", samplePerMille,
       salt = "curation")
-    Seq("input" -> docs, "rules" -> d1, "quantile" -> d2,
-      "exact" -> d3, "spans" -> d4, "sample" -> out)
+    Seq("input" -> docs, "rules" -> d1, "model" -> d2, "quantile" -> d3,
+      "exact" -> d4, "spans" -> d5, "budget" -> d6, "sample" -> out)
   }
 
   /** Curate the documents table at `dir`. Returns the curated corpus
@@ -80,10 +97,11 @@ object CurationPipeline {
     * @param samplePerMille final deterministic downsample rate
     */
   def run(spark: SparkSession, dir: String, maxDupPerMille: Long = 300,
-      samplePerMille: Int = 800): (DataFrame, Report) = {
-    val st = stages(spark, dir, maxDupPerMille, samplePerMille)
+      samplePerMille: Int = 800,
+      budgetTokens: Long = 600): (DataFrame, Report) = {
+    val st = stages(spark, dir, maxDupPerMille, samplePerMille, budgetTokens)
     val counts = st.map(_._2.count())
     (st.last._2, Report(counts(0), counts(1), counts(2), counts(3),
-      counts(4), counts(5)))
+      counts(4), counts(5), counts(6), counts(7)))
   }
 }

@@ -31,6 +31,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(texts.length == texts.distinct.length)
   }
 
+  test("output satisfies the model stage: every survivor scores non-negative") {
+    import spark.implicits._
+    val dropped = graft.operators.QualityModel.scoreDocuments(spark, SF)
+      .filter($"keep" === 0L).collect().map(_.getLong(0)).toSet
+    assert(outRows.forall(r => !dropped.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("output satisfies the budget stage: every source's total tokens within budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the sample stage only subsets the budget-admitted prefix, so
+    // per-source totals of the OUTPUT must still respect the cap
+    val ids = outRows.map(_.getAs[Long]("doc_id")).toSet
+    val totals = Tables.documents(spark, SF)
+      .filter($"doc_id".isin(ids.toSeq: _*))
+      .select($"source",
+        size(graft.operators.Dedup.tokensCol($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(totals.nonEmpty)
+    totals.foreach { case (src, tok) =>
+      assert(tok <= 600, s"$src exceeds the 600-token budget: $tok")
+    }
+  }
+
   test("output ids all fall in the sample buckets, and the run is deterministic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
