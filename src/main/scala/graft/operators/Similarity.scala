@@ -351,7 +351,10 @@ object Similarity {
       val n = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
       if (n == 0.0) c else c.map(_ / n)
     }
-    var cents: Array[Array[Double]] = sample.distinct.take(k)
+    // distinctBy(.toSeq): Array equality is referential, so a plain
+    // .distinct would be a no-op and duplicate sample vectors could
+    // seed duplicate centroids
+    var cents: Array[Array[Double]] = sample.distinctBy(_.toSeq).take(k)
     for (_ <- 0 until iters) {
       val assign = sample.map { p =>
         var bestC = 0; var best = Double.NegativeInfinity
@@ -531,8 +534,8 @@ object Similarity {
     * query compares against (nprobe of nlist cells), PQ codes bound
     * WHAT each comparison costs (8 table lookups, no floats), and the
     * exact re-rank restores precision on the shortlist. Cell id and
-    * codes come out of one scan projection (staged centroid cosines +
-    * the pq_encode kernel); the probe table is broadcast, so the
+    * codes come out of one scan projection (the nearest_cells +
+    * pq_encode kernels); the probe table is broadcast, so the
     * corpus never shuffles — the two exchanges are the scalar
     * shortlist and re-rank windows, same as [[pqTopK]].
     */
@@ -620,7 +623,7 @@ object Similarity {
       }
     Array.tabulate(m) { mi =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-      var cents = pts.distinct.take(codes)
+      var cents = pts.distinctBy(_.toSeq).take(codes)
       for (_ <- 0 until iters) {
         val assign = pts.map { p =>
           cents.zipWithIndex.minBy { case (c, _) =>
