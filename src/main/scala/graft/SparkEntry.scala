@@ -70,6 +70,7 @@ object SparkEntry {
     "sample_hash_docs" -> Sampling.sampleDocs _,
     "sample_stratified_docs" -> Sampling.sampleStratified _,
     "pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
+    "text_chunks" -> ((s, d) => Chunking.chunkGate(s, d)),
     "decontaminate" -> ((s, d) => Decontaminate.contaminated(s, d)),
     "decontaminate_clean" -> ((s, d) => Decontaminate.cleaned(s, d)),
     "text_pii" -> Pii.piiRedact _,
@@ -154,6 +155,7 @@ object SparkEntry {
     "sample_hash_docs" -> Sampling.sampleDocsSql,
     "sample_stratified_docs" -> Sampling.sampleStratifiedSql,
     "pack_sequences" -> Packing.packSequencesSql,
+    "text_chunks" -> Chunking.chunkGateSql(),
     "decontaminate" -> Decontaminate.contaminatedSql(),
     "decontaminate_clean" -> Decontaminate.cleanedSql(),
     "text_pii" -> Pii.piiRedactSql,
