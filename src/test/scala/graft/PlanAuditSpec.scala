@@ -131,8 +131,8 @@ class PlanAuditSpec extends SparkSpec {
       s"array columns in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
-  test("text_pii and text_gopher_filter run shuffle-free at scan speed") {
-    Seq("text_pii", "text_gopher_filter").foreach { q =>
+  test("text_pii, text_gopher_filter and text_chunks run shuffle-free at scan speed") {
+    Seq("text_pii", "text_gopher_filter", "text_chunks").foreach { q =>
       assert(shuffleOutputs(q).isEmpty, s"$q must not introduce an exchange")
     }
   }
