@@ -88,6 +88,8 @@ object SparkEntry {
     "text_quantile_cut_lang" -> Curation.quantileCutByLang _,
     "lake_zorder_read" -> ((s, d) => Lake.zorderRead(s, d)),
     "lake_time_travel" -> ((s, d) => Lake.timeTravelRead(s, d)),
+    "source_jsonl" -> ((s, d) => Interchange.jsonlRead(s, d)),
+    "source_orc" -> ((s, d) => Interchange.orcRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -177,5 +179,9 @@ object SparkEntry {
     // a version snapshot is definitionally the filter that built it;
     // the gate pins that later appends don't leak into old versions
     "lake_time_travel" -> Lake.timeTravelReadSql(),
+    // format round trips: the result is format-independent, so a
+    // plain filter oracle gates write -> schema'd read -> filter
+    "source_jsonl" -> Interchange.jsonlReadSql(),
+    "source_orc" -> Interchange.orcReadSql(),
   )
 }

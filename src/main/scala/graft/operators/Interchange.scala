@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.Readers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate-shaped interchange-format round trips: land the documents
+  * table in a foreign ingest/lake format (JSONL, ORC), read it back
+  * through the schema'd [[Readers]], and answer a filtered query.
+  * The result is format-independent — exactly what a plain filter
+  * over the source parquet returns — so a DuckDB filter oracle
+  * hash-gates the whole write → schema'd read → filter path for each
+  * format (field typing, null handling, predicate behavior).
+  * Reader-feature depth (corrupt-record quarantine, pushdown) is
+  * InterchangeSpec's job.
+  */
+object Interchange {
+
+  def jsonlRead(spark: SparkSession, dir: String,
+      minChars: Long = 200): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    docs.write.mode("overwrite").json(s"$tmp/documents")
+    Readers.jsonl(spark, s"$tmp/documents", docs.schema)
+      .filter($"n_chars" >= minChars)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def jsonlReadSql(minChars: Long = 200): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars >= $minChars"""
+
+  def orcRead(spark: SparkSession, dir: String,
+      idLo: Long = 50, idHi: Long = 449): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(s"$tmp/documents")
+    Readers.orc(spark, s"$tmp/documents")
+      .filter($"doc_id".between(idLo, idHi))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def orcReadSql(idLo: Long = 50, idHi: Long = 449): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id BETWEEN $idLo AND $idHi"""
+}

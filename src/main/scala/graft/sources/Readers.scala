@@ -39,4 +39,28 @@ object Readers {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines with a caller-supplied schema — the crawl-dump ingest
+    * format. Schema'd for the same reason as [[csv]] (inference is a
+    * second full scan at 100 TB), PERMISSIVE so malformed lines land
+    * in `_corrupt_record` (declare it in the schema to capture them)
+    * instead of killing a 10⁵-file ingest. Line-delimited JSON splits
+    * by newline, so intra-file parallelism survives — but a JSON scan
+    * parses whole lines regardless of projection; the posture is
+    * convert-to-parquet at the lake boundary, this reader only owns
+    * the ingest hop.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** ORC — the other columnar lake format warehouses hand over.
+    * Column pruning and predicate pushdown work like parquet's (the
+    * gate's explain shows the pruned ReadSchema), so reading a
+    * foreign ORC lake does not force an immediate rewrite.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
