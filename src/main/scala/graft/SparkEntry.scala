@@ -90,6 +90,8 @@ object SparkEntry {
     "lake_time_travel" -> ((s, d) => Lake.timeTravelRead(s, d)),
     "source_jsonl" -> ((s, d) => Interchange.jsonlRead(s, d)),
     "source_orc" -> ((s, d) => Interchange.orcRead(s, d)),
+    "lake_delete" -> ((s, d) => Lake.deleteRead(s, d)),
+    "lake_incremental" -> ((s, d) => Lake.incrementalRead(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables,
@@ -183,5 +185,9 @@ object SparkEntry {
     // plain filter oracle gates write -> schema'd read -> filter
     "source_jsonl" -> Interchange.jsonlReadSql(),
     "source_orc" -> Interchange.orcReadSql(),
+    // copy-on-write delete and append-chain incremental read are
+    // layout-independent: complement / band filters gate them
+    "lake_delete" -> Lake.deleteReadSql(),
+    "lake_incremental" -> Lake.incrementalReadSql,
   )
 }

@@ -62,4 +62,61 @@ object Lake {
   def timeTravelReadSql(cut: Long = 300): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars <= $cut"""
+
+  /** The 4-batch append chain both remaining gates build on:
+    * n_chars bands (≤150, 151–300, 301–450, >450) appended as
+    * separate stat-tracked segments, so box predicates can prune /
+    * carry whole segments. Returns (table, version after batch 1).
+    */
+  private def bandedTable(spark: SparkSession, dir: String,
+      prefix: String): (ManifestTable, Long) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val t = new ManifestTable(spark,
+      java.nio.file.Files.createTempDirectory(prefix).toString + "/documents")
+    val bands = Seq((Long.MinValue, 150L), (150L, 300L), (300L, 450L),
+      (450L, Long.MaxValue))
+    var v1 = 0L
+    bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val v = t.append(docs.filter($"n_chars" > lo && $"n_chars" <= hi),
+        statCols = Seq("n_chars"))
+      if (i == 0) v1 = v
+    }
+    (t, v1)
+  }
+
+  /** Gate-shaped copy-on-write delete: append the four n_chars bands
+    * as stat-tracked segments, box-delete [200, 400], read the new
+    * version. The surviving rows are definitionally the complement
+    * filter, so a plain oracle hash-gates stage → stats → write-side
+    * pruning → rewrite → commit — including that carried-over
+    * segments (bands 1 and 4, which the stats rule out) lost nothing.
+    */
+  def deleteRead(spark: SparkSession, dir: String,
+      lo: Long = 200, hi: Long = 400): DataFrame = {
+    import spark.implicits._
+    val (t, _) = bandedTable(spark, dir, "graft_lake_del")
+    t.deleteWhere(Seq(("n_chars", lo.toDouble, hi.toDouble)))
+    t.read().select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def deleteReadSql(lo: Long = 200, hi: Long = 400): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars NOT BETWEEN $lo AND $hi"""
+
+  /** Gate-shaped incremental consumption: same banded append chain,
+    * then readSince(version of batch 1) — exactly the rows batches
+    * 2–4 appended, i.e. everything above the first band's 150-char
+    * cut (the boundary [[bandedTable]] fixes).
+    */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (t, v1) = bandedTable(spark, dir, "graft_lake_inc")
+    t.readSince(v1).select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val incrementalReadSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE n_chars > 150"""
 }

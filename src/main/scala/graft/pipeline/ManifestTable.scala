@@ -369,6 +369,80 @@ class ManifestTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Copy-on-write box delete: remove every row where ALL predicates
+    * hold (the [[readWhereAll]] box shape), committed as a NEW
+    * version. Segments whose committed stats rule the box out carry
+    * over UNTOUCHED — zero IO, the zone-map pruning inverted into
+    * write-side pruning — and only overlapping segments are re-staged
+    * with their survivors. At 100 TB this is the difference between a
+    * GDPR-range delete costing O(affected segments) and O(table).
+    * Old versions retain the rows (time travel doubles as the
+    * retention window); [[vacuum]] is the actual erasure step.
+    * Returns the committed version — the live one, with no new
+    * commit, when no segment can contain a match. A predicate column
+    * with no stats on a segment forces that segment through the
+    * rewrite (skipping may never filter). Caveat: deleting every row
+    * of every segment leaves an empty table, which — like the
+    * empty-manifest case — needs a schema to read and is out of this
+    * simplified manifest's scope.
+    */
+  def deleteWhere(preds: Seq[(String, Double, Double)],
+      statCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(preds.nonEmpty, "deleteWhere needs at least one predicate")
+    val (liveV, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val hit = segs.filter(s => preds.forall { case (n, lo, hi) =>
+      s.stats.get(n).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }).toSet
+    if (hit.isEmpty) return liveV
+    val v = currentVersion.getOrElse(0L) + 1
+    val inBox = preds.map { case (n, lo, hi) => col(n).between(lo, hi) }
+      .reduce(_ && _)
+    // null-safe survivor filter: a null predicate column means the
+    // row is NOT in the box — it must survive, not vanish
+    val survivors = spark.read.parquet(hit.map(_.dir.toString).toSeq: _*)
+      .filter(!coalesce(inBox, lit(false)))
+    val carried = segs.filterNot(hit)
+    // a segment whose rows ALL matched must not become an empty,
+    // stats-less survivor segment (it would ride into every future
+    // box and the table would accrete husks) — commit carried-only
+    if (survivors.isEmpty) {
+      require(carried.nonEmpty,
+        s"deleteWhere would empty $root — unsupported (schema-less manifest)")
+      commit(v, carried, ownStaged = Nil)
+    } else {
+      val tracked = (segs.flatMap(_.stats.keys) ++ statCols).distinct
+      val seg = stage(survivors, v, tracked)
+      commit(v, carried :+ seg, ownStaged = Seq(seg.dir))
+    }
+    v
+  }
+
+  /** Incremental consumption: the rows ADDED since version `v` — the
+    * live segments `v`'s manifest doesn't list. Exact while the
+    * history from `v` to live is append-shaped; a rewriting commit in
+    * between (write / compact / writeClustered / deleteWhere) breaks
+    * segment containment, which is DETECTED (some of `v`'s segments
+    * are no longer live) and throws rather than silently
+    * double-counting — re-baseline from the current version then.
+    */
+  def readSince(v: Long): DataFrame = {
+    val base = segments(v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $v of $root is not readable")).map(_.dir.getName).toSet
+    val (liveV, live) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val liveNames = live.map(_.dir.getName).toSet
+    if (!base.subsetOf(liveNames))
+      throw new IllegalStateException(
+        s"history of $root from v$v to v$liveV is not append-only " +
+          s"(a rewrite replaced ${base -- liveNames}); re-baseline from v$liveV")
+    val added = live.filterNot(s => base.contains(s.dir.getName))
+    if (added.isEmpty) read().limit(0)
+    else spark.read.parquet(added.map(_.dir.toString): _*)
+  }
+
   /** Rewrite the live segments into one ~targetBytes-file segment as
     * a NEW version — readers of the old version are never disturbed.
     * This is also how an append chain's accumulated small segments

@@ -102,6 +102,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.readWhere("id", 150, 160).count() == 11)
   }
 
+  test("deleteWhere rewrites only stat-overlapping segments; the rest carry over untouched") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), statCols = Seq("x"))
+    t.append(Seq((3L, 30L), (4L, 40L)).toDF("id", "x"), statCols = Seq("x"))
+    t.append(Seq((5L, 50L), (6L, 60L)).toDF("id", "x"), statCols = Seq("x"))
+    val before = t.overlappingSegments(Nil).map(_.dir.getName).toSet
+    val v = t.deleteWhere(Seq(("x", 25.0, 45.0)))
+    assert(t.currentVersion.contains(v))
+    // rows in the box are gone, everything else survives
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 6L))
+    // segments 1 and 3 (x ranges [10,20] and [50,60]) carried over by
+    // NAME — zero rewrite IO; only the middle segment was replaced
+    val after = t.overlappingSegments(Nil).map(_.dir.getName).toSet
+    assert((before & after).size == 2, s"carried ${before & after}")
+    // the old version still has the deleted rows (retention window)
+    assert(t.readVersion(v - 1).count() == 6)
+    // a box no segment can contain is a no-op: same version comes back
+    assert(t.deleteWhere(Seq(("x", 1000.0, 2000.0))) == v)
+  }
+
+  test("readSince returns appended rows only, and detects a rewrite in between") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = t.append(Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(t.readSince(v1).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(t.readSince(t.currentVersion.get).count() == 0)
+    t.compact() // rewrite: v1's segment is no longer live
+    intercept[IllegalStateException](t.readSince(v1))
+  }
+
   test("replaying the same batch id is idempotent (effectively-once)") {
     import spark.implicits._
     val t = freshTable()
