@@ -121,6 +121,24 @@ class CellAssignSpec extends SparkSpec {
     }
   }
 
+  test("nlist=16384 (the SemDeDup-paper scale): plan still O(1), assignment still exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val cents = Array.tabulate(16384)(i => (i.toLong, randVec(rng)))
+    val vecs = Array.tabulate(256) { i =>
+      val c = cents(i * 61 % 16384)._2
+      (i.toLong, c.map(_ * 2.0f)) // power-of-2 scale: cosine exactly 1.0
+    }
+    val df = spark.sparkContext.parallelize(vecs.toSeq, 4).toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.cellCol($"embedding", cents).as("cell_id"))
+    assert(df.queryExecution.executedPlan.toString.length < 20000,
+      "plan grew with nlist — the kernel contract is broken")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.indices.foreach { i =>
+      assert(got(i.toLong) == (i * 61 % 16384).toLong, s"vec $i misassigned")
+    }
+  }
+
   test("semanticDedup runs end-to-end at nlist=1024 over a 4096-vector corpus") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
