@@ -65,11 +65,7 @@ object Bench {
     // per-query [min, median, max] over the 3 passes, so a reader can
     // tell an engineering regression from run-to-run variance (at
     // sf0.1 a ±15% swing on a sub-second query is pure noise; the
-    // spread makes that visible instead of arguable). Printed as its
-    // OWN line, before the compact line: the harvester keeps only the
-    // last ~2 KB of stdout and parses the final {"metric":...} line,
-    // so the (longer) spread line must never displace it — round 5
-    // merged them into one line and the harvester recorded null.
+    // spread makes that visible instead of arguable)
     val spread = passes.head.keys.map { k =>
       val ts = passes.map(_(k)).filter(_ >= 0).sorted
       val s = if (ts.isEmpty) Seq(-1.0, -1.0, -1.0)
@@ -80,8 +76,20 @@ object Bench {
     // otherwise make a broken round look FASTER than a working one
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"spread":$spread,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // The harvester keeps only the last ~2 KB of stdout and parses the
+    // final {"metric":...} line. At 76+ queries the flat per-query map
+    // alone outgrows that window (rounds 5 and 7 both recorded null),
+    // so the FULL summary — per-query times, spreads, total — goes to
+    // a file and stdout carries only the bounded-size line, with the
+    // file path for readers who want the detail.
+    val summaryPath = java.nio.file.Paths.get("target/bench_summary.json")
+    java.nio.file.Files.createDirectories(summaryPath.getParent)
+    java.nio.file.Files.write(summaryPath,
+      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""failed":$failed,"n":${results.size},"queries":$qs,""" +
+        s""""spread":$spread,"sf":"$sfDir"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n":${results.size},"detail":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

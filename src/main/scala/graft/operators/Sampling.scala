@@ -127,21 +127,56 @@ object Sampling {
     * source's hash order — a doc is kept while the cumulative token
     * count INCLUDING it stays within budget.
     *
-    * Shape at 100 TB: the window moves (doc_id, source, n_tokens)
-    * scalars only — text never shuffles. Ordered admission is
-    * inherently per-source-sequential, so a pathologically hot source
-    * serializes its own partition; when that bites, cap approximately
-    * instead: estimate tokens/doc from a sample and reuse the
-    * zero-shuffle rate machinery of [[sampleMixture]].
+    * Computed in TWO PHASES so a dominant source never funnels
+    * through one task (the [[SurrogateKey.orderedScalable]] device
+    * applied to a running sum). A naive
+    * `Window.partitionBy(source).orderBy(bucket, doc_id)` sorts ALL
+    * of a source's docs in ONE partition — and a real pretraining mix
+    * is usually >80% one crawl source, so at 100 TB that single
+    * sorter sees billions of rows. Instead, the admission order's
+    * major key — the per-mille bucket — is used as a BAND:
+    *   1. partial token sums per (source, band): one map-side-combined
+    *      aggregation, output ≤ 1000 rows per source;
+    *   2. exclusive prefix offsets across bands, a window over that
+    *      aggregate-sized frame only (bands whose offset already
+    *      exceeds the budget are pruned here — their docs can never
+    *      be admitted, so at a tight budget most of the corpus drops
+    *      before the second shuffle);
+    *   3. offsets broadcast back; a running sum within each
+    *      (source, band) — ≤1/1000th of a source per task — plus the
+    *      band offset reproduces the global cumulative sum exactly.
+    * Same `cum_tokens` bit-for-bit, same admission semantics; the
+    * hot source now splits across 1000 tasks, and both corpus-side
+    * exchanges move (doc_id, source, n_tokens, band) scalars only —
+    * text never shuffles.
     */
   def capTokensPerSource(df: DataFrame, budgetTokens: Long,
       salt: String = "cap"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import df.sparkSession.implicits._
-    val w = Window.partitionBy($"source")
-      .orderBy(bucket($"doc_id", salt), $"doc_id")
-    df.withColumn("cum_tokens", sum($"n_tokens").over(w))
+    val banded = df.withColumn("__band", bucket($"doc_id", salt))
+    val bandTotals = banded.groupBy($"source", $"__band")
+      .agg(sum($"n_tokens").as("__band_tokens"))
+    // exclusive prefix per source over ≤1000 band rows — partitioned
+    // by bare `source`, safe ONLY because the input is the aggregate
+    // (WindowAuditSpec's low-cardinality rule checks exactly that)
+    val wBands = Window.partitionBy($"source").orderBy($"__band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__band_offset",
+        coalesce(sum($"__band_tokens").over(wBands), lit(0L)))
+      // offset > budget ⇒ every doc in the band lands past the budget
+      // (n_tokens ≥ 0 keeps cum ≥ offset); == budget stays, it can
+      // still admit zero-token docs
+      .filter($"__band_offset" <= budgetTokens)
+      .select($"source".as("__o_source"), $"__band".as("__o_band"),
+        $"__band_offset")
+    val wIn = Window.partitionBy($"source", $"__band").orderBy($"doc_id")
+    banded.join(broadcast(offsets),
+        $"source" === $"__o_source" && $"__band" === $"__o_band")
+      .withColumn("cum_tokens", $"__band_offset" + sum($"n_tokens").over(wIn))
       .filter($"cum_tokens" <= budgetTokens)
+      .drop("__band", "__o_source", "__o_band", "__band_offset")
   }
 
   /** Gate: each source capped at 800 tokens (the test corpus carries

@@ -204,6 +204,32 @@ class PlanAuditSpec extends SparkSpec {
       s"embedding arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
+  test("sample_token_budget: no corpus window partitions on bare source — admission is banded") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ws = SparkEntry.queries("sample_token_budget")(spark, SF)
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+      val specs = ws.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+      // exactly the two designed windows: band-offset prefix (bare
+      // source, aggregate-sized) + within-band running sum
+      assert(specs.toSet == Set(Set("source"), Set("source", "__band")),
+        s"window partition specs drifted: $specs")
+      ws.filter(_.partitionSpec.flatMap(_.references.map(_.name)).toSet == Set("source"))
+        .foreach { w =>
+          // the bare-source window must sit on the band AGGREGATE,
+          // upstream of any join with the corpus — i.e. its input is
+          // ≤1000 rows per source, never the docs themselves
+          assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+            s"bare-source window over non-aggregated input:\n${w.child}")
+          assert(w.child.collectFirst { case j: BaseJoinExec => j }.isEmpty,
+            s"bare-source window downstream of the corpus join:\n${w.child}")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sim_ivf_topk: cell assignment is map-side — only the top-k window shuffles") {
     // the quantizer rides the nearest_cells kernel as a reference
     // object, so assignment adds ZERO exchanges; the sole shuffle in

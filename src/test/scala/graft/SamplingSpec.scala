@@ -102,6 +102,35 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("token-budget cap: two-phase banding ≡ single global window on a 90%-skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one source holds 90% of the docs — the shape that serializes a
+    // per-source window at 100 TB. parallelize (not a local Seq toDF)
+    // so the frame genuinely distributes instead of constant-folding.
+    val rows = (1L to 900L).map(i => (i, "crawl", 7L + i % 13)) ++
+      (901L to 1000L).map(i => (i, "books", 5L + i % 11))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8))
+      .toDF("doc_id", "source", "n_tokens")
+    val budget = 2500L
+    val got = Sampling.capTokensPerSource(docs, budget)
+      .select($"doc_id", $"cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the reference semantics, computed the naive way: one global
+    // running sum per source over the full admission order
+    val wRef = Window.partitionBy($"source")
+      .orderBy(Sampling.bucket($"doc_id", "cap"), $"doc_id")
+    val ref = docs.withColumn("cum_tokens", sum($"n_tokens").over(wRef))
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref.nonEmpty && ref.size < rows.size, "budget must bind")
+    assert(got == ref,
+      s"banded≠global: only-banded=${(got.toSet -- ref.toSet).take(5)} " +
+        s"only-global=${(ref.toSet -- got.toSet).take(5)}")
+  }
+
   test("sampling stays a zero-shuffle scan filter") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -46,4 +46,83 @@ class WindowAuditSpec extends SparkSpec {
         s"exemptions no longer needed (remove them): $stale")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // ── the skewed-key variant of the same failure ────────────────────
+  // A window PARTITIONED by a handful-of-values column is only
+  // formally parallel: `partitionBy(source)` over the corpus puts all
+  // of a dominant crawl source through ONE sorter at 100 TB. The rule:
+  // a window whose partition keys are all known low-cardinality corpus
+  // columns must take its input from an AGGREGATION (group-sized rows,
+  // e.g. a histogram or per-band totals), never from corpus rows.
+
+  /** Corpus columns with ~dozens of distinct values. `k` is the group
+    * alias quantileCutByOf gives its key (lang in the gate).
+    */
+  private val lowCardCols = Set("source", "lang", "k")
+
+  /** Low-card-partitioned windows in `plan` whose input is NOT
+    * aggregate-sized (no aggregation anywhere below the window).
+    */
+  private def lowCardOffenders(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    plan.collect {
+      case w: WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.map(_.name))
+              .forall(lowCardCols) &&
+            w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty =>
+        w
+    }
+  }
+
+  /** query → why a low-card-partitioned window is safe there (none
+    * needed today: every such window in the gate set sits on an
+    * aggregate — quantile histograms, band totals — which the rule
+    * recognizes directly; an entry here documents any future case the
+    * structural check can't see).
+    */
+  private val lowCardExempt: Map[String, String] = Map.empty
+
+  test("no gate query runs a corpus-sized window partitioned by a low-cardinality key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+        val n = lowCardOffenders(SparkEntry.queries(q)(spark, SF)
+          .queryExecution.executedPlan).length
+        if (n > 0) Some(q -> n) else None
+      }
+      val unexplained = offenders.filterNot { case (q, _) => lowCardExempt.contains(q) }
+      val stale = lowCardExempt.keySet -- offenders.map(_._1).toSet
+      assert(unexplained.isEmpty,
+        s"corpus-sized window on a low-cardinality key: $unexplained")
+      assert(stale.isEmpty,
+        s"low-card exemptions no longer needed (remove them): $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("the low-cardinality rule fires on a deliberately bad window and passes the aggregate-input form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // parallelize, not a local Seq: a LocalTableScan would let the
+      // optimizer collapse the plan the audit needs to see
+      val docs = spark.createDataFrame(spark.sparkContext.parallelize(
+          (1L to 100L).map(i => (i, if (i <= 90) "crawl" else "books", i % 7)), 4))
+        .toDF("doc_id", "source", "n_tokens")
+      val bad = docs.withColumn("cum",
+        sum($"n_tokens").over(Window.partitionBy($"source").orderBy($"doc_id")))
+      assert(lowCardOffenders(bad.queryExecution.executedPlan).nonEmpty,
+        "rule must flag a per-source running sum over raw corpus rows")
+      // the sanctioned shape — the same key, but over an aggregate
+      val ok = docs.groupBy($"source", $"n_tokens")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum",
+          sum($"cnt").over(Window.partitionBy($"source").orderBy($"n_tokens")))
+      assert(lowCardOffenders(ok.queryExecution.executedPlan).isEmpty,
+        "rule must pass a low-card window whose input is aggregate-sized")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
