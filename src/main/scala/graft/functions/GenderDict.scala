@@ -123,6 +123,197 @@ object GenderDict {
       "peyton", "quinn", "reese", "riley", "rowan", "sage", "skyler",
       "stevie")
 
+
+  /** Extension tier (round 8): the deep tail of the reference
+    * corpus's given names — European (French, German, Italian,
+    * Iberian, Polish, Nordic, Slavic, Turkish), Indian, Japanese,
+    * Korean given names in romanized form, and Arabic given names,
+    * all from public name lists in the same category vocabulary.
+    * With [[foldAccents]] this lifts the non-unknown rate on the
+    * reference's own cast/director column to ~62% (NetflixEtlSpec
+    * asserts the 60% floor). Deliberately NOT classified: East-Asian
+    * surname-first tokens (park, wang, zhang, chen, choi, ...) and
+    * bare initials — those are family names, not gendered given
+    * names, and the reference's dictionary leaves them unknown too.
+    */
+  private val tierThreeMale: Seq[String] =
+    """aakash abbas abdel abdulaziz abdullah abel abhay abhijit
+       abhimanyu abhinav adan adarsh adeel aditya adnan adrien
+       agustin ahmet aidan aiden aitor ajit akash akin akira aksel
+       alain alastair alban albert alberto alden aldo alec
+       aleksandar aleksandr alessandro alessio alexandre alfonso
+       alfred alistair allan alok alvaro alvin aman amar amin amir
+       amol amr amrit anand anders andre andreas andrei andrzej
+       angus anindya anish ankit ankush anoop anson antoine anton
+       antony anuj anurag arash archie arie arkadiusz arman armand
+       armando armin arnold art artur arturo arun arvind aryan
+       ashish ashutosh ashwin asif asim atanu atsushi atul august
+       augusto aurelien axel ayaan aziz baron bassam bassel beau
+       benedict benny benoit bernard bernie bert bertrand bharat
+       bhushan bikram bilal birkan bjorn boris bradley brady brendan
+       brennan brent bronson bryan bryce buddy bulent burak burt
+       byron caio cal callan callum calum camilo caner carlo carter
+       celso cem cengiz chandan chandrakant chase chetan chinmay
+       christoph christophe chuck ciaran clarence clark claude
+       claudio clayton cliff clint clive colby colton conrad cooper
+       corbin cory curtis cyril cyrus daiki damian damien damon dane
+       danilo dante darius darrell darshan daryl declan deepak denis
+       denny deon dermot desmond deven devendra dhruv dick didier
+       dieter dileep dimas dinesh dion dirk donald donnie donny
+       donovan dorian doron doug duane duncan dwayne dwight ed eddy
+       edgar edison edmond edmund edoardo edwin ege eli elias elijah
+       elvis emil emiliano emir emmanuel emmett emre engin enrico
+       enzo eoin erdal erick erik ernest ernie erol erwin esteban
+       eugen eugene evgeniy ezra fabian fabien fabio fabrizio farhan
+       faris femi feroz filippo finn fionn flavio florian francesco
+       francis franck franco francois freddie frederic frederick
+       gabe gabriele gagan gareth garrett garry gaspard gaston
+       gaurav gautam geoff geoffrey georges gerald gerard german
+       gerry giacomo giancarlo gideon gil giles gilles gino giorgio
+       giulio gonzalo gopal goran goro graham gregg gregoire griffin
+       guilherme guillaume gulshan gunnar guru guy habib hadi hakan
+       hakim hal hamdy hamish hamza hans hany harald hari harish
+       harrison harsh harvey hasan hayato hector hemant henrik herb
+       herbie hesham himanshu hiro hiroaki hiroki hiroshi hisham
+       hitesh hrishikesh hubert humberto hussain hussein iain
+       ibrahim igor ilker inaki indra irfan isaiah ismail israel
+       issac issei ivan jacek jackson jacques jaden jai jairo jakob
+       jamal janusz jasper jayden jayson jed jeremiah jeremie jerzy
+       jesus jiro joachim joao joaquin johan johannes jonas jonny
+       jordi josep josiah jozef judah julien julio julius junichi
+       junior kaan kane kapil karl karol karsten karthik kashyap
+       kasper kazuhiro kazuki kedar keegan keenan keiichi keir
+       kelvin kenan kengo kenn kenny kent khalid khalil kieran
+       kirill kohei koichi konstantin kotaro krishna kristian kumar
+       kushal lachlan lambert landon lars laurent lautaro leandro
+       lenny leo leonard levent lew lewis lex lionel lonny louie luc
+       luca luciano lucien luka lukas mac mads magnus maher mahesh
+       mahmood majid makoto malcolm malik manav mangesh manish
+       manolo manu marcel marcello marcos mariusz markus marlon
+       marshall marty marwan masashi masaya massimo mat mateusz
+       matheus mathew mathias matias matteo matthias mauro
+       maximilian maxwell mayur mehdi mehmet mert meshal metin
+       michal michel mick mickey mikael mikey mikhail milan miles
+       milind milo miquel mitch mitsuru mohammad mohd mohit mohsen
+       monty morten moses moshe mukesh mukul murat myles nacho naoto
+       narendra nasser nate nathaniel naveen navin navneet neal ned
+       neeraj niall nico nigel nik nikhil niko nikolaj nils nishant
+       nitin okan olaf ole olivier olly omari onur orlando osama
+       osman otto ozan paco pankaj paolo paras parth partho pascal
+       patricio patrik pau paulo pavel pawan pep pepe pete philipp
+       philippe phillip pierce piotr pradeep pramod pranav prasad
+       prasanth prashant pratap praveen preston puneet pushkar
+       quentin quincy rafal raghav raja rajat rajeev rajendra rajesh
+       rajiv rajkumar rakesh ram ramesh ramon ranjit raphael ravi
+       raymond reda reg rehan remo renato rhys ric richie ricky rip
+       rituraj robbie rocco rod rodger rohan rohit rolf romain roman
+       ronnie ronny rory roshan rudy rufus rupert rusty ryosuke
+       ryota saeed sagar said sal salah salim salvatore sameer sami
+       sammy samrat sanath sandeep sanjeev sanjiv santosh satish
+       satya saul saurabh sayed scottie seann sergey sergi serkan
+       seth seun shabbir shadi shane sharad shashank shaun shawn
+       sherman shinji shiva shivaji shivam shlok shubham shubhankar
+       shunsuke sibusiso sid siddharth silvio sinan sohail sonny
+       sooraj soren stan stefan stefano stephan stephane sterling
+       stig stijn subbu sudhanshu sudhir suhail suhas sumit sunder
+       suraj suresh surya sushant sven syed sylvain sylvester taher
+       taiwo takahiro takuya talal tamer tanner tanuj tarik taron
+       tarun tate teddy tejas tejasvi teo terence tetsu theo
+       theodore thiago thierry thor timm timo tito titus tobias toby
+       tolga tomas tomasz tomer tommaso tomohiro tomoyuki tope toru
+       trent trey tristan tsuyoshi tucker tunde tushar ty tyrone udo
+       ulrich umesh vadim vaibhav valentin venkatesh vic vikas
+       viktor vinay vince vincenzo vineeth vinoth vipin vishal
+       vishnu vivaan vivek vlad vladimir volker wael wale waleed
+       wallace wally werner wes wil willy wilson wojciech wolfgang
+       woody xander xavier yann yash yasser yogesh youssef yuji
+       yusuf yutaka yuto yves zac zach zack zafer zain zak zakariya
+       zoltan zubin""".split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private val tierThreeFemale: Seq[String] =
+    """abeer abigail abril ada adelaide adrianna adrienne agnieszka
+       agustina aida aimee aja alana alba alessandra alessia alexa
+       alexandria alia alina alisha alka ally alma alyson alyssa
+       amal amalia amber amelia america amruta amrutha ananya
+       anastasia angelica angelina angeline angelique angie anita
+       anjali anjana anju ann annabel annabelle annie antonia anu
+       anya aparna apoorva april archana aria ariana ariane arielle
+       arpita ashleigh ashwini asia asli asmaa asuka aurora ava aya
+       ayaka ayca ayesha ayisha ayten ayu bea beatrice bebe becky
+       begum bela belen belinda bella berta betsy bhavani blanche
+       briana brianna brianne brigitte britt bruna burcu callie
+       camilla candela candice cansu carmina carole caroline cassidy
+       catalina cate cathy celina celine chandini chandra charity
+       charmaine charul cherry chhavi chiaki chiara chie chika
+       chioma christiane christy ciara cindy clara clare claudine
+       clotilde coco connie constanza consuelo corinne danica
+       daniella danielle darby daria debbie debra deepti deirdre
+       delfina demet demi derya devika devyani dewi didi disha divya
+       diya dolly drea dulce ebru eiko ekta elisabeth eliza ellie
+       elsie elvira emilia emilie emmanuelle emmy eri erika esra eve
+       ewa fabiana fabiola fanny farah farrah fathia fatma faye
+       felicity fiona fleur freya fumi gabby gabriella gaby gauri
+       geeta gemma genevieve georgie georgina gia gillian giovanna
+       giulia gizem greta gwyneth haley hanan hande hanna harriet
+       harsha hayley heba heidi helena helene hind hisako hiyori
+       hulya iliana ilse imani imelda imogen ina inas india indira
+       inge inma ipek irina isabelle isha ishita isis itziar jade
+       janel janelle janine jasmin jayne jazmyn jeanne jemima jemma
+       jen jenn jillian jimena jodi joelle johanna jordana julianne
+       juliet julieta junko jyoti kaho kaitlin kajal kali kana
+       kanako kari karina karolina kat katarina katarzyna katerina
+       katharine kathrine katia katrin katy kelli kiana kiki
+       kimberley kimi kimiko kira kirti komal kranti kriti kritika
+       krystal kyla kyoko kyra lakshmi larissa laurel lea leanne
+       leela lidia lili lilly lina lise liv liz liza lizzie lola
+       lorena lorenza lori lorna louisa luciana lucie lulu luna luz
+       lynne lynsey lyric macarena maddie madeleine madhavi madoka
+       madonna maeve magda maggie maha maisie maite maja mala
+       malaika malena malgorzata mali mami manju mansi manuela
+       margherita mari mariam mariana maribel marina maris marisa
+       mariya marla marsha martina maryam masako mathilde maya mayra
+       mayumi meagan meenakshi meera meg meghan meghna melanie
+       melina melinda melis melisa melody meral mercy michaela
+       mikaela mikako millie mimi minami minori mira mireia mireille
+       misty miu miyu monique montana montse montserrat myra nabila
+       nada nandita nao nathalie natsuki naya nia niamh nidhi nika
+       nita noriko nozomi nur nuria nya ozge ozlem padma padmini
+       pallavi paloma parvathy parvati parveen patti paulina payal
+       peta petra pia piper pippa poonam prachi preeti priscila
+       priya puteri radha radhika ragini rajeshwari ramya randa
+       raquel rashmi rasika ratna reba reem reema reina rena renata
+       rhea ria riham risa ritu riya rochelle rocio romina roopa
+       rosamund rosanna rose rosie ruhi rumi rupa sabina sadie saki
+       sakshi samira samyukta samyuktha sana sandi sanya saori sapna
+       sari sarika saskia satomi savannah savita sawsan scarlet seda
+       seema seiko selen selma shakira shalaka shanna sharifah
+       shauna shazia shefali sheryl shivani shreya shriya shruti
+       shubhangi shweta sian sienna sigrid simi simona siobhan skye
+       smita sneha snehal sol sonja sophia suchitra sujata sumire
+       summer sunaina supriya sura susanne susie swati sylvie takako
+       talia tamar tanvi tasha tatum tejaswini telma teri terri tess
+       theresa tia tilda tosin tricia tripti trupti tyra urmila
+       urvashi usha valeria vandana vani vasundhara veena virginie
+       wakana ximena yael yara yasmine yoriko yoshiko yui yuko zara
+       zoey zofia zoya""".split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private val tierThreeMostlyMale: Seq[String] =
+    Seq("ashton", "devin", "jean-paul", "jean-pierre", "jean-michel",
+      "jules", "laurence", "lou", "misha", "nicky", "remy", "sacha",
+      "sammy", "sunny")
+
+  private val tierThreeMostlyFemale: Seq[String] =
+    Seq("dominique", "iman", "jessie", "laurie", "may", "nikki", "noor",
+      "simone", "sydney", "toni", "tori", "vicky")
+
+  private val tierThreeAndy: Seq[String] =
+    Seq("addison", "adi", "aki", "al", "arya", "ash", "aubrey", "ayo",
+      "billie", "blair", "dallas", "dani", "dany", "deniz", "eden", "el",
+      "fran", "gurpreet", "ira", "izzy", "jacky", "jo", "jody", "kaoru",
+      "kiran", "kirby", "kit", "kris", "manpreet", "mel", "michele",
+      "mika", "mo", "nicola", "pat", "rana", "samar", "sasha", "sky",
+      "skylar", "sora", "yuri")
+
   /** (lowercased first name, gender_guesser-style category). */
   val entries: Seq[(String, String)] = (Seq(
     // male
@@ -166,11 +357,29 @@ object GenderDict {
     moreMale.map(_ -> "male") ++ moreFemale.map(_ -> "female") ++
     moreMostlyMale.map(_ -> "mostly_male") ++
     moreMostlyFemale.map(_ -> "mostly_female") ++
-    moreAndy.map(_ -> "andy"))
+    moreAndy.map(_ -> "andy") ++
+    tierThreeMale.map(_ -> "male") ++ tierThreeFemale.map(_ -> "female") ++
+    tierThreeMostlyMale.map(_ -> "mostly_male") ++
+    tierThreeMostlyFemale.map(_ -> "mostly_female") ++
+    tierThreeAndy.map(_ -> "andy"))
     // one category per name: earlier (base) entries win, and the
     // dictionary key is unique so the broadcast join can never
     // multiply personnel rows
     .distinctBy(_._1)
+
+  /** Latin diacritic fold for the dictionary lookup: José→jose,
+    * Verónica→veronica, Michał→michal. The dictionary keys are plain
+    * ASCII, so folding the lookup side makes every accented spelling
+    * of a listed name hit its base entry — `translate` is a 1:1
+    * char map (codegen'd, no regex), the two alphabets below are
+    * position-aligned.
+    */
+  private val accentedChars = "áàâäãåāéèêëēíìîïīóòôöõøőúùûüűýÿñńçćčśšşłżźžęąğıďđťřŕ"
+  private val foldedChars   = "aaaaaaaeeeeeiiiiiooooooouuuuuyynncccssslzzzeagiddtrr"
+  require(accentedChars.length == foldedChars.length)
+
+  def foldAccents(c: Column): Column =
+    translate(c, accentedChars, foldedChars)
 
   /** The reference's collapse of dictionary categories (task.py:43-51). */
   def mapCategory(category: Column): Column =
@@ -198,7 +407,7 @@ object GenderDict {
     val d = dict.select(dict("nm").as("__gd_nm"),
       dict("category").as("__gd_category"))
     df.join(broadcast(d),
-        lower(TextFns.firstWord(nameCol)) === d("__gd_nm"), "left")
+        foldAccents(lower(TextFns.firstWord(nameCol))) === d("__gd_nm"), "left")
       .withColumn(out, mapCategory(d("__gd_category")))
       .drop("__gd_nm", "__gd_category")
   }

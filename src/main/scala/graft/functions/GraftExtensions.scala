@@ -61,10 +61,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (children: Seq[Expression]) => {
-        require(children.length == 4,
-          "nearest_cells(embedding, centroids, ids, n)")
-        require(children(1).foldable && children(2).foldable && children(3).foldable,
-          "nearest_cells: centroids, ids, n must be constants")
+        import org.apache.spark.sql.AnalysisException
+        import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, IntegerType, LongType, ShortType}
+        def raise(msg: String): Nothing =
+          throw new AnalysisException("USER_RAISED_EXCEPTION",
+            Map("errorMessage" -> msg))
+        if (children.length != 4)
+          raise("nearest_cells(embedding, centroids, ids, n)")
+        def fail(what: String, got: Expression): Nothing =
+          raise(s"nearest_cells: $what, got ${got.dataType.sql}")
+        if (!(children(1).foldable && children(2).foldable && children(3).foldable))
+          raise("nearest_cells: centroids, ids, n must be constants")
+        // validate at analysis time — parseCents reads getFloat, so an
+        // array<array<double>> centroid literal would otherwise die at
+        // eval with a bare ClassCastException
+        children(1).dataType match {
+          case ArrayType(ArrayType(FloatType, _), _) => ()
+          case _ => fail("centroids must be array<array<float>>", children(1))
+        }
+        children(2).dataType match {
+          case ArrayType(LongType, _) => ()
+          case _ => fail("ids must be array<bigint>", children(2))
+        }
+        children(3).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case _ => fail("n must be integral", children(3))
+        }
         NearestCells(children.head,
           CellAssign.parseCents(children(1).eval(null)),
           CellAssign.parseIds(children(2).eval(null)),

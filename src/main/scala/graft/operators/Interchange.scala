@@ -21,7 +21,7 @@ object Interchange {
       minChars: Long = 200): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = graft.util.Scratch.dir("graft_jsonl")
     docs.write.mode("overwrite").json(s"$tmp/documents")
     Readers.jsonl(spark, s"$tmp/documents", docs.schema)
       .filter($"n_chars" >= minChars)
@@ -36,7 +36,7 @@ object Interchange {
       idLo: Long = 50, idHi: Long = 449): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = graft.util.Scratch.dir("graft_orc")
     docs.write.mode("overwrite").orc(s"$tmp/documents")
     Readers.orc(spark, s"$tmp/documents")
       .filter($"doc_id".between(idLo, idHi))

@@ -25,7 +25,7 @@ object Lake {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars")
     val t = new ManifestTable(spark,
-      java.nio.file.Files.createTempDirectory("graft_lake_gate").toString
+      graft.util.Scratch.dir("graft_lake_gate")
         + "/documents")
     t.writeClustered(docs, Seq("doc_id", "n_chars"), nSegments = 8)
     t.readWhereAll(Seq(("doc_id", idLo.toDouble, idHi.toDouble),
@@ -52,7 +52,7 @@ object Lake {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars")
     val t = new ManifestTable(spark,
-      java.nio.file.Files.createTempDirectory("graft_lake_tt").toString
+      graft.util.Scratch.dir("graft_lake_tt")
         + "/documents")
     val v1 = t.write(docs.filter($"n_chars" <= cut))
     t.append(docs.filter($"n_chars" > cut))
@@ -74,7 +74,7 @@ object Lake {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars")
     val t = new ManifestTable(spark,
-      java.nio.file.Files.createTempDirectory(prefix).toString + "/documents")
+      graft.util.Scratch.dir(prefix) + "/documents")
     val bands = Seq((Long.MinValue, 150L), (150L, 300L), (300L, 450L),
       (450L, Long.MaxValue))
     var v1 = 0L

@@ -345,7 +345,7 @@ object Similarity {
         val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
         if (n == 0.0) v.map(_.toDouble) else v.map(_.toDouble / n)
       }
-    require(sample.length >= k, s"k-means: sample ${sample.length} < k=$k")
+    require(sample.nonEmpty, "k-means: empty sample")
     val dim = sample.head.length
     def renorm(c: Array[Double]): Array[Double] = {
       val n = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
@@ -353,8 +353,14 @@ object Similarity {
     }
     // distinctBy(.toSeq): Array equality is referential, so a plain
     // .distinct would be a no-op and duplicate sample vectors could
-    // seed duplicate centroids
-    var cents: Array[Array[Double]] = sample.distinctBy(_.toSeq).take(k)
+    // seed duplicate centroids. Validate k AFTER dedup — a
+    // duplicate-heavy sample must fail loudly, not silently seed
+    // fewer than k cells
+    val seeds = sample.distinctBy(_.toSeq)
+    require(seeds.length >= k,
+      s"k-means: only ${seeds.length} distinct sample vectors < k=$k " +
+        "(raise sampleMax or lower k)")
+    var cents: Array[Array[Double]] = seeds.take(k)
     for (_ <- 0 until iters) {
       val assign = sample.map { p =>
         var bestC = 0; var best = Double.NegativeInfinity
@@ -623,7 +629,12 @@ object Similarity {
       }
     Array.tabulate(m) { mi =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-      var cents = pts.distinctBy(_.toSeq).take(codes)
+      // same post-dedup validation as kmeansCentroids: never seed
+      // fewer than `codes` centroids silently
+      val seeds = pts.distinctBy(_.toSeq)
+      require(seeds.length >= codes,
+        s"pq train: only ${seeds.length} distinct subvectors < codes=$codes")
+      var cents = seeds.take(codes)
       for (_ <- 0 until iters) {
         val assign = pts.map { p =>
           cents.zipWithIndex.minBy { case (c, _) =>

@@ -81,11 +81,15 @@ object ScaleGen {
     // copy suffixes every non-stop token with its copy index. This
     // kills cross-copy shingle/gram identity (every shingle holds a
     // non-stop token except all-stop runs, which are rare and
-    // bounded) while preserving, exactly, everything the content-
-    // sensitive operators read: stop-word hits and token counts
-    // (Gopher rules, quantile cuts) and within-copy duplicate
-    // structure (gram (t1..t5) maps to (f(t1)..f(t5)), so exact/span
-    // dedup see the same within-copy workload the base SF had). The
+    // bounded) while preserving exactly the DISCRETE statistics the
+    // content-sensitive operators read — stop-word hits and token
+    // counts (quantile cuts, most Gopher rules) and within-copy
+    // duplicate structure (gram (t1..t5) maps to (f(t1)..f(t5)), so
+    // exact/span dedup see the same within-copy workload the base SF
+    // had). NOT preserved: mean word length grows by the suffix
+    // (~2-3 chars, varying with the copy-index digit count), so
+    // ok_wl-BOUNDARY docs can flip on scaled copies — scaled-run rule
+    // selectivity is comparable to the base SF, not identical. The
     // round-6 every-token suffix broke stop-word matching and zeroed
     // the rule filter on scaled data — a different corpus, not a
     // bigger one.
@@ -93,7 +97,10 @@ object ScaleGen {
     write(shifted(spark, Tables.documents(spark, inDir), k, Seq("doc_id"))
       .withColumn("text", regexp_replace(col("text"),
         lit("(?<=^|\\s)(?!(?:" + stopAlt + ")(?=\\s|$))(\\S+)"),
-        concat(lit("$1q"), col("_copy")))), "documents")
+        concat(lit("$1q"), col("_copy"))))
+      // keep n_chars consistent with the rewritten text (it was the
+      // base copy's length before round 8 — stale on every copy >= 1)
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
     write(shifted(spark, Tables.embeddings(spark, inDir), k, Seq("vec_id")),
       "embeddings")
     Seq("customer", "supplier", "part", "nation", "region").foreach { t =>

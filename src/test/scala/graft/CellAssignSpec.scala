@@ -55,6 +55,31 @@ class CellAssignSpec extends SparkSpec {
     }
   }
 
+  test("a SQL call with wrong argument types fails at analysis with a clear message, not at eval") {
+    import org.apache.spark.sql.AnalysisException
+    // the registry may wrap the builder's AnalysisException — what
+    // matters is (a) it surfaces at sql()/analysis, never as an eval-
+    // time ClassCastException, and (b) the message names the fix
+    def analysisError(sql: String): String = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      val isAnalysis = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(5)
+        .exists(_.isInstanceOf[AnalysisException])
+      assert(isAnalysis, s"expected an AnalysisException chain, got $e")
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(5)
+        .map(_.getMessage).mkString(" | ")
+    }
+    // double centroids (the type a bare SQL array literal produces)
+    assert(analysisError(
+      """SELECT nearest_cells(array(CAST(1.0 AS FLOAT)),
+                              array(array(1.0D)), array(0L), 1)""")
+      .contains("array<array<float>>"))
+    assert(analysisError(
+      """SELECT nearest_cells(array(CAST(1.0 AS FLOAT)),
+                              array(array(CAST(1.0 AS FLOAT))), array(0), 1)""")
+      .contains("array<bigint>"))
+  }
+
   test("probe lists equal the driver-side (cos DESC, id ASC) top-n, n past nlist clamps") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -66,14 +66,17 @@ class NetflixEtlSpec extends SparkSpec {
     assert(byName.get("David").contains("male"))
     assert(byName.get("Maria").contains("female"))
     // hit-rate floor on the reference's own cast/director names: the
-    // round-7 extended dictionary classifies ~42% of the 36,924
-    // distinct personnel (19% before). `unknown` undercounts hits
-    // (andy-category names resolve to unknown BY DESIGN), so this is
-    // a conservative floor against dictionary regressions.
+    // round-8 tier-3 dictionary + accent folding classifies ~62% of
+    // the 36,924 distinct personnel (19% → 42% → 62% across rounds).
+    // `unknown` undercounts hits (andy-category names resolve to
+    // unknown BY DESIGN, and East-Asian surname-first tokens are
+    // deliberately unclassified), so this is a conservative floor
+    // against dictionary regressions. Deterministic: fixed CSV ×
+    // fixed dictionary, no variance band needed.
     val total = star.personnel.count()
     val matched = star.personnel.filter($"gender" =!= "unknown").count()
-    assert(matched.toDouble / total >= 0.38,
-      s"dictionary hit rate ${matched}/$total below the 38% floor")
+    assert(matched.toDouble / total >= 0.60,
+      s"dictionary hit rate ${matched}/$total below the 60% floor")
   }
 
   test("dictionary category mapping collapses exactly like task.py:43-51") {

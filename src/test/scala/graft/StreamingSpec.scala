@@ -163,6 +163,41 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.table("pii_stream")) == key(pbatch))
   }
 
+  test("streaming dedup ≡ batch exact dedup on the real event table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat_ws, md5}
+    implicit val ctx = spark.sqlContext
+    // fingerprint = (user_id, event_type): enough collisions on the
+    // real slice for the dedup to genuinely cut. Rows are fed in
+    // event_id order from a single memory batch, so stream arrival
+    // order == id order and keep-FIRST must equal the batch side's
+    // min(id) representative — the same contract exactByHash keeps.
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+      .as[StreamEvent].collect().toSeq
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows)
+    val q = EventStream.dedupByKey(
+        mem.toDF().withColumn("fp", concat_ws("|", $"user_id", $"event_type")),
+        Seq("fp"))
+      .writeStream.format("memory").queryName("dedup_equiv")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_equiv")
+      .select(md5($"fp"), $"event_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dedup.exactByHash(
+        Tables.events(spark, SF)
+          .withColumn("fp", concat_ws("|", $"user_id", $"event_type")),
+        $"fp", $"event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.size < rows.size, "dedup did not cut — vacuous check")
+    assert(streamed == batch,
+      s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming dedup drops within-watermark replays, keeps first occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
