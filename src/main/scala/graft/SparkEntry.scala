@@ -41,6 +41,7 @@ object SparkEntry {
     "events_range_follow" -> RangeJoin.errorsAfterSignup _,
     "dedup_exact" -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairs _,
+    "dedup_ngram_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "dedup_minhash" -> ((s, d) => MinHashLSH.nearDuplicates(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDuplicates(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
     "sample_token_budget" -> ((s, d) => Sampling.sampleTokenBudget(s, d)),
+    "sample_token_budget_rate" -> ((s, d) => Sampling.sampleTokenBudgetRate(s, d)),
     "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
     "dedup_spans" -> Spans.spanDedup _,
@@ -124,6 +126,7 @@ object SparkEntry {
     "events_range_follow" -> RangeJoin.errorsAfterSignupSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "dedup_ngram_containment" -> Dedup.containmentPairsSql,
     // prefix filter is lossless, so it shares the unfiltered oracle
     "dedup_ngram_prefix" -> Dedup.ngramJaccardPairsSql,
     // the LSH/hash-family gates are exact: the hash families are
@@ -169,6 +172,7 @@ object SparkEntry {
     "search_bm25" -> Search.bm25TopKSql(),
     "sample_mixture" -> Sampling.sampleMixtureSql(),
     "sample_token_budget" -> Sampling.sampleTokenBudgetSql(),
+    "sample_token_budget_rate" -> Sampling.sampleTokenBudgetRateSql(),
     "dedup_semantic" -> SemDedup.semanticDedupSql(),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
     "dedup_spans" -> Spans.spanDedupSql,

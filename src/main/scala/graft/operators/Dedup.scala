@@ -121,6 +121,54 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** #31c one-sided containment near-dup — Broder's companion measure
+    * to the resemblance/Jaccard: |A∩B| / min(|A|,|B|) ≥ t. Catches
+    * the asymmetric duplication Jaccard misses at any threshold: a
+    * short document quoted whole inside a boilerplate-padded page
+    * has high containment but low Jaccard (the union is dominated by
+    * the padding). Same posting-list self-join shape and Σ postings²
+    * cost as [[ngramJaccardPairs]]; the threshold is a rational
+    * tNum/tDen compared by integer cross-multiplication, so a
+    * boundary pair can never be lost to floating point (the gate is
+    * hash-exact against a brute-force DuckDB oracle).
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      tNum: Long = 3, tDen: Long = 5): DataFrame = {
+    import spark.implicits._
+    val post = shinglePostings(spark, dir)
+      .select($"doc_id", $"lang", $"n", xxhash64($"shingle").as("sh_h"))
+    post.as("x").join(post.as("y"),
+        $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&
+          $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first($"x.n").as("n_a"), first($"y.n").as("n_b"))
+      .filter($"common" * tDen >= lit(tNum) * least($"n_a", $"n_b"))
+      .select($"doc_a", $"doc_b",
+        round($"common".cast("double") / least($"n_a", $"n_b"), 4)
+          .as("containment"))
+  }
+
+  val containmentPairsSql: String =
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                            x -> length(x) > 0) AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, lang,
+                list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3)
+       SELECT doc_a, doc_b,
+              round(common * 1.0 / least(n_a, n_b), 4) AS containment
+       FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.s, b.s)) AS common,
+                len(a.s) AS n_a, len(b.s) AS n_b
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       WHERE common * 5 >= 3 * least(n_a, n_b)"""
+
   /** #31b frequent-shingle release valve: the same ≥t Jaccard pairs
     * as [[ngramJaccardPairs]], but candidate generation runs only on
     * each doc's PREFIX of globally-rarest shingles (PPJoin-style

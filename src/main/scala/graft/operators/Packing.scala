@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Pack any (unit key, token count) frame: units are sharded by the
+    * md5 bucket of their composite key, ordered totally within the
+    * shard, and tagged with the training sequence their first token
+    * falls in. Works for whole documents (the gate below) and for
+    * chunker output (doc_id, chunk_idx) alike — the chunk→pack
+    * composition is the RAG/pretraining prep path.
+    */
+  def packUnits(units: DataFrame, keyCols: Seq[String], tokenCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    import units.sparkSession.implicits._
+    require(keyCols.nonEmpty && budget >= 1 && shards >= 1)
+    val key = concat_ws(":", keyCols.map(col): _*)
+    val w = Window.partitionBy($"shard").orderBy(keyCols.map(col): _*)
+    units
+      .withColumn("shard", Sampling.bucket(key) % shards)
+      .withColumn("tokens_before",
+        coalesce(sum(col(tokenCol)).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", floor($"tokens_before" / budget))
+      .withColumn("seq_offset", $"tokens_before" % budget)
+      .drop("tokens_before")
+  }
+
   /** @param budget tokens per training sequence
     * @param shards independent packing streams (≥ cluster cores at
     *   scale; 8 keeps the testdata gate readable)
@@ -29,17 +52,12 @@ object Packing {
   def packSequences(spark: SparkSession, dir: String, budget: Int = 256,
       shards: Int = 8): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"shard").orderBy($"doc_id")
-    Tables.documents(spark, dir)
-      .select($"doc_id",
-        (Sampling.bucket($"doc_id") % shards).as("shard"),
-        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens"))
-      .withColumn("tokens_before",
-        coalesce(sum($"n_tokens").over(w.rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"doc_id", $"shard", $"n_tokens",
-        floor($"tokens_before" / budget).as("seq_id"),
-        ($"tokens_before" % budget).as("seq_offset"))
+    packUnits(
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
+      Seq("doc_id"), "n_tokens", budget, shards)
+      .select($"doc_id", $"shard", $"n_tokens", $"seq_id", $"seq_offset")
   }
 
   val packSequencesSql: String =

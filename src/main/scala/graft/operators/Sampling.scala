@@ -179,6 +179,31 @@ object Sampling {
       .drop("__band", "__o_source", "__o_band", "__band_offset")
   }
 
+  /** Rate-based approximate budget cap — the zero-shuffle sibling of
+    * [[capTokensPerSource]] for when even banded exact admission is
+    * more coordination than the job needs: per-source keep rates
+    * derived so EXPECTED kept tokens ≈ budget, membership the same
+    * md5-bucket filter as [[hashSample]]. Exact totals are traded for
+    * a plan with no window at all — per-source token totals are one
+    * partial-agg'd tiny frame, rates broadcast back, the corpus
+    * never shuffles. Rates are pure integer arithmetic
+    * (budget·1000 div total), so the gate is hash-exact — what is
+    * approximate is the TOKEN TOTAL the rate admits (binomial around
+    * the budget), not the row membership, which is deterministic.
+    */
+  def capTokensPerSourceRate(df: DataFrame, budgetTokens: Long,
+      salt: String = "capr"): DataFrame = {
+    import df.sparkSession.implicits._
+    val rates = df.groupBy($"source")
+      .agg(sum($"n_tokens").as("tot_tokens"))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr(s"($budgetTokens * 1000) div tot_tokens")))
+      .select($"source".as("__r_source"), $"rate_pm")
+    df.join(broadcast(rates), $"source" === $"__r_source")
+      .filter(bucket($"doc_id", salt) < $"rate_pm")
+      .drop("__r_source")
+  }
+
   /** Gate: each source capped at 800 tokens (the test corpus carries
     * ~1.1-1.6k tokens per source, so the cap genuinely cuts).
     */
@@ -207,6 +232,37 @@ object Sampling {
           FROM toks)
         SELECT doc_id, source, n_tokens, cum_tokens FROM cum
         WHERE cum_tokens <= $budgetTokens"""
+
+  /** Gate: the rate path at the same 800-token budget — kept rows
+    * with their source's integer rate.
+    */
+  def sampleTokenBudgetRate(spark: SparkSession, dir: String,
+      budgetTokens: Long = 800): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens"))
+    capTokensPerSourceRate(docs, budgetTokens)
+      .select($"doc_id", $"source", $"n_tokens", $"rate_pm")
+  }
+
+  def sampleTokenBudgetRateSql(budgetTokens: Long = 800): String =
+    s"""WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(list_transform(
+                        string_split(trim(text), ' '), x -> trim(x)),
+                        x -> length(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        rates AS (
+          SELECT source,
+                 least(1000::BIGINT,
+                   ($budgetTokens * 1000) // CAST(sum(n_tokens) AS BIGINT))
+                   AS rate_pm
+          FROM toks GROUP BY source)
+        SELECT t.doc_id, t.source, t.n_tokens,
+               CAST(r.rate_pm AS BIGINT) AS rate_pm
+        FROM toks t JOIN rates r ON t.source = r.source
+        WHERE ${bucketSql("t.doc_id", "capr")} < r.rate_pm"""
 
   def sampleMixtureSql(targetPerMille: Int = 200): String =
     s"""WITH c AS (

@@ -337,9 +337,17 @@ object Similarity {
     * and balance vs the stand-in are spec'd in SimilaritySpec.
     */
   def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      sampleMax: Int = 4096, iters: Int = 10): Array[(Long, Array[Float])] =
+    kmeansCentroidsOf(Tables.embeddings(spark, dir), k, sampleMax, iters)
+
+  /** Frame-generic trainer: any (vec_id, embedding) frame — lets the
+    * scale probes and specs train over ScaleGen'd or synthetic
+    * corpora through the same code path the gate-adjacent entry uses.
+    */
+  def kmeansCentroidsOf(emb: DataFrame, k: Int,
       sampleMax: Int = 4096, iters: Int = 10): Array[(Long, Array[Float])] = {
-    import spark.implicits._
-    val sample: Array[Array[Double]] = Tables.embeddings(spark, dir)
+    import emb.sparkSession.implicits._
+    val sample: Array[Array[Double]] = emb
       .filter($"vec_id" < sampleMax).select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1).map { case (_, v) =>
         val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))

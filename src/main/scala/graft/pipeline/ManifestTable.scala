@@ -115,10 +115,21 @@ class ManifestTable(spark: SparkSession, root: String) {
     committedVersions.sorted.reverse.iterator
       .flatMap(v => segments(v).map(v -> _)).buffered.headOption
 
+  /** Segment union with SCHEMA EVOLUTION: segments written before a
+    * column existed null-fill it on read (parquet footer merge — the
+    * manifest stays schema-free). Every read path goes through here,
+    * so time travel sees each version under the schema union of ITS
+    * OWN segments: v1 read back after an evolved v2 append still has
+    * v1's columns, nothing more.
+    */
+  private def readSegments(segs: Seq[Segment]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(_.dir.toString): _*)
+
   def read(): DataFrame = {
     val (_, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    spark.read.parquet(segs.map(_.dir.toString): _*)
+    readSegments(segs)
   }
 
   /** Time-travel read: the table exactly as committed at version `v`.
@@ -132,7 +143,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val segs = segments(v).getOrElse(
       throw new java.io.FileNotFoundException(
         s"version $v of $root is not readable (never committed, burned, or vacuumed)"))
-    spark.read.parquet(segs.map(_.dir.toString): _*)
+    readSegments(segs)
   }
 
   /** Readable (fully committed, still retained) versions, ascending —
@@ -167,7 +178,7 @@ class ManifestTable(spark: SparkSession, root: String) {
       .reduce(_ && _)
     val hit = overlappingSegments(preds)
     if (hit.isEmpty) read().filter(rowFilter).limit(0)
-    else spark.read.parquet(hit.map(_.dir.toString): _*).filter(rowFilter)
+    else readSegments(hit).filter(rowFilter)
   }
 
   /** The live segments a box predicate cannot rule out — exposed so
@@ -211,6 +222,15 @@ class ManifestTable(spark: SparkSession, root: String) {
     * segment list — O(batch) data written regardless of table size.
     * Returns the committed version.
     *
+    * SCHEMA EVOLUTION is additive-only: the batch may carry columns
+    * the table has never seen (older segments null-fill them on
+    * read), but dropping or retyping a live column is rejected HERE,
+    * at publish time — an incompatible batch must fail its writer,
+    * not surface later as a reader's merge error. This is the
+    * add-column contract of the lakehouse formats; full
+    * drop/rename/type-widening DDL is out of scope for a
+    * pointer-manifest table.
+    *
     * `batchId` makes replays idempotent: if the LIVE version already
     * carries this batch id (a foreachBatch retry after a crash
     * between commit and checkpoint), the append is skipped and the
@@ -220,6 +240,24 @@ class ManifestTable(spark: SparkSession, root: String) {
   def append(df: DataFrame, batchId: Option[Long] = None,
       statCols: Seq[String] = Nil): Long = {
     val live = liveSegments
+    live.foreach { case (_, segs) =>
+      val have = readSegments(segs).schema
+      val incoming = df.schema
+      have.fields.foreach { f =>
+        incoming.fields.find(_.name == f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"append drops live column '${f.name}' — schema evolution " +
+              "is additive-only (new columns may be added, existing " +
+              "ones must stay)")
+          case Some(g) if g.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"append retypes live column '${f.name}' " +
+                s"(${f.dataType.sql} -> ${g.dataType.sql}) — schema " +
+                "evolution is additive-only")
+          case _ => ()
+        }
+      }
+    }
     (for { id <- batchId; (v, _) <- live; committed <- batchIdOf(v)
            if committed == id } yield v).getOrElse {
       val prev = live.map(_._2).getOrElse(Nil)
@@ -401,7 +439,7 @@ class ManifestTable(spark: SparkSession, root: String) {
       .reduce(_ && _)
     // null-safe survivor filter: a null predicate column means the
     // row is NOT in the box — it must survive, not vanish
-    val survivors = spark.read.parquet(hit.map(_.dir.toString).toSeq: _*)
+    val survivors = readSegments(hit.toSeq)
       .filter(!coalesce(inBox, lit(false)))
     val carried = segs.filterNot(hit)
     // a segment whose rows ALL matched must not become an empty,
@@ -440,7 +478,7 @@ class ManifestTable(spark: SparkSession, root: String) {
           s"(a rewrite replaced ${base -- liveNames}); re-baseline from v$liveV")
     val added = live.filterNot(s => base.contains(s.dir.getName))
     if (added.isEmpty) read().limit(0)
-    else spark.read.parquet(added.map(_.dir.toString): _*)
+    else readSegments(added)
   }
 
   /** Rewrite the live segments into one ~targetBytes-file segment as
@@ -461,7 +499,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     // the live segments tracked
     val statCols = live.flatMap(_.stats.keys).distinct
     val committed = write(
-      spark.read.parquet(live.map(_.dir.toString): _*).repartition(nOut),
+      readSegments(live).repartition(nOut),
       statCols)
     (before, segments(committed).get.map(s => parquetFiles(s.dir)).sum)
   }

@@ -21,6 +21,35 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSet == Set(3))
   }
 
+  test("schema evolution: added column null-fills old segments; drops and retypes are rejected at append") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // additive append: new column `lang` arrives with batch 2
+    t.append(Seq((3L, "c", "en"), (4L, "d", "de")).toDF("id", "s", "lang"))
+    val rows = t.read().select($"id", $"s", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1L, "a", None), (2L, "b", None),            // old segment null-fills
+      (3L, "c", Some("en")), (4L, "d", Some("de"))))
+    // time travel still sees v1 under v1's OWN schema — no lang column
+    assert(!t.readVersion(v1).columns.contains("lang"))
+    // dropping a live column is rejected at publish time
+    val eDrop = intercept[IllegalArgumentException] {
+      t.append(Seq((5L, "x")).toDF("id", "lang"))
+    }
+    assert(eDrop.getMessage.contains("drops live column"), eDrop.getMessage)
+    // retyping a live column likewise
+    val eType = intercept[IllegalArgumentException] {
+      t.append(Seq((6, "y", "fr")).toDF("id", "s", "lang"))
+    }
+    assert(eType.getMessage.contains("retypes live column"), eType.getMessage)
+    // and stats/skipping still work across the evolved chain
+    t.append(Seq((10L, "z", "en")).toDF("id", "s", "lang"),
+      statCols = Seq("id"))
+    assert(t.readWhere("id", 10, 99).collect().map(_.getLong(0)).toSet == Set(10L))
+  }
+
   test("time travel: readVersion reads any retained version; vacuum retires it") {
     import spark.implicits._
     val t = freshTable()

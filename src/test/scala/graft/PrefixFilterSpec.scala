@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 class PrefixFilterSpec extends SparkSpec {
 
+  test("containment dominates jaccard: every ≥t jaccard pair is a ≥t containment pair, never scored lower") {
+    // containment = common/min ≥ common/union = jaccard pointwise, so
+    // the jaccard pair set at threshold t must embed in the
+    // containment pair set at the same t — and the asymmetric pairs
+    // containment adds are exactly the quote/subset cases
+    val jac = graft.operators.Dedup.ngramJaccardPairs(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val con = graft.operators.Dedup.containmentPairs(spark, SF, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty, "no jaccard pairs at this SF — vacuous")
+    val missing = jac.keySet -- con.keySet
+    assert(missing.isEmpty, s"jaccard pairs absent from containment: $missing")
+    jac.foreach { case (pair, j) =>
+      assert(con(pair) >= j - 1e-4,
+        s"containment ${con(pair)} < jaccard $j for $pair")
+    }
+  }
+
   test("degenerate common shingle produces bounded candidates, not n²") {
     import spark.implicits._
     // 50 docs, each: 8 unique shingles + 1 boilerplate shared by ALL.

@@ -131,6 +131,41 @@ class SamplingSpec extends SparkSpec {
         s"only-global=${(ref.toSet -- got.toSet).take(5)}")
   }
 
+  test("rate-based budget cap: windowless plan, rates integer-derived, kept tokens near budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val budget = 800L
+    val kept = Sampling.sampleTokenBudgetRate(spark, SF, budget)
+    val rows = kept.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // determinism: same call, same membership
+    assert(kept.collect().map(_.getLong(0)).toSet == rows.map(_._1).toSet)
+    // every source's rate is the integer formula and the kept-token
+    // total lands near the budget (hash thinning is binomial; the
+    // corpus carries ~1.1-1.6k tokens/source at 800 budget, so rates
+    // sit mid-range and the slack below is generous)
+    val totals = Tables.documents(spark, SF)
+      .select($"doc_id", $"source",
+        size(graft.operators.Dedup.tokensCol($"text")).cast("long").as("n_tokens"))
+      .groupBy($"source").agg(sum($"n_tokens").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val expectedRate = math.min(1000L, budget * 1000L / totals(src))
+      assert(rs.head._4 == expectedRate, s"$src rate ${rs.head._4} != $expectedRate")
+      val keptTokens = rs.map(_._3).sum
+      assert(keptTokens <= 2 * budget && keptTokens >= budget / 4,
+        s"$src kept $keptTokens tokens vs budget $budget — rate thinning broken")
+    }
+    // the whole point of the rate path: NO window anywhere in the plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val windows = kept.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }
+      assert(windows.isEmpty, "rate path must not contain a window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sampling stays a zero-shuffle scan filter") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

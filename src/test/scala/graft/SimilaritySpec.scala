@@ -139,6 +139,52 @@ class SimilaritySpec extends SparkSpec {
     assert(rTrained >= 0.5, f"trained recall $rTrained%.2f below floor")
   }
 
+  test("trained quantizer at nlist=1024: covers more cells and cuts pair cost vs the stand-in") {
+    import spark.implicits._
+    // the 100 TB-posture nlist needs more distinct directions than
+    // the test corpus holds, so build a clustered synthetic corpus:
+    // 1200 unit prototypes × 3 jittered members, ids cluster-major —
+    // exactly the shape where a first-n stand-in goes wrong (its
+    // 1024 centroids cover only the first ~342 clusters, and the
+    // remaining clusters' members pile onto whichever covered cell
+    // is nearest) while k-means spreads its centroids over clusters
+    val rng = new scala.util.Random(1234)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    val protos = Array.fill(1200)(unit(Array.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val vecs = for {
+      (p, ci) <- protos.zipWithIndex.toSeq
+      m <- 0 until 3
+    } yield ((ci * 3 + m).toLong,
+      unit(p.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)))
+    val emb = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs, 8))
+      .toDF("vec_id", "embedding")
+    val k = 1024
+    val trained = Similarity.kmeansCentroidsOf(emb, k, sampleMax = vecs.size, iters = 5)
+    assert(trained.length == k)
+    val standIn = vecs.take(k).map { case (id, v) => (id, v) }.toArray
+    def bal(cents: Array[(Long, Array[Float])]): (Long, Long) = {
+      val r = emb.select(Similarity.cellCol($"embedding", cents).as("cell_id"))
+        .groupBy($"cell_id").count()
+        .agg(countDistinct($"cell_id"), sum($"count" * $"count")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cuTrained, sqTrained) = bal(trained)
+    val (cuStandIn, sqStandIn) = bal(standIn)
+    // the stand-in reaches all k cells for free (every centroid IS a
+    // member vector), and Lloyd may strand a few cells empty — so
+    // coverage is asserted as a floor, and the judged axis is the
+    // pair-cost functional Σ cell², where training must win outright
+    assert(cuTrained >= (k * 95L) / 100,
+      s"trained quantizer collapsed cells: $cuTrained of $k used (stand-in $cuStandIn)")
+    assert(sqTrained < sqStandIn,
+      s"trained pair cost not below stand-in: Σcell² $sqTrained vs $sqStandIn")
+  }
+
   test("brute force returns exactly k neighbors per query") {
     val counts = Similarity.bruteforceTopK(spark, SF, nQueries = 5, k = 5)
       .groupBy("query_id").count().collect().map(_.getLong(1))
