@@ -79,9 +79,11 @@ object SparkEntry {
     "text_quality_model" -> QualityModel.scoreDocuments _,
     "text_vocabulary" -> ((s, d) => Search.vocabulary(s, d)),
     "search_bm25" -> ((s, d) => Search.bm25TopK(s, d)),
+    "search_keywords" -> ((s, d) => Search.docKeywords(s, d)),
     "sample_mixture" -> ((s, d) => Sampling.sampleMixture(s, d)),
     "sample_token_budget" -> ((s, d) => Sampling.sampleTokenBudget(s, d)),
     "sample_token_budget_rate" -> ((s, d) => Sampling.sampleTokenBudgetRate(s, d)),
+    "sample_quota_docs" -> ((s, d) => Sampling.sampleQuotaDocs(s, d)),
     "dedup_semantic" -> ((s, d) => SemDedup.semanticDedup(s, d)),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGate _,
     "dedup_spans" -> Spans.spanDedup _,
@@ -170,9 +172,11 @@ object SparkEntry {
     "text_quality_model" -> QualityModel.scoreDocumentsSql,
     "text_vocabulary" -> Search.vocabularySql(),
     "search_bm25" -> Search.bm25TopKSql(),
+    "search_keywords" -> Search.docKeywordsSql(),
     "sample_mixture" -> Sampling.sampleMixtureSql(),
     "sample_token_budget" -> Sampling.sampleTokenBudgetSql(),
     "sample_token_budget_rate" -> Sampling.sampleTokenBudgetRateSql(),
+    "sample_quota_docs" -> Sampling.sampleQuotaDocsSql(),
     "dedup_semantic" -> SemDedup.semanticDedupSql(),
     "dedup_minhash_incremental" -> MinHashLSH.incrementalGateSql,
     "dedup_spans" -> Spans.spanDedupSql,

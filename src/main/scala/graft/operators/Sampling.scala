@@ -204,6 +204,64 @@ object Sampling {
       .drop("__r_source")
   }
 
+  /** Fixed-count quota — "exactly N docs per source" (eval splits,
+    * per-domain calibration sets, balanced fine-tuning mixes): the
+    * count sibling of the rate ([[sampleMixture]]) and token-budget
+    * ([[capTokensPerSource]]) samplers. Admission order is the same
+    * deterministic (md5 bucket, doc_id) as the budget cap, so the
+    * quota set is reproducible and monotone in N, and the same
+    * TWO-PHASE band device keeps it scale-safe: per-(source, band)
+    * COUNTS (aggregate-sized), exclusive band rank offsets, bands
+    * wholly past the quota pruned broadcast-side, then row_number
+    * within (source, band) — global rank = offset + within-band rank,
+    * no per-source window anywhere. A dominant source splits across
+    * 1000 tasks exactly as in the budget cap.
+    */
+  def sampleFixedPerSource(df: DataFrame, n: Long,
+      salt: String = "quota"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import df.sparkSession.implicits._
+    require(n >= 1)
+    val banded = df.withColumn("__band", bucket($"doc_id", salt))
+    val bandCounts = banded.groupBy($"source", $"__band")
+      .agg(count(lit(1)).as("__band_n"))
+    val wBands = Window.partitionBy($"source").orderBy($"__band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("__rank_offset",
+        coalesce(sum($"__band_n").over(wBands), lit(0L)))
+      // a band whose offset has already consumed the quota admits
+      // nothing — its docs never reach the second shuffle
+      .filter($"__rank_offset" < n)
+      .select($"source".as("__o_source"), $"__band".as("__o_band"),
+        $"__rank_offset")
+    val wIn = Window.partitionBy($"source", $"__band").orderBy($"doc_id")
+    banded.join(broadcast(offsets),
+        $"source" === $"__o_source" && $"__band" === $"__o_band")
+      .withColumn("rank_in_source",
+        $"__rank_offset" + row_number().over(wIn))
+      .filter($"rank_in_source" <= n)
+      .drop("__band", "__o_source", "__o_band", "__rank_offset")
+  }
+
+  /** Gate: exactly 40 docs per source in hash-admission order. */
+  def sampleQuotaDocs(spark: SparkSession, dir: String,
+      n: Long = 40): DataFrame = {
+    import spark.implicits._
+    sampleFixedPerSource(
+      Tables.documents(spark, dir).select($"doc_id", $"source"), n)
+      .select($"doc_id", $"source", $"rank_in_source")
+  }
+
+  def sampleQuotaDocsSql(n: Long = 40): String =
+    s"""SELECT doc_id, source, rank_in_source FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ${bucketSql("doc_id", "quota")}, doc_id)
+                   AS BIGINT) AS rank_in_source
+          FROM documents)
+        WHERE rank_in_source <= $n"""
+
   /** Gate: each source capped at 800 tokens (the test corpus carries
     * ~1.1-1.6k tokens per source, so the cap genuinely cuts).
     */

@@ -187,4 +187,66 @@ object Search {
           FROM scored)
         WHERE rk <= $k"""
   }
+
+  // ── TF-IDF keyword extraction ─────────────────────────────────────
+
+  /** #37e per-document keyword extraction: top-k tokens by
+    * tf · shifted-odds-idf, the document-side dual of [[bm25TopK]]
+    * (that ranks docs for a query; this surfaces each doc's most
+    * distinctive terms — the tagging/routing/labeling primitive of a
+    * curation pipeline). idf is the same transcendental-free
+    * (N − df + 0.5)/(df + 0.5) shifted-odds weight as BM25, and for
+    * the same reason: per-doc token ORDER under a fixed idf form is
+    * what matters, and dropping the log keeps the DuckDB gate exact
+    * where ln would differ by ulps across libm builds (documented
+    * scoring variant, not an accident — the odds form upweights rare
+    * terms more aggressively than log-idf).
+    *
+    * Shape at 100 TB: tf is one partial-agg'd shuffle on
+    * (doc_id, token); df re-aggregates tf BY TOKEN (vocabulary-sized,
+    * NOT broadcast — at corpus scale the vocabulary outgrows any
+    * broadcast budget, so it joins back by token as a plain shuffle
+    * join); the per-doc ranking window partitions on doc_id (max
+    * partition = one doc's vocabulary). Document bodies never pass
+    * the first exchange — only (doc_id, token, counts) triples move.
+    */
+  def docKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.tokenRows(spark, dir)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        $"tf" * (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"rk", $"token", round($"score", 4).as("score"))
+  }
+
+  def docKeywordsSql(k: Int = 3): String =
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 tf.tf * ((n.n_docs - v.df + 0.5) / (v.df + 0.5)) AS score
+          FROM tf JOIN v USING (token) CROSS JOIN n)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+               round(score, 4) AS score
+        FROM (SELECT doc_id, token, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token) AS rk
+              FROM scored)
+        WHERE rk <= $k"""
 }

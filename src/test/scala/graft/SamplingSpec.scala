@@ -131,6 +131,43 @@ class SamplingSpec extends SparkSpec {
         s"only-global=${(ref.toSet -- got.toSet).take(5)}")
   }
 
+  test("fixed-count quota: exactly min(N, |source|) rows, banded ≡ global rank on a 90%-skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 900L).map(i => (i, "crawl")) ++
+      (901L to 1000L).map(i => (i, "books")) ++
+      (1001L to 1005L).map(i => (i, "tiny")) // smaller than the quota
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("doc_id", "source")
+    val n = 50L
+    val got = Sampling.sampleFixedPerSource(docs, n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact counts: min(N, source size), ranks contiguous from 1
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("crawl").length == 50 && bySrc("books").length == 50 &&
+      bySrc("tiny").length == 5, s"counts ${bySrc.view.mapValues(_.length).toMap}")
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$src ranks not contiguous")
+    }
+    // banded two-phase ≡ the naive global window, row for row
+    val wRef = Window.partitionBy($"source")
+      .orderBy(Sampling.bucket($"doc_id", "quota"), $"doc_id")
+    val ref = docs.withColumn("rank_in_source",
+        row_number().over(wRef).cast("long"))
+      .filter($"rank_in_source" <= n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.toSet == ref,
+      s"only-banded=${(got.toSet -- ref).take(5)} only-global=${(ref -- got.toSet).take(5)}")
+    // monotone: quota 20 is a prefix of quota 50 per source
+    val small = Sampling.sampleFixedPerSource(docs, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    small.foreach { case (id, rk) =>
+      val inBig = got.find(_._1 == id)
+      assert(inBig.exists(_._3 == rk), s"doc $id rank changed with quota")
+    }
+  }
+
   test("rate-based budget cap: windowless plan, rates integer-derived, kept tokens near budget") {
     import spark.implicits._
     import org.apache.spark.sql.execution.window.WindowExec

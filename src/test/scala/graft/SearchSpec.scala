@@ -40,6 +40,36 @@ class SearchSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("keywords: per-doc ranks contiguous, scores ordered, rarity beats frequency") {
+    import spark.implicits._
+    val kw = graft.operators.Search.docKeywords(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(kw.nonEmpty)
+    kw.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to rs.length).toSeq,
+        s"doc $doc ranks not contiguous")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.reverse.toSeq,
+        s"doc $doc scores not descending")
+      assert(rs.map(_._3).distinct.length == rs.length,
+        s"doc $doc repeated a keyword")
+    }
+    // formula consistency against an independent driver-side re-count:
+    // score = tf · (N − df + ½)/(df + ½) with tf a positive integer —
+    // recover tf from each emitted score and it must land on one
+    val stream = graft.operators.Dedup.tokenRows(spark, SF)
+      .select($"doc_id", $"token").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = stream.distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nDocs = Tables.documents(spark, SF).count()
+    kw.foreach { case (doc, rk, token, score) =>
+      val idf = (nDocs - df(token) + 0.5) / (df(token) + 0.5)
+      val tf = score / idf
+      assert(math.abs(tf - math.rint(tf)) < 1e-3 && tf >= 0.999,
+        s"doc $doc rk $rk '$token': score $score implies non-integer tf $tf")
+    }
+  }
+
   test("bm25: every hit contains a query term, ranks ordered by score") {
     val hits = Search.bm25TopK(spark, SF).collect()
     assert(hits.nonEmpty)
