@@ -35,9 +35,15 @@ object Dedup {
     * `pos` orders tokens within a doc (gaps from dropped empties are
     * harmless — consumers use windows, not index arithmetic).
     */
-  def tokenRows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def tokenRows(spark: SparkSession, dir: String): DataFrame =
+    tokenRowsOf(Tables.documents(spark, dir))
+
+  /** Same token stream over any (doc_id, lang, text) frame — lets
+    * specs drive the dedup family through crafted corpora.
+    */
+  def tokenRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"lang", posexplode(split(trim($"text"), " ")))
       .select($"doc_id", $"lang", $"pos", trim($"col").as("token"))
       .filter(length($"token") > 0)
@@ -50,10 +56,13 @@ object Dedup {
     * everything codegen — equivalent to
     * `explode(shinglesCol(tokensCol(text), 3))` with sizes attached.
     */
-  def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def shinglePostings(spark: SparkSession, dir: String): DataFrame =
+    shinglePostingsOf(Tables.documents(spark, dir))
+
+  def shinglePostingsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    tokenRows(spark, dir)
+    tokenRowsOf(docs)
       .withColumn("t2", lead($"token", 1).over(w))
       .withColumn("t3", lead($"token", 2).over(w))
       .filter($"t3".isNotNull)
@@ -133,9 +142,13 @@ object Dedup {
     * hash-exact against a brute-force DuckDB oracle).
     */
   def containmentPairs(spark: SparkSession, dir: String,
-      tNum: Long = 3, tDen: Long = 5): DataFrame = {
-    import spark.implicits._
-    val post = shinglePostings(spark, dir)
+      tNum: Long = 3, tDen: Long = 5): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir), tNum, tDen)
+
+  def containmentPairsOf(docs: DataFrame,
+      tNum: Long, tDen: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = shinglePostingsOf(docs)
       .select($"doc_id", $"lang", $"n", xxhash64($"shingle").as("sh_h"))
     post.as("x").join(post.as("y"),
         $"x.sh_h" === $"y.sh_h" && $"x.lang" === $"y.lang" &&

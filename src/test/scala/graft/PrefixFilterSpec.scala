@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 class PrefixFilterSpec extends SparkSpec {
 
+  test("containment catches a wholly-quoted document that jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a short passage; doc 2 = the same passage inside heavy
+    // boilerplate padding. Every shingle of doc 1 appears in doc 2 →
+    // containment = 1.0, while the union is padding-dominated →
+    // jaccard far below any useful threshold. This is the quote /
+    // subset-duplication case the one-sided measure exists for.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val padding = (1 to 80).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", passage),
+      (2L, "en", s"$padding $passage $padding"),
+      (3L, "en", "iota kappa lambda mu nu xi omicron pi")) // unrelated
+      .toDF("doc_id", "lang", "text")
+    val con = graft.operators.Dedup.containmentPairsOf(docs, tNum = 3, tDen = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(con.keySet == Set((1L, 2L)), s"got $con")
+    assert(con((1L, 2L)) == 1.0, s"full quote must score 1.0: $con")
+    // the same pair under the symmetric measure sits far below 0.5:
+    // shared shingles = |doc1| (6 of them), union ≈ 170
+    val jacLike = {
+      val post = graft.operators.Dedup.shinglePostingsOf(docs)
+        .collect().map(r => r.getLong(0) -> r.getString(3))
+      val a = post.filter(_._1 == 1L).map(_._2).toSet
+      val b = post.filter(_._1 == 2L).map(_._2).toSet
+      (a & b).size.toDouble / (a | b).size
+    }
+    assert(jacLike < 0.1, s"corpus not asymmetric enough: jaccard $jacLike")
+  }
+
   test("containment dominates jaccard: every ≥t jaccard pair is a ≥t containment pair, never scored lower") {
     // containment = common/min ≥ common/union = jaccard pointwise, so
     // the jaccard pair set at threshold t must embed in the
