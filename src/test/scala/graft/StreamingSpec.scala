@@ -163,6 +163,37 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.table("pii_stream")) == key(pbatch))
   }
 
+  test("sampling filters are stream-safe: hash + stratified membership, batch ≡ stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the md5-bucket samplers are stateless scan filters (zero
+    // shuffle — SamplingSpec pins that), so the SAME operator code
+    // must run unchanged on a stream in append mode: rate-thinning
+    // at ingest is how a crawl applies its training-mix before the
+    // lake, and hash membership makes the thinned stream identical
+    // to what a batch backfill over the same rows would keep
+    val rows = Tables.documents(spark, SF)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val q = graft.operators.Sampling.stratifiedSample(
+        mem.toDF().toDF("doc_id", "lang"), $"doc_id", $"lang",
+        Map("en" -> 200, "de" -> 50), defaultPerMille = 100)
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sample_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Sampling.stratifiedSample(
+        Tables.documents(spark, SF).select($"doc_id", $"lang"),
+        $"doc_id", $"lang", Map("en" -> 200, "de" -> 50),
+        defaultPerMille = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty && batch.size < rows.size)
+  }
+
   test("streaming dedup ≡ batch exact dedup on the real event table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat_ws, md5}
