@@ -30,6 +30,25 @@ object Olap {
               count(*) AS n, round(sum(o_totalprice), 2) AS total
        FROM orders GROUP BY ROLLUP (status, yr)"""
 
+  /** CUBE (status, priority-class): every grouping combination —
+    * both 1-D margins, the 2-D cells, and the grand total — in the
+    * same single Expand + partial-agg pass as [[rollupOrders]] (2ᵈ
+    * grouping sets instead of d+1; same one-shuffle plan shape).
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        substring($"o_orderpriority", 1, 1).as("prio"), $"o_totalprice")
+      .cube($"status", $"prio")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderstatus AS status, substr(o_orderpriority, 1, 1) AS prio,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY CUBE (status, prio)"""
+
   /** Pivot event counts: one row per hour-of-day, one column per
     * event type. The type list is explicit — at scale an unbounded
     * pivot means a driver-side distinct first; fixing the vocabulary

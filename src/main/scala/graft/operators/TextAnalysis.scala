@@ -269,4 +269,56 @@ object TextAnalysis {
                 list_transform(range(1, length(t) + 1), i -> ord(t[i])::BIGINT)),
                 (h, c) -> (h * 257 + c) % 2147483647) AS fp_roll
        FROM norm"""
+
+  // ── bigram coherence ──────────────────────────────────────────────
+
+  /** #36i bigram-coherence fluency proxy: the mean corpus frequency
+    * of a document's token-bigram INSTANCES. Fluent or templated
+    * text reuses transitions the corpus uses everywhere (high mean);
+    * shuffled/gibberish text steps through transitions nothing else
+    * uses (mean → 1, each bigram counting only itself). The
+    * integer-exact cousin of the KenLM-perplexity filters of
+    * CCNet-style pipelines: counts instead of log-probs, so the
+    * DuckDB gate matches value-for-value with no transcendentals.
+    *
+    * Shape at 100 TB: bigram rows ride the same per-doc window as
+    * the shingle build (one doc_id shuffle); corpus counts are a
+    * partial-agg'd groupBy on the 64-bit bigram hash (the bigram
+    * vocabulary is far too large to broadcast — the count frame
+    * joins back by hash as a plain shuffle join, the jaccard-family
+    * precedent); the final per-doc fold is one more scalar
+    * aggregate. Document text never passes an exchange.
+    */
+  def bigramCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bigrams = Dedup.tokenRows(spark, dir)
+      .withColumn("t2", lead($"token", 1).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", xxhash64(concat_ws(" ", $"token", $"t2")).as("bh"))
+    val counts = bigrams.groupBy($"bh").agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, "bh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"cnt").as("sum_freq"))
+      .select($"doc_id", $"n_bigrams",
+        round($"sum_freq".cast("double") / $"n_bigrams", 4).as("coherence"))
+  }
+
+  val bigramCoherenceSql: String =
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(list_transform(string_split(trim(text), ' '),
+                            x -> trim(x)), x -> length(x) > 0) AS t
+         FROM documents),
+       big AS (
+         SELECT doc_id, unnest([t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))]) AS bg
+         FROM toks WHERE len(t) >= 2),
+       counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+                  FROM big GROUP BY bg)
+       SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(sum(c.cnt) * 1.0 / count(*), 4) AS coherence
+       FROM big b JOIN counts c USING (bg)
+       GROUP BY b.doc_id"""
 }

@@ -31,4 +31,43 @@ class OlapSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
       s"rollup should need at most one shuffle:\n$plan")
   }
+
+  test("cube margins reconcile: every 1-D margin and the grand total equal their cell sums") {
+    val rows = graft.operators.Olap.cubeOrders(spark, SF)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSeq
+    val cells = rows.collect { case (Some(s), Some(p), n) => (s, p, n) }
+    assert(cells.nonEmpty)
+    // status margins (prio = null) = sum of that status's cells
+    rows.collect { case (Some(s), None, n) => (s, n) }.foreach { case (s, n) =>
+      assert(n == cells.filter(_._1 == s).map(_._3).sum, s"status $s margin")
+    }
+    // prio margins (status = null) = sum of that prio's cells
+    rows.collect { case (None, Some(p), n) => (p, n) }.foreach { case (p, n) =>
+      assert(n == cells.filter(_._2 == p).map(_._3).sum, s"prio $p margin")
+    }
+    // grand total = sum of all cells
+    val grand = rows.collect { case (None, None, n) => n }
+    assert(grand.length == 1 && grand.head == cells.map(_._3).sum)
+    // same single-pass Expand plan as rollup, with one more grouping set
+    val plan = graft.operators.Olap.cubeOrders(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube not planned as Expand:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"cube should need at most one shuffle:\n$plan")
+  }
+
+  test("bigram coherence: every score ≥ 1 (a bigram counts itself), ordered corpus beats shuffled") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis.bigramCoherence(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nb, c) =>
+      assert(nb >= 1 && c >= 1.0, s"doc $doc coherence $c below floor")
+    }
+    // the corpus's synthetic docs share templated transitions, so the
+    // corpus mean must sit well above the gibberish floor of 1.0
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean > 1.5, s"corpus mean coherence $mean suspiciously low")
+  }
 }
