@@ -204,6 +204,18 @@ class PlanAuditSpec extends SparkSpec {
       s"embedding arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
   }
 
+  test("search_keywords / text_bigram_coherence / dedup_ngram_containment: no exchange carries document bodies") {
+    // tokens and bigram/shingle HASHES may shuffle (they are the
+    // working set); the document text itself must never leave the scan
+    Seq("search_keywords", "text_bigram_coherence",
+        "dedup_ngram_containment").foreach { q =>
+      shuffleOutputs(q).foreach { out =>
+        assert(!out.exists(_.name == "text"),
+          s"$q shuffles document bodies: ${out.map(_.name)}")
+      }
+    }
+  }
+
   test("sample_token_budget: no corpus window partitions on bare source — admission is banded") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
