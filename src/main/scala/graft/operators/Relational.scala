@@ -101,4 +101,42 @@ object Relational {
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
        FROM lineitem
        WHERE l_suppkey <= 10"""
+
+  /** RANGE-frame window — the time-window moving aggregate ROWS
+    * frames can't express: per-customer trailing-30-day order value,
+    * where the frame is "orders within 29 days before mine" however
+    * many rows that is. Ordering key is integer days-since-epoch
+    * (RANGE needs a numeric key in both engines), and the summed
+    * measure is integer CENTS so the in-frame addition is order-free
+    * — a double sum's fp result would depend on frame iteration
+    * order, which no oracle can promise (same device as BM25's
+    * micro-units).
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d_epoch")
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" <= 200)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        datediff($"o_orderdate", lit("1970-01-01").cast("date"))
+          .cast("long").as("d_epoch"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("mv30",
+        round(sum($"cents").over(w).cast("double") / 100.0, 2))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"mv30")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+         round(sum(cents) OVER (
+           PARTITION BY o_custkey ORDER BY d_epoch
+           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) * 1.0 / 100.0, 2)
+           AS mv30
+       FROM (
+         SELECT o_orderkey, o_custkey, o_orderdate,
+                CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                     AS BIGINT) AS d_epoch,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_custkey <= 200)"""
 }

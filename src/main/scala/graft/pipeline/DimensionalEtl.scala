@@ -87,4 +87,41 @@ object DimensionalEtl {
 
   def buildAndLoad(spark: SparkSession, dir: String, outDir: String): Seq[String] =
     buildAndLoad(spark, dir, new graft.sources.ParquetSink(outDir))
+
+  /** Calendar dimension spanning the fact table's date domain — the
+    * warehouse dim_date every star schema carries (the reference's
+    * schema stops at raw date columns; a real mart joins them to
+    * this). One tiny min/max aggregate parameterizes a zero-shuffle
+    * `sequence` generator — the dimension is generated, never
+    * scanned. Day-of-week is ISO (1 = Monday) in both engines:
+    * Spark's `weekday` is 0-based Monday, DuckDB's `isodow` 1-based.
+    */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, dir)
+      .agg(min($"o_orderdate").as("lo"), max($"o_orderdate").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select($"d",
+        year($"d").cast("long").as("yr"),
+        quarter($"d").cast("long").as("qtr"),
+        month($"d").cast("long").as("mon"),
+        dayofmonth($"d").cast("long").as("dom"),
+        (weekday($"d") + 1).cast("long").as("dow"))
+      .withColumn("is_weekend", $"dow" >= 6)
+  }
+
+  val dimDateSql: String =
+    """WITH span AS (
+         SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+       days AS (
+         SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                            INTERVAL 1 DAY)) AS DATE) AS d
+         FROM span)
+       SELECT d, CAST(year(d) AS BIGINT) AS yr,
+              CAST(quarter(d) AS BIGINT) AS qtr,
+              CAST(month(d) AS BIGINT) AS mon,
+              CAST(day(d) AS BIGINT) AS dom,
+              CAST(isodow(d) AS BIGINT) AS dow,
+              isodow(d) >= 6 AS is_weekend
+       FROM days"""
 }
