@@ -139,4 +139,46 @@ object Relational {
                      AS BIGINT) AS d_epoch,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          FROM orders WHERE o_custkey <= 200)"""
+
+  /** FULL OUTER join — the join shape the validation anti-joins and
+    * broadcast inner joins don't cover: reconcile two keyed sides
+    * keeping BOTH unmatched sets (here: a customer slice vs 1995
+    * order activity on an overlapping key range, so both null sides
+    * genuinely occur). Full outer cannot broadcast (an unmatched
+    * streamed row must still appear), so it plans as a sort-merge
+    * join — one shuffle per side on the key, which is its honest
+    * minimum at any scale.
+    */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .filter($"c_custkey" <= 150)
+      .select($"c_custkey", $"c_mktsegment")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_custkey".between(100, 250) &&
+        year($"o_orderdate") === 1995)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders_95"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_mktsegment".as("segment"),
+        coalesce($"n_orders_95", lit(0L)).as("n_orders_95"),
+        $"c_custkey".isNotNull.as("has_customer"),
+        $"o_custkey".isNotNull.as("has_orders_95"))
+  }
+
+  val fullOuterActivitySql: String =
+    """WITH c AS (
+         SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 150),
+       o AS (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders_95
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 250 AND year(o_orderdate) = 1995
+         GROUP BY o_custkey)
+       SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+              c.c_mktsegment AS segment,
+              coalesce(o.n_orders_95, 0) AS n_orders_95,
+              c.c_custkey IS NOT NULL AS has_customer,
+              o.o_custkey IS NOT NULL AS has_orders_95
+       FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey"""
 }
