@@ -257,4 +257,49 @@ object Analytics {
        GROUP BY s_name
        HAVING count(DISTINCT l.l_orderkey) > 1
        ORDER BY n_shared DESC, s_name"""
+
+  /** Signup→purchase funnel by cohort week: of each week's signups,
+    * how many purchased within 7 days. Conversion detection rides the
+    * banded range join ([[RangeJoin.bandJoin]] — Σ bucket², never
+    * per-user cross products), collapsed to a distinct converted-set
+    * before the left join back, so multi-purchase users count once.
+    * The left join keeps zero-conversion weeks visible — the number a
+    * growth dashboard actually needs.
+    */
+  def funnelSignupPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val converted = RangeJoin.bandJoin(signups, purchases, Seq("user_id"),
+        "ts", "p_ts", band = 7L * 24 * 3600 * 1000000)
+      .select($"signup_id").distinct()
+      .withColumn("conv", lit(1L))
+    signups.join(converted, Seq("signup_id"), "left")
+      .groupBy(date_trunc("week", $"ts").as("wk"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce($"conv", lit(0L))).as("n_converted"))
+      .withColumn("conv_rate",
+        round($"n_converted".cast("double") / $"n_signups", 4))
+  }
+
+  val funnelSignupPurchaseSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                          user_id, event_type FROM events),
+       s AS (SELECT event_id AS signup_id, user_id, ts FROM ev
+             WHERE event_type = 'signup'),
+       p AS (SELECT user_id, ts AS p_ts FROM ev
+             WHERE event_type = 'purchase'),
+       conv AS (SELECT DISTINCT s.signup_id
+                FROM s JOIN p ON s.user_id = p.user_id
+                 AND p.p_ts >= s.ts AND p.p_ts < s.ts + INTERVAL 7 DAY)
+       SELECT date_trunc('week', s.ts) AS wk,
+              CAST(count(*) AS BIGINT) AS n_signups,
+              CAST(count(c.signup_id) AS BIGINT) AS n_converted,
+              round(count(c.signup_id) * 1.0 / count(*), 4) AS conv_rate
+       FROM s LEFT JOIN conv c ON s.signup_id = c.signup_id
+       GROUP BY 1"""
 }
