@@ -302,4 +302,60 @@ object Analytics {
               round(count(c.signup_id) * 1.0 / count(*), 4) AS conv_rate
        FROM s LEFT JOIN conv c ON s.signup_id = c.signup_id
        GROUP BY 1"""
+
+  /** Retention cohort matrix: users grouped by FIRST-signup week,
+    * tracked over weekly activity for the next 4 weeks — the
+    * (cohort × week-offset) grid of a retention dashboard. Per-user
+    * first signup dedups repeat signups; activity weeks are
+    * distinct'd per user BEFORE the join (both sides partial-agg'd),
+    * so the join moves (user, week) scalars and the matrix cell is a
+    * distinct-user count. Cohort sizes ride a broadcast so the rate
+    * needs no second pass over the activity.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String,
+      maxOffset: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"ts", $"user_id", $"event_type")
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_ts"))
+      .select($"user_id", date_trunc("week", $"first_ts").as("cohort_wk"))
+    val sizes = cohort.groupBy($"cohort_wk").agg(count(lit(1)).as("n_cohort"))
+    val activity = ev
+      .select($"user_id", date_trunc("week", $"ts").as("act_wk")).distinct()
+    cohort.join(activity, "user_id")
+      .withColumn("week_offset",
+        (datediff($"act_wk".cast("date"), $"cohort_wk".cast("date"))
+          .cast("long") / 7).cast("long"))
+      .filter($"week_offset".between(0, maxOffset))
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select($"cohort_wk", $"week_offset", $"n_active", $"n_cohort",
+        round($"n_active".cast("double") / $"n_cohort", 4).as("retention"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, user_id,
+                          event_type FROM events),
+       cohort AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+         FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+       sizes AS (
+         SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
+         FROM cohort GROUP BY cohort_wk),
+       activity AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk FROM ev),
+       cells AS (
+         SELECT c.cohort_wk,
+                CAST(date_diff('day', c.cohort_wk::DATE, a.act_wk::DATE) // 7
+                     AS BIGINT) AS week_offset,
+                CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+         FROM cohort c JOIN activity a ON c.user_id = a.user_id
+         WHERE date_diff('day', c.cohort_wk::DATE, a.act_wk::DATE) // 7
+               BETWEEN 0 AND 3
+         GROUP BY 1, 2)
+       SELECT x.cohort_wk, x.week_offset, x.n_active, s.n_cohort,
+              round(x.n_active * 1.0 / s.n_cohort, 4) AS retention
+       FROM cells x JOIN sizes s ON x.cohort_wk = s.cohort_wk"""
 }
