@@ -115,4 +115,77 @@ object Events {
     """SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 2) AS total
        FROM events GROUP BY 1, 2"""
+
+  /** Time-series gap fill: the hourly count series densified so every
+    * hour between the observed min and max appears, absent hours as 0.
+    * The hour domain is bounded by wall-clock span (a decade is ~88k
+    * rows), not by corpus size, so the generated spine is
+    * aggregate-scale no matter how large the event table is; the
+    * repartition spreads it off the single explode task before the
+    * join, and the per-hour counts side arrives pre-aggregated.
+    */
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("n"))
+    val spine = counts.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("h"))
+      .repartition(col("h"))
+    spine.join(counts, Seq("h"), "left")
+      .select($"h", coalesce($"n", lit(0L)).as("n"))
+  }
+
+  val gapfillHourlySql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b)
+       SELECT hrs.h AS h, COALESCE(c.n, 0) AS n
+       FROM hrs LEFT JOIN c USING (h)"""
+
+  /** Volume-anomaly detection on the gap-filled hourly series: flag
+    * hours whose count deviates from the trailing 24-hour window by
+    * more than z=2 standard deviations. The z-test is the integer
+    * cross-multiplied form (24·x − s1)² > z²·(24·s2 − s1²) — counts
+    * are integers, so the flag is bit-exact across engines with no
+    * fp mean/stddev anywhere (BIGINT headroom to per-hour counts
+    * ~10⁸). ROWS frame on the densified series = true wall-clock
+    * trailing day; the window is unpartitioned but runs over the
+    * aggregate-scale hour spine (bounded by calendar span, not corpus
+    * — WindowAuditSpec carries the exemption rationale).
+    */
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trailing = Window.orderBy($"h").rowsBetween(-24, -1)
+    gapfillHourly(spark, dir)
+      .withColumn("nw", count(lit(1)).over(trailing))
+      .withColumn("s1", sum($"n").over(trailing))
+      .withColumn("s2", sum($"n" * $"n").over(trailing))
+      .filter($"nw" === 24 &&
+        (lit(24) * $"n" - $"s1") * (lit(24) * $"n" - $"s1") >
+          lit(4) * (lit(24) * $"s2" - $"s1" * $"s1"))
+      .select($"h", $"n", $"s1".as("sum24"))
+  }
+
+  val anomalyHoursSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       filled AS (
+         SELECT hrs.h AS h, COALESCE(c.n, 0) AS n
+         FROM hrs LEFT JOIN c USING (h)),
+       win AS (
+         SELECT h, n,
+                count(*)   OVER w AS nw,
+                sum(n)     OVER w AS s1,
+                sum(n * n) OVER w AS s2
+         FROM filled
+         WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT h, n, s1 AS sum24 FROM win
+       WHERE nw = 24
+         AND (24 * n - s1) * (24 * n - s1) > 4 * (24 * s2 - s1 * s1)"""
 }

@@ -117,4 +117,37 @@ object Olap {
          round(stddev_samp(value), 4) AS sd,
          round(quantile_cont(value, 0.5), 4) AS median
        FROM events GROUP BY event_type"""
+
+  /** SQL-standard discrete percentiles (PERCENTILE_DISC WITHIN GROUP)
+    * per language over integer doc lengths: the smallest value whose
+    * cume_dist reaches p — an actual data value, never interpolated,
+    * so the result is integer-exact across engines. One hash-aggregate
+    * pass; the per-group buffer is a value→count map, not the row set.
+    */
+  def percentilesByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p50_chars"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p90_chars"))
+  }
+
+  /** Oracle states the standard's definition directly — value at rank
+    * ceil(p·n) — with pure integer arithmetic for the rank ((p·n as a
+    * fraction, ceil via (a+b-1) div b) so boundary groups (n a
+    * multiple of 2 or 10) can't drift on fp rounding.
+    */
+  val percentilesByLangSql: String =
+    """WITH ranked AS (
+         SELECT lang, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+       SELECT lang, max(n) AS n_docs,
+              max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+              max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
+       FROM ranked GROUP BY lang"""
 }

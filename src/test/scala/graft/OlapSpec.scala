@@ -57,6 +57,25 @@ class OlapSpec extends SparkSpec {
       s"cube should need at most one shuffle:\n$plan")
   }
 
+  test("percentile_disc boundary semantics: rank ceil(p·n) on exact-multiple groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // groups where p·n lands exactly on a rank — the fp-rounding
+    // danger zone the gate's integer-arithmetic oracle sidesteps.
+    // Standard semantics: smallest value with cume_dist ≥ p, i.e. the
+    // value at rank ceil(p·n): n=10 → p50=5, p90=9; n=20 → p50=10, p90=18.
+    val rows = (1 to 10).map(v => ("ten", v.toLong)) ++
+      (1 to 20).map(v => ("twenty", v.toLong))
+    val got = spark.createDataFrame(rows).toDF("g", "v")
+      .groupBy($"g")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got("ten") == ((5.0, 9.0)), s"n=10 boundary: ${got("ten")}")
+    assert(got("twenty") == ((10.0, 18.0)), s"n=20 boundary: ${got("twenty")}")
+  }
+
   test("bigram coherence: every score ≥ 1 (a bigram counts itself), ordered corpus beats shuffled") {
     import spark.implicits._
     val rows = graft.operators.TextAnalysis.bigramCoherence(spark, SF)

@@ -25,7 +25,13 @@ class WindowAuditSpec extends SparkSpec {
       ("running count over the value HISTOGRAM (one row per distinct " +
         "token count, bounded by max doc length) — the groupBy below " +
         "already collapsed the corpus; the window input is " +
-        "domain-sized, not data-sized")
+        "domain-sized, not data-sized"),
+    "events_anomaly_hours" ->
+      ("trailing-24h stats over the gap-filled HOURLY series: the " +
+        "window input is one row per calendar hour (a decade is ~88k " +
+        "rows at any corpus size) — the per-hour count aggregation " +
+        "below it already reduced the data; an ordered scan of the " +
+        "hour spine is the operator's semantics")
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {
