@@ -150,4 +150,76 @@ object Olap {
               max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
               max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
        FROM ranked GROUP BY lang"""
+
+  /** Per-group OLS regression (price-per-unit line: l_extendedprice
+    * on l_quantity, by return flag) from EXACT integer moment sums.
+    * Built-in `regr_slope`/`corr` accumulate doubles, whose value
+    * depends on partition merge order — no oracle can promise that
+    * bit pattern. Instead x (integer units) and y (cents) are cast to
+    * integers, the five moment sums run as decimal(38,0) aggregates
+    * (order-free, overflow-safe far beyond 100 TB row counts: y² ≈
+    * 10¹³ per row leaves 10²⁵ rows of headroom), and slope /
+    * intercept / r² are ONE double expression over those exact sums
+    * at the final projection — the same IEEE ops in the same order on
+    * identical inputs in both engines. One map-side-partial hash
+    * aggregate; 5 groups.
+    */
+  def regressionByFlag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.lineitem(spark, dir).select(
+      $"l_returnflag".as("flag"),
+      $"l_quantity".cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y"))
+    val sums = d.groupBy($"flag").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("decimal(38,0)")).as("sx"),
+      sum($"y".cast("decimal(38,0)")).as("sy"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+      sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+      sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) = ($"n".cast("double"),
+      $"sx".cast("double"), $"sy".cast("double"), $"sxx".cast("double"),
+      $"syy".cast("double"), $"sxy".cast("double"))
+    val cov = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    sums.select($"flag", $"n",
+        round((cov / varX) / lit(100.0), 6).as("slope"),
+        round(((sy - (cov / varX) * sx) / n) / lit(100.0), 6)
+          .as("intercept"),
+        round((cov / varX) * (cov / varY) , 6).as("r2"))
+      .orderBy($"flag")
+  }
+
+  /** The oracle restates the identical expression tree: exact HUGEINT
+    * sums (DuckDB's native sum(bigint)), one cast to double per sum,
+    * then the same arithmetic — r² as (cov/varX)·(cov/varY) so both
+    * engines square via the same two divisions.
+    */
+  val regressionByFlagSql: String =
+    """WITH d AS (
+         SELECT l_returnflag AS flag,
+                CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem),
+       sums AS (
+         SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         FROM d GROUP BY flag),
+       f AS (
+         SELECT flag, n,
+                CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+         FROM sums)
+       SELECT flag, n,
+              round(((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+                    / 100.0, 6) AS slope,
+              round(((syd - ((nd * sxyd - sxd * syd)
+                             / (nd * sxxd - sxd * sxd)) * sxd) / nd)
+                    / 100.0, 6) AS intercept,
+              round(((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+                    * ((nd * sxyd - sxd * syd) / (nd * syyd - syd * syd)),
+                    6) AS r2
+       FROM f ORDER BY flag"""
 }

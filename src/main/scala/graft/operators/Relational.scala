@@ -181,4 +181,61 @@ object Relational {
               c.c_custkey IS NOT NULL AS has_customer,
               o.o_custkey IS NOT NULL AS has_orders_95
        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey"""
+
+  /** INTERSECT / EXCEPT set operations — year-over-year customer
+    * cohorts: buyers active in both 1997 and 1998 (retained) vs
+    * active in 1997 only (churned). Spark plans both as distinct +
+    * LEFT SEMI / LEFT ANTI hash joins on the key — one key-partitioned
+    * shuffle per side, no sort, no all-pairs — so the set-algebra
+    * surface costs the same as the equivalent semi-join phrasing.
+    */
+  def setOpsCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def activeIn(yr: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey".as("custkey"))
+    val y97 = activeIn(1997)
+    val y98 = activeIn(1998)
+    y97.intersect(y98).withColumn("cohort", lit("retained"))
+      .unionByName(y97.except(y98).withColumn("cohort", lit("churned")))
+      .orderBy($"custkey", $"cohort")
+  }
+
+  val setOpsCohortsSql: String =
+    """WITH y97 AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE year(o_orderdate) = 1997),
+            y98 AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE year(o_orderdate) = 1998)
+       SELECT custkey, 'retained' AS cohort
+       FROM (SELECT custkey FROM y97 INTERSECT SELECT custkey FROM y98)
+       UNION ALL
+       SELECT custkey, 'churned' AS cohort
+       FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y98)
+       ORDER BY custkey, cohort"""
+
+  /** Correlated subqueries — EXISTS, NOT EXISTS, and a correlated
+    * scalar — run VERBATIM on both engines (same device as
+    * sql_passthrough). Catalyst decorrelates all three into joins
+    * (left semi, left anti, and a left outer over a grouped
+    * aggregate): per-row re-execution never happens, which
+    * RelationalSpec pins by asserting the plan contains the join
+    * shapes and no subquery nodes survive.
+    */
+  val existsSubquerySql: String =
+    """SELECT c.c_custkey,
+              (SELECT round(max(o.o_totalprice), 2) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS max_price
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 150000)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F'
+                           AND o.o_totalprice > 250000)
+       ORDER BY c.c_custkey"""
+
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame =
+    SqlInterface.run(spark, dir, existsSubquerySql)
 }

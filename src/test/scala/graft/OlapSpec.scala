@@ -89,4 +89,40 @@ class OlapSpec extends SparkSpec {
     val mean = rows.map(_._3).sum / rows.length
     assert(mean > 1.5, s"corpus mean coherence $mean suspiciously low")
   }
+
+  test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {
+    import spark.implicits._
+    // exact line y = 200x + 500 cents, one point perturbed: slope and
+    // r² have a pencil-and-paper closed form to 6 decimals
+    val pts = Seq((10L, 2500.0), (20L, 4500.0), (30L, 6500.0),
+      (40L, 8500.0), (50L, 10400.0)).map { case (x, y) => ("A", x, y) }
+    val df = spark.createDataFrame(pts).toDF("l_returnflag", "xq", "yp")
+      .select($"l_returnflag", $"xq".cast("double").as("l_quantity"),
+        ($"yp" / 100.0).as("l_extendedprice"),
+        lit(null).cast("timestamp").as("l_shipdate"))
+    val tmp = java.nio.file.Files.createTempDirectory("regr").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    // closed form: cov = 5·1,170,000 − 150·32,400 = 990,000;
+    // varX = 5·5,500 − 150² = 5,000 ⇒ slope 198 cents = 1.98;
+    // intercept (32,400 − 198·150)/5 = 540 cents = 5.40;
+    // varY = 5·249,160,000 − 32,400² = 196,040,000 ⇒
+    // r² = 990,000²/(5,000·196,040,000) = 0.99989798 → 0.999898
+    val r = graft.operators.Olap.regressionByFlag(spark, tmp).collect()(0)
+    assert(r.getAs[Double]("slope") == 1.98, s"slope ${r.getAs[Double]("slope")}")
+    assert(r.getAs[Double]("intercept") == 5.4,
+      s"intercept ${r.getAs[Double]("intercept")}")
+    assert(math.abs(r.getAs[Double]("r2") - 0.999898) < 1e-6,
+      s"r2 ${r.getAs[Double]("r2")}")
+    // corpus sanity (the synthetic testdata draws price independent
+    // of quantity, so only the INVARIANTS hold, not a strong fit):
+    // r² ∈ [0,1] by Cauchy–Schwarz, all outputs finite, 3 flags
+    val corpus = graft.operators.Olap.regressionByFlag(spark, SF).collect()
+    assert(corpus.length == 3, s"expected 3 flags, got ${corpus.length}")
+    corpus.foreach { row =>
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r² out of [0,1]: $row")
+      assert(!row.getAs[Double]("slope").isNaN &&
+        !row.getAs[Double]("intercept").isNaN, s"non-finite fit: $row")
+    }
+  }
 }

@@ -253,4 +253,30 @@ class PlanAuditSpec extends SparkSpec {
         _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
       s"top-k shuffle carries arrays: ${shuffles.head.map(_.name)}")
   }
+
+  test("q_set_ops: INTERSECT/EXCEPT plan as semi/anti hash joins, never nested-loop") {
+    val p = plan("q_set_ops")
+    assert(p.contains("LeftSemi"), s"INTERSECT not a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT not a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"set operation fell back to an all-pairs join:\n$p")
+  }
+
+  test("q_subquery_exists: all three subqueries decorrelate into joins") {
+    val p = plan("q_subquery_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti join:\n$p")
+    // the correlated scalar becomes an outer join over a grouped
+    // aggregate — no per-row subquery execution nodes survive
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      s"a correlated subquery survived decorrelation:\n$p")
+  }
+
+  test("olap_regression: one map-side-partial aggregate, no raw-row shuffle") {
+    val p = plan("olap_regression")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one shuffle (the 5-group aggregate):\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
 }
