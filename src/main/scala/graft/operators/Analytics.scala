@@ -358,4 +358,40 @@ object Analytics {
        SELECT x.cohort_wk, x.week_offset, x.n_active, s.n_cohort,
               round(x.n_active * 1.0 / s.n_cohort, 4) AS retention
        FROM cells x JOIN sizes s ON x.cohort_wk = s.cohort_wk"""
+
+  /** Market-basket pair mining: parts co-purchased within an order,
+    * top 20 by support. NOT the self-join the SQL states — per-order
+    * baskets are collected once (one key-partitioned shuffle), pairs
+    * are generated map-side from each sorted basket, and only (p1,
+    * p2) scalars shuffle into the count. The pair expansion is
+    * Σ basket² — the same per-key quadratic budget as the LSH bucket
+    * joins, bounded here by order line cardinality (≤ single digits
+    * in any order-lines schema), never corpus². Positions i<j of the
+    * sorted basket with arr[i]<arr[j] count exactly the line pairs
+    * with distinct parts, once each — spec'd equal to the join form.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS p1, y AS p2))))""")).as("pr"))
+      .filter($"pr.p1" < $"pr.p2")
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  val basketPairsSql: String =
+    """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+              CAST(count(*) AS BIGINT) AS support
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       ORDER BY support DESC, p1, p2
+       LIMIT 20"""
 }

@@ -88,4 +88,39 @@ object Pii {
                  '$ipRe', '<IP>', 'g'),
                  '$phoneRe', '<PHONE>', 'g') AS redacted
         FROM pii"""
+
+  /** k-anonymity audit (Sweeney 2002) — the release-gate check a
+    * governance pass runs before person-keyed data leaves the
+    * pipeline: every quasi-identifier combination (here nation ×
+    * market segment × a 2000-unit balance band) must cover ≥ k
+    * people, else those rows are re-identifiable and need
+    * suppression or coarser generalization. Lists the violating
+    * groups with their sizes. One map-side-partial hash aggregate
+    * over the QI key — group count, not row count, crosses the
+    * exchange; the HAVING prunes to the (small) violation set. The
+    * balance band floors integer cents over an IEEE double division,
+    * identical in both engines (a bare integer `div` would differ on
+    * negative balances: Spark truncates, DuckDB floors).
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor(round($"c_acctbal" * 100).cast("long").cast("double")
+          / 200000.0).cast("long").as("bal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("group_size"))
+      .filter($"group_size" < k)
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+  }
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+              CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                         / 200000.0) AS BIGINT) AS bal_band,
+              CAST(count(*) AS BIGINT) AS group_size
+       FROM customer
+       GROUP BY 1, 2, 3
+       HAVING count(*) < 5
+       ORDER BY 1, 2, 3"""
 }

@@ -321,4 +321,64 @@ object TextAnalysis {
               round(sum(c.cnt) * 1.0 / count(*), 4) AS coherence
        FROM big b JOIN counts c USING (bg)
        GROUP BY b.doc_id"""
+
+  /** Readability + character-class profile — the curation signals a
+    * Gopher/C4-style filter stack reads next after token stats:
+    * Flesch reading-ease (Flesch 1948; syllables approximated as
+    * vowel GROUPS, the standard regex surrogate) plus alpha/digit
+    * character ratios. All inputs are integer regexp-match counts
+    * (simple character classes, identical under Java regex and RE2),
+    * so the only fp is the final Flesch/ratio expression — pure
+    * +,−,×,÷ on identical integers, IEEE-deterministic across
+    * engines (no log/exp). Zero guards via greatest(·,1): division
+    * NaNs would throw under ANSI mode on empty docs. Shuffle-free:
+    * per-row map work at scan speed, same class as text_tokens.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id",
+      regexp_count($"text", lit("[A-Za-z]+")).cast("long").as("n_words"),
+      regexp_count($"text", lit("[.!?]+")).cast("long").as("n_sentences"),
+      regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long")
+        .as("n_syllables"),
+      regexp_count($"text", lit("[A-Za-z]")).cast("long").as("n_alpha"),
+      regexp_count($"text", lit("[0-9]")).cast("long").as("n_digit"),
+      length($"text").cast("long").as("n_chars"))
+    d.select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+      round(lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double")
+            / greatest($"n_sentences", lit(1L)).cast("double"))
+          - lit(84.6) * ($"n_syllables".cast("double")
+            / greatest($"n_words", lit(1L)).cast("double")), 4)
+        .as("flesch"),
+      round($"n_alpha".cast("double")
+          / greatest($"n_chars", lit(1L)).cast("double"), 4)
+        .as("alpha_ratio"),
+      round($"n_digit".cast("double")
+          / greatest($"n_chars", lit(1L)).cast("double"), 4)
+        .as("digit_ratio"))
+  }
+
+  val readabilitySql: String =
+    """WITH c AS (
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+         round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(greatest(n_sentences, 1) AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(greatest(n_words, 1) AS DOUBLE)), 4) AS flesch,
+         round(CAST(n_alpha AS DOUBLE)
+               / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS alpha_ratio,
+         round(CAST(n_digit AS DOUBLE)
+               / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS digit_ratio
+       FROM c"""
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Analytics, Pii}
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair mining and the k-anonymity governance audit:
+  * semantic equivalence of the map-side pair generation to the
+  * self-join the oracle states, and the privacy contract (every
+  * reported group is genuinely below k; nothing below k escapes).
+  */
+class MiningSpec extends SparkSpec {
+
+  test("basket pair generation ≡ the self-join form, including duplicate parts") {
+    import spark.implicits._
+    // order 10 has part 7 twice → the (5,7) pair must count BOTH
+    // line pairs; order 20 is a singleton (no pairs); order 30 has
+    // all-distinct parts
+    val li = Seq((10L, 5L), (10L, 7L), (10L, 7L), (20L, 9L),
+      (30L, 1L), (30L, 2L), (30L, 3L)).toDF("l_orderkey", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("basket").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Analytics.basketPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = li.select($"l_orderkey".as("k"), $"l_partkey".as("p1"))
+    val b = li.select($"l_orderkey".as("k"), $"l_partkey".as("p2"))
+    val joined = a.join(b, Seq("k")).filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == joined, s"got=$got joined=$joined")
+    assert(got.contains((5L, 7L, 2L)), s"duplicate-part support wrong: $got")
+  }
+
+  test("basket pairs: no exchange carries basket arrays — only scalars shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffles =
+      try Analytics.basketPairs(spark, SF).queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.output
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // shuffle 1: partkey scalars keyed by orderkey (map-side partial
+    // collect_list is fine — the FULL basket only exists post-merge,
+    // map-side partials are per-task slices); the pair/count and
+    // top-k exchanges must be pure scalars. Nothing corpus-sized
+    // carries an array except the bounded per-order partial lists.
+    assert(shuffles.length >= 2, s"expected ≥2 shuffles, got $shuffles")
+    assert(shuffles.tail.forall(out => !out.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      s"post-basket exchange carries arrays: ${shuffles.map(_.map(_.name))}")
+  }
+
+  test("k-anonymity audit: reported groups are exactly those below k, and floors negative bands") {
+    import spark.implicits._
+    val reported = Pii.kAnonymity(spark, SF, k = 5).collect()
+    assert(reported.nonEmpty)
+    assert(reported.forall(_.getAs[Long]("group_size") < 5))
+    // re-derive the full census: violating + compliant = all groups,
+    // and no group below k is missing from the report
+    val all = Tables.customer(spark, SF)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor(round($"c_acctbal" * 100).cast("long").cast("double")
+          / 200000.0).cast("long").as("bal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band").count()
+    val below = all.filter($"count" < 5).count()
+    assert(reported.length.toLong == below,
+      s"report ${reported.length} groups, census says $below")
+    // negative balances exist in TPC-H-ish data and must floor DOWN
+    // (band −1), not truncate toward zero into band 0 with the poor
+    val negBands = all.filter($"bal_band" < 0).count()
+    assert(negBands > 0, "fixture lost its negative-balance bands")
+  }
+}

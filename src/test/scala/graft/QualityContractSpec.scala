@@ -22,6 +22,25 @@ class QualityContractSpec extends SparkSpec {
     assert(range > 0.01)
   }
 
+  test("readability matches a hand-computed Flesch fixture and guards empty docs") {
+    import spark.implicits._
+    // "The cat sat." — 3 words, 1 sentence, vowel groups e/a/a = 3:
+    // flesch = 206.835 − 1.015·3 − 84.6·1 = 119.19; 9 letters of 12
+    // chars → alpha 0.75. Plus a digit-heavy doc and an empty doc
+    // (greatest(·,1) guards — no NaN, no ANSI throw).
+    val tmp = java.nio.file.Files.createTempDirectory("read").toString
+    Seq((1L, "The cat sat."), (2L, "a1b2 33!"), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.readability(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("flesch") == 119.19, s"${got(1L)}")
+    assert(got(1L).getAs[Double]("alpha_ratio") == 0.75, s"${got(1L)}")
+    assert(got(2L).getAs[Double]("digit_ratio") == 0.5, s"${got(2L)}")
+    assert(got(3L).getAs[Long]("n_words") == 0L &&
+      !got(3L).getAs[Double]("flesch").isNaN, s"${got(3L)}")
+  }
+
   test("empty and whitespace-only documents score without NaN or ANSI error") {
     import spark.implicits._
     // degenerate docs the synthetic testdata never contains — the
