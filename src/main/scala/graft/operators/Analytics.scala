@@ -130,6 +130,72 @@ object Analytics {
        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        WHERE o_custkey IS NULL"""
 
+  /** Declarative data-expectations audit (the dbt-test /
+    * Great-Expectations contract shape, generalizing #14): one result
+    * row per rule with its violation count — uniqueness, domain,
+    * range, null, and referential rules over orders. All row-level
+    * rules ride ONE aggregate pass (a single scan, map-side partial
+    * sums of CASE flags, then stack() to long form — 6 rules cost
+    * the same scan as 1); uniqueness adds the count-distinct
+    * aggregate and the referential rule one anti-join, each the
+    * operation's honest minimum. Green = all zeros except the
+    * planted-orphan rule the testdata carries by construction.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val rowRules = o.agg(
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("v_status"),
+      sum(when($"o_orderdate" < lit("1992-01-01").cast("timestamp") ||
+          $"o_orderdate" >= lit("1999-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_date"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("v_unique"))
+      .select(expr(
+        """stack(5,
+             'custkey_not_null', v_null,
+             'totalprice_positive', v_price,
+             'status_in_domain', v_status,
+             'orderdate_in_range', v_date,
+             'orderkey_unique', v_unique) AS (rule, n_violations)"""))
+    val referential = o.select($"o_custkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("custkey_references_customer").as("rule"), $"n_violations")
+    rowRules.unionByName(referential).orderBy($"rule")
+  }
+
+  val expectationsSql: String =
+    """WITH agg AS (
+         SELECT
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+             AS v_status,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                      OR o_orderdate >= TIMESTAMP '1999-01-01'
+                    THEN 1 ELSE 0 END) AS v_date,
+           count(*) - count(DISTINCT o_orderkey) AS v_unique
+         FROM orders),
+       rules AS (
+         SELECT 'custkey_not_null' AS rule, CAST(v_null AS BIGINT) AS n_violations FROM agg
+         UNION ALL
+         SELECT 'totalprice_positive', CAST(v_price AS BIGINT) FROM agg
+         UNION ALL
+         SELECT 'status_in_domain', CAST(v_status AS BIGINT) FROM agg
+         UNION ALL
+         SELECT 'orderdate_in_range', CAST(v_date AS BIGINT) FROM agg
+         UNION ALL
+         SELECT 'orderkey_unique', CAST(v_unique AS BIGINT) FROM agg
+         UNION ALL
+         SELECT 'custkey_references_customer', CAST(count(*) AS BIGINT)
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey IS NULL)
+       SELECT rule, n_violations FROM rules ORDER BY rule"""
+
   // ── Analytics (queries.py:54-121) ────────────────────────────────
 
   /** #15 (q5_1_1..3): most common token per gender class — the

@@ -238,4 +238,26 @@ object Relational {
 
   def existsSubquery(spark: SparkSession, dir: String): DataFrame =
     SqlInterface.run(spark, dir, existsSubquerySql)
+
+  /** LATERAL correlated derived table — top-2-orders-per-customer as
+    * the SQL standard phrases it, run VERBATIM on both engines.
+    * Catalyst plans the correlated LIMIT as a per-key ranking window
+    * under a lateral join — the same physical shape as the
+    * olap_window_ranks formulation, so the lateral surface costs
+    * nothing extra. Fully tie-broken inside (price DESC, orderkey)
+    * and outside.
+    */
+  val lateralTopNSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.price
+       FROM customer c,
+       LATERAL (SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+                FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o.o_totalprice DESC, o.o_orderkey
+                LIMIT 2) t
+       WHERE c.c_custkey <= 300
+       ORDER BY c.c_custkey, price DESC, o_orderkey"""
+
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame =
+    SqlInterface.run(spark, dir, lateralTopNSql)
 }

@@ -49,6 +49,38 @@ class MiningSpec extends SparkSpec {
       s"post-basket exchange carries arrays: ${shuffles.map(_.map(_.name))}")
   }
 
+  test("expectations audit counts each planted violation class exactly once") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      // clean row
+      (1L, 10L, "O", 100.0, ts("1995-06-01"), "1-URGENT"),
+      // duplicate orderkey pair (1 uniqueness violation)
+      (2L, 10L, "F", 200.0, ts("1996-06-01"), "2-HIGH"),
+      (2L, 10L, "F", 210.0, ts("1996-07-01"), "2-HIGH"),
+      // non-positive price + out-of-domain status
+      (3L, 10L, "X", -5.0, ts("1997-06-01"), "3-MEDIUM"),
+      // out-of-range date + orphan custkey
+      (4L, 99L, "P", 50.0, ts("1999-06-01"), "4-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = Seq((10L, "c10", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val tmp = java.nio.file.Files.createTempDirectory("expect").toString
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    cust.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = graft.operators.Analytics.expectations(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "custkey_not_null" -> 0L,
+      "custkey_references_customer" -> 1L,
+      "orderdate_in_range" -> 1L,
+      "orderkey_unique" -> 1L,
+      "status_in_domain" -> 1L,
+      "totalprice_positive" -> 1L), s"got $got")
+  }
+
   test("k-anonymity audit: reported groups are exactly those below k, and floors negative bands") {
     import spark.implicits._
     val reported = Pii.kAnonymity(spark, SF, k = 5).collect()

@@ -273,6 +273,22 @@ class PlanAuditSpec extends SparkSpec {
       s"a correlated subquery survived decorrelation:\n$p")
   }
 
+  test("q_lateral_topn: correlated LIMIT decorrelates to a ranking window, not per-row re-execution") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("Window"), s"lateral LIMIT did not become a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral join went all-pairs:\n$p")
+  }
+
+  test("validate_expectations: 5 row-level rules share ONE orders scan (plus one for the anti-join)") {
+    val p = plan("validate_expectations")
+    val orderScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(orderScans == 2,
+      s"expected 2 orders scans (agg pass + referential), got $orderScans:\n$p")
+  }
+
   test("olap_regression: one map-side-partial aggregate, no raw-row shuffle") {
     val p = plan("olap_regression")
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
