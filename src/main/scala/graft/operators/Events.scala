@@ -188,4 +188,99 @@ object Events {
        SELECT h, n, s1 AS sum24 FROM win
        WHERE nw = 24
          AND (24 * n - s1) * (24 * n - s1) > 4 * (24 * s2 - s1 * s1)"""
+
+  /** Hour-of-week seasonality profile (the load-shape input capacity
+    * planning and anomaly baselines read): per (day-of-week, hour)
+    * cell, event count and mean value. The mean is exact: values sum
+    * as integer MICRO-units (order-free), and the single double
+    * division happens at the final projection — same device as BM25.
+    * dow is aligned to DuckDB's 0=Sunday. One map-side-partial hash
+    * aggregate to 168 cells.
+    */
+  def weeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select((dayofweek($"ts") - 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"),
+        round($"value" * 1000000).cast("long").as("micros"))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"micros").cast("double")
+          / count(lit(1)).cast("double") / 1000000.0, 4).as("avg_value"))
+      .orderBy($"dow", $"hod")
+  }
+
+  val weeklyProfileSql: String =
+    """SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+              CAST(date_part('hour', ts) AS BIGINT) AS hod,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS avg_value
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  /** Top session paths: most common event-type TRIGRAMS inside the
+    * 30-minute sessions (the clickstream navigation-pattern query).
+    * Session assembly is the #26 lag+cumsum sessionizer; per-session
+    * sequences come from ONE collect of (ts, id, type) structs sorted
+    * in-array (array_sort is a per-row sort of a bounded session, not
+    * a shuffle sort), trigrams explode map-side, and only (path,
+    * count) scalars reach the final aggregate. Σ session-length cost,
+    * linear in events.
+    */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("ts_sec"))
+      .withColumn("gap", $"ts_sec" - lag($"ts_sec", 1).over(byUser))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(array_sort(collect_list(
+        struct($"ts_sec", $"event_id", $"event_type"))).as("evs"))
+      .select(expr("transform(evs, e -> e.event_type)").as("seq"))
+      .filter(size($"seq") >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(seq) - 2),
+             i -> concat_ws('>', seq[i - 1], seq[i], seq[i + 1]))"""))
+        .as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val pathTrigramsSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       g AS (
+         SELECT event_id, user_id, event_type, ts_sec,
+                ts_sec - lag(ts_sec) OVER w AS gap
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+       s AS (
+         SELECT event_id, user_id, event_type, ts_sec,
+                sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+         FROM g),
+       seqs AS (
+         SELECT user_id, session_id,
+                list(event_type ORDER BY ts_sec, event_id) AS seq
+         FROM s GROUP BY user_id, session_id),
+       tri AS (
+         SELECT unnest([seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2]
+                        for i in range(1, len(seq) - 1)]) AS path
+         FROM seqs WHERE len(seq) >= 3)
+       SELECT path, CAST(count(*) AS BIGINT) AS n
+       FROM tri GROUP BY path
+       ORDER BY n DESC, path
+       LIMIT 10"""
 }

@@ -70,10 +70,13 @@ object Graph {
         .agg(expr("150000L + (850L * sum(contrib)) div 1000L").as("rank"))
         .select($"dst".as("node"), $"rank")
     }
+    // materialize (top-k rows only) before unpersisting the edges so
+    // no consumer re-derives from an evicted cache; localCheckpoint
+    // rather than cache() so repeated invocations don't alias each
+    // other through the plan-keyed CacheManager (which would make any
+    // run after the first read a 20-row cache — unrepresentative)
     val out = ranks.orderBy($"rank".desc, $"node").limit(topK)
-    // materialize before unpersisting so no consumer re-derives from
-    // an evicted cache
-    out.cache().count()
+      .localCheckpoint(true)
     e.unpersist(blocking = false)
     out
   }

@@ -47,4 +47,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert((24 * 0 - s1) * (24 * 0 - s1) > 4 * (24 * (24 * 100L * 100L) - s1 * s1),
       "integer z-test must flag a dead hour against a steady baseline")
   }
+
+  test("weekly profile: ≤168 in-range cells, counts sum to the corpus total") {
+    import spark.implicits._
+    val cells = Events.weeklyProfile(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty && cells.length <= 168, s"${cells.length} cells")
+    cells.foreach { case (dow, hod, _) =>
+      assert(dow >= 0 && dow <= 6 && hod >= 0 && hod <= 23,
+        s"cell out of range: ($dow,$hod)") }
+    val total = Tables.events(spark, SF).count()
+    assert(cells.map(_._3).sum == total,
+      s"cell counts ${cells.map(_._3).sum} != corpus $total")
+  }
+
+  test("path trigrams never cross a session boundary") {
+    import spark.implicits._
+    // raw events.parquet stores ts as NANOSECOND longs (Tables.events
+    // converts via timestamp_micros(ts div 1000))
+    def t(min: Int): Long = (3600L * 24 + min * 60L) * 1000000000L
+    // one user: A,B,C,D a minute apart (trigrams A>B>C and B>C>D),
+    // then a 40-minute gap, then E,F,G — G arriving in a NEW session
+    // only 2 events deep would be wrong to pair with D or E
+    val ev = Seq(
+      (1L, t(0), 7L, "A", 0.0, "{}"), (2L, t(1), 7L, "B", 0.0, "{}"),
+      (3L, t(2), 7L, "C", 0.0, "{}"), (4L, t(3), 7L, "D", 0.0, "{}"),
+      (5L, t(44), 7L, "E", 0.0, "{}"), (6L, t(45), 7L, "F", 0.0, "{}"),
+      (7L, t(46), 7L, "G", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.pathTrigrams(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "E>F>G" -> 1L),
+      s"got $got — a trigram crossed the 30-minute session boundary")
+  }
 }
