@@ -255,6 +255,49 @@ object Events {
       .limit(10)
   }
 
+  /** First-order Markov transition matrix between consecutive event
+    * types per user: count and row-normalized probability. Counts are
+    * exact integers; the probability is one double division at the
+    * final projection over a window that sits on the 25-cell
+    * AGGREGATE (type × type), not the corpus — the WindowAuditSpec
+    * aggregate-input exemption class.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec"),
+        $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(byUser))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy($"from_type")
+    counts
+      .withColumn("prob", round($"n".cast("double")
+        / sum($"n").over(byFrom).cast("double"), 4))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       p AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_sec, event_id) AS to_type
+         FROM e),
+       c AS (
+         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              round(CAST(n AS DOUBLE)
+                    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+                AS prob
+       FROM c ORDER BY from_type, to_type"""
+
   val pathTrigramsSql: String =
     """WITH e AS (
          SELECT event_id, user_id, event_type,

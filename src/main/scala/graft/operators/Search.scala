@@ -249,4 +249,29 @@ object Search {
                        ORDER BY score DESC, token) AS rk
               FROM scored)
         WHERE rk <= $k"""
+
+  /** Keyword-in-context snippets — the result-rendering step after
+    * retrieval: for documents containing the term, the 1-based first
+    * match position and an 80-char window starting 40 chars before
+    * it. Pure per-row string ops (instr + substring, both engines
+    * character-based 1-indexed) — zero shuffle, scan speed; composes
+    * downstream of bm25TopK for hit highlighting.
+    */
+  def snippets(spark: SparkSession, dir: String, term: String = "data")
+      : DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", instr($"text", term).cast("long").as("pos"), $"text")
+      .filter($"pos" > 0)
+      .select($"doc_id", $"pos",
+        expr("substr(text, greatest(pos - 40, 1), 80)").as("snippet"))
+      .orderBy($"doc_id")
+  }
+
+  val snippetsSql: String =
+    """SELECT doc_id, pos, substr(text, greatest(pos - 40, 1), 80) AS snippet
+       FROM (SELECT doc_id, CAST(strpos(text, 'data') AS BIGINT) AS pos, text
+             FROM documents)
+       WHERE pos > 0
+       ORDER BY doc_id"""
 }

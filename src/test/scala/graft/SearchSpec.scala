@@ -114,4 +114,24 @@ class SearchSpec extends SparkSpec {
       .orderBy("rk").collect()
     assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
   }
+
+  test("snippets: window clamps at the document start, centers elsewhere, skips non-matches") {
+    import spark.implicits._
+    val pad = "x" * 100
+    val docs = Seq(
+      (1L, "data right at the front " + pad), // pos 1 → clamped start
+      (2L, pad + " data in the middle " + pad), // pos > 40 → 40-char lead
+      (3L, "no match here at all"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("snip").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Search.snippets(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == Set(1L, 2L), s"wrong doc set: ${got.keySet}")
+    assert(got(1L)._1 == 1L && got(1L)._2.startsWith("data right"),
+      s"clamped snippet wrong: ${got(1L)}")
+    val (pos2, snip2) = got(2L)
+    assert(pos2 == 102L && snip2.length == 80 &&
+      snip2.substring(40, 44) == "data", s"centered snippet wrong: $pos2 $snip2")
+  }
 }

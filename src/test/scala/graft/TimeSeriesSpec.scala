@@ -61,6 +61,23 @@ class TimeSeriesSpec extends SparkSpec {
       s"cell counts ${cells.map(_._3).sum} != corpus $total")
   }
 
+  test("transition matrix rows are distributions: probs sum to 1 within rounding, counts cover all pairs") {
+    import spark.implicits._
+    val rows = Events.transitionMatrix(spark, SF)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, grp) =>
+      val p = grp.map(_._4).sum
+      assert(math.abs(p - 1.0) <= 0.0004 * grp.length,
+        s"row $from sums to $p") }
+    // every user with n events contributes exactly n−1 transitions
+    val users = Tables.events(spark, SF).groupBy($"user_id").count()
+      .collect().map(_.getLong(1)).filter(_ >= 2)
+    assert(rows.map(_._3).sum == users.map(_ - 1).sum,
+      "transition count != sum of per-user (n-1)")
+  }
+
   test("path trigrams never cross a session boundary") {
     import spark.implicits._
     // raw events.parquet stores ts as NANOSECOND longs (Tables.events
