@@ -151,6 +151,45 @@ object Olap {
               max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
        FROM ranked GROUP BY lang"""
 
+  /** Equi-width histogram of order value with a DENSE bin spine —
+    * empty bins appear as zero rows (the property chart/alerting
+    * consumers need and a bare GROUP BY can't give). Binning is
+    * integer: cents div width with a top clamp, so bin edges can't
+    * drift on fp; the 20-row spine comes from sequence+explode
+    * (corpus-size-independent, the gap-fill device) and left-joins
+    * the aggregate — broadcast-sized by construction.
+    */
+  def histogramOrders(spark: SparkSession, dir: String, bins: Int = 20)
+      : DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+      // integer div, NOT Column./ (fp) — bin edges must be exact
+      .select(least(expr("cents div 3000000"), lit(bins - 1L)).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+    spark.range(bins).select($"id".as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select($"bin",
+        round($"bin" * 30000.0, 2).as("lo"),
+        round(($"bin" + 1) * 30000.0, 2).as("hi"),
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"bin")
+  }
+
+  val histogramOrdersSql: String =
+    """WITH c AS (
+         SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 3000000,
+                      19) AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1),
+       spine AS (SELECT unnest(generate_series(0, 19)) AS bin)
+       SELECT CAST(spine.bin AS BIGINT) AS bin,
+              round(spine.bin * 30000.0, 2) AS lo,
+              round((spine.bin + 1) * 30000.0, 2) AS hi,
+              coalesce(c.n, 0) AS n
+       FROM spine LEFT JOIN c ON spine.bin = c.bin
+       ORDER BY bin"""
+
   /** Per-group OLS regression (price-per-unit line: l_extendedprice
     * on l_quantity, by return flag) from EXACT integer moment sums.
     * Built-in `regr_slope`/`corr` accumulate doubles, whose value

@@ -90,6 +90,21 @@ class OlapSpec extends SparkSpec {
     assert(mean > 1.5, s"corpus mean coherence $mean suspiciously low")
   }
 
+  test("histogram: dense 20-bin spine, counts cover every order, empty bins zero") {
+    import spark.implicits._
+    val rows = graft.operators.Olap.histogramOrders(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.length == 20 && rows.map(_._1).toSeq == (0L until 20L),
+      s"spine not dense: ${rows.map(_._1).toSeq}")
+    rows.foreach { case (b, lo, hi, _) =>
+      assert(lo == b * 30000.0 && hi == (b + 1) * 30000.0,
+        s"bin $b edges ($lo,$hi)") }
+    val total = Tables.orders(spark, SF).count()
+    assert(rows.map(_._4).sum == total,
+      s"histogram mass ${rows.map(_._4).sum} != orders $total")
+  }
+
   test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {
     import spark.implicits._
     // exact line y = 200x + 500 cents, one point perturbed: slope and
