@@ -46,4 +46,29 @@ object Interchange {
   def orcReadSql(idLo: Long = 50, idHi: Long = 449): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id BETWEEN $idLo AND $idHi"""
+
+  /** CSV — the reference's own ingest format (task.py reads the
+    * Netflix CSV). Document text forces the writer through full
+    * quoting (commas, quotes) and the read back goes through the
+    * schema'd PERMISSIVE [[Readers.csv]]; multiLine handles any
+    * embedded newlines a text corpus may carry (disables intra-file
+    * split parallelism — the documented CSV ingest posture: files,
+    * not splits, are the parallelism unit; the lake is parquet).
+    * Filter on a modulus so the gate exercises numeric typing after
+    * the string round trip.
+    */
+  def csvRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tmp = graft.util.Scratch.dir("graft_csv")
+    docs.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(s"$tmp/documents")
+    Readers.csv(spark, s"$tmp/documents", docs.schema, multiLine = true)
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val csvReadSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE doc_id % 7 = 0"""
 }

@@ -29,6 +29,10 @@ object Readers {
       .option("header", header.toString)
       .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
+      // RFC 4180: quotes inside quoted fields are DOUBLED ("" not \").
+      // Spark's default escape is backslash — wrong for CSV written by
+      // pandas, DuckDB, Excel, or Spark itself with escape='"'.
+      .option("escape", "\"")
       .csv(path)
     // try_to_date: empty/malformed date strings → null instead of an
     // ANSI runtime error (Spark 4 default) — consistent with the

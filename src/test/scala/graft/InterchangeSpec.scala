@@ -50,4 +50,23 @@ class InterchangeSpec extends SparkSpec {
       .select($"doc_id", $"lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
   }
+
+  test("csv round trip preserves text with embedded commas, quotes, and newlines") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "comma, inside", "en", "web", 13L),
+      (3L, "a \"quoted\" span", "en", "web", 15L),
+      (4L, "line one\nline two", "en", "web", 17L),
+      (5L, "trailing backslash \\ and, \"both\"", "en", "web", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString
+    nasty.write.option("header", "true").option("escape", "\"")
+      .csv(s"$tmp/docs")
+    val back = graft.sources.Readers.csv(spark, s"$tmp/docs", nasty.schema,
+        multiLine = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, s"csv round trip mangled text: $back")
+  }
 }
