@@ -69,6 +69,50 @@ class EditDistanceSpec extends SparkSpec {
       s"edit-distance dedup must never go all-pairs:\n$plan")
   }
 
+  test("property: blocking is lossless under random edit scripts (200 seeded trials)") {
+    import spark.implicits._
+    // random base strings + random ≤6-edit scripts (insert/delete/
+    // substitute at random positions): every pair the brute-force
+    // O(n²) scan finds at k=4 must survive the PassJoin blocking.
+    // Deterministic seed — a failure is reproducible, not flaky.
+    val rnd = new scala.util.Random(0xED17D157L)
+    val alpha = "abcdef " // small alphabet → near-boundary distances likely
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      for (_ <- 1 to edits) {
+        val p = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.patch(p, "", 1) // delete
+          case 1 => cur.patch(p, alpha(rnd.nextInt(alpha.length)).toString, 0)
+          case _ if cur.nonEmpty =>
+            cur.patch(p, alpha(rnd.nextInt(alpha.length)).toString, 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val corpus: Seq[(Long, String)] = (0 until 40).flatMap { g =>
+      val base = randStr(20 + rnd.nextInt(40))
+      Seq((g * 5L) -> base) ++ (1 to 4).map(j =>
+        (g * 5L + j) -> mutate(base, 1 + rnd.nextInt(6)))
+    }
+    val k = 4
+    val got = EditDistance.editDistancePairsOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(corpus, 8)).toDF("doc_id", "text"),
+        k, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib, d.toLong)).toSet
+    assert(expected.size > 100,
+      s"fixture too easy: only ${expected.size} true pairs")
+    assert(got == expected,
+      s"spark-only=${got -- expected}\nbrute-only=${expected -- got}")
+  }
+
   test("gate finds the corpus's planted pairs with nonzero distances at sf0.001") {
     val rows = EditDistance.editDistancePairs(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
