@@ -119,4 +119,31 @@ object Lake {
   val incrementalReadSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents
        WHERE n_chars > 150"""
+
+  /** Small-file compaction gated end-to-end: land the documents table
+    * deliberately fragmented (64 files), run [[graft.pipeline.
+    * Maintenance.compact]]'s atomic-swap rewrite, and answer a
+    * filtered query from the compacted layout. The oracle is a plain
+    * filter over the source table — compaction must be invisible to
+    * every reader — and the op itself requires the file count to
+    * actually DROP, so a compactor that silently no-ops fails the
+    * gate rather than passing vacuously.
+    */
+  def compactionRead(spark: SparkSession, dir: String,
+      minChars: Long = 250): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.util.Scratch.dir("graft_lake_compact") + "/documents"
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    val (before, after) = graft.pipeline.Maintenance.compact(spark, path)
+    require(after < before,
+      s"compaction did not reduce files: $before -> $after")
+    spark.read.parquet(path)
+      .filter($"n_chars" >= minChars)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def compactionReadSql(minChars: Long = 250): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars >= $minChars"""
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hand-salting for skewed shuffle joins — the explicit fallback
@@ -61,4 +61,34 @@ object Skew {
     df.groupBy(key.as("key")).count()
       .orderBy(col("count").desc, col("key"))
       .limit(topN)
+
+  /** Gate: per-supplier revenue through [[saltedJoin]] (factor 8) —
+    * the oracle states the PLAIN join, so the hash gate proves salt
+    * scatter + replicate + drop is row-for-row invisible, with the
+    * revenue summed in integer cents (order-free) so the equality is
+    * exact, not approximate. The skew-relief property itself (8-way
+    * split of a hot key's partition) is SkewSpec's job.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val big = graft.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val small = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    saltedJoin(big, small, "suppkey", factor = 8)
+      .groupBy(col("suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+      .orderBy(col("suppkey"))
+  }
+
+  val saltedSupplierRevenueSql: String =
+    """SELECT s_suppkey AS suppkey, s_name,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0, 2) AS revenue
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY 1, 2
+       ORDER BY suppkey"""
 }

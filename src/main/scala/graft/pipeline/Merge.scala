@@ -61,4 +61,61 @@ object Merge {
       .unionByName(untouched)
       .unionByName(inserts)
   }
+
+  /** Gate: the [[scd2]] merge driven by real data and checked by an
+    * oracle that re-derives the expected versioned state from the
+    * source directly. Current = each customer's 1995 max order value
+    * (cents) valid from 1995-12-31; updates = the 1996 values; merge
+    * at 1996-12-31; read back AS OF 1997-06-30. Changed/new keys must
+    * surface the 1996 version (valid_from 1996-12-31), unchanged and
+    * 95-only keys the untouched 1995 version — the close / insert /
+    * pass-through triple in one query. Attrs are integer cents, so
+    * the changed-detection equality is exact on both engines.
+    */
+  def scd2AsOf(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    def yearSlice(yr: Int): DataFrame =
+      graft.Tables.orders(spark, dir)
+        .filter(year($"o_orderdate") === yr && $"o_custkey" <= 200)
+        .groupBy($"o_custkey".as("custkey"))
+        .agg(max(round($"o_totalprice" * 100).cast("long")).as("max_cents"))
+    val t95 = Timestamp.valueOf("1995-12-31 00:00:00")
+    val t96 = Timestamp.valueOf("1996-12-31 00:00:00")
+    val asof = Timestamp.valueOf("1997-06-30 00:00:00")
+    val current = yearSlice(1995)
+      .withColumn("valid_from", lit(t95))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    scd2(current, yearSlice(1996), "custkey", t96)
+      .filter($"valid_from" <= lit(asof) &&
+        ($"valid_to".isNull || $"valid_to" > lit(asof)))
+      .select($"custkey", $"max_cents", $"valid_from")
+      .orderBy($"custkey")
+  }
+
+  val scd2AsOfSql: String =
+    """WITH a95 AS (
+         SELECT o_custkey AS custkey,
+                max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+         FROM orders
+         WHERE year(o_orderdate) = 1995 AND o_custkey <= 200
+         GROUP BY 1),
+       a96 AS (
+         SELECT o_custkey AS custkey,
+                max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+         FROM orders
+         WHERE year(o_orderdate) = 1996 AND o_custkey <= 200
+         GROUP BY 1)
+       SELECT coalesce(a95.custkey, a96.custkey) AS custkey,
+              CASE WHEN a96.custkey IS NOT NULL
+                    AND (a95.custkey IS NULL
+                         OR a95.max_cents <> a96.max_cents)
+                   THEN a96.max_cents ELSE a95.max_cents END AS max_cents,
+              CASE WHEN a96.custkey IS NOT NULL
+                    AND (a95.custkey IS NULL
+                         OR a95.max_cents <> a96.max_cents)
+                   THEN TIMESTAMP '1996-12-31'
+                   ELSE TIMESTAMP '1995-12-31' END AS valid_from
+       FROM a95 FULL OUTER JOIN a96 ON a95.custkey = a96.custkey
+       ORDER BY custkey"""
 }
