@@ -38,4 +38,10 @@ object Graft {
       // testdata events.parquet is TIMESTAMP(NANOS), which Spark 4
       // rejects outright; read raw nanos (Tables.events truncates)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-process scratch warehouse: managed-table LOCATIONS must
+      // die with the session's in-memory catalog — a persistent
+      // ./spark-warehouse plus a fresh catalog makes every re-run of
+      // a saveAsTable gate fail with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.dir("graft_warehouse"))
 }

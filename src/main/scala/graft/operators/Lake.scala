@@ -146,4 +146,61 @@ object Lake {
   def compactionReadSql(minChars: Long = 250): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars >= $minChars"""
+
+  /** Hive-style partitioned sink gated end-to-end: land orders
+    * partitioned by year, read back through a partition-pruned scan
+    * (PlanAuditSpec pins the PartitionFilters entry — only the 1996
+    * directory is touched), answer vs a plain filter oracle. The
+    * year column round-trips through the directory NAME, so the gate
+    * also proves partition-value encode/decode.
+    */
+  def partitionedRead(spark: SparkSession, dir: String, yr: Int = 1996)
+      : DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .withColumn("yr", year($"o_orderdate"))
+    val path = graft.util.Scratch.dir("graft_lake_part") + "/orders"
+    o.write.mode("overwrite").partitionBy("yr").parquet(path)
+    spark.read.parquet(path)
+      .filter($"yr" === yr)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 2).as("price"))
+      .orderBy($"o_orderkey")
+  }
+
+  def partitionedReadSql(yr: Int = 1996): String =
+    s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE year(o_orderdate) = $yr
+        ORDER BY o_orderkey"""
+
+  /** Bucketed co-located join gated end-to-end: both sides land as
+    * bucketBy(8, key)+sortBy managed tables, the join runs with ZERO
+    * exchange (BucketingSpec's plan pin), and the aggregate matches
+    * the plain-join oracle — layout invisible, shuffle eliminated.
+    * Integer-cents revenue keeps the equality exact.
+    */
+  def bucketedJoinRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select($"o_custkey".as("custkey"),
+        round($"o_totalprice" * 100).cast("long").as("cents")),
+      "graft_gate_bkt_orders", "custkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.customer(spark, dir).select($"c_custkey".as("custkey"),
+        $"c_mktsegment"),
+      "graft_gate_bkt_customer", "custkey", 8)
+    graft.sources.Bucketing.coLocatedJoin(spark,
+        "graft_gate_bkt_orders", "graft_gate_bkt_customer", "custkey")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"cents").cast("double") / 100.0, 2).as("revenue"))
+      .orderBy($"segment")
+  }
+
+  val bucketedJoinReadSql: String =
+    """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0, 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY 1"""
 }

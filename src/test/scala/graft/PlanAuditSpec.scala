@@ -289,6 +289,12 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 2 orders scans (agg pass + referential), got $orderScans:\n$p")
   }
 
+  test("lake_partitioned: the year filter prunes DIRECTORIES (PartitionFilters), not rows") {
+    val p = plan("lake_partitioned")
+    assert(p.contains("PartitionFilters: [") && p.contains("= 1996"),
+      s"year filter did not become a partition filter:\n$p")
+  }
+
   test("olap_regression: one map-side-partial aggregate, no raw-row shuffle") {
     val p = plan("olap_regression")
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
