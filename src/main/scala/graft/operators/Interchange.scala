@@ -71,4 +71,37 @@ object Interchange {
   val csvReadSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents
        WHERE doc_id % 7 = 0"""
+
+  /** PERMISSIVE quarantine gated end-to-end: serialize documents to
+    * JSONL, deterministically corrupt every doc_id % 10 == 0 line,
+    * read back through the schema'd PERMISSIVE reader, and return the
+    * rows that parsed — the oracle states the survivors directly
+    * (doc_id % 10 <> 0). The op itself REQUIRES the quarantine count
+    * to equal the planted count, so a reader that silently drops (or
+    * half-parses) corrupt lines fails loudly rather than the gate
+    * passing on the survivor set alone.
+    */
+  def quarantineRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.filter($"doc_id" % 10 === 0).count()
+    val tmp = graft.util.Scratch.dir("graft_quarantine")
+    docs
+      .select($"doc_id", to_json(struct(docs.columns.map(col): _*)).as("line"))
+      .select(when($"doc_id" % 10 === 0, concat(lit("{corrupt!"), $"line"))
+        .otherwise($"line").as("value"))
+      .write.mode("overwrite").text(s"$tmp/docs")
+    val back = Readers.jsonl(spark, s"$tmp/docs",
+      docs.schema.add("_corrupt_record", StringType)).cache()
+    val quarantined = back.filter($"_corrupt_record".isNotNull).count()
+    require(quarantined == planted,
+      s"quarantine captured $quarantined of $planted corrupt lines")
+    back.filter($"_corrupt_record".isNull)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val quarantineReadSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE doc_id % 10 <> 0"""
 }
