@@ -92,6 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CellAssign.parseIds(children(2).eval(null)),
           children(3).eval(null).asInstanceOf[Number].intValue)
       }))
+    // Threshold k folds at resolution time — a constant of the verify
+    // join, never a per-row child
+    ext.injectFunction((
+      FunctionIdentifier("lev_bounded"),
+      new ExpressionInfo(classOf[LevBounded].getName, "lev_bounded"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "lev_bounded(a, b, k)")
+        require(children(2).foldable, "lev_bounded: k must be a constant")
+        LevBounded(children(0), children(1),
+          children(2).eval(null).asInstanceOf[Number].intValue)
+      }))
     ext.injectFunction((
       FunctionIdentifier("ss_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "ss_topk"),
