@@ -108,4 +108,140 @@ object Graph {
         $stages
         SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20"""
   }
+
+  /** Per-node triangle participation over the co-purchase graph, top
+    * 20. Enumeration is degree-ORIENTED (each undirected edge points
+    * from its lower (degree, id) endpoint to the higher): every
+    * triangle then has exactly one apex with two out-edges, so it is
+    * found once, and wedge-generation work drops from the id-ordered
+    * Σ |{a<b}|·|{c>b}| to Σ C(outdeg, 2) with outdeg ≤ √(2·|E|) —
+    * the standard bound that keeps the wedge join feasible when a
+    * hub node has 10⁶ neighbors at 100 TB (id-ordering would square
+    * that hub; degree-ordering caps it). The oracle enumerates the
+    * same triangle set in plain a<b<c id order — counts are
+    * algorithm-independent, so the cheap spelling is exact there.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(copurchaseEdges(spark, dir), topK = 20)
+
+  def trianglesOf(edges: DataFrame, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select($"src", $"deg".as("du")), "src")
+      .join(deg.select($"src".as("dst"), $"deg".as("dv")), "dst")
+      .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
+      .select($"src".as("u"), $"dst".as("v"), $"dv")
+    // wedges from each apex's out-neighborhood, ordered within the
+    // same (deg, id) total order so each unordered pair appears once
+    val wedges = oriented.select($"u", $"v".as("v1"), $"dv".as("d1"))
+      .join(oriented.select($"u", $"v".as("v2"), $"dv".as("d2")), "u")
+      .filter($"d1" < $"d2" || ($"d1" === $"d2" && $"v1" < $"v2"))
+      .select($"u", $"v1", $"v2")
+    // (v1, v2) respects the orientation order, so the closing edge —
+    // if it exists — is oriented v1→v2: one semi-join closes the wedge
+    val tri = wedges.join(
+      oriented.select($"u".as("v1"), $"v".as("v2")), Seq("v1", "v2"),
+      "left_semi")
+    tri.select(explode(array($"u", $"v1", $"v2")).as("node"))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("triangles"))
+      .orderBy($"triangles".desc, $"node")
+      .limit(topK)
+  }
+
+  /** Oracle: id-ordered a<b<c enumeration over the p1<p2 edge set. */
+  val trianglesSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       tri AS (
+         SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         FROM pairs e1
+         JOIN pairs e2 ON e2.p1 = e1.p2
+         JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+       tnodes AS (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+       SELECT node, count(*) AS triangles
+       FROM tnodes GROUP BY node
+       ORDER BY triangles DESC, node LIMIT 20"""
+
+  /** Min-hop BFS layers: nodes within `hops` hops of the seed set
+    * (graph nodes whose id ≡ 0 mod 97), reported as one row per hop
+    * (count + id checksum). Per hop the work is one frontier join
+    * (shuffled on the edge partitioning, like the PageRank step) plus
+    * one anti-join against the visited set — the distributed-BFS
+    * minimum; the frontier is always the distinct NEW layer, so a
+    * node is expanded exactly once no matter how many paths reach it
+    * (work is O(|E reachable|) total, not O(paths), which is the
+    * difference between BFS and path enumeration on a 100 TB graph).
+    * The oracle unrolls the identical layers as chained CTEs — same
+    * device as [[pageRankSql]].
+    */
+  def kHop(spark: SparkSession, dir: String): DataFrame =
+    kHopOf(copurchaseEdges(spark, dir), seedMod = 97L, hops = 3)
+
+  def kHopOf(edges: DataFrame, seedMod: Long, hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = e.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0)
+      .withColumn("hop", lit(0L))
+    var visited = frontier
+    for (h <- 1 to hops) {
+      frontier = e.join(frontier.select($"node"), $"src" === $"node")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+      visited = visited.unionByName(frontier)
+    }
+    val out = visited.groupBy($"hop")
+      .agg(count(lit(1)).as("n"), sum($"node").as("node_sum"))
+      .orderBy($"hop")
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: the same BFS layers unrolled (h1..h3), NOT-IN for the
+    * visited anti-joins.
+    */
+  val kHopSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       h0 AS (
+         SELECT DISTINCT src AS node FROM edges WHERE src % 97 = 0),
+       h1 AS (
+         SELECT DISTINCT e.dst AS node
+         FROM edges e JOIN h0 ON e.src = h0.node
+         WHERE e.dst NOT IN (SELECT node FROM h0)),
+       h2 AS (
+         SELECT DISTINCT e.dst AS node
+         FROM edges e JOIN h1 ON e.src = h1.node
+         WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL
+                             SELECT node FROM h1)),
+       h3 AS (
+         SELECT DISTINCT e.dst AS node
+         FROM edges e JOIN h2 ON e.src = h2.node
+         WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL
+                             SELECT node FROM h1 UNION ALL
+                             SELECT node FROM h2)),
+       layers AS (
+         SELECT CAST(0 AS BIGINT) AS hop, node FROM h0
+         UNION ALL SELECT 1, node FROM h1
+         UNION ALL SELECT 2, node FROM h2
+         UNION ALL SELECT 3, node FROM h3)
+       SELECT hop, count(*) AS n, CAST(sum(node) AS BIGINT) AS node_sum
+       FROM layers GROUP BY hop ORDER BY hop"""
 }

@@ -261,4 +261,68 @@ object Olap {
                     * ((nd * sxyd - sxd * syd) / (nd * syyd - syd * syd)),
                     6) AS r2
        FROM f ORDER BY flag"""
+
+  /** GROUPING SETS with an explicit lattice — the general form ROLLUP
+    * and CUBE are sugar for: the 2-D cells plus both 1-D margins but
+    * NO grand total, a set CUBE cannot express by dropping rows and
+    * ROLLUP cannot express at all. Same one-pass Expand +
+    * partial-agg plan shape as [[rollupOrders]]: each input row is
+    * replicated once per grouping set map-side, then one shuffle.
+    * Source columns are never NULL, so the NULL pattern alone
+    * disambiguates which set a row belongs to — no grouping_id
+    * column needed for a lossless read-back.
+    */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        substring($"o_orderpriority", 1, 1).as("prio"), $"o_totalprice")
+      .groupingSets(
+        Seq(Seq($"status", $"prio"), Seq($"status"), Seq($"prio")),
+        $"status", $"prio")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  val groupingSetsOrdersSql: String =
+    """SELECT o_orderstatus AS status, substr(o_orderpriority, 1, 1) AS prio,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((status, prio), (status), (prio))"""
+
+  /** UNPIVOT (melt): per-status order metrics computed wide in one
+    * hash aggregate, then rotated to (status, metric, value) rows —
+    * the inverse surface of [[pivotEvents]]. The rotation is a
+    * zero-shuffle per-row generator (Expand — each aggregated row
+    * emits one row per metric), so the exchange cost is the
+    * aggregate's alone; rounding happens once in the wide frame so
+    * the rotated values are bit-identical to their wide originals.
+    */
+  def unpivotOrderMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus".as("status"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        round(avg($"o_totalprice"), 2).as("avg_price"))
+      .unpivot(
+        Array($"status"),
+        Array($"n_orders", $"total_price", $"avg_price"),
+        "metric", "value")
+  }
+
+  /** Oracle as UNION ALL — the engine-portable spelling of UNPIVOT —
+    * over the same one-aggregate wide frame.
+    */
+  val unpivotOrderMetricsSql: String =
+    """WITH wide AS (
+         SELECT o_orderstatus AS status,
+                CAST(count(*) AS DOUBLE) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_price,
+                round(avg(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY o_orderstatus)
+       SELECT status, 'n_orders' AS metric, n_orders AS value FROM wide
+       UNION ALL
+       SELECT status, 'total_price', total_price FROM wide
+       UNION ALL
+       SELECT status, 'avg_price', avg_price FROM wide"""
 }

@@ -48,4 +48,78 @@ class GraphSpec extends SparkSpec {
     assert(rows.sameElements(rows.sortBy { case (n, r) => (-r, n) }),
       s"top-k ordering not deterministic: ${rows.toSeq}")
   }
+
+  private def bothDirs(und: Seq[(Long, Long)]) =
+    und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  /** Reference per-node triangle counts by brute-force triple scan. */
+  private def bruteTriangles(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = und.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val triples = for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    triples.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("oriented triangle counts equal brute-force on K4 + pendant") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, 3 per node), pendant 5 off node 1 (0)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val got = Graph.trianglesOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst"), topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $got") // node 5 closes no triangle → absent from counts
+  }
+
+  test("oriented triangle counts equal brute-force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val und = (for {
+      a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val got = Graph.trianglesOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 8))
+          .toDF("src", "dst"), topK = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteTriangles(und)
+    assert(got == want,
+      s"mismatch: extra=${got.toSet -- want.toSet} missing=${want.toSet -- got.toSet}")
+    // degree orientation found each triangle once — totals are 3·|tri|
+    assert(got.values.sum % 3 == 0)
+  }
+
+  test("kHop layers are min-hop BFS: crafted path + unreachable island") {
+    import spark.implicits._
+    // 10—1—2—3—4 path (seed 10 via mod 10), island 6—7 unreachable
+    val und = Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+    val got = Graph.kHopOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst"), seedMod = 10L, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hop→(count, id-sum): seed 10; then 1; then 2; then 3. Node 4 is
+    // 4 hops out and the island never appears.
+    assert(got.toSeq == Seq((0L, 1L, 10L), (1L, 1L, 1L), (2L, 1L, 2L),
+      (3L, 1L, 3L)), s"got ${got.toSeq}")
+  }
+
+  test("kHop on a cycle stops growing once the frontier empties") {
+    import spark.implicits._
+    // triangle 10-1-2: everything reached by hop 1, hops 2-3 add nothing
+    val und = Seq((10L, 1L), (1L, 2L), (2L, 10L))
+    val got = Graph.kHopOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 2))
+          .toDF("src", "dst"), seedMod = 10L, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 10L), (1L, 2L, 3L)), s"got ${got.toSeq}")
+  }
 }

@@ -57,6 +57,56 @@ class OlapSpec extends SparkSpec {
       s"cube should need at most one shuffle:\n$plan")
   }
 
+  test("grouping sets: margins only — no grand total — in one Expand pass") {
+    val rows = graft.operators.Olap.groupingSetsOrders(spark, SF)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSeq
+    val cells = rows.collect { case (Some(s), Some(p), n) => (s, p, n) }
+    assert(cells.nonEmpty)
+    // both margins present and reconciling with the cells…
+    rows.collect { case (Some(s), None, n) => (s, n) }.foreach { case (s, n) =>
+      assert(n == cells.filter(_._1 == s).map(_._3).sum, s"status $s margin")
+    }
+    rows.collect { case (None, Some(p), n) => (p, n) }.foreach { case (p, n) =>
+      assert(n == cells.filter(_._2 == p).map(_._3).sum, s"prio $p margin")
+    }
+    // …but NO grand total: the lattice CUBE can't drop rows from
+    assert(rows.collect { case (None, None, n) => n }.isEmpty,
+      "explicit grouping sets must not emit the grand total")
+    val plan = graft.operators.Olap.groupingSetsOrders(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"not planned as Expand:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"should need at most one shuffle:\n$plan")
+  }
+
+  test("unpivot rotates losslessly: long frame ≡ wide frame, no extra exchange") {
+    import spark.implicits._
+    val long = graft.operators.Olap.unpivotOrderMetrics(spark, SF)
+    val rows = long.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = graft.Tables.orders(spark, SF)
+      .groupBy($"o_orderstatus".as("status"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide.nonEmpty)
+    // every status contributes exactly the 3 metric rows, and the
+    // rotated n_orders equals an independent recount
+    wide.foreach { case (s, n) =>
+      assert(rows((s, "n_orders")) == n.toDouble, s"status $s recount")
+      assert(rows.contains((s, "total_price")) && rows.contains((s, "avg_price")))
+    }
+    assert(rows.size == wide.size * 3, s"row count ${rows.size}")
+    // the rotation itself (Expand) adds no shuffle beyond the
+    // aggregate's — audited on a fresh instance (an executed AQE
+    // plan's toString repeats the Exchange in its Initial Plan echo)
+    val plan = graft.operators.Olap.unpivotOrderMetrics(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"unpivot should ride the aggregate's single shuffle:\n$plan")
+  }
+
   test("percentile_disc boundary semantics: rank ceil(p·n) on exact-multiple groups") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
