@@ -125,6 +125,24 @@ object EventStream {
       .select($"l_id", $"r_id", $"user_id", $"l_ts", $"r_ts")
   }
 
+  /** Stream-static dimension enrichment: the streaming fact side
+    * LEFT-joined to a batch dimension table. Stateless by
+    * construction — Structured Streaming re-plans the static side
+    * each micro-batch (a dim UPDATE is visible from the next batch
+    * on) and no watermark or join state is kept, unlike the
+    * stream-stream case above. `broadcastDim` (default) ships the dim
+    * to every task — right for catalog-sized dims; pass false for a
+    * dim too large to broadcast and the micro-batch runs a shuffle
+    * join instead. LEFT join keeps facts with no dim row (nulls), so
+    * enrichment never drops events.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      joinKey: String, broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim)
+            else dim
+    stream.join(d, Seq(joinKey), "left")
+  }
+
   /** Streaming exact dedup on an arbitrary key (e.g. a document
     * fingerprint): first occurrence passes, replays within the
     * watermark horizon are dropped, and — the part a naive

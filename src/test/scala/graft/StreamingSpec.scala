@@ -127,6 +127,40 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (1L, 11L)), s"got $pairs")
   }
 
+  test("stream-static dim enrichment ≡ batch join; facts without a dim row survive") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val dim = Tables.customer(spark, SF)
+      .select($"c_custkey".as("user_id"),
+        $"c_mktsegment".as("segment"), $"c_nationkey".cast("long").as("nation"))
+      // drop some keys so the LEFT-join null path is exercised on
+      // real data (user_ids ≡ 0 mod 7 lose their dim row)
+      .filter($"user_id" % 7 =!= 0)
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows)
+    val q = EventStream.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_stream")
+      .select($"event_id", $"segment", $"nation")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val batch = Tables.events(spark, SF)
+      .select($"event_id", $"user_id").join(dim, Seq("user_id"), "left")
+      .select($"event_id", $"segment", $"nation")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    // the null path actually fired, and no event was dropped
+    assert(streamed.exists(_._2.isEmpty), "expected unmatched facts")
+    assert(streamed.size == rows.size, "left join must keep every event")
+  }
+
   test("curation stages are stream-safe: gopher rules + PII redaction, batch ≡ stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
