@@ -192,6 +192,78 @@ object Curation {
       .select(scored.columns.map(col): _*)
   }
 
+  /** #36k winsorization: instead of DROPPING the tails like
+    * [[quantileCutByOf]], CLAMP values into the per-group [p10, p90]
+    * band — the robust-statistics treatment when every document must
+    * survive (a dedup key, a mixture weight) but outliers may not
+    * dominate a sum. Identical threshold machinery (integer
+    * cross-multiplied histogram ranks, group-count-sized frame
+    * broadcast back), then an integer clamp and one hash aggregate —
+    * the clamp itself adds zero exchanges.
+    */
+  def winsorizeByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winsorizeByOf(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(Dedup.tokensCol($"text")).cast("long").as("n_tokens")),
+      "lang", "n_tokens", loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
+  }
+
+  def winsorizeByOf(scored: DataFrame, keyCol: String, valueCol: String,
+      loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
+    import scored.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (k, v) = (col(keyCol), col(valueCol))
+    val hist = scored.groupBy(k.as("k"), v.as("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"k").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"k")
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("total", sum($"cnt").over(wAll))
+      .groupBy($"k")
+      .agg(
+        min(when($"cum" * loDen >= $"total" * loNum, $"v")).as("lo_val"),
+        min(when($"cum" * hiDen >= $"total" * hiNum, $"v")).as("hi_val"))
+    scored.join(broadcast(thr), k === $"k")
+      .withColumn("w", greatest(least(v, $"hi_val"), $"lo_val"))
+      .groupBy(k)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(v < $"lo_val", 1L).otherwise(0L)).as("clamped_lo"),
+        sum(when(v > $"hi_val", 1L).otherwise(0L)).as("clamped_hi"),
+        sum($"w").as("sum_winsorized"))
+      .orderBy(k)
+  }
+
+  val winsorizeByLangSql: String =
+    """WITH scored AS (
+         SELECT doc_id, lang,
+                CAST(len(list_filter(list_transform(string_split(trim(text), ' '),
+                       x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         FROM documents),
+       hist AS (
+         SELECT lang AS k, n_tokens AS v, count(*) AS cnt
+         FROM scored GROUP BY k, v),
+       cum AS (
+         SELECT k, v,
+                CAST(sum(cnt) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS total
+         FROM hist),
+       thr AS (
+         SELECT k, min(CASE WHEN cum * 10 >= total * 1 THEN v END) AS lo_val,
+                min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS hi_val
+         FROM cum GROUP BY k)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN n_tokens < lo_val THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clamped_lo,
+              CAST(sum(CASE WHEN n_tokens > hi_val THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clamped_hi,
+              CAST(sum(greatest(least(n_tokens, hi_val), lo_val))
+                   AS BIGINT) AS sum_winsorized
+       FROM scored JOIN thr ON scored.lang = thr.k
+       GROUP BY lang ORDER BY lang"""
+
   val quantileCutSql: String =
     """WITH scored AS (
          SELECT doc_id,

@@ -262,6 +262,82 @@ object Olap {
                     6) AS r2
        FROM f ORDER BY flag"""
 
+  /** Share-of-total (ratio_to_report): each status's revenue share in
+    * integer parts-per-million. Exactness device: prices become
+    * integer cents before any sum, and the share is an integral
+    * decimal divide — (cents·10⁶) div total — widened to
+    * decimal(38,0)/HUGEINT so the product can't overflow a long even
+    * at 10⁴× this corpus (Σcents·10⁶ passes 2⁶³ around ×100). The
+    * grand total rides an unpartitioned window OVER () on the
+    * aggregate-sized frame (|statuses| rows — the same exemption as
+    * the banded cumsum's offset frame), never on the raw scan.
+    */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+      .withColumn("total",
+        sum($"cents").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"status", $"n_orders", $"cents",
+        expr("""CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)
+                     DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("share_ppm"))
+      .orderBy($"status")
+  }
+
+  val shareOfTotalSql: String =
+    """WITH agg AS (
+         SELECT o_orderstatus AS status, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY status)
+       SELECT status, n_orders, cents,
+              CAST((cents::HUGEINT * 1000000) // (SELECT sum(cents::HUGEINT)
+                                                 FROM agg) AS BIGINT)
+                AS share_ppm
+       FROM agg ORDER BY status"""
+
+  /** Median absolute deviation per language — the robust spread
+    * statistic (stddev is hostage to the same outliers a 100 TB crawl
+    * is full of). Two exact passes over integer char counts: the
+    * per-group PERCENTILE_DISC median (a real data value, engine-
+    * exact — see [[percentilesByLang]]), broadcast back as a
+    * group-count-sized frame, then the median of |x − med| the same
+    * way. No fp enters at any point.
+    */
+  def madByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    val med = docs.groupBy($"lang")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("med"))
+    docs.join(broadcast(med), "lang")
+      .withColumn("dev", abs($"n_chars" - $"med"))
+      .groupBy($"lang", $"med")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .cast("long").as("mad"))
+      .select($"lang", $"n_docs", $"med", $"mad")
+      .orderBy($"lang")
+  }
+
+  val madByLangSql: String =
+    """WITH med AS (
+         SELECT lang,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                     AS BIGINT) AS med
+         FROM documents GROUP BY lang)
+       SELECT d.lang, count(*) AS n_docs, m.med,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(d.n_chars - m.med))
+                   AS BIGINT) AS mad
+       FROM documents d JOIN med m ON d.lang = m.lang
+       GROUP BY d.lang, m.med ORDER BY d.lang"""
+
   /** GROUPING SETS with an explicit lattice — the general form ROLLUP
     * and CUBE are sugar for: the 2-D cells plus both 1-D margins but
     * NO grand total, a set CUBE cannot express by dropping rows and

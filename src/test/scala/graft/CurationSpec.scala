@@ -120,6 +120,45 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(_._1 == "b").map(_._2).toSet == (101L to 105L).toSet)
   }
 
+  test("winsorize clamps to the same band the cut drops, and every row survives") {
+    import spark.implicits._
+    // group a: 1..10 → band [1, 9]: the 10 clamps to 9;
+    // group b: 101..105 → band [101, 105]: nothing clamps
+    val scored = ((1L to 10L).map(v => ("a", v)) ++
+      (101L to 105L).map(v => ("b", v)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = Curation.winsorizeByOf(scored, "g", "v", 1, 10, 9, 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: 10 docs, 0 clamped low (lo=1 keeps the 1), 1 clamped high,
+    //    sum = 1+..+9 + 9 = 54; b: untouched, sum = 515
+    assert(got("a") == ((10L, 0L, 1L, 54L)), s"a: ${got("a")}")
+    assert(got("b") == ((5L, 0L, 0L, 515L)), s"b: ${got("b")}")
+  }
+
+  test("winsorize corpus reconciliation: survivors = corpus, clamp counts = cut drops") {
+    import spark.implicits._
+    val gate = SparkEntry.queries("text_winsorize")(spark, SF).collect()
+    val total = gate.map(_.getLong(1)).sum
+    val all = Tables.documents(spark, SF).count()
+    assert(total == all, s"winsorize must keep every doc: $total vs $all")
+    // per-lang: clamped_lo + clamped_hi == docs the per-lang CUT drops
+    val cutKept = SparkEntry.queries("text_quantile_cut_lang")(spark, SF)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLangAll = Tables.documents(spark, SF)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gate.foreach { r =>
+      val (lang, n, lo, hi) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo + hi == byLangAll(lang) - cutKept(lang),
+        s"$lang: clamped ${lo + hi} vs dropped ${byLangAll(lang) - cutKept(lang)}")
+      assert(n == byLangAll(lang))
+    }
+  }
+
   test("grouped gate: per-lang cut differs from the global cut") {
     val global = SparkEntry.queries("text_quantile_cut")(spark, SF)
       .collect().map(_.getLong(0)).toSet

@@ -57,6 +57,49 @@ class OlapSpec extends SparkSpec {
       s"cube should need at most one shuffle:\n$plan")
   }
 
+  test("share of total: ppm shares sum to 10⁶ within truncation, cents reconcile") {
+    import spark.implicits._
+    val rows = graft.operators.Olap.shareOfTotal(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // each floor-truncated share loses < 1 ppm: the sum lands in
+    // (10⁶ − |groups|, 10⁶]
+    val ppm = rows.map(_._4).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+      s"ppm sum $ppm for ${rows.length} groups")
+    // cents reconcile with an independent integer recompute
+    val want = Tables.orders(spark, SF)
+      .select($"o_orderstatus",
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+          .cast("long").as("c"))
+      .groupBy($"o_orderstatus").sum("c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (s, _, cents, _) =>
+      assert(cents == want(s), s"status $s cents") }
+  }
+
+  test("MAD per lang equals a driver-side discrete re-derivation") {
+    import spark.implicits._
+    val got = graft.operators.Olap.madByLang(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byLang = Tables.documents(spark, SF).select($"lang", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def disc(sorted: IndexedSeq[Long]): Long =
+      sorted(math.ceil(0.5 * sorted.size).toInt - 1) // rank ⌈p·n⌉
+    byLang.foreach { case (lang, vs) =>
+      val med = disc(vs)
+      val mad = disc(vs.map(v => math.abs(v - med)).sorted)
+      assert(got(lang) == ((vs.size.toLong, med, mad)),
+        s"$lang: got ${got(lang)}, want (${vs.size}, $med, $mad)")
+    }
+    // robustness sanity: MAD stays despite the heavy tail stddev sees
+    got.values.foreach { case (_, med, mad) =>
+      assert(mad >= 0 && mad <= med, s"MAD out of range: med=$med mad=$mad") }
+  }
+
   test("grouping sets: margins only — no grand total — in one Expand pass") {
     val rows = graft.operators.Olap.groupingSetsOrders(spark, SF)
       .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
