@@ -185,7 +185,7 @@ object Events {
                 sum(n * n) OVER w AS s2
          FROM filled
          WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-       SELECT h, n, s1 AS sum24 FROM win
+       SELECT h, n, CAST(s1 AS BIGINT) AS sum24 FROM win
        WHERE nw = 24
          AND (24 * n - s1) * (24 * n - s1) > 4 * (24 * s2 - s1 * s1)"""
 

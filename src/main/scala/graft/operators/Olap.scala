@@ -159,36 +159,51 @@ object Olap {
     * (corpus-size-independent, the gap-fill device) and left-joins
     * the aggregate — broadcast-sized by construction.
     */
+  /** Histogram domain: TPC-H o_totalprice lives in [0, $600k), held
+    * as integer cents so every bin width derived from it stays exact.
+    */
+  private val HistRangeCents = 60000000L
+
+  private def histWidthCents(bins: Int): Long = {
+    require(bins > 0 && HistRangeCents % bins == 0,
+      s"bins=$bins must divide the $HistRangeCents-cent domain evenly " +
+        "(integer bin edges are what keeps the gate hash-exact)")
+    HistRangeCents / bins
+  }
+
   def histogramOrders(spark: SparkSession, dir: String, bins: Int = 20)
       : DataFrame = {
     import spark.implicits._
+    val width = histWidthCents(bins)
     val counts = Tables.orders(spark, dir)
       .select(round($"o_totalprice" * 100).cast("long").as("cents"))
       // integer div, NOT Column./ (fp) — bin edges must be exact
-      .select(least(expr("cents div 3000000"), lit(bins - 1L)).as("bin"))
+      .select(least(expr(s"cents div $width"), lit(bins - 1L)).as("bin"))
       .groupBy($"bin").agg(count(lit(1)).as("n"))
     spark.range(bins).select($"id".as("bin"))
       .join(counts, Seq("bin"), "left")
       .select($"bin",
-        round($"bin" * 30000.0, 2).as("lo"),
-        round(($"bin" + 1) * 30000.0, 2).as("hi"),
+        round($"bin" * (width / 100.0), 2).as("lo"),
+        round(($"bin" + 1) * (width / 100.0), 2).as("hi"),
         coalesce($"n", lit(0L)).as("n"))
       .orderBy($"bin")
   }
 
-  val histogramOrdersSql: String =
-    """WITH c AS (
-         SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 3000000,
-                      19) AS bin,
+  def histogramOrdersSql(bins: Int = 20): String = {
+    val width = histWidthCents(bins)
+    s"""WITH c AS (
+         SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // $width,
+                      ${bins - 1}) AS bin,
                 CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY 1),
-       spine AS (SELECT unnest(generate_series(0, 19)) AS bin)
+       spine AS (SELECT unnest(generate_series(0, ${bins - 1})) AS bin)
        SELECT CAST(spine.bin AS BIGINT) AS bin,
-              round(spine.bin * 30000.0, 2) AS lo,
-              round((spine.bin + 1) * 30000.0, 2) AS hi,
+              round(spine.bin * ${width / 100.0}, 2) AS lo,
+              round((spine.bin + 1) * ${width / 100.0}, 2) AS hi,
               coalesce(c.n, 0) AS n
        FROM spine LEFT JOIN c ON spine.bin = c.bin
        ORDER BY bin"""
+  }
 
   /** Per-group OLS regression (price-per-unit line: l_extendedprice
     * on l_quantity, by return flag) from EXACT integer moment sums.

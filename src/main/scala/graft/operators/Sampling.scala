@@ -196,8 +196,12 @@ object Sampling {
     import df.sparkSession.implicits._
     val rates = df.groupBy($"source")
       .agg(sum($"n_tokens").as("tot_tokens"))
+      // greatest(tot,1): a zero-token source would make the integer
+      // div NULL and silently drop every doc; any rate satisfies a
+      // zero-token budget draw, so keep such a source whole (rate 1000)
       .withColumn("rate_pm",
-        least(lit(1000L), expr(s"($budgetTokens * 1000) div tot_tokens")))
+        least(lit(1000L),
+          expr(s"($budgetTokens * 1000) div greatest(tot_tokens, 1L)")))
       .select($"source".as("__r_source"), $"rate_pm")
     df.join(broadcast(rates), $"source" === $"__r_source")
       .filter(bucket($"doc_id", salt) < $"rate_pm")
@@ -314,7 +318,8 @@ object Sampling {
         rates AS (
           SELECT source,
                  least(1000::BIGINT,
-                   ($budgetTokens * 1000) // CAST(sum(n_tokens) AS BIGINT))
+                   ($budgetTokens * 1000)
+                     // greatest(CAST(sum(n_tokens) AS BIGINT), 1))
                    AS rate_pm
           FROM toks GROUP BY source)
         SELECT t.doc_id, t.source, t.n_tokens,

@@ -198,6 +198,26 @@ class OlapSpec extends SparkSpec {
       s"histogram mass ${rows.map(_._4).sum} != orders $total")
   }
 
+  test("histogram: non-default bins derive width/spine/clamp consistently") {
+    // bins=10 halves the spine and doubles the width — edges and mass
+    // must follow the parameter, not a hard-coded 20-bin constant
+    val rows = graft.operators.Olap.histogramOrders(spark, SF, bins = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (0L until 10L))
+    rows.foreach { case (b, lo, hi, _) =>
+      assert(lo == b * 60000.0 && hi == (b + 1) * 60000.0,
+        s"bin $b edges ($lo,$hi)") }
+    assert(rows.map(_._4).sum == Tables.orders(spark, SF).count())
+    // the oracle follows the same parameter
+    val sql = graft.operators.Olap.histogramOrdersSql(10)
+    assert(sql.contains("generate_series(0, 9)") && sql.contains("6000000"))
+    // a bins value with fractional cent edges must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Olap.histogramOrders(spark, SF, bins = 7)
+    }
+  }
+
   test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {
     import spark.implicits._
     // exact line y = 200x + 500 cents, one point perturbed: slope and

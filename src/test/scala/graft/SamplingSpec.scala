@@ -203,6 +203,23 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("rate-based cap keeps a zero-token source whole (NULL-division guard)") {
+    import spark.implicits._
+    // a source of empty docs: tot_tokens = 0 once made the integer div
+    // NULL, so `bucket < NULL` silently dropped every doc; any rate
+    // satisfies a zero-token budget, so the whole source must survive
+    val docs = Seq(
+      (1L, "empty", 0L), (2L, "empty", 0L), (3L, "empty", 0L),
+      (4L, "real", 500L), (5L, "real", 600L))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.capTokensPerSourceRate(docs, budgetTokens = 800L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val empties = kept.filter(_._2 == "empty")
+    assert(empties.length == 3 && empties.forall(_._3 == 1000L),
+      s"zero-token source not kept whole: ${kept.toSeq}")
+    assert(kept.exists(_._2 == "real"), "real source vanished")
+  }
+
   test("sampling stays a zero-shuffle scan filter") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

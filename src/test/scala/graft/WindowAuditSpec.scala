@@ -31,7 +31,12 @@ class WindowAuditSpec extends SparkSpec {
         "window input is one row per calendar hour (a decade is ~88k " +
         "rows at any corpus size) — the per-hour count aggregation " +
         "below it already reduced the data; an ordered scan of the " +
-        "hour spine is the operator's semantics")
+        "hour spine is the operator's semantics"),
+    "olap_share_of_total" ->
+      ("grand total OVER () on the per-status aggregate frame " +
+        "(|statuses| = 3 rows at any corpus size) — the groupBy " +
+        "below already collapsed the orders scan; same " +
+        "aggregate-sized-frame exemption as the banded cumsum")
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {

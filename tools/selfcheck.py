@@ -44,7 +44,10 @@ def canon(df: pd.DataFrame) -> tuple:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 vals.append("NULL")
             elif isinstance(v, float):
-                vals.append(f"{v:.6f}".rstrip("0").rstrip("."))
+                # no .0-trimming: the driver's canon keeps int vs float
+                # distinct (BIGINT 3344 != HUGEINT->float 3344.0), so an
+                # oracle that forgets a CAST must fail HERE too
+                vals.append(f"{v:.6f}")
             elif hasattr(v, "isoformat"):
                 vals.append(str(pd.Timestamp(v)))
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
