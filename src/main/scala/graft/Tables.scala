@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated testdata layout
   * (`<dir>/<name>.parquet`). All gate queries read through here so
@@ -18,16 +19,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright; read it as raw nanos (SPARK-40819 legacy conf) and
-    * truncate to a µs timestamp — identical to what a µs-precision
-    * scan would produce. Integer `div`, not `/`: ns epochs overflow
-    * a double's 53-bit mantissa.
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects outright —
+    * read as raw int64 nanos via the SPARK-40819 legacy conf and
+    * truncate to µs; integer `div`, not `/`, because ns epochs
+    * overflow a double's 53-bit mantissa) and plain TIMESTAMP(µs)
+    * (read as-is). Branch on the dtype the scan actually yields so a
+    * testdata regen can't break every events-reading plan again. NTZ
+    * timestamps are cast to session-tz TIMESTAMP — an identical
+    * instant because every Graft session pins session.timeZone=UTC —
+    * so downstream `unix_micros`/`window`/`Row.getTimestamp` code
+    * sees one type regardless of the physical layout.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected int64-nanos or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -260,4 +260,57 @@ object Graph {
          UNION ALL SELECT 3, node FROM h3)
        SELECT hop, count(*) AS n, CAST(sum(node) AS BIGINT) AS node_sum
        FROM layers GROUP BY hop ORDER BY hop"""
+
+  /** Gate: connected components of the co-purchase graph, reported
+    * as a per-component census (component = min part id in it).
+    *
+    * The iteration is [[Dedup.clusters]] — the same frontier-based
+    * min-label propagation that clusters near-duplicate documents
+    * runs unchanged on any undirected pair list, so components cost
+    * zero new iterative machinery: per round only the still-improving
+    * frontier joins the cached src-partitioned edges, labels converge
+    * to the component-min in O(diameter) rounds, and each round's
+    * lineage is truncated (localCheckpoint'd RDD) so round h never
+    * replays rounds 1..h-1. The census then reduces the node-level
+    * labels to |components| rows — nothing component-sized ever
+    * crosses the driver.
+    *
+    * Oracle: recursive-CTE reachability closure (min reachable id) —
+    * correct at the sf0.01 gate scale; the closure is O(n·|component|)
+    * and exists only on the DuckDB side.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    componentsOf(copurchaseEdges(spark, dir).filter($"src" < $"dst"))
+  }
+
+  /** `pairs` must be one-directional (src < dst); [[Dedup.clusters]]
+    * adds the reverse direction itself.
+    */
+  def componentsOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Dedup.clusters(pairs, "src", "dst")
+      .groupBy($"cluster_id".as("component"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"doc_id").as("node_sum"))
+      .orderBy($"component")
+  }
+
+  val componentsSql: String =
+    """WITH RECURSIVE pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       und AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       reach(id, r) AS (
+         SELECT src, src FROM und
+         UNION
+         SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+       labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(id) AS BIGINT) AS node_sum
+       FROM labels GROUP BY component ORDER BY component"""
 }

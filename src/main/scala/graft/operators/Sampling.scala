@@ -194,14 +194,18 @@ object Sampling {
   def capTokensPerSourceRate(df: DataFrame, budgetTokens: Long,
       salt: String = "capr"): DataFrame = {
     import df.sparkSession.implicits._
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
     val rates = df.groupBy($"source")
       .agg(sum($"n_tokens").as("tot_tokens"))
-      // greatest(tot,1): a zero-token source would make the integer
-      // div NULL and silently drop every doc; any rate satisfies a
-      // zero-token budget draw, so keep such a source whole (rate 1000)
+      // tot_tokens = 0 is special-cased to rate 1000: any rate
+      // satisfies a zero-token budget draw, so a zero-token source is
+      // kept whole — including at budgetTokens = 0, where a
+      // greatest(tot,1) denominator would yield 0 div 1 = 0 and
+      // silently drop every doc
       .withColumn("rate_pm",
-        least(lit(1000L),
-          expr(s"($budgetTokens * 1000) div greatest(tot_tokens, 1L)")))
+        when($"tot_tokens" === 0L, lit(1000L))
+          .otherwise(least(lit(1000L),
+            expr(s"($budgetTokens * 1000) div tot_tokens"))))
       .select($"source".as("__r_source"), $"rate_pm")
     df.join(broadcast(rates), $"source" === $"__r_source")
       .filter(bucket($"doc_id", salt) < $"rate_pm")
@@ -317,9 +321,11 @@ object Sampling {
           FROM documents),
         rates AS (
           SELECT source,
-                 least(1000::BIGINT,
-                   ($budgetTokens * 1000)
-                     // greatest(CAST(sum(n_tokens) AS BIGINT), 1))
+                 CASE WHEN CAST(sum(n_tokens) AS BIGINT) = 0
+                      THEN 1000::BIGINT
+                      ELSE least(1000::BIGINT,
+                        ($budgetTokens * 1000)
+                          // CAST(sum(n_tokens) AS BIGINT)) END
                    AS rate_pm
           FROM toks GROUP BY source)
         SELECT t.doc_id, t.source, t.n_tokens,

@@ -18,4 +18,128 @@ class EntryConsistencySpec extends SparkSpec {
   test("flagship entry returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every gate query appears in SURVEY.md §2 — the inventory can't drift") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => survey.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"gates with no SURVEY §2 row: ${missing.toSeq.sorted}")
+  }
+
+  /** The HUGEINT lint (round-8 advice #2): DuckDB widens sum(BIGINT)
+    * to HUGEINT, which its pandas client hands back as float — so an
+    * integer-typed Spark column whose oracle projection carries an
+    * uncast sum hash-mismatches on identical values (r8's
+    * `anomalyHoursSql` shipped exactly this: `s1 AS sum24` where `s1`
+    * was `sum(n) OVER w`). For every integer-typed output column of
+    * every gate, find its defining expression in the oracle text
+    * (alias-expanding one CTE level, the r8 indirection) and require
+    * a CAST when a sum is anywhere in it. selfcheck.py runs the
+    * exact-typed version of this check (DESCRIBE, no heuristics);
+    * this spec is the sbt-test-time tripwire.
+    */
+  test("integer-typed gate columns carry a CAST over any oracle sum (HUGEINT lint)") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val intCols = SparkEntry.queries(name)(spark, SF).schema.fields
+          .collect { case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.LongType]
+            || f.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType] => f.name }
+        intCols.flatMap { c =>
+          OracleLint.uncastSumDefinition(sql, c).map(expr => s"$name.$c = $expr")
+        }
+    }
+    assert(bad.isEmpty,
+      s"uncast integer sums reaching gate output (HUGEINT class):\n${bad.mkString("\n")}")
+  }
+
+  test("the lint is red on the r8 anomalyHoursSql text (regression fixture)") {
+    // verbatim final SELECT of the oracle that shipped r8's only hash
+    // fail: `s1` is a windowed integer sum projected without a CAST
+    val r8 =
+      """win AS (
+           SELECT h, n,
+                  count(*)   OVER w AS nw,
+                  sum(n)     OVER w AS s1,
+                  sum(n * n) OVER w AS s2
+           FROM filled
+           WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT h, n, s1 AS sum24 FROM win
+         WHERE nw = 24"""
+    assert(OracleLint.uncastSumDefinition(r8, "sum24").isDefined,
+      "lint must flag the alias-indirected uncast windowed sum")
+    // and green once the CAST lands (the r9 fix)
+    val fixed = r8.replace("s1 AS sum24", "CAST(s1 AS BIGINT) AS sum24")
+    assert(OracleLint.uncastSumDefinition(fixed, "sum24").isEmpty)
+  }
+}
+
+/** Textual helpers for the HUGEINT lint — deliberately dumb, paren-
+  * aware only where alias boundaries need it. Red on the r8
+  * anomalyHoursSql text, green on every oracle at HEAD.
+  */
+object OracleLint {
+  private val AsRe = "(?i)\\bas\\s+([a-z_][a-z0-9_]*)".r
+  private val SumRe = "(?i)\\bsum\\s*\\(".r
+  private val CastRe = "(?is)(cast\\s*\\(.*\\bas\\s+(big|u?huge)?int|::\\s*(big|u?huge)?int)".r
+
+  /** The expression text immediately before an ` AS <alias>` match:
+    * walk backwards to the nearest top-level ',' / 'SELECT' / '('.
+    */
+  private def exprBefore(sql: String, asStart: Int): String = {
+    var i = asStart - 1
+    var depth = 0
+    var stop = -1
+    while (i >= 0 && stop < 0) {
+      sql(i) match {
+        case ')' => depth += 1
+        case '(' =>
+          if (depth == 0) stop = i + 1 else depth -= 1
+        case ',' if depth == 0 => stop = i + 1
+        case _ =>
+          if (depth == 0 && i >= 6 &&
+            sql.substring(i - 6, i + 1).toLowerCase.matches("select[\\s]"))
+            stop = i + 1
+      }
+      i -= 1
+    }
+    sql.substring(math.max(stop, 0), asStart).trim
+  }
+
+  /** All `<expr> AS <alias>` pairs in the text. */
+  private def aliasDefs(sql: String): Seq[(String, String)] =
+    AsRe.findAllMatchIn(sql).map { m =>
+      (m.group(1).toLowerCase, exprBefore(sql, m.start))
+    }.toSeq
+
+  /** If output column `col`'s (last) defining expression — with one
+    * level of alias expansion — contains an oracle `sum(` and no
+    * integer CAST, return the offending expression.
+    */
+  def uncastSumDefinition(sql: String, col: String): Option[String] = {
+    val defs = aliasDefs(sql)
+    defs.filter(_._1 == col.toLowerCase).lastOption.flatMap { case (_, expr0) =>
+      if (CastRe.findFirstIn(expr0).isDefined) None
+      else {
+        // expand aliases referenced by the expression one level (the
+        // r8 shape: final `s1 AS sum24` where s1 = sum(n) OVER w)
+        val byAlias = defs.toMap
+        val refs = "(?i)\\b[a-z_][a-z0-9_]*\\b".r.findAllIn(expr0)
+          .map(_.toLowerCase).toSet
+        val expanded = (expr0 +: refs.toSeq.flatMap(byAlias.get)).mkString(" | ")
+        val sums = SumRe.findAllMatchIn(expanded).filter { m =>
+          // a sum immediately wrapped in CAST( is exact by construction
+          val before = expanded.substring(0, m.start).replaceAll("\\s+", "").toLowerCase
+          !before.endsWith("cast(")
+        }
+        // integer-looking: no fp literal / double cast in the sum args
+        val fpFree = !expanded.toLowerCase.contains("double") &&
+          !expanded.matches("(?s).*\\d\\.\\d.*")
+        if (sums.nonEmpty && fpFree && CastRe.findFirstIn(expanded).isEmpty)
+          Some(expr0)
+        else None
+      }
+    }
+  }
 }

@@ -122,4 +122,29 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((0L, 1L, 10L), (1L, 2L, 3L)), s"got ${got.toSeq}")
   }
+
+  test("components census: crafted two-component graph + isolated pair") {
+    import spark.implicits._
+    // component A: path 1-2-3-4 (min 1); component B: triangle 7-8-9
+    // (min 7); component C: lone edge 20-30 (min 20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (20L, 30L))
+    val got = Graph.componentsOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(pairs, 3)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 10L), (7L, 3L, 24L), (20L, 2L, 50L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("components on the corpus graph: labels partition the node set") {
+    import spark.implicits._
+    val edges = Graph.copurchaseEdges(spark, SF)
+    val nNodes = edges.select($"src").distinct().count()
+    val census = Graph.components(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.map(_._2).sum == nNodes,
+      s"census covers ${census.map(_._2).sum} of $nNodes nodes")
+    assert(census.map(_._1).distinct.length == census.length)
+  }
 }

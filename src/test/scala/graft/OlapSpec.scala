@@ -211,7 +211,9 @@ class OlapSpec extends SparkSpec {
     assert(rows.map(_._4).sum == Tables.orders(spark, SF).count())
     // the oracle follows the same parameter
     val sql = graft.operators.Olap.histogramOrdersSql(10)
-    assert(sql.contains("generate_series(0, 9)") && sql.contains("6000000"))
+    // anchored "// 6000000," pins the bins=10 div width exactly — a
+    // bare contains("6000000") would also match e.g. "60000000"
+    assert(sql.contains("generate_series(0, 9)") && sql.contains("// 6000000,"))
     // a bins value with fractional cent edges must fail loudly
     intercept[IllegalArgumentException] {
       graft.operators.Olap.histogramOrders(spark, SF, bins = 7)

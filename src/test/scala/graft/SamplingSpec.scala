@@ -218,6 +218,13 @@ class SamplingSpec extends SparkSpec {
     assert(empties.length == 3 && empties.forall(_._3 == 1000L),
       s"zero-token source not kept whole: ${kept.toSeq}")
     assert(kept.exists(_._2 == "real"), "real source vanished")
+    // budget = 0: a zero-token source STILL satisfies the budget and
+    // survives whole, while token-bearing sources get rate 0
+    val keptZero = Sampling.capTokensPerSourceRate(docs, budgetTokens = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(keptZero.count(_._2 == "empty") == 3 &&
+      keptZero.forall(_._2 == "empty"),
+      s"budget=0 must keep exactly the zero-token source: ${keptZero.toSeq}")
   }
 
   test("sampling stays a zero-shuffle scan filter") {

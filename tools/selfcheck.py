@@ -83,6 +83,19 @@ for name in names:
             fails.append(name); print(f"FAIL {name}: 0 rows")
         continue
     try:
+        # HUGEINT tripwire (exact-typed twin of EntryConsistencySpec's
+        # textual lint): DuckDB widens uncast sum(BIGINT) to HUGEINT,
+        # which fetchdf() hands back as float64 — a hash mismatch on
+        # identical values. Reject the dtype itself so the class can't
+        # reach the compare.
+        desc = con.execute(f"DESCRIBE {oracle[name]}").fetchdf()
+        huge = [c for c, t in zip(desc["column_name"], desc["column_type"])
+                if "HUGEINT" in str(t)]
+        if huge:
+            fails.append(name)
+            print(f"FAIL {name}: oracle columns {huge} are HUGEINT "
+                  f"(uncast integer sum — add CAST(... AS BIGINT))")
+            continue
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         fails.append(name); print(f"FAIL {name}: duckdb error {e}"); continue
