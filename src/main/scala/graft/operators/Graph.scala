@@ -56,11 +56,16 @@ object Graph {
   def pageRankOf(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // node-count-sized; cached because it seeds the ranks AND joins
+    // the edge list — uncached it would re-aggregate the edges twice
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    // one cached, src-partitioned copy serves every iteration; only
-    // scalar (node, rank) rows move per step
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one cached copy serves every iteration; the shuffle join on src
+    // already leaves it hash-partitioned on src (an explicit
+    // repartition here would be a second full exchange of the edge
+    // list for the identical partitioning), and only scalar
+    // (node, rank) rows move per step
     val e = edges.join(deg, "src")
-      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select($"src".as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
@@ -78,6 +83,7 @@ object Graph {
     val out = ranks.orderBy($"rank".desc, $"node").limit(topK)
       .localCheckpoint(true)
     e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 
@@ -133,11 +139,17 @@ object Graph {
     // (measured 8.6 s → the persisted form below at sf0.1)
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // persisted pre-partitioned on the apex: the wedge self-join
+    // below joins oriented⋈oriented on u, so caching the hash(u)
+    // layout makes that join zero-exchange for BOTH sides (the last
+    // orientation join leaves it on hash(dst), which would force two
+    // fresh exchanges of the full oriented set)
     val oriented = e
       .join(deg.select($"src", $"deg".as("du")), "src")
       .join(deg.select($"src".as("dst"), $"deg".as("dv")), "dst")
       .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
       .select($"src".as("u"), $"dst".as("v"), $"dv")
+      .repartition($"u")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges from each apex's out-neighborhood, ordered within the
     // same (deg, id) total order so each unordered pair appears once
@@ -260,6 +272,95 @@ object Graph {
          UNION ALL SELECT 3, node FROM h3)
        SELECT hop, count(*) AS n, CAST(sum(node) AS BIGINT) AS node_sum
        FROM layers GROUP BY hop ORDER BY hop"""
+
+  /** Weighted co-purchase edges: weight = co-purchase instance count
+    * across orders (the same support semantics as
+    * [[Analytics.basketPairs]], whose oracle self-join this mirrors),
+    * emitted in both directions. Same Σ basket² map-side pair
+    * generation — never a self-join on our side.
+    */
+  def copurchaseEdgesWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS p1, y AS p2))))""")).as("pr"))
+      .filter($"pr.p1" < $"pr.p2")
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select($"p1".as("src"), $"p2".as("dst"), $"w")
+      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst"), $"w"))
+  }
+
+  /** Gate: 5 weighted integer-unit PageRank iterations, top 20. */
+  def pageRankWeighted(spark: SparkSession, dir: String): DataFrame =
+    pageRankWeightedOf(copurchaseEdgesWeighted(spark, dir), iters = 5, topK = 20)
+
+  /** Weight-proportional PageRank: contribution = (rank·w) div Σ_out w,
+    * all integer — bit-exact on any merge order, same exactness device
+    * as [[pageRankOf]]. Long headroom: rank mass ≤ 10⁶·N micro-units,
+    * so rank·w stays under 2⁶³ while N·max(w) < ~9·10¹² — e.g. 10⁹
+    * nodes with weights to 10³; beyond that, rescale weights first.
+    * Same plan shape as the unweighted form: edge list joined with
+    * its out-weight once and cached hash-partitioned on src, only
+    * (node, rank) scalars shuffle per iteration.
+    */
+  def pageRankWeightedOf(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val wout = edges.groupBy($"src").agg(sum($"w").as("wout"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.join(wout, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = wout.select($"src".as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks, $"src" === $"node")
+        .select($"dst", expr("(rank * w) div wout").as("contrib"))
+        .groupBy($"dst")
+        .agg(expr("150000L + (850L * sum(contrib)) div 1000L").as("rank"))
+        .select($"dst".as("node"), $"rank")
+    }
+    val out = ranks.orderBy($"rank".desc, $"node").limit(topK)
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    wout.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: unrolled CTE chain, weights via the self-join count the
+    * basket-pairs oracle already uses.
+    */
+  val pageRankWeightedSql: String = {
+    val stages = (1 to 5).map { t =>
+      s"""r$t AS (
+            SELECT e.dst AS node,
+                   CAST(150000 + (850 * sum((r.rank * e.w) // d.wout)) // 1000
+                        AS BIGINT) AS rank
+            FROM r${t - 1} r
+            JOIN wout d ON r.node = d.src
+            JOIN edges e ON e.src = r.node
+            GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst, w FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst, w FROM pairs),
+        wout AS (
+          SELECT src, CAST(sum(w) AS BIGINT) AS wout
+          FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM wout),
+        $stages
+        SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20"""
+  }
 
   /** Gate: connected components of the co-purchase graph, reported
     * as a per-component census (component = min part id in it).

@@ -123,6 +123,36 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 10L), (1L, 2L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("weighted ranks equal a sequential weighted re-derivation; weight skew shifts rank") {
+    import spark.implicits._
+    // star at 1 with one dominant edge (1-2 weight 10, others 1), plus
+    // a light 3-4-5 triangle: weighting must route rank mass to 2
+    val und = Seq((1L, 2L, 10L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (3L, 4L, 2L), (4L, 5L, 1L), (3L, 5L, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val got = Graph.pageRankWeightedOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(edges, 3)).toDF("src", "dst", "w"),
+        iters = 5, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val adj = edges.groupBy(_._1).view
+      .mapValues(es => es.map(e => (e._2, e._3))).toMap
+    var rank = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((src, outs) <- adj; wout = outs.map(_._2).sum;
+           (dst, w) <- outs)
+        contrib(dst) += rank(src) * w / wout
+      rank = adj.keys.map(n => n -> (150000L + (850L * contrib(n)) / 1000L))
+        .toMap
+    }
+    assert(got == rank, s"spark=$got sequential=$rank")
+    // the heavy edge must dominate: 2 outranks every light-edge peer
+    assert(got(2L) > got(3L) && got(2L) > got(4L), s"weighting inert: $got")
+  }
+
   test("components census: crafted two-component graph + isolated pair") {
     import spark.implicits._
     // component A: path 1-2-3-4 (min 1); component B: triangle 7-8-9
