@@ -460,4 +460,106 @@ object Analytics {
        GROUP BY 1, 2
        ORDER BY support DESC, p1, p2
        LIMIT 20"""
+
+  /** Exact `NTILE(k)` over a global (metric, tie) order WITHOUT the
+    * all-to-one window `ntile().over(Window.orderBy(...))` plans — the
+    * [[SurrogateKey.orderedScalable]] / banded-cumsum device applied
+    * to ranking:
+    *
+    *   1. `band` must be a coarse MONOTONE bucket of `metric` (so the
+    *      global order equals (band, metric, tie)); per-band row
+    *      counts are one map-side-combined aggregation;
+    *   2. exclusive prefix offsets across bands — a window over that
+    *      band-count frame only (hundreds of rows at any corpus
+    *      size);
+    *   3. offsets broadcast back; global rank = band offset +
+    *      row_number within the band, so the heaviest metric value
+    *      splits across bands' tasks instead of one sorter seeing
+    *      every row.
+    *
+    * The bucket is then the SQL-standard NTILE assignment computed
+    * from (rank, n): with q = n div k, r = n mod k the first r
+    * buckets take q+1 rows — bit-identical to `NTILE(k) OVER (ORDER
+    * BY metric, tie)` on any engine, which is what the oracle runs.
+    */
+  def bandedNtile(df: DataFrame, metric: String, band: org.apache.spark.sql.Column,
+      tie: String, k: Int, out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.withColumn("__band", band)
+    val bandCounts = b.groupBy($"__band").agg(count(lit(1)).as("__bn"))
+    val wB = Window.orderBy($"__band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("__off", coalesce(sum($"__bn").over(wB), lit(0L)))
+      .select($"__band".as("__o_band"), $"__off")
+    val total = bandCounts.agg(sum($"__bn").as("__n"))
+    val wIn = Window.partitionBy($"__band").orderBy(col(metric), col(tie))
+    b.join(broadcast(offsets), $"__band" === $"__o_band")
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", $"__off" + row_number().over(wIn))
+      .withColumn(out, expr(
+        s"""CASE WHEN __rank <= (__n div $k + 1) * (__n % $k)
+              THEN (__rank - 1) div (__n div $k + 1) + 1
+              ELSE __n % $k + 1 +
+                (__rank - 1 - (__n div $k + 1) * (__n % $k))
+                  div greatest(__n div $k, 1)
+            END"""))
+      .drop("__band", "__o_band", "__off", "__n", "__rank")
+  }
+
+  /** RFM customer segmentation — the classic warehouse scoring: per
+    * customer recency (last order epoch-day), frequency (order
+    * count), monetary (lifetime cents), each scored 1..5 by exact
+    * quintile over (metric, custkey); gate output is the segment
+    * census. All three quintiles ride [[bandedNtile]], so nothing
+    * customer-sized ever funnels through one window task — the three
+    * band functions (month of last order, raw order count, $100k
+    * revenue chunk) are monotone coarse buckets of their metrics.
+    * Scores ascend with the metric (5 = most recent day / most
+    * orders / most revenue is NOT implied — 1 = earliest/least;
+    * relabeling is a rename, not a semantics change).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(
+        max(expr("unix_timestamp(o_orderdate) div 86400")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val scored = Seq(
+      ("last_day", expr("last_day div 32"), "r_score"),
+      ("freq", expr("freq"), "f_score"),
+      ("cents", expr("cents div 10000000"), "m_score"))
+      .foldLeft(cust) { case (df, (metric, band, out)) =>
+        bandedNtile(df, metric, band, tie = "custkey", k = 5, out = out)
+      }
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"), sum($"custkey").as("custkey_sum"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (
+         SELECT o_custkey AS custkey,
+                CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                     AS BIGINT) AS last_day,
+                CAST(count(*) AS BIGINT) AS freq,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT custkey,
+                CAST(NTILE(5) OVER (ORDER BY last_day, custkey) AS BIGINT)
+                  AS r_score,
+                CAST(NTILE(5) OVER (ORDER BY freq, custkey) AS BIGINT)
+                  AS f_score,
+                CAST(NTILE(5) OVER (ORDER BY cents, custkey) AS BIGINT)
+                  AS m_score
+         FROM cust)
+       SELECT r_score, f_score, m_score,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(custkey) AS BIGINT) AS custkey_sum
+       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 }

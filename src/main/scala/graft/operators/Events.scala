@@ -116,6 +116,37 @@ object Events {
        count(*) AS n, round(sum(value), 2) AS total
        FROM events GROUP BY 1, 2"""
 
+  /** Sliding (hopping) window rollup: 3-hour windows advancing every
+    * hour, so each event lands in exactly 3 overlapping windows —
+    * the batch twin of a streaming hopping-window aggregation and
+    * the moving-average shape dashboards ask of event streams.
+    * Spark's native `window(ts, "3 hours", "1 hour")` plans the
+    * 3-fold replication as a map-side generator (no join against a
+    * window spine, no shuffle beyond the aggregate's own), and
+    * windows are epoch-aligned to the slide, so the window set for
+    * an event is exactly {trunc_hour(ts) − 2h, −1h, −0h} — which is
+    * what the oracle enumerates. Distinct users adds the standard
+    * two-phase distinct expand; both measures ride one exchange.
+    */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "3 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"w.start".as("win_start"), $"n_events", $"n_users")
+      .orderBy($"win_start")
+  }
+
+  val slidingRollupSql: String =
+    """WITH e AS (
+         SELECT user_id, date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT))
+                  AS win_start
+         FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) g)
+       SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM e GROUP BY 1 ORDER BY 1"""
+
   /** Time-series gap fill: the hourly count series densified so every
     * hour between the observed min and max appears, absent hours as 0.
     * The hour domain is bounded by wall-clock span (a decade is ~88k

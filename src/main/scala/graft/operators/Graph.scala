@@ -397,6 +397,98 @@ object Graph {
       .orderBy($"component")
   }
 
+  /** Gate: bounded-round weighted single-source shortest paths from
+    * the seed set (part ids ≡ 0 mod 97), reported as a per-distance
+    * census after 4 relaxation rounds.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ssspDistsOf(copurchaseEdgesWeighted(spark, dir), seedMod = 97L, rounds = 4)
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n"), sum($"node").as("node_sum"))
+      .orderBy($"dist")
+  }
+
+  /** Frontier Bellman-Ford: after round k, `dist(v)` = the exact
+    * minimum path weight from the seed set using ≤ k edges — the
+    * same fixpoint full k-round relaxation computes, because a node
+    * whose distance did NOT improve in round k−1 would re-offer
+    * candidates already offered then (the standard frontier
+    * invariant), so only the improved set needs to propagate. All
+    * integer, so min-combining is exact on any merge order.
+    *
+    * Scale shape: the weighted edge list is cached hash-partitioned
+    * on src once; per round one frontier join on that partitioning +
+    * one map-side-combined min per dst + one anti-join against the
+    * node-sized distance map — only (node, dist) scalars shuffle,
+    * and each round's lineage is truncated (same device as
+    * [[kHopOf]]) so round k never replays rounds 1..k−1. Work is
+    * O(|E touched by improvements|) per round, the distributed-SSSP
+    * minimum; bounded rounds make the gate oracle-expressible
+    * (unrolled CTEs), and unbounded SSSP is the same loop run to an
+    * empty frontier.
+    */
+  def ssspDistsOf(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    var dists = e.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dists
+    for (_ <- 1 to rounds) {
+      val cand = e.join(frontier, $"src" === $"node")
+        .select($"dst", ($"dist" + $"w").as("cdist"))
+        .groupBy($"dst").agg(min($"cdist").as("cdist"))
+      val improved = cand.join(dists, $"dst" === $"node", "left_outer")
+        .filter($"dist".isNull || $"cdist" < $"dist")
+        .select($"dst".as("node"), $"cdist".as("dist"))
+        .localCheckpoint(true)
+      dists = dists
+        .join(improved.select($"node".as("i_node")),
+          $"node" === $"i_node", "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    e.unpersist(blocking = false)
+    dists
+  }
+
+  /** Oracle: the identical 4 relaxation rounds unrolled — d_k(v) =
+    * min(d_{k-1}(v), min over edges (d_{k-1}(u) + w)) — full
+    * relaxation, which the frontier form provably equals.
+    */
+  val ssspSql: String = {
+    val stages = (1 to 4).map { t =>
+      s"""d$t AS (
+            SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM d${t - 1}
+              UNION ALL
+              SELECT e.dst AS node, d.dist + e.w AS dist
+              FROM d${t - 1} d JOIN edges e ON e.src = d.node) u
+            GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst, w FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst, w FROM pairs),
+        d0 AS (
+          SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+          FROM edges WHERE src % 97 = 0),
+        $stages
+        SELECT dist, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(node) AS BIGINT) AS node_sum
+        FROM d4 GROUP BY dist ORDER BY dist"""
+  }
+
   val componentsSql: String =
     """WITH RECURSIVE pairs AS (
          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

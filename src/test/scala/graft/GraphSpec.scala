@@ -167,6 +167,55 @@ class GraphSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("sssp takes the light 3-hop path over the heavy 2-hop path; round-bounded") {
+    import spark.implicits._
+    // seed 7 (mod 7): 7-1-3 costs 20 in 2 hops; 7-2-4-3 costs 3 in 3
+    // hops — weighted semantics must prefer the longer-but-lighter
+    // path once enough rounds have run, and must NOT before
+    val und = Seq((7L, 1L, 10L), (1L, 3L, 10L), (7L, 2L, 1L),
+      (2L, 4L, 1L), (4L, 3L, 1L))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }, 3))
+      .toDF("src", "dst", "w")
+    def dists(rounds: Int): Map[Long, Long] =
+      Graph.ssspDistsOf(edges, seedMod = 7L, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(2) == Map(7L -> 0L, 1L -> 10L, 2L -> 1L, 3L -> 20L,
+      4L -> 2L), s"2 rounds: ${dists(2)}")
+    assert(dists(3) == Map(7L -> 0L, 1L -> 10L, 2L -> 1L, 3L -> 3L,
+      4L -> 2L), s"3 rounds: ${dists(3)}")
+  }
+
+  test("sssp equals sequential k-round Bellman-Ford on a random weighted graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 25
+    val und = (for {
+      a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+    } yield (a, b, rnd.nextInt(9) + 1L)).toSeq
+    val both = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val rounds = 4
+    val got = Graph.ssspDistsOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(both, 6)).toDF("src", "dst", "w"),
+        seedMod = 5L, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full (non-frontier) k-round relaxation — the frontier
+    // optimization must not change the fixpoint prefix
+    var dist = both.map(_._1).distinct.filter(_ % 5 == 0)
+      .map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = scala.collection.mutable.Map.empty[Long, Long] ++ dist
+      for ((s, d, w) <- both; sd <- dist.get(s)) {
+        val nd = sd + w
+        if (cand.get(d).forall(nd < _)) cand(d) = nd
+      }
+      dist = cand.toMap
+    }
+    assert(got == dist, s"spark=$got sequential=$dist")
+  }
+
   test("components on the corpus graph: labels partition the node set") {
     import spark.implicits._
     val edges = Graph.copurchaseEdges(spark, SF)

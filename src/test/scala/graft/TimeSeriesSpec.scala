@@ -99,4 +99,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "E>F>G" -> 1L),
       s"got $got — a trigram crossed the 30-minute session boundary")
   }
+
+  test("sliding rollup: every event in exactly 3 hops; crafted window membership exact") {
+    import spark.implicits._
+    import graft.operators.Events
+    // corpus: total sliding mass is exactly 3× the event count
+    val total = graft.Tables.events(spark, SF).count()
+    val rows = Events.slidingRollup(spark, SF).collect()
+    assert(rows.map(_.getLong(1)).sum == 3 * total)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val starts = rows.map(_.getTimestamp(0).getTime)
+    assert(starts.sameElements(starts.sorted) &&
+      starts.toSet.size == starts.length)
+
+    // crafted: 02:30 lands in windows 00/01/02, 03:10 in 01/02/03
+    def tns(hr: Int, min: Int): Long = (hr * 3600L + min * 60L) * 1000000000L
+    val ev = Seq(
+      (1L, tns(2, 30), 1L, "A", 0.0, "{}"),
+      (2L, tns(3, 10), 2L, "B", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("slide").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.slidingRollup(spark, tmp)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 3600000L,
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 2L, 2L),
+      (3L, 1L, 1L)), s"got $got")
+  }
 }

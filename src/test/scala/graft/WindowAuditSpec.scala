@@ -32,6 +32,12 @@ class WindowAuditSpec extends SparkSpec {
         "rows at any corpus size) — the per-hour count aggregation " +
         "below it already reduced the data; an ordered scan of the " +
         "hour spine is the operator's semantics"),
+    "analytics_rfm" ->
+      ("three exclusive-prefix offset windows over the per-band " +
+        "count frames of bandedNtile (≤ a few hundred band rows " +
+        "each at any corpus size) — the groupBy below each already " +
+        "collapsed the customer frame; the customer-sized ranking " +
+        "windows are partitioned by band"),
     "olap_share_of_total" ->
       ("grand total OVER () on the per-status aggregate frame " +
         "(|statuses| = 3 rows at any corpus size) — the groupBy " +
