@@ -39,6 +39,56 @@ object Lake {
         WHERE doc_id BETWEEN $idLo AND $idHi
           AND n_chars BETWEEN $chLo AND $chHi"""
 
+  /** Bloom point-lookup gated end-to-end: land orders as 8 HASH-split
+    * segments — every segment's o_orderkey [min, max] spans nearly
+    * the whole key domain, so zone maps prune NOTHING and any
+    * skipping must come from the per-segment Bloom sidecars — then
+    * probe a fixed key set through readPoint and report a per-probe
+    * census. The op itself requires the bloom to actually prune
+    * (candidates < segments for every probe), so an all-pass filter
+    * fails the gate instead of passing vacuously; the oracle is a
+    * plain probe join — skipping must be invisible to the result.
+    */
+  def bloomRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_bloom") + "/orders")
+    (0 until 8).foreach { i =>
+      t.append(orders.filter(pmod($"o_orderkey", lit(8L)) === i),
+        statCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    }
+    bloomProbes.foreach { k =>
+      val cand = t.pointCandidates("o_orderkey", k).size
+      require(cand < t.segmentCount,
+        s"bloom pruned nothing for key $k: $cand of ${t.segmentCount} segments")
+    }
+    bloomProbes.map { k =>
+        t.readPoint("o_orderkey", k)
+          .select(lit(k).as("probe"), $"o_custkey",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      }.reduce(_ unionByName _)
+      .groupBy($"probe")
+      .agg(count(lit(1)).as("n"), sum($"o_custkey").as("cust_sum"),
+        sum($"cents").as("cents_sum"))
+      .orderBy($"probe")
+  }
+
+  /** Present at every SF (orderkeys are dense from 0) + one absent. */
+  private val bloomProbes = Seq(31L, 500L, 777L, 999L, 1300L, 999999999L)
+
+  val bloomReadSql: String =
+    s"""WITH probes(probe) AS (
+          VALUES ${bloomProbes.map(k => s"($k)").mkString(", ")})
+        SELECT CAST(probe AS BIGINT) AS probe,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders JOIN probes ON o_orderkey = probe
+        GROUP BY 1 ORDER BY 1"""
+
   /** Gate-shaped time travel: commit the short-document slice as v1,
     * append the rest (v2 = the whole table), then read v1 back
     * through the manifest. The v1 snapshot is definitionally the

@@ -211,9 +211,10 @@ class ManifestTable(spark: SparkSession, root: String) {
     * writer's staging directory is cleaned up and the caller may
     * retry.
     */
-  def write(df: DataFrame, statCols: Seq[String] = Nil): Long = {
+  def write(df: DataFrame, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val v = currentVersion.getOrElse(0L) + 1
-    val seg = stage(df, v, statCols)
+    val seg = stage(df, v, statCols, bloomCols)
     commit(v, Seq(seg), ownStaged = Seq(seg.dir))
     v
   }
@@ -238,7 +239,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     * at-least-once to effectively-once for the crash-replay case.
     */
   def append(df: DataFrame, batchId: Option[Long] = None,
-      statCols: Seq[String] = Nil): Long = {
+      statCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val live = liveSegments
     live.foreach { case (_, segs) =>
       val have = readSegments(segs).schema
@@ -262,7 +263,7 @@ class ManifestTable(spark: SparkSession, root: String) {
            if committed == id } yield v).getOrElse {
       val prev = live.map(_._2).getOrElse(Nil)
       val v = currentVersion.getOrElse(0L) + 1
-      val seg = stage(df, v, statCols)
+      val seg = stage(df, v, statCols, bloomCols)
       commit(v, prev :+ seg, ownStaged = Seq(seg.dir),
         extraLines = batchId.map(id => s"#batch=$id").toSeq)
       v
@@ -351,7 +352,8 @@ class ManifestTable(spark: SparkSession, root: String) {
     * — and ride the manifest for [[readWhere]] data skipping.
     * Returns the staged segment.
     */
-  def stage(df: DataFrame, v: Long, statCols: Seq[String] = Nil): Segment = {
+  def stage(df: DataFrame, v: Long, statCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Segment = {
     import org.apache.spark.sql.functions.{col, max, min}
     val dir = new Path(rootPath,
       f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -369,7 +371,109 @@ class ManifestTable(spark: SparkSession, root: String) {
         case _ => None // all-null column: no stats, never skipped
       }
     }.toMap
+    bloomCols.foreach(stageBloom(df, dir, _))
     Segment(dir, stats)
+  }
+
+  // ── Per-segment Bloom sidecars (point-lookup skipping) ───────────
+  //
+  // Min/max zone maps are useless for point lookups on a
+  // high-cardinality key under hash-ish ingest: every segment's
+  // [min, max] spans most of the key domain, so nothing prunes. A
+  // per-segment Bloom filter answers "might this segment contain key
+  // v?" in O(1) driver-side at planning time — the lakehouse formats'
+  // bloom index, here as a `_bloom.<col>` sidecar INSIDE the segment
+  // directory (underscore files are invisible to parquet scans, and
+  // the sidecar lands during staging, before the manifest commit, so
+  // it inherits the manifest's atomicity — no format change, old
+  // manifests parse unchanged). A missing sidecar means "scan":
+  // skipping is an optimization, never a filter.
+  //
+  // m = 16381 bits (prime, ~2 KB — ~0.2 bytes/key at 10k keys), k = 7
+  // probes via Kirsch–Mitzenmacher double hashing: h1 = xxhash64(key)
+  // (Spark's seed-42 XXH64), h2 = xxhash64(h1); probe_i =
+  // (h1 + i·h2) mod m with h2 forced nonzero mod m−1. The build runs
+  // WHERE THE DATA IS (a distinct-positions aggregate on executors —
+  // ≤ m rows reach the driver no matter the segment size); the probe
+  // side replays the identical arithmetic driver-side via
+  // XXH64.hashLong, so build and probe agree bit-for-bit.
+
+  private val BloomBits = 16381L
+  private val BloomK = 7
+
+  private def bloomFile(segDir: Path, c: String) =
+    new Path(segDir, s"_bloom.$c")
+
+  private def stageBloom(df: DataFrame, segDir: Path, c: String): Unit = {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, xxhash64}
+    // cast to long BEFORE hashing: xxhash64 hashes int and long
+    // inputs differently, and the probe side always hashes a Long —
+    // a type mismatch here would be a false NEGATIVE (wrong results),
+    // not a false positive
+    val key = col(c).cast("long")
+    val pos = df
+      .select(pmod(xxhash64(key), lit(BloomBits)).as("p1"),
+        (pmod(xxhash64(xxhash64(key)), lit(BloomBits - 1)) + lit(1L)).as("p2"))
+      .select(explode(sequence(lit(0L), lit(BloomK - 1L))).as("i"),
+        col("p1"), col("p2"))
+      .select(pmod(col("p1") + col("i") * col("p2"), lit(BloomBits)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new java.util.BitSet(BloomBits.toInt)
+    pos.foreach(p => bits.set(p.toInt))
+    val out = fs.create(bloomFile(segDir, c), true)
+    try out.write(bits.toByteArray) finally out.close()
+  }
+
+  /** Driver-side probe positions — mirrors [[stageBloom]] exactly. */
+  private def bloomPositions(value: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h1 = XXH64.hashLong(value, 42L)
+    val h2 = XXH64.hashLong(h1, 42L)
+    val p1 = Math.floorMod(h1, BloomBits)
+    val p2 = Math.floorMod(h2, BloomBits - 1) + 1
+    (0 until BloomK).map(i => ((p1 + i * p2) % BloomBits).toInt)
+  }
+
+  /** False = the segment definitely does NOT contain `value` in `c`.
+    * A segment without a sidecar for `c` always might.
+    */
+  def bloomMightContain(seg: Segment, c: String, value: Long): Boolean = {
+    val f = bloomFile(seg.dir, c)
+    if (!fs.exists(f)) return true
+    val in = fs.open(f)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val bits = java.util.BitSet.valueOf(bytes)
+    bloomPositions(value).forall(bits.get)
+  }
+
+  /** The live segments a point lookup must scan: zone-map overlap AND
+    * Bloom possibly-contains — exposed so callers/specs can measure
+    * `pointCandidates(...).size` vs [[segmentCount]].
+    */
+  def pointCandidates(c: String, value: Long): Seq[Segment] = {
+    val (_, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    segs.filter { s =>
+      s.stats.get(c).forall { case (mn, mx) => value >= mn && value <= mx } &&
+        bloomMightContain(s, c, value)
+    }
+  }
+
+  /** Point-lookup read: scan only [[pointCandidates]], then apply the
+    * row-level equality — the payoff path for "fetch one key out of
+    * a 10⁵-segment table" where zone maps alone prune nothing.
+    */
+  def readPoint(c: String, value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col => cc, lit}
+    val hit = pointCandidates(c, value)
+    if (hit.isEmpty) read().filter(lit(false))
+    else readSegments(hit).filter(cc(c) === value)
   }
 
   /** Atomic create-no-overwrite of the manifest claims the version;

@@ -48,6 +48,27 @@ object EventStream {
         $"sum_value")
   }
 
+  /** #40b watermarked SLIDING (hopping) window rollup — the streaming
+    * mirror of [[graft.operators.Events.slidingRollup]]'s 3h/1h
+    * shape. Each event updates the 3 windows containing it (map-side
+    * replication, exactly as in batch); state per window drops once
+    * the watermark passes the window END, so at any moment ≤
+    * len/slide + watermark/slide window states exist per grouping —
+    * bounded regardless of stream length. Distinct-user counting is
+    * not available under streaming aggregation rules, so the
+    * streaming mirror carries (count, sum) — the batch gate keeps
+    * the exact distinct.
+    */
+  def slidingRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "3 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("win_start"), $"n_events", $"sum_value")
+  }
+
   /** #41 stateful gap sessionization: a session closes when
     * `gapMinutes` pass with no event (emitted by the event-time
     * timeout once the watermark crosses last+gap) — streaming mirror

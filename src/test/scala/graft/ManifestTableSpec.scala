@@ -195,6 +195,39 @@ class ManifestTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom sidecars prune hash-split segments; lookups stay exact; no sidecar ⇒ scanned") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 hash-split segments over ids 0..399: every segment's [min,
+    // max] spans ~the whole domain, so only the bloom can prune
+    (0 until 4).foreach { i =>
+      t.append((0 until 400).filter(_ % 4 == i).toDF("id")
+          .select($"id".cast("long").as("id")),
+        statCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    (0L until 400L by 37L).foreach { k =>
+      val cand = t.pointCandidates("id", k)
+      assert(cand.size < t.segmentCount,
+        s"key $k: bloom pruned nothing (${cand.size} of ${t.segmentCount})")
+      assert(t.readPoint("id", k).collect().map(_.getLong(0)).toSeq == Seq(k),
+        s"key $k: wrong lookup result")
+    }
+    // absent key inside the zone range: bloom may false-positive a
+    // segment, but the row filter keeps the READ exact
+    assert(t.readPoint("id", 401L).count() == 0)
+    // out-of-range key: zone maps alone already rule everything out
+    assert(t.pointCandidates("id", 5000L).isEmpty)
+    // a segment appended WITHOUT a bloom must always stay a candidate
+    // for any key its zone range admits — even an absent one
+    t.append(Seq(1000L, 1010L).toDF("id"), statCols = Seq("id"))
+    val blind = t.pointCandidates("id", 1005L)
+    assert(blind.size == 1,
+      s"bloom-less segment must be scanned for in-range keys: $blind")
+    assert(t.readPoint("id", 1005L).count() == 0)
+    assert(t.readPoint("id", 1000L).collect().map(_.getLong(0)).toSeq
+      == Seq(1000L))
+  }
+
   test("commit conflict loses cleanly and vacuum bounds history") {
     import spark.implicits._
     val t = freshTable()

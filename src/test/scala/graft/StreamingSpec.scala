@@ -34,6 +34,34 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("streaming sliding rollup ≡ batch hopping-window agg (complete mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows)
+    val q = EventStream.slidingRollup(mem.toDF())
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("slide_stream")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = Tables.events(spark, SF)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "3 hours", "1 hour"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum($"value"), 4).as("s"))
+      .select($"window.start", $"n", $"s")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
   test("stateful sessionize closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
