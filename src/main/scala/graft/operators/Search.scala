@@ -274,4 +274,79 @@ object Search {
              FROM documents)
        WHERE pos > 0
        ORDER BY doc_id"""
+
+  // ── Positional phrase search ──────────────────────────────────────
+
+  /** Exact-phrase occurrences via positional-postings intersection —
+    * the inverted-index phrase query: term i's postings are keyed on
+    * their ANCHOR (pos − i), so an n-term phrase is an (n−1)-fold
+    * equi-join on (doc_id, anchor) and adjacency never needs an
+    * inequality. Each join input is the token stream FILTERED to one
+    * literal term before any shuffle — exchanges carry that term's
+    * postings (doc_id, anchor scalars), not the corpus; a planner
+    * with postings statistics would reorder rarest-term-first, which
+    * Catalyst's AQE approximates by broadcasting whichever side
+    * lands small. Returns one row per occurrence (doc_id, anchor).
+    */
+  def phraseMatchesOf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    import docs.sparkSession.implicits._
+    val toks = Dedup.tokenRowsOf(docs)
+    phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter($"token" === t)
+        .select($"doc_id", ($"pos" - i).as("anchor"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+  }
+
+  /** Gate workload: two phrases that occur in the corpus. */
+  val phraseWorkload: Seq[Seq[String]] =
+    Seq(Seq("table", "scan"), Seq("merge", "join"))
+
+  /** Gate: per-phrase census of exact-phrase hits. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    phraseWorkload.map { p =>
+      phraseMatchesOf(docs, p)
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct($"doc_id").as("n_docs"),
+          coalesce(sum($"doc_id"), lit(0L)).as("doc_sum"))
+        .select(lit(p.mkString(" ")).as("phrase"), $"n_hits", $"n_docs",
+          $"doc_sum")
+    }.reduce(_ unionByName _).orderBy($"phrase")
+  }
+
+  /** Oracle: the identical anchor-join per phrase over the same
+    * tokenization (split positions BEFORE the empty-token filter, as
+    * [[Dedup.tokenRowsOf]] numbers them).
+    */
+  val phraseSearchSql: String = {
+    val per = phraseWorkload.map { p =>
+      val joins = p.zipWithIndex.map { case (t, i) =>
+        s"""(SELECT doc_id, pos - $i AS anchor FROM tok
+             WHERE token = '$t') p$i"""
+      }
+      val from = joins.head +: joins.tail.zipWithIndex.map {
+        case (j, k) =>
+          s"JOIN $j ON p0.doc_id = p${k + 1}.doc_id AND p0.anchor = p${k + 1}.anchor"
+      }
+      s"""SELECT '${p.mkString(" ")}' AS phrase,
+                 CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT p0.doc_id) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(p0.doc_id), 0) AS BIGINT) AS doc_sum
+          FROM ${from.mkString("\n")}"""
+    }
+    s"""WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(toks, x -> trim(x))) AS token,
+                   unnest(range(0, len(toks))) AS pos
+            FROM t) z
+          WHERE length(token) > 0)
+        ${per.mkString("\nUNION ALL\n")}
+        ORDER BY phrase"""
+  }
 }

@@ -134,4 +134,24 @@ class SearchSpec extends SparkSpec {
     assert(pos2 == 102L && snip2.length == 80 &&
       snip2.substring(40, 44) == "data", s"centered snippet wrong: $pos2 $snip2")
   }
+
+  test("phrase search: order and adjacency required; repeated terms and multi-hits exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "x a b y"),        // hit at anchor 1
+      (2L, "en", "a x b"),          // gap — no hit
+      (3L, "en", "b a"),            // wrong order — no hit
+      (4L, "en", "a b c a b"),      // two hits
+      (5L, "en", "b b b"))          // 'b b' hits at anchors 0 and 1
+      .toDF("doc_id", "lang", "text")
+    def hits(p: String*) =
+      Search.phraseMatchesOf(docs, p)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hits("a", "b") == Set((1L, 1), (4L, 0), (4L, 3)),
+      s"""got ${hits("a", "b")}""")
+    assert(hits("b", "b") == Set((5L, 0), (5L, 1)))
+    assert(hits("a", "b", "c") == Set((4L, 0)))
+    assert(hits("c", "a") == Set((4L, 2)))
+    assert(hits("a", "z").isEmpty)
+  }
 }
