@@ -397,6 +397,41 @@ object Graph {
       .orderBy($"component")
   }
 
+  /** Gate: degree-distribution census of the co-purchase graph — the
+    * first diagnostic of any graph workload (hub detection, join
+    * budget estimation: triangle work is Σ C(deg, 2)). Two nested
+    * aggregations, the second over the |distinct degrees|-sized
+    * frame; nothing node-sized crosses the driver.
+    */
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    degreesOf(copurchaseEdges(spark, dir))
+
+  def degreesOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg")
+      .agg(count(lit(1)).as("n_nodes"), sum($"src").as("node_sum"))
+      .orderBy($"deg")
+  }
+
+  val degreesSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       deg AS (
+         SELECT src, CAST(count(*) AS BIGINT) AS deg
+         FROM edges GROUP BY src)
+       SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(src) AS BIGINT) AS node_sum
+       FROM deg GROUP BY deg ORDER BY deg"""
+
   /** Gate: bounded-round weighted single-source shortest paths from
     * the seed set (part ids ≡ 0 mod 97), reported as a per-distance
     * census after 4 relaxation rounds.

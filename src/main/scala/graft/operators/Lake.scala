@@ -89,6 +89,50 @@ object Lake {
         FROM orders JOIN probes ON o_orderkey = probe
         GROUP BY 1 ORDER BY 1"""
 
+  /** Incremental MV refresh gated end-to-end: maintain the per-lang
+    * (count, char-sum) aggregate across an append stream, exercising
+    * all three refresh modes — full build, delta merge (band 3's
+    * segment is the only base data read), noop at an unchanged base,
+    * and the full-recompute fallback after a compaction rewrite
+    * breaks append containment. The modes are REQUIRED (a refresh
+    * that silently full-recomputes every time fails the gate), and
+    * the final state must equal the plain aggregate the oracle runs
+    * — maintenance must be invisible to the result.
+    */
+  def mvRefreshRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val root = graft.util.Scratch.dir("graft_lake_mv")
+    val t = new ManifestTable(spark, root + "/documents")
+    val mv = new graft.pipeline.MaterializedAgg(t,
+      new ManifestTable(spark, root + "/mv"),
+      groupCols = Seq("lang"), sumCols = Seq("n_chars"))
+    val bands = Seq((Long.MinValue, 150L), (150L, 300L), (300L, 450L),
+      (450L, Long.MaxValue))
+    def land(i: Int): Unit = {
+      val (lo, hi) = bands(i)
+      t.append(docs.filter($"n_chars" > lo && $"n_chars" <= hi))
+    }
+    land(0); land(1)
+    require(mv.refresh() == "full", "first refresh must build")
+    land(2)
+    require(mv.refresh() == "delta", "append must refresh incrementally")
+    require(mv.refresh() == "noop", "unchanged base must be a noop")
+    t.compact()
+    land(3)
+    require(mv.refresh() == "full", "a rewrite must force re-baseline")
+    mv.read()
+      .select($"lang", $"n_rows".as("n_docs"),
+        $"sum_n_chars".as("chars_sum"))
+      .orderBy($"lang")
+  }
+
+  val mvRefreshReadSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars_sum
+       FROM documents GROUP BY 1 ORDER BY 1"""
+
   /** Gate-shaped time travel: commit the short-document slice as v1,
     * append the rest (v2 = the whole table), then read v1 back
     * through the manifest. The v1 snapshot is definitionally the

@@ -212,12 +212,21 @@ class ManifestTable(spark: SparkSession, root: String) {
     * retry.
     */
   def write(df: DataFrame, statCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, batchId: Option[Long] = None): Long = {
     val v = currentVersion.getOrElse(0L) + 1
     val seg = stage(df, v, statCols, bloomCols)
-    commit(v, Seq(seg), ownStaged = Seq(seg.dir))
+    commit(v, Seq(seg), ownStaged = Seq(seg.dir),
+      extraLines = batchId.map(id => s"#batch=$id").toSeq)
     v
   }
+
+  /** The live version's `#batch=` marker, if any — lets incremental
+    * consumers (e.g. [[MaterializedAgg]]) persist "which base
+    * version this state reflects" inside the state table's own
+    * atomic commit.
+    */
+  def liveBatchId: Option[Long] =
+    liveSegments.flatMap { case (v, _) => batchIdOf(v) }
 
   /** Publish `df` as ONE new segment appended to the live version's
     * segment list — O(batch) data written regardless of table size.

@@ -153,6 +153,18 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > got(3L) && got(2L) > got(4L), s"weighting inert: $got")
   }
 
+  test("degree census: star + path fixture") {
+    import spark.implicits._
+    // star at 5 (leaves 6,7,8) + path 1-2: degrees 1×5 nodes, 3×1
+    val und = Seq((5L, 6L), (5L, 7L), (5L, 8L), (1L, 2L))
+    val got = Graph.degreesOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 3))
+          .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L, 24L), (3L, 1L, 5L)), s"got ${got.toSeq}")
+  }
+
   test("components census: crafted two-component graph + isolated pair") {
     import spark.implicits._
     // component A: path 1-2-3-4 (min 1); component B: triangle 7-8-9
