@@ -461,6 +461,64 @@ object Analytics {
        ORDER BY support DESC, p1, p2
        LIMIT 20"""
 
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent click/view at-or-before it within
+    * `windowHours`; purchases with no in-window touch are 'direct'.
+    * Rides [[AsOfJoin.asOf]] — ONE shuffle+sort for the whole
+    * match — then filters the 72 h window on the µs clock (the
+    * latest touch overall is the latest in-window touch whenever one
+    * exists, so post-filtering the as-of pick is exact) and reduces
+    * to a channel census. Ties (two touches at the same µs) resolve
+    * by the asOf payload tie-break — greatest (touch_type, ts) —
+    * which the oracle's row_number ORDER BY replays explicitly,
+    * because DuckDB's native ASOF leaves equal-time ties unspecified.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String,
+      windowHours: Int = 72): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts", $"event_type".as("touch_type"),
+        $"ts".as("touch_ts"))
+    AsOfJoin.asOf(purchases, touches, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("touch_type", "touch_ts"))
+      .withColumn("channel",
+        when($"asof_touch_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"asof_touch_ts") >
+            windowHours * 3600000000L, "direct")
+          .otherwise($"asof_touch_type"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"channel")
+  }
+
+  def attributionLastTouchSql(windowHours: Int = 72): String =
+    s"""WITH ev AS (
+          SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                 user_id, event_type, value
+          FROM events),
+        p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+              FROM ev WHERE event_type IN ('click', 'view')),
+        cand AS (
+          SELECT p.event_id, p.value, t.touch_type,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY t.touch_ts DESC, t.touch_type DESC) AS rk
+          FROM p LEFT JOIN t
+            ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+           AND t.touch_ts >= p.ts - INTERVAL $windowHours HOUR),
+        best AS (
+          SELECT event_id, value, coalesce(touch_type, 'direct') AS channel
+          FROM cand WHERE rk = 1)
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 2) AS total_value
+        FROM best GROUP BY 1 ORDER BY 1"""
+
   /** Exact `NTILE(k)` over a global (metric, tie) order WITHOUT the
     * all-to-one window `ntile().over(Window.orderBy(...))` plans — the
     * [[SurrogateKey.orderedScalable]] / banded-cumsum device applied

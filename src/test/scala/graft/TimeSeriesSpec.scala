@@ -127,4 +127,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 2L, 2L),
       (3L, 1L, 1L)), s"got $got")
   }
+
+  test("attribution: last touch wins, 72h boundary inclusive, ties pick greatest type, no touch = direct") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def tns(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u7: click then view before purchase → view (last touch)
+      (1L, tns(0), 7L, "click", 1.0, "{}"),
+      (2L, tns(10), 7L, "view", 1.0, "{}"),
+      (3L, tns(20), 7L, "purchase", 10.0, "{}"),
+      // u8: touch 4321 min (> 72h) before purchase → direct
+      (4L, tns(0), 8L, "click", 1.0, "{}"),
+      (5L, tns(4321), 8L, "purchase", 20.0, "{}"),
+      // u9: no touches at all → direct
+      (6L, tns(0), 9L, "purchase", 5.0, "{}"),
+      // u10: click and view at the SAME instant → tie-break picks view
+      (7L, tns(5), 10L, "click", 1.0, "{}"),
+      (8L, tns(5), 10L, "view", 1.0, "{}"),
+      (9L, tns(6), 10L, "purchase", 7.0, "{}"),
+      // u11: touch exactly 72h (4320 min) before → still attributed
+      (10L, tns(0), 11L, "click", 1.0, "{}"),
+      (11L, tns(4320), 11L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.attributionLastTouch(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 1L, 3.0), ("direct", 2L, 25.0),
+      ("view", 2L, 17.0)), s"got ${got.toSeq}")
+  }
 }
