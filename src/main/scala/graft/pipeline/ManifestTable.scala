@@ -398,49 +398,72 @@ class ManifestTable(spark: SparkSession, root: String) {
   // manifests parse unchanged). A missing sidecar means "scan":
   // skipping is an optimization, never a filter.
   //
-  // m = 16381 bits (prime, ~2 KB — ~0.2 bytes/key at 10k keys), k = 7
-  // probes via Kirsch–Mitzenmacher double hashing: h1 = xxhash64(key)
-  // (Spark's seed-42 XXH64), h2 = xxhash64(h1); probe_i =
-  // (h1 + i·h2) mod m with h2 forced nonzero mod m−1. The build runs
-  // WHERE THE DATA IS (a distinct-positions aggregate on executors —
-  // ≤ m rows reach the driver no matter the segment size); the probe
-  // side replays the identical arithmetic driver-side via
-  // XXH64.hashLong, so build and probe agree bit-for-bit.
+  // Sized to the SEGMENT: m = nextPrime(max(16381, 10·ndv)) bits
+  // (~10 bits/distinct key → ~0.8% FP at k = 7; a fixed m would
+  // saturate on big segments — at 19k keys a 16 Kbit filter fills to
+  // 99.97% and prunes nothing), capped at 2²⁷ (16 MB sidecar; beyond
+  // ~13M keys/segment, shard the segment before blooming it). m
+  // rides the sidecar header, so every segment probes with its own
+  // size. k = 7 probes via Kirsch–Mitzenmacher double hashing:
+  // h1 = xxhash64(key) (Spark's seed-42 XXH64), h2 = xxhash64(h1);
+  // probe_i = (h1 + i·h2) mod m with h2 forced nonzero mod m−1 (m
+  // prime ⇒ the probe walk never cycles early). The build runs WHERE
+  // THE DATA IS (one approx-ndv pass to size m + one
+  // distinct-positions aggregate — ≤ m rows reach the driver no
+  // matter the segment size); the probe side replays the identical
+  // arithmetic driver-side via XXH64.hashLong, bit-for-bit.
 
-  private val BloomBits = 16381L
+  private val BloomMinBits = 16381L
+  private val BloomMaxBits = 1L << 27
   private val BloomK = 7
+
+  private def nextPrime(n: Long): Long = {
+    def isPrime(x: Long): Boolean =
+      x > 1 && (2L to math.sqrt(x.toDouble).toLong + 1).forall(d =>
+        d >= x || x % d != 0)
+    Iterator.from(0).map(n + _).find(isPrime).get
+  }
 
   private def bloomFile(segDir: Path, c: String) =
     new Path(segDir, s"_bloom.$c")
 
   private def stageBloom(df: DataFrame, segDir: Path, c: String): Unit = {
-    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, xxhash64}
+    import org.apache.spark.sql.functions.{approx_count_distinct, col,
+      explode, lit, pmod, sequence, xxhash64}
     // cast to long BEFORE hashing: xxhash64 hashes int and long
     // inputs differently, and the probe side always hashes a Long —
     // a type mismatch here would be a false NEGATIVE (wrong results),
     // not a false positive
     val key = col(c).cast("long")
+    val ndv = df.agg(approx_count_distinct(key).as("ndv"))
+      .head.getLong(0)
+    val m = nextPrime(math.min(BloomMaxBits,
+      math.max(BloomMinBits, 10L * ndv)))
     val pos = df
-      .select(pmod(xxhash64(key), lit(BloomBits)).as("p1"),
-        (pmod(xxhash64(xxhash64(key)), lit(BloomBits - 1)) + lit(1L)).as("p2"))
+      .select(pmod(xxhash64(key), lit(m)).as("p1"),
+        (pmod(xxhash64(xxhash64(key)), lit(m - 1)) + lit(1L)).as("p2"))
       .select(explode(sequence(lit(0L), lit(BloomK - 1L))).as("i"),
         col("p1"), col("p2"))
-      .select(pmod(col("p1") + col("i") * col("p2"), lit(BloomBits)).as("pos"))
+      .select(pmod(col("p1") + col("i") * col("p2"), lit(m)).as("pos"))
       .distinct().collect().map(_.getLong(0))
-    val bits = new java.util.BitSet(BloomBits.toInt)
+    val bits = new java.util.BitSet(m.toInt)
     pos.foreach(p => bits.set(p.toInt))
     val out = fs.create(bloomFile(segDir, c), true)
-    try out.write(bits.toByteArray) finally out.close()
+    try {
+      val hdr = java.nio.ByteBuffer.allocate(8).putLong(m).array()
+      out.write(hdr)
+      out.write(bits.toByteArray)
+    } finally out.close()
   }
 
   /** Driver-side probe positions — mirrors [[stageBloom]] exactly. */
-  private def bloomPositions(value: Long): Seq[Int] = {
+  private def bloomPositions(value: Long, m: Long): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val h1 = XXH64.hashLong(value, 42L)
     val h2 = XXH64.hashLong(h1, 42L)
-    val p1 = Math.floorMod(h1, BloomBits)
-    val p2 = Math.floorMod(h2, BloomBits - 1) + 1
-    (0 until BloomK).map(i => ((p1 + i * p2) % BloomBits).toInt)
+    val p1 = Math.floorMod(h1, m)
+    val p2 = Math.floorMod(h2, m - 1) + 1
+    (0 until BloomK).map(i => ((p1 + i * p2) % m).toInt)
   }
 
   /** False = the segment definitely does NOT contain `value` in `c`.
@@ -457,8 +480,10 @@ class ManifestTable(spark: SparkSession, root: String) {
       while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toByteArray
     } finally in.close()
-    val bits = java.util.BitSet.valueOf(bytes)
-    bloomPositions(value).forall(bits.get)
+    val m = java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
+    val bits = java.util.BitSet.valueOf(
+      java.util.Arrays.copyOfRange(bytes, 8, bytes.length))
+    bloomPositions(value, m).forall(bits.get)
   }
 
   /** The live segments a point lookup must scan: zone-map overlap AND

@@ -228,6 +228,21 @@ class ManifestTableSpec extends SparkSpec {
       == Seq(1000L))
   }
 
+  test("bloom sizes itself to the segment: 30k-key segments still prune") {
+    val t = freshTable()
+    (0 until 2).foreach { i =>
+      t.append(spark.range(0, 60000).filter(col("id") % 2 === i).toDF(),
+        statCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    // a FIXED 16 Kbit filter fills to ~99.97% at 30k keys and stops
+    // pruning; the sized filter holds ~0.8% FP, so across 41 probes
+    // nearly all must resolve to exactly their home segment
+    val cands = (0L until 40000L by 997L).map(k =>
+      t.pointCandidates("id", k).size)
+    assert(cands.forall(c => c >= 1 && c <= 2), s"cands=$cands")
+    assert(cands.count(_ == 2) <= 5, s"bloom saturated: $cands")
+  }
+
   test("commit conflict loses cleanly and vacuum bounds history") {
     import spark.implicits._
     val t = freshTable()
