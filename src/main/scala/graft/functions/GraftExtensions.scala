@@ -109,6 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         SpaceSavingTopK(children(0), children(1), children(2))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[Expression]) =>
+        TopKBy(children(0), children(1), children(2))
+          .toAggregateExpression()))
     // Spark's own bloom-filter expression pair (the machinery behind
     // runtime-filter joins), surfaced as SQL functions so incremental
     // dedup can build/probe corpus-fingerprint filters declaratively:

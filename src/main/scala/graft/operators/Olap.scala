@@ -416,4 +416,31 @@ object Olap {
        SELECT status, 'total_price', total_price FROM wide
        UNION ALL
        SELECT status, 'avg_price', avg_price FROM wide"""
+
+  /** Exact per-group top-k via the native bounded-buffer aggregate
+    * (`topk_by`, functions/TopKBy.scala) — the leaderboard shape the
+    * ROW_NUMBER window answers by sorting every group; here memory
+    * is O(k) per group per partition, the map side keeps ≤ 2k rows,
+    * and the exchange carries ≤ k rows per (partition, group). The
+    * oracle IS the window spelling — partial top-k under the total
+    * (key desc, payload asc) order merges to the identical result.
+    */
+  def topkDocsByLang(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(expr(s"topk_by(n_chars, doc_id, $k)").as("top"))
+      .select($"lang", explode($"top").as("t"))
+      .select($"lang", $"t.key".as("n_chars"), $"t.payload".as("doc_id"))
+      .orderBy($"lang", $"n_chars".desc, $"doc_id")
+  }
+
+  def topkDocsByLangSql(k: Int = 5): String =
+    s"""SELECT lang, n_chars, doc_id FROM (
+          SELECT lang, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents) z
+        WHERE rk <= $k
+        ORDER BY lang, n_chars DESC, doc_id"""
 }

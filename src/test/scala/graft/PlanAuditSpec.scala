@@ -57,6 +57,17 @@ class PlanAuditSpec extends SparkSpec {
       s"text_tokens reads unused columns: $read")
   }
 
+  test("search_phrase: scan pruned to (doc_id, text); no exchange carries document bodies") {
+    val p = plan("search_phrase")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("source") && !read.contains("lang"),
+      s"phrase search reads unused columns: $read")
+    shuffleOutputs("search_phrase").foreach { out =>
+      assert(!out.exists(_.name == "text"),
+        s"document bodies in a phrase exchange: ${out.map(_.name)}")
+    }
+  }
+
   test("embedding kernels stay inside whole-stage codegen") {
     import spark.implicits._
     val p = Tables.embeddings(spark, SF)
