@@ -357,4 +357,101 @@ object Events {
        FROM tri GROUP BY path
        ORDER BY n DESC, path
        LIMIT 10"""
+
+  /** CUSUM changepoint scan over the gap-filled hourly series — the
+    * classic "where did the level shift" statistic. For hour index t
+    * (1-based over the T-hour spine) with prefix sum P_t and grand
+    * total G, the centered cumulative deviation Σ_{i≤t}(x_i − G/T)
+    * is held EXACT by cross-multiplying through T: d_t = T·P_t −
+    * t·G, an integer — no fp mean anywhere, so the argmax (the
+    * changepoint estimate) is bit-identical across engines. The gate
+    * reports the top-`k` hours by |d| (tie → earlier hour): the #1
+    * row is the estimated changepoint, the rest show the plateau
+    * around it. Both windows are unpartitioned but run over the
+    * calendar-bounded hour spine (WindowAuditSpec carries the
+    * exemption); headroom: T ≤ 10^5 hours × G ≤ 10^12 events stays
+    * under BIGINT. Final top-k is a LIMIT over the spine — a
+    * TakeOrdered, never a full sort shuffle.
+    */
+  def cusumHours(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"h")
+    val series = gapfillHourly(spark, dir)
+      .withColumn("p", sum($"n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(w).cast("long"))
+    val totals = series.agg(max($"t").as("t_n"), sum($"n").as("g"))
+    series.crossJoin(broadcast(totals))
+      .withColumn("d", $"t_n" * $"p" - $"t" * $"g")
+      .select($"h", $"n", $"d")
+      .orderBy(abs($"d").desc, $"h")
+      .limit(k)
+  }
+
+  def cusumHoursSql(k: Int = 10): String =
+    s"""WITH c AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+          FROM events GROUP BY 1),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        f AS (
+          SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM hrs LEFT JOIN c USING (h)),
+        s AS (
+          SELECT h, n,
+                 CAST(sum(n) OVER (ORDER BY h) AS BIGINT) AS p,
+                 CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t,
+                 CAST(count(*) OVER () AS BIGINT) AS t_n,
+                 CAST(sum(n) OVER () AS BIGINT) AS g
+          FROM f)
+        SELECT h, n, t_n * p - t * g AS d
+        FROM s ORDER BY abs(t_n * p - t * g) DESC, h LIMIT $k"""
+
+  /** Linearly-weighted moving average (WMA) over the trailing 24
+    * hours of the gap-filled series — trend smoothing where the
+    * newest hour weighs 24 and the oldest 1. The position-weighted
+    * window sum needs NO per-offset lag chain: on the dense hour
+    * spine the weight of hour i inside hour t's frame is
+    * i − (t − 24), so Σ w_i·x_i = Σ i·x_i − (t−24)·Σ x_i — two plain
+    * prefix-style window sums over one ROWS frame, decomposing the
+    * position weighting into frame aggregates (the same algebra that
+    * turns any polynomial-in-position weighting into a fixed number
+    * of windowed moments). Reported exact: `wma_num` is the integer
+    * numerator (denominator Σw = 300 is constant); `wma` divides
+    * once. Warm-up hours (fewer than 24 predecessors) are excluded.
+    * Headroom: h ≈ 5·10^5 × per-hour counts ≤ 10^9 × 24 terms stays
+    * under BIGINT.
+    */
+  def wmaHours(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frame = Window.orderBy($"h").rowsBetween(-23, 0)
+    gapfillHourly(spark, dir)
+      .withColumn("nw", count(lit(1)).over(frame))
+      .withColumn("sx", sum($"n").over(frame))
+      .withColumn("shx", sum($"h" * $"n").over(frame))
+      .filter($"nw" === 24)
+      .withColumn("wma_num", $"shx" - ($"h" - 24) * $"sx")
+      .select($"h", $"n", $"wma_num",
+        round($"wma_num" / 300.0, 4).as("wma"))
+  }
+
+  val wmaHoursSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (
+         SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         FROM hrs LEFT JOIN c USING (h)),
+       w AS (
+         SELECT h, n,
+                count(*) OVER fr AS nw,
+                CAST(sum(n) OVER fr AS BIGINT) AS sx,
+                CAST(sum(h * n) OVER fr AS BIGINT) AS shx
+         FROM f
+         WINDOW fr AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT h, n, shx - (h - 24) * sx AS wma_num,
+              round(CAST(shx - (h - 24) * sx AS DOUBLE) / 300.0, 4) AS wma
+       FROM w WHERE nw = 24"""
 }

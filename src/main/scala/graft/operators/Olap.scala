@@ -443,4 +443,109 @@ object Olap {
           FROM documents) z
         WHERE rk <= $k
         ORDER BY lang, n_chars DESC, doc_id"""
+
+  /** Equi-DEPTH histogram of order value — the complement of
+    * [[histogramOrders]]'s equi-width bins: every decile holds the
+    * same row count (±1) and the gate reports each bucket's edges,
+    * so the output IS an exact quantile table. Bucket assignment is
+    * the SQL-standard `NTILE(k) OVER (ORDER BY cents, o_orderkey)`,
+    * but computed via [[Analytics.bandedNtile]]'s partition-offset
+    * rank — no corpus-sized frame ever funnels through one window
+    * task (the $50k-cent band is a monotone coarse bucket of the
+    * metric, so per-band row_number + exclusive band offsets
+    * reconstruct the global rank; the offset window runs over the
+    * ≤13-row band-count frame). Values ride as integer cents so the
+    * edges are bit-exact across engines.
+    */
+  def histogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 10)
+      : DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    Analytics.bandedNtile(o, "cents", expr("cents div 5000000"),
+        tie = "o_orderkey", k = buckets, out = "bucket")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"cents").as("lo_cents"),
+        max($"cents").as("hi_cents"),
+        sum($"cents").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
+  def histogramEquiDepthSql(buckets: Int = 10): String =
+    s"""WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        t AS (
+          SELECT cents,
+                 CAST(NTILE($buckets) OVER (ORDER BY cents, o_orderkey)
+                      AS BIGINT) AS bucket
+          FROM o)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+               min(cents) AS lo_cents, max(cents) AS hi_cents,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM t GROUP BY 1 ORDER BY 1"""
+
+  /** Pearson chi-square contingency audit of order priority ×
+    * status — the independence test a warehouse runs to decide
+    * whether two categorical dimensions actually interact. Output is
+    * the full contingency table with each cell's observed count,
+    * expected count under independence, and chi-square contribution.
+    * All inputs to the fp step are exact BIGINTs (observed o, row
+    * total r, column total c, grand total n) and each cell does ONE
+    * double expression with a pinned evaluation order —
+    * (d·d)/(n·r·c) with d = n·o − r·c computed in integers — so both
+    * engines see identical doubles. d fits BIGINT at any real scale
+    * (n·o ≤ 4.5·10^17 even at 1.5 billion orders); n·r·c does NOT,
+    * so the denominator multiplies as doubles. Three broadcast-sized
+    * margins join back to the |priorities|×|statuses| cell frame —
+    * everything after the first groupBy is metadata-scale.
+    */
+  def chiSquareOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = obs.groupBy($"o_orderpriority")
+      .agg(sum($"observed").as("r_tot"))
+    val colTot = obs.groupBy($"o_orderstatus")
+      .agg(sum($"observed").as("c_tot"))
+    val grand = obs.agg(sum($"observed").as("n_tot"))
+    obs.join(broadcast(rowTot), Seq("o_orderpriority"))
+      .join(broadcast(colTot), Seq("o_orderstatus"))
+      .crossJoin(broadcast(grand))
+      .withColumn("d", expr("n_tot * observed - r_tot * c_tot"))
+      .select($"o_orderpriority", $"o_orderstatus", $"observed",
+        expr("round(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) " +
+          "/ CAST(n_tot AS DOUBLE), 4)").as("expected"),
+        expr("round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) " +
+          "/ (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE) " +
+          "* CAST(c_tot AS DOUBLE)), 4)").as("contrib"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  val chiSquareOrdersSql: String =
+    """WITH obs AS (
+         SELECT o_orderpriority, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS observed
+         FROM orders GROUP BY 1, 2),
+       r AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS r_tot
+             FROM obs GROUP BY 1),
+       c AS (SELECT o_orderstatus, CAST(sum(observed) AS BIGINT) AS c_tot
+             FROM obs GROUP BY 1),
+       g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM obs),
+       cell AS (
+         SELECT obs.*, r_tot, c_tot, n_tot,
+                n_tot * observed - r_tot * c_tot AS d
+         FROM obs JOIN r USING (o_orderpriority)
+                  JOIN c USING (o_orderstatus) CROSS JOIN g)
+       SELECT o_orderpriority, o_orderstatus, observed,
+              round(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE), 4) AS expected,
+              round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE)
+                       * CAST(c_tot AS DOUBLE)), 4) AS contrib
+       FROM cell ORDER BY 1, 2"""
 }

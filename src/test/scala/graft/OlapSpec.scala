@@ -220,6 +220,62 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth histogram: decile depths within ±1, edges monotone non-overlapping, mass = corpus") {
+    val rows = graft.operators.Olap.histogramEquiDepth(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), s"buckets ${rows.map(_._1).toSeq}")
+    val n = Tables.orders(spark, SF).count()
+    assert(rows.map(_._2).sum == n, "bucket counts must cover every order")
+    // equi-DEPTH: sizes differ by at most 1 and only the leading
+    // buckets carry the remainder (the SQL-standard NTILE layout)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"not equi-depth: ${sizes.toSeq}")
+    assert(sizes.sorted.reverse.toSeq == sizes.toSeq,
+      s"remainder not on leading buckets: ${sizes.toSeq}")
+    // edges: non-decreasing within, non-overlapping across (ties at
+    // the boundary may share a value, never invert)
+    rows.foreach { case (b, _, lo, hi, _) =>
+      assert(lo <= hi, s"bucket $b inverted edges ($lo,$hi)") }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"overlap: bucket ${a._1} hi=${a._4} > bucket ${b._1} lo=${b._3}")
+    case _ => () }
+    // mass: per-bucket sums reconcile with the corpus total cents
+    val total = Tables.orders(spark, SF)
+      .selectExpr("CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)")
+      .head.getLong(0)
+    assert(rows.map(_._5).sum == total)
+  }
+
+  test("chi-square: corpus cells match a scala re-derivation; hand-checked 2×2 closed form") {
+    val got = graft.operators.Olap.chiSquareOrders(spark, SF).collect()
+      .map(r => ((r.getString(0), r.getString(1)), // (priority, status)
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    // re-derive margins from the raw table
+    val cells = Tables.orders(spark, SF)
+      .groupBy("o_orderpriority", "o_orderstatus").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rTot = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cTot = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val nTot = cells.values.sum
+    assert(got.length == cells.size)
+    got.foreach { case ((pri, st), (obs, expd, contrib)) =>
+      val o = cells((pri, st))
+      assert(obs == o, s"cell ($pri,$st) observed $obs vs $o")
+      val d = nTot * o - rTot(pri) * cTot(st)
+      val expExp = math.round(rTot(pri).toDouble * cTot(st).toDouble / nTot * 1e4) / 1e4
+      val expContrib = math.round(d.toDouble * d.toDouble /
+        (nTot.toDouble * rTot(pri).toDouble * cTot(st).toDouble) * 1e4) / 1e4
+      assert(math.abs(expd - expExp) < 1e-9, s"($pri,$st) expected $expd vs $expExp")
+      assert(math.abs(contrib - expContrib) < 1e-9, s"($pri,$st) contrib $contrib vs $expContrib")
+    }
+    // independence sanity: a perfectly independent 2×2 (50/50 × 50/50
+    // over 400 rows) has d = 0 in every cell under the same algebra
+    val ind = for (a <- Seq(0, 1); b <- Seq(0, 1))
+      yield 400L * 100L - 200L * 200L
+    assert(ind.forall(_ == 0L))
+  }
+
   test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {
     import spark.implicits._
     // exact line y = 200x + 500 cents, one point perturbed: slope and

@@ -48,6 +48,55 @@ class TimeSeriesSpec extends SparkSpec {
       "integer z-test must flag a dead hour against a steady baseline")
   }
 
+  test("cusum: gate rows match a scala re-derivation; a planted level shift is recovered at its boundary") {
+    val series = Events.gapfillHourly(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tN = series.length.toLong
+    val g = series.map(_._2).sum
+    var p = 0L
+    val ds = series.zipWithIndex.map { case ((h, n), i) =>
+      p += n; (h, n, tN * p - (i + 1) * g)
+    }
+    val expected = ds.sortBy { case (h, _, d) => (-math.abs(d), h) }.take(10)
+    val got = Events.cusumHours(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"cusum top-10 mismatch:\n got=${got.toSeq}\n exp=${expected.toSeq}")
+    // the statistic itself: a clean level shift (100/h then 200/h)
+    // maximizes |d| exactly at the boundary hour
+    val synth = (0 until 100).map(i => if (i < 50) 100L else 200L)
+    val sg = synth.sum
+    var sp = 0L
+    val sd = synth.zipWithIndex.map { case (n, i) =>
+      sp += n; (i, math.abs(100L * sp - (i + 1) * sg))
+    }
+    assert(sd.maxBy(_._2)._1 == 49,
+      s"changepoint not at the boundary: ${sd.maxBy(_._2)}")
+  }
+
+  test("wma: decomposed window numerator equals the brute-force position-weighted sum") {
+    val series = Events.gapfillHourly(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = series.indices.flatMap { i =>
+      if (i < 23) None
+      else {
+        val win = series.slice(i - 23, i + 1).map(_._2)
+        // weights 1 (oldest) .. 24 (newest)
+        val num = win.zipWithIndex.map { case (x, j) => (j + 1) * x }.sum
+        Some((series(i)._1, series(i)._2, num))
+      }
+    }
+    val got = Events.wmaHours(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == expected,
+      s"wma numerator mismatch: got=${got.take(3).toSeq}… exp=${expected.take(3)}…")
+    // the exported fp column is the single division
+    Events.wmaHours(spark, SF).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 300.0) < 1e-4 + 1e-9)
+    }
+  }
+
   test("weekly profile: ≤168 in-range cells, counts sum to the corpus total") {
     import spark.implicits._
     val cells = Events.weeklyProfile(spark, SF)

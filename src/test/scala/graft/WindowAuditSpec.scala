@@ -42,7 +42,21 @@ class WindowAuditSpec extends SparkSpec {
       ("grand total OVER () on the per-status aggregate frame " +
         "(|statuses| = 3 rows at any corpus size) — the groupBy " +
         "below already collapsed the orders scan; same " +
-        "aggregate-sized-frame exemption as the banded cumsum")
+        "aggregate-sized-frame exemption as the banded cumsum"),
+    "olap_histogram_equidepth" ->
+      ("bandedNtile's exclusive-prefix offset window over the " +
+        "per-band count frame (≤ 13 $50k-cent bands at any corpus " +
+        "size) — the order-sized ranking window is partitioned by " +
+        "band; same device as analytics_rfm"),
+    "events_cusum_hours" ->
+      ("prefix sum + row_number over the gap-filled HOURLY spine " +
+        "(calendar-bounded, ~88k rows a decade) — the per-hour " +
+        "aggregation below already reduced the corpus; an ordered " +
+        "scan of the spine is the CUSUM's semantics"),
+    "events_wma_hours" ->
+      ("trailing-24h moment windows over the gap-filled HOURLY " +
+        "spine (calendar-bounded) — same aggregate-then-window shape " +
+        "as events_anomaly_hours")
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {
