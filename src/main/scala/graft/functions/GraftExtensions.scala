@@ -104,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(2).eval(null).asInstanceOf[Number].intValue)
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(a, b)")
+        JaroWinkler(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("ss_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "ss_topk"),
       (children: Seq[Expression]) =>

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity resolution over short identifier strings — the
+  * "same real-world thing, slightly different spelling" matcher that
+  * complements the token-set dedup family (Jaccard/containment work
+  * on bags of shingles; Jaro–Winkler is the right metric when the
+  * strings are NAMES, where transpositions and shared prefixes carry
+  * the signal).
+  *
+  * Scale shape: similarity is computed on the DISTINCT-NAME domain,
+  * not the row domain — the corpus collapses to (name, count) first,
+  * so the pairwise stage is vocabulary², blocked further by first
+  * token, and the number of jaro_winkler evaluations is
+  * corpus-size-INDEPENDENT (reference semantics: resolve the entity
+  * vocabulary, then fan results back out by multiplicity). Both the
+  * blocking and the candidate order are mirrored exactly in the
+  * oracle, so the gate is hash-exact, not recall-approximate.
+  */
+object EntityResolution {
+
+  /** Near-duplicate part-name pairs: distinct names, blocked on the
+    * leading token, scored with the native `jaro_winkler` kernel
+    * (functions/JaroWinkler.scala), kept at ≥ `threshold`. `n_pairs`
+    * is the row-domain weight of the name pair (how many part-row
+    * pairs the match represents). Exact-equal names are the
+    * exact-dedup family's job — the strict `name_a < name_b` keeps
+    * this gate to true near-duplicates and halves the candidate set.
+    */
+  def jaroNamePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+      .withColumn("blk", substring_index($"p_name", " ", 1))
+    val a = names.select($"blk", $"p_name".as("name_a"), $"n".as("n_a"))
+    val b = names.select($"blk", $"p_name".as("name_b"), $"n".as("n_b"))
+    a.join(broadcast(b), Seq("blk"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("jw", call_function("jaro_winkler", $"name_a", $"name_b"))
+      .filter($"jw" >= threshold)
+      .select($"name_a", $"name_b",
+        round($"jw", 4).as("jw_sim"),
+        ($"n_a" * $"n_b").as("n_pairs"))
+      .orderBy($"name_a", $"name_b")
+  }
+
+  def jaroNamePairsSql(threshold: Double = 0.85): String =
+    s"""WITH names AS (
+          SELECT p_name, CAST(count(*) AS BIGINT) AS n
+          FROM part GROUP BY 1),
+        b AS (
+          SELECT p_name, n, split_part(p_name, ' ', 1) AS blk FROM names)
+        SELECT x.p_name AS name_a, y.p_name AS name_b,
+               round(jaro_winkler_similarity(x.p_name, y.p_name), 4) AS jw_sim,
+               x.n * y.n AS n_pairs
+        FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
+        WHERE jaro_winkler_similarity(x.p_name, y.p_name) >= $threshold
+        ORDER BY 1, 2"""
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.JaroWinkler
+import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Jaro–Winkler kernel: literature vectors, the oracle
+  * engine's boundary semantics (empties → 0, boost only above 0.7,
+  * ⌊mismatches/2⌋ transpositions), codegen residency, and the
+  * blocked entity-resolution gate's invariants.
+  */
+class JaroWinklerSpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("literature vectors and oracle-probed boundary values") {
+    val eps = 1e-12
+    // classic textbook pairs (values probed against the DuckDB oracle)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < eps)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < eps)
+    // zero common prefix → pure jaro survives
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < eps)
+    // boost threshold: jaro = 0.6 ≤ 0.7 keeps NO winkler boost even
+    // with a 4-char common prefix
+    assert(math.abs(jw("abcdxxxxxx", "abcdyyyyyy") - 0.6) < eps)
+    // odd mismatch count between matched subsequences → t = ⌊3/2⌋ = 1
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < eps)
+    // even mismatches, zero prefix
+    assert(math.abs(jw("aabbcc", "bbaacc") - 0.8888888888888888) < eps)
+    // empties are 0 in BOTH engines (not 1), equal strings are 1
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("a", "a") == 1.0 && jw("same", "same") == 1.0)
+    // disjoint alphabets → m = 0 → 0
+    assert(jw("aaaa", "bbbb") == 0.0)
+  }
+
+  test("symmetry and range over random near-neighbor pairs") {
+    val rnd = new scala.util.Random(0x3A20L)
+    val alpha = "abcdef "
+    def s(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 2000) {
+      val a = s(1 + rnd.nextInt(24))
+      val b = if (rnd.nextBoolean()) s(1 + rnd.nextInt(24))
+        else {
+          val idx = rnd.nextInt(a.length)
+          a.patch(idx, s(rnd.nextInt(3)), math.min(2, a.length - idx))
+        }
+      val f = jw(a, b); val r = jw(b, a)
+      assert(f == r, s"asymmetric: '$a' vs '$b' → $f / $r")
+      assert(f >= 0.0 && f <= 1.0, s"out of range: '$a' vs '$b' → $f")
+      assert(jw(a, a) == 1.0)
+    }
+  }
+
+  test("matches the DuckDB oracle on every gate pair (round-trip through the SQL function) and stays in codegen") {
+    import spark.implicits._
+    // the gate itself re-verifies jw against the oracle at the driver;
+    // here: the registered SQL function ≡ the static kernel, inside
+    // whole-stage codegen
+    val df = Tables.part(spark, SF)
+      .select($"p_name", reverse($"p_name").as("q"))
+      .select($"p_name", $"q",
+        call_function("jaro_winkler", $"p_name", $"q").as("sim"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(2) == jw(r.getString(0), r.getString(1)))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("jarowinkler") && l.trim.startsWith("*(")),
+      s"jaro_winkler fell out of codegen:\n$plan")
+    // null propagation through the expression
+    val n = spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') IS NULL")
+      .head.getBoolean(0)
+    assert(n, "null input must yield null")
+  }
+
+  test("gate invariants: ordered pairs, threshold honored, blocking key shared, weights positive") {
+    val rows = EntityResolution.jaroNamePairs(spark, SF).collect()
+    assert(rows.nonEmpty, "sf0.001 part names must yield near-dup pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(a.split(" ").head == b.split(" ").head,
+        s"blocking violated: ($a, $b)")
+      assert(r.getDouble(2) >= 0.85 && r.getDouble(2) <= 1.0)
+      assert(jw(a, b) >= 0.85, s"threshold must apply to the UNROUNDED score ($a, $b)")
+      assert(r.getLong(3) >= 1L)
+    }
+    // no self-pairs / exact dups leak in (strict < on distinct names)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+  }
+}
