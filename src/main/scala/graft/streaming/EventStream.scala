@@ -19,6 +19,12 @@ case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
 case class SessionOut(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, sum_value: Double)
 
+/** A CUSUM control-chart alarm: the event that tripped the
+  * statistic, with the statistic's value at the crossing.
+  */
+case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
+    s_plus: Double)
+
 /** #40/#41 Structured Streaming operators. Both take an *unbounded*
   * input DataFrame/Dataset (from readStream / MemoryStream) and
   * return a streaming result — the streaming mirror of the batch
@@ -200,4 +206,39 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming one-sided CUSUM control chart, per series
+    * (event_type): the standard Page (1954) recursion
+    * S⁺ ← max(0, S⁺ + (x − target − slack)) with an alarm emitted —
+    * and the statistic reset — when S⁺ crosses `threshold`. This is
+    * the true STREAMING complement of the batch retrospective scan
+    * (operators/Events.cusumHours): that one needs the whole series
+    * to center on the grand mean; the control chart needs a known
+    * reference `target` and carries O(1) state per series — a single
+    * double, regardless of stream length. Events are applied in
+    * (ts, event_id) order within each micro-batch; cross-batch
+    * order is the source's arrival order, as for any control chart
+    * fed by a log.
+    */
+  def cusumControl(events: Dataset[StreamEvent], target: Double,
+      slack: Double, threshold: Double): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Double, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, batch: Iterator[StreamEvent], state: GroupState[Double]) =>
+          var s = state.getOption.getOrElse(0.0)
+          val alarms = Seq.newBuilder[CusumAlarm]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            s = math.max(0.0, s + (e.value - target - slack))
+            if (s > threshold) {
+              alarms += CusumAlarm(series, e.event_id, e.ts, s)
+              s = 0.0
+            }
+          }
+          state.update(s)
+          alarms.result().iterator
+      }
+  }
 }

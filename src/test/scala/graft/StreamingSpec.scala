@@ -314,4 +314,69 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("event_id")).toSet
     assert(ids == Set(1L, 3L), s"got event ids $ids")
   }
+
+  test("streaming CUSUM: alarm at the crossing, reset after, drift accumulates across batches, decay floors at 0") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    // target 10, slack 1, threshold 5: each 12 adds +1, a 14 adds +3,
+    // an 8 subtracts 3 (floored at 0)
+    val q = EventStream.cusumControl(mem.toDS(), target = 10.0,
+        slack = 1.0, threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(
+        StreamEvent(1, ts(0), 1, "a", 12.0), // s=1
+        StreamEvent(2, ts(1), 1, "a", 12.0), // s=2
+        StreamEvent(3, ts(2), 1, "a", 8.0),  // s=max(0, 2-3)=0
+        StreamEvent(4, ts(3), 1, "a", 12.0), // s=1
+        // an independent series must not share state
+        StreamEvent(5, ts(0), 1, "b", 14.0), // s=3
+        StreamEvent(6, ts(1), 1, "b", 14.0)  // s=6 > 5 → ALARM, reset
+      ))
+      q.processAllAvailable()
+      mem.addData(Seq( // series a resumes from s=1 across the batch gap
+        StreamEvent(7, ts(4), 1, "a", 14.0), // s=4
+        StreamEvent(8, ts(5), 1, "a", 14.0), // s=7 > 5 → ALARM, reset
+        StreamEvent(9, ts(2), 1, "b", 12.0)  // post-reset: s=1, quiet
+      ))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alarms = spark.table("cusum_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._2)
+    assert(alarms.toSeq == Seq(("b", 6L, 6.0), ("a", 8L, 7.0)),
+      s"got $alarms")
+  }
+
+  test("streaming CUSUM ≡ the Page recursion folded over the real event table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val (target, slack, threshold) = (1.0, 0.5, 25.0)
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows)
+    val q = EventStream.cusumControl(mem.toDS(), target, slack, threshold)
+      .writeStream.format("memory").queryName("cusum_real_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cusum_real_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    // identical recursion in plain scala, same (ts, event_id) order
+    val expected = rows.groupBy(_.event_type).toSeq.flatMap { case (et, es) =>
+      var s = 0.0
+      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        s = math.max(0.0, s + (e.value - target - slack))
+        if (s > threshold) { val hit = (et, e.event_id, s); s = 0.0; Some(hit) }
+        else None
+      }
+    }.toSet
+    assert(expected.nonEmpty, "pick a threshold the corpus actually crosses")
+    assert(got == expected,
+      s"stream-only=${got -- expected} fold-only=${expected -- got}")
+  }
 }

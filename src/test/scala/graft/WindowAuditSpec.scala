@@ -57,6 +57,9 @@ class WindowAuditSpec extends SparkSpec {
       ("trailing-24h moment windows over the gap-filled HOURLY " +
         "spine (calendar-bounded) — same aggregate-then-window shape " +
         "as events_anomaly_hours")
+    // lake_sorted_export's disjointness lag runs EAGERLY inside gate
+    // construction over the per-file stats frame (`files` rows) — the
+    // returned plan carries no window, so no exemption is needed here
   )
 
   test("no gate query has an unpartitioned window outside the exempt set") {
