@@ -312,4 +312,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one shuffle (the 5-group aggregate):\n$p")
     assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
+
+  test("validate_fingerprint: ONE aggregate pass — a single-partition final over map-side partials, scan pruned to the digested columns") {
+    val p = plan("validate_fingerprint")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+    // the only exchange is the 1-row final-agg gather; no
+    // hashpartitioning shuffle of corpus rows anywhere
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprint must not shuffle corpus rows:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text"),
+      s"digest inputs missing from scan: $read")
+  }
+
+  test("dedup_jaro_names: kernel runs on the distinct-name frame — aggregation BELOW the pair join, join side broadcast") {
+    val p = plan("dedup_jaro_names")
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocked pair join not broadcast:\n$p")
+    assert(p.contains("jarowinkler"), s"native kernel absent:\n$p")
+    // the name aggregation must sit under the join: the join's inputs
+    // are aggregates, so a partial_count appears before the first join
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(p.substring(joinIdx).contains("partial_count"),
+      s"pair join does not take the aggregated name frame:\n$p")
+  }
+
+  test("olap_chi_square: all three margins broadcast back onto the cell frame, corpus reduced by map-side partials") {
+    val p = plan("olap_chi_square")
+    assert(p.split("BroadcastExchange").length - 1 >= 3,
+      s"row/col/grand margins not broadcast:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+  }
 }
