@@ -199,40 +199,56 @@ object Analytics {
   /** Order-invariant table fingerprint — content equality between
     * two copies of a table (cross-engine migration, replica audit,
     * backup validation) WITHOUT moving or sorting either copy: each
-    * row serializes to a canonical '|'-joined string, md5's leading
-    * 60 bits become a per-row integer, and the rows' modular sum
-    * (mod 2⁶¹−1) is the table's fingerprint. Commutative addition
-    * makes the digest independent of row order, partitioning, and
-    * file layout — the whole check is one map-side-combined
-    * aggregate pass per side, and two 100 TB copies compare by
-    * exchanging 16 bytes. The 60-bit slice keeps the per-row value
-    * inside BIGINT on both engines (Spark `conv`, DuckDB '0x' cast);
-    * the sum accumulates in DECIMAL(38,0) / HUGEINT so it is EXACT
-    * before the one final mod — a wrapping 64-bit sum would be
-    * engine-dependent. Forgery bound: matching digests differ with
-    * probability ≤ 2⁻⁶¹ per corrupted row set, the md5 keying makes
-    * crafted collisions an adversarial-hash exercise, and n_rows
-    * rules out the empty-vs-empty triviality.
+    * row digests to an integer (leading 60 bits of an md5 over a
+    * canonical serialization) and the rows' modular sum (mod 2⁶¹−1)
+    * is the table's fingerprint. Commutative addition makes the
+    * digest independent of row order, partitioning, and file layout
+    * — the whole check is one map-side-combined aggregate pass per
+    * side, and two 100 TB copies compare by exchanging 16 bytes.
+    *
+    * Serialization is per-FIELD md5, concatenated fixed-width, then
+    * hashed again: a delimiter-joined row string would let a field-
+    * boundary shift between adjacent string columns ('a|b','c' vs
+    * 'a','b|c') — or a NULL silently skipped by concat_ws — collide
+    * with probability 1; 32 hex chars per field parse unambiguously,
+    * and NULL carries an explicit all-zeros marker distinct from
+    * every real digest (finding one would be an md5 preimage). The
+    * 60-bit slice keeps the per-row value inside BIGINT on both
+    * engines (Spark `conv`, DuckDB '0x' cast); the sum accumulates
+    * in DECIMAL(38,0) / HUGEINT so it is EXACT before the one final
+    * mod — a wrapping 64-bit sum would be engine-dependent. Forgery
+    * bound: matching digests differ with probability ≤ 2⁻⁶¹ per
+    * corrupted row set, and n_rows rules out the empty-vs-empty
+    * triviality.
     */
+  private val fingerprintFields =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One fixed-width (32-hex) digest per field; NULL → 32 zeros. */
+  private def fieldDigests(fields: Seq[String]): String =
+    fields.map(f =>
+      s"coalesce(md5(CAST($f AS STRING)), lpad('', 32, '0'))")
+      .mkString(", ")
+
   def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(expr(
-        """CAST(conv(substr(md5(
-             concat_ws('|', doc_id, text, lang, source, n_chars)),
-           1, 15), 16, 10) AS BIGINT)""").as("h"))
+        s"""CAST(conv(substr(md5(
+              concat(${fieldDigests(fingerprintFields)})),
+            1, 15), 16, 10) AS BIGINT)""").as("h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("""CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951
                 AS BIGINT)""").as("fingerprint"))
   }
 
   val tableFingerprintSql: String =
-    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-              CAST(sum(CAST(CAST('0x' || substr(md5(
-                     concat_ws('|', doc_id, text, lang, source, n_chars)),
-                   1, 15) AS BIGINT) AS HUGEINT)) % 2305843009213693951
-                AS BIGINT) AS fingerprint
-       FROM documents"""
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(CAST('0x' || substr(md5(
+                      concat(${fieldDigests(fingerprintFields)})),
+                    1, 15) AS BIGINT) AS HUGEINT)) % 2305843009213693951
+                 AS BIGINT) AS fingerprint
+        FROM documents"""
 
   // ── Analytics (queries.py:54-121) ────────────────────────────────
 

@@ -376,11 +376,16 @@ object Events {
   def cusumHours(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"h")
-    val series = gapfillHourly(spark, dir)
+    val base = gapfillHourly(spark, dir)
+    val series = base
       .withColumn("p", sum($"n").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("t", row_number().over(w).cast("long"))
-    val totals = series.agg(max($"t").as("t_n"), sum($"n").as("g"))
+    // totals come from the PRE-window frame: T = spine length and
+    // G = grand total need neither prefix sums nor the ordered scan,
+    // so deriving them from `series` would execute the window subtree
+    // twice for two scalars
+    val totals = base.agg(count(lit(1)).as("t_n"), sum($"n").as("g"))
     series.crossJoin(broadcast(totals))
       .withColumn("d", $"t_n" * $"p" - $"t" * $"g")
       .select($"h", $"n", $"d")

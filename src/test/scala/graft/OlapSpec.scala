@@ -269,11 +269,21 @@ class OlapSpec extends SparkSpec {
       assert(math.abs(expd - expExp) < 1e-9, s"($pri,$st) expected $expd vs $expExp")
       assert(math.abs(contrib - expContrib) < 1e-9, s"($pri,$st) contrib $contrib vs $expContrib")
     }
-    // independence sanity: a perfectly independent 2×2 (50/50 × 50/50
-    // over 400 rows) has d = 0 in every cell under the same algebra
-    val ind = for (a <- Seq(0, 1); b <- Seq(0, 1))
-      yield 400L * 100L - 200L * 200L
-    assert(ind.forall(_ == 0L))
+    // independence sanity, through the ENGINE's expression (not a
+    // constant re-statement): a perfectly independent 2×2 has d = 0
+    // and contrib = 0 in every cell under the gate's exact algebra
+    val cells2x2 = Seq(("a", "x", 60L), ("a", "y", 140L),
+      ("b", "x", 90L), ("b", "y", 210L)) // margins 200/300 × 150/350
+    val df = spark.createDataFrame(cells2x2).toDF("p", "s", "o")
+    val zero = df
+      .selectExpr("p", "s", "o",
+        "sum(o) OVER (PARTITION BY p) AS r",
+        "sum(o) OVER (PARTITION BY s) AS c",
+        "sum(o) OVER () AS n")
+      .selectExpr("n * o - r * c AS d")
+      .collect().map(_.getLong(0))
+    assert(zero.length == 4 && zero.forall(_ == 0L),
+      s"independent table must zero the deviation: ${zero.toSeq}")
   }
 
   test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {

@@ -53,29 +53,47 @@ class SortedExportSpec extends SparkSpec {
       docs.agg(max($"n_chars")).head.getLong(0))
   }
 
-  test("the within-file monotonicity fold flags a deliberately shuffled layout") {
+  test("the within-file monotonicity check flags a scrambled layout") {
     import spark.implicits._
-    // write WITHOUT sortWithinPartitions: ranges still disjoint, but
-    // in-file order is storage order, which a hash-shuffled frame
-    // breaks — the verdict column must go false, not error
+    // write WITHOUT sortWithinPartitions: in-file order is storage
+    // order, which a hash-shuffled frame breaks
     val out = graft.util.Scratch.dir("graft_sortspec_bad") + "/docs"
     Tables.documents(spark, SF).select($"doc_id", $"n_chars")
       .orderBy(hash($"doc_id")) // scrambled relative to the sort key
       .coalesce(2)
       .write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out)
-      .select(input_file_name().as("f"),
-        (-$"n_chars").as("k1"), $"doc_id".as("k2"))
-    val violations = back.as[(String, Long, Long)].mapPartitions { it =>
-      var prevF: String = null
-      var p1 = Long.MinValue; var p2 = Long.MinValue
-      var bad = 0L
-      it.foreach { case (f, k1, k2) =>
-        if (f == prevF && (k1 < p1 || (k1 == p1 && k2 < p2))) bad += 1
-        prevF = f; p1 = k1; p2 = k2
-      }
-      Iterator.single(bad)
-    }.reduce(_ + _)
-    assert(violations > 0L, "scrambled layout must produce violations")
+    assert(SortedExport.orderViolations(spark, out,
+      -col("n_chars"), col("doc_id")) > 0L,
+      "scrambled layout must produce violations")
+  }
+
+  test("fragment reconciliation is sound across read-split boundaries (file >> maxPartitionBytes)") {
+    import spark.implicits._
+    // one big sorted file, then one with a single order break — read
+    // both with splits forced tiny so each file becomes MANY read
+    // fragments; a partition-local fold that never compares across
+    // splits would pass the broken file
+    val good = (0L until 20000L).map(i => (i, i))
+    val bad = good.take(10000) ++ (5000L until 15000L).map(i => (i, i))
+    val goodOut = graft.util.Scratch.dir("graft_splitspec_g") + "/t"
+    val badOut = graft.util.Scratch.dir("graft_splitspec_b") + "/t"
+    // tiny row groups: parquet splits land on row-group boundaries,
+    // so a single-row-group file would defeat the split forcing
+    good.toDF("k", "doc_id").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "16384").parquet(goodOut)
+    bad.toDF("k", "doc_id").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "16384").parquet(badOut)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val nParts = spark.read.parquet(goodOut).rdd.getNumPartitions
+      assert(nParts > 1, s"split forcing failed: $nParts partition(s)")
+      assert(SortedExport.orderViolations(spark, goodOut,
+        col("k"), col("doc_id")) == 0L,
+        "a sorted file read as many fragments must verify clean")
+      assert(SortedExport.orderViolations(spark, badOut,
+        col("k"), col("doc_id")) > 0L,
+        "the single order break must be caught wherever the splits land")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 }
