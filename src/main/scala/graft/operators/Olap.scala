@@ -526,6 +526,65 @@ object Olap {
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between two languages' doc-
+    * length distributions — the distribution-drift detector a data
+    * pipeline runs between ingest batches or train/serve splits. The
+    * statistic sup|F₁−F₂| is held EXACT by cross-multiplying the
+    * ECDFs through both sample sizes: d(x) = |n₂·cum₁(x) −
+    * n₁·cum₂(x)|, all BIGINT (headroom n₁·n₂ ≤ 2.5·10¹⁷ even at
+    * half-billion-row groups), so the argmax row is bit-identical
+    * across engines; the fp KS statistic divides ONCE at the end.
+    * The cumulative window runs over the VALUE HISTOGRAM (one row
+    * per distinct length, bounded by max doc length — the
+    * text_quantile_cut exemption rationale), never corpus rows, and
+    * sample totals come from the pre-window frame. Top-1 by
+    * (d DESC, value) plans as a TakeOrdered over the domain spine.
+    */
+  def ksLengths(spark: SparkSession, dir: String,
+      langA: String = "en", langB: String = "zh"): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .filter($"lang".isin(langA, langB))
+      .groupBy($"n_chars")
+      .agg(sum(when($"lang" === langA, 1L).otherwise(0L)).as("c1"),
+        sum(when($"lang" === langB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("f1", sum($"c1").over(w))
+      .withColumn("f2", sum($"c2").over(w))
+    val tot = hist.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d", abs($"n2" * $"f1" - $"n1" * $"f2"))
+      .orderBy($"d".desc, $"n_chars")
+      .limit(1)
+      .select($"n_chars".as("at_chars"), $"n1", $"n2", $"d".as("ks_num"),
+        round($"d".cast("double") / ($"n1" * $"n2").cast("double"), 6)
+          .as("ks_stat"))
+  }
+
+  def ksLengthsSql(langA: String = "en", langB: String = "zh"): String =
+    s"""WITH h AS (
+          SELECT n_chars,
+                 CAST(sum(CASE WHEN lang = '$langA' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN lang = '$langB' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+          FROM documents WHERE lang IN ('$langA', '$langB') GROUP BY 1),
+        c AS (
+          SELECT n_chars,
+                 CAST(sum(c1) OVER (ORDER BY n_chars) AS BIGINT) AS f1,
+                 CAST(sum(c2) OVER (ORDER BY n_chars) AS BIGINT) AS f2
+          FROM h),
+        t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2 FROM h)
+        SELECT n_chars AS at_chars, n1, n2,
+               abs(n2 * f1 - n1 * f2) AS ks_num,
+               round(CAST(abs(n2 * f1 - n1 * f2) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE), 6) AS ks_stat
+        FROM c CROSS JOIN t
+        ORDER BY ks_num DESC, at_chars LIMIT 1"""
+
   val chiSquareOrdersSql: String =
     """WITH obs AS (
          SELECT o_orderpriority, o_orderstatus,

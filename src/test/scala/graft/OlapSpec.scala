@@ -286,6 +286,40 @@ class OlapSpec extends SparkSpec {
       s"independent table must zero the deviation: ${zero.toSeq}")
   }
 
+  test("KS test: gate row equals a scala ECDF re-derivation; a crafted shift maximizes where it must") {
+    val got = graft.operators.Olap.ksLengths(spark, SF).head()
+    val docs = Tables.documents(spark, SF)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val a = docs.filter(_._1 == "en").map(_._2).sorted
+    val b = docs.filter(_._1 == "zh").map(_._2).sorted
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val ds = values.map { v =>
+      val f1 = a.count(_ <= v).toLong
+      val f2 = b.count(_ <= v).toLong
+      (v, math.abs(n2 * f1 - n1 * f2))
+    }
+    val (atV, dMax) = ds.maxBy { case (v, d) => (d, -v) }
+    assert(got.getLong(0) == atV && got.getLong(1) == n1 &&
+      got.getLong(2) == n2 && got.getLong(3) == dMax,
+      s"got $got want ($atV, $n1, $n2, $dMax)")
+    assert(math.abs(got.getDouble(4) -
+      math.round(dMax.toDouble / (n1 * n2).toDouble * 1e6) / 1e6) < 1e-12)
+    // the statistic's meaning: for samples {1..100} vs {51..150}
+    // (a clean +50 shift), sup|F1-F2| sits at the overlap edge with
+    // D = 0.5 — the cross-multiplied argmax lands at value 50+? no:
+    // at any v in [50, 100]: f1 = v, f2 = v-50 → d = 100·50; maximal
+    // and first achieved at v = 50 under the (d DESC, v ASC) order
+    val s1 = (1L to 100L).toArray
+    val s2 = (51L to 150L).toArray
+    val vals = (s1 ++ s2).distinct.sorted
+    val best = vals.map { v =>
+      (v, math.abs(100L * s1.count(_ <= v) - 100L * s2.count(_ <= v)))
+    }.maxBy { case (v, d) => (d, -v) }
+    assert(best == ((50L, 5000L)), s"crafted shift: $best")
+  }
+
   test("regression matches the closed form on a hand-checked fixture, and the corpus fit is sane") {
     import spark.implicits._
     // exact line y = 200x + 500 cents, one point perturbed: slope and

@@ -56,7 +56,12 @@ class WindowAuditSpec extends SparkSpec {
     "events_wma_hours" ->
       ("trailing-24h moment windows over the gap-filled HOURLY " +
         "spine (calendar-bounded) — same aggregate-then-window shape " +
-        "as events_anomaly_hours")
+        "as events_anomaly_hours"),
+    "olap_ks_test" ->
+      ("cumulative ECDF sums over the VALUE HISTOGRAM (one row per " +
+        "distinct doc length, bounded by max doc length) — the " +
+        "groupBy below collapsed the corpus; same domain-sized-frame " +
+        "rationale as text_quantile_cut")
     // lake_sorted_export's disjointness lag runs EAGERLY inside gate
     // construction over the per-file stats frame (`files` rows) — the
     // returned plan carries no window, so no exemption is needed here
