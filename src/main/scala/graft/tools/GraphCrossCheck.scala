@@ -1,0 +1,185 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import graft.{Graft, Tables}
+import org.apache.spark.sql.DataFrame
+
+/** Independent corpus-scale verification of the graph gate family —
+  * the DuckDB oracles are exact but impractical at sf0.1 (each
+  * unrolled-CTE iteration materializes in a single-threaded engine;
+  * the components closure alone runs hours), so this tool re-derives
+  * every graph gate in plain single-threaded Scala from the raw
+  * (orderkey, partkey) rows and diffs against the distributed
+  * results. All six algorithms are integer-exact by design
+  * (SCALING.md), so the comparison is equality, not tolerance.
+  *
+  * Usage: runMain graft.tools.GraphCrossCheck <sfDir>
+  * Prints one ok/FAIL line per gate; exits 1 on any mismatch.
+  */
+object GraphCrossCheck {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = Graft.session(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-graphxcheck")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+
+    // weighted undirected pair support: for each order with part-value
+    // counts {x: cx}, pair (x<y) gains cx·cy instances — identical to
+    // the operators' sorted-basket generator and the oracles' a<b
+    // self-join count
+    val w = mutable.HashMap.empty[(Long, Long), Long]
+    li.groupBy(_._1).foreach { case (_, rows) =>
+      val counts = rows.groupBy(_._2).map { case (p, r) => p -> r.length.toLong }
+      val parts = counts.keys.toArray.sorted
+      var i = 0
+      while (i < parts.length) {
+        var j = i + 1
+        while (j < parts.length) {
+          val k = (parts(i), parts(j))
+          w(k) = w.getOrElse(k, 0L) + counts(parts(i)) * counts(parts(j))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val und = w.keys.toArray
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val wadj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+      val wt = w((a, b))
+      wadj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, wt))
+      wadj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, wt))
+    }
+    val nodes = adj.keys.toArray.sorted
+    println(s"[graphxcheck] $dir: ${und.length} undirected edges, ${nodes.length} nodes")
+
+    var failed = 0
+    def check(name: String, got: Seq[Seq[Long]], want: Seq[Seq[Long]]): Unit =
+      if (got == want) println(s"ok   $name: ${got.length} rows")
+      else {
+        failed += 1
+        val diff = got.zipAll(want, Nil, Nil).filter { case (g, e) => g != e }
+        println(s"FAIL $name: got ${got.length} rows want ${want.length}; " +
+          s"first diffs: ${diff.take(3)}")
+      }
+    def rows(df: DataFrame): Seq[Seq[Long]] =
+      df.collect().map(r => r.toSeq.map(_.asInstanceOf[Long]).toList.toSeq).toSeq
+
+    // ── pagerank (unweighted, 5 iters, top 20) ──
+    def pagerank(contrib: (Long, Long) => Iterable[(Long, Long)]): Map[Long, Long] = {
+      var rank = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 5) {
+        val in = mutable.HashMap.empty[Long, Long]
+        nodes.foreach { u =>
+          contrib(u, rank(u)).foreach { case (v, c) =>
+            in(v) = in.getOrElse(v, 0L) + c
+          }
+        }
+        rank = nodes.map(u => u -> (150000L + (850L * in.getOrElse(u, 0L)) / 1000L)).toMap
+      }
+      rank
+    }
+    def top20(rank: Map[Long, Long]): Seq[Seq[Long]] =
+      rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+        .map { case (n, r) => Seq(n, r) }
+    val pr = pagerank((u, r) => adj(u).map(v => v -> r / adj(u).length))
+    check("graph_pagerank", rows(graft.operators.Graph.pageRank(spark, dir)), top20(pr))
+
+    // ── weighted pagerank ──
+    val wout = wadj.map { case (u, vs) => u -> vs.map(_._2).sum }
+    val prw = pagerank((u, r) => wadj(u).map { case (v, wt) => v -> (r * wt) / wout(u) })
+    check("graph_pagerank_weighted",
+      rows(graft.operators.Graph.pageRankWeighted(spark, dir)), top20(prw))
+
+    // ── triangles (per-node counts, top 20) ──
+    val edgeSet = und.map { case (a, b) => a * 1000000007L + b }.toSet
+    val tri = mutable.HashMap.empty[Long, Long]
+    nodes.foreach { a =>
+      val hi = adj(a).filter(_ > a).sorted
+      var i = 0
+      while (i < hi.length) {
+        var j = i + 1
+        while (j < hi.length) {
+          if (edgeSet.contains(hi(i) * 1000000007L + hi(j))) {
+            tri(a) = tri.getOrElse(a, 0L) + 1
+            tri(hi(i)) = tri.getOrElse(hi(i), 0L) + 1
+            tri(hi(j)) = tri.getOrElse(hi(j), 0L) + 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    check("graph_triangles", rows(graft.operators.Graph.triangles(spark, dir)),
+      tri.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
+        .map { case (n, t) => Seq(n, t) })
+
+    // ── khop (seeds ≡ 0 mod 97, 3 hops; per-hop census) ──
+    val hop = mutable.HashMap.empty[Long, Long]
+    var frontier = nodes.filter(_ % 97 == 0).toSet
+    frontier.foreach(n => hop(n) = 0L)
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(adj(_)).filterNot(hop.contains)
+      frontier.foreach(n => hop(n) = h.toLong)
+    }
+    check("graph_khop", rows(graft.operators.Graph.kHop(spark, dir)),
+      hop.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (h, ns) => Seq(h, ns.length.toLong, ns.map(_._1).sum) })
+
+    // ── sssp (4 bounded Bellman-Ford rounds; per-distance census) ──
+    var dist = nodes.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val next = mutable.HashMap.empty[Long, Long] ++ dist
+      dist.foreach { case (u, du) =>
+        wadj(u).foreach { case (v, wt) =>
+          val c = du + wt
+          if (!next.contains(v) || c < next(v)) next(v) = c
+        }
+      }
+      dist = next.toMap
+    }
+    check("graph_sssp", rows(graft.operators.Graph.sssp(spark, dir)),
+      dist.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, ns) => Seq(d, ns.length.toLong, ns.map(_._1).sum) })
+
+    // ── components (min-label census) ──
+    val label = mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      if (!label.contains(n)) {
+        // BFS the whole component, label with its min id
+        val seen = mutable.HashSet(n)
+        val queue = mutable.Queue(n)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          adj(u).foreach { v => if (seen.add(v)) queue.enqueue(v) }
+        }
+        val m = seen.min
+        seen.foreach(v => label(v) = m)
+      }
+    }
+    check("graph_components", rows(graft.operators.Graph.components(spark, dir)),
+      label.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (c, ns) => Seq(c, ns.length.toLong, ns.map(_._1).sum) })
+
+    // ── degree census ──
+    check("graph_degrees", rows(graft.operators.Graph.degrees(spark, dir)),
+      adj.toSeq.map { case (n, vs) => (n, vs.length.toLong) }
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, ns) => Seq(d, ns.length.toLong, ns.map(_._1).sum) })
+
+    println(if (failed == 0) s"ALL 7 GRAPH GATES MATCH the scala re-derivation at $dir"
+      else s"$failed gate(s) FAILED")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
