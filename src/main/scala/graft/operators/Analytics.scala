@@ -674,4 +674,127 @@ object Analytics {
               CAST(count(*) AS BIGINT) AS n_customers,
               CAST(sum(custkey) AS BIGINT) AS custkey_sum
        FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Ordered multi-step funnel (view → click → purchase): a user
+    * advances to step i+1 only with an event STRICTLY AFTER their
+    * step-i completion time — the sequential semantics product
+    * funnels mean (an unordered "did all three" overcounts users who
+    * purchased before ever viewing). The sequential dependency is
+    * resolved by chained per-user conditional minima: step i's
+    * completion frame (user, tᵢ = min event time > tᵢ₋₁) is a
+    * per-user AGGREGATE, so each chain link is one filtered scan +
+    * one shuffle equi-join on user_id between user-sized frames —
+    * never a window over raw events and never a per-user array
+    * collect. Completion frames persist because each feeds both the
+    * next link and the final census. Timestamps compare in exact
+    * MICROSECONDS (integer), so "strictly after" cannot be blurred by
+    * truncation. Output: one row per step with the surviving-user
+    * count and the conversion from the previous step in integer parts
+    * per million (computed on the one-row census before unpivot).
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnelStepsOf(Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus")))
+  }
+
+  /** Same funnel over any (user_id, event_type, tus) frame — lets
+    * specs pin the strictly-after semantics on crafted sequences.
+    */
+  def funnelStepsOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"tus" > $"t1")
+      .groupBy($"user_id").agg(min($"tus").as("t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"tus" > $"t2")
+      .groupBy($"user_id").agg(min($"tus").as("t3"))
+    val census = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    val out = census.select(expr(
+      """stack(3,
+           '1_view', n1, 1000000L,
+           '2_click', n2, CASE WHEN n1 = 0 THEN 0L
+                               ELSE (n2 * 1000000L) div n1 END,
+           '3_purchase', n3, CASE WHEN n2 = 0 THEN 0L
+                                  ELSE (n3 * 1000000L) div n2 END)
+         AS (step, n_users, conv_ppm)"""))
+      .localCheckpoint(true)
+    v.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    out
+  }
+
+  val funnelStepsSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       v AS (SELECT user_id, min(tus) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT ev.user_id, min(tus) AS t2 FROM ev
+             JOIN v ON ev.user_id = v.user_id AND ev.tus > v.t1
+             WHERE event_type = 'click' GROUP BY 1),
+       p AS (SELECT ev.user_id, min(tus) AS t3 FROM ev
+             JOIN c ON ev.user_id = c.user_id AND ev.tus > c.t2
+             WHERE event_type = 'purchase' GROUP BY 1),
+       census AS (
+         SELECT (SELECT count(*) FROM v) AS n1,
+                (SELECT count(*) FROM c) AS n2,
+                (SELECT count(*) FROM p) AS n3)
+       SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+              CAST(1000000 AS BIGINT) AS conv_ppm FROM census
+       UNION ALL
+       SELECT '2_click', CAST(n2 AS BIGINT),
+              CAST(CASE WHEN n1 = 0 THEN 0
+                        ELSE (n2 * 1000000) // n1 END AS BIGINT) FROM census
+       UNION ALL
+       SELECT '3_purchase', CAST(n3 AS BIGINT),
+              CAST(CASE WHEN n2 = 0 THEN 0
+                        ELSE (n3 * 1000000) // n2 END AS BIGINT) FROM census"""
+
+  /** DAU/MAU stickiness — the engagement ratio dashboards track: per
+    * calendar day, distinct active users (DAU) over that month's
+    * distinct actives (MAU), in integer parts per million. Both
+    * distincts reduce to the (day, user) pair frame FIRST (one
+    * partial-agg'd shuffle against the corpus); the month frame
+    * re-aggregates those pairs — a second distinct over day-pairs is
+    * exactly month-distinct, so the corpus is scanned once. The
+    * per-day and per-month frames are calendar-bounded aggregates;
+    * their join broadcasts the month side. The pair frame persists
+    * because it feeds both rollups.
+    */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = pairs.groupBy($"d").agg(count(lit(1)).as("dau"))
+    val mau = pairs.select(trunc($"d", "month").as("m"), $"user_id").distinct()
+      .groupBy($"m").agg(count(lit(1)).as("mau"))
+    val out = dau
+      .join(broadcast(mau), trunc($"d", "month") === $"m")
+      .select($"d", $"dau", $"mau",
+        expr("(dau * 1000000L) div mau").as("stickiness_ppm"))
+      .orderBy($"d")
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  val dauStickinessSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+       dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+               FROM pairs GROUP BY 1),
+       mau AS (SELECT date_trunc('month', d) AS m,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+               FROM pairs GROUP BY 1)
+       SELECT d, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
+       FROM dau JOIN mau ON date_trunc('month', d) = m
+       ORDER BY d"""
 }

@@ -440,6 +440,105 @@ object Events {
         round($"wma_num" / 300.0, 4).as("wma"))
   }
 
+  /** Trailing-24-hour sliding distinct users per hour (sliding DAU —
+    * the "active users right now" series, which no tumbling rollup
+    * composes into because distinct does not sum). Exact plan: reduce
+    * the corpus to the DISTINCT (hour, user) pair frame first (one
+    * partial-agg'd shuffle — the only corpus-sized exchange), then
+    * fan each pair map-side into the 24 window-end hours it supports
+    * (sequence+explode, a generator: the 24× blow-up applies to the
+    * pair frame, never the raw events) and count distinct per
+    * window-end hour — countDistinct's two-phase expand dedups users
+    * active in several hours of one window. Window ends clamp to the
+    * observed spine; only fully-covered windows (end ≥ lo+23) report,
+    * matching [[anomalyHours]]' warm-up convention.
+    */
+  def slidingDau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"), $"user_id")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = pairs.agg(min($"h").as("lo"), max($"h").as("hi"))
+    val out = pairs
+      .select(explode(sequence($"h", $"h" + 23)).as("wh"), $"user_id")
+      .groupBy($"wh").agg(countDistinct($"user_id").as("users_24h"))
+      .crossJoin(broadcast(bounds))
+      .filter($"wh" >= $"lo" + 23 && $"wh" <= $"hi")
+      .select($"wh", $"users_24h")
+      .orderBy($"wh")
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  val slidingDauSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                user_id
+         FROM events),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM pairs),
+       fan AS (
+         SELECT unnest(generate_series(h, h + 23)) AS wh, user_id
+         FROM pairs),
+       wins AS (
+         SELECT wh, CAST(count(DISTINCT user_id) AS BIGINT) AS users_24h
+         FROM fan GROUP BY 1)
+       SELECT wh, users_24h
+       FROM wins, b
+       WHERE wh >= lo + 23 AND wh <= hi
+       ORDER BY wh"""
+
+  /** Hour-of-week seasonal residuals over the gap-filled hourly
+    * series: each hour's count minus its (day-of-week × hour-of-day)
+    * cell mean — the deseasonalization step that must precede any
+    * volume-anomaly call on traffic with a weekly rhythm (a quiet
+    * Sunday 3am is not an incident; [[anomalyHours]]' trailing window
+    * would flag it). The residual is held EXACT by cross-multiplying
+    * through the cell's observation count: dev_num = n·obs − tot, an
+    * integer bit-identical across engines; the fp division happens
+    * once at the final projection. Cell means come from the same
+    * filled spine (zero hours belong to their cell), the dow/hod
+    * decomposition is pure epoch-hour integer arithmetic (epoch day 0
+    * = Thursday ⇒ dow = (h div 24 + 4) mod 7, DuckDB's 0=Sunday
+    * numbering), and the 168-cell frame broadcasts back onto the
+    * spine — corpus rows feed exactly one aggregation.
+    */
+  def seasonalResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val filled = gapfillHourly(spark, dir)
+      .withColumn("dow", (expr("h div 24") + 4) % 7)
+      .withColumn("hod", $"h" % 24)
+    val cells = filled.groupBy($"dow", $"hod")
+      .agg(sum($"n").as("tot"), count(lit(1)).as("obs"))
+    filled.join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("dev_num", $"n" * $"obs" - $"tot")
+      .select($"h", $"n", $"dow", $"hod", $"dev_num",
+        round($"dev_num".cast("double") / $"obs".cast("double"), 4).as("dev"))
+      .orderBy($"h")
+  }
+
+  val seasonalResidualSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (
+         SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                (hrs.h // 24 + 4) % 7 AS dow, hrs.h % 24 AS hod
+         FROM hrs LEFT JOIN c USING (h)),
+       cells AS (
+         SELECT dow, hod, CAST(sum(n) AS BIGINT) AS tot,
+                CAST(count(*) AS BIGINT) AS obs
+         FROM f GROUP BY 1, 2)
+       SELECT h, n, f.dow AS dow, f.hod AS hod,
+              n * obs - tot AS dev_num,
+              round(CAST(n * obs - tot AS DOUBLE) / CAST(obs AS DOUBLE), 4)
+                AS dev
+       FROM f JOIN cells ON f.dow = cells.dow AND f.hod = cells.hod
+       ORDER BY h"""
+
   val wmaHoursSql: String =
     """WITH c AS (
          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n

@@ -607,4 +607,42 @@ object Olap {
                     / (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE)
                        * CAST(c_tot AS DOUBLE)), 4) AS contrib
        FROM cell ORDER BY 1, 2"""
+
+  /** Exact per-group mode — SQL's MODE() WITHIN GROUP, with the
+    * deterministic tie-break the standard leaves implementation-
+    * defined made explicit (highest count, then lexicographically
+    * first value): per order priority, the modal ship month. The
+    * distributed spelling is the two-aggregation classic — count per
+    * (group, value), then argmax per group via a ranking window whose
+    * input is the (|priorities| × 12)-cell AGGREGATE, never corpus
+    * rows (the partition key is low-cardinality, which is exactly why
+    * the window must sit above the groupBy — WindowAuditSpec's
+    * low-card rule pins this shape structurally).
+    */
+  def modeShipMonth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"n".desc, $"ship_month")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority",
+        month($"o_orderdate").cast("long").as("ship_month"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"o_orderpriority", $"ship_month".as("modal_month"), $"n")
+      .orderBy($"o_orderpriority")
+  }
+
+  val modeShipMonthSql: String =
+    """WITH c AS (
+         SELECT o_orderpriority,
+                CAST(month(o_orderdate) AS BIGINT) AS ship_month,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1, 2)
+       SELECT o_orderpriority, ship_month AS modal_month, n
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY n DESC, ship_month) AS rk
+             FROM c)
+       WHERE rk = 1
+       ORDER BY o_orderpriority"""
 }

@@ -250,6 +250,77 @@ object Search {
               FROM scored)
         WHERE rk <= $k"""
 
+  // ── more-like-this: sparse TF-IDF inner-product retrieval ─────────
+
+  /** Documents most similar to a query DOCUMENT (not a keyword set) —
+    * the "more like this" primitive behind related-content panels and
+    * query-by-example curation. Similarity is the sparse TF-IDF inner
+    * product Σ_t (tf_q·idf_t)·(tf_d·idf_t): the idf enters squared
+    * per matched term, with the same transcendental-free shifted-odds
+    * idf as [[bm25TopK]] and the same micro-unit device — each
+    * per-term contribution is ONE double expression both engines
+    * evaluate identically, rounded to integer micro-units BEFORE the
+    * per-doc sum, so accumulation order can't flip a bit. (Inner
+    * product, not cosine: the sqrt norm would reintroduce
+    * transcendentals; for a FIXED query doc the doc-side norm is the
+    * only difference and the gate pins the documented variant.)
+    *
+    * Shape at 100 TB: the corpus reduces to (doc_id, token, tf)
+    * postings (one partial-agg'd shuffle); the query doc's postings
+    * are one document's vocabulary — broadcast; df joins back BY
+    * TOKEN (vocabulary-sized, shuffle join, never broadcast — same
+    * posture as [[docKeywords]]); top-k is an orderBy+limit =
+    * TakeOrdered, never a full sort. Only postings move — document
+    * bodies never pass an exchange.
+    */
+  def similarDocs(spark: SparkSession, dir: String, queryDoc: Long = 7L,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tf = Dedup.tokenRows(spark, dir)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val qtf = tf.filter($"doc_id" === queryDoc)
+      .select($"token", $"tf".as("qtf"))
+    tf.filter($"doc_id" =!= queryDoc)
+      .join(broadcast(qtf), "token")
+      .join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("cu",
+        round($"tf" * $"qtf" * $"idf" * $"idf" * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id").agg(sum($"cu").as("su"))
+      .select($"doc_id", ($"su".cast("double") / lit(1000000.0)).as("score"))
+      .orderBy($"su".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def similarDocsSql(queryDoc: Long = 7L, k: Int = 10): String =
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        q AS (SELECT token, tf AS qtf FROM tf WHERE doc_id = $queryDoc),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(round(tf.tf * q.qtf
+                   * ((n.n_docs - v.df + 0.5) / (v.df + 0.5))
+                   * ((n.n_docs - v.df + 0.5) / (v.df + 0.5))
+                   * 1000000.0) AS BIGINT) AS cu
+          FROM tf JOIN q USING (token) JOIN v USING (token) CROSS JOIN n
+          WHERE tf.doc_id <> $queryDoc),
+        scored AS (
+          SELECT doc_id, CAST(sum(cu) AS BIGINT) AS su
+          FROM contrib GROUP BY 1)
+        SELECT doc_id, CAST(su AS DOUBLE) / 1000000.0 AS score
+        FROM scored ORDER BY su DESC, doc_id LIMIT $k"""
+
   /** Keyword-in-context snippets — the result-rendering step after
     * retrieval: for documents containing the term, the 1-based first
     * match position and an 80-char window starting 40 chars before

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Analytics
+
+/** Ordered multi-step funnel and DAU/MAU stickiness. */
+class EngagementSpec extends SparkSpec {
+
+  test("funnel steps enforce STRICTLY-AFTER ordering on a crafted fixture") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: clean view → click → purchase
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchased BEFORE clicking — reaches click, not purchase
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      // u3: a click before the first view is ignored; the later one counts
+      (3L, "click", 5L), (3L, "view", 10L), (3L, "click", 15L),
+      (3L, "purchase", 20L),
+      // u4: view only
+      (4L, "view", 10L),
+      // u5: click at the SAME instant as the view — strictly-after fails
+      (5L, "view", 10L), (5L, "click", 10L),
+      // u6: clicks but never views — not in the funnel at all
+      (6L, "click", 5L))
+      .toDF("user_id", "event_type", "tus")
+    val got = Analytics.funnelStepsOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("1_view", 5L, 1000000L),
+      ("2_click", 3L, 600000L),
+      ("3_purchase", 2L, 666666L)), s"got ${got.toSeq}")
+  }
+
+  test("corpus funnel is monotone and ppm-consistent") {
+    val rows = Analytics.funnelSteps(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 3)
+    val ns = rows.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel not monotone: $rows")
+    assert(rows(0)._3 == 1000000L)
+    assert(rows(1)._3 == (if (ns(0) == 0) 0L else ns(1) * 1000000L / ns(0)))
+    assert(rows(2)._3 == (if (ns(1) == 0) 0L else ns(2) * 1000000L / ns(1)))
+  }
+
+  test("DAU/MAU: dau ≤ mau, shared month denominator, exact ppm") {
+    import spark.implicits._
+    val rows = Analytics.dauStickiness(spark, SF)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, mau, ppm) =>
+      assert(dau >= 1 && dau <= mau, s"$d: dau $dau vs mau $mau")
+      assert(ppm == dau * 1000000L / mau, s"$d: ppm mismatch")
+    }
+    // every day of one calendar month reports the same MAU
+    rows.groupBy { case (d, _, _, _) => (d.getYear, d.getMonthValue) }
+      .foreach { case (m, rs) =>
+        assert(rs.map(_._3).distinct.length == 1, s"month $m MAU varies") }
+    // one row per distinct active day
+    val nDays = Tables.events(spark, SF)
+      .select(org.apache.spark.sql.functions.to_date($"ts")).distinct().count()
+    assert(rows.length.toLong == nDays)
+  }
+}

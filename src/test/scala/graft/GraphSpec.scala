@@ -238,4 +238,54 @@ class GraphSpec extends SparkSpec {
       s"census covers ${census.map(_._2).sum} of $nNodes nodes")
     assert(census.map(_._1).distinct.length == census.length)
   }
+
+  /** Brute-force neighborhood Jaccard over every non-adjacent pair
+    * with ≥1 common neighbor, in the same integer ppm arithmetic.
+    */
+  private def bruteJaccard(und: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+    val nbrs = bothDirs(und).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b
+      if !nbrs(a).contains(b)
+      common = (nbrs(a) & nbrs(b)).size.toLong if common > 0
+    } yield (a, b) ->
+        (common, common * 1000000L / (nbrs(a).size + nbrs(b).size - common))
+    ).toMap
+  }
+
+  test("neighbor-Jaccard link prediction equals brute force on a crafted graph") {
+    import spark.implicits._
+    // two cliques sharing node 4 (so 3—5 etc. are strong predictions),
+    // plus a pendant 8—1: pendant pairs score via their one wedge
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L), (8L, 1L))
+    val got = Graph.neighborJaccardOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 3)).toDF("src", "dst"),
+        topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val exp = bruteJaccard(und)
+    assert(got == exp, s"spark=$got brute=$exp")
+    // no adjacent pair leaks through the anti-join
+    assert(!got.keySet.exists(p => und.contains(p)),
+      s"adjacent pair predicted: ${got.keySet.filter(und.contains)}")
+  }
+
+  test("neighbor-Jaccard equals brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val und = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val got = Graph.neighborJaccardOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 5)).toDF("src", "dst"),
+        topK = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == bruteJaccard(und))
+  }
 }

@@ -355,4 +355,21 @@ class OlapSpec extends SparkSpec {
         !row.getAs[Double]("intercept").isNaN, s"non-finite fit: $row")
     }
   }
+
+  test("per-group mode equals an argmax re-derivation with the lexicographic tie-break") {
+    import graft.operators.Olap
+    val cells = Tables.orders(spark, SF)
+      .select(col("o_orderpriority"), month(col("o_orderdate")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((p, m), n) => (p, m, n) }
+    val expected = cells.groupBy(_._1).view.mapValues { rs =>
+      val best = rs.minBy { case (_, m, n) => (-n, m) }
+      (best._2, best._3)
+    }.toMap
+    val got = Olap.modeShipMonth(spark, SF)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }

@@ -154,4 +154,31 @@ class SearchSpec extends SparkSpec {
     assert(hits("c", "a") == Set((4L, 2)))
     assert(hits("a", "z").isEmpty)
   }
+
+  test("similar-docs matches a scala TF-IDF inner-product re-derivation; query doc excluded") {
+    val qid = 7L
+    val docs = Tables.documents(spark, SF)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split(" ").map(_.trim).filter(_.nonEmpty))
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df_ = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val q = tf(qid)
+    val expected = tf.view.filterKeys(_ != qid).map { case (id, m) =>
+      val su = m.collect { case (t, c) if q.contains(t) =>
+        val idf = (n - df_(t) + 0.5) / (df_(t) + 0.5)
+        math.round((c * q(t)).toDouble * idf * idf * 1000000.0)
+      }.sum
+      id -> su
+    }.toSeq.sortBy { case (id, su) => (-su, id) }.take(10)
+      .map { case (id, su) => (id, su / 1000000.0) }
+    val got = Search.similarDocs(spark, SF, queryDoc = qid)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.exists(_._1 == qid), "query doc must not rank itself")
+  }
 }

@@ -206,4 +206,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("click", 1L, 3.0), ("direct", 2L, 25.0),
       ("view", 2L, 17.0)), s"got ${got.toSeq}")
   }
+
+  test("sliding DAU equals a scala trailing-24h distinct re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val pairs = Tables.events(spark, SF)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"), $"user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (pairs.map(_._1).min, pairs.map(_._1).max)
+    val byHour = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = ((lo + 23) to hi).map { wh =>
+      wh -> ((wh - 23) to wh).flatMap(h => byHour.getOrElse(h, Set.empty))
+        .toSet.size.toLong
+    }.toMap
+    val got = Events.slidingDau(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"mismatch on ${got.keySet.union(expected.keySet).filter(k => got.get(k) != expected.get(k)).take(5)}")
+    // a 24h window can never see fewer users than its own hour's DAU
+    val hourly = byHour.view.mapValues(_.size.toLong).toMap
+    got.foreach { case (wh, n) =>
+      assert(n >= hourly.getOrElse(wh, 0L), s"window $wh below own hour") }
+  }
+
+  test("seasonal residuals: each (dow, hod) cell sums to zero and matches brute force") {
+    import graft.operators.Events
+    val rows = Events.seasonalResidual(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // Σ over a cell of (n·obs − tot) telescopes to obs·tot − obs·tot = 0
+    rows.groupBy { case (_, _, dow, hod, _) => (dow, hod) }
+      .foreach { case (cell, rs) =>
+        assert(rs.map(_._5).sum == 0L, s"cell $cell residuals sum ≠ 0") }
+    // brute force from the gap-filled series
+    val filled = Events.gapfillHourly(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cells = filled.groupBy { case (h, _) => ((h / 24 + 4) % 7, h % 24) }
+      .view.mapValues(rs => (rs.map(_._2).sum, rs.length.toLong)).toMap
+    val expected = filled.map { case (h, n) =>
+      val (tot, obs) = cells(((h / 24 + 4) % 7, h % 24))
+      (h, n, (h / 24 + 4) % 7, h % 24, n * obs - tot)
+    }.toSet
+    assert(rows.toSet == expected)
+  }
 }
