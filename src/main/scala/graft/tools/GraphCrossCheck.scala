@@ -177,7 +177,53 @@ object GraphCrossCheck {
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (d, ns) => Seq(d, ns.length.toLong, ns.map(_._1).sum) })
 
-    println(if (failed == 0) s"ALL 7 GRAPH GATES MATCH the scala re-derivation at $dir"
+    // ── neighbor-Jaccard link prediction (top 20 non-adjacent pairs) ──
+    // Σ C(deg,2) wedge pairs (~1.4·10⁸ at sf0.1) would OOM a boxed
+    // HashMap; pack each a<b pair into one Long, sort the flat
+    // primitive array, and count runs — ~1.1 GB peak, no boxing.
+    val nbrSet = adj.view.mapValues(_.toSet).toMap
+    val wedgeCount = nodes.map { n =>
+      val d = adj(n).length.toLong; d * (d - 1) / 2
+    }.sum
+    require(wedgeCount < Int.MaxValue && nodes.last < (1L << 31),
+      s"wedge array too large: $wedgeCount")
+    val wedges = new Array[Long](wedgeCount.toInt)
+    var wi = 0
+    nodes.foreach { apex =>
+      val ns = adj(apex).sorted.toArray
+      var i = 0
+      while (i < ns.length) {
+        var j = i + 1
+        while (j < ns.length) {
+          wedges(wi) = (ns(i) << 32) | ns(j); wi += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(wedges)
+    // keep-20 queue dequeues the WORST candidate under (ppm desc, a, b)
+    val worstFirst = mutable.PriorityQueue.empty[(Long, Long, Long, Long)](
+      Ordering.by { case (ppm, a, b, _) => (-ppm, a, b) })
+    var k = 0
+    while (k < wedges.length) {
+      var e = k
+      while (e < wedges.length && wedges(e) == wedges(k)) e += 1
+      val (a, b) = (wedges(k) >>> 32, wedges(k) & 0xffffffffL)
+      if (!nbrSet(a).contains(b)) {
+        val c = (e - k).toLong
+        worstFirst.enqueue(
+          (c * 1000000L / (nbrSet(a).size + nbrSet(b).size - c), a, b, c))
+        if (worstFirst.size > 20) worstFirst.dequeue()
+      }
+      k = e
+    }
+    val jacTop = worstFirst.dequeueAll.reverse
+      .map((t: (Long, Long, Long, Long)) => Seq(t._2, t._3, t._4, t._1))
+      .toSeq
+    check("graph_neighbor_jaccard",
+      rows(graft.operators.Graph.neighborJaccard(spark, dir)), jacTop)
+
+    println(if (failed == 0) s"ALL 8 GRAPH GATES MATCH the scala re-derivation at $dir"
       else s"$failed gate(s) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)
