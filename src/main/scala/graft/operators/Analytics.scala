@@ -700,24 +700,28 @@ object Analytics {
 
   /** Same funnel over any (user_id, event_type, tus) frame — lets
     * specs pin the strictly-after semantics on crafted sequences.
+    * materialize=false returns the composed plan (the per-step frames
+    * recompute per consumer) for PlanAuditSpec's structural pin.
     */
-  def funnelStepsOf(ev: DataFrame): DataFrame = {
+  def funnelStepsOf(ev: DataFrame, materialize: Boolean = true): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val v = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"tus").as("t1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = ev.filter($"event_type" === "click")
+    def cached(df: DataFrame): DataFrame =
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val v = cached(ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("t1")))
+    val c = cached(ev.filter($"event_type" === "click")
       .join(v, "user_id").filter($"tus" > $"t1")
-      .groupBy($"user_id").agg(min($"tus").as("t2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy($"user_id").agg(min($"tus").as("t2")))
     val p = ev.filter($"event_type" === "purchase")
       .join(c, "user_id").filter($"tus" > $"t2")
       .groupBy($"user_id").agg(min($"tus").as("t3"))
     val census = v.agg(count(lit(1)).as("n1"))
       .crossJoin(c.agg(count(lit(1)).as("n2")))
       .crossJoin(p.agg(count(lit(1)).as("n3")))
-    val out = census.select(expr(
+    val composed = census.select(expr(
       """stack(3,
            '1_view', n1, 1000000L,
            '2_click', n2, CASE WHEN n1 = 0 THEN 0L
@@ -725,10 +729,13 @@ object Analytics {
            '3_purchase', n3, CASE WHEN n2 = 0 THEN 0L
                                   ELSE (n3 * 1000000L) div n2 END)
          AS (step, n_users, conv_ppm)"""))
-      .localCheckpoint(true)
-    v.unpersist(blocking = false)
-    c.unpersist(blocking = false)
-    out
+    if (!materialize) composed
+    else {
+      val out = composed.localCheckpoint(true)
+      v.unpersist(blocking = false)
+      c.unpersist(blocking = false)
+      out
+    }
   }
 
   val funnelStepsSql: String =

@@ -453,23 +453,32 @@ object Events {
     * observed spine; only fully-covered windows (end ≥ lo+23) report,
     * matching [[anomalyHours]]' warm-up convention.
     */
-  def slidingDau(spark: SparkSession, dir: String): DataFrame = {
+  def slidingDau(spark: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.events(spark, dir)
+    val raw = Tables.events(spark, dir)
       .select(expr("unix_timestamp(ts) div 3600").as("h"), $"user_id")
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize=false returns the composed plan (pairs recompute
+    // once per consumer) so PlanAuditSpec can inspect the generator
+    // structure the checkpoint would otherwise hide
+    val pairs = if (materialize)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     val bounds = pairs.agg(min($"h").as("lo"), max($"h").as("hi"))
-    val out = pairs
+    val composed = pairs
       .select(explode(sequence($"h", $"h" + 23)).as("wh"), $"user_id")
       .groupBy($"wh").agg(countDistinct($"user_id").as("users_24h"))
       .crossJoin(broadcast(bounds))
       .filter($"wh" >= $"lo" + 23 && $"wh" <= $"hi")
       .select($"wh", $"users_24h")
       .orderBy($"wh")
-      .localCheckpoint(true)
-    pairs.unpersist(blocking = false)
-    out
+    if (!materialize) composed
+    else {
+      val out = composed.localCheckpoint(true)
+      pairs.unpersist(blocking = false)
+      out
+    }
   }
 
   val slidingDauSql: String =

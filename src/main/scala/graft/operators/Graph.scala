@@ -565,12 +565,14 @@ object Graph {
     * Candidates already adjacent are removed by one anti-join against
     * the oriented edge set; prediction = highest-scoring new links.
     */
-  def neighborJaccardOf(edges: DataFrame, topK: Int): DataFrame = {
+  def neighborJaccardOf(edges: DataFrame, topK: Int,
+      materialize: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def cached(df: DataFrame): DataFrame =
+      if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val e = cached(edges)
+    val deg = cached(e.groupBy($"src").agg(count(lit(1)).as("deg")))
     // wedges around each apex: both directions are present, so the
     // apex's full neighborhood is its out-list; a < b emits each
     // unordered candidate pair once per shared neighbor
@@ -586,7 +588,7 @@ object Graph {
     val newLinks = common
       .join(e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"),
         "left_anti")
-    val out = newLinks
+    val composed = newLinks
       .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"src".as("b"), $"deg".as("db")), "b")
       .withColumn("jac_ppm",
@@ -594,10 +596,13 @@ object Graph {
       .select($"a", $"b", $"common", $"jac_ppm")
       .orderBy($"jac_ppm".desc, $"a", $"b")
       .limit(topK)
-      .localCheckpoint(true)
-    deg.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    out
+    if (!materialize) composed
+    else {
+      val out = composed.localCheckpoint(true)
+      deg.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Oracle: wedge self-join per apex + NOT EXISTS against the edge

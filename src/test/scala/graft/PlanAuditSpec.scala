@@ -343,4 +343,89 @@ class PlanAuditSpec extends SparkSpec {
       s"row/col/grand margins not broadcast:\n$p")
     assert(p.contains("partial_count"), s"no map-side partials:\n$p")
   }
+
+  test("events_sliding_dau: the 24x fan-out generates from the distinct PAIR frame, not raw events") {
+    // the Generate (explode) must sit ABOVE the pair distinct: its
+    // child subtree contains the aggregate, so the 24x replication
+    // applies to (hour, user) pairs — if a refactor exploded raw
+    // events first, the aggregate would be above the generator instead
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // materialize=false: the gate's localCheckpoint would hide the
+      // structure behind a Scan ExistingRDD
+      val plan = graft.operators.Events
+        .slidingDau(spark, SF, materialize = false)
+        .queryExecution.executedPlan
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.nonEmpty, s"no Generate in sliding-dau plan:\n$plan")
+      gens.foreach { g =>
+        assert(g.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"fan-out generates from raw events (no aggregate below it):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("analytics_funnel_steps: no window anywhere — the chain is aggregates and user-frame joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.unix_micros
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // exchange reuse replaces repeated subtrees with child-less
+    // ReusedExchangeExec nodes, which would hide the aggregates this
+    // structural check looks for
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      // materialize=false: audit the composed plan, not the checkpoint
+      val ev = Tables.events(spark, SF)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+      val plan = graft.operators.Analytics
+        .funnelStepsOf(ev, materialize = false)
+        .queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"funnel must not plan a window:\n$plan")
+      // the chain joins user-frame AGGREGATES: some aggregate sits
+      // below the first join
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+      val joins = plan.collect { case j: BJ => j }
+      assert(joins.nonEmpty, s"no joins in funnel plan:\n$plan")
+      assert(joins.forall(_.collectFirst {
+          case a: BaseAggregateExec => a }.nonEmpty),
+        s"a funnel join takes raw events on both sides:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.exchange.reuse", "true")
+    }
+  }
+
+  test("search_similar_docs: no exchange carries document bodies; query postings broadcast") {
+    shuffleOutputs("search_similar_docs").foreach { out =>
+      assert(!out.exists(_.name == "text"),
+        s"document bodies in a similar-docs exchange: ${out.map(_.name)}")
+    }
+    val p = plan("search_similar_docs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query postings not broadcast:\n$p")
+  }
+
+  test("graph_neighbor_jaccard: neighbor arrays never cross an exchange — wedges generate map-side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // materialize=false: audit the composed plan, not the checkpoint
+      val shuffles = graft.operators.Graph
+        .neighborJaccardOf(graft.operators.Graph.copurchaseEdges(spark, SF),
+          topK = 20, materialize = false)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.output
+        }
+      assert(shuffles.nonEmpty, "expected exchanges in the jaccard plan")
+      val offenders = shuffles.filter(_.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      assert(offenders.isEmpty,
+        s"adjacency arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
