@@ -207,6 +207,30 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** #41g sliding distinct users — the streaming mirror of
+    * [[graft.operators.Events.slidingDau]] (24h windows every hour).
+    * Exact distinct rides CHAINED stateful operators: each event
+    * fans map-side into its 24 windows, dropDuplicates on
+    * (window, user) keeps the first occurrence per window (the window
+    * column inherits event-time semantics from the watermarked ts, so
+    * dedup state evicts once the watermark passes the window end),
+    * and the downstream count is then a plain windowed aggregation —
+    * the same two-phase "reduce to the pair frame, then count" shape
+    * as the batch operator, state bounded by live (window, user)
+    * pairs inside the watermark horizon. Append mode: a window's
+    * count emits exactly once, when the watermark finalizes it.
+    */
+  def slidingDau(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(window($"ts", "24 hours", "1 hour").as("w"), $"user_id")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("users_24h"))
+      .select($"w.start".as("win_start"), $"users_24h")
+  }
+
   /** Streaming one-sided CUSUM control chart, per series
     * (event_type): the standard Page (1954) recursion
     * S⁺ ← max(0, S⁺ + (x − target − slack)) with an alarm emitted —

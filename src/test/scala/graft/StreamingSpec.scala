@@ -62,6 +62,43 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("streaming sliding distinct users ≡ batch windowed countDistinct (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{countDistinct, window}
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    // sentinel far past every real window + watermark: pushes the
+    // watermark so append mode finalizes (emits) all real windows
+    val sentinel = StreamEvent(-1L, new Timestamp(maxTs + 40L * 3600 * 1000),
+      -1L, "sentinel", 0.0)
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.slidingDau(mem.toDF())
+      .writeStream.format("memory").queryName("sdau_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sentinelWindows = (0 until 24)
+      .map(k => sentinel.ts.getTime / 3600000 * 3600000 - k * 3600000L).toSet
+    val streamed = spark.table("sdau_stream")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .filterNot { case (t, _) => sentinelWindows.contains(t) }.toMap
+    val batch = Tables.events(spark, SF)
+      .groupBy(window($"ts", "24 hours", "1 hour"))
+      .agg(countDistinct($"user_id").as("u"))
+      .select($"window.start", $"u")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("stateful sessionize closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
