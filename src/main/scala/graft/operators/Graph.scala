@@ -575,16 +575,27 @@ object Graph {
     val deg = cached(e.groupBy($"src").agg(count(lit(1)).as("deg")))
     // wedges around each apex: both directions are present, so the
     // apex's full neighborhood is its out-list; a < b emits each
-    // unordered candidate pair once per shared neighbor
-    val byApex = e.repartition($"src")
-      .groupBy($"src").agg(sort_array(collect_list($"dst")).as("nbrs"))
-    val common = byApex
-      .select(explode(expr(
-        """flatten(transform(nbrs, (x, i) ->
-             transform(slice(nbrs, i + 2, size(nbrs)),
-                       y -> struct(x AS a, y AS b))))""")).as("pr"))
-      .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+    // unordered candidate pair once per shared neighbor. Generation
+    // is the co-partitioned self-join (the triangles device): one
+    // exchange lays the adjacency out on hash(src), both join sides
+    // reuse it zero-exchange, and the a < b filter + pair packing run
+    // inside whole-stage codegen — no per-apex C(deg,2) array ever
+    // materializes (a 10⁶-wedge hub row would). Pairs travel PACKED
+    // into one long (a·2³² + b — node ids must fit 32 bits, which
+    // the part-key domain does by orders of magnitude): the
+    // Σ C(deg,2) wedge stream is the dominant exchange, and a single
+    // 8-byte primitive key more than halves its width vs a two-field
+    // struct
+    val nb = cached(e.repartition($"src"))
+    if (materialize) nb.count()
+    val common = nb.select($"src", $"dst".as("a"))
+      .join(nb.select($"src", $"dst".as("b")), "src")
+      .filter($"a" < $"b")
+      .select(($"a" * lit(4294967296L) + $"b").as("pk"))
+      .groupBy($"pk")
       .agg(count(lit(1)).as("common"))
+      .select(expr("pk div 4294967296L").as("a"),
+        ($"pk" % lit(4294967296L)).as("b"), $"common")
     val newLinks = common
       .join(e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"),
         "left_anti")
@@ -599,6 +610,7 @@ object Graph {
     if (!materialize) composed
     else {
       val out = composed.localCheckpoint(true)
+      nb.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       e.unpersist(blocking = false)
       out

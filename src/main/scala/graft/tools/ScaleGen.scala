@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   *    not a bigger one);
   *  - embeddings shift vec_id only (cosine throughput is
   *    magnitude-blind; ties across copies don't affect timing);
-  *  - dimensions (customer, supplier, part, nation, region) and
-  *    events copy through unchanged.
+  *  - events shift event/user ids and slide ts by 31 days per copy
+  *    (longitudinal growth: k× the users, k× the calendar span,
+  *    per-user density fixed);
+  *  - dimensions (customer, supplier, part, nation, region) copy
+  *    through unchanged.
   *
   * Usage: runMain graft.tools.ScaleGen <inDir> <outDir> <k>
   */
@@ -106,9 +109,35 @@ object ScaleGen {
     Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
       write(Tables(spark, inDir, t), t)
     }
-    // events: raw copy (keep the original ns-timestamp file semantics
-    // by round-tripping the raw schema, no Tables.events ts rewrite)
-    write(spark.read.parquet(s"$inDir/events.parquet"), "events")
+    // events (scaled since round 10; earlier receipts note "events
+    // fixed"): copy c shifts event/user ids and slides ts by c×31
+    // days — the longitudinal shape a real event log grows in.
+    // Wall-clock span scales with k, so the calendar-bounded
+    // operators (gap fill, sliding DAU, CUSUM) see a k-fold spine;
+    // user-frame operators (funnel, stickiness, sessionize) see k×
+    // the users at fixed per-user density; the distinct hour×user
+    // pair frame scales k×. The raw schema round-trips (read via the
+    // raw parquet reader, not Tables.events, so whichever physical
+    // ts layout the source carries is preserved — a timestamp column
+    // slides with to_timestamp arithmetic, an int64-nanos column
+    // with integer arithmetic).
+    val evRaw = spark.read.parquet(s"$inDir/events.parquet")
+    val evCopies = spark.range(0, k).withColumnRenamed("id", "_copy")
+    val evStep = evRaw.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val evUserStep = evRaw.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val evShifted = evRaw.crossJoin(broadcast(evCopies))
+      .withColumn("event_id", col("event_id") + col("_copy") * evStep)
+      .withColumn("user_id", col("user_id") + col("_copy") * evUserStep)
+    val evSlid = evShifted.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // int64 nanos
+        evShifted.withColumn("ts",
+          col("ts") + col("_copy") * lit(31L * 86400 * 1000000000L))
+      case _ =>
+        evShifted.withColumn("ts",
+          col("ts") + make_dt_interval(col("_copy") * 31, lit(0), lit(0),
+            lit(0)))
+    }
+    write(evSlid, "events")
     spark.stop()
   }
 }
