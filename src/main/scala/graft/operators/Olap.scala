@@ -645,4 +645,62 @@ object Olap {
              FROM c)
        WHERE rk = 1
        ORDER BY o_orderpriority"""
+
+  /** Benford first-digit ppm targets: round(log10(1 + 1/d)·10⁶),
+    * precomputed so no transcendental runs in either engine — both
+    * sides compare against the SAME integer literals.
+    */
+  private[graft] val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+    * fraud/data-quality screen: the leading digit of naturally
+    * occurring amounts should follow log10(1 + 1/d). Observed shares
+    * are exact integer ppm; expected shares are precomputed integer
+    * literals (no log anywhere); the first digit comes from the
+    * amount's INTEGER CENTS via string head — exact in both engines,
+    * where a float division chain could round differently. One
+    * map-side-partial aggregate to 9 cells; the total broadcasts
+    * back. Deviations are data, not verdicts: order totals are sums
+    * of a few uniform-ish parts, a distribution Benford only loosely
+    * fits — the operator reports the gap, the analyst judges it.
+    */
+  def benfordOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = benfordPpm
+      .toDF("digit_e", "expected_ppm")
+      .select($"digit_e".cast("long").as("digit_e"), $"expected_ppm")
+    val obs = Tables.orders(spark, dir)
+      .select(substring(expr(
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val total = obs.agg(sum($"observed").as("total"))
+    obs.crossJoin(broadcast(total))
+      .join(broadcast(expected), $"digit" === $"digit_e")
+      .select($"digit", $"observed",
+        expr("(observed * 1000000L) div total").as("obs_ppm"),
+        $"expected_ppm",
+        (expr("(observed * 1000000L) div total") - $"expected_ppm")
+          .as("dev_ppm"))
+      .orderBy($"digit")
+  }
+
+  val benfordOrdersSql: String = {
+    val exp = benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH e(digit, expected_ppm) AS (VALUES $exp),
+        obs AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM obs)
+        SELECT obs.digit AS digit, observed,
+               (observed * 1000000) // total AS obs_ppm,
+               CAST(expected_ppm AS BIGINT) AS expected_ppm,
+               (observed * 1000000) // total - expected_ppm AS dev_ppm
+        FROM obs, t JOIN e ON obs.digit = e.digit
+        ORDER BY obs.digit"""
+  }
 }

@@ -76,6 +76,40 @@ object Sampling {
           CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 50 ELSE 100 END
         GROUP BY lang"""
 
+  /** Deterministic train/val/test assignment — every training
+    * pipeline's first cut, with the properties `randomSplit` cannot
+    * give: the same key lands in the same split on every run, engine,
+    * and cluster (membership is the md5 per-mille [[bucket]], salted
+    * independently of the sampling salts so split and sample draws
+    * don't correlate); splits are disjoint and exhaustive BY
+    * CONSTRUCTION (one CASE over one bucket value — no row can
+    * two-home or vanish); and the assignment is a zero-shuffle scan
+    * projection. Bands: train [0,900), val [900,950), test [950,1000).
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      salt: String = "split"): DataFrame =
+    df.withColumn("split",
+      when(bucket(key, salt) < 900, "train")
+        .when(bucket(key, salt) < 950, "val")
+        .otherwise("test"))
+
+  /** Gate: the full document split assignment (the artifact a
+    * training job consumes), plus per-row bucket for audit.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    splitAssign(Tables.documents(spark, dir), $"doc_id")
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val sampleSplitSql: String =
+    s"""SELECT doc_id,
+          CASE WHEN ${bucketSql("doc_id", "split")} < 900 THEN 'train'
+               WHEN ${bucketSql("doc_id", "split")} < 950 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""
+
   /** Temperature-based multi-source mixing (the training-mix
     * construction of multilingual/multi-domain pipelines, cf. the
     * α-smoothed sampling of mC4/XLM-R): per-source keep rates

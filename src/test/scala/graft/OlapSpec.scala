@@ -372,4 +372,26 @@ class OlapSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("Benford audit: digit census matches a scala re-derivation; shares and targets sum to ~10^6") {
+    import graft.operators.Olap
+    val cents = Tables.orders(spark, SF)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val expected = cents.groupBy(_.toString.head.asDigit.toLong).view
+      .mapValues(_.length.toLong).toMap
+    val rows = Olap.benfordOrders(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+    // observed covers every order; integer shares truncate, so the
+    // ppm sum lands in (10^6 - 9, 10^6]
+    assert(rows.map(_._2).sum == cents.length.toLong)
+    val ppmSum = rows.map(_._3).sum
+    assert(ppmSum > 999991L && ppmSum <= 1000000L, s"ppm sum $ppmSum")
+    // the published targets are themselves a distribution
+    assert(Olap.benfordPpm.map(_._2).sum == 1000000L)
+    rows.foreach { case (_, _, obsPpm, expPpm, devPpm) =>
+      assert(devPpm == obsPpm - expPpm) }
+  }
 }

@@ -239,4 +239,37 @@ class SamplingSpec extends SparkSpec {
         "hash sampling must not introduce an exchange")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("train/val/test split: exhaustive, disjoint, deterministic, ~90/5/5, zero-shuffle") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val n = docs.count()
+    val assign = Sampling.splitAssign(docs, $"doc_id")
+      .select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // one label per doc (exhaustive + disjoint by construction, but
+    // assert it survives refactors), only the three labels
+    assert(assign.length.toLong == n)
+    assert(assign.map(_._1).distinct.length == assign.length)
+    assert(assign.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: a second run assigns identically
+    val again = Sampling.splitAssign(docs, $"doc_id")
+      .select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(assign.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // band shares: md5 buckets are uniform-ish; at 500 docs allow
+    // generous slack around 900/50/50 per-mille
+    val census = assign.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(census.getOrElse("train", 0) > 0.8 * n &&
+      census.getOrElse("train", 0) < 0.97 * n, s"census $census")
+    // the split must not correlate with the sampling draw: the
+    // salts differ, so the 100-per-mille sample hits all splits'
+    // keyspace at roughly its global rate (loose bound)
+    val sampled = Sampling.hashSample(docs, $"doc_id", 100)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val trainIds = assign.filter(_._2 == "train").map(_._1).toSet
+    val inTrain = sampled.count(trainIds)
+    assert(inTrain > 0 && inTrain < sampled.size,
+      "sample membership must straddle split boundaries")
+  }
 }
