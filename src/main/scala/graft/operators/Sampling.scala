@@ -213,6 +213,80 @@ object Sampling {
       .drop("__band", "__o_source", "__o_band", "__band_offset")
   }
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling (the
+    * survey-statistics PPS design, Madow 1949): lay every unit's
+    * weight end-to-end on an integer line in deterministic
+    * (md5-band, doc_id) order, then select the unit covering every
+    * stride-th position, stride = ⌊W/n⌋ — inclusion probability is
+    * proportional to weight, the draw is exactly reproducible, and
+    * unlike the u^(1/w) reservoir schemes there is NO transcendental
+    * anywhere, so a cross-engine oracle can replay it bit-for-bit.
+    * A unit wider than the stride is selected with multiplicity
+    * (`picks` > 1) — the standard PPS treatment of giant units; a
+    * zero-weight unit has an empty interval and can never be drawn.
+    * Targets n draws exactly: total picks = W div stride ≥ n.
+    *
+    * Scale shape: the cumulative line is the SAME two-phase banded
+    * cumsum as [[capTokensPerSource]] (per-band totals → exclusive
+    * prefix over the ≤1000-row band frame → within-band running sum),
+    * so nothing corpus-sized funnels through one window task; W and
+    * the stride ride one broadcast scalar row.
+    */
+  def ppsSystematic(df: DataFrame, weight: Column, n: Long,
+      salt: String = "pps"): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    import df.sparkSession.implicits._
+    val banded = df.withColumn("__w", weight)
+      .withColumn("__band", bucket($"doc_id", salt))
+    val bandTotals = banded.groupBy($"__band")
+      .agg(sum($"__w").as("__bt"))
+    // exclusive prefix over the ≤1000-row band frame (unpartitioned —
+    // aggregate-sized input; WindowAuditSpec carries the exemption)
+    val wBands = Window.orderBy($"__band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("__off", coalesce(sum($"__bt").over(wBands), lit(0L)))
+      .select($"__band".as("__o_band"), $"__off")
+    // stride floors at 1 (W < n degenerates to every-unit-position —
+    // all positive-weight units selected)
+    val totals = bandTotals.agg(
+      greatest(expr(s"sum(__bt) div ${n}L"), lit(1L)).as("__s"))
+    val wIn = Window.partitionBy($"__band").orderBy($"doc_id")
+    banded
+      .join(broadcast(offsets), $"__band" === $"__o_band")
+      .crossJoin(broadcast(totals))
+      .withColumn("__c1", $"__off" + sum($"__w").over(wIn))
+      .filter(expr("__c1 div __s > (__c1 - __w) div __s"))
+      .select($"doc_id", $"__w".as("weight"),
+        expr("__c1 div __s - (__c1 - __w) div __s").as("picks"))
+  }
+
+  /** Gate: 50 PPS draws from documents, weight = n_chars. */
+  def samplePps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ppsSystematic(Tables.documents(spark, dir), $"n_chars", n = 50L)
+      .orderBy($"doc_id")
+  }
+
+  val samplePpsSql: String =
+    s"""WITH b AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 ${bucketSql("doc_id", "pps")} AS band
+          FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 CAST(sum(w) OVER (ORDER BY band, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS c1
+          FROM b),
+        s AS (SELECT greatest(CAST(sum(w) AS BIGINT) // 50, 1) AS s FROM b)
+        SELECT doc_id, w AS weight,
+               CAST(c1 // s - (c1 - w) // s AS BIGINT) AS picks
+        FROM c, s
+        WHERE c1 // s > (c1 - w) // s
+        ORDER BY doc_id"""
+
   /** Rate-based approximate budget cap — the zero-shuffle sibling of
     * [[capTokensPerSource]] for when even banded exact admission is
     * more coordination than the job needs: per-source keep rates

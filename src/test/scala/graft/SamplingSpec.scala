@@ -272,4 +272,30 @@ class SamplingSpec extends SparkSpec {
     assert(inTrain > 0 && inTrain < sampled.size,
       "sample membership must straddle split boundaries")
   }
+
+  test("PPS systematic: banded selection ≡ global-cumsum re-derivation; pick count exact; giants always drawn") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", $"n_chars",
+        Sampling.bucket($"doc_id", "pps").as("band"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = docs.sortBy { case (id, _, band) => (band, id) }
+    val bigW = ordered.map(_._2).sum
+    val s = math.max(bigW / 50, 1L)
+    var c = 0L
+    val expected = ordered.flatMap { case (id, w, _) =>
+      val (c0, c1) = (c, c + w); c = c1
+      val picks = c1 / s - c0 / s
+      if (picks > 0) Some(id -> (w, picks)) else None
+    }.toMap
+    val got = Sampling.samplePps(spark, SF)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"spark-only=${(got.toSet -- expected.toSet).take(3)} " +
+      s"scala-only=${(expected.toSet -- got.toSet).take(3)}")
+    // every stride position lands in exactly one interval
+    assert(got.values.map(_._2).sum == bigW / s)
+    // an interval at least one stride wide must contain a multiple
+    docs.filter(_._2 >= s).foreach { case (id, _, _) =>
+      assert(got.contains(id), s"giant unit $id not drawn") }
+  }
 }

@@ -61,7 +61,13 @@ class WindowAuditSpec extends SparkSpec {
       ("cumulative ECDF sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length, bounded by max doc length) — the " +
         "groupBy below collapsed the corpus; same domain-sized-frame " +
-        "rationale as text_quantile_cut")
+        "rationale as text_quantile_cut"),
+    "sample_pps" ->
+      ("ppsSystematic's exclusive-prefix offset window over the " +
+        "≤1000-row band-total frame — the groupBy below already " +
+        "collapsed the corpus; the corpus-sized running sum is " +
+        "partitioned by band (same banded-cumsum device as " +
+        "capTokensPerSource)")
     // lake_sorted_export's disjointness lag runs EAGERLY inside gate
     // construction over the per-file stats frame (`files` rows) — the
     // returned plan carries no window, so no exemption is needed here
