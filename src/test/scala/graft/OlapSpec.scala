@@ -394,4 +394,36 @@ class OlapSpec extends SparkSpec {
     rows.foreach { case (_, _, obsPpm, expPpm, devPpm) =>
       assert(devPpm == obsPpm - expPpm) }
   }
+
+  test("correlation matrix equals an exact-BigInt scala re-derivation; r in [-1,1]; matrix is symmetric input-order-free") {
+    val data = Tables.lineitem(spark, SF)
+      .select(expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)"),
+        expr("CAST(round(l_tax * 10000) AS BIGINT)"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val names = Seq("qty", "price", "disc", "tax")
+    val n = BigInt(data.length)
+    def s(i: Int) = data.map(r => BigInt(r(i))).sum
+    def sp(i: Int, j: Int) = data.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield {
+      // the gate's exact expression shape: one double conversion per
+      // exact sum, then (cov / sdx) / sdy
+      val r = ((n.toDouble * sp(i, j).toDouble - s(i).toDouble * s(j).toDouble)
+          / math.sqrt(n.toDouble * sp(i, i).toDouble
+            - s(i).toDouble * s(i).toDouble)) /
+        math.sqrt(n.toDouble * sp(j, j).toDouble
+          - s(j).toDouble * s(j).toDouble)
+      (names(i), names(j)) -> BigDecimal(r)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    val got = graft.operators.Profile.correlationsLineitem(spark, SF)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    got.values.foreach(r => assert(r >= -1.0 && r <= 1.0, s"r out of range: $r"))
+  }
 }
