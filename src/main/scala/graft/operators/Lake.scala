@@ -157,6 +157,42 @@ object Lake {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars <= $cut"""
 
+  /** Gate-shaped zero-copy branch: main table gets two versions
+    * (≤cut, then the rest appended); a branch forks at v1, receives
+    * its OWN divergent append (the src1 slice of the rest), and is
+    * read back. The result is definitionally snapshot ∪ branch-append
+    * — a plain filter oracle — and the gate reads main's live
+    * version too, verifying isolation by checksum columns: a branch
+    * write that leaked into main (or a fork that missed/extra'd
+    * segments) shifts `main_rows`/`main_chars` and hash-fails.
+    */
+  def branchRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_branch") + "/documents")
+    val v1 = t.write(docs.filter($"n_chars" <= cut))
+    t.append(docs.filter($"n_chars" > cut))
+    val br = t.branchTo(
+      graft.util.Scratch.dir("graft_lake_branch_b") + "/documents", v1)
+    br.append(docs.filter($"n_chars" > cut && $"source" === "src1"))
+    val main = t.read().agg(count(lit(1)).as("main_rows"),
+      sum($"n_chars").as("main_chars"))
+    br.read().select($"doc_id", $"lang", $"source", $"n_chars")
+      .crossJoin(broadcast(main))
+  }
+
+  def branchReadSql(cut: Long = 300): String =
+    s"""WITH m AS (
+          SELECT CAST(count(*) AS BIGINT) AS main_rows,
+                 CAST(sum(n_chars) AS BIGINT) AS main_chars
+          FROM documents)
+        SELECT doc_id, lang, source, n_chars, main_rows, main_chars
+        FROM documents, m
+        WHERE n_chars <= $cut OR source = 'src1'"""
+
   /** The 4-batch append chain both remaining gates build on:
     * n_chars bands (≤150, 151–300, 301–450, >450) appended as
     * separate stat-tracked segments, so box predicates can prune /

@@ -79,18 +79,28 @@ class ManifestTable(spark: SparkSession, root: String) {
       Some(lines)
     } catch { case _: java.io.IOException => None }
 
+  /** A segment ref is the bare dir NAME for segments owned by this
+    * root, or a full path for segments shared zero-copy from another
+    * table (the [[branchTo]] case) — "contains a slash" is the
+    * discriminator, since owned staging names never do.
+    */
   private def parseSegment(line: String): Segment = {
     val parts = line.split('|')
     val stats = parts.drop(1).grouped(3).collect {
       case Array(c, lo, hi) => c -> (lo.toDouble, hi.toDouble)
     }.toMap
-    Segment(new Path(rootPath, parts.head), stats)
+    val dir = if (parts.head.contains("/")) new Path(parts.head)
+      else new Path(rootPath, parts.head)
+    Segment(dir, stats)
   }
 
-  private def renderSegment(s: Segment): String =
-    (s.dir.getName +: s.stats.toSeq.sortBy(_._1).flatMap {
+  private def renderSegment(s: Segment): String = {
+    val ref = if (s.dir.getParent == rootPath) s.dir.getName
+      else s.dir.toString
+    (ref +: s.stats.toSeq.sortBy(_._1).flatMap {
       case (c, (lo, hi)) => Seq(c, lo.toString, hi.toString)
     }).mkString("|")
+  }
 
   private def segments(v: Long): Option[Seq[Segment]] =
     manifestLines(v).flatMap { lines =>
@@ -653,6 +663,33 @@ class ManifestTable(spark: SparkSession, root: String) {
     * crash mid-vacuum never leaves a manifest pointing at deleted
     * files. Returns how many committed versions were removed.
     */
+  /** Zero-copy BRANCH (the lakeFS/Iceberg ref semantic, pointer
+    *-manifest style): a new table at `branchRoot` whose v1 manifest
+    * references this table's version-`v` segments BY FULL PATH — no
+    * data moves, creation is O(segments) manifest lines. The branch
+    * then lives its own life: appends/deletes/compactions stage
+    * segments under ITS root and commit its own versions, none of
+    * which the source ever sees (and vice versa — the fork point is
+    * immutable history for both). Isolation of DELETION is
+    * one-directional by construction: the branch's [[vacuum]] lists
+    * only its own root, so it can never reclaim shared source
+    * segments; the SOURCE's vacuum is branch-unaware, so the branch
+    * contract is the standard retention pin — keep the branched-from
+    * version inside the source's vacuum keep-window for as long as
+    * the branch lives (cross-table GC refs are real lakehouse
+    * catalogs' job, out of a pointer-manifest's scope and documented
+    * rather than half-built).
+    */
+  def branchTo(branchRoot: String, v: Long): ManifestTable = {
+    val segs = segments(v).getOrElse(throw new java.io.FileNotFoundException(
+      s"version $v of $root does not resolve"))
+    val br = new ManifestTable(spark, branchRoot)
+    require(br.currentVersion.isEmpty,
+      s"branch root $branchRoot already has history")
+    br.commit(1L, segs.map(s => br.Segment(s.dir, s.stats)), ownStaged = Nil)
+    br
+  }
+
   def vacuum(keep: Int = 1): Int = {
     require(keep >= 1, "must keep at least the live version")
     val cur = currentVersion.getOrElse(return 0)

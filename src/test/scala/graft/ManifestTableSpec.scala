@@ -268,4 +268,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.getInt(0)).toSeq == Seq(100),
       "winner's commit must be the live version")
   }
+
+  test("branch: zero-copy fork, divergent appends isolated both ways, branch vacuum never reclaims shared segments") {
+    import spark.implicits._
+    val src = freshTable()
+    val v1 = src.write((1 to 10).toDF("id"))
+    src.append((11 to 20).toDF("id"))
+    val branchRoot =
+      java.nio.file.Files.createTempDirectory("manifest_br").toString + "/b"
+    val br = src.branchTo(branchRoot, v1)
+    // fork = exactly the v1 snapshot, and it was zero-copy: the
+    // branch root holds no data dirs yet, only the manifest
+    assert(br.read().collect().map(_.getInt(0)).toSet == (1 to 10).toSet)
+    val fs = new org.apache.hadoop.fs.Path(branchRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(branchRoot))
+      .filter(_.isDirectory)
+    assert(dataDirs.isEmpty, s"fork copied data: ${dataDirs.map(_.getPath).toSeq}")
+    // divergent lives: each side appends; neither sees the other
+    br.append((100 to 105).toDF("id"))
+    src.append((21 to 30).toDF("id"))
+    assert(br.read().collect().map(_.getInt(0)).toSet ==
+      (1 to 10).toSet ++ (100 to 105).toSet)
+    assert(src.read().collect().map(_.getInt(0)).toSet == (1 to 30).toSet)
+    // branch vacuum drops its own old versions but CANNOT touch the
+    // shared source segments — both sides still read correctly after
+    br.append((200 to 201).toDF("id"))
+    br.vacuum(keep = 1)
+    assert(br.read().collect().map(_.getInt(0)).toSet ==
+      (1 to 10).toSet ++ (100 to 105).toSet ++ (200 to 201).toSet)
+    assert(src.read().count() == 30, "source lost data to a branch vacuum")
+    // a second branch on a used root is rejected
+    intercept[IllegalArgumentException] { src.branchTo(branchRoot, v1) }
+  }
 }
