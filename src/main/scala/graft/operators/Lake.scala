@@ -184,6 +184,31 @@ object Lake {
       .crossJoin(broadcast(main))
   }
 
+  /** Gate-shaped branch → merge round trip: fork at v1 (≤cut), give
+    * the branch a divergent append (the src1 slice of the rest),
+    * merge it back, and read MAIN. Result = everything main ever had
+    * plus the branch delta — a filter oracle; the merged rows must
+    * be re-owned by main, which the spec checks structurally.
+    */
+  def branchMergeRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_merge") + "/documents")
+    val v1 = t.write(docs.filter($"n_chars" <= cut))
+    val br = t.branchTo(
+      graft.util.Scratch.dir("graft_lake_merge_b") + "/documents", v1)
+    br.append(docs.filter($"n_chars" > cut && $"source" === "src1"))
+    t.mergeAppendsFrom(br)
+    t.read().select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def branchMergeReadSql(cut: Long = 300): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars <= $cut OR source = 'src1'"""
+
   def branchReadSql(cut: Long = 300): String =
     s"""WITH m AS (
           SELECT CAST(count(*) AS BIGINT) AS main_rows,

@@ -690,6 +690,33 @@ class ManifestTable(spark: SparkSession, root: String) {
     br
   }
 
+  /** Append-only MERGE of a branch's divergent work back into this
+    * table — the "promote the experiment" flow that completes
+    * [[branchTo]]. The branch delta is every segment its live
+    * version references beyond version `sinceV` (the fork manifest),
+    * and it is REWRITTEN into one segment owned by THIS root rather
+    * than referenced in place: a reference would leave the merged
+    * rows' lifetime hostage to the branch's vacuum, which owns those
+    * dirs — O(delta) IO buys ownership, the same trade compaction
+    * makes. Returns the committed version, or the live version
+    * unchanged when the branch added nothing. Semantics are
+    * append-only (divergent DELETES don't propagate — a three-way
+    * merge needs row lineage a pointer-manifest doesn't carry, so
+    * the limit is documented rather than half-built).
+    */
+  def mergeAppendsFrom(br: ManifestTable, sinceV: Long = 1L,
+      statCols: Seq[String] = Nil): Long = {
+    val base = br.segments(sinceV).getOrElse(Seq.empty)
+      .map(_.dir.toString).toSet
+    val (_, liveSegs) = br.liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"branch ${br.rootPath} is empty"))
+    val delta = liveSegs.filterNot(s => base.contains(s.dir.toString))
+    if (delta.isEmpty) return currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    append(br.readSegments(delta), statCols = statCols)
+  }
+
   def vacuum(keep: Int = 1): Int = {
     require(keep >= 1, "must keep at least the live version")
     val cur = currentVersion.getOrElse(return 0)

@@ -301,4 +301,31 @@ class ManifestTableSpec extends SparkSpec {
     // a second branch on a used root is rejected
     intercept[IllegalArgumentException] { src.branchTo(branchRoot, v1) }
   }
+
+  test("merge re-owns the branch delta: rows survive the branch's deletion; no-op merge commits nothing") {
+    import spark.implicits._
+    val src = freshTable()
+    val v1 = src.write((1 to 10).toDF("id"))
+    val brRoot =
+      java.nio.file.Files.createTempDirectory("manifest_mg").toString + "/b"
+    val br = src.branchTo(brRoot, v1)
+    // a no-delta merge must not commit a version
+    val before = src.currentVersion.get
+    assert(src.mergeAppendsFrom(br) == before)
+    assert(src.currentVersion.contains(before))
+    // divergent branch work merges back append-only
+    br.append((100 to 104).toDF("id"))
+    br.append((200 to 201).toDF("id"))
+    src.mergeAppendsFrom(br)
+    assert(src.read().collect().map(_.getInt(0)).toSet ==
+      (1 to 10).toSet ++ (100 to 104).toSet ++ (200 to 201).toSet)
+    // ownership: wipe the whole branch root — main must still read
+    // every merged row (a reference-style merge would dangle here)
+    val fs = new org.apache.hadoop.fs.Path(brRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(brRoot), true)
+    assert(src.read().collect().map(_.getInt(0)).toSet ==
+      (1 to 10).toSet ++ (100 to 104).toSet ++ (200 to 201).toSet,
+      "merged rows lost when the branch was deleted — delta not re-owned")
+  }
 }
