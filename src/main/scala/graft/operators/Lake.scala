@@ -157,6 +157,30 @@ object Lake {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars <= $cut"""
 
+  /** Gate-shaped additive schema evolution: v1 lands WITHOUT the
+    * lang column, the append introduces it, and the live read must
+    * null-fill the pre-evolution rows — which is exactly a CASE
+    * filter over the source, so a plain oracle hash-gates the
+    * parquet footer-merge read path (including that no pre-evolution
+    * row invents a value and no post-evolution row loses one).
+    */
+  def evolutionRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_evo") + "/documents")
+    t.write(docs.filter($"n_chars" <= cut).select($"doc_id", $"n_chars"))
+    t.append(docs.filter($"n_chars" > cut)
+      .select($"doc_id", $"n_chars", $"lang"))
+    t.read().select($"doc_id", $"n_chars", $"lang")
+  }
+
+  def evolutionReadSql(cut: Long = 300): String =
+    s"""SELECT doc_id, n_chars,
+          CASE WHEN n_chars > $cut THEN lang ELSE NULL END AS lang
+        FROM documents"""
+
   /** Gate-shaped zero-copy branch: main table gets two versions
     * (≤cut, then the rest appended); a branch forks at v1, receives
     * its OWN divergent append (the src1 slice of the rest), and is
