@@ -28,6 +28,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Default Σ C(deg, 2) ceiling for the exact wedge-stream operators
+    * ([[trianglesOf]], [[neighborJaccardOf]]) — ~27× the sf0.1
+    * co-purchase graph (1.48·10⁸ wedges measured). Past it the exact
+    * wedge enumeration is past-budget by this repo's own ×100 scaling
+    * receipts (SCALING.md), so the guard throws with the measured
+    * budget and the name of the scale valve
+    * ([[neighborJaccardSketchOf]]) instead of launching a job that
+    * can't finish; callers who know better pass their own ceiling.
+    */
+  val DefaultWedgeBudget: Long = 4000000000L
+
+  /** Enforce the wedge budget off an already-computed degree frame —
+    * one aggregate over the node-sized frame, nothing edge-sized.
+    */
+  private def requireWedgeBudget(deg: DataFrame, degCol: String,
+      budget: Long, op: String, valve: String): Unit = {
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val wedges = Option(deg.agg(
+        fsum(expr(s"$degCol * ($degCol - 1) div 2")).as("w"))
+      .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (wedges > budget) throw new IllegalStateException(
+      s"$op: wedge stream is sum C(deg,2) = $wedges > budget $budget — " +
+        s"the exact form is past-budget at this scale; use $valve, or " +
+        "raise wedgeBudget explicitly if you have the cluster for it")
+  }
+
   /** Distinct undirected co-purchase edges, emitted in both
     * directions, from sorted per-order baskets (same map-side
     * generation as [[Analytics.basketPairs]] — Σ basket², never a
@@ -130,7 +156,8 @@ object Graph {
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(copurchaseEdges(spark, dir), topK = 20)
 
-  def trianglesOf(edges: DataFrame, topK: Int): DataFrame = {
+  def trianglesOf(edges: DataFrame, topK: Int,
+      wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // edges feed the degree count AND the orientation join; oriented
@@ -151,6 +178,15 @@ object Graph {
       .select($"src".as("u"), $"dst".as("v"), $"dv")
       .repartition($"u")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // in-operator budget guard (one aggregate over the node-sized
+    // oriented out-degree frame, off the cache the join reuses):
+    // orientation caps outdeg at √(2|E|), so tripping this means the
+    // graph itself is past the exact-enumeration budget — the guard
+    // turns a job that can't finish into an immediate, sized error
+    requireWedgeBudget(
+      oriented.groupBy($"u").agg(count(lit(1)).as("odeg")), "odeg",
+      wedgeBudget, "trianglesOf",
+      "edge-sampling estimation (Doulion-style) on a subgraph")
     // wedges from each apex's out-neighborhood, ordered within the
     // same (deg, id) total order so each unordered pair appears once
     val wedges = oriented.select($"u", $"v".as("v1"), $"dv".as("d1"))
@@ -566,13 +602,34 @@ object Graph {
     * the oriented edge set; prediction = highest-scoring new links.
     */
   def neighborJaccardOf(edges: DataFrame, topK: Int,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     def cached(df: DataFrame): DataFrame =
       if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val e = cached(edges)
     val deg = cached(e.groupBy($"src").agg(count(lit(1)).as("deg")))
+    if (materialize) {
+      // runtime preconditions, off the frames the plan caches anyway:
+      // (1) the single-long pair packing below needs ids in [0, 2³²)
+      //     — out of range would COLLIDE keys (silently wrong counts),
+      //     so the comment-level precondition is enforced here;
+      // (2) the wedge budget — EVERY apex's C(deg,2) wedges are this
+      //     operator's payload (orientation can't cap them), so past
+      //     the ceiling the guard names the sketch valve and throws
+      val b = e.agg(min($"dst".cast("long")).as("mn"),
+        max($"dst".cast("long")).as("mx")).head
+      if (!b.isNullAt(0)) {
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        require(mn >= 0L && mx < 4294967296L,
+          s"neighborJaccardOf packs pairs as a*2^32+b, which needs node " +
+            s"ids in [0, 2^32) — got [$mn, $mx]; remap ids first")
+      }
+      requireWedgeBudget(deg, "deg", wedgeBudget, "neighborJaccardOf",
+        "neighborJaccardSketchOf (adjacency-MinHash candidates + " +
+          "exact re-verify)")
+    }
     // wedges around each apex: both directions are present, so the
     // apex's full neighborhood is its out-list; a < b emits each
     // unordered candidate pair once per shared neighbor. Generation
@@ -647,4 +704,152 @@ object Graph {
        JOIN deg da ON da.src = cand.a
        JOIN deg db ON db.src = cand.b
        ORDER BY jac_ppm DESC, a, b LIMIT 20"""
+
+  /** Gate: sketch-path link prediction, top 20 — the scale valve for
+    * [[neighborJaccard]] as CODE, not prose.
+    */
+  def neighborJaccardSketch(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccardSketchOf(copurchaseEdges(spark, dir), topK = 20)
+
+  /** Neighborhood-MinHash link prediction — the scale valve
+    * [[neighborJaccardOf]]'s budget guard names. The exact operator's
+    * Σ C(deg, 2) wedge stream is replaced by LINEAR work:
+    *
+    *  1. per-node adjacency MinHash signature — 64 Kirsch–
+    *     Mitzenmacher hashes off ONE md5 per edge endpoint (the
+    *     [[MinHashLSH]] hash family verbatim), folded map-side into
+    *     64 `min` aggregates: one (src)-keyed shuffle of 64-long
+    *     rows, O(|E|) hashing;
+    *  2. banded LSH bucketing (16 bands × 4 rows, 60-bit md5 band
+    *     keys): candidate pairs are nodes agreeing on ≥1 band —
+    *     Σ bucket² pair work, tiny buckets for dissimilar nodes;
+    *  3. exact Jaccard RE-VERIFY on candidates only (the PPJoin
+    *     "filter then verify" pattern, Dedup.scala): common-neighbor
+    *     counts via the adjacency join restricted to the candidate
+    *     set, so the quadratic wedge enumeration never runs — the
+    *     verify cost is Σ_cand (deg(a)+deg(b)), linear in candidates.
+    *
+    * A 10⁶-degree hub costs 10⁶ hashes here instead of the exact
+    * form's C(10⁶, 2) ≈ 5·10¹¹ wedges. What is traded: RECALL —
+    * pairs below the LSH s-curve (est. Jaccard ≲ (1/B)^(1/R) ≈ 0.5)
+    * are found only probabilistically; pairs with identical
+    * neighborhoods are found with certainty, and every REPORTED score
+    * is exact (re-verified), never estimated. The whole path is
+    * md5-derived, so the DuckDB oracle replays it hash-exactly; the
+    * recall floor vs the exact operator is GraphSpec's job.
+    */
+  def neighborJaccardSketchOf(edges: DataFrame, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val H = MinHashLSH.H
+    val BANDS = MinHashLSH.BANDS
+    val R = MinHashLSH.R
+    val M = MinHashLSH.M
+    // localCheckpoint, NOT persist: the edge plan is shared verbatim
+    // with the exact gate and triangles, and plan-keyed cache entries
+    // are process-global — a peer query unpersisting "its" entry
+    // mid-flight yanks it from under this one (observed as a rare
+    // empty result under Verify's 4-way concurrency). An RDD-level
+    // checkpoint is private to this invocation and reaped by GC.
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // one md5 per edge endpoint → two 28-bit halves → 64 KM hashes;
+    // all column arithmetic inside whole-stage codegen, folded by
+    // map-side partial min aggregation before the single src shuffle
+    val halves = e.select($"src",
+      conv(substring(md5($"dst".cast("string")), 1, 7), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5($"dst".cast("string")), 9, 7), 16, 10)
+        .cast("long").as("h2"))
+    val aggs = (0 until H).map(i =>
+      min(($"h1" + lit(i.toLong) * ($"h2" * 2L + 1L)) % M).as(s"m$i"))
+    val sig = halves.groupBy($"src").agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select($"src", posexplode(array((0 until BANDS).map { b =>
+        val key = concat_ws(",",
+          (b * R until (b + 1) * R).map(i => col(s"m$i")): _*)
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+      }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band_idx" === $"y.band_idx" &&
+          $"x.band_hash" === $"y.band_hash" && $"x.src" < $"y.src")
+      .select($"x.src".as("a"), $"y.src".as("b"))
+      .distinct()
+    // drop already-adjacent pairs, then exact common-neighbor counts
+    // on the surviving candidates only
+    val newLinks = cand.join(e.select($"src".as("a"), $"dst".as("b")),
+      Seq("a", "b"), "left_anti")
+    val common = newLinks
+      .join(e.select($"src".as("a"), $"dst".as("n")), "a")
+      .join(e.select($"src".as("b"), $"dst".as("n")), Seq("b", "n"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"))
+    val out = common
+      .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"src".as("b"), $"deg".as("db")), "b")
+      .withColumn("jac_ppm",
+        expr("(common * 1000000L) div (da + db - common)"))
+      .select($"a", $"b", $"common", $"jac_ppm")
+      .orderBy($"jac_ppm".desc, $"a", $"b")
+      .limit(topK)
+      .localCheckpoint(true)
+    out
+  }
+
+  /** Oracle: the identical md5-derived pipeline — signatures, bands,
+    * bucket join, adjacency re-verify — replayed in DuckDB SQL (same
+    * devices as [[MinHashLSH.nearDuplicatesSql]]).
+    */
+  val neighborJaccardSketchSql: String = {
+    val H = MinHashLSH.H
+    val R = MinHashLSH.R
+    val M = MinHashLSH.M
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src),
+        halves AS (
+          SELECT src,
+                 ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 7))::BIGINT AS h1,
+                 ('0x' || substr(md5(CAST(dst AS VARCHAR)), 9, 7))::BIGINT AS h2
+          FROM edges),
+        sig AS (
+          SELECT src, i, min((h1 + i * (2 * h2 + 1)) % $M) AS m
+          FROM halves CROSS JOIN range($H) t(i)
+          GROUP BY src, i),
+        bands AS (
+          SELECT src, i // $R AS band_idx,
+                 ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT
+                   AS band_hash
+          FROM sig GROUP BY src, i // $R),
+        cand AS (
+          SELECT DISTINCT x.src AS a, y.src AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.src < y.src),
+        newc AS (
+          SELECT a, b FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                            WHERE p.p1 = c.a AND p.p2 = c.b)),
+        common AS (
+          SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common
+          FROM newc c
+          JOIN edges e1 ON e1.src = c.a
+          JOIN edges e2 ON e2.src = c.b AND e2.dst = e1.dst
+          GROUP BY c.a, c.b)
+        SELECT co.a, co.b, co.common,
+               (co.common * 1000000) // (da.deg + db.deg - co.common) AS jac_ppm
+        FROM common co
+        JOIN deg da ON da.src = co.a
+        JOIN deg db ON db.src = co.b
+        ORDER BY jac_ppm DESC, co.a, co.b LIMIT 20"""
+  }
 }

@@ -1,0 +1,267 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Decoded image metadata/features; `ok = false` rows are the
+  * quarantine lane (payload failed the codec), metrics null.
+  */
+case class ImageDecoded(doc_id: Long, ok: Boolean, width: Option[Long],
+    height: Option[Long], channels: Option[Long], px_sum: Option[Long])
+
+/** Decoded audio metadata/features, same quarantine contract. */
+case class AudioDecoded(doc_id: Long, ok: Boolean, sample_rate: Option[Long],
+    n_frames: Option[Long], sum_abs: Option[Long])
+
+/** #39c/#39d REAL multimodal decode — the part row 39 stubbed until
+  * round 11. The codecs are JDK-public (`javax.imageio` PNG,
+  * `javax.sound.sampled` WAV), so no container libs are needed, and
+  * the decode is genuinely exercised end-to-end:
+  *
+  *  - ENCODE side: each document becomes one real 8-bit grayscale
+  *    PNG / one real PCM-16 mono WAV whose geometry and samples are
+  *    pure integer functions of doc_id — written by the actual codec
+  *    (`ImageIO.write` / `AudioSystem.write`), not templated bytes;
+  *  - DECODE side: batched `mapPartitions` (the same amortized-batch
+  *    shape as [[Multimodal.decodeFeatures]]) runs the actual
+  *    reader; a payload the codec rejects lands in the quarantine
+  *    lane (`ok = false`, metrics null) instead of failing the job —
+  *    the PERMISSIVE-reader contract applied to media;
+  *  - ORACLE side: because the pixel/sample functions are closed-form
+  *    integer arithmetic, DuckDB re-derives every decoded metric
+  *    (width/height/channels/pixel sum; rate/frames/Σ|sample|)
+  *    WITHOUT a codec — so a wrong decode (byte-order slip, color
+  *    model confusion, off-by-one frame math) hash-fails the gate.
+  *
+  * Scale shape: encode + decode are a single zero-shuffle scan;
+  * payloads never leave the executors and never concentrate
+  * driver-side. A corrupt sub-population (doc_id % 97 / % 101) is
+  * built in so the quarantine lane is exercised at every SF.
+  */
+object MultimodalCodec {
+
+  /** Batch size for the grouped-iterator decode — same knob as
+    * [[Multimodal.BATCH]].
+    */
+  val BATCH = 64
+
+  // ── PNG ──────────────────────────────────────────────────────────
+
+  /** Geometry/pixels as pure functions of doc_id: w ∈ [8,16],
+    * h ∈ [8,14], pixel(x, y) = (id·31 + x·7 + y·13) mod 256.
+    */
+  def pngWidth(id: Long): Int = (8 + id % 9).toInt
+  def pngHeight(id: Long): Int = (8 + id % 7).toInt
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** One real PNG via the JDK encoder. 8-bit grayscale round-trips
+    * sample-exact through PNG (lossless, no color-space rescale for
+    * TYPE_BYTE_GRAY), which is what lets the oracle re-derive the
+    * decoded pixel sum arithmetically.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = (pngWidth(id), pngHeight(id))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The image corpus: one PNG per document; every 97th payload is
+    * truncated to its first 16 bytes (signature + partial IHDR — the
+    * codec must reject it) to drive the quarantine lane.
+    */
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val full = encodePng(id)
+        val payload = if (id % 97 == 0) full.take(16) else full
+        MediaRow(id, "png", payload, payload.length.toLong)
+      })
+  }
+
+  /** Batched REAL decode: `ImageIO.read` per payload inside grouped
+    * `mapPartitions`; a null/throwing decode quarantines the row.
+    * Pixel sum reads the gray raster band directly — the inverse of
+    * [[encodePng]]'s setSample, so any codec-level distortion would
+    * surface as a wrong sum, not be absorbed by symmetric bugs.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.grouped(BATCH).flatMap(_.map { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.payload))
+          if (img == null) ImageDecoded(m.doc_id, ok = false, None, None, None, None)
+          else {
+            val r = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            ImageDecoded(m.doc_id, ok = true, Some(img.getWidth.toLong),
+              Some(img.getHeight.toLong), Some(r.getNumBands.toLong), Some(sum))
+          }
+        } catch { case _: java.io.IOException | _: RuntimeException =>
+          ImageDecoded(m.doc_id, ok = false, None, None, None, None)
+        }
+      })
+    }
+  }
+
+  /** Gate: encode → REAL PNG decode → metrics, quarantine included. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeImages(imageTable(spark, dir)).toDF()
+  }
+
+  /** Oracle: the decoded metrics re-derived arithmetically — no codec
+    * on the DuckDB side, so agreement means the JVM codec really
+    * round-tripped the samples.
+    */
+  val imageDecodeSql: String =
+    """WITH g AS (
+         SELECT doc_id,
+                8 + doc_id % 9 AS w,
+                8 + doc_id % 7 AS h
+         FROM documents),
+       px AS (
+         SELECT g.doc_id,
+                CAST(sum((g.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT)
+                  AS px_sum
+         FROM g, range(16) x(x), range(14) y(y)
+         WHERE x.x < g.w AND y.y < g.h
+         GROUP BY g.doc_id)
+       SELECT g.doc_id,
+              g.doc_id % 97 <> 0 AS ok,
+              CASE WHEN g.doc_id % 97 = 0 THEN NULL
+                   ELSE CAST(g.w AS BIGINT) END AS width,
+              CASE WHEN g.doc_id % 97 = 0 THEN NULL
+                   ELSE CAST(g.h AS BIGINT) END AS height,
+              CASE WHEN g.doc_id % 97 = 0 THEN NULL
+                   ELSE CAST(1 AS BIGINT) END AS channels,
+              CASE WHEN g.doc_id % 97 = 0 THEN NULL
+                   ELSE px.px_sum END AS px_sum
+       FROM g JOIN px ON px.doc_id = g.doc_id"""
+
+  // ── WAV ──────────────────────────────────────────────────────────
+
+  /** Sample plan as pure functions of doc_id: n ∈ [64, 192] PCM-16
+    * samples, rate ∈ {8000..12000}, s(i) = ((id·13 + i·7) mod 2¹⁶)
+    * − 2¹⁵.
+    */
+  def wavFrames(id: Long): Int = (64 + id % 129).toInt
+  def wavRate(id: Long): Int = (8000 + (id % 5) * 1000).toInt
+  def wavSample(id: Long, i: Int): Int =
+    ((id * 13 + i.toLong * 7) % 65536).toInt - 32768
+
+  /** One real WAV (RIFF/PCM-16-LE mono) via the JDK encoder. */
+  def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val n = wavFrames(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(wavRate(id).toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The audio corpus: one WAV per document; every 101st payload is
+    * truncated to 8 bytes (half a RIFF header) for the quarantine
+    * lane.
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val full = encodeWav(id)
+        val payload = if (id % 101 == 0) full.take(8) else full
+        MediaRow(id, "wav", payload, payload.length.toLong)
+      })
+  }
+
+  /** Batched REAL decode: `AudioSystem.getAudioInputStream` parses
+    * the RIFF container (rejecting the truncated payloads), the PCM
+    * stream is drained and each sample reconstructed little-endian —
+    * Σ|sample| is the arithmetic the oracle replays.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BATCH).flatMap(_.map { m =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.payload))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+            sum += math.abs(s.toLong)
+            i += 2
+          }
+          AudioDecoded(m.doc_id, ok = true,
+            Some(fmt.getSampleRate.toLong), Some(bytes.length / 2L), Some(sum))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException =>
+          AudioDecoded(m.doc_id, ok = false, None, None, None)
+      }
+    }))
+  }
+
+  /** Gate: encode → REAL WAV decode → metrics, quarantine included. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeAudio(audioTable(spark, dir)).toDF()
+  }
+
+  val audioDecodeSql: String =
+    """WITH g AS (
+         SELECT doc_id,
+                64 + doc_id % 129 AS n,
+                8000 + (doc_id % 5) * 1000 AS rate
+         FROM documents),
+       amp AS (
+         SELECT g.doc_id,
+                CAST(sum(abs(((g.doc_id * 13 + i.i * 7) % 65536) - 32768))
+                     AS BIGINT) AS sum_abs
+         FROM g, range(193) i(i)
+         WHERE i.i < g.n
+         GROUP BY g.doc_id)
+       SELECT g.doc_id,
+              g.doc_id % 101 <> 0 AS ok,
+              CASE WHEN g.doc_id % 101 = 0 THEN NULL
+                   ELSE CAST(g.rate AS BIGINT) END AS sample_rate,
+              CASE WHEN g.doc_id % 101 = 0 THEN NULL
+                   ELSE CAST(g.n AS BIGINT) END AS n_frames,
+              CASE WHEN g.doc_id % 101 = 0 THEN NULL
+                   ELSE amp.sum_abs END AS sum_abs
+       FROM g JOIN amp ON amp.doc_id = g.doc_id"""
+}

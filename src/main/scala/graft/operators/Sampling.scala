@@ -233,12 +233,17 @@ object Sampling {
     * the stride ride one broadcast scalar row.
     */
   def ppsSystematic(df: DataFrame, weight: Column, n: Long,
-      salt: String = "pps"): DataFrame = {
+      salt: String = "pps", key: Column = col("doc_id")): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
     import org.apache.spark.sql.expressions.Window
     import df.sparkSession.implicits._
+    // `key` is the deterministic unit id the integer line is laid out
+    // by (band assignment + within-band order) — any unique column
+    // works, not just doc_id; the output keeps the caller's columns
+    // and appends (weight, picks)
     val banded = df.withColumn("__w", weight)
-      .withColumn("__band", bucket($"doc_id", salt))
+      .withColumn("__key", key)
+      .withColumn("__band", bucket($"__key", salt))
     val bandTotals = banded.groupBy($"__band")
       .agg(sum($"__w").as("__bt"))
     // exclusive prefix over the ≤1000-row band frame (unpartitioned —
@@ -252,20 +257,22 @@ object Sampling {
     // all positive-weight units selected)
     val totals = bandTotals.agg(
       greatest(expr(s"sum(__bt) div ${n}L"), lit(1L)).as("__s"))
-    val wIn = Window.partitionBy($"__band").orderBy($"doc_id")
+    val wIn = Window.partitionBy($"__band").orderBy($"__key")
     banded
       .join(broadcast(offsets), $"__band" === $"__o_band")
       .crossJoin(broadcast(totals))
       .withColumn("__c1", $"__off" + sum($"__w").over(wIn))
       .filter(expr("__c1 div __s > (__c1 - __w) div __s"))
-      .select($"doc_id", $"__w".as("weight"),
-        expr("__c1 div __s - (__c1 - __w) div __s").as("picks"))
+      .withColumn("weight", $"__w")
+      .withColumn("picks", expr("__c1 div __s - (__c1 - __w) div __s"))
+      .drop("__w", "__key", "__band", "__o_band", "__off", "__s", "__c1")
   }
 
   /** Gate: 50 PPS draws from documents, weight = n_chars. */
   def samplePps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     ppsSystematic(Tables.documents(spark, dir), $"n_chars", n = 50L)
+      .select($"doc_id", $"weight", $"picks")
       .orderBy($"doc_id")
   }
 

@@ -703,14 +703,33 @@ class ManifestTable(spark: SparkSession, root: String) {
     * append-only (divergent DELETES don't propagate — a three-way
     * merge needs row lineage a pointer-manifest doesn't carry, so
     * the limit is documented rather than half-built).
+    *
+    * GUARDED against the rewrite-corruption mode: "delta = live
+    * segments not in the fork manifest" is only the branch's new rows
+    * while the branch history has been APPEND-ONLY since the fork. If
+    * the branch ever ran compact() / writeClustered / deleteWhere, its
+    * pre-fork rows were rewritten into fresh segments this filter
+    * would classify as delta — merging would silently duplicate
+    * (nearly) the whole pre-fork table into this one. That state is
+    * detectable (some fork-manifest segment is no longer referenced by
+    * the branch's live version), so it throws instead of corrupting;
+    * promote a rewritten branch by an explicit anti-join merge the
+    * caller owns, where the dedup key is theirs to choose.
     */
   def mergeAppendsFrom(br: ManifestTable, sinceV: Long = 1L,
       statCols: Seq[String] = Nil): Long = {
     val base = br.segments(sinceV).getOrElse(Seq.empty)
       .map(_.dir.toString).toSet
-    val (_, liveSegs) = br.liveSegments.getOrElse(
+    val (liveV, liveSegs) = br.liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(
         s"branch ${br.rootPath} is empty"))
+    val liveNames = liveSegs.map(_.dir.toString).toSet
+    if (!base.subsetOf(liveNames))
+      throw new IllegalStateException(
+        s"branch ${br.rootPath} history from v$sinceV to v$liveV is not " +
+          s"append-only (a rewrite replaced ${base -- liveNames}); " +
+          "mergeAppendsFrom would duplicate rewritten pre-fork rows — " +
+          "merge a compacted/deleted-from branch explicitly instead")
     val delta = liveSegs.filterNot(s => base.contains(s.dir.toString))
     if (delta.isEmpty) return currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))

@@ -288,4 +288,83 @@ class GraphSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3))).toMap
     assert(got == bruteJaccard(und))
   }
+
+  private def toEdgeDf(und: Seq[(Long, Long)], parts: Int = 3) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(bothDirs(und), parts)).toDF("src", "dst")
+
+  test("wedge budget guard: a hub graph over the ceiling throws and names the valve; under it runs") {
+    // star with a 40-degree hub: Σ C(deg,2) = C(40,2) = 780 wedges
+    val hub = (1L to 40L).map(i => (0L, i))
+    val ex = intercept[IllegalStateException] {
+      Graph.neighborJaccardOf(toEdgeDf(hub), topK = 5, wedgeBudget = 100L)
+    }
+    assert(ex.getMessage.contains("780") &&
+      ex.getMessage.contains("neighborJaccardSketchOf"),
+      s"guard must report the wedge count and the valve: ${ex.getMessage}")
+    // the same graph under a sufficient budget completes
+    assert(Graph.neighborJaccardOf(toEdgeDf(hub), topK = 5,
+      wedgeBudget = 1000L).count() > 0)
+    // triangles has the same guard on the ORIENTED wedge stream (the
+    // hub star orients to 0 oriented wedges, so use a triangle: one
+    // oriented wedge at its min-(deg,id) apex)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tx = intercept[IllegalStateException] {
+      Graph.trianglesOf(toEdgeDf(tri), topK = 5, wedgeBudget = 0L)
+    }
+    assert(tx.getMessage.contains("trianglesOf"), tx.getMessage)
+  }
+
+  test("pair-packing id bound is enforced at runtime, not in a comment") {
+    // a node id at 2^32 would silently collide packed keys — the
+    // operator must refuse instead (r10 advice)
+    val bad = Seq((1L, 4294967296L), (2L, 4294967296L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.neighborJaccardOf(toEdgeDf(bad), topK = 5)
+    }
+    assert(ex.getMessage.contains("2^32"), ex.getMessage)
+  }
+
+  test("sketch valve: identical neighborhoods are found with certainty, scores re-verified exact") {
+    // nodes 100 and 101 share the identical 8-node neighborhood (and
+    // are not adjacent): identical adjacency sets → identical MinHash
+    // signatures → every band collides → certain candidate; jac = 1.
+    // Node pair (200, 201) shares nothing → must not be predicted.
+    val und = (1L to 8L).flatMap(i => Seq((100L, i), (101L, i))) ++
+      Seq((200L, 50L), (201L, 60L))
+    val got = Graph.neighborJaccardSketchOf(toEdgeDf(und), topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.contains((100L, 101L)), s"certain pair missed: $got")
+    assert(got((100L, 101L)) == (8L, 1000000L), s"score not exact: $got")
+    assert(!got.contains((200L, 201L)))
+    // every reported score equals brute force — the re-verify step
+    // means the sketch never ESTIMATES a reported number
+    val brute = bruteJaccard(und)
+    got.foreach { case (pair, score) =>
+      assert(brute(pair) == score, s"$pair: sketch=$score brute=${brute(pair)}")
+    }
+  }
+
+  test("sketch valve recall floor vs the exact operator on the corpus graph") {
+    val edges = Graph.copurchaseEdges(spark, SF)
+    val exact = Graph.neighborJaccardOf(edges, topK = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    val sketch = Graph.neighborJaccardSketchOf(edges, topK = 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      .toMap
+    // (a) whatever the sketch reports must carry the exact score —
+    // cross-checked against the exact top-20 where they intersect
+    exact.filter(p => sketch.contains(p._1)).foreach { case (pair, ppm) =>
+      assert(sketch(pair) == ppm, s"$pair: sketch=${sketch(pair)} exact=$ppm")
+    }
+    // (b) recall floor on the exact top-20: the LSH s-curve at
+    // B=16/R=4 gives each ~0.45-jaccard pair a ~50% per-band chance
+    // union'd to ~54%; md5 is fixed, so the realized recall is
+    // DETERMINISTIC for this corpus — floor pinned below the
+    // measured value (see GraphSpec history), well above chance
+    val hit = exact.count(p => sketch.contains(p._1))
+    assert(hit >= exact.length * 3 / 10,
+      s"sketch recall collapsed: $hit of ${exact.length} exact top-20 pairs")
+  }
 }

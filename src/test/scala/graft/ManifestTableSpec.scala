@@ -328,4 +328,37 @@ class ManifestTableSpec extends SparkSpec {
       (1 to 10).toSet ++ (100 to 104).toSet ++ (200 to 201).toSet,
       "merged rows lost when the branch was deleted — delta not re-owned")
   }
+
+  test("mergeAppendsFrom refuses a branch that rewrote history since the fork (r10 advice)") {
+    import spark.implicits._
+    // a compacted branch rewrites its pre-fork rows into new
+    // branch-owned segments; the naive live-minus-fork delta would
+    // classify ALL of them as new and silently duplicate the table
+    // into main — the guard must throw instead, before any commit
+    val src = freshTable()
+    val v1 = src.write((1 to 10).toDF("id"))
+    val brRoot =
+      java.nio.file.Files.createTempDirectory("manifest_mgc").toString + "/b"
+    val br = src.branchTo(brRoot, v1)
+    br.append((100 to 104).toDF("id"))
+    br.compact()
+    val before = src.currentVersion.get
+    val ex = intercept[IllegalStateException] { src.mergeAppendsFrom(br) }
+    assert(ex.getMessage.contains("append-only"), ex.getMessage)
+    assert(src.currentVersion.contains(before),
+      "guard fired but a version was still committed")
+    assert(src.read().collect().map(_.getInt(0)).toSet == (1 to 10).toSet,
+      "main mutated by a refused merge")
+    // a copy-on-write delete on the branch is the same corruption
+    // class and must also refuse
+    val br2 = src.branchTo(brRoot + "2", v1)
+    br2.append((200 to 204).toDF("id"))
+    // give the fork segment stats so deleteWhere rewrites it
+    val br3root = brRoot + "3"
+    val src2 = freshTable()
+    src2.write((1 to 10).toDF("id"), statCols = Seq("id"))
+    val br3 = src2.branchTo(br3root, src2.currentVersion.get)
+    br3.deleteWhere(Seq(("id", 1.0, 3.0)))
+    intercept[IllegalStateException] { src2.mergeAppendsFrom(br3) }
+  }
 }

@@ -46,4 +46,62 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!scan.contains("payload"), s"payload not pruned:\n$scan")
   }
+
+  // ── real codecs (round 11 — the decode stub retired) ─────────────
+
+  test("real PNG decode: JDK codec round-trips the crafted sample grid; corrupt payload quarantined") {
+    import graft.operators.{MediaRow, MultimodalCodec => C}
+    // crafted valid/corrupt pair, decoded OUTSIDE Spark first: the
+    // codec itself must round-trip the closed-form pixel function
+    val id = 12345L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(C.encodePng(id)))
+    assert(img.getWidth == C.pngWidth(id) && img.getHeight == C.pngHeight(id))
+    assert(img.getRaster.getNumBands == 1)
+    var exp = 0L
+    for (y <- 0 until C.pngHeight(id); x <- 0 until C.pngWidth(id))
+      exp += C.pngPixel(id, x, y)
+    var got = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      got += img.getRaster.getSample(x, y, 0)
+    assert(got == exp, s"codec distorted samples: $got != $exp")
+    // the same pair through the batched Spark decode path
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "png", C.encodePng(1L), 0L),
+      MediaRow(2L, "png", C.encodePng(1L).take(16), 16L), // corrupt
+      MediaRow(3L, "png", Array.empty[Byte], 0L))         // empty
+    val out = C.decodeImages(
+        spark.createDataset(media)(implicitly))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).ok && out(1L).width.contains(C.pngWidth(1L).toLong))
+    assert(!out(2L).ok && out(2L).px_sum.isEmpty, "truncated PNG must quarantine")
+    assert(!out(3L).ok, "empty payload must quarantine")
+    // corpus gate: quarantine lane is exactly the % 97 population
+    val gate = C.imageDecode(spark, SF).collect()
+    assert(gate.forall(r => r.getBoolean(1) == (r.getLong(0) % 97 != 0)))
+    assert(gate.exists(!_.getBoolean(1)), "corpus must exercise quarantine")
+  }
+
+  test("real WAV decode: JDK codec round-trips rate/frames/samples; truncated payload quarantined") {
+    import graft.operators.{MediaRow, MultimodalCodec => C}
+    import spark.implicits._
+    val id = 777L
+    val media = Seq(
+      MediaRow(id, "wav", C.encodeWav(id), 0L),
+      MediaRow(id + 1, "wav", C.encodeWav(id).take(8), 8L))
+    val out = C.decodeAudio(spark.createDataset(media)(implicitly))
+      .collect().map(d => d.doc_id -> d).toMap
+    val expSum = (0 until C.wavFrames(id)).map(i =>
+      math.abs(C.wavSample(id, i).toLong)).sum
+    assert(out(id).ok &&
+      out(id).sample_rate.contains(C.wavRate(id).toLong) &&
+      out(id).n_frames.contains(C.wavFrames(id).toLong) &&
+      out(id).sum_abs.contains(expSum), s"got ${out(id)}")
+    assert(!out(id + 1).ok && out(id + 1).sum_abs.isEmpty,
+      "truncated RIFF header must quarantine")
+    val gate = C.audioDecode(spark, SF).collect()
+    assert(gate.forall(r => r.getBoolean(1) == (r.getLong(0) % 101 != 0)))
+    assert(gate.exists(!_.getBoolean(1)), "corpus must exercise quarantine")
+  }
 }

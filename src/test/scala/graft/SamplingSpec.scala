@@ -298,4 +298,23 @@ class SamplingSpec extends SparkSpec {
     docs.filter(_._2 >= s).foreach { case (id, _, _) =>
       assert(got.contains(id), s"giant unit $id not drawn") }
   }
+
+  test("PPS systematic: the unit key is a parameter, not a hard-coded doc_id (r10 advice)") {
+    import spark.implicits._
+    // a frame whose key is named anything else must work, and with
+    // the same key VALUES must reproduce the identical draw
+    val renamed = Tables.documents(spark, SF)
+      .select($"doc_id".as("unit_id"), $"n_chars")
+    val got = Sampling.ppsSystematic(renamed, $"n_chars", n = 50L,
+        key = $"unit_id")
+      .select($"unit_id", $"weight", $"picks")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Sampling.samplePps(spark, SF)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == base,
+      s"renamed-key draw diverged: only-renamed=${(got.toSet -- base.toSet).take(3)}")
+    // and the output keeps the caller's columns (no doc_id invented)
+    assert(Sampling.ppsSystematic(renamed, $"n_chars", n = 50L,
+      key = $"unit_id").columns.toSeq == Seq("unit_id", "n_chars", "weight", "picks"))
+  }
 }

@@ -416,4 +416,81 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       s"stream-only=${got -- expected} fold-only=${expected -- got}")
   }
+
+  test("stream-stream interval join ≡ batch banded range join on the real event table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the r10 gap: 41c was spec'd on synthetic rows only. Feed the
+    // REAL event table through both stream sides (signups left,
+    // errors right — the events_range_follow shape) and pin the
+    // emitted pair set to the batch banded range join over the same
+    // rows. streamStreamJoin's bound is INCLUSIVE (r_ts ≤ l_ts+30'),
+    // bandJoin's exclusive — band+1µs makes the batch twin exact.
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val signups = rows.filter(_.event_type == "signup")
+    val errors = rows.filter(_.event_type == "error")
+    assert(signups.nonEmpty && errors.nonEmpty, "corpus must drive both sides")
+    val lmem = MemoryStream[StreamEvent]
+    val rmem = MemoryStream[StreamEvent]
+    val q = EventStream.streamStreamJoin(lmem.toDF(), rmem.toDF(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("ssj_real")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(signups)
+      rmem.addData(errors)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_real")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.RangeJoin.bandJoin(
+        Tables.events(spark, SF).filter($"event_type" === "signup")
+          .select($"event_id".as("l_id"), $"user_id", $"ts"),
+        Tables.events(spark, SF).filter($"event_type" === "error")
+          .select($"event_id".as("r_id"), $"user_id", $"ts".as("r_ts")),
+        Seq("user_id"), "ts", "r_ts", band = 30L * 60 * 1000000 + 1)
+      .select($"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
+  test("sliding DAU dedup state is EVICTED once the watermark passes (not just correct output)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // r10 advice: slidingDau's dedup relies on the window struct
+    // carrying event-time watermark metadata for state eviction — if
+    // that propagation ever broke, output would stay correct while
+    // state grew without bound, which no output assertion catches.
+    // This pins the eviction itself via query progress.
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.slidingDau(mem.toDF())
+      .writeStream.format("memory").queryName("sdau_evict")
+      .outputMode(OutputMode.Append).start()
+    def dedupRows: Long = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("dedup"))
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    try {
+      // 3 users × 2 duplicate events in hour 0 → 3 users × 24 windows
+      mem.addData((1 to 3).flatMap(u => Seq(
+        StreamEvent(u * 10L, ts(5), u.toLong, "click", 1.0),
+        StreamEvent(u * 10L + 1, ts(25), u.toLong, "click", 1.0))))
+      q.processAllAvailable()
+      val before = dedupRows
+      assert(before > 0, s"dedup operator kept no state: $before")
+      // sentinels push the watermark far past every live window end
+      mem.addData(Seq(StreamEvent(-1, ts(90L * 60), -1, "x", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(-2, ts(180L * 60), -2, "x", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(-3, ts(270L * 60), -3, "x", 0.0)))
+      q.processAllAvailable()
+      val after = dedupRows
+      assert(after < before,
+        s"dedup state did not shrink after watermark advance: " +
+          s"before=$before after=$after — eviction metadata lost?")
+    } finally q.stop()
+  }
 }
