@@ -44,14 +44,36 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    def timeAll(): Map[String, Double] =
+    // Heap hygiene between gates: gate-internal localCheckpoints
+    // leave block-manager entries alive until their RDD objects are
+    // GC'd and ContextCleaner processes the weak refs — across 150+
+    // gates × 3 passes that lag accumulates into storage-memory
+    // pressure that lands on whichever heavy gate runs next (the
+    // r10 driver board showed exactly that shape: heavy graph gates
+    // 2-3× their isolated receipts with wild spread). A periodic
+    // System.gc() lets the cleaner drain; every 25 gates costs ~1s
+    // per pass total, noise next to a 150+s board.
+    val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").map(_.toInt).getOrElse(25)
+    def timeAll(): Map[String, Double] = {
+      var i = 0
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
+        i += 1
+        if (gcEvery > 0 && i % gcEvery == 0) System.gc()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val passes = Seq(timeAll(), timeAll(), timeAll())
+    }
+    def pass(): Map[String, Double] = {
+      val r = timeAll()
+      // plan-keyed cache entries a gate failed to release must not
+      // ride into the next pass
+      spark.catalog.clearCache()
+      System.gc()
+      r
+    }
+    val passes = Seq(pass(), pass(), pass())
     val results = passes.head.keys.map { k =>
       val ts = passes.map(_(k)).filter(_ >= 0)
       k -> (if (ts.nonEmpty) ts.min else -1.0)

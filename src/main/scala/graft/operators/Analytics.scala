@@ -573,6 +573,87 @@ object Analytics {
                round(sum(value), 2) AS total_value
         FROM best GROUP BY 1 ORDER BY 1"""
 
+  /** LINEAR multi-touch attribution — the fairness counterpart of
+    * [[attributionLastTouch]]: each purchase's value is split equally
+    * across ALL its in-window touches (none → 'direct' keeps the full
+    * amount). Exactness device: value in integer CENTS, each
+    * channel's share = (value_cents · n_channel_touches) div n_touches
+    * — integer division, so per-channel sums are BIGINT and
+    * merge-order-exact (a double split would hash-differ across
+    * engines; the truncation remainder is dropped identically on
+    * both). Plan shape: the purchase×touch pairing is the banded
+    * range join ([[RangeJoin.bandJoin]] — Σ bucket², never |P|×|T|
+    * per user), everything after is two aggregations over the
+    * pair-and-purchase frames.
+    */
+  def attributionLinear(spark: SparkSession, dir: String,
+      windowHours: Int = 72): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts".as("touch_ts"),
+        $"event_type".as("touch_type"))
+    // (touch, purchase) pairs with purchase.ts ∈ [touch.ts, +72h]
+    // ≡ touch.ts ∈ [purchase.ts − 72h, purchase.ts]; +1µs makes the
+    // bandJoin's exclusive upper bound inclusive
+    val pairs = RangeJoin.bandJoin(touches, purchases.select($"event_id",
+        $"user_id", $"ts", $"value_cents"),
+      keys = Seq("user_id"), lTime = "touch_ts", rTime = "ts",
+      band = windowHours * 3600000000L + 1)
+    val perChannel = pairs.groupBy($"event_id", $"touch_type")
+      .agg(count(lit(1)).as("n_ch"))
+    val perPurchase = perChannel.groupBy($"event_id")
+      .agg(sum($"n_ch").as("n_t"))
+    val credited = perChannel
+      .join(perPurchase, "event_id")
+      .join(purchases.select($"event_id", $"value_cents"), "event_id")
+      .select($"touch_type".as("channel"), $"n_ch",
+        expr("(value_cents * n_ch) div n_t").as("credit"))
+    val direct = purchases
+      .join(perPurchase.select($"event_id"), Seq("event_id"), "left_anti")
+      .select(lit("direct").as("channel"), lit(0L).as("n_ch"),
+        $"value_cents".as("credit"))
+    credited.unionByName(direct)
+      .groupBy($"channel")
+      .agg(sum($"n_ch").as("n_touches"), sum($"credit").as("credit_cents"))
+      .orderBy($"channel")
+  }
+
+  def attributionLinearSql(windowHours: Int = 72): String =
+    s"""WITH ev AS (
+          SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                 user_id, event_type, value
+          FROM events),
+        p AS (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM ev WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+              FROM ev WHERE event_type IN ('click', 'view')),
+        cand AS (
+          SELECT p.event_id, t.touch_type
+          FROM p JOIN t
+            ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+           AND t.touch_ts >= p.ts - INTERVAL $windowHours HOUR),
+        ch AS (SELECT event_id, touch_type, CAST(count(*) AS BIGINT) AS n_ch
+               FROM cand GROUP BY 1, 2),
+        tot AS (SELECT event_id, CAST(sum(n_ch) AS BIGINT) AS n_t
+                FROM ch GROUP BY 1),
+        cred AS (
+          SELECT ch.touch_type AS channel, ch.n_ch,
+                 (p.vc * ch.n_ch) // tot.n_t AS credit
+          FROM ch JOIN tot ON ch.event_id = tot.event_id
+          JOIN p ON p.event_id = ch.event_id
+          UNION ALL
+          SELECT 'direct', CAST(0 AS BIGINT), vc FROM p
+          WHERE event_id NOT IN (SELECT event_id FROM tot))
+        SELECT channel, CAST(sum(n_ch) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM cred GROUP BY 1 ORDER BY 1"""
+
   /** Exact `NTILE(k)` over a global (metric, tie) order WITHOUT the
     * all-to-one window `ntile().over(Window.orderBy(...))` plans — the
     * [[SurrogateKey.orderedScalable]] / banded-cumsum device applied

@@ -705,6 +705,173 @@ object Graph {
        JOIN deg db ON db.src = cand.b
        ORDER BY jac_ppm DESC, a, b LIMIT 20"""
 
+  /** Gate: 5 personalized-PageRank iterations from the mod-97 seed
+    * set, top 20.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame =
+    personalizedPageRankOf(copurchaseEdges(spark, dir), seedMod = 97L,
+      iters = 5, topK = 20)
+
+  /** Personalized PageRank (the random-walk-with-restart relevance
+    * score behind related-items / node-similarity features): teleport
+    * returns to the SEED SET, not the uniform distribution, so rank
+    * concentrates around the seeds. Same integer-unit exactness
+    * device as [[pageRankOf]] — seeds start at 10⁶ micro-units,
+    * non-seeds at 0, and the restart mass (150 000) is added to seeds
+    * only: r_{t+1}(v) = (seed ? 150000 : 0) + (850·Σ r_t(u) div
+    * outdeg(u)) div 1000 — bit-exact on any merge order. Plan shape
+    * is identical to the global operator: one cached src-partitioned
+    * edge join, scalar (node, rank) shuffles per step; the seed flag
+    * is a pure arithmetic predicate, no second frame.
+    */
+  def personalizedPageRankOf(edges: DataFrame, seedMod: Long, iters: Int,
+      topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select($"src".as("node"),
+      when($"src" % seedMod === 0, 1000000L).otherwise(0L).as("rank"))
+    for (_ <- 1 to iters) {
+      // right_outer keeps nodes that received no mass this round —
+      // a seed with only dead-end in-neighbors must still get its
+      // restart mass, and the node set must not shrink
+      ranks = e.join(ranks, $"src" === $"node")
+        .select($"dst", expr("rank div outdeg").as("contrib"))
+        .groupBy($"dst")
+        .agg(sum($"contrib").as("insum"))
+        .join(deg.select($"src".as("n2")), $"dst" === $"n2", "right_outer")
+        .select($"n2".as("node"),
+          (when($"n2" % seedMod === 0, 150000L).otherwise(0L) +
+            expr("(850L * coalesce(insum, 0L)) div 1000L")).as("rank"))
+    }
+    val out = ranks.filter($"rank" > 0)
+      .orderBy($"rank".desc, $"node").limit(topK)
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: the identical 5 rounds unrolled, restart mass on seeds
+    * only, right-join to the full node set each round.
+    */
+  val personalizedPageRankSql: String = {
+    val stages = (1 to 5).map { t =>
+      s"""r$t AS (
+            SELECT d.src AS node,
+                   CAST(CASE WHEN d.src % 97 = 0 THEN 150000 ELSE 0 END
+                        + (850 * coalesce(m.insum, 0)) // 1000 AS BIGINT) AS rank
+            FROM deg d LEFT JOIN (
+              SELECT e.dst, sum(r.rank // dd.outdeg) AS insum
+              FROM r${t - 1} r
+              JOIN deg dd ON r.node = dd.src
+              JOIN edges e ON e.src = r.node
+              GROUP BY e.dst) m ON m.dst = d.src)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src),
+        r0 AS (
+          SELECT src AS node,
+                 CAST(CASE WHEN src % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS rank
+          FROM deg),
+        $stages
+        SELECT node, rank FROM r5 WHERE rank > 0
+        ORDER BY rank DESC, node LIMIT 20"""
+  }
+
+  /** Gate: 3 rounds of k-core peeling (k = 48) — census per round. */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreOf(copurchaseEdges(spark, dir), k = 48, rounds = 3)
+
+  /** Bounded-round k-core decomposition (the density filter that
+    * bounds every heavier graph operator's budget: the k-core is
+    * where the wedges live). Round r drops every node whose degree
+    * WITHIN the surviving subgraph is < k; the fixpoint of this
+    * peeling is the k-core, and each round is one aggregation + one
+    * semi-join against the shrinking node set — O(|E|) per round,
+    * frontier-free by design because degrees must be recomputed on
+    * the induced subgraph anyway. Bounded rounds keep the gate
+    * oracle-expressible (unrolled CTEs, the [[kHopSql]] device);
+    * production runs the same loop to an empty diff. Lineage is
+    * truncated per round so round r never replays rounds 1..r−1.
+    * Output: per-round census (survivors, id checksum) — row 0 is
+    * the full graph, so the result is non-empty at every SF even
+    * when nothing peels.
+    */
+  def kCoreOf(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    var nodes = e.select($"src".as("node")).distinct().localCheckpoint(true)
+    val censuses = Seq.newBuilder[DataFrame]
+    censuses += nodes.select(lit(0L).as("round"),
+      count(lit(1)).as("n_nodes"), sum($"node").as("node_sum"))
+    for (r <- 1 to rounds) {
+      val deg = e
+        .join(nodes.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(nodes.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      nodes = deg.filter($"deg" >= k).select($"src".as("node"))
+        .localCheckpoint(true)
+      censuses += nodes.select(lit(r.toLong).as("round"),
+        count(lit(1)).as("n_nodes"), sum($"node").as("node_sum"))
+    }
+    val out = censuses.result().reduce(_ unionByName _)
+      .orderBy($"round")
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: the identical peeling rounds unrolled. A node with NO
+    * surviving edge has induced degree 0 and drops; sum(node) over
+    * zero rows is NULL in both engines, kept as-is.
+    */
+  val kCoreSql: String = {
+    val stages = (1 to 3).map { t =>
+      s"""n$t AS (
+            SELECT e.src AS node
+            FROM edges e
+            JOIN n${t - 1} a ON e.src = a.node
+            JOIN n${t - 1} b ON e.dst = b.node
+            GROUP BY e.src
+            HAVING count(*) >= 48)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        n0 AS (SELECT DISTINCT src AS node FROM edges),
+        $stages
+        SELECT CAST(0 AS BIGINT) AS round,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS node_sum FROM n0
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(node) AS BIGINT) FROM n1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(node) AS BIGINT) FROM n2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(node) AS BIGINT) FROM n3
+        ORDER BY round"""
+  }
+
   /** Gate: sketch-path link prediction, top 20 — the scale valve for
     * [[neighborJaccard]] as CODE, not prose.
     */

@@ -703,4 +703,59 @@ object Olap {
         FROM obs, t JOIN e ON obs.digit = e.digit
         ORDER BY obs.digit"""
   }
+
+  /** Exact per-row CUME_DIST / PERCENT_RANK — re-planned scale-safe.
+    * The window spelling (`cume_dist() OVER (PARTITION BY g ORDER BY
+    * x)`) funnels each partition through one sorter; here the corpus
+    * reduces to the (group, value) FREQUENCY frame first (one
+    * map-side-partial aggregate), the cumulative count runs over
+    * that domain-sized frame (the window WindowAuditSpec's low-card
+    * rule permits), and per-row values come back by an equi-join —
+    * the [[histogramEquiDepth]] device pointed at rank statistics.
+    * Held exact in integer ppm: cume = (#rows ≤ x)·10⁶ div n,
+    * pct_rank = (#rows < x)·10⁶ div (n−1) — no fp division, so the
+    * oracle's window spelling must agree bit-for-bit.
+    */
+  def cumeDistDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.documents(spark, dir)
+      .groupBy($"lang", $"n_chars")
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars")
+    val ranks = freq
+      .withColumn("cum_le", sum($"f").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_lt", $"cum_le" - $"f")
+      .withColumn("n", sum($"f").over(
+        Window.partitionBy($"lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(broadcast(ranks.select($"lang".as("r_lang"),
+          $"n_chars".as("r_nc"), $"cum_le", $"cum_lt", $"n")),
+        $"lang" === $"r_lang" && $"n_chars" === $"r_nc")
+      .select($"doc_id", $"lang", $"n_chars",
+        expr("(cum_le * 1000000L) div n").as("cume_ppm"),
+        expr("CASE WHEN n = 1 THEN 0L " +
+          "ELSE (cum_lt * 1000000L) div (n - 1) END").as("pct_rank_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the textbook window spelling, integer-cross-multiplied
+    * to the same ppm arithmetic.
+    */
+  val cumeDistDocsSql: String =
+    """SELECT doc_id, lang, n_chars,
+         (count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          * 1000000) // count(*) OVER (PARTITION BY lang) AS cume_ppm,
+         CASE WHEN count(*) OVER (PARTITION BY lang) = 1 THEN 0
+              ELSE ((count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - count(*) OVER (PARTITION BY lang, n_chars))
+                    * 1000000)
+                   // (count(*) OVER (PARTITION BY lang) - 1) END
+           AS pct_rank_ppm
+       FROM documents
+       ORDER BY doc_id"""
 }

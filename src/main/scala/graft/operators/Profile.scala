@@ -105,6 +105,144 @@ object Profile {
       .orderBy($"var_x", $"var_y")
   }
 
+  /** #27k gate: the approximate sketches (HyperLogLog distincts,
+    * t-digest-style quantiles) next to their EXACT counterparts, with
+    * the error bound as an output column — the driver's rows-only
+    * check keeps it on the board, the `within_bound` column carries
+    * the contract, and OlapSpec asserts every row holds it. An
+    * approximation can't hash-match an oracle, so this is the
+    * strongest gate shape available for the family: same pass
+    * computes both sides, |err| is audited where it's produced.
+    *
+    * Bound: 5% relative (50 000 ppm) — HLL's default rsd is 5%, and
+    * approx_percentile at accuracy 10⁴ is exact until a group exceeds
+    * 10⁴ rows, then degrades gracefully under the same bound. Scale:
+    * ONE aggregate scan; the exact count_distincts are the expensive
+    * side — which is the point, the gate MEASURES what the sketch
+    * buys; production paths use the sketch column alone.
+    */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val row = Tables.documents(spark, dir).agg(
+      approx_count_distinct($"doc_id").as("a_id"),
+      count_distinct($"doc_id").as("e_id"),
+      approx_count_distinct($"source").as("a_src"),
+      count_distinct($"source").as("e_src"),
+      approx_count_distinct($"n_chars").as("a_nc"),
+      count_distinct($"n_chars").as("e_nc"),
+      expr("approx_percentile(CAST(n_chars AS DOUBLE), array(0.5, 0.99), 10000)")
+        .as("a_pct"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)")
+        .as("e_p50"),
+      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)")
+        .as("e_p99")
+    ).head()
+    val pct = row.getSeq[Double](6)
+    val metrics = Seq(
+      ("hll_distinct_doc_id", row.getLong(0).toDouble, row.getLong(1).toDouble),
+      ("hll_distinct_source", row.getLong(2).toDouble, row.getLong(3).toDouble),
+      ("hll_distinct_n_chars", row.getLong(4).toDouble, row.getLong(5).toDouble),
+      ("approx_p50_n_chars", pct.head, row.getDouble(7)),
+      ("approx_p99_n_chars", pct(1), row.getDouble(8)))
+    metrics.map { case (m, a, e) =>
+      val errPpm = if (e == 0.0) 0L
+        else math.round(math.abs(a - e) / e * 1000000.0)
+      (m, a, e, errPpm, errPpm <= 50000L)
+    }.toDF("metric", "approx_value", "exact_value", "err_ppm", "within_bound")
+  }
+
+  /** Mergeable-sketch rollup — the pattern that makes sketches matter
+    * at 100 TB: distinct counts DON'T compose across partitions
+    * (Σ per-day distincts ≠ global distinct), but DataSketches HLL
+    * sketches DO — aggregate once per group, then UNION-MERGE the
+    * group sketches for any rollup without re-scanning the corpus.
+    * One pass builds per-lang sketches (lgK = 14) next to per-lang
+    * exact distincts; the `global(merged)` row is
+    * `hll_sketch_estimate(hll_union_agg(per-lang sketches))` — the
+    * merge path itself under test — against the global exact (= Σ
+    * per-lang, since doc_id partitions by lang). Rows-only gate like
+    * [[profileApprox]]; every row carries its 5% `within_bound`.
+    */
+  def hllMergeRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"),
+        count_distinct($"doc_id").as("exact"))
+      .persist()
+    val perOut = per.select($"lang".as("scope"),
+      expr("CAST(hll_sketch_estimate(sk) AS DOUBLE)").as("approx_value"),
+      $"exact".cast("double").as("exact_value"))
+    val globalOut = per.agg(
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS DOUBLE)")
+          .as("approx_value"),
+        sum($"exact").cast("double").as("exact_value"))
+      .select(lit("global(merged)").as("scope"), $"approx_value",
+        $"exact_value")
+    val out = perOut.unionByName(globalOut)
+      .withColumn("err_ppm", expr(
+        "CAST(round(abs(approx_value - exact_value) / exact_value * 1000000) AS BIGINT)"))
+      .withColumn("within_bound", $"err_ppm" <= 50000L)
+      .orderBy($"scope")
+      .localCheckpoint(true)
+    per.unpersist(blocking = false)
+    out
+  }
+
+  /** Join-key skew diagnostic — the pre-flight a 100 TB join runs to
+    * pick its strategy (broadcast / salt / AQE skew-split): the
+    * distribution of per-key row counts for a shuffle key, plus the
+    * heaviest key. ONE aggregation collapses the corpus to the
+    * key-count frame; every statistic after runs on that frame
+    * (quantiles via PERCENTILE_DISC over |keys| rows, the argmax with
+    * an explicit count-desc/key-asc tie-break) — nothing corpus-sized
+    * is sorted or windowed. All integer-exact, so the gate is
+    * hash-exact. Key under audit: lineitem.l_suppkey, the key the
+    * salted-join gate (27b) shuffles on — the two gates together are
+    * diagnose → treat.
+    */
+  def joinSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
+    val row = counts.agg(
+      count(lit(1)).as("n_keys"),
+      min($"c").as("min_rows"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .as("p50_rows"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .as("p90_rows"),
+      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .as("p99_rows"),
+      max($"c").as("max_rows"))
+    // argmax with explicit tie-break, computed on the key-count frame
+    val top = counts.orderBy($"c".desc, $"l_suppkey").limit(1)
+      .select($"l_suppkey".as("top_key"), $"c".as("top_key_rows"))
+    row.crossJoin(top)
+  }
+
+  val joinSkewSql: String =
+    """WITH counts AS (
+         SELECT l_suppkey, CAST(count(*) AS BIGINT) AS c
+         FROM lineitem GROUP BY l_suppkey),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                min(c) AS min_rows,
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                  AS p50_rows,
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                  AS p90_rows,
+                CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)
+                  AS p99_rows,
+                max(c) AS max_rows
+         FROM counts),
+       top AS (
+         SELECT l_suppkey AS top_key, c AS top_key_rows
+         FROM counts ORDER BY c DESC, l_suppkey LIMIT 1)
+       SELECT n_keys, min_rows, p50_rows, p90_rows, p99_rows, max_rows,
+              top_key, top_key_rows
+       FROM stats, top"""
+
   val correlationsLineitemSql: String = {
     val selVars = corrVars
       .map { case (n, e) => s"$e AS $n" }.mkString(", ")

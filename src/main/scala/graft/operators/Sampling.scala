@@ -294,6 +294,77 @@ object Sampling {
         WHERE c1 // s > (c1 - w) // s
         ORDER BY doc_id"""
 
+  /** Deterministic NEGATIVE sampling for contrastive training
+    * (anchor, negative) pairs — embedding models need k random
+    * non-matching partners per anchor, and the naive spelling is a
+    * cross join plus an RNG (quadratic AND unreproducible). Here:
+    * every doc lands in one of 1000 md5 buckets; the per-bucket MIN
+    * doc id forms a 1000-row representative map that BROADCASTS; each
+    * anchor derives k target buckets by hashing (anchor, j) and joins
+    * the map — O(k·|docs|) work, zero corpus self-join, and the
+    * entire draw replays bit-for-bit on any engine (same md5 device
+    * as [[bucket]]). A draw that lands on the anchor itself is
+    * deterministically skipped (dropped, not re-rolled — both engines
+    * agree). Negatives are hash-uniform over bucket representatives,
+    * the standard in-batch/hash-negative compromise: not uniform over
+    * docs, but reproducible and collision-audited, which is what a
+    * training pipeline actually needs.
+    */
+  def sampleNegatives(df: DataFrame, k: Int = 4,
+      salt: String = "neg"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // occupied buckets only — then DENSIFIED over the full 0..999
+    // domain by backward fill (a target bucket with no doc takes the
+    // nearest occupied bucket below it, wrapping at the bottom), so
+    // every draw resolves regardless of corpus size. Both frames are
+    // domain-sized (≤1000 rows): the non-equi fill join never sees
+    // corpus scale, and the dense map is what broadcasts.
+    val occ = df.groupBy(bucket($"doc_id", salt).as("ob"))
+      .agg(min($"doc_id").as("o_neg"))
+    val wrap = occ.orderBy($"ob".desc).limit(1)
+      .select($"o_neg".as("wrap_rep"))
+    val dense = spark.range(1000).toDF("b")
+      .join(broadcast(occ), $"ob" <= $"b", "left")
+      .groupBy($"b").agg(max_by($"o_neg", $"ob").as("le_rep"))
+      .crossJoin(broadcast(wrap))
+      .select($"b", coalesce($"le_rep", $"wrap_rep").as("neg_id"))
+    df.select($"doc_id".as("anchor_id"),
+        explode(expr(s"sequence(1, $k)")).as("j"))
+      .withColumn("tb",
+        bucket(concat($"anchor_id".cast("string"), lit("#"), $"j"), salt))
+      .join(broadcast(dense), $"tb" === $"b")
+      .filter($"neg_id" =!= $"anchor_id")
+      .select($"anchor_id", $"j".cast("long").as("j"), $"neg_id")
+      .orderBy($"anchor_id", $"j")
+  }
+
+  /** Gate: 4 negatives per document. */
+  def sampleNegativesDocs(spark: SparkSession, dir: String): DataFrame =
+    sampleNegatives(Tables.documents(spark, dir))
+
+  val sampleNegativesDocsSql: String = {
+    val bucketDoc = bucketSql("doc_id", "neg")
+    val bucketTarget = bucketSql("(a.doc_id::VARCHAR || '#' || j.j::VARCHAR)", "neg")
+    s"""WITH occ AS (
+          SELECT $bucketDoc AS ob, CAST(min(doc_id) AS BIGINT) AS o_neg
+          FROM documents GROUP BY 1),
+        dense AS (
+          SELECT t.t AS b, coalesce(
+            (SELECT o.o_neg FROM occ o WHERE o.ob <= t.t
+             ORDER BY o.ob DESC LIMIT 1),
+            (SELECT o.o_neg FROM occ o ORDER BY o.ob DESC LIMIT 1)) AS neg_id
+          FROM range(1000) t(t)),
+        anchors AS (
+          SELECT a.doc_id AS anchor_id, CAST(j.j AS BIGINT) AS j,
+                 $bucketTarget AS tb
+          FROM documents a, range(1, 5) j(j))
+        SELECT anchor_id, j, neg_id
+        FROM anchors JOIN dense ON tb = b
+        WHERE neg_id <> anchor_id
+        ORDER BY anchor_id, j"""
+  }
+
   /** Rate-based approximate budget cap — the zero-shuffle sibling of
     * [[capTokensPerSource]] for when even banded exact admission is
     * more coordination than the job needs: per-source keep rates

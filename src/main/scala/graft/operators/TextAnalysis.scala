@@ -381,4 +381,46 @@ object TextAnalysis {
          round(CAST(n_digit AS DOUBLE)
                / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS digit_ratio
        FROM c"""
+
+  /** #37i BPE merge-candidate mining — the first step of byte-pair-
+    * encoding vocabulary induction (Sennrich et al. 2016): the
+    * corpus-wide frequency of every ADJACENT symbol pair inside
+    * words, top-k; the highest pair is the next BPE merge. The scale
+    * device is the real tokenizer-training trick: collapse the
+    * corpus to the (word, count) VOCABULARY frame first (one
+    * map-side-partial aggregate — corpus text is touched exactly
+    * once), then enumerate character pairs over vocabulary entries
+    * weighted by word count — pair work is O(Σ|distinct word|), not
+    * O(corpus), which is why real BPE trainers run on word counts.
+    * Pair generation is a codegen `transform(sequence)`, no UDF.
+    */
+  def bpePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(trim($"text"), " +")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    words.filter(length($"w") >= 2)
+      .select($"f", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"f").as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(topK)
+  }
+
+  /** Oracle: same vocabulary collapse, same pair enumeration. */
+  val bpePairsSql: String =
+    """WITH toks AS (
+         SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+         FROM documents),
+       words AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS f
+         FROM toks WHERE length(w) > 0 GROUP BY w),
+       pairs AS (
+         SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, f
+         FROM words WHERE length(w) >= 2)
+       SELECT pair, CAST(sum(f) AS BIGINT) AS freq
+       FROM pairs GROUP BY pair
+       ORDER BY freq DESC, pair LIMIT 50"""
 }

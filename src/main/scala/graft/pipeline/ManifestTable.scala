@@ -466,35 +466,13 @@ class ManifestTable(spark: SparkSession, root: String) {
     } finally out.close()
   }
 
-  /** Driver-side probe positions — mirrors [[stageBloom]] exactly. */
-  private def bloomPositions(value: Long, m: Long): Seq[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val h1 = XXH64.hashLong(value, 42L)
-    val h2 = XXH64.hashLong(h1, 42L)
-    val p1 = Math.floorMod(h1, m)
-    val p2 = Math.floorMod(h2, m - 1) + 1
-    (0 until BloomK).map(i => ((p1 + i * p2) % m).toInt)
-  }
 
   /** False = the segment definitely does NOT contain `value` in `c`.
     * A segment without a sidecar for `c` always might.
     */
-  def bloomMightContain(seg: Segment, c: String, value: Long): Boolean = {
-    val f = bloomFile(seg.dir, c)
-    if (!fs.exists(f)) return true
-    val in = fs.open(f)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toByteArray
-    } finally in.close()
-    val m = java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
-    val bits = java.util.BitSet.valueOf(
-      java.util.Arrays.copyOfRange(bytes, 8, bytes.length))
-    bloomPositions(value, m).forall(bits.get)
-  }
+  def bloomMightContain(seg: Segment, c: String, value: Long): Boolean =
+    ManifestTable.probeSidecar(seg.dir.toString, c, value, BloomK,
+      spark.sparkContext.hadoopConfiguration)
 
   /** The live segments a point lookup must scan: zone-map overlap AND
     * Bloom possibly-contains — exposed so callers/specs can measure
@@ -507,6 +485,39 @@ class ManifestTable(spark: SparkSession, root: String) {
       s.stats.get(c).forall { case (mn, mx) => value >= mn && value <= mx } &&
         bloomMightContain(s, c, value)
     }
+  }
+
+  /** Executor-side Bloom probe for the 10⁴⁺-segment regime:
+    * [[pointCandidates]] opens every sidecar sequentially on the
+    * driver — fine to a few thousand segments, a serial metadata
+    * bottleneck past that. Here the zone-map prefilter still runs
+    * driver-side (pure in-memory manifest stats), then the surviving
+    * segment PATHS are parallelized and each task opens + probes its
+    * own sidecars where the data is — the probe becomes a metadata
+    * job whose wall is max(segments/parallelism · per-probe IO), not
+    * the serial sum. Identical arithmetic (the probe helper is the
+    * same static function), so the candidate set is identical by
+    * construction; the spec pins it.
+    */
+  def pointCandidatesDistributed(c: String, value: Long,
+      parallelism: Int = 64): Seq[Segment] = {
+    val (_, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val zoneHit = segs.filter(_.stats.get(c).forall {
+      case (mn, mx) => value >= mn && value <= mx })
+    if (zoneHit.isEmpty) return Nil
+    // Configuration is a Writable — SerializableWritable ships it to
+    // tasks so executor-side FileSystem resolution matches the driver
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val colName = c
+    val k = BloomK
+    val hit = spark.sparkContext
+      .parallelize(zoneHit.map(_.dir.toString),
+        math.max(1, math.min(parallelism, zoneHit.size)))
+      .filter(p => ManifestTable.probeSidecar(p, colName, value, k, confW.value))
+      .collect().toSet
+    zoneHit.filter(s => hit.contains(s.dir.toString))
   }
 
   /** Point-lookup read: scan only [[pointCandidates]], then apply the
@@ -673,12 +684,15 @@ class ManifestTable(spark: SparkSession, root: String) {
     * immutable history for both). Isolation of DELETION is
     * one-directional by construction: the branch's [[vacuum]] lists
     * only its own root, so it can never reclaim shared source
-    * segments; the SOURCE's vacuum is branch-unaware, so the branch
-    * contract is the standard retention pin — keep the branched-from
-    * version inside the source's vacuum keep-window for as long as
-    * the branch lives (cross-table GC refs are real lakehouse
-    * catalogs' job, out of a pointer-manifest's scope and documented
-    * rather than half-built).
+    * segments; the SOURCE's vacuum is branch-AWARE via a `_ref.*`
+    * marker this call registers in the source root — vacuum retains
+    * any source segment a registered branch's retained manifests
+    * still reference, and reclaims both the marker and the pinned
+    * segments once the branch root is gone (or [[dropBranchRef]]'d).
+    * The refcount is one level deep: a branch-of-a-branch is pinned
+    * through its parent for as long as the parent retains the shared
+    * version — the chain holds while each link does, the standard
+    * catalog contract.
     */
   def branchTo(branchRoot: String, v: Long): ManifestTable = {
     val segs = segments(v).getOrElse(throw new java.io.FileNotFoundException(
@@ -686,8 +700,40 @@ class ManifestTable(spark: SparkSession, root: String) {
     val br = new ManifestTable(spark, branchRoot)
     require(br.currentVersion.isEmpty,
       s"branch root $branchRoot already has history")
+    // marker BEFORE the branch commit: a crash between the two leaves
+    // a stale marker (reclaimed by the next vacuum — the branch root
+    // has no committed history), never an unpinned live branch
+    val marker = new Path(rootPath,
+      s"_ref.${java.util.UUID.randomUUID.toString.take(8)}")
+    val mout = fs.create(marker, false)
+    try mout.write(branchRoot.getBytes(UTF_8)) finally mout.close()
     br.commit(1L, segs.map(s => br.Segment(s.dir, s.stats)), ownStaged = Nil)
     br
+  }
+
+  /** The registered cross-table branch references: (marker, branch
+    * root) pairs.
+    */
+  private def refMarkers: Seq[(Path, String)] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_ref."))
+      .map { p =>
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        (p, s)
+      }
+
+  /** Unregister a branch explicitly (after promoting or abandoning
+    * it) so its pin stops retaining source segments. Markers whose
+    * branch root no longer has committed history are also reclaimed
+    * automatically by [[vacuum]]. Returns markers removed.
+    */
+  def dropBranchRef(branchRoot: String): Int = {
+    val hit = refMarkers.filter(_._2 == branchRoot)
+    hit.foreach { case (m, _) => fs.delete(m, false) }
+    hit.size
   }
 
   /** Append-only MERGE of a branch's divergent work back into this
@@ -742,8 +788,24 @@ class ManifestTable(spark: SparkSession, root: String) {
     val all = committedVersions.sorted
     val drop = all.dropRight(keep).filter(_ < cur)
     drop.foreach(v => fs.delete(manifest(v), false))
-    val referenced = (all.toSet -- drop)
+    val ownReferenced = (all.toSet -- drop)
       .flatMap(v => segments(v).getOrElse(Nil).map(_.dir.getName))
+    // cross-table refcount: a segment under THIS root that a
+    // registered branch's retained manifests still reference survives
+    // — the branch pin [[branchTo]] promises. A marker whose branch
+    // root has no committed history is an orphan (branch deleted, or
+    // a crashed branchTo) and is reclaimed here, un-pinning with it.
+    val branchPinned = refMarkers.flatMap { case (marker, brRoot) =>
+      val br = new ManifestTable(spark, brRoot)
+      val brVersions = br.committedVersions
+      if (brVersions.isEmpty) { fs.delete(marker, false); Nil }
+      else brVersions.flatMap(v => br.manifestLines(v).getOrElse(Nil))
+        .filterNot(_.startsWith("#"))
+        .map(l => new Path(l.split('|').head))
+        .filter(_.getParent == rootPath)
+        .map(_.getName)
+    }.toSet
+    val referenced = ownReferenced ++ branchPinned
     fs.listStatus(rootPath).foreach { st =>
       st.getPath.getName match {
         case DataDirName(d) if d.toLong < cur &&
@@ -753,5 +815,48 @@ class ManifestTable(spark: SparkSession, root: String) {
       }
     }
     drop.size
+  }
+}
+
+/** Static (executor-safe) pieces of the Bloom probe path: no
+  * reference to a table instance or a SparkSession, so tasks can run
+  * them without closure-capturing the driver-side object.
+  */
+object ManifestTable {
+
+  /** k probe positions via Kirsch–Mitzenmacher double hashing off
+    * Spark's seed-42 XXH64 — the arithmetic [[ManifestTable.stageBloom]]
+    * runs as column expressions, replayed bit-for-bit.
+    */
+  private[graft] def bloomPositions(value: Long, m: Long, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h1 = XXH64.hashLong(value, 42L)
+    val h2 = XXH64.hashLong(h1, 42L)
+    val p1 = Math.floorMod(h1, m)
+    val p2 = Math.floorMod(h2, m - 1) + 1
+    (0 until k).map(i => ((p1 + i * p2) % m).toInt)
+  }
+
+  /** True = the segment MIGHT contain `value` (missing/empty sidecar
+    * included — skipping is an optimization, never a filter).
+    */
+  private[graft] def probeSidecar(segDir: String, c: String, value: Long,
+      k: Int, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val f = new Path(segDir, s"_bloom.$c")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) return true
+    val in = fs.open(f)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    if (bytes.length < 8) return true
+    val m = java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
+    val bits = java.util.BitSet.valueOf(
+      java.util.Arrays.copyOfRange(bytes, 8, bytes.length))
+    bloomPositions(value, m, k).forall(bits.get)
   }
 }

@@ -152,6 +152,32 @@ object EventStream {
       .select($"l_id", $"r_id", $"user_id", $"l_ts", $"r_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: same key + time-bound
+    * condition as [[streamStreamJoin]], but a left event with NO
+    * in-window right match is still emitted (null right columns) —
+    * and only once the watermark has passed its window end, when the
+    * engine can PROVE no match can arrive (Structured Streaming's
+    * outer-join null emission is watermark-driven, which is why both
+    * the watermarks and the time-bound are mandatory here, not just
+    * state hygiene). The "did this signup get an error within 30
+    * minutes — including the happy path that got none" shape that an
+    * inner join cannot express on a stream.
+    */
+  def streamStreamJoinLeftOuter(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import left.sparkSession.implicits._
+    val l = left.withWatermark("ts", watermark)
+      .select($"event_id".as("l_id"), $"user_id", $"ts".as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select($"event_id".as("r_id"), $"user_id".as("r_user"), $"ts".as("r_ts"))
+    l.join(r,
+      $"user_id" === $"r_user" &&
+        $"r_ts" >= $"l_ts" &&
+        $"r_ts" <= $"l_ts" + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select($"l_id", $"r_id", $"user_id", $"l_ts", $"r_ts")
+  }
+
   /** Stream-static dimension enrichment: the streaming fact side
     * LEFT-joined to a batch dimension table. Stateless by
     * construction — Structured Streaming re-plans the static side

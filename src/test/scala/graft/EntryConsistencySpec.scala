@@ -12,7 +12,14 @@ class EntryConsistencySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
-    assert((q -- o).isEmpty, s"gates without an oracle: ${(q -- o).toSeq.sorted}")
+    // the ONLY gates allowed to lack an oracle are the explicitly
+    // declared rows-only set (approximations that cannot hash-match);
+    // anything else missing is a typo'd key = a silent downgrade
+    assert((q -- o) == SparkEntry.rowsOnly,
+      s"gates without an oracle beyond the declared rows-only set: " +
+        s"${(q -- o -- SparkEntry.rowsOnly).toSeq.sorted}; " +
+        s"stale rowsOnly entries: ${(SparkEntry.rowsOnly -- (q -- o)).toSeq.sorted}")
+    assert(SparkEntry.rowsOnly.subsetOf(q))
   }
 
   test("flagship entry returns rows (the driver's smoke check)") {

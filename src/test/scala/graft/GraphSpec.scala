@@ -367,4 +367,69 @@ class GraphSpec extends SparkSpec {
     assert(hit >= exact.length * 3 / 10,
       s"sketch recall collapsed: $hit of ${exact.length} exact top-20 pairs")
   }
+
+  test("personalized PageRank equals a sequential integer re-derivation; mass stays near the seed") {
+    import spark.implicits._
+    // two communities bridged by one edge; seed (node 5, via mod 5)
+    // sits in the left one — right-community nodes must rank below
+    // every left node reachable in few hops
+    val und = Seq((5L, 1L), (5L, 2L), (1L, 2L), (2L, 3L), // left, seeded at 5
+      (3L, 11L), // bridge
+      (11L, 12L), (12L, 13L), (11L, 13L)) // right
+    val edges = bothDirs(und)
+    val got = Graph.personalizedPageRankOf(
+        toEdgeDf(und), seedMod = 5L, iters = 5, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = adj.keys.map(n => n -> (if (n % 5 == 0) 1000000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((src, outs) <- adj; c = rank(src) / outs.length; dst <- outs)
+        contrib(dst) += c
+      rank = adj.keys.map(n =>
+        n -> ((if (n % 5 == 0) 150000L else 0L) + 850L * contrib(n) / 1000L))
+        .toMap
+    }
+    val expected = rank.filter(_._2 > 0)
+    assert(got == expected, s"spark=$got sequential=$expected")
+    // personalization: the seed's direct neighbors outrank the far community
+    assert(got(1L) > got(12L) && got(2L) > got(13L), s"mass drifted: $got")
+  }
+
+  /** Brute k-core peeling: repeatedly recompute induced degrees and
+    * drop nodes below k, `rounds` times; census per round.
+    */
+  private def brutePeel(und: Seq[(Long, Long)], k: Long, rounds: Int)
+      : Seq[(Long, Long, Option[Long])] = {
+    val edges = bothDirs(und)
+    var nodes = edges.map(_._1).toSet
+    val out = Seq.newBuilder[(Long, Long, Option[Long])]
+    def census(r: Long) = out += ((r, nodes.size.toLong,
+      if (nodes.isEmpty) None else Some(nodes.sum)))
+    census(0L)
+    for (r <- 1 to rounds) {
+      val deg = edges.filter(e => nodes(e._1) && nodes(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      nodes = nodes.filter(n => deg.getOrElse(n, 0L) >= k)
+      census(r.toLong)
+    }
+    out.result()
+  }
+
+  test("k-core peeling equals brute force; peeling cascades (a chain unravels round by round)") {
+    import spark.implicits._
+    // K4 core (every induced degree 3) + a path tail 4-5-6-7: the
+    // tail unravels one node per round under k=2 — the cascade a
+    // single-pass degree filter would get wrong
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val got = Graph.kCoreOf(toEdgeDf(und), k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val exp = brutePeel(und, 2, 3)
+    assert(got == exp, s"spark=$got brute=$exp")
+    // the cascade really happened: strictly shrinking until the core
+    assert(got.map(_._2) == Seq(7L, 6L, 5L, 4L), s"got $got")
+  }
 }

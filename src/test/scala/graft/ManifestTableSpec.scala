@@ -361,4 +361,82 @@ class ManifestTableSpec extends SparkSpec {
     br3.deleteWhere(Seq(("id", 1.0, 3.0)))
     intercept[IllegalStateException] { src2.mergeAppendsFrom(br3) }
   }
+
+  test("refcount vacuum: neither vacuum order reclaims a branch-shared segment; a dead branch's pin is") {
+    import spark.implicits._
+    val src = freshTable()
+    val v1 = src.write((1 to 10).toDF("id"))
+    // full rewrite: v1's segment is no longer referenced by ANY live
+    // source version — before the refcount, src.vacuum(keep=1) would
+    // delete it out from under the branch
+    src.write((11 to 20).toDF("id"))
+    val brRoot =
+      java.nio.file.Files.createTempDirectory("manifest_rc").toString + "/b"
+    val br = src.branchTo(brRoot, v1)
+    src.vacuum(keep = 1)
+    assert(br.read().collect().map(_.getInt(0)).toSet == (1 to 10).toSet,
+      "source vacuum reclaimed a segment the branch still references")
+    assert(src.read().collect().map(_.getInt(0)).toSet == (11 to 20).toSet)
+    // the other order: branch vacuums first, then source again
+    br.vacuum(keep = 1)
+    src.vacuum(keep = 1)
+    assert(br.read().collect().map(_.getInt(0)).toSet == (1 to 10).toSet)
+    // branch deleted wholesale (no polite dropBranchRef): the next
+    // source vacuum reclaims BOTH the stale marker and the segment
+    val srcRoot = new org.apache.hadoop.fs.Path(
+      src.read().inputFiles.head).getParent.getParent
+    val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(brRoot), true)
+    src.vacuum(keep = 1)
+    val leftover = fs.listStatus(srcRoot).map(_.getPath.getName)
+    assert(!leftover.exists(_.startsWith("_ref.")),
+      s"stale branch marker survived: ${leftover.toSeq}")
+    assert(!leftover.exists(_.startsWith("v00000001")),
+      s"dead branch's pinned segment not reclaimed: ${leftover.toSeq}")
+    assert(src.read().collect().map(_.getInt(0)).toSet == (11 to 20).toSet)
+    // explicit unref works too
+    val br2Root = brRoot + "2"
+    src.branchTo(br2Root, src.currentVersion.get)
+    assert(src.dropBranchRef(br2Root) == 1)
+  }
+
+  test("distributed bloom probe ≡ driver-side probe on a 10k-segment synthetic manifest") {
+    // the 10⁵-segment regime: pointCandidates opens sidecars serially
+    // on the driver; pointCandidatesDistributed must produce the
+    // IDENTICAL candidate set from executor-side probes. Segments are
+    // synthetic (dir + sidecar only — the probe path never opens
+    // parquet), each containing exactly key i.
+    val root = java.nio.file.Files.createTempDirectory("manifest_blm")
+      .toString + "/t"
+    val t = new ManifestTable(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = 16381L
+    val n = 10000
+    val segs = (0 until n).map { i =>
+      val dir = new org.apache.hadoop.fs.Path(rootPath, f"v00000001-syn$i%05d")
+      fs.mkdirs(dir)
+      val bits = new java.util.BitSet(m.toInt)
+      ManifestTable.bloomPositions(i.toLong, m, 7).foreach(bits.set)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_bloom.k"), true)
+      try {
+        out.write(java.nio.ByteBuffer.allocate(8).putLong(m).array())
+        out.write(bits.toByteArray)
+      } finally out.close()
+      t.Segment(dir, Map.empty)
+    }
+    t.commit(1L, segs, ownStaged = Nil)
+    val t0 = System.nanoTime()
+    val driver = t.pointCandidates("k", 4242L).map(_.dir.getName).toSet
+    val t1 = System.nanoTime()
+    val dist = t.pointCandidatesDistributed("k", 4242L)
+      .map(_.dir.getName).toSet
+    val t2 = System.nanoTime()
+    info(f"driver probe ${(t1 - t0) / 1e9}%.2fs, distributed ${(t2 - t1) / 1e9}%.2fs over $n segments")
+    assert(dist == driver, s"probe paths disagree: " +
+      s"dist-only=${(dist -- driver).take(3)} drv-only=${(driver -- dist).take(3)}")
+    // exactly segment 4242 plus (rare, deterministic) false positives
+    assert(dist.contains("v00000001-syn04242"))
+    assert(dist.size <= 5, s"FP rate collapsed: ${dist.size} of $n candidates")
+  }
 }

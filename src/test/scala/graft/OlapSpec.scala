@@ -426,4 +426,78 @@ class OlapSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
     got.values.foreach(r => assert(r >= -1.0 && r <= 1.0, s"r out of range: $r"))
   }
+
+  test("approx sketches (HLL distincts, approx percentiles) hold their 5% bound next to exact values") {
+    // the profile_approx gate is rows-only by declaration (an
+    // approximation can't hash-match an oracle) — the bound contract
+    // lives HERE: every metric row must carry within_bound = true,
+    // and the exact side must be genuinely exact (cross-checked)
+    import spark.implicits._
+    val rows = graft.operators.Profile.profileApprox(spark, SF)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 5, s"expected 5 metrics, got ${rows.toSeq}")
+    rows.foreach { case (m, a, e, ppm, ok) =>
+      assert(ok && ppm <= 50000L, s"$m broke its bound: approx=$a exact=$e err=$ppm ppm")
+    }
+    val byName = rows.map(r => r._1 -> r._3).toMap
+    val exactIds = Tables.documents(spark, SF).select($"doc_id").distinct().count()
+    assert(byName("hll_distinct_doc_id") == exactIds.toDouble,
+      "the 'exact' side of the gate must be exact")
+  }
+
+  test("banded cume_dist / percent_rank ≡ a sequential rank re-derivation (frequency-frame plan, no corpus window)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", $"lang", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length.toLong
+      rows.toSeq.map { case (id, lang, nc) =>
+        val le = rows.count(_._3 <= nc).toLong
+        val lt = rows.count(_._3 < nc).toLong
+        id -> ((lang, nc, le * 1000000L / n,
+          if (n == 1) 0L else lt * 1000000L / (n - 1)))
+      }
+    }.toMap
+    val got = graft.operators.Olap.cumeDistDocs(spark, SF)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected,
+      s"first diff: ${(got.toSet -- expected.toSet).take(2)} vs ${(expected.toSet -- got.toSet).take(2)}")
+    // plan shape: the only window runs over the (lang, n_chars)
+    // frequency frame — the corpus is never sorted whole
+    val plan = graft.operators.Olap.cumeDistDocs(spark, SF)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), "expected the frequency-frame window")
+  }
+
+  test("HLL sketch merge: per-group estimates AND the union-merged global all hold the 5% bound") {
+    import spark.implicits._
+    val rows = graft.operators.Profile.hllMergeRollup(spark, SF)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(4)))
+    assert(rows.exists(_._1 == "global(merged)"),
+      "the merge path itself must be in the output")
+    rows.foreach { case (scope, a, e, ok) =>
+      assert(ok, s"$scope broke the bound: approx=$a exact=$e") }
+    // merged-global exact = Σ per-lang exacts (doc_id partitions by lang)
+    val (per, glob) = rows.partition(_._1 != "global(merged)")
+    assert(per.map(_._3).sum == glob.head._3)
+  }
+
+  test("join-skew diagnostic: quantiles monotone, top key is the argmax, exact vs brute force") {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, SF).groupBy($"l_suppkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = graft.operators.Profile.joinSkew(spark, SF).head()
+    assert(r.getLong(0) == counts.length.toLong)
+    val (p50, p90, p99, mx) = (r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))
+    assert(r.getLong(1) <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    assert(mx == counts.map(_._2).max)
+    val expTop = counts.filter(_._2 == mx).map(_._1).min
+    assert(r.getLong(6) == expTop && r.getLong(7) == mx,
+      s"argmax tie-break: got (${r.getLong(6)}, ${r.getLong(7)})")
+  }
 }

@@ -317,4 +317,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.ppsSystematic(renamed, $"n_chars", n = 50L,
       key = $"unit_id").columns.toSeq == Seq("unit_id", "n_chars", "weight", "picks"))
   }
+
+  test("negative sampling: deterministic, self-free, ≤k per anchor, negatives are real docs, salt redraws") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF).select($"doc_id")
+    val ids = docs.collect().map(_.getLong(0)).toSet
+    val a = Sampling.sampleNegatives(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Sampling.sampleNegatives(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "draw must be reproducible")
+    assert(a.forall { case (anc, _, neg) => anc != neg }, "self-pair leaked")
+    assert(a.forall { case (_, _, neg) => ids.contains(neg) },
+      "negative is not a real doc")
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 4))
+    assert(perAnchor.values.sum > ids.size * 3,
+      "self-skip should drop only a sliver of draws")
+    // an independent salt draws a different set
+    val c = Sampling.sampleNegatives(docs, k = 4, salt = "neg2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(c != a, "salt must redraw")
+  }
 }

@@ -181,4 +181,26 @@ class SearchSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
     assert(!got.exists(_._1 == qid), "query doc must not rank itself")
   }
+
+  test("BPE pair mining equals a brute-force corpus fold; vocabulary collapse doesn't change counts") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, SF)
+      .select($"text").collect().map(_.getString(0))
+    val brute = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    texts.foreach { t =>
+      t.trim.split(" +").filter(_.nonEmpty).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          brute(w.substring(i, i + 2)) += 1L
+        }
+      }
+    }
+    val expected = brute.toSeq.sortBy { case (p, f) => (-f, p) }.take(50)
+    val got = graft.operators.TextAnalysis.bpePairs(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // the top pair really is the next BPE merge: strictly ranked
+    assert(got.head._2 >= got.last._2 && got.size == 50)
+  }
 }

@@ -192,6 +192,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (1L, 11L)), s"got $pairs")
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched lefts as nulls, watermark-proven") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lmem = MemoryStream[StreamEvent]
+    val rmem = MemoryStream[StreamEvent]
+    val q = EventStream.streamStreamJoinLeftOuter(lmem.toDF(), rmem.toDF(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData(Seq(
+        StreamEvent(1, ts(0), 7, "signup", 0.0),   // will match
+        StreamEvent(2, ts(0), 9, "signup", 0.0)))  // no error ever
+      rmem.addData(Seq(
+        StreamEvent(10, ts(10), 7, "error", 0.0),
+        StreamEvent(12, ts(45), 7, "error", 0.0))) // outside window
+      q.processAllAvailable()
+      // the unmatched left can only emit once BOTH watermarks prove
+      // no match can still arrive — push both far past ts(0)+30'+1h
+      lmem.addData(Seq(StreamEvent(-1, ts(600), -1, "x", 0.0)))
+      rmem.addData(Seq(StreamEvent(-2, ts(600), -2, "x", 0.0)))
+      q.processAllAvailable()
+      lmem.addData(Seq(StreamEvent(-3, ts(1200), -1, "x", 0.0)))
+      rmem.addData(Seq(StreamEvent(-4, ts(1200), -2, "x", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_outer")
+      .filter($"user_id" > 0)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows.contains((1L, Some(10L))), s"matched pair lost: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched left not emitted with nulls: $rows")
+    assert(!rows.contains((1L, Some(12L))), "out-of-window match leaked")
+  }
+
   test("stream-static dim enrichment ≡ batch join; facts without a dim row survive") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

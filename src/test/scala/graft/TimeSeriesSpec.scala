@@ -207,6 +207,41 @@ class TimeSeriesSpec extends SparkSpec {
       ("view", 2L, 17.0)), s"got ${got.toSeq}")
   }
 
+  test("linear attribution splits value in integer cents across all in-window touches; remainder truncates") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def tns(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u7: click + view in window, 10.01 → 500c each, 1c truncated
+      (1L, tns(0), 7L, "click", 1.0, "{}"),
+      (2L, tns(10), 7L, "view", 1.0, "{}"),
+      (3L, tns(20), 7L, "purchase", 10.01, "{}"),
+      // u8: touch outside 72h → direct keeps 2000c
+      (4L, tns(0), 8L, "click", 1.0, "{}"),
+      (5L, tns(4321), 8L, "purchase", 20.0, "{}"),
+      // u9: no touches → direct 500c
+      (6L, tns(0), 9L, "purchase", 5.0, "{}"),
+      // u12: two clicks + one view, 9.00 → click 600c, view 300c
+      (7L, tns(0), 12L, "click", 1.0, "{}"),
+      (8L, tns(5), 12L, "click", 1.0, "{}"),
+      (9L, tns(10), 12L, "view", 1.0, "{}"),
+      (10L, tns(15), 12L, "purchase", 9.0, "{}"),
+      // u13: 3 clicks over 1.00 → the channel takes (100·3) div 3 = 100
+      (11L, tns(0), 13L, "click", 1.0, "{}"),
+      (12L, tns(1), 13L, "click", 1.0, "{}"),
+      (13L, tns(2), 13L, "click", 1.0, "{}"),
+      (14L, tns(3), 13L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("attr_lin").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.attributionLinear(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // click: touches 1+2+3 = 6 (u7, u12, u13), credit 500+600+100;
+    // view: 500 (u7: 1001c div 2 — the odd cent truncates) + 300 (u12)
+    assert(got == Seq(("click", 6L, 1200L), ("direct", 0L, 2500L),
+      ("view", 2L, 800L)), s"got $got")
+  }
+
   test("sliding DAU equals a scala trailing-24h distinct re-derivation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
