@@ -654,6 +654,61 @@ object Analytics {
                CAST(sum(credit) AS BIGINT) AS credit_cents
         FROM cred GROUP BY 1 ORDER BY 1"""
 
+  /** Time-to-convert distribution — the product-analytics companion
+    * of the funnel: per user, first signup → first SUBSEQUENT
+    * purchase latency, summarized as exact integer-second
+    * percentiles. Two tiny aggregations (per-user firsts) + one
+    * conditional-min join; percentiles via PERCENTILE_DISC over the
+    * converted-users frame, everything integer µs→s so the single
+    * output row is hash-exact. The latency column is first-to-first,
+    * the standard activation-metric definition.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type")
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val firstPurchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val latency = signups
+      .join(firstPurchase, $"user_id" === $"p_user" && $"p_ts" >= $"signup_ts")
+      .groupBy($"user_id")
+      .agg(expr("min(unix_micros(p_ts) - unix_micros(signup_ts)) div 1000000")
+        .as("lat_s"))
+    latency.agg(
+        count(lit(1)).as("n_converted"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s) AS BIGINT)")
+          .as("p50_s"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s) AS BIGINT)")
+          .as("p90_s"),
+        max($"lat_s").as("max_s"))
+      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signup_users"))))
+  }
+
+  val timeToConvertSql: String =
+    """WITH ev AS (
+         SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type
+         FROM events),
+       s AS (SELECT user_id, min(ts) AS signup_ts
+             FROM ev WHERE event_type = 'signup' GROUP BY 1),
+       lat AS (
+         SELECT s.user_id,
+                CAST(min(epoch_us(p.ts) - epoch_us(s.signup_ts)) // 1000000
+                     AS BIGINT) AS lat_s
+         FROM s JOIN ev p
+           ON p.user_id = s.user_id AND p.event_type = 'purchase'
+          AND p.ts >= s.signup_ts
+         GROUP BY s.user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s) AS BIGINT)
+                AS p50_s,
+              CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s) AS BIGINT)
+                AS p90_s,
+              max(lat_s) AS max_s,
+              (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup_users
+       FROM lat"""
+
   /** Exact `NTILE(k)` over a global (metric, tie) order WITHOUT the
     * all-to-one window `ntile().over(Window.orderBy(...))` plans — the
     * [[SurrogateKey.orderedScalable]] / banded-cumsum device applied

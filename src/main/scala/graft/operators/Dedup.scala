@@ -397,4 +397,54 @@ object Dedup {
           UNION
           SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id)
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+
+  /** Canonical-survivor selection — the step AFTER near-dup detection
+    * that actually builds the training set: per near-dup cluster keep
+    * exactly one representative (longest text wins, doc_id breaks
+    * ties), every unclustered doc keeps itself. Composes
+    * [[ngramJaccardClusters]] with a per-cluster argmax: the ranking
+    * window partitions by cluster_id (cluster-sized frames across
+    * many keys — the scalable window shape), and the final verdict is
+    * one left join back to the corpus. Output carries the full corpus
+    * with (cluster_id, kept), so the downstream filter `kept` is the
+    * dedup'd corpus and the dropped set is auditable — a dedup that
+    * silently deletes is a dedup nobody can debug at 100 TB.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val members = ngramJaccardClusters(spark, dir)
+      .join(graft.Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars"), "doc_id")
+    val ranked = members.withColumn("rk",
+      row_number().over(Window.partitionBy($"cluster_id")
+        .orderBy($"n_chars".desc, $"doc_id")))
+    graft.Tables.documents(spark, dir).select($"doc_id")
+      .join(ranked.select($"doc_id", $"cluster_id", ($"rk" === 1).as("is_best")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster_id",
+        coalesce($"is_best", lit(true)).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val canonicalDocsSql: String =
+    s"""WITH RECURSIVE $pairsCte,
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+        labels AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        ranked AS (
+          SELECT l.doc_id, l.cluster_id,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY d.n_chars DESC, l.doc_id) AS rk
+          FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+        SELECT d.doc_id, r.cluster_id,
+               coalesce(r.rk = 1, TRUE) AS kept
+        FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id"""
 }

@@ -160,6 +160,83 @@ object MultimodalCodec {
                    ELSE px.px_sum END AS px_sum
        FROM g JOIN px ON px.doc_id = g.doc_id"""
 
+  /** Average-hash (aHash) perceptual image fingerprint over the REAL
+    * decode path — the image-dedup primitive (near-identical images
+    * at different sizes collapse to the same or hamming-close hash):
+    * the decoded raster is point-sampled to an 8×8 grid
+    * (sx = x·w div 8, sy = y·h div 8 — integer nearest-neighbor, the
+    * [[Multimodal.resize]] mapping), and bit (y, x) is set when
+    * 64·sample > Σ samples (cross-multiplied — no fp mean). Emitted
+    * as a 64-char bit string, row-major, so any engine can compare /
+    * hamming it without signed-overflow games; corrupt payloads ride
+    * the same quarantine lane as [[decodeImages]]. The oracle
+    * re-derives every bit from the closed-form pixel function —
+    * agreement means the real codec + sampling produced exactly the
+    * intended grid.
+    */
+  def imagePHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(BATCH).flatMap(_.map { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.payload))
+          if (img == null) (m.doc_id, false, None: Option[String])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            val s = new Array[Int](64)
+            var sum = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val v = r.getSample(x * w / 8, y * h / 8, 0)
+                s(y * 8 + x) = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+            val bits = s.map(v => if (64L * v > sum) '1' else '0').mkString
+            (m.doc_id, true, Some(bits))
+          }
+        } catch { case _: java.io.IOException | _: RuntimeException =>
+          (m.doc_id, false, None: Option[String])
+        }
+      })
+    }.toDF("doc_id", "ok", "phash")
+  }
+
+  /** Gate: encode → real decode → aHash, quarantine included. */
+  def imagePHashGate(spark: SparkSession, dir: String): DataFrame =
+    imagePHash(imageTable(spark, dir))
+
+  /** Oracle: all 64 bits re-derived arithmetically from the pixel
+    * function — row-major string_agg over the 8×8 grid.
+    */
+  val imagePHashSql: String =
+    """WITH g AS (
+         SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         FROM documents),
+       cells AS (
+         SELECT g.doc_id, y.y, x.x,
+                (g.doc_id * 31 + ((x.x * g.w) // 8) * 7
+                 + ((y.y * g.h) // 8) * 13) % 256 AS v
+         FROM g, range(8) x(x), range(8) y(y)),
+       sums AS (
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY doc_id),
+       bits AS (
+         SELECT c.doc_id,
+                string_agg(CASE WHEN 64 * c.v > m.s THEN '1' ELSE '0' END, ''
+                           ORDER BY c.y, c.x) AS phash
+         FROM cells c JOIN sums m ON m.doc_id = c.doc_id
+         GROUP BY c.doc_id)
+       SELECT g.doc_id,
+              g.doc_id % 97 <> 0 AS ok,
+              CASE WHEN g.doc_id % 97 = 0 THEN NULL ELSE b.phash END AS phash
+       FROM g JOIN bits b ON b.doc_id = g.doc_id"""
+
   // ── WAV ──────────────────────────────────────────────────────────
 
   /** Sample plan as pure functions of doc_id: n ∈ [64, 192] PCM-16

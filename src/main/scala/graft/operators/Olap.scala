@@ -741,6 +741,54 @@ object Olap {
       .orderBy($"doc_id")
   }
 
+  /** Exact WEIGHTED median (the robust center when rows carry mass —
+    * here: median lineitem price per return flag, weighted by
+    * quantity, in integer cents). No built-in computes this in either
+    * engine; the portable spelling is the definition: collapse to the
+    * (group, value) frequency frame with summed weights (one
+    * map-side-partial aggregate — the corpus is touched once), then
+    * the lower weighted median is the smallest value whose cumulative
+    * weight w satisfies 2·w ≥ W — integer cross-multiplication, no
+    * halving division. Windows run over the value-domain frame only,
+    * the [[cumeDistDocs]] shape.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy($"flag", $"pc").agg(sum($"q").as("wv"))
+    val cum = Window.partitionBy($"flag").orderBy($"pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"flag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    freq
+      .withColumn("cumw", sum($"wv").over(cum))
+      .withColumn("wtot", sum($"wv").over(tot))
+      .filter($"cumw" * 2 >= $"wtot")
+      .groupBy($"flag")
+      .agg(max($"wtot").as("w_total"), min($"pc").as("wmedian_cents"))
+      .orderBy($"flag")
+  }
+
+  val weightedMedianPriceSql: String =
+    """WITH freq AS (
+         SELECT l_returnflag AS flag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+         FROM lineitem GROUP BY 1, 2),
+       c AS (
+         SELECT flag, pc,
+                CAST(sum(wv) OVER (PARTITION BY flag ORDER BY pc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cumw,
+                CAST(sum(wv) OVER (PARTITION BY flag) AS BIGINT) AS wtot
+         FROM freq)
+       SELECT flag, max(wtot) AS w_total, min(pc) AS wmedian_cents
+       FROM c WHERE cumw * 2 >= wtot
+       GROUP BY flag ORDER BY flag"""
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -33,6 +33,35 @@ class ClusterSpec extends SparkSpec {
     assert(badId == 0)
   }
 
+  test("canonical survivor: exactly one kept per cluster (longest text, id tie-break); unclustered keep themselves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit, max, sum => fsum, when}
+    val verdicts = Dedup.canonicalDocs(spark, SF)
+    val total = Tables.documents(spark, SF).count()
+    assert(verdicts.count() == total, "every doc must get a verdict")
+    // per cluster: exactly one kept
+    val perCluster = verdicts.filter($"cluster_id".isNotNull)
+      .groupBy($"cluster_id")
+      .agg(fsum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        fcount(lit(1)).as("n"))
+      .collect()
+    assert(perCluster.nonEmpty, "corpus must have near-dup clusters")
+    perCluster.foreach { r =>
+      assert(r.getLong(1) == 1L, s"cluster ${r.get(0)}: ${r.getLong(1)} kept") }
+    // unclustered docs are all kept
+    assert(verdicts.filter($"cluster_id".isNull && !$"kept").count() == 0)
+    // the kept member really is the argmax(n_chars, -doc_id)
+    val docs = Tables.documents(spark, SF).select($"doc_id", $"n_chars")
+    val best = verdicts.filter($"cluster_id".isNotNull).join(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .groupBy(_._2)
+    best.foreach { case (cid, members) =>
+      val winner = members.minBy(m => (-m._4, m._1))
+      members.foreach { m =>
+        assert(m._3 == (m == winner), s"cluster $cid: wrong survivor $m") }
+    }
+  }
+
   test("IVF top-k recall ≥ 0.6 at nprobe=4/16 over 20 queries (measured 0.85)") {
     val brute = operators.Similarity.bruteforceTopK(spark, SF, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

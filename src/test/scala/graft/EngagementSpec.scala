@@ -63,4 +63,25 @@ class EngagementSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.to_date($"ts")).distinct().count()
     assert(rows.length.toLong == nDays)
   }
+
+  test("time-to-convert ≡ a scala first-to-first re-derivation; percentiles exact") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SF)
+      .select($"user_id", $"ts", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val lat = signup.toSeq.flatMap { case (u, s) =>
+      val ps = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 >= s)
+      // ms-domain re-derivation: µs diffs are whole ms in this corpus
+      if (ps.isEmpty) None else Some((ps.map(_._2).min - s) / 1000)
+    }.sorted
+    assert(lat.nonEmpty, "corpus must convert somebody")
+    def disc(p: Double): Long = lat(math.ceil(p * lat.size).toInt - 1)
+    val r = graft.operators.Analytics.timeToConvert(spark, SF).head()
+    assert(r.getLong(0) == lat.size.toLong)
+    assert(r.getLong(1) == disc(0.5) && r.getLong(2) == disc(0.9))
+    assert(r.getLong(3) == lat.max)
+    assert(r.getLong(4) == signup.size.toLong)
+  }
 }

@@ -104,4 +104,26 @@ class MultimodalSpec extends SparkSpec {
     assert(gate.forall(r => r.getBoolean(1) == (r.getLong(0) % 101 != 0)))
     assert(gate.exists(!_.getBoolean(1)), "corpus must exercise quarantine")
   }
+
+  test("perceptual hash: identical pixels → identical hash regardless of id; corrupt quarantined; 64 bits") {
+    import graft.operators.{MediaRow, MultimodalCodec => C}
+    import spark.implicits._
+    // two rows with the SAME payload under different ids must collide
+    // (the content-addressing property image dedup rests on); a third
+    // with different pixels must not; corrupt → null
+    val png = C.encodePng(42L)
+    val media = Seq(
+      MediaRow(1L, "png", png, 0L),
+      MediaRow(2L, "png", png, 0L),
+      MediaRow(3L, "png", C.encodePng(43L), 0L),
+      MediaRow(4L, "png", png.take(16), 16L))
+    val out = C.imagePHash(spark.createDataset(media)(implicitly))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(out(1L)._2 == out(2L)._2, "same pixels must hash identically")
+    assert(out(1L)._2 != out(3L)._2, "different pixels must not collide here")
+    assert(out(1L)._2.get.length == 64 &&
+      out(1L)._2.get.forall(c => c == '0' || c == '1'))
+    assert(!out(4L)._1 && out(4L)._2.isEmpty)
+  }
 }

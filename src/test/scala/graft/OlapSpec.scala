@@ -500,4 +500,24 @@ class OlapSpec extends SparkSpec {
     assert(r.getLong(6) == expTop && r.getLong(7) == mx,
       s"argmax tie-break: got (${r.getLong(6)}, ${r.getLong(7)})")
   }
+
+  test("weighted median ≡ brute-force cumulative-mass re-derivation per group") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, SF)
+      .select($"l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      val byPrice = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = byPrice.map(_._2).sum
+      var c = 0L
+      val med = byPrice.find { case (_, w) => c += w; 2 * c >= total }.get._1
+      (total, med)
+    }.toMap
+    val got = graft.operators.Olap.weightedMedianPrice(spark, SF)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
