@@ -382,4 +382,46 @@ object Lake {
                          AS DOUBLE) / 100.0, 2) AS revenue
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY 1 ORDER BY 1"""
+
+  /** Gate-shaped VERSION DIFF — "what changed between v1 and v3": a
+    * three-version history (write ≤cut → append mid-band → deleteWhere
+    * a sub-box of v1's rows) is diffed by two anti-joins on the key:
+    * rows in v3 not in v1 tagged `added`, rows in v1 not in v3 tagged
+    * `removed`. This is the audit/CDC read a lakehouse must answer
+    * when the consumer can't subscribe incrementally ([[ManifestTable
+    * .readSince]] needs append-only history; the diff works across
+    * REWRITES, at two-snapshot-scan cost). The result is
+    * definitionally two band filters, so a plain oracle hash-gates
+    * the whole history: a delete that leaked into the wrong version,
+    * a carried-over segment double-read, or an anti-join slip all
+    * shift the diff.
+    */
+  def versionDiffRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_diff") + "/documents")
+    val v1 = t.write(docs.filter($"n_chars" <= cut), statCols = Seq("n_chars"))
+    t.append(docs.filter($"n_chars" > cut && $"n_chars" <= cut * 2),
+      statCols = Seq("n_chars"))
+    val v3 = t.deleteWhere(Seq(("n_chars", 0.0, (cut / 2).toDouble)))
+    val a = t.readVersion(v1).select($"doc_id", $"n_chars")
+    val b = t.readVersion(v3).select($"doc_id", $"n_chars")
+    b.join(a.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        a.join(b.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("change", lit("removed")))
+      .orderBy($"change", $"doc_id")
+  }
+
+  def versionDiffReadSql(cut: Long = 300): String =
+    s"""SELECT doc_id, n_chars, 'added' AS change FROM documents
+        WHERE n_chars > $cut AND n_chars <= ${cut * 2}
+        UNION ALL
+        SELECT doc_id, n_chars, 'removed' FROM documents
+        WHERE n_chars <= ${cut / 2}
+        ORDER BY change, doc_id"""
 }

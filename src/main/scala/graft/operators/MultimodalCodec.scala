@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{count, lit, min}
 
 /** Decoded image metadata/features; `ok = false` rows are the
   * quarantine lane (payload failed the codec), metrics null.
@@ -236,6 +237,62 @@ object MultimodalCodec {
               g.doc_id % 97 <> 0 AS ok,
               CASE WHEN g.doc_id % 97 = 0 THEN NULL ELSE b.phash END AS phash
        FROM g JOIN bits b ON b.doc_id = g.doc_id"""
+
+  /** Image corpus with DUPLICATE CONTENT built in: every run of 7 doc
+    * ids shares one pixel grid (seed = id div 7 · 7) — the shape a
+    * crawl actually produces (same image mirrored under many URLs).
+    */
+  def imageTableGrouped(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = encodePng(id / 7 * 7)
+        MediaRow(id, "png", payload, payload.length.toLong)
+      })
+  }
+
+  /** Gate: image dedup END-TO-END over the real codec — encode the
+    * duplicate-laden corpus, REAL-decode every payload, perceptual-
+    * hash the rasters, and group by hash: (hash, copy count, keeper =
+    * min id). The full image-dedup loop — ingest → decode → content
+    * fingerprint → exact hash-groupBy — with each stage the real
+    * implementation, and the oracle re-deriving the hashes
+    * arithmetically so a codec or sampling slip breaks the grouping.
+    * Cross-seed aHash collisions simply merge groups — identically in
+    * both engines — which is perceptual dedup's contract (hash
+    * equality, not provenance, defines a duplicate).
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imagePHash(imageTableGrouped(spark, dir))
+      .filter($"ok")
+      .groupBy($"phash")
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
+      .orderBy($"keeper")
+  }
+
+  val phashDedupSql: String =
+    """WITH g AS (
+         SELECT doc_id, (doc_id // 7) * 7 AS sid FROM documents),
+       geo AS (
+         SELECT doc_id, sid, 8 + sid % 9 AS w, 8 + sid % 7 AS h FROM g),
+       cells AS (
+         SELECT doc_id, y.y, x.x,
+                (sid * 31 + ((x.x * w) // 8) * 7 + ((y.y * h) // 8) * 13) % 256
+                  AS v
+         FROM geo, range(8) x(x), range(8) y(y)),
+       sums AS (
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY doc_id),
+       bits AS (
+         SELECT c.doc_id,
+                string_agg(CASE WHEN 64 * c.v > m.s THEN '1' ELSE '0' END, ''
+                           ORDER BY c.y, c.x) AS phash
+         FROM cells c JOIN sums m ON m.doc_id = c.doc_id
+         GROUP BY c.doc_id)
+       SELECT phash, CAST(count(*) AS BIGINT) AS n_copies,
+              CAST(min(doc_id) AS BIGINT) AS keeper
+       FROM bits GROUP BY phash
+       ORDER BY keeper"""
 
   // ── WAV ──────────────────────────────────────────────────────────
 

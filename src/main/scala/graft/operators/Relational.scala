@@ -76,6 +76,67 @@ object Relational {
        ORDER BY revenue DESC, l_orderkey
        LIMIT 10"""
 
+  /** TPC-H Q5 shape — local-supplier volume: revenue per nation for
+    * orders where the CUSTOMER and the SUPPLIER sit in the same
+    * nation of one region, one order-date year. The classic
+    * multi-join planning exercise: two fact tables (lineitem,
+    * orders) join on their keys; the four dimensions
+    * (customer/supplier/nation/region) are broadcast — region prunes
+    * nation, nation prunes both halves of the c_nationkey =
+    * s_nationkey equi-condition, so the only shuffles are the
+    * fact-fact join and the final 5-row aggregate. Revenue is held
+    * exact: cents × (10⁴ − discount-bp) summed as BIGINT (a double
+    * Σ price·(1−disc) is merge-order-dependent — fine for a
+    * benchmark, fatal for a cross-engine hash gate); headroom to
+    * ~10¹⁸ covers 10⁷ rows/nation at max price, and past that the
+    * same expression widens to decimal(38,0).
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String,
+      region: String = "ASIA"): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter($"r_name" === region)), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_nationkey".as("c_nat"), $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("db"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" === $"c_nat")
+      .groupBy($"n_name")
+      .agg(sum(expr("pc * (10000L - db)")).as("revenue_i"))
+      .orderBy($"revenue_i".desc, $"n_name")
+  }
+
+  def q5RegionRevenueSql(region: String = "ASIA"): String =
+    s"""SELECT n_name,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+               AS BIGINT) AS revenue_i
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '$region'
+          AND s_nationkey = c_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_i DESC, n_name"""
+
   /** Running per-supplier revenue ordered by ship date (window agg).
     * Partitioned by supplier — parallel across the shuffle, no
     * global sort.

@@ -493,6 +493,49 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("stream → versioned table → incremental MV: the full streaming-lakehouse loop stays ≡ recompute") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.pipeline.{ManifestTable, MaterializedAgg}
+    // the integration the pieces exist for: micro-batches land as
+    // atomic ManifestTable versions (effectively-once via batch ids),
+    // and the MV refreshes INCREMENTALLY after each — first build
+    // full, every subsequent batch a delta fold, state ≡ a fresh
+    // aggregate over everything fed so far at every step
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq.sortBy(_.event_id)
+    val (batch1, batch2) = rows.splitAt(rows.size / 2)
+    val root = java.nio.file.Files.createTempDirectory("stream_mv").toString
+    val table = new ManifestTable(spark, root + "/t")
+    val mv = new MaterializedAgg(table, new ManifestTable(spark, root + "/mv"),
+      groupCols = Seq("event_type"), sumCols = Seq("user_id"))
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[StreamEvent]
+    val q = mem.toDF()
+      .writeStream.option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(b, Some(id))
+        modes += mv.refresh()
+        ()
+      }.start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    assert(modes.toSeq == Seq("full", "delta"), s"modes: $modes")
+    val got = mv.read().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Tables.events(spark, SF)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum($"user_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"mv-only=${(got.toSet -- expected.toSet).take(3)} batch-only=${(expected.toSet -- got.toSet).take(3)}")
+  }
+
   test("sliding DAU dedup state is EVICTED once the watermark passes (not just correct output)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
