@@ -567,4 +567,122 @@ object Events {
        SELECT h, n, shx - (h - 24) * sx AS wma_num,
               round(CAST(shx - (h - 24) * sx AS DOUBLE) / 300.0, 4) AS wma
        FROM w WHERE nw = 24"""
+
+  /** Gaps-and-islands: each user's LONGEST consecutive-active-day
+    * streak (the engagement metric tumbling windows can't express —
+    * a streak has no fixed boundary). The classic device, kept
+    * scale-right: the corpus collapses to the distinct (user, day)
+    * frame first, `day − row_number()` within each user is constant
+    * exactly along a consecutive run (so one groupBy materializes
+    * the runs), and the per-user argmax takes longest-then-earliest
+    * via one lexicographic struct max. Windows partition by user over
+    * that user's ACTIVE-DAY frame — thousands of parallel small
+    * frames, never a global sort.
+    */
+  def activeStreaks(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val runs = days
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+    runs
+      .groupBy($"user_id")
+      .agg(max(struct($"len".as("l"), (-$"start_day").as("ns"))).as("b"))
+      .select($"user_id", $"b.l".as("streak_days"),
+        (-$"b.ns").as("start_day"))
+      .orderBy($"streak_days".desc, $"user_id")
+      .limit(topK)
+  }
+
+  val activeStreaksSql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id,
+                epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+         FROM events),
+       g AS (
+         SELECT user_id, day,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS grp
+         FROM days),
+       runs AS (
+         SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                CAST(min(day) AS BIGINT) AS start_day
+         FROM g GROUP BY 1, 2),
+       best AS (
+         SELECT user_id, len, start_day,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, start_day) AS rk
+         FROM runs)
+       SELECT user_id, len AS streak_days, start_day
+       FROM best WHERE rk = 1
+       ORDER BY streak_days DESC, user_id LIMIT 20"""
+
+  /** Interval union (merge-overlapping): each event opens a
+    * 30-minute presence interval; overlapping/touching intervals per
+    * user merge, and the answer is per-user (merged interval count,
+    * covered seconds) — the "how long was the user actually here"
+    * question raw durations double-count. Same islands device as
+    * [[activeStreaks]] at µs precision: a new island starts where an
+    * interval's start clears the running max of all previous ends
+    * (that max rides a rows-frame window over the user's distinct
+    * event times), island id is the running sum of start flags, and
+    * the merged spans are one groupBy. Everything integer µs;
+    * covered_s = Σ(end−start) div 10⁶.
+    */
+  def intervalMerge(spark: SparkSession, dir: String,
+      windowMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val spanUs = windowMinutes * 60L * 1000000L
+    val pts = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts)").as("s"))
+      .distinct()
+    val order = Window.partitionBy($"user_id").orderBy($"s")
+    val prevEnds = order.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = pts
+      .withColumn("e", $"s" + spanUs)
+      .withColumn("nw",
+        when($"s" > coalesce(max($"e").over(prevEnds), lit(Long.MinValue)),
+          1L).otherwise(0L))
+      .withColumn("island", sum($"nw").over(upToHere))
+      .groupBy($"user_id", $"island")
+      .agg(min($"s").as("st"), max($"e").as("en"))
+    islands.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        expr("CAST(sum(en - st) div 1000000 AS BIGINT)").as("covered_s"))
+      .orderBy($"user_id")
+  }
+
+  def intervalMergeSql(windowMinutes: Int = 30): String = {
+    val spanUs = windowMinutes * 60L * 1000000L
+    s"""WITH pts AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(date_trunc('microseconds', ts)) AS s
+          FROM events),
+        w AS (
+          SELECT user_id, s, s + $spanUs AS e,
+                 CASE WHEN s > coalesce(
+                        max(s + $spanUs) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                      THEN 1 ELSE 0 END AS nw
+          FROM pts),
+        isl AS (
+          SELECT user_id, s, e,
+                 sum(nw) OVER (PARTITION BY user_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM w),
+        m AS (
+          SELECT user_id, island, min(s) AS st, max(e) AS en
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(en - st) // 1000000 AS BIGINT) AS covered_s
+        FROM m GROUP BY user_id ORDER BY user_id"""
+  }
 }

@@ -242,6 +242,56 @@ class TimeSeriesSpec extends SparkSpec {
       ("view", 2L, 800L)), s"got $got")
   }
 
+  test("longest streak: gaps-and-islands on a crafted calendar; ties pick the earliest run") {
+    import spark.implicits._
+    def dayNs(d: Long): Long = d * 86400L * 1000000000L
+    val ev = Seq(
+      // u1: days 10,11,12 then 14,15 → streak 3 starting day 10
+      (1L, dayNs(10), 1L, "click", 0.0, "{}"),
+      (2L, dayNs(11) + 5000000000L, 1L, "click", 0.0, "{}"),
+      (3L, dayNs(12), 1L, "view", 0.0, "{}"),
+      (4L, dayNs(14), 1L, "click", 0.0, "{}"),
+      (5L, dayNs(15), 1L, "click", 0.0, "{}"),
+      // u2: two 2-day runs (20,21) and (30,31) → tie picks start 20
+      (6L, dayNs(20), 2L, "click", 0.0, "{}"),
+      (7L, dayNs(21), 2L, "click", 0.0, "{}"),
+      (8L, dayNs(30), 2L, "click", 0.0, "{}"),
+      (9L, dayNs(31), 2L, "click", 0.0, "{}"),
+      // u3: a single day, multiple events → streak 1
+      (10L, dayNs(40), 3L, "click", 0.0, "{}"),
+      (11L, dayNs(40) + 1000000000L, 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("streaks").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Events.activeStreaks(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 10L), (2L, 2L, 20L), (3L, 1L, 40L)),
+      s"got $got")
+  }
+
+  test("interval merge: overlapping and touching presence windows coalesce; disjoint ones don't") {
+    import spark.implicits._
+    def mNs(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u1: events at 0' and 10' overlap (30' spans) → one interval
+      // [0, 40'); event at 100' is disjoint → second interval
+      (1L, mNs(0), 1L, "click", 0.0, "{}"),
+      (2L, mNs(10), 1L, "click", 0.0, "{}"),
+      (3L, mNs(100), 1L, "view", 0.0, "{}"),
+      // u2: event at 0' and exactly 30' — touching ends merge
+      (4L, mNs(0), 2L, "click", 0.0, "{}"),
+      (5L, mNs(30), 2L, "click", 0.0, "{}"),
+      // duplicate timestamp must not double-count
+      (6L, mNs(30), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("imerge").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Events.intervalMerge(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // u1: [0,40) + [100,130) = 2 intervals, 70 min; u2: [0,60) = 60 min
+    assert(got == Seq((1L, 2L, 70L * 60), (2L, 1L, 60L * 60)), s"got $got")
+  }
+
   test("sliding DAU equals a scala trailing-24h distinct re-derivation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
