@@ -709,6 +709,91 @@ object Analytics {
               (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup_users
        FROM lat"""
 
+  /** Growth accounting — the weekly user ledger every product review
+    * reads: per epoch-week, users split into NEW (first-ever
+    * activity), RETAINED (active this week and last), RESURRECTED
+    * (active this week, inactive last, not new), and CHURNED (active
+    * last week, gone this week; 0 for the first week by definition).
+    * The identity active(w) = new + retained + resurrected holds row
+    * by row — MiningSpec pins it. Plan: the corpus collapses to the
+    * distinct (user, week) frame once; first-weeks are one aggregate;
+    * last-week presence is a self-join of the pair frame shifted by
+    * one — every step an equi-join on (user, week), no windows at
+    * all, so the shape survives any user count.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uw = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+      .cache()
+    val firstW = uw.groupBy($"user_id").agg(min($"week").as("fw"))
+    val prev = uw.select($"user_id", ($"week" + 1).as("week"),
+      lit(1L).as("was_active"))
+    val classed = uw
+      .join(firstW, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select($"week",
+        when($"week" === $"fw", "new")
+          .when($"was_active".isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+      .groupBy($"week").pivot("cls", Seq("new", "retained", "resurrected"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    val churned = prev.select($"user_id", $"week")
+      .join(uw, Seq("user_id", "week"), "left_anti")
+      .groupBy($"week").agg(count(lit(1)).as("churn_cand"))
+    val weeks = uw.select($"week").distinct()
+    val out = weeks
+      .join(classed, Seq("week"), "left")
+      .join(churned, Seq("week"), "left")
+      .select($"week",
+        coalesce($"new", lit(0L)).as("n_new"),
+        coalesce($"retained", lit(0L)).as("n_retained"),
+        coalesce($"resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"churn_cand", lit(0L)).as("n_churned"))
+      .orderBy($"week")
+      .localCheckpoint(true)
+    uw.unpersist(blocking = false)
+    out
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                epoch_us(date_trunc('microseconds', ts)) // 604800000000
+                  AS week
+         FROM events),
+       fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1),
+       cls AS (
+         SELECT u.week,
+                CASE WHEN u.week = f.fw THEN 'new'
+                     WHEN p.user_id IS NOT NULL THEN 'retained'
+                     ELSE 'resurrected' END AS cls
+         FROM uw u
+         JOIN fw f ON f.user_id = u.user_id
+         LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 1),
+       churn AS (
+         SELECT p.week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+         FROM uw p
+         LEFT JOIN uw n ON n.user_id = p.user_id AND n.week = p.week + 1
+         WHERE n.user_id IS NULL
+         GROUP BY 1)
+       SELECT w.week,
+              CAST(coalesce(sum(CASE WHEN cls = 'new' THEN 1 END), 0)
+                   AS BIGINT) AS n_new,
+              CAST(coalesce(sum(CASE WHEN cls = 'retained' THEN 1 END), 0)
+                   AS BIGINT) AS n_retained,
+              CAST(coalesce(sum(CASE WHEN cls = 'resurrected' THEN 1 END), 0)
+                   AS BIGINT) AS n_resurrected,
+              CAST(coalesce(any_value(c.n_churned), 0) AS BIGINT) AS n_churned
+       FROM (SELECT DISTINCT week FROM uw) w
+       LEFT JOIN cls ON cls.week = w.week
+       LEFT JOIN churn c ON c.week = w.week
+       GROUP BY w.week
+       ORDER BY w.week"""
+
   /** Exact `NTILE(k)` over a global (metric, tie) order WITHOUT the
     * all-to-one window `ntile().over(Window.orderBy(...))` plans — the
     * [[SurrogateKey.orderedScalable]] / banded-cumsum device applied

@@ -101,4 +101,39 @@ class MiningSpec extends SparkSpec {
     val negBands = all.filter($"bal_band" < 0).count()
     assert(negBands > 0, "fixture lost its negative-balance bands")
   }
+
+  test("growth accounting: crafted lifecycle classifies new/retained/resurrected/churned; identity holds") {
+    import spark.implicits._
+    def wNs(w: Long): Long = w * 604800L * 1000000000L
+    // u1: weeks 0,1,3 → new@0, retained@1, churned@2, resurrected@3,
+    //     churned@4 (4 not an active week → dropped from output)
+    // u2: week 1 only → new@1, churned@2
+    // u3: weeks 0,1 → new@0, retained@1, churned@2
+    val ev = Seq(
+      (1L, wNs(0), 1L), (2L, wNs(1), 1L), (3L, wNs(3), 1L),
+      (4L, wNs(1), 2L),
+      (5L, wNs(0), 3L), (6L, wNs(1) + 1000000000L, 3L))
+      .map { case (id, ts, u) => (id, ts, u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("growth").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Analytics.growthAccounting(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // weeks output = active weeks {0, 1, 3}; week 2 has no activity
+    // so its churn (u1, u2, u3 all) is not a reported row
+    assert(got == Seq((0L, 2L, 0L, 0L, 0L), (1L, 1L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 1L, 0L)), s"got $got")
+    // identity on the real corpus: active = new + retained + resurrected
+    val corpus = graft.operators.Analytics.growthAccounting(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1) + r.getLong(2) + r.getLong(3)))
+      .toMap
+    val active = Tables.events(spark, SF)
+      .select($"user_id", org.apache.spark.sql.functions.expr(
+        "unix_micros(ts) div 604800000000").as("w"))
+      .distinct().groupBy($"w").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(corpus == active,
+      s"identity broken: ${corpus.toSet.diff(active.toSet).take(3)}")
+  }
 }

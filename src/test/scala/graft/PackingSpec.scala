@@ -55,4 +55,33 @@ class PackingSpec extends SparkSpec {
       spark.conf.set("spark.sql.files.maxPartitionBytes", b0)
     }
   }
+
+  test("JSONL shard export: token-balanced within one doc, exhaustive, round-trip loses nothing") {
+    import spark.implicits._
+    import graft.pipeline.TrainingExport
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val n = 8
+    val assigned = TrainingExport.shardAssignments(docs, n)
+      .select($"doc_id", $"n_tokens", $"shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(assigned.map(_._1).distinct.length == assigned.length)
+    assert(assigned.length.toLong == docs.count(), "assignment must be exhaustive")
+    val perShard = assigned.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(perShard.keySet.subsetOf((0L until n).toSet), s"ids: ${perShard.keySet}")
+    val total = assigned.map(_._2).sum
+    val stride = (total + n - 1) / n
+    val maxDoc = assigned.map(_._2).max
+    // every shard within one document of the stride target
+    perShard.foreach { case (s, t) =>
+      assert(t <= stride + maxDoc, s"shard $s overweight: $t vs stride $stride")
+    }
+    // the written export round-trips: census ≡ assignment-side census
+    val census = TrainingExport.exportJsonl(spark, SF, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = assigned.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (s, g) => (s, g.length.toLong, g.map(_._2).sum) }
+    assert(census.map(c => (c._1, c._2, c._3)) == expected,
+      s"round-trip drift: $census vs $expected")
+  }
 }
