@@ -90,4 +90,64 @@ object AsOfJoin {
             (SELECT user_id, ts, event_id AS signup_id, value AS signup_value
              FROM ev WHERE event_type = 'signup') l
          ON p.user_id = l.user_id AND p.ts >= l.ts"""
+
+  /** Temporal (point-in-time) SCD2 dimension join — every fact row
+    * enriched with the dimension version VALID AT ITS EVENT TIME, the
+    * correctness property batch reprocessing loses the moment anyone
+    * joins facts to a dimension's current state. The SCD2 dim here is
+    * derived deterministically from the corpus (per user, v1 before
+    * the midpoint of their activity span, v2 from it on), and the
+    * join is the general device, not a 2-version shortcut: the as-of
+    * composition on `valid_from` picks the latest version starting
+    * ≤ t in ONE shuffle (never an interval-containment range join),
+    * and `valid_to` rides as payload so the gate AUDITS containment —
+    * `n_invalid` counts rows whose matched version had expired, which
+    * a well-formed SCD must hold at zero, and the oracle computes the
+    * same audit from its interval join.
+    */
+  def temporalScdJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("unix_micros(ts)").as("tus"))
+    val mids = ev.groupBy($"user_id")
+      .agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+    val dim = mids.select($"user_id", lit(Long.MinValue).as("vf"),
+        $"mid".as("vt"), lit("v1").as("dim_version"))
+      .unionByName(mids.select($"user_id", $"mid".as("vf"),
+        lit(Long.MaxValue).as("vt"), lit("v2").as("dim_version")))
+    asOf(ev, dim, keys = Seq("user_id"), leftTime = "tus", rightTime = "vf",
+        payload = Seq("dim_version", "vt"))
+      .groupBy($"asof_dim_version".as("dim_version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"event_id").as("id_sum"),
+        sum(when($"tus" >= $"asof_vt", 1L).otherwise(0L)).as("n_invalid"))
+      .orderBy($"dim_version")
+  }
+
+  /** Oracle: the interval-containment spelling of the same join —
+    * exactly one dim version contains each fact time, so as-of-latest
+    * ≡ containment, and the audit column is computed the same way.
+    */
+  val temporalScdJoinSql: String =
+    """WITH ev AS (
+         SELECT event_id, user_id,
+                epoch_us(date_trunc('microseconds', ts)) AS tus
+         FROM events),
+       mids AS (
+         SELECT user_id, (min(tus) + max(tus)) // 2 AS mid
+         FROM ev GROUP BY 1),
+       dim AS (
+         SELECT user_id, -9223372036854775808 AS vf, mid AS vt,
+                'v1' AS dim_version FROM mids
+         UNION ALL
+         SELECT user_id, mid, 9223372036854775807, 'v2' FROM mids),
+       j AS (
+         SELECT e.event_id, e.tus, d.dim_version, d.vt
+         FROM ev e JOIN dim d
+           ON d.user_id = e.user_id AND d.vf <= e.tus AND e.tus < d.vt)
+       SELECT dim_version, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(event_id) AS BIGINT) AS id_sum,
+              CAST(sum(CASE WHEN tus >= vt THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_invalid
+       FROM j GROUP BY 1 ORDER BY 1"""
 }

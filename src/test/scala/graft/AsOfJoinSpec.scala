@@ -37,4 +37,24 @@ class AsOfJoinSpec extends SparkSpec {
     val exchanges = plan.split("Exchange").length - 1
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("temporal SCD join ≡ interval containment on the real corpus; containment audit is zero") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SF)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mids = ev.groupBy(_._2).view.mapValues { g =>
+      (g.map(_._3).min + g.map(_._3).max) / 2 }.toMap
+    val expected = ev.groupBy { case (_, u, t) =>
+        if (t >= mids(u)) "v2" else "v1" }
+      .view.mapValues(g => (g.size.toLong, g.map(_._1).sum)).toMap
+    val got = AsOfJoin.temporalScdJoin(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == expected,
+      s"got=$got expected=$expected")
+    got.values.foreach { case (_, invalid) =>
+      assert(invalid == 0L, "matched an expired dimension version") }
+  }
 }
