@@ -789,6 +789,78 @@ object Olap {
        FROM c WHERE cumw * 2 >= wtot
        GROUP BY flag ORDER BY flag"""
 
+  /** Deterministic Poisson-bootstrap confidence interval for a mean —
+    * uncertainty quantification that survives a distributed engine
+    * AND a cross-engine oracle. Classic bootstrap resampling draws
+    * with an RNG (unreproducible, partition-dependent); the Poisson
+    * bootstrap (Chamandy et al., "Estimating uncertainty for massive
+    * data streams", Google 2012) replaces it with per-row
+    * multiplicities drawn independently — and here even those are
+    * DERANDOMIZED: row i's multiplicity in resample b counts how many
+    * of 8 3-bit fields of md5(i, b) are zero (Binomial(8, 1/8) ≈
+    * Poisson(1)), so every engine replays the identical resamples
+    * bit-for-bit. One scan computes all B weighted (Σw·x, Σw) pairs
+    * as map-side-partial BIGINT sums; the B resample means and the
+    * percentile CI are metadata-scale arithmetic on one row.
+    */
+  val BootstrapB = 32
+
+  def bootstrapMeanCI(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = (b: Int) => conv(substring(md5(concat($"doc_id".cast("string"),
+      lit(s"#boot$b"))), 1, 7), 16, 10).cast("long")
+    // multiplicity: 8 3-bit fields of the 28-bit hash, success = 0
+    val mult = (b: Int) => (0 until 8).map(j =>
+      when(shiftright(h(b), 3 * j) % 8 === 0, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val aggs = Seq(sum($"n_chars").as("sx"), count(lit(1)).as("n")) ++
+      (0 until BootstrapB).flatMap { b =>
+        Seq(sum(mult(b) * $"n_chars").as(s"wx$b"), sum(mult(b)).as(s"w$b"))
+      }
+    val row = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      .agg(aggs.head, aggs.tail: _*).head()
+    val point = row.getLong(0).toDouble / row.getLong(1)
+    val means = (0 until BootstrapB).map { b =>
+      val wx = row.getLong(2 + 2 * b)
+      val w = row.getLong(3 + 2 * b)
+      wx.toDouble / w
+    }.sorted
+    // percentile_disc at 5% / 95% over the B sorted means; round
+    // half-away-from-zero (values ≥ 0) to match SQL round()
+    def disc(p: Double) = means(math.ceil(p * BootstrapB).toInt - 1)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    Seq((BootstrapB.toLong, r4(point), r4(disc(0.05)), r4(disc(0.95))))
+      .toDF("n_resamples", "mean_n_chars", "ci_lo", "ci_hi")
+  }
+
+  def bootstrapMeanCISql: String = {
+    val b = "('0x' || substr(md5(doc_id::VARCHAR || '#boot' || b.b::VARCHAR), 1, 7))::BIGINT"
+    s"""WITH m AS (
+          SELECT b.b, d.n_chars,
+                 (CASE WHEN ($b // 1) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 8) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 64) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 512) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 4096) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 32768) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 262144) % 8 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN ($b // 2097152) % 8 = 0 THEN 1 ELSE 0 END) AS w
+          FROM documents d, range($BootstrapB) b(b)),
+        means AS (
+          SELECT b, CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+                   AS mu
+          FROM m GROUP BY b),
+        pt AS (
+          SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS mu FROM documents)
+        SELECT CAST($BootstrapB AS BIGINT) AS n_resamples,
+               round((SELECT mu FROM pt), 4) AS mean_n_chars,
+               round(percentile_disc(0.05) WITHIN GROUP (ORDER BY mu), 4)
+                 AS ci_lo,
+               round(percentile_disc(0.95) WITHIN GROUP (ORDER BY mu), 4)
+                 AS ci_hi
+        FROM means"""
+  }
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -501,6 +501,28 @@ class OlapSpec extends SparkSpec {
       s"argmax tie-break: got (${r.getLong(6)}, ${r.getLong(7)})")
   }
 
+  test("bootstrap CI: brackets the point mean, lo ≤ hi, resample multiplicities follow the 8×1/8 law") {
+    import spark.implicits._
+    val r = graft.operators.Olap.bootstrapMeanCI(spark, SF).head()
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(0) == graft.operators.Olap.BootstrapB.toLong)
+    assert(lo <= hi, s"inverted CI: [$lo, $hi]")
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] does not bracket the point mean $mean")
+    // CI is a real interval, not collapsed to the point
+    assert(lo < hi, s"degenerate CI at n=500: [$lo, $hi]")
+    // the derandomized multiplicity really is ~Binomial(8, 1/8):
+    // mean weight over (docs × resamples) within 10% of 1.0
+    val h = (b: Int) => conv(substring(md5(concat($"doc_id".cast("string"),
+      lit(s"#boot$b"))), 1, 7), 16, 10).cast("long")
+    val w0 = (0 until 8).map(j =>
+      when(shiftright(h(0), 3 * j) % 8 === 0, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val stats = Tables.documents(spark, SF)
+      .agg(org.apache.spark.sql.functions.avg(w0)).head().getDouble(0)
+    assert(stats > 0.9 && stats < 1.1, s"multiplicity law drifted: $stats")
+  }
+
   test("weighted median ≡ brute-force cumulative-mass re-derivation per group") {
     import spark.implicits._
     val rows = Tables.lineitem(spark, SF)
