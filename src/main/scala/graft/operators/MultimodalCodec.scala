@@ -4,7 +4,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{count, lit, min}
+import org.apache.spark.sql.functions.{array, count, expr, lit, min,
+  posexplode, substring}
 
 /** Decoded image metadata/features; `ok = false` rows are the
   * quarantine lane (payload failed the codec), metrics null.
@@ -63,15 +64,17 @@ object MultimodalCodec {
     * TYPE_BYTE_GRAY), which is what lets the oracle re-derive the
     * decoded pixel sum arithmetically.
     */
-  def encodePng(id: Long): Array[Byte] = {
-    val (w, h) = (pngWidth(id), pngHeight(id))
+  def encodePng(id: Long): Array[Byte] =
+    encodeGrid(pngWidth(id), pngHeight(id), pngPixel(id, _, _))
+
+  private def encodeGrid(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { r.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      while (x < w) { r.setSample(x, y, 0, px(x, y)); x += 1 }
       y += 1
     }
     val out = new ByteArrayOutputStream()
@@ -293,6 +296,99 @@ object MultimodalCodec {
               CAST(min(doc_id) AS BIGINT) AS keeper
        FROM bits GROUP BY phash
        ORDER BY keeper"""
+
+  /** NOISY duplicate corpus: same 7-id pixel groups as
+    * [[imageTableGrouped]], but each id perturbs ONE aHash-sampled
+    * pixel by (id mod 7) — the near-duplicate shape (re-encoded,
+    * slightly retouched copies) whose hashes land a few bits apart
+    * instead of identical.
+    */
+  def noisyPixel(id: Long, x: Int, y: Int): Int = {
+    val seed = id / 7 * 7
+    val (w, h) = (pngWidth(seed), pngHeight(seed))
+    val bump = if (x == 3 * w / 8 && y == 3 * h / 8) (id % 7).toInt else 0
+    (pngPixel(seed, x, y) + bump) % 256
+  }
+
+  def imageTableNoisy(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id / 7 * 7
+        val payload = encodeGrid(pngWidth(seed), pngHeight(seed),
+          noisyPixel(id, _, _))
+        MediaRow(id, "png", payload, payload.length.toLong)
+      })
+  }
+
+  /** NEAR-duplicate image pairs: hamming(aHash) ≤ `maxHamming` over
+    * the noisy corpus, found WITHOUT an all-pairs join — the 64-bit
+    * hash splits into 4 16-bit chunks, and any pair within hamming 3
+    * must agree on ≥1 whole chunk (pigeonhole — the [[SimHash]]
+    * device applied to image hashes), so candidates come from 4
+    * chunk-keyed equi-joins and only candidates pay the exact
+    * 64-position hamming verify. Lossless at the declared radius;
+    * MultimodalSpec checks candidates ⊇ the brute-force pair set.
+    */
+  def phashNearPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(maxHamming < 4, "4-chunk pigeonhole is lossless only to hamming 3")
+    val hashes = imagePHash(imageTableNoisy(spark, dir))
+      .filter($"ok").select($"doc_id", $"phash")
+      .localCheckpoint(true)
+    val chunks = hashes.select($"doc_id", posexplode(array((0 until 4).map(c =>
+      substring($"phash", c * 16 + 1, 16)): _*)))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "chunk")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        $"x.ci" === $"y.ci" && $"x.chunk" === $"y.chunk" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .distinct()
+    cand
+      .join(hashes.select($"doc_id".as("a"), $"phash".as("pa")), "a")
+      .join(hashes.select($"doc_id".as("b"), $"phash".as("pb")), "b")
+      .withColumn("hamming", expr(
+        "CAST(size(filter(sequence(1, 64), i -> " +
+          "substr(pa, i, 1) != substr(pb, i, 1))) AS BIGINT)"))
+      .filter($"hamming" <= maxHamming)
+      .select($"a", $"b", $"hamming")
+      .orderBy($"a", $"b")
+  }
+
+  /** Oracle: hashes re-derived arithmetically (noisy pixel formula),
+    * then a brute-force pair scan — blocking is lossless at radius 3,
+    * so the candidate path must return exactly the brute set.
+    */
+  val phashNearPairsSql: String =
+    """WITH g AS (
+         SELECT doc_id, (doc_id // 7) * 7 AS sid FROM documents),
+       geo AS (
+         SELECT doc_id, sid, 8 + sid % 9 AS w, 8 + sid % 7 AS h FROM g),
+       cells AS (
+         SELECT doc_id, y.y, x.x,
+                ((sid * 31 + ((x.x * w) // 8) * 7 + ((y.y * h) // 8) * 13) % 256
+                 + CASE WHEN (x.x * w) // 8 = (3 * w) // 8
+                         AND (y.y * h) // 8 = (3 * h) // 8
+                        THEN doc_id % 7 ELSE 0 END) % 256 AS v
+         FROM geo, range(8) x(x), range(8) y(y)),
+       sums AS (
+         SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY doc_id),
+       bits AS (
+         SELECT c.doc_id,
+                string_agg(CASE WHEN 64 * c.v > m.s THEN '1' ELSE '0' END, ''
+                           ORDER BY c.y, c.x) AS phash
+         FROM cells c JOIN sums m ON m.doc_id = c.doc_id
+         GROUP BY c.doc_id),
+       pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len([i for i in range(1, 65)
+                          if substr(a.phash, CAST(i AS INT), 1)
+                             <> substr(b.phash, CAST(i AS INT), 1)])
+                     AS BIGINT) AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+       SELECT a, b, hamming FROM pairs
+       WHERE hamming <= 3 ORDER BY a, b"""
 
   // ── WAV ──────────────────────────────────────────────────────────
 

@@ -126,4 +126,23 @@ class MultimodalSpec extends SparkSpec {
       out(1L)._2.get.forall(c => c == '0' || c == '1'))
     assert(!out(4L)._1 && out(4L)._2.isEmpty)
   }
+
+  test("phash near-pairs: chunk blocking returns exactly the brute-force hamming ≤ 3 set") {
+    import graft.operators.{MultimodalCodec => C}
+    import spark.implicits._
+    val hashes = C.imagePHash(C.imageTableNoisy(spark, SF))
+      .filter($"ok").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = ham(hashes(a), hashes(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(brute.nonEmpty, "noisy corpus must contain near-dup hash pairs")
+    assert(brute.exists(_._3 > 0), "perturbation should produce nonzero hammings")
+    val got = C.phashNearPairs(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"blocked-only=${(got -- brute).take(3)} brute-only=${(brute -- got).take(3)}")
+  }
 }
