@@ -223,7 +223,110 @@ object GraphCrossCheck {
     check("graph_neighbor_jaccard",
       rows(graft.operators.Graph.neighborJaccard(spark, dir)), jacTop)
 
-    println(if (failed == 0) s"ALL 8 GRAPH GATES MATCH the scala re-derivation at $dir"
+    // ── personalized pagerank (seeds ≡ 0 mod 97, 5 iters, top 20) ──
+    val pprSeq: Map[Long, Long] = {
+      var rank = nodes.map(n => n -> (if (n % 97 == 0) 1000000L else 0L)).toMap
+      for (_ <- 1 to 5) {
+        val in = mutable.HashMap.empty[Long, Long]
+        nodes.foreach { u =>
+          val r = rank(u)
+          if (r != 0) adj(u).foreach { v =>
+            in(v) = in.getOrElse(v, 0L) + r / adj(u).length }
+        }
+        rank = nodes.map(u => u -> ((if (u % 97 == 0) 150000L else 0L) +
+          (850L * in.getOrElse(u, 0L)) / 1000L)).toMap
+      }
+      rank.filter(_._2 > 0)
+    }
+    check("graph_ppr",
+      rows(graft.operators.Graph.personalizedPageRank(spark, dir)),
+      top20(pprSeq))
+
+    // ── k-core peeling (k = 48, 3 rounds; per-round census) ──
+    val kcoreSeq: Seq[Seq[Long]] = {
+      var live = nodes.toSet
+      val out = mutable.ArrayBuffer[Seq[Long]](
+        Seq(0L, live.size.toLong, live.sum))
+      for (r <- 1 to 3) {
+        val deg = mutable.HashMap.empty[Long, Long]
+        und.foreach { case (a, b) =>
+          if (live(a) && live(b)) { deg(a) = deg.getOrElse(a, 0L) + 1
+            deg(b) = deg.getOrElse(b, 0L) + 1 }
+        }
+        live = live.filter(n => deg.getOrElse(n, 0L) >= 48L)
+        out += Seq(r.toLong, live.size.toLong, live.sum)
+      }
+      out.toSeq
+    }
+    // census sums are NULL on an empty round — compare via the
+    // nullable row form
+    val kcoreGot = graft.operators.Graph.kCore(spark, dir).collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val kcoreWant = kcoreSeq.map { s =>
+      if (s(1) == 0L) Seq(s(0), 0L, -1L) else s }
+    check("graph_kcore", kcoreGot, kcoreWant)
+
+    // ── neighbor-Jaccard SKETCH (md5 MinHash replayed in scala) ──
+    val sketchSeq: Seq[Seq[Long]] = {
+      val mdt = new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+      }
+      def md5hex(s: String): String =
+        mdt.get().digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val M = graft.operators.MinHashLSH.M
+      val sig = nodes.map { u =>
+        val mins = Array.fill(64)(Long.MaxValue)
+        adj(u).foreach { v =>
+          val hx = md5hex(v.toString)
+          val h1 = java.lang.Long.parseLong(hx.substring(0, 7), 16)
+          val h2 = java.lang.Long.parseLong(hx.substring(8, 15), 16)
+          var i = 0
+          while (i < 64) {
+            val h = (h1 + i * (2 * h2 + 1)) % M
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        u -> mins
+      }.toMap
+      val buckets = mutable.HashMap.empty[(Int, String), mutable.ArrayBuffer[Long]]
+      nodes.foreach { u =>
+        val s = sig(u)
+        (0 until 16).foreach { b =>
+          val key = (b, md5hex((b * 4 until (b + 1) * 4).map(s(_)).mkString(","))
+            .substring(0, 15))
+          buckets.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += u
+        }
+      }
+      val adjSet = adj.map { case (u, vs) => u -> vs.toSet }
+      val cand = mutable.HashSet.empty[(Long, Long)]
+      buckets.values.foreach { members =>
+        val m = members.toArray.sorted
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            if (!adjSet(m(i)).contains(m(j))) cand += ((m(i), m(j)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      cand.toSeq.flatMap { case (a, b) =>
+        val common = (adjSet(a) & adjSet(b)).size.toLong
+        if (common == 0) None
+        else {
+          val jac = common * 1000000L / (adjSet(a).size + adjSet(b).size - common)
+          Some((a, b, common, jac))
+        }
+      }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+        .map { case (a, b, c, j) => Seq(a, b, c, j) }
+    }
+    check("graph_neighbor_jaccard_sketch",
+      rows(graft.operators.Graph.neighborJaccardSketch(spark, dir)), sketchSeq)
+
+    println(if (failed == 0) s"ALL 11 GRAPH GATES MATCH the scala re-derivation at $dir"
       else s"$failed gate(s) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)
