@@ -383,6 +383,49 @@ object Lake {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY 1 ORDER BY 1"""
 
+  /** Gate-shaped DYNAMIC partition overwrite — the "rewrite one day
+    * without clobbering the table" op every partitioned lake needs:
+    * with partitionOverwriteMode=dynamic, an overwrite-mode write
+    * replaces ONLY the partitions present in the incoming frame
+    * (static mode — the default — would truncate the whole table
+    * first, the classic data-loss foot-gun). The gate lands orders
+    * partitioned by year, then overwrites just the 1997 partition
+    * with a deterministically-restated slice (prices re-signed as
+    * integer cents); the read-back must show 1997 restated and every
+    * other year byte-identical — which is exactly a CASE-split
+    * oracle.
+    */
+  def dynamicOverwriteRead(spark: SparkSession, dir: String,
+      yr: Int = 1997): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        year($"o_orderdate").as("yr"))
+    val path = graft.util.Scratch.dir("graft_lake_dynow") + "/orders"
+    o.write.mode("overwrite").partitionBy("yr").parquet(path)
+    val restated = o.filter($"yr" === yr)
+      .withColumn("cents", -$"cents")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try restated.write.mode("overwrite").partitionBy("yr").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(path)
+      .select($"o_orderkey", $"o_custkey", $"cents", $"yr".cast("long").as("yr"))
+      .orderBy($"o_orderkey")
+  }
+
+  def dynamicOverwriteReadSql(yr: Int = 1997): String =
+    s"""SELECT o_orderkey, o_custkey,
+          CASE WHEN year(o_orderdate) = $yr
+               THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+               ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+          CAST(year(o_orderdate) AS BIGINT) AS yr
+        FROM orders ORDER BY o_orderkey"""
+
   /** Gate-shaped VERSION DIFF — "what changed between v1 and v3": a
     * three-version history (write ≤cut → append mid-band → deleteWhere
     * a sub-box of v1's rows) is diffed by two anti-joins on the key:

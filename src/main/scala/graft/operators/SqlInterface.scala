@@ -40,4 +40,28 @@ object SqlInterface {
 
   def passthrough(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, passthroughSql)
+
+  /** CTAS through the SQL surface — the DDL half of the reference's
+    * `to_sql` load path spelled as a statement: CREATE TABLE … AS
+    * SELECT materializes a managed parquet table in the session
+    * warehouse, and the gate reads the TABLE back (not the query), so
+    * catalog registration, the warehouse write, and the round trip
+    * are all inside the verified surface. Integer cents keep the
+    * aggregate hash-exact; the oracle is the inner SELECT.
+    */
+  val ctasInnerSql: String =
+    """SELECT o_orderstatus AS status,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+       FROM orders GROUP BY o_orderstatus"""
+
+  def ctas(spark: SparkSession, dir: String): DataFrame = {
+    tables.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_status")
+    spark.sql(s"CREATE TABLE graft_ctas_status USING parquet AS $ctasInnerSql")
+    spark.table("graft_ctas_status").orderBy("status")
+  }
+
+  val ctasSql: String = ctasInnerSql + "\nORDER BY status"
 }
