@@ -91,6 +91,71 @@ object AsOfJoin {
              FROM ev WHERE event_type = 'signup') l
          ON p.user_id = l.user_id AND p.ts >= l.ts"""
 
+  /** NEAREST-in-time join: each left row matched to the right row
+    * minimizing |t' − t| — backward OR forward, the sensor-fusion /
+    * log-alignment shape plain (backward-only) as-of can't express.
+    * Composed from TWO as-of passes — the backward one as-is, the
+    * forward one on NEGATED µs (latest −t' ≤ −t ⇔ earliest t' ≥ t) —
+    * then a per-row argmin on (|Δ|, Δ): ties at equal distance take
+    * the BACKWARD candidate (the "already happened" default),
+    * deterministically. Cost: two single-shuffle as-of passes + the
+    * id-keyed recombination join; still never an interval or
+    * nested-loop join.
+    *
+    * Gate: each error event → signed µs offset to that user's nearest
+    * click (events with no click drop — inner semantics). The offset
+    * is payload-free, so equal-time payload tie-breaks can't surface
+    * in the result.
+    */
+  def nearestClickOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", expr("unix_micros(ts)").as("tus"),
+        $"event_type")
+    val probes = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"tus")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tus".as("ctus"))
+    val back = asOf(probes, clicks, Seq("user_id"), "tus", "ctus",
+        payload = Seq("ctus"))
+      .select($"event_id".as("b_id"), ($"asof_ctus" - $"tus").as("db"))
+    val fwd = asOf(probes.withColumn("ntus", -$"tus"),
+        clicks.withColumn("ntus", -$"ctus"), Seq("user_id"), "ntus", "ntus",
+        payload = Seq("ctus"))
+      .select($"event_id".as("f_id"), ($"asof_ctus" - $"tus").as("df"))
+    probes
+      .join(back, $"event_id" === $"b_id", "left")
+      .join(fwd, $"event_id" === $"f_id", "left")
+      .withColumn("delta_us",
+        when($"db".isNull, $"df")
+          .when($"df".isNull, $"db")
+          .when(abs($"db") <= abs($"df"), $"db")
+          .otherwise($"df"))
+      .filter($"delta_us".isNotNull)
+      .select($"event_id", $"user_id", $"delta_us")
+      .orderBy($"event_id")
+  }
+
+  /** Oracle: brute candidate join + argmin on (|Δ|, Δ) — the
+    * backward-preference tie is the ascending Δ at equal |Δ|.
+    */
+  val nearestClickOffsetSql: String =
+    """WITH ev AS (
+         SELECT event_id, user_id,
+                epoch_us(date_trunc('microseconds', ts)) AS tus, event_type
+         FROM events),
+       p AS (SELECT event_id, user_id, tus FROM ev
+             WHERE event_type = 'error'),
+       c AS (SELECT user_id, tus AS ctus FROM ev
+             WHERE event_type = 'click'),
+       cand AS (
+         SELECT p.event_id, p.user_id, c.ctus - p.tus AS d,
+                row_number() OVER (PARTITION BY p.event_id
+                  ORDER BY abs(c.ctus - p.tus), c.ctus - p.tus) AS rk
+         FROM p JOIN c ON c.user_id = p.user_id)
+       SELECT event_id, user_id, CAST(d AS BIGINT) AS delta_us
+       FROM cand WHERE rk = 1 ORDER BY event_id"""
+
   /** Temporal (point-in-time) SCD2 dimension join — every fact row
     * enriched with the dimension version VALID AT ITS EVENT TIME, the
     * correctness property batch reprocessing loses the moment anyone

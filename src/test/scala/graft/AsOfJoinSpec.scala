@@ -38,6 +38,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("nearest-in-time: before/after/tie/one-sided fixtures resolve to the closest click") {
+    import spark.implicits._
+    def tns(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u1: error@30 with clicks @10 and @45 → forward wins (15' < 20')
+      (1L, tns(10), 1L, "click", 0.0, "{}"),
+      (2L, tns(45), 1L, "click", 0.0, "{}"),
+      (3L, tns(30), 1L, "error", 0.0, "{}"),
+      // u2: error@30 with clicks @20 and @40 — exact tie → backward
+      (4L, tns(20), 2L, "click", 0.0, "{}"),
+      (5L, tns(40), 2L, "click", 0.0, "{}"),
+      (6L, tns(30), 2L, "error", 0.0, "{}"),
+      // u3: only a click BEFORE; u4: only AFTER; u5: none (dropped)
+      (7L, tns(0), 3L, "click", 0.0, "{}"),
+      (8L, tns(60), 3L, "error", 0.0, "{}"),
+      (9L, tns(90), 4L, "click", 0.0, "{}"),
+      (10L, tns(60), 4L, "error", 0.0, "{}"),
+      (11L, tns(5), 5L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("nearest").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = AsOfJoin.nearestClickOffset(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val M = 60L * 1000000L
+    assert(got == Map(3L -> 15 * M, 6L -> -10 * M, 8L -> -60 * M,
+      10L -> 30 * M), s"got $got")
+  }
+
   test("temporal SCD join ≡ interval containment on the real corpus; containment audit is zero") {
     import spark.implicits._
     val ev = Tables.events(spark, SF)
