@@ -515,6 +515,50 @@ object Analytics {
        ORDER BY support DESC, p1, p2
        LIMIT 20"""
 
+  /** Frequent 3-itemsets — the next association-mining order above
+    * [[basketPairs]]: top ordered part triples co-purchased in one
+    * order. Same map-side device, one level deeper: each sorted
+    * basket enumerates its C(b, 3) ordered triples INSIDE the
+    * per-order aggregate via nested codegen `transform`s — work is
+    * Σ C(b, 3), linear in orders for bounded basket size b, and no
+    * self-join of the fact table ever runs (the oracle's 3-way
+    * self-join spelling is what a naive engine would do; it explodes
+    * at scale exactly where this shape doesn't). For UNBOUNDED
+    * baskets the classical A-priori prune (candidates only from
+    * frequent pairs) bounds the enumeration instead; with TPC-H-ish
+    * basket sizes ≤ 7 the direct form is strictly cheaper and the
+    * prune would add a pass.
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)), (y, j) ->
+               transform(slice(parts, i + j + 3, size(parts)),
+                         z -> struct(x AS p1, y AS p2, z AS p3))))))"""))
+        .as("tr"))
+      .filter($"tr.p1" < $"tr.p2" && $"tr.p2" < $"tr.p3")
+      .groupBy($"tr.p1".as("p1"), $"tr.p2".as("p2"), $"tr.p3".as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"p1", $"p2", $"p3")
+      .limit(20)
+  }
+
+  val basketTriplesSql: String =
+    """SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+              CAST(count(*) AS BIGINT) AS support
+       FROM lineitem a
+       JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+       JOIN lineitem c ON a.l_orderkey = c.l_orderkey
+                      AND b.l_partkey < c.l_partkey
+       GROUP BY 1, 2, 3
+       ORDER BY support DESC, p1, p2, p3
+       LIMIT 20"""
+
   /** Last-touch marketing attribution: each purchase is credited to
     * the user's most recent click/view at-or-before it within
     * `windowHours`; purchases with no in-window touch are 'direct'.

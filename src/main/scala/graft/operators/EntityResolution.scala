@@ -48,6 +48,64 @@ object EntityResolution {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** Blocking QUALITY metrics — the evaluation every production ER
+    * pipeline owes its blocking scheme: against the un-blocked ground
+    * truth (all vocabulary pairs ≥ threshold — affordable exactly
+    * because similarity lives on the distinct-name domain),
+    * measure REDUCTION RATIO (how much of the all-pairs work the
+    * blocks skip) and PAIRS COMPLETENESS (recall: what fraction of
+    * true matches the blocks retain). Both in integer ppm. This is
+    * the operator that tells you whether first-token blocking is
+    * good enough BEFORE you scale it — the meta-measurement, not the
+    * match.
+    */
+  def blockingQuality(spark: SparkSession, dir: String,
+      threshold: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir).select($"p_name").distinct()
+      .withColumn("blk", substring_index($"p_name", " ", 1))
+    val a = names.select($"p_name".as("na"), $"blk".as("ba"))
+    val b = names.select($"p_name".as("nb"), $"blk".as("bb"))
+    val all = a.join(broadcast(b), $"na" < $"nb")
+      .withColumn("hit",
+        when(call_function("jaro_winkler", $"na", $"nb") >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("blocked", when($"ba" === $"bb", 1L).otherwise(0L))
+    all.agg(
+        count(lit(1)).as("n_allpairs"),
+        sum($"blocked").as("n_candidates"),
+        sum($"hit").as("n_true"),
+        sum($"hit" * $"blocked").as("n_found"))
+      .select($"n_allpairs", $"n_candidates", $"n_true", $"n_found",
+        expr("((n_allpairs - n_candidates) * 1000000L) div n_allpairs")
+          .as("reduction_ppm"),
+        expr("CASE WHEN n_true = 0 THEN 1000000L " +
+          "ELSE (n_found * 1000000L) div n_true END").as("recall_ppm"))
+  }
+
+  def blockingQualitySql(threshold: Double = 0.85): String =
+    s"""WITH names AS (
+          SELECT DISTINCT p_name,
+                 split_part(p_name, ' ', 1) AS blk
+          FROM part),
+        pairs AS (
+          SELECT CASE WHEN jaro_winkler_similarity(x.p_name, y.p_name)
+                        >= $threshold THEN 1 ELSE 0 END AS hit,
+                 CASE WHEN x.blk = y.blk THEN 1 ELSE 0 END AS blocked
+          FROM names x JOIN names y ON x.p_name < y.p_name),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_allpairs,
+                 CAST(sum(blocked) AS BIGINT) AS n_candidates,
+                 CAST(sum(hit) AS BIGINT) AS n_true,
+                 CAST(sum(hit * blocked) AS BIGINT) AS n_found
+          FROM pairs)
+        SELECT n_allpairs, n_candidates, n_true, n_found,
+               ((n_allpairs - n_candidates) * 1000000) // n_allpairs
+                 AS reduction_ppm,
+               CASE WHEN n_true = 0 THEN 1000000
+                    ELSE (n_found * 1000000) // n_true END AS recall_ppm
+        FROM agg"""
+
   def jaroNamePairsSql(threshold: Double = 0.85): String =
     s"""WITH names AS (
           SELECT p_name, CAST(count(*) AS BIGINT) AS n

@@ -91,4 +91,36 @@ class JaroWinklerSpec extends SparkSpec {
     // no self-pairs / exact dups leak in (strict < on distinct names)
     assert(rows.forall(r => r.getString(0) != r.getString(1)))
   }
+
+  test("blocking-quality metrics reconcile with a brute-force ground truth") {
+    import spark.implicits._
+    val names = Tables.part(spark, SF).select($"p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    // the truth reuses the operator's own kernel (ONE batched job —
+    // the spec must not re-implement the metric)
+    val pairSeq = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield (names(i), names(j))
+    val jwMap = pairSeq.toDF("x", "y")
+      .select($"x", $"y", org.apache.spark.sql.functions.call_function(
+        "jaro_winkler", $"x", $"y").as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    var all = 0L; var cand = 0L; var hits = 0L; var found = 0L
+    pairSeq.foreach { case (a, b) =>
+      all += 1
+      val blocked = a.split(" ").head == b.split(" ").head
+      if (blocked) cand += 1
+      if (jwMap((a, b)) >= 0.85) { hits += 1; if (blocked) found += 1 }
+    }
+    val r = graft.operators.EntityResolution.blockingQuality(spark, SF).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((all, cand, hits, found)), s"got $r want ($all,$cand,$hits,$found)")
+    assert(r.getLong(4) == (all - cand) * 1000000L / all)
+    assert(r.getLong(5) ==
+      (if (hits == 0) 1000000L else found * 1000000L / hits))
+    // the scheme must actually reduce work; recall should be high on
+    // this corpus (first tokens carry the JW prefix weight)
+    assert(r.getLong(4) > 500000L, s"reduction too weak: ${r.getLong(4)}")
+  }
 }

@@ -102,6 +102,30 @@ class MiningSpec extends SparkSpec {
     assert(negBands > 0, "fixture lost its negative-balance bands")
   }
 
+  test("frequent triples equal a brute basket census; nested generation matches pair semantics one order up") {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val brute = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+      .withDefaultValue(0L)
+    baskets.values.foreach { parts =>
+      for {
+        i <- parts.indices; j <- (i + 1) until parts.length
+        k <- (j + 1) until parts.length
+        if parts(i) < parts(j) && parts(j) < parts(k)
+      } brute((parts(i), parts(j), parts(k))) += 1L
+    }
+    val expected = brute.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(20)
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+    val got = graft.operators.Analytics.basketTriples(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected, s"got=${got.take(3)} expected=${expected.take(3)}")
+  }
+
   test("growth accounting: crafted lifecycle classifies new/retained/resurrected/churned; identity holds") {
     import spark.implicits._
     def wNs(w: Long): Long = w * 604800L * 1000000000L
