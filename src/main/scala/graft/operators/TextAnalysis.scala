@@ -409,6 +409,43 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** #36l compression-ratio quality signal — the entropy proxy the
+    * web-scale curation pipelines lean on (CCNet-lineage): deflate
+    * output bytes / input bytes, in integer ppm. Templated or
+    * repetitive text compresses far below natural prose; high-entropy
+    * gibberish barely compresses at all — one number separates both
+    * failure modes from the middle band natural text occupies. The
+    * codec is the JDK `Deflater` at a FIXED level (deterministic
+    * bytes for a given input), run batched in `mapPartitions` with
+    * one reused Deflater per partition — the [[MultimodalCodec]]
+    * amortized-codec shape applied to text. No cross-engine oracle
+    * exists (DuckDB has no deflate), so the gate is DECLARED
+    * rows-only and the semantic contract — repetitive ≪ natural <
+    * random, ratios bounded — is QualityContractSpec's job.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          d.reset()
+          d.setInput(in)
+          d.finish()
+          var outLen = 0L
+          while (!d.finished()) outLen += d.deflate(buf)
+          val ratioPpm = if (in.length == 0) 1000000L
+            else outLen * 1000000L / in.length
+          (id, in.length.toLong, outLen, ratioPpm)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "deflate_bytes", "ratio_ppm")
+      .orderBy($"doc_id")
+  }
+
   /** Oracle: same vocabulary collapse, same pair enumeration. */
   val bpePairsSql: String =
     """WITH toks AS (

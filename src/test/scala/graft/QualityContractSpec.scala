@@ -85,4 +85,35 @@ class QualityContractSpec extends SparkSpec {
     assert(!users.contains(7L))
     assert(users.contains(42L))
   }
+
+  test("compression ratio: repetitive ≪ natural < random; bounded; deterministic; zero-length guarded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "spark " * 400),                              // templated
+      (2L, Tables.documents(spark, SF)                   // natural-ish
+        .filter($"doc_id" === 0L).head().getString(1)),
+      (3L, { val rnd = new scala.util.Random(42)         // seeded random
+        (0 until 2000).map(_ => (rnd.nextInt(94) + 33).toChar).mkString }),
+      (4L, ""))                                          // empty guard
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.compressionRatio(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val rep = got(1L)._2; val nat = got(2L)._2; val rnd = got(3L)._2
+    assert(rep < nat && nat < rnd,
+      s"ordering broken: repetitive=$rep natural=$nat random=$rnd")
+    assert(rep < 100000L, s"templated text should compress ≥10×: $rep")
+    assert(got.values.forall { case (_, ppm) => ppm > 0 && ppm <= 1200000L })
+    assert(got(4L)._2 == 1000000L, "empty doc must take the neutral ratio")
+    // deterministic across runs (fixed Deflater level)
+    val again = TextAnalysis.compressionRatio(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(again == got)
+    // corpus-wide sanity at SF: every ratio in bounds, all docs present
+    val corpus = TextAnalysis.compressionRatio(spark, SF).collect()
+    assert(corpus.length.toLong == Tables.documents(spark, SF).count())
+    assert(corpus.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1200000L))
+  }
 }
