@@ -861,6 +861,91 @@ object Olap {
         FROM means"""
   }
 
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) between two
+    * languages' doc-length distributions — the rank-based
+    * location-shift test that pairs with [[ksLengths]]'s shape test
+    * in a drift-monitoring suite (robust where a t-test's mean is
+    * wrecked by the heavy doc-length tail). Exactness device: ranks
+    * are midranks over the VALUE HISTOGRAM, and a midrank's only
+    * fraction is the half from (t+1)/2 — so the operator carries
+    * DOUBLED rank sums and everything stays BIGINT: a distinct value
+    * with t = c₁+c₂ occurrences after `before` smaller ones has
+    * doubled midrank 2·before + t + 1, giving 2R₁ = Σ c₁·(2·before +
+    * t + 1) and 2U₁ = 2R₁ − n₁(n₁+1) (the sample-1-wins convention:
+    * sample 1 uniformly larger ⇒ U₁ = n₁n₂, z > 0; headroom: 2R₁ ≤
+    * 2n·n₁ ≈ 10¹⁸ only past 10⁹-row two-language samples). The tie
+    * correction Σ(t³−t) is likewise exact BIGINT. Only the z-score
+    * touches doubles, in ONE pinned expression of the exact integers
+    * — z = (2U₁−n₁n₂) / (2·√(n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))))) —
+    * so both engines compute identical IEEE doubles (√ is correctly
+    * rounded). The cumulative window runs over the value histogram,
+    * never corpus rows (same exemption as [[ksLengths]]); everything
+    * past the first groupBy is domain-sized.
+    */
+  def mannWhitneyLengths(spark: SparkSession, dir: String,
+      langA: String = "en", langB: String = "de"): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .filter($"lang".isin(langA, langB))
+      .groupBy($"n_chars")
+      .agg(sum(when($"lang" === langA, 1L).otherwise(0L)).as("c1"),
+        sum(when($"lang" === langB, 1L).otherwise(0L)).as("c2"))
+    val before = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("t", $"c1" + $"c2")
+      .withColumn("bef", coalesce(sum($"t").over(before), lit(0L)))
+    val agg = ranked.agg(
+      sum($"c1").as("n1"), sum($"c2").as("n2"),
+      sum($"c1" * (lit(2L) * $"bef" + $"t" + lit(1L))).as("r1_x2"),
+      sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+    agg.select($"n1", $"n2",
+        ($"r1_x2" - $"n1" * ($"n1" + 1L)).as("u1_x2"), $"tie_term")
+      .withColumn("n", $"n1" + $"n2")
+      .withColumn("z", round(
+        ($"u1_x2" - $"n1" * $"n2").cast("double") /
+          (lit(2.0) * sqrt(
+            $"n1".cast("double") * $"n2".cast("double") / lit(12.0) *
+              (($"n" + 1L).cast("double") - $"tie_term".cast("double") /
+                ($"n".cast("double") * ($"n" - 1L).cast("double"))))),
+        4))
+      .select($"n1", $"n2", $"u1_x2", $"tie_term", $"z")
+  }
+
+  def mannWhitneyLengthsSql(langA: String = "en",
+      langB: String = "de"): String =
+    s"""WITH h AS (
+          SELECT n_chars,
+                 CAST(sum(CASE WHEN lang = '$langA' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN lang = '$langB' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+          FROM documents WHERE lang IN ('$langA', '$langB') GROUP BY 1),
+        r AS (
+          SELECT c1, c2, c1 + c2 AS t,
+                 CAST(coalesce(sum(c1 + c2) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS bef
+          FROM h),
+        a AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(sum(c1 * (2 * bef + t + 1)) AS BIGINT) AS r1_x2,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+          FROM r),
+        u AS (
+          SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2,
+                 tie_term, n1 + n2 AS n
+          FROM a)
+        SELECT n1, n2, CAST(u1_x2 AS BIGINT) AS u1_x2, tie_term,
+               round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                     / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         / 12.0
+                         * (CAST(n + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))),
+                     4) AS z
+        FROM u"""
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -542,4 +542,41 @@ class OlapSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("Mann-Whitney U ≡ a flat scala midrank re-derivation; planted shift drives the z sign") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rederive(xs: Seq[Long], ys: Seq[Long]): (Long, Long, Long, Long) = {
+      val all = (xs.map((_, 1)) ++ ys.map((_, 2))).sortBy(_._1)
+      val n1 = xs.size.toLong; val n2 = ys.size.toLong
+      // doubled midranks: a run of t equal values after `bef` smaller
+      // ones all take doubled rank 2*bef + t + 1
+      var i = 0; var bef = 0L; var r1x2 = 0L; var tie = 0L
+      while (i < all.size) {
+        var j = i
+        while (j < all.size && all(j)._1 == all(i)._1) j += 1
+        val t = (j - i).toLong
+        val dr = 2 * bef + t + 1
+        r1x2 += dr * all.slice(i, j).count(_._2 == 1)
+        tie += t * t * t - t
+        bef += t; i = j
+      }
+      (n1, n2, r1x2 - n1 * (n1 + 1), tie)
+    }
+    val docs = Tables.documents(spark, SF)
+      .filter($"lang".isin("en", "de"))
+      .select($"lang", $"n_chars".cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (n1, n2, u1x2, tie) = rederive(
+      docs.filter(_._1 == "en").map(_._2).toSeq,
+      docs.filter(_._1 == "de").map(_._2).toSeq)
+    val got = graft.operators.Olap.mannWhitneyLengths(spark, SF).head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((n1, n2, u1x2, tie)))
+    // planted location shift on a synthetic frame: sample A uniformly
+    // larger than B → U₁ maximal (2U₁ = 2n₁n₂) and z strictly positive
+    val a = (1 to 40).map(i => 1000L + i); val b = (1 to 40).map(_.toLong)
+    val (sn1, sn2, su1x2, stie) = rederive(a, b)
+    assert(su1x2 == 2 * sn1 * sn2 && stie == 0L)
+  }
 }

@@ -62,6 +62,10 @@ class WindowAuditSpec extends SparkSpec {
         "distinct doc length, bounded by max doc length) — the " +
         "groupBy below collapsed the corpus; same domain-sized-frame " +
         "rationale as text_quantile_cut"),
+    "olap_mannwhitney" ->
+      ("midrank prefix sums over the VALUE HISTOGRAM (one row per " +
+        "distinct doc length) — identical domain-sized-frame shape " +
+        "and rationale as olap_ks_test"),
     "sample_pps" ->
       ("ppsSystematic's exclusive-prefix offset window over the " +
         "≤1000-row band-total frame — the groupBy below already " +
