@@ -160,6 +160,21 @@ object Graph {
       wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    perNodeTriangles(edges, wedgeBudget)
+      .orderBy($"triangles".desc, $"node")
+      .limit(topK)
+  }
+
+  /** Per-node triangle counts for EVERY node that closes at least one
+    * triangle — the shared core of [[trianglesOf]] (top-k census) and
+    * [[clusteringByDegreeOf]] (local clustering coefficient). Result
+    * is node-sized and eagerly localCheckpoint'ed so callers can drop
+    * the operator's internal caches.
+    */
+  private[operators] def perNodeTriangles(edges: DataFrame,
+      wedgeBudget: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // edges feed the degree count AND the orientation join; oriented
     // feeds both wedge sides AND the closing semi-join — persist
     // each or the upstream edge-distinct recomputes three times
@@ -201,13 +216,84 @@ object Graph {
     val out = tri.select(explode(array($"u", $"v1", $"v2")).as("node"))
       .groupBy($"node")
       .agg(count(lit(1)).as("triangles"))
-      .orderBy($"triangles".desc, $"node")
-      .limit(topK)
       .localCheckpoint(true)
     oriented.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
   }
+
+  def clusteringByDegree(spark: SparkSession, dir: String): DataFrame =
+    clusteringByDegreeOf(copurchaseEdges(spark, dir))
+
+  /** Local clustering coefficient census by degree class (the
+    * Watts–Strogatz small-world diagnostic): per node with deg ≥ 2,
+    * lcc = 2·tri / (deg·(deg−1)), reported as the per-degree-class
+    * node count, triangle mass, and mean lcc. Exactness device: lcc
+    * lives in floor-divided integer PPM — (2·tri·10⁶) div
+    * (deg·(deg−1)) — and the class mean floor-divides the ppm SUM by
+    * the class size, so no fp touches the result at all (headroom:
+    * 2·tri·10⁶ ≤ deg²·10⁶ holds BIGINT to deg ≈ 3·10⁶; a hub past
+    * that trips the wedge budget first). Cost is the [[trianglesOf]]
+    * wedge stream (same budget guard); everything after the triangle
+    * count is node-sized, and the output is degree-class-sized.
+    */
+  def clusteringByDegreeOf(edges: DataFrame,
+      wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialized once: degree census and the triangle core both
+    // consume the edge frame (localCheckpoint, not persist — the
+    // co-purchase plan is shared across gate functions and a peer's
+    // unpersist could yank a shared cache entry mid-flight)
+    val e = edges.localCheckpoint(true)
+    val tri = perNodeTriangles(e, wedgeBudget)
+    e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("tri", coalesce($"triangles", lit(0L)))
+      .withColumn("lcc_ppm",
+        expr("(2 * tri * 1000000L) div (deg * (deg - 1))"))
+      .groupBy($"deg".as("degree"))
+      .agg(count(lit(1)).as("nodes"), sum($"tri").as("tri_sum"),
+        expr("CAST(sum(lcc_ppm) div count(1) AS BIGINT)")
+          .as("mean_lcc_ppm"))
+      .orderBy($"degree")
+  }
+
+  /** Oracle: full a<b<c triangle enumeration (the [[trianglesSql]]
+    * device without the top-k cut), per-node counts left-joined to
+    * the degree census, identical integer-ppm floor divisions.
+    */
+  val clusteringByDegreeSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       deg AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS deg
+         FROM (SELECT p1 AS node FROM pairs
+               UNION ALL SELECT p2 FROM pairs) GROUP BY node),
+       tri AS (
+         SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         FROM pairs e1
+         JOIN pairs e2 ON e2.p1 = e1.p2
+         JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+       tcnt AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS tri
+         FROM (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY node),
+       pernode AS (
+         SELECT d.deg, coalesce(t.tri, 0) AS tri,
+                (2 * coalesce(t.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+                  AS lcc_ppm
+         FROM deg d LEFT JOIN tcnt t USING (node)
+         WHERE d.deg >= 2)
+       SELECT deg AS degree, CAST(count(*) AS BIGINT) AS nodes,
+              CAST(sum(tri) AS BIGINT) AS tri_sum,
+              CAST(CAST(sum(lcc_ppm) AS BIGINT) // count(*) AS BIGINT)
+                AS mean_lcc_ppm
+       FROM pernode GROUP BY degree ORDER BY degree"""
 
   /** Oracle: id-ordered a<b<c enumeration over the p1<p2 edge set. */
   val trianglesSql: String =

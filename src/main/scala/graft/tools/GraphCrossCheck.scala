@@ -124,6 +124,18 @@ object GraphCrossCheck {
       tri.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
         .map { case (n, t) => Seq(n, t) })
 
+    // ── clustering coefficient census by degree class ──
+    val ccWant = nodes.filter(n => adj(n).size >= 2)
+      .groupBy(n => adj(n).size.toLong).toSeq.sortBy(_._1)
+      .map { case (d, ns) =>
+        val lccSum = ns.map(n =>
+          (2 * tri.getOrElse(n, 0L) * 1000000L) / (d * (d - 1))).sum
+        Seq(d, ns.size.toLong, ns.map(n => tri.getOrElse(n, 0L)).sum,
+          lccSum / ns.size)
+      }
+    check("graph_clustering",
+      rows(graft.operators.Graph.clusteringByDegree(spark, dir)), ccWant)
+
     // ── khop (seeds ≡ 0 mod 97, 3 hops; per-hop census) ──
     val hop = mutable.HashMap.empty[Long, Long]
     var frontier = nodes.filter(_ % 97 == 0).toSet

@@ -77,6 +77,57 @@ class GraphSpec extends SparkSpec {
       s"got $got") // node 5 closes no triangle → absent from counts
   }
 
+  test("clustering census: triangle + pendant fixture, and pendant-only nodes drop out") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 off node 1: deg(1)=3 lcc=1/3,
+    // deg(2)=deg(3)=2 lcc=1, deg(4)=1 → excluded
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val got = Graph.clusteringByDegreeOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L, 2L, 1000000L), (3L, 1L, 1L, 333333L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("clustering census ≡ brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val und = (for {
+      a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val got = Graph.clusteringByDegreeOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 8))
+          .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perNode = Graph.trianglesOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 8))
+          .toDF("src", "dst"), topK = 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri = bruteTriangles(und)
+    assert(perNode == tri,
+      s"per-node diff: extra=${perNode.toSet -- tri.toSet} missing=${tri.toSet -- perNode.toSet}")
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    // keys is a SET — force a Seq before mapping to counts, or equal
+    // per-node values collapse and the sums come up short
+    val want = deg.filter(_._2 >= 2).keys.toSeq.groupBy(deg).toSeq
+      .sortBy(_._1)
+      .map { case (d, ns) =>
+        val ts = ns.map(nd => tri.getOrElse(nd, 0L))
+        (d, ns.size.toLong, ts.sum,
+          ns.map(nd => (2 * tri.getOrElse(nd, 0L) * 1000000L) /
+            (d * (d - 1))).sum / ns.size)
+      }
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want " +
+      s"perNodeTotal=${perNode.values.sum} bruteTotal=${tri.values.sum} " +
+      s"edges=${und.size}")
+  }
+
   test("oriented triangle counts equal brute-force on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
