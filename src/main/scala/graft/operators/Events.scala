@@ -412,6 +412,97 @@ object Events {
         SELECT h, n, t_n * p - t * g AS d
         FROM s ORDER BY abs(t_n * p - t * g) DESC, h LIMIT $k"""
 
+  /** Sample autocorrelation function at hourly lags 1..`maxLag` over
+    * the gap-filled series — the periodicity detector (a daily cycle
+    * shows as a ridge at lag 24) and the residual-whiteness check
+    * after seasonal adjustment. Exactness device: every MOMENT is an
+    * exact BIGINT off the spine — A_k = Σ y_t·y_{t+k}, head/tail
+    * sums B₁/B₂, and the globals T, G = Σy, Q = Σy² — and the
+    * textbook centered form is recovered by multiplying the mean
+    * through: num_k = T²·A_k − T·G·(B₁+B₂) + (T−k)·G², den = T²·Q −
+    * T·G², acf_k = num_k/den evaluated as ONE pinned fp expression
+    * of the exact integers (identical IEEE doubles on both engines).
+    * Headroom: A_k ≤ T·ŷ² holds BIGINT through a decade-long spine
+    * at ~10⁶ events/hour. Plan shape: the 24 lags come from ONE
+    * ordered window pass (an array of lags posexploded to (k, pair)
+    * rows), so the spine is scanned once, not once per lag; the
+    * window is spine-sized (calendar-bounded — same exemption as
+    * events_cusum_hours), and the per-lag aggregate shuffles
+    * 24·T domain rows, never corpus rows.
+    */
+  def autocorrelationHours(spark: SparkSession, dir: String,
+      maxLag: Int = 24): DataFrame =
+    acfOfSeries(gapfillHourly(spark, dir), maxLag)
+
+  /** ACF core over any dense (h, n) series frame — see
+    * [[autocorrelationHours]] for the arithmetic contract.
+    */
+  def acfOfSeries(base: DataFrame, maxLag: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy($"h")
+    val lags = (1 to maxLag).map(k => lag($"n", k).over(w))
+    val pairs = base
+      .withColumn("prev", array(lags: _*))
+      .select($"n".as("yt"), posexplode($"prev").as(Seq("pos", "yh")))
+      .filter($"yh".isNotNull)
+      .select(($"pos" + 1).cast("long").as("lag"), $"yh", $"yt")
+    val moments = pairs.groupBy($"lag").agg(
+      count(lit(1)).as("pairs"),
+      sum($"yh" * $"yt").as("ak"),
+      sum($"yh").as("b1"), sum($"yt").as("b2"))
+    val tot = base.agg(count(lit(1)).as("tt"), sum($"n").as("g"),
+      sum($"n" * $"n").as("q"))
+    moments.crossJoin(broadcast(tot))
+      .withColumn("acf", round(
+        (($"tt".cast("double") * $"tt".cast("double")
+          * $"ak".cast("double"))
+          - $"tt".cast("double") * $"g".cast("double")
+            * ($"b1".cast("double") + $"b2".cast("double"))
+          + $"pairs".cast("double") * $"g".cast("double")
+            * $"g".cast("double")) /
+        (($"tt".cast("double") * $"tt".cast("double")
+          * $"q".cast("double"))
+          - $"tt".cast("double") * $"g".cast("double")
+            * $"g".cast("double")), 6))
+      .select($"lag", $"pairs", $"acf")
+      .orderBy($"lag")
+  }
+
+  def autocorrelationHoursSql(maxLag: Int = 24): String =
+    s"""WITH c AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+          FROM events GROUP BY 1),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM hrs LEFT JOIN c USING (h)),
+        s AS (SELECT h, n, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+              FROM f),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS tt,
+                       CAST(sum(n) AS BIGINT) AS g,
+                       CAST(sum(n * n) AS BIGINT) AS q FROM f),
+        p AS (SELECT s2.t - s1.t AS lag, s1.n AS yh, s2.n AS yt
+              FROM s s1 JOIN s s2
+                ON s2.t > s1.t AND s2.t - s1.t <= $maxLag),
+        a AS (SELECT lag, CAST(count(*) AS BIGINT) AS pairs,
+                     CAST(sum(yh * yt) AS BIGINT) AS ak,
+                     CAST(sum(yh) AS BIGINT) AS b1,
+                     CAST(sum(yt) AS BIGINT) AS b2
+              FROM p GROUP BY lag)
+        SELECT lag, pairs,
+               round(((CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+                       * CAST(ak AS DOUBLE))
+                      - CAST(tt AS DOUBLE) * CAST(g AS DOUBLE)
+                        * (CAST(b1 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                      + CAST(pairs AS DOUBLE) * CAST(g AS DOUBLE)
+                        * CAST(g AS DOUBLE))
+                     / ((CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+                         * CAST(q AS DOUBLE))
+                        - CAST(tt AS DOUBLE) * CAST(g AS DOUBLE)
+                          * CAST(g AS DOUBLE)), 6) AS acf
+        FROM a CROSS JOIN tot ORDER BY lag"""
+
   /** Linearly-weighted moving average (WMA) over the trailing 24
     * hours of the gap-filled series — trend smoothing where the
     * newest hour weighs 24 and the oldest 1. The position-weighted

@@ -336,4 +336,37 @@ class TimeSeriesSpec extends SparkSpec {
     }.toSet
     assert(rows.toSet == expected)
   }
+
+  test("ACF: planted 24h cycle peaks at lag 24, dips at lag 12; ≡ scala moment re-derivation") {
+    import spark.implicits._
+    // 10 days of a clean daily rhythm plus a deterministic ramp
+    val ys = (0 until 240).map(h =>
+      100L + (if (h % 24 < 12) 40L else -40L) + h % 7)
+    val series = ys.zipWithIndex.map { case (n, h) => (h.toLong, n) }
+      .toDF("h", "n")
+    val got = graft.operators.Events.acfOfSeries(series, maxLag = 24)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val tt = ys.size.toLong; val g = ys.sum; val q = ys.map(y => y * y).sum
+    val want = (1 to 24).map { k =>
+      val head = ys.dropRight(k); val tail = ys.drop(k)
+      val ak = head.zip(tail).map { case (a, b) => a * b }.sum
+      val num = tt.toDouble * tt.toDouble * ak.toDouble -
+        tt.toDouble * g.toDouble * (head.sum.toDouble + tail.sum.toDouble) +
+        (tt - k).toDouble * g.toDouble * g.toDouble
+      val den = tt.toDouble * tt.toDouble * q.toDouble -
+        tt.toDouble * g.toDouble * g.toDouble
+      k.toLong -> ((tt - k, math.floor(num / den * 1e6 + 0.5) / 1e6))
+    }.toMap
+    // pairs counts and acf values match the flat re-derivation
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (p, a)) =>
+      assert(got(k)._1 == p, s"pairs at lag $k")
+      assert(math.abs(got(k)._2 - a) < 2e-6, s"acf at lag $k: ${got(k)._2} vs $a")
+    }
+    // the planted structure: daily cycle → strong positive at 24,
+    // strong negative at 12, and 24 beats every other lag
+    assert(got(24L)._2 > 0.8 && got(12L)._2 < -0.8)
+    assert((1L to 23L).forall(k => got(24L)._2 > got(k)._2))
+  }
 }

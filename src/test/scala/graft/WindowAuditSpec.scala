@@ -57,6 +57,10 @@ class WindowAuditSpec extends SparkSpec {
       ("trailing-24h moment windows over the gap-filled HOURLY " +
         "spine (calendar-bounded) — same aggregate-then-window shape " +
         "as events_anomaly_hours"),
+    "events_autocorrelation" ->
+      ("one 24-lag window pass over the gap-filled HOURLY spine " +
+        "(calendar-bounded) — the per-hour aggregation below already " +
+        "reduced the corpus; same spine rationale as events_cusum_hours"),
     "olap_ks_test" ->
       ("cumulative ECDF sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length, bounded by max doc length) — the " +
