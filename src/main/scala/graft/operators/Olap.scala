@@ -946,6 +946,83 @@ object Olap {
                      4) AS z
         FROM u"""
 
+  /** Per-nation Gini coefficient of customer lifetime revenue — the
+    * concentration statistic behind "top-x% of customers drive y% of
+    * revenue" (and, in a training-data pipeline, source-contribution
+    * skew). The rank form G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) keeps
+    * every accumulator exact BIGINT (value-tied customers permute
+    * only within equal x, so Σ r·x is tie-order-free); the single fp
+    * division is pinned and rounded once. Zero-order customers enter
+    * at x = 0 — real inequality the orders table alone can't see.
+    *
+    * Scale shape: the per-nation rank is the banded two-phase device
+    * (the [[graft.operators.Analytics]] bandedNtile layout): $10k
+    * revenue bands give per-(nation, band) row_number windows plus a
+    * band-level offset window — nothing customer-sized funnels
+    * through one task. Headroom: Σ r·x ≤ n·Σx holds BIGINT while
+    * n·Σcents < 9·10¹⁸ (a 10⁸-customer nation at $1k average is
+    * 10¹⁹·0.1 — at that scale move cents to mills-of-dollars).
+    */
+  def giniRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spent"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+      .join(perCust, Seq("ck"), "left")
+      .withColumn("cents", coalesce($"spent", lit(0L)))
+      .withColumn("band", expr("cents div 1000000"))
+    val bandCounts = cust.groupBy($"nk", $"band")
+      .agg(count(lit(1)).as("bn"))
+    val wB = Window.partitionBy($"nk").orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("off", coalesce(sum($"bn").over(wB), lit(0L)))
+      .select($"nk", $"band", $"off")
+    val wIn = Window.partitionBy($"nk", $"band")
+      .orderBy($"cents", $"ck")
+    val moments = cust.join(broadcast(offsets), Seq("nk", "band"))
+      .withColumn("rk", $"off" + row_number().over(wIn))
+      .groupBy($"nk")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("t"),
+        sum($"rk" * $"cents").as("aa"))
+    moments
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("nk"), $"n_name".as("nation"))),
+        Seq("nk"))
+      .select($"nation", $"n", $"t".as("total_cents"),
+        round((lit(2L) * $"aa" - ($"n" + 1L) * $"t").cast("double") /
+          ($"n".cast("double") * $"t".cast("double")), 6).as("gini"))
+      .orderBy($"nation")
+  }
+
+  val giniRevenueByNationSql: String =
+    """WITH pc AS (
+         SELECT o_custkey AS ck,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS spent
+         FROM orders GROUP BY 1),
+       cu AS (
+         SELECT c_custkey AS ck, c_nationkey AS nk,
+                CAST(coalesce(pc.spent, 0) AS BIGINT) AS cents
+         FROM customer LEFT JOIN pc ON pc.ck = c_custkey),
+       r AS (
+         SELECT nk, cents,
+                CAST(row_number() OVER (PARTITION BY nk
+                  ORDER BY cents, ck) AS BIGINT) AS rk
+         FROM cu),
+       a AS (
+         SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS t,
+                CAST(sum(rk * cents) AS BIGINT) AS aa
+         FROM r GROUP BY 1)
+       SELECT n_name AS nation, n, t AS total_cents,
+              round(CAST(2 * aa - (n + 1) * t AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+       FROM a JOIN nation ON n_nationkey = nk
+       ORDER BY nation"""
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -579,4 +579,36 @@ class OlapSpec extends SparkSpec {
     val (sn1, sn2, su1x2, stie) = rederive(a, b)
     assert(su1x2 == 2 * sn1 * sn2 && stie == 0L)
   }
+
+  test("Gini ≡ a sorted-scan re-derivation per nation; extremes hit 0 and (n-1)/n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def gini(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.size.toLong; val t = s.sum
+      val aa = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      math.floor((2 * aa - (n + 1) * t).toDouble /
+        (n.toDouble * t.toDouble) * 1e6 + 0.5) / 1e6
+    }
+    // formula extremes first: all-equal → 0; one owner → (n−1)/n
+    assert(gini(Seq.fill(10)(7L)) == 0.0)
+    assert(gini(Seq.fill(9)(0L) :+ 100L) == 0.9)
+    val perCust = Tables.orders(spark, SF)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spent"))
+    val cust = Tables.customer(spark, SF)
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+      .join(perCust, Seq("ck"), "left")
+      .select($"nk", coalesce($"spent", lit(0L)).as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val want = cust.groupBy(_._1).view
+      .mapValues(g => gini(g.map(_._2).toSeq)).toMap
+    val nations = Tables.nation(spark, SF)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    val got = graft.operators.Olap.giniRevenueByNation(spark, SF)
+      .collect().map(r => nations(r.getString(0)) -> r.getDouble(3)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (nk, g) =>
+      assert(math.abs(g - want(nk)) < 2e-6, s"nation $nk: $g vs ${want(nk)}") }
+  }
 }
