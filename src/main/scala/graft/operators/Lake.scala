@@ -284,6 +284,43 @@ object Lake {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars NOT BETWEEN $lo AND $hi"""
 
+  /** Gate-shaped MERGE-ON-READ delete: same banded table, but the
+    * [200, 400] box is deleted as an equality-delete file (doc_id
+    * keys) with ZERO data rewrite — the gate asserts that in-line
+    * (every pre-delete segment dir must still be listed live, and
+    * exactly one delete file must exist). Then a slice of the
+    * deleted rows (250, 300] is RE-APPENDED: the dv's version
+    * horizon must not retro-delete the new segment, so those rows
+    * come back — the sequence-scoping semantics pinned cross-engine.
+    */
+  def deleteMorRead(spark: SparkSession, dir: String,
+      lo: Long = 200, hi: Long = 400): DataFrame = {
+    import spark.implicits._
+    val (t, _) = bandedTable(spark, dir, "graft_lake_mor")
+    val segsBefore = t.overlappingSegments(
+      Seq(("n_chars", Double.NegativeInfinity, Double.PositiveInfinity)))
+      .map(_.dir.getName).toSet
+    t.deleteWhereMor(Seq(("n_chars", lo.toDouble, hi.toDouble)), "doc_id")
+    val segsAfter = t.overlappingSegments(
+      Seq(("n_chars", Double.NegativeInfinity, Double.PositiveInfinity)))
+      .map(_.dir.getName).toSet
+    require(segsAfter == segsBefore && t.deleteFileCount == 1,
+      s"MoR delete must rewrite nothing: before=$segsBefore " +
+        s"after=$segsAfter dvs=${t.deleteFileCount}")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    t.append(docs.filter($"n_chars" > 250 && $"n_chars" <= 300),
+      statCols = Seq("n_chars"))
+    t.read().select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def deleteMorReadSql(lo: Long = 200, hi: Long = 400): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars NOT BETWEEN $lo AND $hi
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE n_chars > 250 AND n_chars <= 300"""
+
   /** Gate-shaped incremental consumption: same banded append chain,
     * then readSince(version of batch 1) — exactly the rows batches
     * 2–4 appended, i.e. everything above the first band's 150-char

@@ -109,6 +109,142 @@ class ManifestTable(spark: SparkSession, root: String) {
       else Some(segs).filter(_.forall(s => fs.exists(s.dir)))
     }
 
+  // ── Merge-on-read equality deletes (Iceberg-v2-delete-file /
+  //    Delta-deletion-vector role) ────────────────────────────────
+  //
+  // A MoR delete stages only the DELETED KEYS (a parquet of distinct
+  // key values) and commits a `#dv=<dir>|<keyCol>|<version>` line —
+  // zero data rewrite, O(matched keys) IO, which at 100 TB is the
+  // difference between a GDPR delete finishing in seconds and
+  // rewriting every overlapping segment. Readers subtract delete
+  // keys with an anti-join. SEQUENCE SCOPING rides the existing
+  // version-stamped segment dir names: a dv applies only to segments
+  // staged at versions ≤ its own commit version, so a key deleted at
+  // v5 and re-appended at v7 is visible again — the Iceberg sequence
+  // -number contract without extra metadata. Overwrites ([[write]],
+  // [[writeClustered]], [[compact]]) consume dvs (they rewrite from
+  // a dv-applied read and drop the lines); [[append]] and the CoW
+  // [[deleteWhere]] carry them forward.
+
+  /** One committed equality-delete file: key parquet dir, the key
+    * column it deletes on, and the version it committed at (its
+    * sequence horizon).
+    */
+  private case class Dv(dir: Path, keyCol: String, v: Long)
+
+  private def dvLinesOf(v: Long): Seq[String] =
+    manifestLines(v).getOrElse(Nil).filter(_.startsWith("#dv="))
+
+  private def parseDv(line: String): Dv = {
+    val Array(ref, kc, dv) = line.stripPrefix("#dv=").split('|')
+    val dir = if (ref.contains("/")) new Path(ref)
+      else new Path(rootPath, ref)
+    Dv(dir, kc, dv.toLong)
+  }
+
+  private def renderDv(d: Dv): String = {
+    val ref = if (d.dir.getParent == rootPath) d.dir.getName
+      else d.dir.toString
+    s"#dv=$ref|${d.keyCol}|${d.v}"
+  }
+
+  private def dvsOf(v: Long): Seq[Dv] = dvLinesOf(v).map(parseDv)
+
+  /** The version a segment's data was staged at (its dir-name stamp)
+    * — the sequence number dv scoping compares against. Foreign-
+    * rooted (branched-in) segments carry the same naming scheme.
+    */
+  private def segStagedVersion(s: Segment): Long = s.dir.getName match {
+    case DataDirName(d) => d.toLong
+    case _ => Long.MaxValue
+  }
+
+  /** Whether delete file `d` covers segment `s` — the sequence
+    * comparison. Same-root pairs compare version stamps directly.
+    * Cross-root pairs arise only through [[branchTo]], whose fork is
+    * a strict time boundary: a FOREIGN dv predates the fork, so it
+    * never covers an OWN (post-fork) segment; an OWN dv postdates
+    * it, so it always covers a FOREIGN (pre-fork) segment. (A
+    * branch-of-a-branch mixing two foreign roots falls back to the
+    * stamp comparison — covered by the one-level-deep branch
+    * contract [[branchTo]] documents.)
+    */
+  private def dvApplies(d: Dv, s: Segment): Boolean = {
+    val segOwn = s.dir.getParent == rootPath
+    val dvOwn = d.dir.getParent == rootPath
+    if (segOwn == dvOwn) d.v >= segStagedVersion(s)
+    else dvOwn // own dv covers foreign seg; foreign dv never covers own seg
+  }
+
+  /** Dv-aware segment read: group segments by which dvs apply to
+    * them (a dv covers segments staged at or before its commit), and
+    * anti-join each group with its delete keys. Group count is
+    * bounded by the dv count, not the segment count; the key frames
+    * are delete-sized (the optimizer broadcasts them). Era groups may
+    * straddle a schema evolution, so the union is by name with
+    * null-fill.
+    */
+  private def readSegmentsDvAware(segs: Seq[Segment],
+      dvs: Seq[Dv]): DataFrame = {
+    if (dvs.isEmpty) return readSegments(segs)
+    import org.apache.spark.sql.functions.{col => cc}
+    segs.groupBy(s => dvs.filter(dvApplies(_, s)))
+      .map { case (applicable, group) =>
+        applicable.groupBy(_.keyCol).foldLeft(readSegments(group)) {
+          case (df, (kc, ds)) =>
+            val keys = spark.read
+              .parquet(ds.map(_.dir.toString): _*)
+              .select(cc(kc)).distinct()
+            df.join(keys, df(kc) === keys(kc), "left_anti")
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Merge-on-read delete: remove every row where ALL predicates
+    * hold, by committing the matching `keyCol` values as a delete
+    * file — NO data rewrite (the [[deleteWhere]] trade inverted:
+    * that one pays O(overlapping segments) rewrite for clean reads,
+    * this one pays an anti-join at read until [[compact]] folds the
+    * dvs in). Segments whose stats rule the box out aren't even
+    * scanned for keys. `keyCol` must identify rows: every row
+    * carrying a matched key is deleted, in-box or not (equality-
+    * delete semantics — use a key, not a payload column). Returns
+    * the committed version (the live one when nothing matches).
+    */
+  def deleteWhereMor(preds: Seq[(String, Double, Double)],
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(preds.nonEmpty, "deleteWhereMor needs at least one predicate")
+    val (liveV, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val hit = segs.filter(s => preds.forall { case (n, lo, hi) =>
+      s.stats.get(n).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
+    if (hit.isEmpty) return liveV
+    val inBox = preds.map { case (n, lo, hi) => col(n).between(lo, hi) }
+      .reduce(_ && _)
+    // keys come from a dv-AWARE read of the hit segments: already-
+    // deleted keys don't re-enter, keeping delete files minimal
+    val keys = readSegmentsDvAware(hit, dvsOf(liveV))
+      .filter(coalesce(inBox, lit(false)))
+      .select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val v = currentVersion.getOrElse(0L) + 1
+    val dir = new Path(rootPath,
+      f"v$v%08d-dv-${java.util.UUID.randomUUID.toString.take(8)}")
+    keys.write.mode("errorifexists").parquet(dir.toString)
+    val staged = spark.read.parquet(dir.toString)
+    if (staged.isEmpty) { fs.delete(dir, true); return liveV }
+    commit(v, segs, ownStaged = Seq(dir),
+      extraLines = dvLinesOf(liveV) :+ renderDv(Dv(dir, keyCol, v)))
+    v
+  }
+
+  /** Live `#dv=` delete-file count — observability for specs and
+    * maintenance policy ("compact when dvs pile past k").
+    */
+  def deleteFileCount: Int =
+    liveSegments.map { case (v, _) => dvLinesOf(v).size }.getOrElse(0)
+
   /** The `#batch=<id>` marker of version `v`, if present — set by
     * [[append]] when a caller passes a batch id.
     */
@@ -137,9 +273,9 @@ class ManifestTable(spark: SparkSession, root: String) {
       .parquet(segs.map(_.dir.toString): _*)
 
   def read(): DataFrame = {
-    val (_, segs) = liveSegments.getOrElse(
+    val (v, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    readSegments(segs)
+    readSegmentsDvAware(segs, dvsOf(v))
   }
 
   /** Time-travel read: the table exactly as committed at version `v`.
@@ -153,7 +289,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val segs = segments(v).getOrElse(
       throw new java.io.FileNotFoundException(
         s"version $v of $root is not readable (never committed, burned, or vacuumed)"))
-    readSegments(segs)
+    readSegmentsDvAware(segs, dvsOf(v))
   }
 
   /** Readable (fully committed, still retained) versions, ascending —
@@ -188,7 +324,9 @@ class ManifestTable(spark: SparkSession, root: String) {
       .reduce(_ && _)
     val hit = overlappingSegments(preds)
     if (hit.isEmpty) read().filter(rowFilter).limit(0)
-    else readSegments(hit).filter(rowFilter)
+    else readSegmentsDvAware(hit,
+      liveSegments.map { case (v, _) => dvsOf(v) }.getOrElse(Nil))
+      .filter(rowFilter)
   }
 
   /** The live segments a box predicate cannot rule out — exposed so
@@ -283,8 +421,12 @@ class ManifestTable(spark: SparkSession, root: String) {
       val prev = live.map(_._2).getOrElse(Nil)
       val v = currentVersion.getOrElse(0L) + 1
       val seg = stage(df, v, statCols, bloomCols)
+      // delete files carry forward; the new segment's stamp v is
+      // past every carried dv's horizon, so appended rows are never
+      // retro-deleted (a re-appended key becomes visible again)
       commit(v, prev :+ seg, ownStaged = Seq(seg.dir),
-        extraLines = batchId.map(id => s"#batch=$id").toSeq)
+        extraLines = batchId.map(id => s"#batch=$id").toSeq ++
+          live.map { case (lv, _) => dvLinesOf(lv) }.getOrElse(Nil))
       v
     }
   }
@@ -528,7 +670,9 @@ class ManifestTable(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.{col => cc, lit}
     val hit = pointCandidates(c, value)
     if (hit.isEmpty) read().filter(lit(false))
-    else readSegments(hit).filter(cc(c) === value)
+    else readSegmentsDvAware(hit,
+      liveSegments.map { case (v, _) => dvsOf(v) }.getOrElse(Nil))
+      .filter(cc(c) === value)
   }
 
   /** Atomic create-no-overwrite of the manifest claims the version;
@@ -597,8 +741,11 @@ class ManifestTable(spark: SparkSession, root: String) {
     val inBox = preds.map { case (n, lo, hi) => col(n).between(lo, hi) }
       .reduce(_ && _)
     // null-safe survivor filter: a null predicate column means the
-    // row is NOT in the box — it must survive, not vanish
-    val survivors = readSegments(hit.toSeq)
+    // row is NOT in the box — it must survive, not vanish. The read
+    // is dv-AWARE: a MoR-deleted row must not resurrect inside the
+    // rewritten survivor segment (whose fresh stamp would put it past
+    // every dv horizon)
+    val survivors = readSegmentsDvAware(hit.toSeq, dvsOf(liveV))
       .filter(!coalesce(inBox, lit(false)))
     val carried = segs.filterNot(hit)
     // a segment whose rows ALL matched must not become an empty,
@@ -607,11 +754,12 @@ class ManifestTable(spark: SparkSession, root: String) {
     if (survivors.isEmpty) {
       require(carried.nonEmpty,
         s"deleteWhere would empty $root — unsupported (schema-less manifest)")
-      commit(v, carried, ownStaged = Nil)
+      commit(v, carried, ownStaged = Nil, extraLines = dvLinesOf(liveV))
     } else {
       val tracked = (segs.flatMap(_.stats.keys) ++ statCols).distinct
       val seg = stage(survivors, v, tracked)
-      commit(v, carried :+ seg, ownStaged = Seq(seg.dir))
+      commit(v, carried :+ seg, ownStaged = Seq(seg.dir),
+        extraLines = dvLinesOf(liveV))
     }
     v
   }
@@ -635,6 +783,11 @@ class ManifestTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(
         s"history of $root from v$v to v$liveV is not append-only " +
           s"(a rewrite replaced ${base -- liveNames}); re-baseline from v$liveV")
+    if (dvLinesOf(liveV).toSet != dvLinesOf(v).toSet)
+      throw new IllegalStateException(
+        s"history of $root from v$v to v$liveV is not append-only " +
+          "(merge-on-read deletes committed in between); re-baseline " +
+          s"from v$liveV")
     val added = live.filterNot(s => base.contains(s.dir.getName))
     if (added.isEmpty) read().limit(0)
     else readSegments(added)
@@ -646,7 +799,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     * get folded down. @return (filesBefore, filesAfter)
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (_, live) = liveSegments.getOrElse(
+    val (liveV, live) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
     def parquetFiles(p: Path) =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
@@ -655,10 +808,12 @@ class ManifestTable(spark: SparkSession, root: String) {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // stats survive compaction: recollect over the union of columns
-    // the live segments tracked
+    // the live segments tracked. The read is dv-aware and write()
+    // commits WITHOUT dv lines — compaction is where merge-on-read
+    // delete files get folded in and retired
     val statCols = live.flatMap(_.stats.keys).distinct
     val committed = write(
-      readSegments(live).repartition(nOut),
+      readSegmentsDvAware(live, dvsOf(liveV)).repartition(nOut),
       statCols)
     (before, segments(committed).get.map(s => parquetFiles(s.dir)).sum)
   }
@@ -707,7 +862,11 @@ class ManifestTable(spark: SparkSession, root: String) {
       s"_ref.${java.util.UUID.randomUUID.toString.take(8)}")
     val mout = fs.create(marker, false)
     try mout.write(branchRoot.getBytes(UTF_8)) finally mout.close()
-    br.commit(1L, segs.map(s => br.Segment(s.dir, s.stats)), ownStaged = Nil)
+    // delete files travel with the fork (by full path, like shared
+    // segments) — a branch must not resurrect MoR-deleted rows
+    val dvLines = dvsOf(v).map(d => s"#dv=${d.dir.toString}|${d.keyCol}|${d.v}")
+    br.commit(1L, segs.map(s => br.Segment(s.dir, s.stats)),
+      ownStaged = Nil, extraLines = dvLines)
     br
   }
 
@@ -776,6 +935,12 @@ class ManifestTable(spark: SparkSession, root: String) {
           s"append-only (a rewrite replaced ${base -- liveNames}); " +
           "mergeAppendsFrom would duplicate rewritten pre-fork rows — " +
           "merge a compacted/deleted-from branch explicitly instead")
+    if (br.dvLinesOf(liveV).toSet != br.dvLinesOf(sinceV).toSet)
+      throw new IllegalStateException(
+        s"branch ${br.rootPath} committed merge-on-read deletes since " +
+          s"v$sinceV — divergent deletes don't propagate through an " +
+          "append-only merge; compact the branch first (folding its " +
+          "delete files in), then merge")
     val delta = liveSegs.filterNot(s => base.contains(s.dir.toString))
     if (delta.isEmpty) return currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
@@ -789,7 +954,8 @@ class ManifestTable(spark: SparkSession, root: String) {
     val drop = all.dropRight(keep).filter(_ < cur)
     drop.foreach(v => fs.delete(manifest(v), false))
     val ownReferenced = (all.toSet -- drop)
-      .flatMap(v => segments(v).getOrElse(Nil).map(_.dir.getName))
+      .flatMap(v => segments(v).getOrElse(Nil).map(_.dir.getName) ++
+        dvsOf(v).filter(_.dir.getParent == rootPath).map(_.dir.getName))
     // cross-table refcount: a segment under THIS root that a
     // registered branch's retained manifests still reference survives
     // — the branch pin [[branchTo]] promises. A marker whose branch
@@ -800,8 +966,11 @@ class ManifestTable(spark: SparkSession, root: String) {
       val brVersions = br.committedVersions
       if (brVersions.isEmpty) { fs.delete(marker, false); Nil }
       else brVersions.flatMap(v => br.manifestLines(v).getOrElse(Nil))
-        .filterNot(_.startsWith("#"))
-        .map(l => new Path(l.split('|').head))
+        .collect {
+          case l if !l.startsWith("#") => new Path(l.split('|').head)
+          case l if l.startsWith("#dv=") =>
+            new Path(l.stripPrefix("#dv=").split('|').head)
+        }
         .filter(_.getParent == rootPath)
         .map(_.getName)
     }.toSet

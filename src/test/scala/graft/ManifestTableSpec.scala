@@ -439,4 +439,74 @@ class ManifestTableSpec extends SparkSpec {
     assert(dist.contains("v00000001-syn04242"))
     assert(dist.size <= 5, s"FP rate collapsed: ${dist.size} of $n candidates")
   }
+
+  test("MoR delete: zero rewrite, read subtracts keys, re-append resurrects, compact folds dvs in") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1L to 100L).map(i => (i, i % 10)).toDF("id", "m"),
+      statCols = Seq("id"))
+    val filesBefore = t.read().inputFiles.toSet
+    // MoR delete ids [40, 60] — no data file may be touched
+    val v = t.deleteWhereMor(Seq(("id", 40.0, 60.0)), "id")
+    assert(v == 2 && t.deleteFileCount == 1)
+    assert(t.read().select($"id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 39L) ++ (61L to 100L)).toSet)
+    assert(filesBefore.subsetOf(
+      t.readVersion(1L).inputFiles.toSet), "data files rewritten")
+    // time travel: v1 still sees everything
+    assert(t.readVersion(1L).count() == 100)
+    // zone-map read path applies dvs too
+    assert(t.readWhere("id", 30.0, 70.0).select($"id")
+      .collect().map(_.getLong(0)).toSet ==
+      ((30L to 39L) ++ (61L to 70L)).toSet)
+    // readSince treats the MoR delete as a rewrite (not append-only)
+    intercept[IllegalStateException] { t.readSince(1L) }
+    // re-append two deleted keys: the dv horizon must not cover the
+    // new segment — they come back exactly once
+    t.append(Seq((50L, 99L), (55L, 99L)).toDF("id", "m"),
+      statCols = Seq("id"))
+    val after = t.read().select($"id", $"m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.count(_._1 == 50L) == 1 && after.count(_._1 == 55L) == 1)
+    assert(after.filter(_._1 == 50L).head._2 == 99L)
+    // a second MoR delete stacks; a CoW delete after it must not
+    // resurrect MoR-deleted rows in its rewritten survivors
+    t.deleteWhereMor(Seq(("id", 90.0, 95.0)), "id")
+    assert(t.deleteFileCount == 2)
+    t.deleteWhere(Seq(("id", 1.0, 5.0)))
+    val ids = t.read().select($"id").collect().map(_.getLong(0)).toSet
+    val want = ((6L to 39L) ++ Seq(50L, 55L) ++ (61L to 89L) ++
+      (96L to 100L)).toSet
+    assert(ids == want, s"extra=${ids -- want} missing=${want -- ids}")
+    // compact folds the delete files in and retires them
+    t.compact()
+    assert(t.deleteFileCount == 0)
+    assert(t.read().select($"id").collect().map(_.getLong(0)).toSet == want)
+    // vacuum now reclaims the unreferenced dv dirs
+    t.vacuum(keep = 1)
+    assert(t.read().select($"id").collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("MoR delete travels with a branch; a branch with divergent dvs refuses append-only merge") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1L to 20L).map(i => (i, "x")).toDF("id", "s"),
+      statCols = Seq("id"))
+    t.deleteWhereMor(Seq(("id", 1.0, 5.0)), "id")
+    val broot = java.nio.file.Files
+      .createTempDirectory("manifest_br").toString + "/b"
+    val br = t.branchTo(broot, 2L)
+    // the fork sees the deletes (no resurrection through the branch)
+    assert(br.read().select($"id").collect().map(_.getLong(0)).toSet ==
+      (6L to 20L).toSet)
+    // branch's own append is past the foreign dv's horizon
+    br.append(Seq((3L, "back")).toDF("id", "s"), statCols = Seq("id"))
+    assert(br.read().filter($"id" === 3L).count() == 1)
+    // branch-side MoR delete diverges → merge refuses
+    br.deleteWhereMor(Seq(("id", 10.0, 12.0)), "id")
+    val e = intercept[IllegalStateException] {
+      t.mergeAppendsFrom(br, sinceV = 1L)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
 }
