@@ -321,6 +321,39 @@ object Lake {
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars > 250 AND n_chars <= 300"""
 
+  /** Gate-shaped merge-on-read UPSERT: the banded table takes ONE
+    * atomic commit that replaces every (200, 300] doc (same doc_id,
+    * source rewritten to 'upd') — matched keys replaced, no old
+    * segment rewritten (asserted in-line, as in [[deleteMorRead]]).
+    */
+  def upsertMorRead(spark: SparkSession, dir: String,
+      lo: Long = 200, hi: Long = 300): DataFrame = {
+    import spark.implicits._
+    val (t, _) = bandedTable(spark, dir, "graft_lake_ups")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val before = t.overlappingSegments(
+      Seq(("n_chars", Double.NegativeInfinity, Double.PositiveInfinity)))
+      .map(_.dir.getName).toSet
+    t.upsertMor(docs.filter($"n_chars" > lo && $"n_chars" <= hi)
+        .withColumn("source", lit("upd")),
+      "doc_id", statCols = Seq("n_chars"))
+    val after = t.overlappingSegments(
+      Seq(("n_chars", Double.NegativeInfinity, Double.PositiveInfinity)))
+      .map(_.dir.getName).toSet
+    require(before.subsetOf(after) && t.deleteFileCount == 1,
+      s"MoR upsert must rewrite nothing: lost=${before -- after} " +
+        s"dvs=${t.deleteFileCount}")
+    t.read().select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  def upsertMorReadSql(lo: Long = 200, hi: Long = 300): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE NOT (n_chars > $lo AND n_chars <= $hi)
+        UNION ALL
+        SELECT doc_id, lang, 'upd' AS source, n_chars FROM documents
+        WHERE n_chars > $lo AND n_chars <= $hi"""
+
   /** Gate-shaped incremental consumption: same banded append chain,
     * then readSince(version of batch 1) — exactly the rows batches
     * 2–4 appended, i.e. everything above the first band's 150-char

@@ -172,7 +172,10 @@ class ManifestTable(spark: SparkSession, root: String) {
   private def dvApplies(d: Dv, s: Segment): Boolean = {
     val segOwn = s.dir.getParent == rootPath
     val dvOwn = d.dir.getParent == rootPath
-    if (segOwn == dvOwn) d.v >= segStagedVersion(s)
+    // STRICTLY older (the Iceberg sequence rule): a segment staged in
+    // the dv's OWN commit is not covered — which is exactly what lets
+    // [[upsertMor]] land the delete and the replacement in one commit
+    if (segOwn == dvOwn) d.v > segStagedVersion(s)
     else dvOwn // own dv covers foreign seg; foreign dv never covers own seg
   }
 
@@ -236,6 +239,36 @@ class ManifestTable(spark: SparkSession, root: String) {
     if (staged.isEmpty) { fs.delete(dir, true); return liveV }
     commit(v, segs, ownStaged = Seq(dir),
       extraLines = dvLinesOf(liveV) :+ renderDv(Dv(dir, keyCol, v)))
+    v
+  }
+
+  /** Merge-on-read UPSERT: one atomic commit that (a) equality-
+    * deletes every incoming key via a delete file and (b) appends
+    * the incoming rows as a fresh segment — rows whose key exists
+    * are replaced, new keys insert, untouched segments are never
+    * rewritten. The strict dv horizon ([[dvApplies]]) is what makes
+    * the single commit sound: the delete file covers every OLDER
+    * segment but not the replacement segment staged in the same
+    * version. This is the O(batch) MERGE a CDC/daily-load pipeline
+    * runs at 100 TB, next to the CoW merge
+    * ([[graft.pipeline.Merge]]) that rewrites matched partitions.
+    * Readers before the commit see the old rows; after, the new —
+    * never a mix. Returns the committed version.
+    */
+  def upsertMor(df: DataFrame, keyCol: String,
+      statCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col}
+    val (liveV, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    val v = currentVersion.getOrElse(0L) + 1
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    val dvDir = new Path(rootPath,
+      f"v$v%08d-dv-${java.util.UUID.randomUUID.toString.take(8)}")
+    keys.write.mode("errorifexists").parquet(dvDir.toString)
+    val seg = stage(df, v, statCols)
+    commit(v, segs :+ seg, ownStaged = Seq(dvDir, seg.dir),
+      extraLines = dvLinesOf(liveV) :+ renderDv(Dv(dvDir, keyCol, v)))
     v
   }
 

@@ -487,6 +487,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.read().select($"id").collect().map(_.getLong(0)).toSet == want)
   }
 
+  test("MoR upsert: one commit replaces matched keys and inserts new ones; old version intact") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1L to 10L).map(i => (i, "old")).toDF("id", "s"),
+      statCols = Seq("id"))
+    // replace 3,4 and insert 11 — one commit
+    val v = t.upsertMor(
+      Seq((3L, "new"), (4L, "new"), (11L, "new")).toDF("id", "s"), "id")
+    assert(v == 2 && t.deleteFileCount == 1)
+    val rows = t.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 11)
+    assert(rows(3L) == "new" && rows(4L) == "new" && rows(11L) == "new")
+    assert(rows(5L) == "old")
+    // time travel: v1 unchanged; a second upsert stacks on the first
+    assert(t.readVersion(1L).collect()
+      .map(r => r.getString(1)).forall(_ == "old"))
+    t.upsertMor(Seq((3L, "newer")).toDF("id", "s"), "id")
+    assert(t.read().filter($"id" === 3L).collect()
+      .map(_.getString(1)).toSeq == Seq("newer"))
+    // compact folds both upserts' dvs in
+    t.compact()
+    assert(t.deleteFileCount == 0 && t.read().count() == 11)
+  }
+
   test("MoR delete travels with a branch; a branch with divergent dvs refuses append-only merge") {
     import spark.implicits._
     val t = freshTable()
