@@ -22,6 +22,11 @@ case class SessionOut(user_id: Long, session_start: Timestamp,
 /** A CUSUM control-chart alarm: the event that tripped the
   * statistic, with the statistic's value at the crossing.
   */
+/** One heavy-hitter candidate from a partition sketch: estimated
+  * count and its maximum overestimate (the SpaceSaving error bound).
+  */
+case class HitterEstimate(part: Int, user_id: Long, est: Long, err: Long)
+
 case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
     s_plus: Double)
 
@@ -270,6 +275,52 @@ object EventStream {
     * order is the source's arrival order, as for any control chart
     * fed by a log.
     */
+  /** Streaming heavy hitters (top user_ids by event count) via
+    * per-partition SpaceSaving sketches (Metwally et al. 2005) held
+    * in keyed state: the stream is salted into `parts` hash groups,
+    * each group folds its events into an m-counter sketch — when a
+    * new key arrives at a full sketch it REPLACES the minimum
+    * counter (deterministic tie-break: smallest key), inheriting its
+    * count as the overestimate bound `err` — and each trigger emits
+    * the group's current estimates (update-mode semantics: latest
+    * row per (part, user) wins). State is O(parts · m) FOREVER —
+    * the whole point next to exact streaming counts, whose state
+    * grows with distinct users. The classic guarantees hold per
+    * sketch: est ≥ true count, est − err ≤ true count, and any key
+    * with true count > N_group/m is present. Merging the per-part
+    * sketches is the consumer's reduce (same-key hash routing means
+    * a user lives in exactly ONE sketch, so no cross-part merge
+    * error); with m ≥ distinct-keys-per-part the sketch is EXACT —
+    * the spec's equivalence device, mirroring the batch
+    * vocabularyApprox contract.
+    */
+  def heavyHitters(events: Dataset[StreamEvent], parts: Int,
+      m: Int): Dataset[HitterEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (math.floorMod(e.user_id.hashCode, parts)))
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], HitterEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (part: Int, batch: Iterator[StreamEvent],
+            state: GroupState[Map[Long, (Long, Long)]]) =>
+          var sk = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            sk.get(e.user_id) match {
+              case Some((est, err)) => sk += e.user_id -> (est + 1, err)
+              case None if sk.size < m => sk += e.user_id -> (1L, 0L)
+              case None =>
+                val (mk, (mEst, _)) = sk.minBy { case (k, (est, _)) => (est, k) }
+                sk -= mk
+                sk += e.user_id -> (mEst + 1, mEst)
+            }
+          }
+          state.update(sk)
+          sk.iterator.map { case (u, (est, err)) =>
+            HitterEstimate(part, u, est, err)
+          }.toSeq.sortBy(h => (h.part, h.user_id)).iterator
+      }
+  }
+
   def cusumControl(events: Dataset[StreamEvent], target: Double,
       slack: Double, threshold: Double): Dataset[CusumAlarm] = {
     import events.sparkSession.implicits._

@@ -572,4 +572,63 @@ class StreamingSpec extends SparkSpec {
           s"before=$before after=$after — eviction metadata lost?")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: SpaceSaving replacement, bounds, cross-batch state on a crafted stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.heavyHitters(mem.toDS(), parts = 1, m = 2)
+      .writeStream.format("memory").queryName("hh_crafted")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // u1×3, then u2 fills, u3 evicts the min (u2, count 1)
+      mem.addData(Seq(
+        StreamEvent(1, ts(0), 1, "a", 0), StreamEvent(2, ts(1), 1, "a", 0),
+        StreamEvent(3, ts(2), 1, "a", 0), StreamEvent(4, ts(3), 2, "a", 0),
+        StreamEvent(5, ts(4), 3, "a", 0)))
+      q.processAllAvailable()
+      // cross-batch: two more u1 hits fold into retained state
+      mem.addData(Seq(
+        StreamEvent(6, ts(5), 1, "a", 0), StreamEvent(7, ts(6), 1, "a", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: the LAST emission per user is the live estimate
+    val last = spark.table("hh_crafted").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .zipWithIndex
+      .groupBy(_._1._2).view.mapValues(_.maxBy(_._2)._1).toMap
+    assert(last(1L) == ((0, 1L, 5L, 0L)), s"u1: ${last(1L)}")
+    assert(last(3L) == ((0, 3L, 2L, 1L)), s"u3: ${last(3L)}")
+    // SpaceSaving bounds vs the true counts (u1=5, u2=1, u3=1):
+    // est ≥ true and est − err ≤ true for every surviving key
+    val truth = Map(1L -> 5L, 2L -> 1L, 3L -> 1L)
+    Seq(1L, 3L).foreach { u =>
+      val (_, _, est, err) = last(u)
+      assert(est >= truth(u) && est - err <= truth(u), s"bounds for $u")
+    }
+  }
+
+  test("streaming heavy hitters ≡ exact batch counts in exact mode (m ≥ per-part distincts) on real events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val parts = 4
+    val perPart = rows.map(_.user_id).distinct
+      .groupBy(u => math.floorMod(u.hashCode, parts)).values.map(_.size).max
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.heavyHitters(mem.toDS(), parts, m = perPart + 8)
+      .writeStream.format("memory").queryName("hh_real")
+      .outputMode(OutputMode.Update).start()
+    try { mem.addData(rows); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("hh_real").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = rows.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(3)}")
+    want.foreach { case (u, n) =>
+      assert(got(u) == ((n, 0L)), s"user $u: ${got(u)} want ($n, 0)") }
+  }
 }
