@@ -432,6 +432,74 @@ object Analytics {
     * distinct-user count. Cohort sizes ride a broadcast so the rate
     * needs no second pass over the activity.
     */
+  /** Signup-cohort LTV curve: per signup epoch-week and week index
+    * since signup, the cohort's purchase revenue, its running
+    * cumulative, and cumulative LTV per cohort member — the
+    * unit-economics readout next to [[retentionCohorts]]'s activity
+    * matrix. Exactness: revenue converts ONCE to integer micro-units
+    * (round(value·10⁶) of identical input doubles), so all sums,
+    * cumulatives, and the floor-divided per-user LTV are BIGINT —
+    * no fp accumulation order anywhere; the cohort key is the
+    * integer epoch-week (unix div 604800) so week arithmetic can't
+    * drift on calendar conventions. The cumulative window runs over
+    * the (cohort, week-index) AGGREGATE partitioned by cohort;
+    * purchases join signups BY KEY; pre-signup purchases are
+    * excluded symmetrically.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min(expr("unix_timestamp(ts) div 604800")).as("cw"))
+    val sizes = signup.groupBy($"cw").agg(count(lit(1)).as("users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("unix_timestamp(ts) div 604800").as("pw"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("micros"))
+      .join(signup, "user_id")
+      .withColumn("widx", $"pw" - $"cw")
+      .filter($"widx" >= 0)
+      .groupBy($"cw", $"widx")
+      .agg(sum($"micros").as("rev_micros"))
+    val wc = Window.partitionBy($"cw").orderBy($"widx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_micros", sum($"rev_micros").over(wc))
+      .join(broadcast(sizes), Seq("cw"))
+      .select($"cw".as("cohort_wk"), $"widx", $"rev_micros",
+        $"cum_micros", $"users",
+        expr("cum_micros div users").as("ltv_micros"))
+      .orderBy($"cohort_wk", $"widx")
+  }
+
+  val cohortLtvSql: String =
+    """WITH s AS (
+         SELECT user_id,
+                CAST(min(CAST(floor(epoch(ts)) AS BIGINT) // 604800)
+                  AS BIGINT) AS cw
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS users
+              FROM s GROUP BY cw),
+       r AS (
+         SELECT s.cw,
+                CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 - s.cw AS widx,
+                CAST(sum(CAST(round(e.value * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev_micros
+         FROM events e JOIN s USING (user_id)
+         WHERE e.event_type = 'purchase'
+           AND CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 >= s.cw
+         GROUP BY 1, 2),
+       c AS (
+         SELECT cw, widx, rev_micros,
+                CAST(sum(rev_micros) OVER (PARTITION BY cw
+                  ORDER BY widx) AS BIGINT) AS cum_micros
+         FROM r)
+       SELECT cw AS cohort_wk, widx, rev_micros, cum_micros, users,
+              cum_micros // users AS ltv_micros
+       FROM c JOIN sz USING (cw)
+       ORDER BY cohort_wk, widx"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

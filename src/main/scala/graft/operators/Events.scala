@@ -503,6 +503,70 @@ object Events {
                           * CAST(g AS DOUBLE)), 6) AS acf
         FROM a CROSS JOIN tot ORDER BY lag"""
 
+  /** Baseline-forecast backtest over the hourly series: the three
+    * standard reference models every forecasting effort must beat —
+    * naive (ŷ_t = y_{t−1}), seasonal-daily (y_{t−24}), seasonal-
+    * weekly (y_{t−168}) — evaluated in-sample with exact integer
+    * error moments (Σ|y−ŷ|, signed bias Σ(y−ŷ)) and MAE as one
+    * pinned division. MAPE is deliberately absent: zero hours make
+    * it undefined, which is the textbook reason MAE backtests
+    * gap-filled count series. The three predictions come from ONE
+    * ordered window pass (three lag columns stacked), the window
+    * input is the calendar-bounded spine, and each model only
+    * scores hours where its lag exists — n_eval differs per model
+    * by construction, so the gate pins warm-up handling too.
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame =
+    forecastEvalOfSeries(gapfillHourly(spark, dir))
+
+  /** Backtest core over any dense (h, n) series — see
+    * [[forecastEval]] for the contract.
+    */
+  def forecastEvalOfSeries(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy($"h")
+    base
+      .withColumn("l1", lag($"n", 1).over(w))
+      .withColumn("l24", lag($"n", 24).over(w))
+      .withColumn("l168", lag($"n", 168).over(w))
+      .selectExpr("n",
+        "stack(3, 'naive_1', l1, 'seasonal_24', l24, " +
+          "'seasonal_168', l168) AS (model, pred)")
+      .filter($"pred".isNotNull)
+      .groupBy($"model")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"n" - $"pred")).as("abs_err"),
+        sum($"n" - $"pred").as("bias"))
+      .withColumn("mae", round(
+        $"abs_err".cast("double") / $"n_eval".cast("double"), 4))
+      .orderBy($"model")
+  }
+
+  val forecastEvalSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             FROM hrs LEFT JOIN c USING (h)),
+       s AS (SELECT n,
+                    lag(n, 1) OVER (ORDER BY h) AS l1,
+                    lag(n, 24) OVER (ORDER BY h) AS l24,
+                    lag(n, 168) OVER (ORDER BY h) AS l168
+             FROM f),
+       u AS (SELECT 'naive_1' AS model, n, l1 AS pred FROM s
+             UNION ALL SELECT 'seasonal_24', n, l24 FROM s
+             UNION ALL SELECT 'seasonal_168', n, l168 FROM s)
+       SELECT model, CAST(count(*) AS BIGINT) AS n_eval,
+              CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err,
+              CAST(sum(n - pred) AS BIGINT) AS bias,
+              round(CAST(sum(abs(n - pred)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 4) AS mae
+       FROM u WHERE pred IS NOT NULL
+       GROUP BY model ORDER BY model"""
+
   /** Linearly-weighted moving average (WMA) over the trailing 24
     * hours of the gap-filled series — trend smoothing where the
     * newest hour weighs 24 and the oldest 1. The position-weighted

@@ -84,4 +84,35 @@ class EngagementSpec extends SparkSpec {
     assert(r.getLong(3) == lat.max)
     assert(r.getLong(4) == signup.size.toLong)
   }
+
+  test("cohort LTV ≡ scala re-derivation; cumulative telescopes; pre-signup purchases excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SF)
+      .select($"user_id", expr("unix_timestamp(ts) div 604800").as("w"),
+        $"event_type", expr("CAST(round(value * 1000000) AS BIGINT)").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap
+    val purch = ev.filter(_._3 == "purchase")
+      .flatMap { case (u, w, _, m) =>
+        signup.get(u).filter(_ <= w).map(cw => ((cw, w - cw), m)) }
+    val rev = purch.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sizes = signup.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.cohortLtv(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.map(_._1).toSet == rev.keySet)
+    // per-cohort: rev matches, cumulative telescopes, ltv floor-divides
+    got.groupBy(_._1._1).foreach { case (cw, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1._2).foreach { case ((_, widx), (r, c, u, l)) =>
+        assert(r == rev((cw, widx)), s"rev at ($cw, $widx)")
+        cum += r
+        assert(c == cum, s"cumulative at ($cw, $widx)")
+        assert(u == sizes(cw) && l == cum / u, s"ltv at ($cw, $widx)")
+      }
+    }
+  }
 }

@@ -369,4 +369,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(24L)._2 > 0.8 && got(12L)._2 < -0.8)
     assert((1L to 23L).forall(k => got(24L)._2 > got(k)._2))
   }
+
+  test("forecast backtest ≡ scala fold; seasonal-168 wins on a planted weekly cycle") {
+    import spark.implicits._
+    // 4 weeks of a clean weekly pattern: hour-of-week determines the
+    // level exactly, so the 168-lag model is PERFECT (mae 0) while
+    // naive and daily models err on the within-week structure
+    val ys = (0 until 672).map(h => 50L + (h % 168) % 13 * 7)
+    val series = ys.zipWithIndex.map { case (n, h) => (h.toLong, n) }
+      .toDF("h", "n")
+    val got = graft.operators.Events.forecastEvalOfSeries(series)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def fold(k: Int): (Long, Long, Long) = {
+      val pairs = ys.drop(k).zip(ys.dropRight(k))
+      (pairs.size.toLong,
+        pairs.map { case (y, p) => math.abs(y - p) }.sum,
+        pairs.map { case (y, p) => y - p }.sum)
+    }
+    Seq("naive_1" -> 1, "seasonal_24" -> 24, "seasonal_168" -> 168)
+      .foreach { case (model, k) =>
+        val (n, ae, bias) = fold(k)
+        val (gn, gae, gbias, gmae) = got(model)
+        assert((gn, gae, gbias) == ((n, ae, bias)), s"$model moments")
+        assert(math.abs(gmae -
+          math.floor(ae.toDouble / n * 1e4 + 0.5) / 1e4) < 2e-4, s"$model mae")
+      }
+    assert(got("seasonal_168")._4 == 0.0, "weekly model must be perfect")
+    assert(got("naive_1")._4 > 0.0 && got("seasonal_24")._4 > 0.0)
+  }
 }

@@ -61,6 +61,10 @@ class WindowAuditSpec extends SparkSpec {
       ("one 24-lag window pass over the gap-filled HOURLY spine " +
         "(calendar-bounded) — the per-hour aggregation below already " +
         "reduced the corpus; same spine rationale as events_cusum_hours"),
+    "events_forecast_eval" ->
+      ("three lag columns in one window pass over the gap-filled " +
+        "HOURLY spine (calendar-bounded) — same spine rationale as " +
+        "events_autocorrelation"),
     "olap_ks_test" ->
       ("cumulative ECDF sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length, bounded by max doc length) — the " +
