@@ -1105,4 +1105,103 @@ object Graph {
         JOIN deg db ON db.src = co.b
         ORDER BY jac_ppm DESC, co.a, co.b LIMIT 20"""
   }
+
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalksOf(copurchaseEdges(spark, dir), seedMod = 97L, steps = 4)
+
+  /** Deterministic random walks (the DeepWalk/node2vec corpus-
+    * sampling primitive, Perozzi et al. KDD 2014): one walk per seed
+    * node (id ≡ 0 mod seedMod), `steps` hops, the next neighbor at
+    * each step chosen by the portable md5 device — rank = H(walk_id
+    * · '#' · step) mod deg(u) over the dst-ordered adjacency — so
+    * every engine replays the identical walks (a PRNG walk has no
+    * cross-engine oracle; a salted-hash walk is the derandomized
+    * form, same device as the sampling family). Output is the
+    * (walk_id, step, node) trajectory table, the input shape a
+    * skip-gram embedding trainer consumes.
+    *
+    * Scale shape: each step is one walk-frame join against the
+    * ranked adjacency BY KEY (frontier-style, like [[kHopOf]]), with
+    * the frontier localCheckpoint'ed per hop so lineage stays O(1)
+    * in steps. The adjacency rank window partitions by src — per-
+    * node postings, hub-degree bounded (the Search postings
+    * exemption shape), never corpus-global.
+    */
+  def randomWalksOf(edges: DataFrame, seedMod: Long,
+      steps: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    // both frames are probed once per step — eager checkpoints pay
+    // the rank window exactly once AND cut the shared-lineage
+    // ambiguity a 4-way self-join chain would otherwise hit
+    val ranked = e
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"src").orderBy($"dst")).cast("long") - 1L)
+      .localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var cur = e.select($"src".as("walk_id")).distinct()
+      .filter($"walk_id" % seedMod === 0)
+      .withColumn("node", $"walk_id")
+      .localCheckpoint(true)
+    val levels = Seq.newBuilder[DataFrame]
+    levels += cur.withColumn("step", lit(0L))
+    for (s <- 1 to steps) {
+      val choice = conv(substring(md5(concat($"walk_id".cast("string"),
+        lit(s"#$s"))), 1, 7), 16, 10).cast("long")
+      // alias-qualified join: after the first hop the frontier's
+      // `node` attribute ORIGINATES from ranked's dst, so an
+      // unqualified self-join against ranked is ambiguous by id
+      val picked = cur
+        .join(deg, cur("node") === deg("src")).drop("src")
+        .withColumn("rk", choice % $"deg")
+      cur = picked.as("p")
+        .join(ranked.as("r"),
+          col("p.node") === col("r.src") && col("p.rk") === col("r.rk"))
+        .select(col("p.walk_id").as("walk_id"), col("r.dst").as("node"))
+        .localCheckpoint(true)
+      levels += cur.withColumn("step", lit(s.toLong))
+    }
+    levels.result().reduce(_ unionByName _)
+      .select($"walk_id", $"step", $"node")
+      .orderBy($"walk_id", $"step")
+  }
+
+  val randomWalksSql: String = {
+    def h(step: Int) =
+      s"('0x' || substr(md5(walk_id::VARCHAR || '#$step'), 1, 7))::BIGINT"
+    val stages = (1 to 4).map { s =>
+      s"""w$s AS (
+            SELECT w.walk_id, r.dst AS node
+            FROM w${s - 1} w
+            JOIN deg d ON d.src = w.node
+            JOIN ranked r ON r.src = w.node
+              AND r.rk = ${h(s)} % d.deg)"""
+    }.mkString(",\n")
+    val sel = (0 to 4).map(s =>
+      s"SELECT walk_id, CAST($s AS BIGINT) AS step, node FROM w$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        ranked AS (
+          SELECT src, dst,
+                 CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                   AS BIGINT) - 1 AS rk
+          FROM edges),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        w0 AS (SELECT DISTINCT src AS walk_id, src AS node
+               FROM edges WHERE src % 97 = 0),
+        $stages
+        $sel
+        ORDER BY walk_id, step"""
+  }
 }

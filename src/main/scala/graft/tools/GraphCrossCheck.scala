@@ -124,6 +124,25 @@ object GraphCrossCheck {
       tri.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
         .map { case (n, t) => Seq(n, t) })
 
+    // ── deterministic random walks (md5 hash replayed in scala) ──
+    def md5hexLocal(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sortedAdj = adj.map { case (k, v) => k -> v.sorted }
+    val rwWant = nodes.filter(_ % 97 == 0).toSeq.sorted.flatMap { seed =>
+      var node = seed
+      (0 to 4).map { s =>
+        if (s > 0) {
+          val ns = sortedAdj(node)
+          node = ns((BigInt(md5hexLocal(s"$seed#$s").take(7), 16)
+            % ns.length).toInt)
+        }
+        Seq(seed, s.toLong, node)
+      }
+    }
+    check("graph_random_walks",
+      rows(graft.operators.Graph.randomWalks(spark, dir)), rwWant)
+
     // ── clustering coefficient census by degree class ──
     val ccWant = nodes.filter(n => adj(n).size >= 2)
       .groupBy(n => adj(n).size.toLong).toSeq.sortBy(_._1)

@@ -128,6 +128,55 @@ class GraphSpec extends SparkSpec {
       s"edges=${und.size}")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("random walks replay by hand on a crafted graph; trajectories are edge-valid on a random one") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: adj(2) = [1,3,4] ordered by dst
+    val und = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+    val adj = bothDirs(und).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def h(walk: Long, step: Int, deg: Int): Int =
+      (BigInt(md5hex(s"$walk#$step").take(7), 16) % deg).toInt
+    def replay(seed: Long, steps: Int): Seq[(Long, Long, Long)] = {
+      var node = seed
+      (0 to steps).map { s =>
+        if (s > 0) node = adj(node)(h(seed, s, adj(node).size))
+        (seed, s.toLong, node)
+      }
+    }
+    val got = Graph.randomWalksOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst"), seedMod = 2L, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Seq(2L, 4L).flatMap(replay(_, 3))
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+
+    val rnd = new scala.util.Random(13)
+    val rund = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val es = bothDirs(rund).toSet
+    val rows = Graph.randomWalksOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(rund), 8))
+          .toDF("src", "dst"), seedMod = 5L, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val seeds = rund.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(_ % 5 == 0)
+    assert(rows.length == seeds.size * 5, s"${rows.length} rows")
+    rows.groupBy(_._1).foreach { case (w, tr) =>
+      val path = tr.sortBy(_._2).map(_._3).toSeq
+      assert(path.head == w, s"walk $w starts at its seed")
+      path.sliding(2).foreach { p =>
+        assert(es((p(0), p(1))), s"walk $w traverses non-edge $p")
+      }
+    }
+  }
+
   test("oriented triangle counts equal brute-force on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
