@@ -137,6 +137,70 @@ object Relational {
         GROUP BY n_name
         ORDER BY revenue_i DESC, n_name"""
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade revenue
+    * between two nations by ship year — the 6-way join with a
+    * DISJUNCTIVE nation predicate that exercises join planning
+    * breadth beyond Q5's star: the two metadata dims (supplier→
+    * nation, the 2-nation cut) broadcast, orders↔customer goes
+    * through the keyed shuffle (a region of customers is
+    * broadcast-able; at 100 TB a nation-pair of customers still
+    * isn't, so the plan mustn't assume it), and the OR-of-pairs
+    * filter applies after both nation columns are in scope —
+    * Catalyst can't push a disjunction across two join sides, which
+    * is exactly what the shape documents. Revenue in the same exact
+    * integer cents×basis-points device as [[q5RegionRevenue]].
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .filter($"n_name".isin(nationA, nationB))
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1997-01-01")
+      .select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").cast("long").as("l_year"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("db"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter(($"supp_nation" === nationA && $"cust_nation" === nationB) ||
+        ($"supp_nation" === nationB && $"cust_nation" === nationA))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum(expr("pc * (10000L - db)")).as("revenue_i"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  def q7VolumeShippingSql(nationA: String = "NATION_3",
+      nationB: String = "NATION_7"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+               AS BIGINT) AS revenue_i
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+            OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""
+
   /** Running per-supplier revenue ordered by ship date (window agg).
     * Partitioned by supplier — parallel across the shuffle, no
     * global sort.
