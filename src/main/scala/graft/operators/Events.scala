@@ -503,6 +503,90 @@ object Events {
                           * CAST(g AS DOUBLE)), 6) AS acf
         FROM a CROSS JOIN tot ORDER BY lag"""
 
+  /** Wald–Wolfowitz runs test for serial randomness of the hourly
+    * series around its mean — the cheap "is this iid or does it
+    * trend/cycle" screen that belongs next to [[autocorrelationHours]]
+    * (ACF says WHERE the structure is; the runs test says WHETHER,
+    * in one number). Signs are exact: sign(T·y_t − G) compares the
+    * cross-multiplied deviation (the [[cusumHours]] device), zero
+    * hours are excluded per the textbook treatment, the run count R
+    * and the n₊/n₋ census are integers off one ordered pass, and
+    * the z-score — (R − μ)/σ with μ = 2n₊n₋/n + 1, σ² =
+    * 2n₊n₋(2n₊n₋ − n)/(n²(n−1)) — is ONE pinned fp expression of
+    * those integers. Spine-sized window, same exemption family.
+    */
+  def runsTestHours(spark: SparkSession, dir: String): DataFrame =
+    runsTestOfSeries(gapfillHourly(spark, dir))
+
+  /** Runs-test core over any dense (h, n) series — see
+    * [[runsTestHours]] for the contract.
+    */
+  def runsTestOfSeries(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val tot = base.agg(count(lit(1)).as("tt"), sum($"n").as("g"))
+    val signed = base.crossJoin(broadcast(tot))
+      .withColumn("d", $"tt" * $"n" - $"g")
+      .filter($"d" =!= 0L)
+      .withColumn("s", when($"d" > 0L, 1L).otherwise(-1L))
+    val w = Window.orderBy($"h")
+    val runs = signed
+      .withColumn("prev", lag($"s", 1).over(w))
+      .agg(
+        sum(when($"s" === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"s" === -1L, 1L).otherwise(0L)).as("n_neg"),
+        (sum(when($"prev".isNull || $"prev" =!= $"s", 1L).otherwise(0L)))
+          .as("r"))
+    runs
+      .withColumn("nn", $"n_pos" + $"n_neg")
+      .withColumn("z", round(
+        ($"r".cast("double") -
+          (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double") /
+            $"nn".cast("double") + lit(1.0))) /
+        sqrt((lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double") *
+          (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double") -
+            $"nn".cast("double"))) /
+          ($"nn".cast("double") * $"nn".cast("double") *
+            ($"nn".cast("double") - lit(1.0)))), 4))
+      .select($"n_pos", $"n_neg", $"r", $"z")
+  }
+
+  val runsTestHoursSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             FROM hrs LEFT JOIN c USING (h)),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS tt,
+                    CAST(sum(n) AS BIGINT) AS g FROM f),
+       sg AS (SELECT h, CASE WHEN tt * n - g > 0 THEN 1 ELSE -1 END AS s
+              FROM f CROSS JOIN t WHERE tt * n - g <> 0),
+       rr AS (SELECT s, lag(s) OVER (ORDER BY h) AS prev FROM sg),
+       agg AS (
+         SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pos,
+                CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_neg,
+                CAST(sum(CASE WHEN prev IS NULL OR prev <> s
+                  THEN 1 ELSE 0 END) AS BIGINT) AS r
+         FROM rr)
+       SELECT n_pos, n_neg, r,
+              round((CAST(r AS DOUBLE) -
+                     (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                      / CAST(n_pos + n_neg AS DOUBLE) + 1.0))
+                    / sqrt((2.0 * CAST(n_pos AS DOUBLE)
+                            * CAST(n_neg AS DOUBLE)
+                            * (2.0 * CAST(n_pos AS DOUBLE)
+                               * CAST(n_neg AS DOUBLE)
+                               - CAST(n_pos + n_neg AS DOUBLE)))
+                           / (CAST(n_pos + n_neg AS DOUBLE)
+                              * CAST(n_pos + n_neg AS DOUBLE)
+                              * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))),
+                    4) AS z
+       FROM agg"""
+
   /** Baseline-forecast backtest over the hourly series: the three
     * standard reference models every forecasting effort must beat —
     * naive (ŷ_t = y_{t−1}), seasonal-daily (y_{t−24}), seasonal-

@@ -1023,6 +1023,82 @@ object Olap {
        FROM a JOIN nation ON n_nationkey = nk
        ORDER BY nation"""
 
+  /** ABC (Pareto) classification of parts by revenue contribution —
+    * the inventory-analysis classic that operationalizes [[
+    * giniRevenueByNation]]'s concentration number: parts are ranked
+    * by revenue and split where the running share crosses 80%
+    * (class A) and 95% (B), rest C. Exactness: revenue is the exact
+    * cents×basis-points BIGINT of the Q5 device; the running total
+    * uses the banded two-phase layout (coarse revenue-magnitude
+    * bands, per-band windows + an offset window over the band-level
+    * AGGREGATE — nothing part-sized in one task); class boundaries
+    * compare cross-multiplied integers (5·cum ≤ 4·total, 20·cum ≤
+    * 19·total — no fp at the 80/95 edges); only the reported share
+    * divides, once, pinned.
+    */
+  def abcParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("pk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "* (10000L - CAST(round(l_discount * 10000) AS BIGINT))")
+          .as("r"))
+      .groupBy($"pk").agg(sum($"r").as("rev"))
+    val banded = rev.withColumn("band", expr("rev div 100000000000L"))
+    val bandAgg = banded.groupBy($"band")
+      .agg(sum($"rev").as("brev"))
+    // offsets: revenue mass in strictly HIGHER bands (rank runs
+    // from the richest part down)
+    val wB = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandAgg
+      .withColumn("off", coalesce(sum($"brev").over(wB), lit(0L)))
+      .select($"band", $"off")
+    val total = bandAgg.agg(sum($"brev").as("tot"))
+    val wIn = Window.partitionBy($"band")
+      .orderBy($"rev".desc, $"pk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), Seq("band"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", $"off" + sum($"rev").over(wIn))
+      .withColumn("cls",
+        when(lit(5L) * $"cum" <= lit(4L) * $"tot", "A")
+          .when(lit(20L) * $"cum" <= lit(19L) * $"tot", "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("revenue_i"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(
+        $"revenue_i".cast("double") / $"tot".cast("double"), 6))
+      .select($"cls", $"n_parts", $"revenue_i", $"share")
+      .orderBy($"cls")
+  }
+
+  val abcPartsSql: String =
+    """WITH rev AS (
+         SELECT l_partkey AS pk,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                  AS BIGINT) AS rev
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+       c AS (
+         SELECT rev,
+                CAST(sum(rev) OVER (ORDER BY rev DESC, pk) AS BIGINT)
+                  AS cum
+         FROM rev),
+       cls AS (
+         SELECT rev,
+                CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                     WHEN 20 * cum <= 19 * tot THEN 'B'
+                     ELSE 'C' END AS cls
+         FROM c CROSS JOIN t)
+       SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(rev) AS BIGINT) AS revenue_i,
+              round(CAST(sum(rev) AS DOUBLE)
+                    / CAST((SELECT tot FROM t) AS DOUBLE), 6) AS share
+       FROM cls GROUP BY cls ORDER BY cls"""
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -611,4 +611,33 @@ class OlapSpec extends SparkSpec {
     got.foreach { case (nk, g) =>
       assert(math.abs(g - want(nk)) < 2e-6, s"nation $nk: $g vs ${want(nk)}") }
   }
+
+  test("ABC classes ≡ a sorted-scan re-derivation; classes partition the parts; shares sum to ~1") {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, SF)
+      .select($"l_partkey".as("pk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          "* (10000 - CAST(round(l_discount * 10000) AS BIGINT))").as("r"))
+      .groupBy($"pk").agg(sum($"r").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val want = rev.sortBy { case (pk, rv) => (-rv, pk) }.map { case (_, rv) =>
+      cum += rv
+      if (5 * cum <= 4 * tot) ("A", rv)
+      else if (20 * cum <= 19 * tot) ("B", rv) else ("C", rv)
+    }.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val got = graft.operators.Olap.abcParts(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (c, (n, rv)) =>
+      assert((got(c)._1, got(c)._2) == ((n, rv)), s"class $c") }
+    assert(got.values.map(_._1).sum == rev.length.toLong)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4)
+    // Pareto shape: mean revenue per part strictly descends A > B > C
+    val mean = got.view.mapValues(v => v._2.toDouble / v._1).toMap
+    assert(mean("A") > mean("B") && mean("B") > mean("C"), s"$mean")
+  }
 }

@@ -399,4 +399,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("seasonal_168")._4 == 0.0, "weekly model must be perfect")
     assert(got("naive_1")._4 > 0.0 && got("seasonal_24")._4 > 0.0)
   }
+
+  test("runs test: alternating series maxes runs (z>0), block series collapses to 2 runs (z<0)") {
+    import spark.implicits._
+    def run(ys: Seq[Long]): (Long, Long, Long, Double) = {
+      val df = ys.zipWithIndex.map { case (n, h) => (h.toLong, n) }
+        .toDF("h", "n")
+      val r = graft.operators.Events.runsTestOfSeries(df).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // 40 alternating points around mean 50: every step flips sign
+    val alt = (0 until 40).map(i => if (i % 2 == 0) 60L else 40L)
+    val (ap, an, ar, az) = run(alt)
+    assert((ap, an, ar) == ((20L, 20L, 40L)) && az > 3.0, s"alt z=$az")
+    // two blocks: 20 high then 20 low — exactly 2 runs
+    val blocks = Seq.fill(20)(60L) ++ Seq.fill(20)(40L)
+    val (bp, bn, br2, bz) = run(blocks)
+    assert((bp, bn, br2) == ((20L, 20L, 2L)) && bz < -3.0, s"block z=$bz")
+    // scala fold re-derivation on an arbitrary deterministic series
+    val ys = (0 until 60).map(i => (i * 37 % 11).toLong)
+    val tt = ys.size.toLong; val g = ys.sum
+    val signs = ys.map(y => tt * y - g).filter(_ != 0L).map(d => if (d > 0) 1 else -1)
+    val np = signs.count(_ == 1).toLong; val nn = signs.count(_ == -1).toLong
+    val rr = 1L + signs.sliding(2).count(p => p(0) != p(1))
+    val (gp, gn, gr, _) = run(ys)
+    assert((gp, gn, gr) == ((np, nn, rr)), s"($gp,$gn,$gr) vs ($np,$nn,$rr)")
+  }
 }

@@ -65,6 +65,10 @@ class WindowAuditSpec extends SparkSpec {
       ("three lag columns in one window pass over the gap-filled " +
         "HOURLY spine (calendar-bounded) — same spine rationale as " +
         "events_autocorrelation"),
+    "events_runs_test" ->
+      ("one sign-lag window over the gap-filled HOURLY spine " +
+        "(calendar-bounded) — same spine rationale as " +
+        "events_autocorrelation"),
     "olap_ks_test" ->
       ("cumulative ECDF sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length, bounded by max doc length) — the " +
@@ -74,6 +78,11 @@ class WindowAuditSpec extends SparkSpec {
       ("midrank prefix sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length) — identical domain-sized-frame shape " +
         "and rationale as olap_ks_test"),
+    "olap_abc_parts" ->
+      ("band-offset window over the revenue-band AGGREGATE (coarse " +
+        "magnitude bands — dozens of rows at any corpus size); the " +
+        "part-sized cumulative window is partitioned by band — same " +
+        "banded-cumsum device as analytics_rfm"),
     "sample_pps" ->
       ("ppsSystematic's exclusive-prefix offset window over the " +
         "≤1000-row band-total frame — the groupBy below already " +
