@@ -447,4 +447,101 @@ object Dedup {
                coalesce(r.rk = 1, TRUE) AS kept
         FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
         ORDER BY d.doc_id"""
+
+  /** Content-defined chunking dedup (the LBFS/FastCDC device,
+    * Muthitacharoen SOSP'01): chunk boundaries cut where the hash of
+    * the 4-gram ending at each position ≡ 0 mod 32, so an edit moves
+    * only the boundaries in its own neighborhood — the property that
+    * lets a storage/dedup system find shared content between
+    * near-identical documents without any alignment search (where
+    * fixed-width chunking loses everything after one insertion).
+    * Report: chunks shared by ≥2 documents, top-k by occurrence.
+    *
+    * Exactness device: the gear hash is the pure integer
+    * ((a·257+b)·257+c)·257+d over ASCII codes — both engines compute
+    * it bit-identically via per-position lambda transforms (no
+    * rolling state, so no fold-emission problem in SQL); chunk
+    * fingerprints are md5 of the chunk text. Per-doc work is
+    * O(len·4) map-side; only (fp, doc_id, len) rows shuffle — never
+    * chunk text at corpus scale (md5 collapses it first).
+    */
+  def cdcChunks(spark: SparkSession, dir: String, topK: Int = 20)
+      : DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), topK)
+
+  /** Per-document CDC chunk rows over any (doc_id, text) frame —
+    * exposed so specs can drive boundary-locality fixtures.
+    */
+  def cdcChunkRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("t"))
+      .withColumn("cs", split($"t", ""))
+      .withColumn("n", length($"t"))
+      // interior cut positions: 4-gram gear hash ≡ 0 (mod 64)
+      .withColumn("cuts", expr(
+        """IF(n < 4, array(),
+           filter(transform(sequence(4, n),
+             i -> IF((((ascii(element_at(cs, i - 3)) * 257
+                        + ascii(element_at(cs, i - 2))) * 257
+                       + ascii(element_at(cs, i - 1))) * 257
+                      + ascii(element_at(cs, i))) % 32 = 0
+                     AND i < n, i, -1)),
+           x -> x != -1))"""))
+      .withColumn("bounds", expr(
+        "concat(array(0), cuts, array(n))"))
+      .select($"doc_id", explode(expr(
+        """filter(transform(sequence(1, size(bounds) - 1),
+             k -> array_join(slice(cs, element_at(bounds, k) + 1,
+               element_at(bounds, k + 1) - element_at(bounds, k)), '')),
+           c -> length(c) > 0)""")).as("chunk"))
+  }
+
+  def cdcChunksOf(docs: DataFrame, topK: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    cdcChunkRowsOf(docs)
+      .select($"doc_id", md5($"chunk").as("fp"),
+        length($"chunk").cast("long").as("len"))
+      .groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"), max($"len").as("len"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_occ".desc, $"fp")
+      .limit(topK)
+  }
+
+  def cdcChunksSql(topK: Int = 20): String =
+    s"""WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS t
+          FROM documents),
+        cut AS (
+          SELECT doc_id, t, length(t) AS n,
+                 list_filter(list_transform(range(4, length(t) + 1),
+                   i -> CASE WHEN (((ord(t[i-3:i-3]) * 257
+                                    + ord(t[i-2:i-2])) * 257
+                                   + ord(t[i-1:i-1])) * 257
+                                  + ord(t[i:i])) % 32 = 0
+                                 AND i < length(t)
+                             THEN i ELSE -1 END),
+                   x -> x != -1) AS cuts
+          FROM norm),
+        bounds AS (
+          SELECT doc_id, t,
+                 list_concat(list_concat([0], cuts), [n]) AS b
+          FROM cut),
+        ch AS (
+          SELECT doc_id, unnest(list_filter(
+                   list_transform(range(1, length(b)),
+                     k -> t[b[k] + 1:b[k + 1]]),
+                   c -> length(c) > 0)) AS chunk
+          FROM bounds)
+        SELECT md5(chunk) AS fp,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(max(length(chunk)) AS BIGINT) AS len
+        FROM ch
+        GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_occ DESC, fp LIMIT $topK"""
 }
