@@ -1106,6 +1106,92 @@ object Graph {
         ORDER BY jac_ppm DESC, co.a, co.b LIMIT 20"""
   }
 
+  /** Newman modularity of the BRAND partition over the co-purchase
+    * graph — "is co-purchase assortative by brand?", the quality
+    * score a community-detection run optimizes, here measuring a
+    * given (metadata) partition so the result has an exact
+    * cross-engine oracle (detected communities are
+    * iteration-order-dependent; a fixed partition's Q is pure
+    * arithmetic). Per community c: Q_c = e_c/m − (d_c/2m)², all
+    * moments exact BIGINT (m = undirected edge count, e_c =
+    * intra-community edges, d_c = degree sum; 4m²·Q_c = 4m·e_c −
+    * d_c² holds BIGINT to m ≈ 10⁹ edges), the reported contribution
+    * one pinned fp expression. Edges join the part dimension BY KEY
+    * twice (endpoint brands); everything after is community-sized.
+    */
+  def modularityByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    modularityOf(
+      copurchaseEdges(spark, dir).filter($"src" < $"dst"),
+      Tables.part(spark, dir)
+        .select($"p_partkey".as("node"), $"p_brand".as("community")))
+  }
+
+  /** Core over any (src < dst) edge frame and (node, community)
+    * labeling — see [[modularityByBrand]] for the contract.
+    */
+  def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val brand = labels
+    val und = edges.localCheckpoint(true)
+    val m = und.count()
+    val labeled = und
+      .join(brand.select($"node".as("src"), $"community".as("ca")), "src")
+      .join(brand.select($"node".as("dst"), $"community".as("cb")), "dst")
+    val intra = labeled.filter($"ca" === $"cb")
+      .groupBy($"ca".as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degree = und.select(explode(array($"src", $"dst")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .join(brand, "node")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("degree_sum"))
+    degree.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce($"intra_edges", lit(0L)))
+      .withColumn("q_contrib", round(
+        $"intra_edges".cast("double") / lit(m.toDouble) -
+          ($"degree_sum".cast("double") / lit(2.0 * m)) *
+            ($"degree_sum".cast("double") / lit(2.0 * m)), 6))
+      .select($"community", $"n_nodes", $"intra_edges", $"degree_sum",
+        $"q_contrib")
+      .orderBy($"community")
+  }
+
+  val modularityByBrandSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       lab AS (
+         SELECT pa.p_brand AS ca, pb.p_brand AS cb
+         FROM pairs JOIN part pa ON pa.p_partkey = p1
+                    JOIN part pb ON pb.p_partkey = p2),
+       intra AS (
+         SELECT ca AS community, CAST(count(*) AS BIGINT) AS intra_edges
+         FROM lab WHERE ca = cb GROUP BY 1),
+       und AS (SELECT p1 AS node FROM pairs
+               UNION ALL SELECT p2 FROM pairs),
+       degs AS (
+         SELECT p.p_brand AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         FROM (SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM und GROUP BY 1) d
+         JOIN part p ON p.p_partkey = d.node
+         GROUP BY 1)
+       SELECT community, n_nodes,
+              CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+              degree_sum,
+              round(CAST(coalesce(intra_edges, 0) AS DOUBLE)
+                      / CAST(m AS DOUBLE)
+                    - (CAST(degree_sum AS DOUBLE)
+                       / (2.0 * CAST(m AS DOUBLE)))
+                      * (CAST(degree_sum AS DOUBLE)
+                         / (2.0 * CAST(m AS DOUBLE))), 6) AS q_contrib
+       FROM degs LEFT JOIN intra USING (community) CROSS JOIN m
+       ORDER BY community"""
+
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalksOf(copurchaseEdges(spark, dir), seedMod = 97L, steps = 4)
 

@@ -63,6 +63,27 @@ class GraphSpec extends SparkSpec {
     triples.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
   }
 
+  test("modularity: two cliques bridged once — perfect split scores high, one-community scores 0") {
+    import spark.implicits._
+    // K4 on 1-4, K4 on 5-8, one bridge 4-5
+    val und = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      (for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)) :+ (4L, 5L)
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(und, 4)).toDF("src", "dst")
+    def q(labels: Seq[(Long, String)]): Map[String, Double] =
+      Graph.modularityOf(edges, labels.toDF("node", "community"))
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // the natural split: m=13, e_c=6, d_c=13 each side
+    val split = (1L to 8L).map(n => n -> (if (n <= 4) "L" else "R"))
+    val qs = q(split)
+    val expect = 6.0 / 13 - math.pow(13.0 / 26, 2)
+    assert(qs.values.forall(v => math.abs(v - expect) < 1e-6), s"$qs")
+    assert(qs.values.sum > 0.4, "a good split must score high")
+    // everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly
+    val one = q((1L to 8L).map(_ -> "all"))
+    assert(one == Map("all" -> 0.0), s"$one")
+  }
+
   test("oriented triangle counts equal brute-force on K4 + pendant") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, 3 per node), pendant 5 off node 1 (0)
