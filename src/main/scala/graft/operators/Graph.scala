@@ -1192,6 +1192,71 @@ object Graph {
        FROM degs LEFT JOIN intra USING (community) CROSS JOIN m
        ORDER BY community"""
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed edge list — positive means
+    * hubs attach to hubs (social-graph shape), negative means hubs
+    * fan out to leaves (infrastructure shape); the one-number census
+    * that tells you whether degree-based partitioning will see skew
+    * compound or spread. All five moments are exact BIGINT off ONE
+    * aggregate of the degree-joined edge list (headroom: Σ d_a·d_b ≤
+    * 2m·d̂² — BIGINT through 10⁹ edges at 10³ mean hub degree); r is
+    * one pinned fp expression.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(copurchaseEdges(spark, dir))
+
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    e.join(deg.select($"src", $"deg".as("da")), "src")
+      .join(deg.select($"src".as("dst"), $"deg".as("db")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum($"da").as("sx"), sum($"db").as("sy"),
+        sum($"da" * $"db").as("sxy"),
+        sum($"da" * $"da").as("sx2"),
+        sum($"db" * $"db").as("sy2"))
+      .withColumn("r", round(
+        ($"n".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double")) /
+        (sqrt($"n".cast("double") * $"sx2".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double")) *
+          sqrt($"n".cast("double") * $"sy2".cast("double")
+            - $"sy".cast("double") * $"sy".cast("double"))), 6))
+      .select($"n", $"sxy", $"r")
+  }
+
+  val assortativitySql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+                 UNION ALL SELECT p2, p1 FROM pairs),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+       j AS (SELECT da.deg AS da, db.deg AS db
+             FROM edges e JOIN deg da ON da.src = e.src
+                          JOIN deg db ON db.src = e.dst),
+       mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(da) AS BIGINT) AS sx,
+                     CAST(sum(db) AS BIGINT) AS sy,
+                     CAST(sum(da * db) AS BIGINT) AS sxy,
+                     CAST(sum(da * da) AS BIGINT) AS sx2,
+                     CAST(sum(db * db) AS BIGINT) AS sy2
+              FROM j)
+       SELECT n, sxy,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) AS r
+       FROM mo"""
+
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalksOf(copurchaseEdges(spark, dir), seedMod = 97L, steps = 4)
 

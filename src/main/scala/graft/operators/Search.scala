@@ -420,4 +420,97 @@ object Search {
         ${per.mkString("\nUNION ALL\n")}
         ORDER BY phrase"""
   }
+
+  /** Spelling-correction candidate generation by the SymSpell delete
+    * index (Garbe's symmetric-delete device, public since 2012): a
+    * term and a query within edit distance 1 always share a string
+    * in deletes₁(term) ∪ {term} ∩ deletes₁(query) ∪ {query}, so ONE
+    * equi-join on delete variants replaces the edit-distance scan of
+    * the whole vocabulary — candidate generation is O(postings per
+    * variant), not O(|vocab|) per query, which is the property that
+    * survives a 10⁸-term vocabulary. Candidates are then verified
+    * with the exact levenshtein (both engines' builtin — identical
+    * integer DP) and ranked by corpus frequency, the SymSpell
+    * ranking rule. Queries here are the top terms with a planted
+    * 3rd-character substitution — the error class the 1-delete
+    * index is designed to catch (del at i on both sides meets in
+    * the middle).
+    */
+  def spellCandidates(spark: SparkSession, dir: String,
+      nQueries: Int = 30, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabulary(spark, dir, k = 500)
+      .select($"token".as("term"), $"coll_freq")
+      .filter(length($"term") >= 4)
+    val variants = expr(
+      """array_union(array(s),
+           transform(sequence(1, length(s)),
+             i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))""")
+    val index = vocab.withColumn("s", $"term")
+      .select($"term", $"coll_freq", explode(variants).as("variant"))
+    val queries = vocab
+      .orderBy($"coll_freq".desc, $"term").limit(nQueries)
+      .select(concat(substring($"term", 1, 2), lit("q"),
+        substring($"term", 4, 1000)).as("query"))
+      .distinct()
+    val qidx = queries.withColumn("s", $"query")
+      .select($"query", explode(variants).as("variant"))
+    val rk = Window.partitionBy($"query")
+      .orderBy($"coll_freq".desc, $"term")
+    qidx.join(index, "variant")
+      .select($"query", $"term", $"coll_freq").distinct()
+      .withColumn("dist", levenshtein($"query", $"term").cast("long"))
+      .filter($"dist" <= 1)
+      .withColumn("rn", row_number().over(rk))
+      .filter($"rn" <= k)
+      .select($"query", $"term", $"coll_freq", $"dist")
+      .orderBy($"query", $"coll_freq".desc, $"term")
+  }
+
+  def spellCandidatesSql(nQueries: Int = 30, k: Int = 3): String =
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        v0 AS (SELECT token AS term, CAST(sum(c) AS BIGINT) AS coll_freq
+               FROM tf GROUP BY 1),
+        v AS (SELECT term, coll_freq FROM (
+                SELECT *, row_number() OVER (ORDER BY coll_freq DESC, term)
+                       AS rk FROM v0) WHERE rk <= 500
+              ) ,
+        vocab AS (SELECT * FROM v WHERE length(term) >= 4),
+        idx AS (
+          SELECT term, coll_freq,
+                 unnest(list_distinct(list_concat([term],
+                   list_transform(range(1, length(term) + 1),
+                     i -> term[1:i-1] || term[i+1:length(term)]))))
+                   AS variant
+          FROM vocab),
+        q AS (
+          SELECT DISTINCT term[1:2] || 'q' || term[4:length(term)] AS query
+          FROM (SELECT term FROM vocab
+                ORDER BY coll_freq DESC, term LIMIT $nQueries)),
+        qidx AS (
+          SELECT query,
+                 unnest(list_distinct(list_concat([query],
+                   list_transform(range(1, length(query) + 1),
+                     i -> query[1:i-1] || query[i+1:length(query)]))))
+                   AS variant
+          FROM q),
+        cand AS (
+          SELECT DISTINCT query, term, coll_freq
+          FROM qidx JOIN idx USING (variant)),
+        scored AS (
+          SELECT query, term, coll_freq,
+                 CAST(levenshtein(query, term) AS BIGINT) AS dist
+          FROM cand),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query
+                   ORDER BY coll_freq DESC, term) AS rn
+          FROM scored WHERE dist <= 1)
+        SELECT query, term, coll_freq, dist FROM ranked
+        WHERE rn <= $k
+        ORDER BY query, coll_freq DESC, term"""
 }

@@ -84,6 +84,41 @@ class GraphSpec extends SparkSpec {
     assert(one == Map("all" -> 0.0), s"$one")
   }
 
+  test("assortativity: star graph is perfectly disassortative (r = -1); random graph ≡ scala moments") {
+    import spark.implicits._
+    def of(und: Seq[(Long, Long)]): (Long, Long, Double) = {
+      val r = Graph.assortativityOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst")).head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // star: hub degree 5 meets leaves of degree 1 on every edge
+    val star = (2L to 6L).map(l => (1L, l))
+    val (n, _, rs) = of(star)
+    assert(n == 10 && math.abs(rs - (-1.0)) < 1e-9, s"star r=$rs")
+    // random graph vs flat scala re-derivation
+    val rnd = new scala.util.Random(17)
+    val und = (for {
+      a <- 1L to 25L; b <- (a + 1) to 25L if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    val deg = bothDirs(und).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val pts = bothDirs(und).map { case (a, b) => (deg(a), deg(b)) }
+    val nn = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sx2 = pts.map(p => p._1 * p._1).sum
+    val sy2 = pts.map(p => p._2 * p._2).sum
+    val want = (nn.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt(nn.toDouble * sx2 - sx.toDouble * sx) *
+        math.sqrt(nn.toDouble * sy2 - sy.toDouble * sy))
+    val (gn, gsxy, gr) = of(und)
+    assert(gn == nn && gsxy == sxy)
+    assert(math.abs(gr - math.floor(want * 1e6 + 0.5) / 1e6) < 2e-6,
+      s"r=$gr want=$want")
+  }
+
   test("oriented triangle counts equal brute-force on K4 + pendant") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, 3 per node), pendant 5 off node 1 (0)

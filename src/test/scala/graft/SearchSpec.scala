@@ -203,4 +203,28 @@ class SearchSpec extends SparkSpec {
     // the top pair really is the next BPE merge: strictly ranked
     assert(got.head._2 >= got.last._2 && got.size == 50)
   }
+
+  test("SymSpell candidates: every planted substitution recovers its source term at distance 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sources = graft.operators.Search.vocabulary(spark, SF, k = 500)
+      .filter(length($"token") >= 4)
+      .orderBy($"coll_freq".desc, $"token").limit(30)
+      .select($"token").collect().map(_.getString(0))
+    val got = graft.operators.Search.spellCandidates(spark, SF)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.nonEmpty)
+    // (query = planted corruption, its source term, dist 1) is found
+    // — except where the corruption IS another vocab term (dist 0
+    // exists and may crowd the top-k, but the source is still there)
+    sources.foreach { t =>
+      val q = t.substring(0, 2) + "q" + t.substring(3)
+      if (q != t)
+        assert(got.exists(c => c._1 == q && c._2 == t && c._3 == 1L),
+          s"source '$t' not recovered for query '$q'")
+    }
+    // verification really ran: no candidate sits past distance 1
+    assert(got.forall(_._3 <= 1L))
+  }
 }

@@ -21,6 +21,10 @@ class WindowAuditSpec extends SparkSpec {
       ("global rank over per-token aggregates: the window input is " +
         "one row per distinct token (vocabulary-sized, orders smaller " +
         "than the corpus) — both shuffles below it are partial-agg'd"),
+    "search_spell" ->
+      ("inherits text_vocabulary's vocabulary-sized rank window (the " +
+        "500-term cut feeding the delete index); the candidate " +
+        "ranking window is partitioned by query"),
     "text_quantile_cut" ->
       ("running count over the value HISTOGRAM (one row per distinct " +
         "token count, bounded by max doc length) — the groupBy below " +
