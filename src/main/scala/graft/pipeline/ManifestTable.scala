@@ -238,7 +238,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val staged = spark.read.parquet(dir.toString)
     if (staged.isEmpty) { fs.delete(dir, true); return liveV }
     commit(v, segs, ownStaged = Seq(dir),
-      extraLines = dvLinesOf(liveV) :+ renderDv(Dv(dir, keyCol, v)))
+      extraLines = carryLines(liveV) :+ renderDv(Dv(dir, keyCol, v)))
     v
   }
 
@@ -261,6 +261,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val (liveV, segs) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
     val v = currentVersion.getOrElse(0L) + 1
+    enforceChecks(df, checks)
     val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .distinct()
     val dvDir = new Path(rootPath,
@@ -268,9 +269,65 @@ class ManifestTable(spark: SparkSession, root: String) {
     keys.write.mode("errorifexists").parquet(dvDir.toString)
     val seg = stage(df, v, statCols)
     commit(v, segs :+ seg, ownStaged = Seq(dvDir, seg.dir),
-      extraLines = dvLinesOf(liveV) :+ renderDv(Dv(dvDir, keyCol, v)))
+      extraLines = carryLines(liveV) :+ renderDv(Dv(dvDir, keyCol, v)))
     v
   }
+
+  // ── Table-level CHECK constraints (the Delta-Lake constraint
+  //    feature): `#check=<sql expr>` manifest lines, enforced at
+  //    every data-introducing commit ─────────────────────────────
+
+  /** The live version's CHECK expressions. */
+  def checks: Seq[String] =
+    liveSegments.map { case (v, _) => checkLinesOf(v)
+      .map(_.stripPrefix("#check=")) }.getOrElse(Nil)
+
+  private def checkLinesOf(v: Long): Seq[String] =
+    manifestLines(v).getOrElse(Nil).filter(_.startsWith("#check="))
+
+  /** Register a CHECK constraint as a new version (same data). The
+    * EXISTING table must already satisfy it — registering a
+    * constraint the data violates would make every later read a lie.
+    * SQL semantics: a row violates when the expression is FALSE;
+    * NULL passes (the standard's treatment).
+    */
+  def addCheck(expr: String): Long = {
+    val (liveV, segs) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    enforceChecks(readSegmentsDvAware(segs, dvsOf(liveV)), Seq(expr))
+    val v = currentVersion.getOrElse(0L) + 1
+    commit(v, segs, ownStaged = Nil,
+      extraLines = carryLines(liveV) :+ s"#check=$expr")
+    v
+  }
+
+  /** Throw if any row of `df` violates any of `exprs` (FALSE only —
+    * NULL passes). One aggregate pass over the batch, all
+    * constraints at once.
+    */
+  private def enforceChecks(df: DataFrame, exprs: Seq[String]): Unit = {
+    if (exprs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr => e, lit, sum, when}
+    val counts = df.agg(
+      sum(when(!coalesce(e(exprs.head), lit(true)), 1L).otherwise(0L))
+        .as("c0"),
+      exprs.tail.zipWithIndex.map { case (x, i) =>
+        sum(when(!coalesce(e(x), lit(true)), 1L).otherwise(0L))
+          .as(s"c${i + 1}")
+      }: _*).head
+    exprs.zipWithIndex.foreach { case (x, i) =>
+      val n = Option(counts.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (n > 0) throw new IllegalArgumentException(
+        s"CHECK constraint violated on $root: $n row(s) fail '$x' — " +
+          "batch rejected, nothing committed")
+    }
+  }
+
+  /** Metadata lines every content-preserving commit carries forward:
+    * delete files and CHECK constraints.
+    */
+  private def carryLines(v: Long): Seq[String] =
+    dvLinesOf(v) ++ checkLinesOf(v)
 
   /** Live `#dv=` delete-file count — observability for specs and
     * maintenance policy ("compact when dvs pile past k").
@@ -393,11 +450,18 @@ class ManifestTable(spark: SparkSession, root: String) {
     * retry.
     */
   def write(df: DataFrame, statCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, batchId: Option[Long] = None): Long = {
+      bloomCols: Seq[String] = Nil, batchId: Option[Long] = None,
+      validate: Boolean = true): Long = {
+    // CHECK constraints are DDL-level: they survive an overwrite and
+    // the incoming frame must satisfy them (compact passes
+    // validate=false — its input is the table itself, already green)
+    val liveChecks = currentVersion.map(checkLinesOf).getOrElse(Nil)
+    if (validate)
+      enforceChecks(df, liveChecks.map(_.stripPrefix("#check=")))
     val v = currentVersion.getOrElse(0L) + 1
     val seg = stage(df, v, statCols, bloomCols)
     commit(v, Seq(seg), ownStaged = Seq(seg.dir),
-      extraLines = batchId.map(id => s"#batch=$id").toSeq)
+      extraLines = batchId.map(id => s"#batch=$id").toSeq ++ liveChecks)
     v
   }
 
@@ -452,14 +516,17 @@ class ManifestTable(spark: SparkSession, root: String) {
     (for { id <- batchId; (v, _) <- live; committed <- batchIdOf(v)
            if committed == id } yield v).getOrElse {
       val prev = live.map(_._2).getOrElse(Nil)
+      live.foreach { case (lv, _) =>
+        enforceChecks(df, checkLinesOf(lv).map(_.stripPrefix("#check="))) }
       val v = currentVersion.getOrElse(0L) + 1
       val seg = stage(df, v, statCols, bloomCols)
-      // delete files carry forward; the new segment's stamp v is
-      // past every carried dv's horizon, so appended rows are never
-      // retro-deleted (a re-appended key becomes visible again)
+      // delete files and CHECK constraints carry forward; the new
+      // segment's stamp v is past every carried dv's horizon, so
+      // appended rows are never retro-deleted (a re-appended key
+      // becomes visible again)
       commit(v, prev :+ seg, ownStaged = Seq(seg.dir),
         extraLines = batchId.map(id => s"#batch=$id").toSeq ++
-          live.map { case (lv, _) => dvLinesOf(lv) }.getOrElse(Nil))
+          live.map { case (lv, _) => carryLines(lv) }.getOrElse(Nil))
       v
     }
   }
@@ -488,6 +555,9 @@ class ManifestTable(spark: SparkSession, root: String) {
       nSegments: Int, statCols: Seq[String] = Nil, bits: Int = 10): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min, when}
     require(clusterCols.nonEmpty && nSegments >= 1)
+    // overwrite semantics: constraints survive and gate the new data
+    val prevChecks = currentVersion.map(checkLinesOf).getOrElse(Nil)
+    enforceChecks(df, prevChecks.map(_.stripPrefix("#check=")))
     val v = currentVersion.getOrElse(0L) + 1
 
     val mmAggs = clusterCols.flatMap(c2 =>
@@ -536,7 +606,8 @@ class ManifestTable(spark: SparkSession, root: String) {
       Segment(dir, stats)
     }.sortBy(_.dir.getName).toSeq
     fs.delete(parent, true)
-    commit(v, segs, ownStaged = segs.map(_.dir))
+    commit(v, segs, ownStaged = segs.map(_.dir),
+      extraLines = prevChecks)
     v
   }
 
@@ -787,12 +858,12 @@ class ManifestTable(spark: SparkSession, root: String) {
     if (survivors.isEmpty) {
       require(carried.nonEmpty,
         s"deleteWhere would empty $root — unsupported (schema-less manifest)")
-      commit(v, carried, ownStaged = Nil, extraLines = dvLinesOf(liveV))
+      commit(v, carried, ownStaged = Nil, extraLines = carryLines(liveV))
     } else {
       val tracked = (segs.flatMap(_.stats.keys) ++ statCols).distinct
       val seg = stage(survivors, v, tracked)
       commit(v, carried :+ seg, ownStaged = Seq(seg.dir),
-        extraLines = dvLinesOf(liveV))
+        extraLines = carryLines(liveV))
     }
     v
   }
@@ -847,7 +918,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val statCols = live.flatMap(_.stats.keys).distinct
     val committed = write(
       readSegmentsDvAware(live, dvsOf(liveV)).repartition(nOut),
-      statCols)
+      statCols, validate = false)
     (before, segments(committed).get.map(s => parquetFiles(s.dir)).sum)
   }
 
@@ -899,7 +970,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     // segments) — a branch must not resurrect MoR-deleted rows
     val dvLines = dvsOf(v).map(d => s"#dv=${d.dir.toString}|${d.keyCol}|${d.v}")
     br.commit(1L, segs.map(s => br.Segment(s.dir, s.stats)),
-      ownStaged = Nil, extraLines = dvLines)
+      ownStaged = Nil, extraLines = dvLines ++ checkLinesOf(v))
     br
   }
 

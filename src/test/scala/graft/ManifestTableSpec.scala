@@ -512,6 +512,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.deleteFileCount == 0 && t.read().count() == 11)
   }
 
+  test("CHECK constraints: reject violating batches atomically, survive overwrite/compact/branch, NULL passes") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val vCheck = t.addCheck("v >= 0")
+    assert(t.checks == Seq("v >= 0"))
+    // registering a check the data violates is itself rejected
+    intercept[IllegalArgumentException] { t.addCheck("v >= 15") }
+    // a violating append is rejected whole — nothing committed
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((3L, -5L), (4L, 30L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v >= 0") && e.getMessage.contains("1 row"))
+    assert(t.currentVersion.contains(vCheck) && t.read().count() == 2)
+    // a clean append passes and the constraint carries forward
+    t.append(Seq((3L, 30L)).toDF("id", "v"))
+    assert(t.checks == Seq("v >= 0"))
+    // NULL passes (SQL CHECK semantics)
+    t.append(Seq((4L, Option.empty[Long])).toDF("id", "v"))
+    assert(t.read().count() == 4)
+    // overwrite keeps the constraint and validates the new frame
+    intercept[IllegalArgumentException] {
+      t.write(Seq((9L, -1L)).toDF("id", "v"))
+    }
+    t.write(Seq((9L, 1L)).toDF("id", "v"))
+    assert(t.checks == Seq("v >= 0") && t.read().count() == 1)
+    // upsert validates; compact and MoR delete carry the line
+    intercept[IllegalArgumentException] {
+      t.upsertMor(Seq((9L, -2L)).toDF("id", "v"), "id")
+    }
+    t.upsertMor(Seq((9L, 2L), (10L, 3L)).toDF("id", "v"), "id")
+    t.deleteWhereMor(Seq(("v", 3.0, 3.0)), "id")
+    t.compact()
+    assert(t.checks == Seq("v >= 0"))
+    // the constraint travels with a branch fork
+    val broot = java.nio.file.Files
+      .createTempDirectory("manifest_chk").toString + "/b"
+    val br = t.branchTo(broot, t.currentVersion.get)
+    assert(br.checks == Seq("v >= 0"))
+    intercept[IllegalArgumentException] {
+      br.append(Seq((11L, -7L)).toDF("id", "v"))
+    }
+  }
+
   test("MoR delete travels with a branch; a branch with divergent dvs refuses append-only merge") {
     import spark.implicits._
     val t = freshTable()
