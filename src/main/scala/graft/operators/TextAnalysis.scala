@@ -70,6 +70,87 @@ object TextAnalysis {
         FROM withbest"""
   }
 
+  /** Classifier evaluation harness over [[langId]]: per-class
+    * precision / recall / F1 against the stored gold label — the
+    * measurement loop every filter model in a data pipeline owes its
+    * operators (a language filter you can't score is a liability at
+    * 100 TB, where a few points of recall are billions of tokens).
+    * All metrics are integer ppm by floor division off exact
+    * confusion-cell counts — tp·10⁶ div pred_n / div gold_n, F1 =
+    * (2·p·r) div (p+r) on the ppm values — so the gate hash-matches
+    * across engines with no fp anywhere. Classes are the GOLD label
+    * set; a class never predicted reports precision 0 (its pred_n
+    * guard), which is the honest degenerate. Cells are a
+    * |classes|²-bounded aggregate; margins join back broadcast-size.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gold = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val cells = langId(spark, dir)
+      .join(gold, "doc_id")
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val byGold = cells.groupBy($"lang")
+      .agg(sum($"n").as("gold_n"),
+        sum(when($"pred_lang" === $"lang", $"n").otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy($"pred_lang".as("lang"))
+      .agg(sum($"n").as("pred_n"))
+    byGold.join(byPred, Seq("lang"), "left")
+      .withColumn("pred_n", coalesce($"pred_n", lit(0L)))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN pred_n = 0 THEN 0 ELSE (tp * 1000000L) div pred_n END"))
+      .withColumn("recall_ppm", expr("(tp * 1000000L) div gold_n"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+           ELSE (2 * precision_ppm * recall_ppm)
+                div (precision_ppm + recall_ppm) END"""))
+      .select($"lang", $"gold_n", $"pred_n", $"tp",
+        $"precision_ppm", $"recall_ppm", $"f1_ppm")
+      .orderBy($"lang")
+  }
+
+  val langIdEvalSql: String = {
+    val toks =
+      """list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),
+         x -> length(x) > 0)"""
+    val scores = langMarkers.map { case (l, m) =>
+      val in = m.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toks, t -> t IN ($in))) AS s_$l"
+    }.mkString(", ")
+    val best = "greatest(" + langMarkers.map(l => s"s_${l._1}").mkString(", ") + ")"
+    val pred = langMarkers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+        withbest AS (SELECT *, $best AS best FROM scored),
+        p AS (SELECT lang, $pred AS pred_lang FROM withbest),
+        cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+        bygold AS (
+          SELECT lang, CAST(sum(n) AS BIGINT) AS gold_n,
+                 CAST(sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)
+                   AS BIGINT) AS tp
+          FROM cells GROUP BY 1),
+        bypred AS (
+          SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS pred_n
+          FROM cells GROUP BY 1),
+        m AS (
+          SELECT g.lang, g.gold_n,
+                 CAST(coalesce(p2.pred_n, 0) AS BIGINT) AS pred_n, g.tp
+          FROM bygold g LEFT JOIN bypred p2 USING (lang)),
+        r AS (
+          SELECT *,
+                 CASE WHEN pred_n = 0 THEN 0
+                      ELSE (tp * 1000000) // pred_n END AS precision_ppm,
+                 (tp * 1000000) // gold_n AS recall_ppm
+          FROM m)
+        SELECT lang, gold_n, pred_n, tp, precision_ppm, recall_ppm,
+               CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                    ELSE (2 * precision_ppm * recall_ppm)
+                         // (precision_ppm + recall_ppm) END AS f1_ppm
+        FROM r ORDER BY lang"""
+  }
+
   /** #36 quality score: length/stopword/word-shape signals combined
     * into [0,1]. Weights are arbitrary but fixed; the operator shape
     * (single-pass, no shuffle) is the point.

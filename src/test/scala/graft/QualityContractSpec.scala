@@ -116,4 +116,33 @@ class QualityContractSpec extends SparkSpec {
     assert(corpus.length.toLong == Tables.documents(spark, SF).count())
     assert(corpus.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1200000L))
   }
+
+  test("langId eval metrics ≡ a scala confusion-matrix re-derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = graft.operators.TextAnalysis.langId(spark, SF)
+      .join(Tables.documents(spark, SF).select($"doc_id", $"lang"),
+        "doc_id")
+      .select($"lang", $"pred_lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val classes = pairs.map(_._1).distinct.sorted
+    val got = graft.operators.TextAnalysis.langIdEval(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == classes.toSet)
+    classes.foreach { c =>
+      val goldN = pairs.count(_._1 == c).toLong
+      val predN = pairs.count(_._2 == c).toLong
+      val tp = pairs.count(p => p._1 == c && p._2 == c).toLong
+      val p = if (predN == 0) 0L else tp * 1000000L / predN
+      val r = tp * 1000000L / goldN
+      val f1 = if (p + r == 0) 0L else 2 * p * r / (p + r)
+      assert(got(c) == ((goldN, predN, tp, p, r, f1)), s"class $c: ${got(c)}")
+    }
+    // the harness is measuring a real (imperfect) classifier: some
+    // class must fall short of perfect recall, none exceeds 10^6
+    assert(got.values.forall(v => v._5 <= 1000000L && v._4 <= 1000000L))
+    assert(got.values.exists(v => v._5 < 1000000L))
+  }
 }
