@@ -1099,6 +1099,85 @@ object Olap {
                     / CAST((SELECT tot FROM t) AS DOUBLE), 6) AS share
        FROM cls GROUP BY cls ORDER BY cls"""
 
+  /** Year-over-year revenue bridge per brand — the price–volume
+    * decomposition of ΔR every finance review runs: with average
+    * unit price p̄ = r/q, the Laspeyres split V = (q₁−q₀)·p̄₀
+    * (volume effect) and P = ΔR − V (price/mix effect) telescopes
+    * EXACTLY (V + P = ΔR by construction, so the bridge always
+    * reconciles). All inputs are exact BIGINT (revenue cents via the
+    * round(·100) device, quantities integer-valued); V is the one fp
+    * expression, pinned, and P is derived from it so rounding can't
+    * break additivity by more than the two rounded terms. Brands
+    * absent from either year are excluded (a one-sided bridge has no
+    * p̄₀ or no q₁ — the HAVING guard, deterministic). Plan: two
+    * keyed fact joins, one |brands|×2 aggregate, metadata-scale
+    * after.
+    */
+  def priceVolumeBridge(spark: SparkSession, dir: String,
+      y0: Int = 1996, y1: Int = 1997): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey",
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("rc"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", year($"o_orderdate").as("yr"))
+      .filter($"yr".isin(y0, y1))
+    val brand = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand")
+    val agg = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(brand), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(
+        sum(when($"yr" === y0, $"q").otherwise(0L)).as("q0"),
+        sum(when($"yr" === y1, $"q").otherwise(0L)).as("q1"),
+        sum(when($"yr" === y0, $"rc").otherwise(0L)).as("r0"),
+        sum(when($"yr" === y1, $"rc").otherwise(0L)).as("r1"))
+      .filter($"q0" > 0 && $"q1" > 0)
+    agg
+      .withColumn("volume_effect", round(
+        ($"q1" - $"q0").cast("double") *
+          ($"r0".cast("double") / $"q0".cast("double")), 2))
+      .withColumn("price_effect", round(
+        ($"r1" - $"r0").cast("double") -
+          (($"q1" - $"q0").cast("double") *
+            ($"r0".cast("double") / $"q0".cast("double"))), 2))
+      .select($"brand", $"r0", $"r1", $"q0", $"q1",
+        $"volume_effect", $"price_effect")
+      .orderBy($"brand")
+  }
+
+  def priceVolumeBridgeSql(y0: Int = 1996, y1: Int = 1997): String =
+    s"""WITH f AS (
+          SELECT p.p_brand AS brand, year(o.o_orderdate) AS yr,
+                 CAST(l.l_quantity AS BIGINT) AS q,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE year(o.o_orderdate) IN ($y0, $y1)),
+        a AS (
+          SELECT brand,
+                 CAST(sum(CASE WHEN yr = $y0 THEN q ELSE 0 END) AS BIGINT)
+                   AS q0,
+                 CAST(sum(CASE WHEN yr = $y1 THEN q ELSE 0 END) AS BIGINT)
+                   AS q1,
+                 CAST(sum(CASE WHEN yr = $y0 THEN rc ELSE 0 END) AS BIGINT)
+                   AS r0,
+                 CAST(sum(CASE WHEN yr = $y1 THEN rc ELSE 0 END) AS BIGINT)
+                   AS r1
+          FROM f GROUP BY brand
+          HAVING q0 > 0 AND q1 > 0)
+        SELECT brand, r0, r1, q0, q1,
+               round(CAST(q1 - q0 AS DOUBLE)
+                     * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 2)
+                 AS volume_effect,
+               round(CAST(r1 - r0 AS DOUBLE)
+                     - (CAST(q1 - q0 AS DOUBLE)
+                        * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))), 2)
+                 AS price_effect
+        FROM a ORDER BY brand"""
+
   /** Oracle: the textbook window spelling, integer-cross-multiplied
     * to the same ppm arithmetic.
     */

@@ -640,4 +640,21 @@ class OlapSpec extends SparkSpec {
     val mean = got.view.mapValues(v => v._2.toDouble / v._1).toMap
     assert(mean("A") > mean("B") && mean("B") > mean("C"), s"$mean")
   }
+
+  test("price-volume bridge reconciles to delta-R per brand within rounding") {
+    val rows = graft.operators.Olap.priceVolumeBridge(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, r0, r1, q0, q1, v, p) =>
+      // additivity: V + P = deltaR exactly up to the two roundings
+      assert(math.abs((v + p) - (r1 - r0).toDouble) <= 0.011,
+        s"brand $b: $v + $p != ${r1 - r0}")
+      // the volume term really is the Laspeyres expression
+      val want = math.floor((q1 - q0).toDouble * (r0.toDouble / q0)
+        * 100 + 0.5) / 100
+      assert(math.abs(v - want) < 0.011, s"brand $b volume: $v vs $want")
+      assert(q0 > 0 && q1 > 0)
+    }
+  }
 }
