@@ -70,6 +70,56 @@ object TextAnalysis {
         FROM withbest"""
   }
 
+  /** Sentence segmentation census: per document, the sentence count
+    * and length profile from a terminator-greedy split — the
+    * structural signal sentence-level curation (fluency windows,
+    * citation density, max-run filters) keys on. The pattern
+    * `[^.!?]+[.!?]*` deliberately avoids lookbehind (Java regex has
+    * it, DuckDB's RE2 does not — parity chooses the common subset);
+    * each match is one sentence with its terminators attached,
+    * trimmed, empties dropped. Lengths are integers and the mean is
+    * floor-divided — zero shuffle, zero fp, one scan.
+    */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    sentenceStatsOf(Tables.documents(spark, dir))
+
+  def sentenceStatsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        expr("""filter(transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]*', 0),
+                  s -> trim(s)), s -> length(s) > 0)""").as("sents"))
+      .select($"doc_id",
+        size($"sents").cast("long").as("n_sentences"),
+        expr("""CASE WHEN size(sents) = 0 THEN 0L
+                ELSE aggregate(sents, 0L, (a, s) -> a + length(s))
+                     div size(sents) END""").as("mean_chars"),
+        expr("""CASE WHEN size(sents) = 0 THEN 0L
+                ELSE aggregate(sents, 0L,
+                       (a, s) -> greatest(a, CAST(length(s) AS BIGINT)))
+                END""").as("max_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val sentenceStatsSql: String =
+    """WITH s AS (
+         SELECT doc_id,
+                list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                  x -> trim(x)), x -> length(x) > 0) AS sents
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(sents) AS BIGINT) AS n_sentences,
+              CASE WHEN len(sents) = 0 THEN 0
+                   ELSE CAST(list_sum(list_transform(sents,
+                          x -> length(x))) AS BIGINT) // len(sents) END
+                AS mean_chars,
+              CASE WHEN len(sents) = 0 THEN 0
+                   ELSE CAST(list_max(list_transform(sents,
+                          x -> length(x))) AS BIGINT) END AS max_chars
+       FROM s ORDER BY doc_id"""
+
   /** Classifier evaluation harness over [[langId]]: per-class
     * precision / recall / F1 against the stored gold label — the
     * measurement loop every filter model in a data pipeline owes its

@@ -145,4 +145,26 @@ class QualityContractSpec extends SparkSpec {
     assert(got.values.forall(v => v._5 <= 1000000L && v._4 <= 1000000L))
     assert(got.values.exists(v => v._5 < 1000000L))
   }
+
+  test("sentence census: hand-segmented fixtures — terminators attach, runs collapse, empties vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One. Two sentences! Or three?"),
+      (2L, "No terminator at all"),
+      (3L, "Ellipsis wins... right?! Yes."),
+      (4L, "..."), // pure punctuation: zero sentences, guarded zeros
+      (5L, "  spaced.   out.  ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.sentenceStatsOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: "One." "Two sentences!" "Or three?" → 3, mean (4+14+9)/3=9
+    assert(got(1L) == ((3L, 9L, 14L)), s"${got(1L)}")
+    // doc 2: one unterminated sentence of 20 chars
+    assert(got(2L) == ((1L, 20L, 20L)))
+    // doc 3: "Ellipsis wins..." (16) "right?!" (7) "Yes." (4) → mean 9
+    assert(got(3L) == ((3L, 9L, 16L)), s"${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L)))
+    // doc 5: "spaced." "out." after trimming → mean (7+4)/2=5
+    assert(got(5L) == ((2L, 5L, 7L)), s"${got(5L)}")
+  }
 }
