@@ -14,6 +14,9 @@ case class ImageDecoded(doc_id: Long, ok: Boolean, width: Option[Long],
     height: Option[Long], channels: Option[Long], px_sum: Option[Long])
 
 /** Decoded audio metadata/features, same quarantine contract. */
+case class AudioFp(doc_id: Long, ok: Boolean, n_frames: Option[Long],
+  fp_bits: Option[Long])
+
 case class AudioDecoded(doc_id: Long, ok: Boolean, sample_rate: Option[Long],
     n_frames: Option[Long], sum_abs: Option[Long])
 
@@ -402,18 +405,25 @@ object MultimodalCodec {
     ((id * 13 + i.toLong * 7) % 65536).toInt - 32768
 
   /** One real WAV (RIFF/PCM-16-LE mono) via the JDK encoder. */
-  def encodeWav(id: Long): Array[Byte] = {
+  def encodeWav(id: Long): Array[Byte] =
+    encodeWavSamples(Array.tabulate(wavFrames(id))(wavSample(id, _)),
+      wavRate(id))
+
+  /** WAV encode of explicit samples — crafted-fixture entry for
+    * specs (gain/locality probes need controlled PCM).
+    */
+  def encodeWavSamples(samples: Array[Int], rate: Int): Array[Byte] = {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
-    val n = wavFrames(id)
+    val n = samples.length
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = wavSample(id, i)
+      val s = samples(i)
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new AudioFormat(wavRate(id).toFloat, 16, 1, true, false)
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
     val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new ByteArrayOutputStream()
     AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
@@ -471,6 +481,81 @@ object MultimodalCodec {
     import spark.implicits._
     decodeAudio(audioTable(spark, dir)).toDF()
   }
+
+  /** Energy-delta audio fingerprint off the REAL decode path — the
+    * Shazam-lineage device (Wang 2003) reduced to its deterministic
+    * integer core: 16-sample frame energies Σs² (BIGINT), one sign
+    * bit per frame transition (does energy rise?), bits packed into
+    * one long. Robust to uniform gain (energy ORDER survives
+    * scaling), which is what makes it a fingerprint rather than a
+    * checksum; frame count is bounded by payload size so the bit
+    * budget is static. The oracle replays the PCM closed form
+    * arithmetically — no codec on the DuckDB side, same contract as
+    * the decode gates; truncated payloads quarantine ok=false.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BATCH).flatMap(_.map { m =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.payload))
+        try {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val samples = Array.tabulate(n)(i =>
+            ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong)
+          val nf = n / 16
+          val e = Array.tabulate(nf) { f =>
+            var s = 0L; var i = 16 * f
+            while (i < 16 * f + 16) { s += samples(i) * samples(i); i += 1 }
+            s
+          }
+          var fp = 0L
+          var f = 1
+          while (f < nf) { if (e(f) > e(f - 1)) fp |= 1L << (f - 1); f += 1 }
+          AudioFp(m.doc_id, ok = true, Some(nf.toLong), Some(fp))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException =>
+          AudioFp(m.doc_id, ok = false, None, None)
+      }
+    }))
+  }
+
+  def audioFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioFingerprint(audioTable(spark, dir)).toDF()
+  }
+
+  val audioFpSql: String =
+    """WITH g AS (
+         SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+       fr AS (
+         SELECT g.doc_id, i.i // 16 AS f,
+                CAST(sum(CAST(((g.doc_id * 13 + i.i * 7) % 65536) - 32768
+                           AS BIGINT)
+                         * (((g.doc_id * 13 + i.i * 7) % 65536) - 32768))
+                     AS BIGINT) AS e
+         FROM g, range(192) i(i)
+         WHERE i.i < (g.n // 16) * 16
+         GROUP BY 1, 2),
+       lagd AS (
+         SELECT doc_id, f, e,
+                lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+         FROM fr),
+       fp AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(coalesce(sum(CASE WHEN pe IS NOT NULL AND e > pe
+                       THEN (1::BIGINT << (f - 1)) ELSE 0 END), 0)
+                     AS BIGINT) AS fp_bits
+         FROM lagd GROUP BY doc_id)
+       SELECT g.doc_id, g.doc_id % 101 <> 0 AS ok,
+              CASE WHEN g.doc_id % 101 = 0 THEN NULL
+                   ELSE fp.n_frames END AS n_frames,
+              CASE WHEN g.doc_id % 101 = 0 THEN NULL
+                   ELSE fp.fp_bits END AS fp_bits
+       FROM g JOIN fp ON fp.doc_id = g.doc_id"""
 
   val audioDecodeSql: String =
     """WITH g AS (

@@ -105,6 +105,37 @@ class MultimodalSpec extends SparkSpec {
     assert(gate.exists(!_.getBoolean(1)), "corpus must exercise quarantine")
   }
 
+  test("audio fingerprint: gain-invariant, locally sensitive, quarantined; ≡ closed-form bits") {
+    import graft.operators.{MediaRow, MultimodalCodec => C}
+    import spark.implicits._
+    // crafted 64-sample signal: a deterministic wobble
+    val base = Array.tabulate(64)(i => (i * 997 % 2000) - 1000)
+    val gained = base.map(s => s * 16)         // uniform gain
+    val flipped = base.clone(); flipped(40) = 30000 // one-sample spike
+    val media = Seq(
+      MediaRow(1L, "wav", C.encodeWavSamples(base, 8000), 0L),
+      MediaRow(2L, "wav", C.encodeWavSamples(gained, 8000), 0L),
+      MediaRow(3L, "wav", C.encodeWavSamples(flipped, 8000), 0L),
+      MediaRow(4L, "wav", C.encodeWavSamples(base, 8000).take(8), 8L))
+    val out = C.audioFingerprint(spark.createDataset(media)(implicitly))
+      .collect().map(d => d.doc_id -> d).toMap
+    // closed-form replay of the bits for the base signal
+    val e = Array.tabulate(4)(f =>
+      (16 * f until 16 * f + 16).map(i => base(i).toLong * base(i)).sum)
+    var want = 0L
+    (1 until 4).foreach(f => if (e(f) > e(f - 1)) want |= 1L << (f - 1))
+    assert(out(1L).ok && out(1L).n_frames.contains(4L) &&
+      out(1L).fp_bits.contains(want), s"${out(1L)}")
+    // uniform gain scales every energy by the same factor — the
+    // rise/fall ORDER and hence the fingerprint are unchanged
+    assert(out(2L).fp_bits == out(1L).fp_bits, "gain must not move bits")
+    // a single-sample spike perturbs only the transitions touching
+    // its frame (frame 2: bits 1 and 2 of the 3) — other bits hold
+    val diff = out(3L).fp_bits.get ^ out(1L).fp_bits.get
+    assert((diff & ~6L) == 0L, s"spike leaked outside its frame: $diff")
+    assert(!out(4L).ok && out(4L).fp_bits.isEmpty)
+  }
+
   test("perceptual hash: identical pixels → identical hash regardless of id; corrupt quarantined; 64 bits") {
     import graft.operators.{MediaRow, MultimodalCodec => C}
     import spark.implicits._
