@@ -541,4 +541,71 @@ object Sampling {
         FROM r LEFT JOIN documents d
           ON d.source = r.source AND ${bucketSql("d.doc_id", "mix")} < r.rate_pm
         GROUP BY 1, 2, 3"""
+
+  /** Temporal train/test split with an EMBARGO gap (the financial-ML
+    * backtest hygiene, cf. López de Prado's purged splits made
+    * public in *Advances in Financial Machine Learning*): rows
+    * before the cutoff train, rows after cutoff+gap test, and the
+    * gap rows are EXCLUDED so that any label/feature leakage with
+    * horizon ≤ gap cannot straddle the boundary — the failure mode a
+    * plain timestamp split silently ships. Cutoff is the integer
+    * epoch-second at the given per-mille rank of the event times
+    * (banded exact NTILE arithmetic is overkill for one scalar: an
+    * approx-free exact percentile via the value histogram), held
+    * integer so both engines draw the same line. Output is the
+    * per-split census — counts, users, and the boundary receipts
+    * that prove the embargo really separates train from test.
+    */
+  def temporalSplit(spark: SparkSession, dir: String,
+      cutPerMille: Int = 800, gapHours: Int = 24): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts)").as("es"), $"user_id")
+    val hist = ev.groupBy($"es").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum($"c").as("n"))
+    // exact percentile over the VALUE HISTOGRAM: smallest es whose
+    // running count reaches ceil(p·n/1000) — domain-sized window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"es")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = hist.withColumn("cum", sum($"c").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"cum" * 1000L >= $"n" * cutPerMille)
+      .orderBy($"es").limit(1)
+      .select($"es".as("cut_es"))
+    val gap = gapHours * 3600L
+    ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when($"es" <= $"cut_es", "train")
+          .when($"es" > $"cut_es" + gap, "test")
+          .otherwise("embargo"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"),
+        min($"es").as("lo_es"), max($"es").as("hi_es"))
+      .orderBy($"split")
+  }
+
+  def temporalSplitSql(cutPerMille: Int = 800, gapHours: Int = 24): String =
+    s"""WITH ev AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id
+          FROM events),
+        h AS (SELECT es, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        cum AS (SELECT es, CAST(sum(c) OVER (ORDER BY es) AS BIGINT) AS cum
+                FROM h),
+        cut AS (SELECT es AS cut_es FROM cum CROSS JOIN t
+                WHERE cum * 1000 >= n * $cutPerMille
+                ORDER BY es LIMIT 1),
+        lab AS (
+          SELECT CASE WHEN es <= cut_es THEN 'train'
+                      WHEN es > cut_es + ${gapHours * 3600L} THEN 'test'
+                      ELSE 'embargo' END AS split,
+                 es, user_id
+          FROM ev CROSS JOIN cut)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(min(es) AS BIGINT) AS lo_es,
+               CAST(max(es) AS BIGINT) AS hi_es
+        FROM lab GROUP BY split ORDER BY split"""
 }

@@ -82,6 +82,54 @@ object Similarity {
           FROM scored)
         WHERE rk <= $k"""
 
+  /** Filtered vector search — top-k restricted to candidates sharing
+    * the query's label (the metadata-filter kNN every vector store
+    * grew in 2023; category-scoped retrieval is the training-data
+    * shape: "nearest neighbors within the same source/language").
+    * Strategy is PRE-filter: the label predicate joins BEFORE any
+    * distance work, so selectivity s cuts the scan to s·N — the
+    * right side of the pre/post trade whenever the filter is
+    * indexable-selective (post-filter k' oversampling is the ANN
+    * fallback when it isn't; here exactness is the contract, so the
+    * pre-filter is both faster AND correct). Same broadcast-query
+    * one-scan shape as [[bruteforceTopK]].
+    */
+  def filteredTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"))
+    val cands = emb.select($"vec_id".as("cand_id"), $"label",
+      $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    cands.join(broadcast(queries),
+        $"label" === $"q_label" && $"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id", $"label",
+        round(cosineCol($"q_emb", $"c_emb"), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"label", $"cos",
+        $"rk".cast("long").as("rk"))
+  }
+
+  def filteredTopKSql(nQueries: Int = 5, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                          embedding AS q_emb
+                   FROM embeddings WHERE vec_id < $nQueries),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS cand_id, c.label,
+                 round(${cosineSql("q.q_emb", "c.embedding")}, 4) AS cos
+          FROM embeddings c JOIN q
+            ON c.label = q.q_label AND c.vec_id <> q.query_id)
+        SELECT query_id, cand_id, label, cos, rk FROM (
+          SELECT query_id, cand_id, label, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= $k"""
+
   /** #32 blocked embedding near-dup: pairs within the same `label`
     * block above a cosine threshold. Blocking bounds the pair space;
     * at scale the block key becomes an LSH bucket (see

@@ -339,4 +339,26 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(c != a, "salt must redraw")
   }
+
+  test("temporal split: embargo strictly separates train from test; counts partition the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gap = 24 * 3600L
+    val rows = graft.operators.Sampling.temporalSplit(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.contains("train") && rows.contains("test"))
+    val total = Tables.events(spark, SF).count()
+    assert(rows.values.map(_._1).sum == total, "splits must partition")
+    val (trHi, teLo) = (rows("train")._4, rows("test")._3)
+    // the core promise: nothing within `gap` of the cutoff crosses it
+    assert(teLo - trHi > gap,
+      s"embargo violated: test starts ${teLo - trHi}s after train ends")
+    rows.get("embargo").foreach { case (_, _, lo, hi) =>
+      assert(lo > trHi && hi <= trHi + gap, s"embargo bounds [$lo,$hi]")
+    }
+    // the cutoff really is the ~80th per-mille point
+    val frac = rows("train")._1.toDouble / total
+    assert(frac >= 0.79 && frac <= 0.82, s"train fraction $frac")
+  }
 }

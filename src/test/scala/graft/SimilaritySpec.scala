@@ -190,4 +190,39 @@ class SimilaritySpec extends SparkSpec {
       .groupBy("query_id").count().collect().map(_.getLong(1))
     assert(counts.length == 5 && counts.forall(_ == 5))
   }
+
+  test("filtered kNN ≡ per-label brute force; no result leaks outside the query's label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"label", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = graft.operators.Similarity.filteredTopK(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byId = emb.map(e => e._1 -> e).toMap
+    // scoping: every result shares its query's label
+    got.foreach { case (q, c, lab) =>
+      assert(byId(q)._2 == lab && byId(c)._2 == lab, s"leak at ($q, $c)") }
+    // equivalence: per query, the top-5 of the SAME-label candidates
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val (qid, qlab, qv) = byId(q)
+      val want = emb.filter(e => e._2 == qlab && e._1 != qid)
+        .map(e => (e._1, cos(qv, e._3)))
+        .sortBy { case (id, c) =>
+          (-math.floor(c * 1e4 + 0.5) / 1e4, id) }
+        .take(5).map(_._1).toSeq
+      assert(rows.sortBy(_._2).map(_._2).toSeq.sorted == want.sorted,
+        s"query $q: got ${rows.map(_._2).toSeq} want $want")
+    }
+  }
 }

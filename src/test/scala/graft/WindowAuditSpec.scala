@@ -82,6 +82,11 @@ class WindowAuditSpec extends SparkSpec {
       ("midrank prefix sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length) — identical domain-sized-frame shape " +
         "and rationale as olap_ks_test"),
+    "sample_temporal_split" ->
+      ("running count over the event-time VALUE HISTOGRAM (one row " +
+        "per distinct epoch second with events — calendar-bounded) " +
+        "to draw one exact percentile cutoff; same domain-sized-" +
+        "frame rationale as olap_ks_test"),
     "olap_abc_parts" ->
       ("band-offset window over the revenue-band AGGREGATE (coarse " +
         "magnitude bands — dozens of rows at any corpus size); the " +
