@@ -115,4 +115,37 @@ class EngagementSpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of features ≡ a scala fold at T; post-T activity moves nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SF)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_timestamp(ts)").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // the cutoff: smallest es whose cumulative count reaches 80%
+    val times = ev.map(_._4).sorted
+    val t0 = times(math.ceil(times.length * 0.8).toInt - 1)
+    val past = ev.filter(_._4 <= t0)
+    val want = past.groupBy(_._1).map { case (u, es) =>
+      val last = es.maxBy(e => (e._4, e._2))
+      u -> ((es.size.toLong,
+        es.count(_._4 > t0 - 7L * 86400).toLong,
+        es.count(_._4 > t0 - 86400).toLong,
+        t0 - es.map(_._4).max,
+        es.map(_._3).distinct.size.toLong,
+        last._3))
+    }
+    val got = graft.operators.Features.userFeaturesAsOf(spark, SF)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    want.foreach { case (u, f) => assert(got(u) == f, s"user $u: ${got(u)} vs $f") }
+    // leakage control: post-T events exist and are invisible
+    assert(ev.exists(_._4 > t0), "fixture must have post-T activity")
+  }
 }

@@ -87,6 +87,10 @@ class WindowAuditSpec extends SparkSpec {
         "per distinct epoch second with events — calendar-bounded) " +
         "to draw one exact percentile cutoff; same domain-sized-" +
         "frame rationale as olap_ks_test"),
+    "features_user_asof" ->
+      ("the same event-time value-histogram cutoff device as " +
+        "sample_temporal_split; the feature windows themselves are " +
+        "partitioned by user"),
     "olap_abc_parts" ->
       ("band-offset window over the revenue-band AGGREGATE (coarse " +
         "magnitude bands — dozens of rows at any corpus size); the " +
