@@ -1192,6 +1192,75 @@ object Graph {
        FROM degs LEFT JOIN intra USING (community) CROSS JOIN m
        ORDER BY community"""
 
+  /** Eigenvector centrality by integer-normalized power iteration —
+    * the prestige score where a node matters because its NEIGHBORS
+    * matter (Bonacich 1972), completing the centrality family next
+    * to PageRank's random surfer (no damping/teleport here: pure
+    * A·x, which on a connected undirected graph converges to the
+    * principal eigenvector). Exactness device: scores live in
+    * integer micro-units and each round renormalizes by FLOOR
+    * division through the round's maximum — x ← (A·x)·10⁶ div
+    * max(A·x) — so the fixpoint is bit-identical on any engine and
+    * merge order, the same contract as the PageRank gate (a
+    * float-normalized iteration has no cross-engine oracle).
+    * Per-round work is one edge-join shuffle of (node, score)
+    * scalars plus one max aggregate; the iteration count is fixed
+    * (ranking stabilizes long before the values do). Headroom:
+    * Σ_neighbors 10⁶ ≤ deg·10⁶, then ×10⁶ ≤ 10¹⁸ at 10⁶-degree
+    * hubs — the BIGINT edge, noted.
+    */
+  def eigenCentrality(spark: SparkSession, dir: String): DataFrame =
+    eigenCentralityOf(copurchaseEdges(spark, dir), iters = 5, topK = 20)
+
+  def eigenCentralityOf(edges: DataFrame, iters: Int,
+      topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    var x = e.select($"src".as("node")).distinct()
+      .withColumn("score", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val raw = e.join(x.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src".as("node"))
+        .agg(sum($"score").as("raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(max($"raw")).head.getLong(0)
+      x = raw.select($"node",
+          expr(s"(raw * 1000000L) div ${mx}L").as("score"))
+        .localCheckpoint(true)
+    }
+    val out = x.orderBy($"score".desc, $"node").limit(topK)
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  val eigenCentralitySql: String = {
+    val stages = (1 to 5).map { t =>
+      s"""raw$t AS (
+            SELECT e.src AS node, CAST(sum(x.score) AS BIGINT) AS raw
+            FROM edges e JOIN x${t - 1} x ON x.node = e.dst
+            GROUP BY e.src),
+          m$t AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM raw$t),
+          x$t AS (SELECT node, (raw * 1000000) // mx AS score
+                  FROM raw$t CROSS JOIN m$t)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        x0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score
+               FROM edges),
+        $stages
+        SELECT node, CAST(score AS BIGINT) AS score FROM x5
+        ORDER BY score DESC, node LIMIT 20"""
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the directed edge list — positive means
     * hubs attach to hubs (social-graph shape), negative means hubs

@@ -124,6 +124,20 @@ object GraphCrossCheck {
       tri.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
         .map { case (n, t) => Seq(n, t) })
 
+    // ── eigenvector centrality (integer power iteration) ──
+    val ecWant: Seq[Seq[Long]] = {
+      var x = nodes.map(_ -> 1000000L).toMap
+      (1 to 5).foreach { _ =>
+        val raw = nodes.map(n => n -> adj(n).map(x).sum).toMap
+        val mx = raw.values.max
+        x = raw.map { case (n, r) => n -> r * 1000000L / mx }
+      }
+      x.toSeq.sortBy { case (n, s) => (-s, n) }.take(20)
+        .map { case (n, s) => Seq(n, s) }
+    }
+    check("graph_eigencentrality",
+      rows(graft.operators.Graph.eigenCentrality(spark, dir)), ecWant)
+
     // ── deterministic random walks (md5 hash replayed in scala) ──
     def md5hexLocal(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

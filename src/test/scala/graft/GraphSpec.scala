@@ -84,6 +84,43 @@ class GraphSpec extends SparkSpec {
     assert(one == Map("all" -> 0.0), s"$one")
   }
 
+  test("eigencentrality: hub tops the star, middle tops the path; ≡ sequential integer iteration") {
+    import spark.implicits._
+    def run(und: Seq[(Long, Long)], iters: Int): Seq[(Long, Long)] =
+      Graph.eigenCentralityOf(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(bothDirs(und), 4))
+          .toDF("src", "dst"), iters, topK = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def sequential(und: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = bothDirs(und).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var x = adj.keys.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val raw = adj.map { case (n, ns) => n -> ns.map(x).sum }
+        val mx = raw.values.max
+        x = raw.map { case (n, r) => n -> r * 1000000L / mx }
+      }
+      x
+    }
+    val star = (2L to 6L).map(l => (1L, l))
+    val sGot = run(star, 5)
+    assert(sGot.head._1 == 1L, s"hub must top the star: $sGot")
+    // the 5-path OSCILLATES at odd rounds under integer floor
+    // normalization (2,3,4 all clamp to the max); even rounds
+    // resolve the middle strictly — a real property of the
+    // truncated iteration, pinned here rather than papered over
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pGot = run(path, 6)
+    assert(pGot.head._1 == 3L, s"middle must top the path: $pGot")
+    val rnd = new scala.util.Random(19)
+    val und = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val want = sequential(und, 5)
+    run(und, 5).foreach { case (n, s) =>
+      assert(want(n) == s, s"node $n: $s vs ${want(n)}") }
+  }
+
   test("assortativity: star graph is perfectly disassortative (r = -1); random graph ≡ scala moments") {
     import spark.implicits._
     def of(und: Seq[(Long, Long)]): (Long, Long, Double) = {
