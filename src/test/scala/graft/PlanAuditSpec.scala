@@ -428,4 +428,32 @@ class PlanAuditSpec extends SparkSpec {
         s"adjacency arrays in shuffle exchanges: ${offenders.map(_.map(_.name))}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q7_volume_shipping: metadata dims broadcast, orders-customer keyed (never a cartesian), date pushed") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive filter degraded a join to a product:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed to the lineitem scan:\n$p")
+  }
+
+  test("sim_filtered_topk: label pre-filter rides the broadcast join — corpus scanned once, no product") {
+    val p = plan("sim_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label filter fell out of the join keys:\n$p")
+  }
+
+  test("rec_item_cf: pair generation is the per-order aggregate, never an interaction self-join product") {
+    val p = plan("rec_item_cf")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the CF plan:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+    // the oracle's op-a JOIN op-b shape would shuffle interactions
+    // twice into a pair join; ours explodes sorted baskets map-side
+    assert(p.contains("sort_array") || p.contains("collect_set"),
+      s"basket device missing — did the pair path regress to a self-join?\n$p")
+  }
 }
