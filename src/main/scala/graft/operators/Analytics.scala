@@ -500,6 +500,56 @@ object Analytics {
        FROM c JOIN sz USING (cw)
        ORDER BY cohort_wk, widx"""
 
+  /** Sample-ratio-mismatch check for a hash-split experiment — the
+    * first gate any A/B readout must pass (an assignment bug shows
+    * up as a ratio the randomizer could not have produced, and
+    * every downstream metric is garbage if it does). Variant = the
+    * user's md5 per-mille bucket parity (the [[graft.operators
+    * .Sampling]] portable device, salt "ab"), expected 50/50; for
+    * two cells the chi-square collapses to (n_a−n_b)²/n, kept exact
+    * in the integers with ONE pinned division for the reported
+    * statistic, and the α=0.05 flag decided by integer
+    * cross-multiplication against 3.8415 — (n_a−n_b)²·10⁴ >
+    * 38415·n — so the boundary can't drift on fp.
+    */
+  def abSrmCheck(spark: SparkSession, dir: String,
+      salt: String = "ab"): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir).select($"user_id").distinct()
+    val counts = users
+      .withColumn("variant",
+        when(Sampling.bucket($"user_id", salt) % 2 === 0, "A")
+          .otherwise("B"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"))
+    counts
+      .withColumn("chi2", round(
+        (($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double") /
+          $"n_users".cast("double"), 4))
+      .withColumn("srm",
+        ($"n_a" - $"n_b") * ($"n_a" - $"n_b") * 10000L >
+          lit(38415L) * $"n_users")
+      .select($"n_users", $"n_a", $"n_b", $"chi2", $"srm")
+  }
+
+  def abSrmCheckSql(salt: String = "ab"): String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT CASE WHEN ${Sampling.bucketSql("user_id", salt)} % 2 = 0
+                          THEN 'A' ELSE 'B' END AS variant FROM u),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b
+              FROM v)
+        SELECT n_users, n_a, n_b,
+               round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / CAST(n_users AS DOUBLE), 4) AS chi2,
+               (n_a - n_b) * (n_a - n_b) * 10000 > 38415 * n_users AS srm
+        FROM c"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

@@ -329,6 +329,23 @@ class ManifestTable(spark: SparkSession, root: String) {
   private def carryLines(v: Long): Seq[String] =
     dvLinesOf(v) ++ checkLinesOf(v)
 
+  /** One row of [[history]]: a committed version's metadata census. */
+  case class VersionInfo(version: Long, segments: Int, deleteFiles: Int,
+    checks: Int, batchId: Option[Long])
+
+  /** DESCRIBE HISTORY: every still-readable version's metadata
+    * census, ascending — segments, delete files, constraints, batch
+    * marker. Metadata-only (manifest reads, no data IO); the
+    * operational surface audit/debug tooling keys on.
+    */
+  def history: Seq[VersionInfo] =
+    committedVersions.sorted.flatMap { v =>
+      segments(v).map { segs =>
+        VersionInfo(v, segs.size, dvLinesOf(v).size, checkLinesOf(v).size,
+          batchIdOf(v))
+      }
+    }
+
   /** Live `#dv=` delete-file count — observability for specs and
     * maintenance policy ("compact when dvs pile past k").
     */

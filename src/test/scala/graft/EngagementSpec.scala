@@ -148,4 +148,20 @@ class EngagementSpec extends SparkSpec {
     // leakage control: post-T events exist and are invisible
     assert(ev.exists(_._4 > t0), "fixture must have post-T activity")
   }
+
+  test("SRM check: hash assignment on the corpus is balanced; statistic ≡ scala; flag fires iff chi2 > 3.8415") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = graft.operators.Analytics.abSrmCheck(spark, SF).head
+    val (n, a, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(a + b == n)
+    val chi2 = (a - b).toDouble * (a - b) / n
+    assert(math.abs(r.getDouble(3) -
+      math.floor(chi2 * 1e4 + 0.5) / 1e4) < 2e-4)
+    assert(r.getBoolean(4) == ((a - b) * (a - b) * 10000L > 38415L * n))
+    // a healthy md5 split must NOT flag on the real corpus
+    assert(!r.getBoolean(4), s"hash split flagged SRM: a=$a b=$b")
+    // and the flag itself is live: a deliberately lopsided count does trip it
+    assert((900L - 100L) * (900L - 100L) * 10000L > 38415L * 1000L)
+  }
 }

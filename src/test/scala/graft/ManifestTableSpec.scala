@@ -556,6 +556,25 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("history reads the whole metadata story: segments, dvs, checks, batch markers per version") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1L to 10L).map(i => (i, i)).toDF("id", "v"),
+      statCols = Seq("id"))
+    t.append(Seq((11L, 11L)).toDF("id", "v"), batchId = Some(7L))
+    t.addCheck("v >= 0")
+    t.deleteWhereMor(Seq(("id", 3.0, 4.0)), "id")
+    val h = t.history
+    assert(h.map(_.version) == Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.segments) == Seq(1, 2, 2, 2))
+    assert(h.map(_.deleteFiles) == Seq(0, 0, 0, 1))
+    assert(h.map(_.checks) == Seq(0, 0, 1, 1))
+    assert(h.map(_.batchId) == Seq(None, Some(7L), None, None))
+    // vacuum trims the readable history from the front
+    t.vacuum(keep = 2)
+    assert(t.history.map(_.version) == Seq(3L, 4L))
+  }
+
   test("MoR delete travels with a branch; a branch with divergent dvs refuses append-only merge") {
     import spark.implicits._
     val t = freshTable()
