@@ -550,6 +550,86 @@ object Analytics {
                (n_a - n_b) * (n_a - n_b) * 10000 > 38415 * n_users AS srm
         FROM c"""
 
+  /** The A/B readout [[abSrmCheck]] clears the way for: Welch's
+    * unequal-variance t on purchase value between the two hash
+    * variants. Values convert ONCE to integer micro-units
+    * (round(v·10⁶) of identical input doubles), so the per-variant
+    * moment sums S = Σx and Q = Σx² are exact BIGINTs in any merge
+    * order; means, Welch variances v = (nQ − S²)/(n(n−1)), and t =
+    * (m₁−m₂)/√(v₁/n₁ + v₂/n₂) are then ONE pinned fp expression
+    * tree of those integers (every operand cast once — identical
+    * IEEE doubles both engines). Headroom: Q ≤ n·x̂² holds BIGINT
+    * through 10⁹ purchases at ~$90 (micro² = 8·10¹⁵ per unit) —
+    * past that the moment columns widen to DECIMAL(38).
+    */
+  def abTtest(spark: SparkSession, dir: String,
+      salt: String = "ab"): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+      .withColumn("variant",
+        when(Sampling.bucket($"user_id", salt) % 2 === 0, "A")
+          .otherwise("B"))
+      .groupBy()
+      .agg(
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === "A", $"x").otherwise(0L)).as("s1"),
+        sum(when($"variant" === "A", $"x" * $"x").otherwise(0L)).as("q1"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n2"),
+        sum(when($"variant" === "B", $"x").otherwise(0L)).as("s2"),
+        sum(when($"variant" === "B", $"x" * $"x").otherwise(0L)).as("q2"))
+    def meanD(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varD(n: String, s: String, q: String) =
+      (col(n).cast("double") * col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    m.withColumn("t_stat", round(
+        (meanD("s1", "n1") - meanD("s2", "n2")) /
+          sqrt(varD("n1", "s1", "q1") / $"n1".cast("double") +
+            varD("n2", "s2", "q2") / $"n2".cast("double")), 4))
+      .select($"n1", $"s1", $"n2", $"s2", $"t_stat")
+  }
+
+  def abTtestSql(salt: String = "ab"): String =
+    s"""WITH p AS (
+          SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT x, CASE WHEN ${Sampling.bucketSql("user_id", salt)}
+                               % 2 = 0
+                             THEN 'A' ELSE 'B' END AS variant FROM p),
+        mo AS (
+          SELECT
+            CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT)
+              AS s1,
+            CAST(sum(CASE WHEN variant = 'A' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT)
+              AS s2,
+            CAST(sum(CASE WHEN variant = 'B' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q2
+          FROM v)
+        SELECT n1, s1, n2, s2,
+               round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt(((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                             / (CAST(n1 AS DOUBLE)
+                                * (CAST(n1 AS DOUBLE) - 1.0)))
+                            / CAST(n1 AS DOUBLE)
+                            + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                               / (CAST(n2 AS DOUBLE)
+                                  * (CAST(n2 AS DOUBLE) - 1.0)))
+                            / CAST(n2 AS DOUBLE)), 4) AS t_stat
+        FROM mo"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

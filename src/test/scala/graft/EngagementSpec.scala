@@ -164,4 +164,35 @@ class EngagementSpec extends SparkSpec {
     // and the flag itself is live: a deliberately lopsided count does trip it
     assert((900L - 100L) * (900L - 100L) * 10000L > 38415L * 1000L)
   }
+
+  test("Welch t readout ≡ scala from the same integer moments") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val xs = Tables.events(spark, SF)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def bucket(u: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${u}ab".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BigInt(md5.take(7), 16).toLong % 1000
+    }
+    val (a, b) = xs.partition(x => bucket(x._1) % 2 == 0)
+    def mom(g: Seq[Long]): (Long, Long, Long) =
+      (g.size.toLong, g.sum, g.map(x => x * x).sum)
+    val (n1, s1, q1) = mom(a.map(_._2).toSeq)
+    val (n2, s2, q2) = mom(b.map(_._2).toSeq)
+    def vd(n: Long, s: Long, q: Long) =
+      (n.toDouble * q - s.toDouble * s) / (n.toDouble * (n.toDouble - 1.0))
+    val t = (s1.toDouble / n1 - s2.toDouble / n2) /
+      math.sqrt(vd(n1, s1, q1) / n1 + vd(n2, s2, q2) / n2)
+    val r = graft.operators.Analytics.abTtest(spark, SF).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((n1, s1, n2, s2)))
+    assert(math.abs(r.getDouble(4) -
+      math.floor(t * 1e4 + 0.5) / 1e4) < 2e-4, s"t=${r.getDouble(4)} vs $t")
+    // a null effect on a hash split: |t| should be unremarkable
+    assert(math.abs(r.getDouble(4)) < 5.0, s"suspicious t on a null split")
+  }
 }
