@@ -49,6 +49,37 @@ object Olap {
               count(*) AS n, round(sum(o_totalprice), 2) AS total
        FROM orders GROUP BY CUBE (status, prio)"""
 
+  /** CUBE with GROUPING_ID — the disambiguation the bare cube gate
+    * can't give: a NULL in a cube output is either real null data or
+    * a rolled-up margin, and only the grouping bitmap tells them
+    * apart (the standard's answer, and what BI layers key legends
+    * on). Same one-Expand-pass plan as [[cubeOrders]]; the bitmap is
+    * an integer column both engines define identically (bit i set ⇔
+    * column i rolled up, most-significant-first).
+    */
+  def cubeGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        substring($"o_orderpriority", 1, 1).as("prio"))
+      .cube($"status", $"prio")
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping($"status").cast("long").as("g_status"),
+        count(lit(1)).as("n"))
+      .orderBy($"gid", $"status", $"prio")
+  }
+
+  val cubeGroupingIdSql: String =
+    """SELECT o_orderstatus AS status, substr(o_orderpriority, 1, 1) AS prio,
+              CAST(GROUPING(o_orderstatus) * 2
+                   + GROUPING(substr(o_orderpriority, 1, 1)) AS BIGINT)
+                AS gid,
+              CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+              count(*) AS n
+       FROM orders
+       GROUP BY CUBE (status, prio)
+       ORDER BY gid, status, prio"""
+
   /** Pivot event counts: one row per hour-of-day, one column per
     * event type. The type list is explicit — at scale an unbounded
     * pivot means a driver-side distinct first; fixing the vocabulary
