@@ -58,6 +58,77 @@ object Events {
                 AS BIGINT) AS session_id
        FROM g"""
 
+  /** Session-population statistics over the [[sessionize]] output —
+    * the engagement summary a product review reads: session count,
+    * exact discrete duration percentiles (p50/p90 via the value-
+    * histogram rank device — a duration is always a real observed
+    * value), and floor-divided mean events per session. Durations
+    * and counts are integers end to end; the per-session reduction
+    * is one aggregate over the sessionized frame, the percentile
+    * window runs over the duration HISTOGRAM (bounded by distinct
+    * durations, not sessions).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"))
+      .withColumn("gap", $"ts_sec" - lag($"ts_sec", 1).over(byUser))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_ev"),
+        (max($"ts_sec") - min($"ts_sec")).as("dur"))
+    val hist = sess.groupBy($"dur").agg(count(lit(1)).as("c"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"),
+      sum($"n_ev").as("n_events"))
+    val w = Window.orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"c").over(w))
+      .crossJoin(broadcast(tot))
+    def pct(p: Int) = cum.filter($"cum" * 100L >= $"n_sessions" * p)
+      .orderBy($"dur").limit(1).select($"dur")
+    pct(50).crossJoin(pct(90).withColumnRenamed("dur", "dur90"))
+      .crossJoin(broadcast(tot))
+      .select($"n_sessions", $"n_events",
+        expr("n_events div n_sessions").as("mean_events"),
+        $"dur".as("p50_dur_s"), $"dur90".as("p90_dur_s"))
+  }
+
+  val sessionStatsSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       g AS (
+         SELECT event_id, user_id, ts_sec,
+                ts_sec - lag(ts_sec) OVER w AS gap
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+       s AS (
+         SELECT user_id, ts_sec,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+         FROM g),
+       sess AS (
+         SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_ev,
+                CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS dur
+         FROM s GROUP BY 1, 2),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                    CAST(sum(n_ev) AS BIGINT) AS n_events FROM sess),
+       h AS (SELECT dur, CAST(count(*) AS BIGINT) AS c
+             FROM sess GROUP BY 1),
+       cum AS (SELECT dur, CAST(sum(c) OVER (ORDER BY dur) AS BIGINT) AS cum
+               FROM h),
+       p50 AS (SELECT dur FROM cum CROSS JOIN t
+               WHERE cum * 100 >= n_sessions * 50 ORDER BY dur LIMIT 1),
+       p90 AS (SELECT dur AS dur90 FROM cum CROSS JOIN t
+               WHERE cum * 100 >= n_sessions * 90 ORDER BY dur LIMIT 1)
+       SELECT n_sessions, n_events, n_events // n_sessions AS mean_events,
+              dur AS p50_dur_s, dur90 AS p90_dur_s
+       FROM t CROSS JOIN p50 CROSS JOIN p90"""
+
   /** #26b: the same sessionization through Spark's native
     * `session_window` operator (gap-merged windows in one pass) —
     * cross-validated against the manual lag+cumsum form by sharing

@@ -91,6 +91,10 @@ class WindowAuditSpec extends SparkSpec {
       ("the same event-time value-histogram cutoff device as " +
         "sample_temporal_split; the feature windows themselves are " +
         "partitioned by user"),
+    "events_session_stats" ->
+      ("percentile prefix sums over the session-DURATION value " +
+        "histogram (bounded by distinct durations, not sessions); " +
+        "the sessionization windows are partitioned by user"),
     "olap_abc_parts" ->
       ("band-offset window over the revenue-band AGGREGATE (coarse " +
         "magnitude bands — dozens of rows at any corpus size); the " +
