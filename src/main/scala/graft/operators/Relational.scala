@@ -339,6 +339,47 @@ object Relational {
        FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y98)
        ORDER BY custkey, cohort"""
 
+  /** Bag-semantics set algebra — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-preserving forms the DISTINCT variants silently
+    * collapse: a customer with 3 orders in both years keeps
+    * min(3, n₉₈) retained rows, and EXCEPT ALL keeps the SURPLUS
+    * multiplicity (orders beyond the other year's count), which is
+    * the right semantics for order-level (not customer-level)
+    * cohort accounting. Spark's intersectAll/exceptAll plan as one
+    * count-aggregate + generate per side — still no all-pairs, same
+    * cost class as the distinct forms.
+    */
+  def setOpsAllCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def keysIn(yr: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey".as("custkey"))
+    val y97 = keysIn(1997)
+    val y98 = keysIn(1998)
+    y97.intersectAll(y98).withColumn("kind", lit("both"))
+      .unionByName(y97.exceptAll(y98).withColumn("kind", lit("surplus97")))
+      .groupBy($"custkey", $"kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"custkey", $"kind")
+  }
+
+  val setOpsAllCohortsSql: String =
+    """WITH y97 AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE year(o_orderdate) = 1997),
+            y98 AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE year(o_orderdate) = 1998),
+       u AS (
+         SELECT custkey, 'both' AS kind
+         FROM (SELECT custkey FROM y97 INTERSECT ALL
+               SELECT custkey FROM y98)
+         UNION ALL
+         SELECT custkey, 'surplus97' AS kind
+         FROM (SELECT custkey FROM y97 EXCEPT ALL
+               SELECT custkey FROM y98))
+       SELECT custkey, kind, CAST(count(*) AS BIGINT) AS n
+       FROM u GROUP BY 1, 2 ORDER BY custkey, kind"""
+
   /** Correlated subqueries — EXISTS, NOT EXISTS, and a correlated
     * scalar — run VERBATIM on both engines (same device as
     * sql_passthrough). Catalyst decorrelates all three into joins
