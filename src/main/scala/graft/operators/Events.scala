@@ -574,6 +574,67 @@ object Events {
                           * CAST(g AS DOUBLE)), 6) AS acf
         FROM a CROSS JOIN tot ORDER BY lag"""
 
+  /** Robust volume anomalies over the hourly spine: hours whose
+    * |count − median| exceeds k·MAD — the heavy-tail-safe companion
+    * to the trailing z-test [[anomalyHours]] (one extreme hour
+    * inflates a stddev and masks its neighbors; the median/MAD pair
+    * doesn't move). Both statistics come from the COUNT HISTOGRAM
+    * via the discrete rank device (median = smallest value whose
+    * cume reaches ⌈n/2⌉, MAD likewise over |y−med|), all integers;
+    * the flag compares |y−med| > k·MAD by integer multiplication —
+    * no fp anywhere in the operator. Output is the flagged hours
+    * with the receipts (med, mad) inline.
+    */
+  def anomalyRobustHours(spark: SparkSession, dir: String,
+      k: Long = 5): DataFrame = {
+    import spark.implicits._
+    val base = gapfillHourly(spark, dir).localCheckpoint(true)
+    def discMedian(df: DataFrame, colName: String): Long = {
+      val hist = df.groupBy(col(colName)).agg(count(lit(1)).as("c"))
+      val tot = hist.agg(sum($"c").as("__t"))
+      val w = Window.orderBy(col(colName))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum($"c").over(w))
+        .crossJoin(broadcast(tot))
+        .filter($"cum" * 2L >= $"__t")
+        .orderBy(col(colName)).limit(1)
+        .head.getLong(0)
+    }
+    val med = discMedian(base, "n")
+    val mad = discMedian(
+      base.select(abs($"n" - med).as("d")), "d")
+    base
+      .filter(abs($"n" - med) > k * mad)
+      .select($"h", $"n", lit(med).as("med"), lit(mad).as("mad"))
+      .orderBy($"h")
+  }
+
+  def anomalyRobustHoursSql(k: Long = 5): String =
+    s"""WITH c AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+          FROM events GROUP BY 1),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+        f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM hrs LEFT JOIN c USING (h)),
+        hn AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS c
+               FROM f GROUP BY 1),
+        tn AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM hn),
+        med AS (SELECT v AS med FROM (
+                  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                  FROM hn) CROSS JOIN tn
+                WHERE cum * 2 >= t ORDER BY v LIMIT 1),
+        hd AS (SELECT abs(n - med) AS v, CAST(count(*) AS BIGINT) AS c
+               FROM f CROSS JOIN med GROUP BY 1),
+        mad AS (SELECT v AS mad FROM (
+                  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                  FROM hd) CROSS JOIN tn
+                WHERE cum * 2 >= t ORDER BY v LIMIT 1)
+        SELECT h, n, med, mad
+        FROM f CROSS JOIN med CROSS JOIN mad
+        WHERE abs(n - med) > $k * mad
+        ORDER BY h"""
+
   /** Wald–Wolfowitz runs test for serial randomness of the hourly
     * series around its mean — the cheap "is this iid or does it
     * trend/cycle" screen that belongs next to [[autocorrelationHours]]

@@ -95,6 +95,10 @@ class WindowAuditSpec extends SparkSpec {
       ("percentile prefix sums over the session-DURATION value " +
         "histogram (bounded by distinct durations, not sessions); " +
         "the sessionization windows are partitioned by user"),
+    // events_anomaly_robust's median/MAD rank scans run EAGERLY at
+    // gate construction over the hourly COUNT histogram (domain-
+    // sized) — the returned plan carries no window, so no exemption
+    // (the lake_sorted_export precedent)
     "olap_abc_parts" ->
       ("band-offset window over the revenue-band AGGREGATE (coarse " +
         "magnitude bands — dozens of rows at any corpus size); the " +
