@@ -1056,4 +1056,50 @@ object Events {
                CAST(sum(en - st) // 1000000 AS BIGINT) AS covered_s
         FROM m GROUP BY user_id ORDER BY user_id"""
   }
+
+  /** Local-maximum peak hours on the gap-filled hourly series: hours
+    * strictly above both neighbors AND above the series mean — the
+    * parameter-free peak census a capacity planner reads next to the
+    * anomaly/CUSUM family (those flag deviation from a LOCAL
+    * baseline; this finds the global crests). Exactness: the
+    * above-mean cut cross-multiplies (n·hours > total) so no fp mean
+    * exists; neighbors come from one lag/lead pass over the
+    * calendar-bounded spine (same WindowAuditSpec exemption family
+    * as the other spine scans); the mean is a one-row broadcast.
+    */
+  def peakHours(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val filled = gapfillHourly(spark, dir)
+    val tot = filled.agg(count(lit(1)).as("hrs"), sum($"n").as("total"))
+    val w = Window.orderBy($"h")
+    filled
+      .withColumn("prev", lag($"n", 1).over(w))
+      .withColumn("next", lead($"n", 1).over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"prev".isNotNull && $"next".isNotNull &&
+        $"n" > $"prev" && $"n" > $"next" &&
+        $"n" * $"hrs" > $"total")
+      .select($"h", $"n", $"prev", $"next")
+      .orderBy($"h")
+  }
+
+  val peakHoursSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             FROM hrs LEFT JOIN c USING (h)),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                    CAST(sum(n) AS BIGINT) AS total FROM f),
+       lg AS (SELECT h, n,
+                     lag(n)  OVER (ORDER BY h) AS prev,
+                     lead(n) OVER (ORDER BY h) AS next
+              FROM f)
+       SELECT h, n, prev, next
+       FROM lg, t
+       WHERE prev IS NOT NULL AND next IS NOT NULL
+         AND n > prev AND n > next AND n * nh > total
+       ORDER BY h"""
 }

@@ -1226,4 +1226,148 @@ object Olap {
            AS pct_rank_ppm
        FROM documents
        ORDER BY doc_id"""
+
+  /** Per-brand Spearman rank correlation between retail price and
+    * size — the monotone-association statistic that survives the
+    * nonlinearities Pearson ([[graft.operators.Profile]]'s
+    * correlation matrix) misses. Exactness device: midranks over
+    * DOUBLED values (a midrank's only fraction is a half, so 2·rank
+    * stays BIGINT: 2·midrank = 2·rank_min + t − 1 with t the tie
+    * count), making all five accumulators (Σx, Σy, Σxy, Σx², Σy²)
+    * exact integers; ρ is Pearson over the doubled ranks — the
+    * doubling cancels — computed in ONE pinned double expression of
+    * the integer sums, so both engines emit identical IEEE doubles.
+    * Both rank windows are PARTITIONED by brand; nothing
+    * unpartitioned anywhere. Headroom: n·Σx² ≈ 4n⁴ holds BIGINT to
+    * ~10⁴-row groups; past that, band the ranks like
+    * Analytics.bandedNtile.
+    */
+  def spearmanBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_brand",
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+      $"p_size".cast("long").as("size_l"))
+    val rx = Window.partitionBy($"p_brand").orderBy($"price_c")
+    val ry = Window.partitionBy($"p_brand").orderBy($"size_l")
+    val ranked = p
+      .withColumn("x2", lit(2L) * rank().over(rx) +
+        count(lit(1)).over(Window.partitionBy($"p_brand", $"price_c")) - 1L)
+      .withColumn("y2", lit(2L) * rank().over(ry) +
+        count(lit(1)).over(Window.partitionBy($"p_brand", $"size_l")) - 1L)
+    ranked.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"x2").as("sx"), sum($"y2").as("sy"),
+        sum($"x2" * $"y2").as("sxy"),
+        sum($"x2" * $"x2").as("sxx"),
+        sum($"y2" * $"y2").as("syy"))
+      .withColumn("rho", round(
+        expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
+        6))
+      .select($"p_brand", $"n", $"sxy", $"rho")
+      .orderBy($"p_brand")
+  }
+
+  val spearmanBrandSql: String =
+    """WITH p AS (
+         SELECT p_brand,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                CAST(p_size AS BIGINT) AS size_l
+         FROM part),
+       r AS (
+         SELECT p_brand,
+                2 * rank() OVER (PARTITION BY p_brand ORDER BY price_c)
+                  + count(*) OVER (PARTITION BY p_brand, price_c) - 1 AS x2,
+                2 * rank() OVER (PARTITION BY p_brand ORDER BY size_l)
+                  + count(*) OVER (PARTITION BY p_brand, size_l) - 1 AS y2
+         FROM p),
+       a AS (
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x2) AS BIGINT) AS sx,
+                CAST(sum(y2) AS BIGINT) AS sy,
+                CAST(sum(x2 * y2) AS BIGINT) AS sxy,
+                CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+                CAST(sum(y2 * y2) AS BIGINT) AS syy
+         FROM r GROUP BY p_brand)
+       SELECT p_brand, n, sxy,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) AS rho
+       FROM a ORDER BY p_brand"""
+
+  /** Per-group higher central moments — skewness and excess kurtosis
+    * of lineitem quantity by return flag, the distribution-shape
+    * profile a drift monitor tracks beyond mean/stddev
+    * ([[statsSummary]]). Device: ONE scan accumulates the four raw
+    * power sums as exact integers (quantities are integral; Σq⁴ ≤
+    * n·50⁴ holds BIGINT to ~10¹² rows per group); the moment algebra
+    * then runs through an identical STAGED pipeline of double
+    * expressions in both engines — each stage (mean, m2, m3, m4) is
+    * one pinned expression reusing the previous stage's value, so
+    * the IEEE operation sequence matches bit-for-bit and g1/g2
+    * hash-match without any integerization of the cubics.
+    */
+  def momentsQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+        sum($"q" * $"q").as("s2"),
+        sum($"q" * $"q" * $"q").as("s3"),
+        sum($"q" * $"q" * $"q" * $"q").as("s4"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("m2", expr(
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean"))
+      .withColumn("m3", expr(
+        """CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+           - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           + 2.0 * mean * mean * mean"""))
+      .withColumn("m4", expr(
+        """CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+           - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+           + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           - 3.0 * mean * mean * mean * mean"""))
+      .select($"l_returnflag", $"n", $"s1", $"s2", $"s3", $"s4",
+        round(expr("m3 / (m2 * sqrt(m2))"), 6).as("skewness"),
+        round(expr("m4 / (m2 * m2) - 3.0"), 6).as("kurtosis_ex"))
+      .orderBy($"l_returnflag")
+  }
+
+  val momentsQuantitySql: String =
+    """WITH a AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(q) AS BIGINT) AS s1,
+                CAST(sum(q * q) AS BIGINT) AS s2,
+                CAST(sum(q * q * q) AS BIGINT) AS s3,
+                CAST(sum(q * q * q * q) AS BIGINT) AS s4
+         FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem)
+         GROUP BY l_returnflag),
+       st1 AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+               FROM a),
+       st2 AS (SELECT *, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - mean * mean AS m2
+               FROM st1),
+       st3 AS (SELECT *, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                         + 2.0 * mean * mean * mean AS m3
+               FROM st2),
+       st4 AS (SELECT *, CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                         + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                         - 3.0 * mean * mean * mean * mean AS m4
+               FROM st3)
+       SELECT l_returnflag, n, s1, s2, s3, s4,
+              round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+              round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_ex
+       FROM st4 ORDER BY l_returnflag"""
 }

