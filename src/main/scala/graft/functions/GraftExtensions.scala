@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    // BPE merge table: a constant folded into one reference object at
+    // resolution time, same stance as the PQ codebooks
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "bpe_encode: merges must be a constant")
+        BpeEncode(children.head, BpeKernels.parseMerges(children(1).eval(null)).toSeq)
+      }))
     // Coarse-quantizer assignment: like the PQ kernels, the centroid
     // codebook and ids are CONSTANT arguments folded at resolution
     // time into one reference object — nlist can reach 10⁴–10⁵
