@@ -366,4 +366,243 @@ object DecisionSupport {
        WHERE r_name = '$region'
        GROUP BY year(o_orderdate)
        ORDER BY o_year"""
+
+  /** Q6 (forecasting revenue change): one-table scan-aggregate over
+    * a date window, a discount band, and a quantity cut — the purest
+    * pushdown shape in the suite. Every predicate reaches the
+    * parquet scan (`PushedFilters` carries all four bounds), the
+    * projection is two columns, and the whole query is one map-side
+    * partial aggregate plus a one-row exchange — no join, no
+    * wide shuffle at any SF. Discount stays in exact basis points.
+    */
+  def q6RevenueBand(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01",
+      dbLo: Long = 500L, dbHi: Long = 700L, qtyMax: Long = 24L): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= from && $"l_shipdate" < until)
+      .select(cents("l_extendedprice").as("pc"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("db"),
+        expr("CAST(l_quantity AS BIGINT)").as("q_i"))
+      .filter($"db".between(dbLo, dbHi) && $"q_i" < qtyMax)
+      .agg(sum($"pc" * $"db").as("revenue_i"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q6RevenueBandSql(from: String = "1996-01-01",
+      until: String = "1997-01-01", dbLo: Long = 500L, dbHi: Long = 700L,
+      qtyMax: Long = 24L): String =
+    s"""SELECT CAST(sum(pc * db) AS BIGINT) AS revenue_i,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                    CAST(round(l_discount * 10000) AS BIGINT) AS db,
+                    CAST(l_quantity AS BIGINT) AS q_i
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '$from'
+               AND l_shipdate < TIMESTAMP '$until')
+       WHERE db BETWEEN $dbLo AND $dbHi AND q_i < $qtyMax"""
+
+  /** Q4 (order-priority checking): orders in one quarter with at
+    * least one lineitem shipped more than `lateDays` after the order
+    * date, counted per priority — the EXISTS-decorrelated-to-semi-
+    * join shape. This corpus has no commit/receipt dates, so
+    * lateness is ship-vs-order (same shape, same join). The orders
+    * scan is date-pruned; the semi-join rides a keyed shuffle on
+    * orderkey (at 100 TB neither side broadcasts) and emits each
+    * order AT MOST ONCE regardless of how many lines are late — the
+    * property an inner join + distinct would pay an extra exchange
+    * for; the final census groups on the 5-value priority domain.
+    */
+  def q4LatePriority(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01",
+      lateDays: Int = 90): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= from && $"o_orderdate" < until)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  def q4LatePrioritySql(from: String = "1996-01-01",
+      until: String = "1996-04-01", lateDays: Int = 90): String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '$from'
+         AND o_orderdate < TIMESTAMP '$until'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate
+                                        + INTERVAL $lateDays DAY)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** Q10 (returned-item reporting): the top customers by revenue
+    * lost to returns in one quarter — the 4-way join + top-k shape.
+    * Nation broadcasts; customer↔orders and orders↔lineitem ride
+    * keyed shuffles. The top-k is an orderBy+limit over the
+    * per-customer aggregate (Spark plans TakeOrderedAndProject —
+    * each partition keeps k rows, the driver merges |parts|·k, never
+    * a global sort); custkey breaks revenue ties so LIMIT is
+    * deterministic.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String,
+      from: String = "1997-01-01", until: String = "1997-04-01",
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= from && $"o_orderdate" < until)
+      .select($"o_orderkey", $"o_custkey")
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (cents("l_extendedprice") *
+          (lit(10000L) - expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+          .as("vol"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey").agg(sum($"vol").as("revenue_i"))
+    rev.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue_i",
+        cents("c_acctbal").as("acctbal_c"))
+      .orderBy($"revenue_i".desc, $"c_custkey")
+      .limit(k)
+  }
+
+  def q10ReturnedItemsSql(from: String = "1997-01-01",
+      until: String = "1997-04-01", k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name,
+              CAST(sum(vol) AS BIGINT) AS revenue_i,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+       FROM (SELECT l_orderkey,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS vol
+             FROM lineitem WHERE l_returnflag = 'R')
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '$from'
+         AND o_orderdate < TIMESTAMP '$until'
+       GROUP BY c_custkey, c_name, n_name, c_acctbal
+       ORDER BY revenue_i DESC, c_custkey
+       LIMIT $k"""
+
+  /** Q2 (minimum-cost supplier): for each part in a type/size cut,
+    * the supplier(s) achieving the minimum observed unit price — the
+    * correlated-scalar-min shape, decorrelated into a per-part min
+    * aggregate joined back by equality. No partsupp table exists in
+    * this corpus, so the supply relation is read off lineitem (the
+    * per-line price stands in for ps_supplycost; min total cents per
+    * part-supplier pair, then the per-part min of those). Both the
+    * stats side and the detail side shuffle once on partkey and the
+    * join back is co-partitioned; part is the broadcast dim. Output
+    * ordered by supplier balance DESC as the spec does, with full
+    * key tie-breaks so the frame is deterministic.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+      ptype: String = "LARGE", sizeLo: Int = 10, sizeHi: Int = 30): DataFrame = {
+    import spark.implicits._
+    val partCut = Tables.part(spark, dir)
+      .filter($"p_type" === ptype && $"p_size".between(sizeLo, sizeHi))
+      .select($"p_partkey", $"p_name", $"p_size")
+    val supply = Tables.lineitem(spark, dir)
+      .join(broadcast(partCut), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name", $"p_size", $"l_suppkey")
+      .agg(min(cents("l_extendedprice")).as("cost_c"))
+    val minCost = supply.groupBy($"p_partkey".as("mk"))
+      .agg(min($"cost_c").as("min_c"))
+    supply
+      .join(minCost, $"p_partkey" === $"mk" && $"cost_c" === $"min_c")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select(cents("s_acctbal").as("s_bal_c"), $"s_name", $"n_name",
+        $"p_partkey", $"p_name", $"p_size", $"cost_c")
+      .orderBy($"s_bal_c".desc, $"n_name", $"s_name", $"p_partkey")
+  }
+
+  def q2MinCostSupplierSql(ptype: String = "LARGE", sizeLo: Int = 10,
+      sizeHi: Int = 30): String =
+    s"""WITH supply AS (
+         SELECT p_partkey, p_name, p_size, l_suppkey,
+                CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cost_c
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type = '$ptype' AND p_size BETWEEN $sizeLo AND $sizeHi
+         GROUP BY p_partkey, p_name, p_size, l_suppkey)
+       SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_bal_c,
+              s_name, n_name, p_partkey, p_name, p_size, cost_c
+       FROM supply
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       WHERE cost_c = (SELECT min(cost_c) FROM supply s2
+                       WHERE s2.p_partkey = supply.p_partkey)
+       ORDER BY s_bal_c DESC, n_name, s_name, p_partkey"""
+
+  /** Q21 (suppliers who kept orders waiting): suppliers whose line
+    * was late on a multi-supplier order where NO other supplier was
+    * late — the spec's double EXISTS / NOT-EXISTS self-join,
+    * re-planned as a co-partitioned two-level aggregation: one
+    * shuffle on orderkey builds the (order, supplier, late) frame,
+    * the per-order supplier/late census reuses that partitioning,
+    * and the sole-late filter is a row predicate — three correlated
+    * self-joins become zero extra exchanges, which is the difference
+    * between one pass and three sort-merge joins over the fact table
+    * at 100 TB. The oracle deliberately keeps the textbook
+    * EXISTS/NOT-EXISTS spelling so DuckDB cross-checks the rewrite.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String,
+      lateDays: Int = 90): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val os = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" +
+        expr(s"INTERVAL $lateDays DAYS"), 1L).otherwise(0L)).as("late"))
+    val census = os.groupBy($"l_orderkey".as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+    os.join(census, $"l_orderkey" === $"ok")
+      .filter($"late" === 1L && $"n_supp" > 1L && $"n_late" === 1L)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  def q21SoleLateSupplierSql(lateDays: Int = 90): String =
+    s"""WITH os AS (
+         SELECT l_orderkey, l_suppkey,
+                CAST(max(CASE WHEN l_shipdate > o_orderdate
+                                   + INTERVAL $lateDays DAY
+                              THEN 1 ELSE 0 END) AS BIGINT) AS late
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY l_orderkey, l_suppkey)
+       SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM os l1
+       JOIN supplier ON l1.l_suppkey = s_suppkey
+       WHERE l1.late = 1
+         AND EXISTS (SELECT 1 FROM os l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM os l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.late = 1)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name"""
 }

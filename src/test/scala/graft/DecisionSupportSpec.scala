@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   */
 class DecisionSupportSpec extends SparkSpec {
 
+  /** Timestamps surface as LocalDateTime (NTZ) or java.sql.Timestamp
+    * depending on the physical parquet dtype — normalize. */
+  private def ldt(v: Any): java.time.LocalDateTime = v match {
+    case l: java.time.LocalDateTime => l
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case x => sys.error(s"unexpected timestamp class: ${x.getClass}")
+  }
+
   test("q13: histogram mass reconciles to customers and orders") {
     import spark.implicits._
     val hist = DecisionSupport.q13CustDist(spark, SF).collect()
@@ -112,5 +120,94 @@ class DecisionSupportSpec extends SparkSpec {
       assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(2),
         s"year ${r.getLong(0)}: nation ${r.getLong(1)} > total ${r.getLong(2)}")
     }
+  }
+
+  test("q6: band revenue re-adds from a driver-side fold over raw lines") {
+    import spark.implicits._
+    val r = DecisionSupport.q6RevenueBand(spark, SF).collect()(0)
+    val raw = Tables.lineitem(spark, SF)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .filter { case (_, db, q) => db >= 500L && db <= 700L && q < 24L }
+    assert(r.getLong(1) == raw.length)
+    assert(r.getLong(0) == raw.map { case (pc, db, _) => pc * db }.sum)
+  }
+
+  test("q4: semi-join counts each order once however many lines are late") {
+    import spark.implicits._
+    val gate = DecisionSupport.q4LatePriority(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ords = Tables.orders(spark, SF)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority").collect()
+      .map(r => (r.getLong(0), ldt(r.get(1)), r.getString(2)))
+    val lines = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_shipdate").collect()
+      .map(r => (r.getLong(0), ldt(r.get(1))))
+      .groupBy(_._1)
+    val direct = ords.filter { case (ok, od, _) =>
+      lines.getOrElse(ok, Array.empty[(Long, java.time.LocalDateTime)])
+        .exists(_._2.isAfter(od.plusDays(90)))
+    }.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(gate == direct, s"gate $gate != driver re-count $direct")
+  }
+
+  test("q10: the returned top-k is the prefix of the full revenue ordering") {
+    import spark.implicits._
+    val top = DecisionSupport.q10ReturnedItems(spark, SF, k = 20).collect()
+    assert(top.length == 20)
+    val full = DecisionSupport.q10ReturnedItems(spark, SF, k = Int.MaxValue)
+      .collect()
+    assert(full.length >= 20)
+    assert(top.map(_.getLong(0)).toSeq == full.take(20).map(_.getLong(0)).toSeq)
+    val revs = top.map(_.getLong(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q2: every returned (part, supplier) achieves that part's exact min") {
+    import spark.implicits._
+    val rows = DecisionSupport.q2MinCostSupplier(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // independent per-part min over the same cut
+    val mins = Tables.lineitem(spark, SF)
+      .join(Tables.part(spark, SF)
+        .filter($"p_type" === "LARGE" && $"p_size".between(10, 30)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey")
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(6) == mins(r.getLong(3)),
+        s"part ${r.getLong(3)}: cost ${r.getLong(6)} != min ${mins(r.getLong(3))}")
+    }
+    assert(rows.map(_.getLong(3)).distinct.length == mins.size,
+      "every part in the cut with supply appears at least once")
+  }
+
+  test("q21: aggregation rewrite == brute-force exists/not-exists fold") {
+    import spark.implicits._
+    val gate = DecisionSupport.q21SoleLateSupplier(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ords = Tables.orders(spark, SF).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate").collect()
+      .map(r => r.getLong(0) -> ldt(r.get(1))).toMap
+    val os = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ldt(r.get(2))))
+      .filter(t => ords.contains(t._1))
+      .groupBy(t => (t._1, t._2)).map { case ((ok, sk), ts) =>
+        (ok, sk, ts.exists(_._3.isAfter(ords(ok).plusDays(90))))
+      }.toSeq
+    val byOrder = os.groupBy(_._1)
+    val names = Tables.supplier(spark, SF).select($"s_suppkey", $"s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = os.filter { case (ok, sk, late) =>
+      val others = byOrder(ok).filter(_._2 != sk)
+      late && others.nonEmpty && !others.exists(_._3)
+    }.groupBy(t => names(t._2)).view.mapValues(_.size.toLong).toMap
+    assert(gate == direct, s"gate $gate != brute fold $direct")
   }
 }
