@@ -78,4 +78,60 @@ object Evaluation {
                     6) AS auc
        FROM a"""
   }
+
+  /** Calibration (reliability) bins of the quality-model score
+    * against the binary label — AUC says the ranking is right;
+    * calibration says whether the score LEVEL means what it claims,
+    * which is what a curation threshold actually consumes. Scores
+    * land in `nBins` equal-width bins over the observed [lo, hi]
+    * (the one-row bounds broadcast back — integer cross-multiplied
+    * binning `(s−lo)·B div (hi−lo+1)`, no fp boundary and no
+    * corpus-scale NTILE sort); each bin reports its exact integer
+    * mass, score sum, and positive count, with mean score and
+    * positive fraction as two pinned rounded divisions. A
+    * well-calibrated scorer shows frac_pos monotone in bin.
+    */
+  def calibrationBins(spark: SparkSession, dir: String,
+      nBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", when($"lang" === "en", 1L).otherwise(0L).as("is_pos"))
+    val bounds = scored.agg(min($"score").as("lo"), max($"score").as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .select(expr(s"((score - lo) * $nBins) div (hi - lo + 1)").as("bin"),
+        $"score", $"is_pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"score").as("score_sum"),
+        sum($"is_pos").as("n_pos"))
+      .select($"bin", $"n", $"score_sum", $"n_pos",
+        round($"score_sum".cast("double") / $"n".cast("double"), 4)
+          .as("mean_score"),
+        round($"n_pos".cast("double") / $"n".cast("double"), 4)
+          .as("frac_pos"))
+      .orderBy($"bin")
+  }
+
+  def calibrationBinsSql(nBins: Int = 10): String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       b AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+       binned AS (
+         SELECT CAST((score - lo) * $nBins AS BIGINT)
+                // (hi - lo + 1) AS bin,
+                score, is_pos
+         FROM s, b)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(score) AS BIGINT) AS score_sum,
+              CAST(sum(is_pos) AS BIGINT) AS n_pos,
+              round(CAST(sum(score) AS DOUBLE) / count(*), 4) AS mean_score,
+              round(CAST(sum(is_pos) AS DOUBLE) / count(*), 4) AS frac_pos
+       FROM binned
+       GROUP BY bin ORDER BY bin"""
+  }
 }

@@ -1102,4 +1102,167 @@ object Events {
        WHERE prev IS NOT NULL AND next IS NOT NULL
          AND n > prev AND n > next AND n * nh > total
        ORDER BY h"""
+
+  /** Exponentially-weighted moving average over the gap-filled
+    * hourly series, base-½ decay TRUNCATED at 16 lags — the standard
+    * recency smoother next to [[wmaHours]]' linear one. The
+    * truncation is the scale design, not a shortcut: the untruncated
+    * recursion ewma_t = (y_t + ewma_{t−1})/2 is a sequential scan no
+    * engine parallelizes, while the dropped tail weighs 2⁻¹⁶ < 10⁻⁴
+    * of the window — under one count at 10⁴ events/hour. With base 2
+    * every weight 2^(15−j) is an exact BIGINT, so `ewma_num` is exact
+    * (denominator 2¹⁶−1 constant) and the single fp division is
+    * pinned. Plan: the [[slidingDau]] fan-out device — each spine
+    * hour map-side explodes into the 16 window-end hours it feeds
+    * with its weight, one domain-sized groupBy re-assembles; the
+    * 16× blow-up applies to the calendar-bounded spine, never the
+    * corpus, and no ordered window at all is needed.
+    */
+  def ewmaHours(spark: SparkSession, dir: String,
+      halfLives: Int = 16): DataFrame =
+    ewmaOfSeries(gapfillHourly(spark, dir), halfLives)
+
+  /** EWMA core over any dense (h, n) series — see [[ewmaHours]]. */
+  def ewmaOfSeries(base: DataFrame, halfLives: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bounds = base.agg(min($"h").as("lo"), max($"h").as("hi"))
+    val den = (1L << halfLives) - 1L
+    base
+      .select($"h", $"n", explode(sequence($"h", $"h" + (halfLives - 1)))
+        .as("wh"))
+      .select($"wh",
+        ($"n" * expr(s"CAST(pow(2, ${halfLives - 1} - (wh - h)) AS BIGINT)"))
+          .as("wn"))
+      .groupBy($"wh").agg(sum($"wn").as("ewma_num"),
+        count(lit(1)).as("nw"))
+      .crossJoin(broadcast(bounds))
+      .filter($"nw" === halfLives && $"wh" <= $"hi")
+      .select($"wh".as("h"), $"ewma_num",
+        round($"ewma_num".cast("double") / lit(den.toDouble), 4).as("ewma"))
+      .orderBy($"h")
+  }
+
+  def ewmaHoursSql(halfLives: Int = 16): String = {
+    val den = (1L << halfLives) - 1L
+    s"""WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             FROM hrs LEFT JOIN c USING (h)),
+       fan AS (
+         SELECT unnest(generate_series(h, h + ${halfLives - 1})) AS wh,
+                h, n
+         FROM f),
+       w AS (
+         SELECT wh,
+                CAST(sum(n * CAST(pow(2, ${halfLives - 1} - (wh - h))
+                             AS BIGINT)) AS BIGINT) AS ewma_num,
+                CAST(count(*) AS BIGINT) AS nw
+         FROM fan GROUP BY wh)
+       SELECT wh AS h, ewma_num,
+              round(CAST(ewma_num AS DOUBLE) / $den.0, 4) AS ewma
+       FROM w, b
+       WHERE nw = $halfLives AND wh <= hi
+       ORDER BY h"""
+  }
+
+  /** Cross-correlogram between two event types' hourly series at
+    * lags −`maxLag`..+`maxLag` — the lead/lag detector ACF cannot
+    * see (does a surge of `typeX` precede a surge of `typeY`, and by
+    * how many hours? peak at positive k = x leads y by k). Both
+    * series share ONE gap-filled spine so zero hours count; per lag
+    * the five moments over the overlap (Σx, Σy, Σx², Σy², Σxy) are
+    * exact BIGINTs and Pearson r_k is ONE pinned fp expression of
+    * them. Plan shape is [[acfOfSeries]]' device generalized to two
+    * columns and negative lags: one ordered window pass builds the
+    * 2·maxLag+1 shifted-y array, posexplode fans the spine (never
+    * the corpus) into (lag, x, y) rows, and the per-lag aggregate
+    * shuffles (2L+1)·T domain rows.
+    */
+  def crossCorrHours(spark: SparkSession, dir: String,
+      typeX: String = "error", typeY: String = "purchase",
+      maxLag: Int = 24): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .filter($"event_type".isin(typeX, typeY))
+      .select(expr("unix_timestamp(ts) div 3600").as("h"), $"event_type")
+      .groupBy($"h")
+      .agg(sum(when($"event_type" === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === typeY, 1L).otherwise(0L)).as("y"))
+    val spine = counts.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("h"))
+      .repartition(col("h"))
+    val base = spine.join(counts, Seq("h"), "left")
+      .select($"h", coalesce($"x", lit(0L)).as("x"),
+        coalesce($"y", lit(0L)).as("y"))
+    crossCorrOfSeries(base, maxLag)
+  }
+
+  /** CCF core over any dense (h, x, y) frame — see
+    * [[crossCorrHours]] for the arithmetic contract.
+    */
+  def crossCorrOfSeries(base: DataFrame, maxLag: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy($"h")
+    // y_{t+k} for k = -maxLag..maxLag: lag(y, -k) is lead
+    val shifted = (-maxLag to maxLag).map(k => lag($"y", -k).over(w))
+    base
+      .withColumn("ys", array(shifted: _*))
+      .select($"x", posexplode($"ys").as(Seq("pos", "yk")))
+      .filter($"yk".isNotNull)
+      .select(($"pos" - maxLag).cast("long").as("lag"), $"x", $"yk")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("pairs"),
+        sum($"x").as("sx"), sum($"yk").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"yk" * $"yk").as("syy"),
+        sum($"x" * $"yk").as("sxy"))
+      .withColumn("r", round(
+        ($"pairs".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double")) /
+        sqrt(($"pairs".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+          * ($"pairs".cast("double") * $"syy".cast("double")
+            - $"sy".cast("double") * $"sy".cast("double"))), 6))
+      .select($"lag", $"pairs", $"sxy", $"r")
+      .orderBy($"lag")
+  }
+
+  def crossCorrHoursSql(typeX: String = "error",
+      typeY: String = "purchase", maxLag: Int = 24): String =
+    s"""WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                CAST(sum(CASE WHEN event_type = '$typeX' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+                CAST(sum(CASE WHEN event_type = '$typeY' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+         FROM events WHERE event_type IN ('$typeX', '$typeY')
+         GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (SELECT hrs.h AS h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x,
+                    CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+             FROM hrs LEFT JOIN c USING (h)),
+       p AS (SELECT f2.h - f1.h AS lag, f1.x AS x, f2.y AS yk
+             FROM f f1 JOIN f f2
+               ON f2.h - f1.h BETWEEN -$maxLag AND $maxLag),
+       a AS (SELECT lag, CAST(count(*) AS BIGINT) AS pairs,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(yk) AS BIGINT) AS sy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(yk * yk) AS BIGINT) AS syy,
+                    CAST(sum(x * yk) AS BIGINT) AS sxy
+             FROM p GROUP BY lag)
+       SELECT lag, pairs, sxy,
+              round((CAST(pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) AS r
+       FROM a ORDER BY lag"""
 }

@@ -1370,4 +1370,66 @@ object Olap {
               round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
               round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_ex
        FROM st4 ORDER BY l_returnflag"""
+
+  /** Kruskal–Wallis rank test across ALL languages' doc-length
+    * distributions — the k-group generalization of
+    * [[mannWhitneyLengths]] (one test answering "do any of the k
+    * sources/languages differ in location?" without k² pairwise
+    * U-tests). Same exactness device: midranks over the VALUE
+    * HISTOGRAM carried DOUBLED so every accumulator is BIGINT — a
+    * value with t total occurrences after `bef` smaller ones has
+    * doubled midrank 2·bef + t + 1, and each group's doubled rank
+    * sum is Σ c_g·(2·bef + t + 1). The gate deliberately emits the
+    * per-group EXACT INTEGERS (n_g, rsum_x2) plus the shared N and
+    * tie term rather than folding them into H: the k-term Σ R²/n
+    * sum would make the single fp result depend on cross-group
+    * addition order, which no engine pins — the spec recomputes H
+    * from these integers and checks it against an independent
+    * in-memory rank fold. The cumulative window runs over the value
+    * histogram (domain-sized — same exemption as ksLengths); corpus
+    * rows feed exactly one aggregation.
+    */
+  def kruskalWallisLengths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .groupBy($"n_chars", $"lang").agg(count(lit(1)).as("c"))
+    val vals = hist.groupBy($"n_chars").agg(sum($"c").as("t"))
+    val before = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("bef", coalesce(sum($"t").over(before), lit(0L)))
+    val tot = ranked.agg(sum($"t").as("n_total"),
+      sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+    hist.join(ranked, Seq("n_chars"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_g"),
+        sum($"c" * (lit(2L) * $"bef" + $"t" + lit(1L))).as("rsum_x2"))
+      .crossJoin(broadcast(tot))
+      .select($"lang", $"n_g", $"rsum_x2", $"n_total", $"tie_term")
+      .orderBy($"lang")
+  }
+
+  val kruskalWallisLengthsSql: String =
+    """WITH h AS (
+         SELECT n_chars, lang, CAST(count(*) AS BIGINT) AS c
+         FROM documents GROUP BY 1, 2),
+       v AS (
+         SELECT n_chars, CAST(sum(c) AS BIGINT) AS t
+         FROM h GROUP BY 1),
+       r AS (
+         SELECT n_chars, t,
+                CAST(coalesce(sum(t) OVER (ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS bef
+         FROM v),
+       tot AS (
+         SELECT CAST(sum(t) AS BIGINT) AS n_total,
+                CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+         FROM r)
+       SELECT lang, CAST(sum(c) AS BIGINT) AS n_g,
+              CAST(sum(c * (2 * bef + t + 1)) AS BIGINT) AS rsum_x2,
+              n_total, tie_term
+       FROM h JOIN r USING (n_chars) CROSS JOIN tot
+       GROUP BY lang, n_total, tie_term
+       ORDER BY lang"""
 }

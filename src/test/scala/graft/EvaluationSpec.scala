@@ -125,4 +125,67 @@ class EvaluationSpec extends SparkSpec {
     }
     assert(perfect == 1.0)
   }
+
+  test("kruskal-wallis: doubled rank sums match a direct midrank fold; H agrees with the textbook statistic") {
+    import spark.implicits._
+    val gate = Olap.kruskalWallisLengths(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val rows = Tables.documents(spark, SF)
+      .select($"lang", $"n_chars".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mr = midranks(rows.map(_._2).toSeq)
+    val byLang = rows.groupBy(_._1)
+    gate.foreach { case (lang, nG, rsumX2, nTotal, tieTerm) =>
+      val xs = byLang(lang).map(_._2)
+      assert(nG == xs.length, s"$lang n")
+      val direct = xs.map(v => mr(v) * 2).sum
+      assert(rsumX2.toDouble == direct, s"$lang 2R: $rsumX2 vs $direct")
+      assert(nTotal == rows.length)
+      val ties = rows.map(_._2).groupBy(identity).values
+        .map(g => g.length.toLong).map(t => t * t * t - t).sum
+      assert(tieTerm == ties)
+    }
+    // H from the gate's exact integers vs H from raw midranks
+    val n = rows.length.toDouble
+    val hGate = {
+      val s = gate.map { case (_, nG, r2, _, _) =>
+        (r2 / 2.0) * (r2 / 2.0) / nG }.sum
+      val h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+      h / (1.0 - gate.head._5 / (n * n * n - n))
+    }
+    val hDirect = {
+      val s = byLang.values.map { g =>
+        val r = g.map(x => mr(x._2)).sum; r * r / g.length }.sum
+      val h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+      val ties = rows.map(_._2).groupBy(identity).values
+        .map(g => g.length.toLong).map(t => t * t * t - t).sum
+      h / (1.0 - ties / (n * n * n - n))
+    }
+    assert(math.abs(hGate - hDirect) < 1e-9, s"$hGate vs $hDirect")
+    assert(hGate >= 0.0)
+  }
+
+  test("calibration bins: masses re-add, bin means bracket the bin edges, fractions recompute") {
+    import spark.implicits._
+    val bins = Evaluation.calibrationBins(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scored = QualityModel.score(Tables.documents(spark, SF))
+      .join(Tables.documents(spark, SF).select($"doc_id", $"lang"), "doc_id")
+      .select($"score".cast("long"),
+        when($"lang" === "en", 1L).otherwise(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bins.map(_._2).sum == scored.length, "total mass")
+    assert(bins.map(_._4).sum == scored.count(_._2 == 1L), "total positives")
+    val lo = scored.map(_._1).min; val hi = scored.map(_._1).max
+    val direct = scored.groupBy { case (s, _) =>
+      (s - lo) * 10 / (hi - lo + 1) }
+    bins.foreach { case (b, nB, sSum, nPos) =>
+      val g = direct(b)
+      assert(nB == g.length && sSum == g.map(_._1).sum &&
+        nPos == g.count(_._2 == 1L), s"bin $b")
+    }
+    // every score lands in [0, 9]
+    assert(bins.map(_._1).forall(b => b >= 0L && b <= 9L))
+  }
 }

@@ -425,4 +425,62 @@ class TimeSeriesSpec extends SparkSpec {
     val (gp, gn, gr, _) = run(ys)
     assert((gp, gn, gr) == ((np, nn, rr)), s"($gp,$gn,$gr) vs ($np,$nn,$rr)")
   }
+
+  test("EWMA: fan-out device ≡ scala truncated-exponential fold; step responds half-way each hour") {
+    import spark.implicits._
+    val W = 16
+    val ys = (0 until 80).map(i => (i * 53 % 17).toLong * 3L)
+    val series = ys.zipWithIndex.map { case (n, h) => (h.toLong, n) }
+      .toDF("h", "n")
+    val got = graft.operators.Events.ewmaOfSeries(series, W).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (W - 1 until 80).map { t =>
+      t.toLong -> (0 until W).map(j => ys(t - j) * (1L << (W - 1 - j))).sum
+    }.toMap
+    assert(got == want, "EWMA numerators diverge from the direct fold")
+    // a unit step at hour 40 of a zero series: after the step the
+    // truncated EWMA is 100·(2^16 - 2^(15-k))/(2^16-1) — halving gap
+    val step = (0 until 60).map(i => if (i >= 40) 100L else 0L)
+    val sdf = step.zipWithIndex.map { case (n, h) => (h.toLong, n) }
+      .toDF("h", "n")
+    val s = graft.operators.Events.ewmaOfSeries(sdf, W).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(39L) == 0.0)
+    assert(math.abs(s(40L) - 50.0) < 0.1, s"first response ${s(40L)}")
+    assert(s(45L) > 98.0 && s(45L) < 100.0)
+  }
+
+  test("CCF: planted 3-hour lead shows the peak exactly at lag +3; ≡ scala moments") {
+    import spark.implicits._
+    // x leads y by 3 hours: y_t = x_{t-3} + small deterministic noise
+    val xs = (0 until 200).map(i => (i * 31 % 13).toLong)
+    val ys = (0 until 200).map(i => (if (i >= 3) xs(i - 3) * 2 else 0L)
+      + i % 3)
+    val df = (0 until 200).map(i => (i.toLong, xs(i), ys(i)))
+      .toDF("h", "x", "y")
+    val got = graft.operators.Events.crossCorrOfSeries(df, 6).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // scala re-derivation of the exact moments at each lag
+    (-6 to 6).foreach { k =>
+      val pairs = (0 until 200).flatMap { t =>
+        val u = t + k
+        if (u >= 0 && u < 200) Some((xs(t), ys(u))) else None
+      }
+      val n = pairs.length.toLong
+      val sxy = pairs.map { case (a, b) => a * b }.sum
+      val (gn, gsxy, gr) = got(k.toLong)
+      assert(gn == n && gsxy == sxy, s"moments at lag $k")
+      val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val r = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(gr - r) < 2e-6, s"r at lag $k: $gr vs $r")
+    }
+    // the planted lead: +3 dominates every other lag
+    assert((-6 to 6).filter(_ != 3).forall(k => got(3L)._3 > got(k.toLong)._3),
+      s"lag-3 peak not dominant: $got")
+    assert(got(3L)._3 > 0.9)
+  }
 }
