@@ -1424,4 +1424,83 @@ object Graph {
         $sel
         ORDER BY walk_id, step"""
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * made deterministic): every node starts labeled with itself; each
+    * round all nodes SIMULTANEOUSLY adopt the most frequent label
+    * among their neighbors, ties broken toward the smallest label.
+    * The asynchronous textbook variant is order-dependent (useless as
+    * a gate); the synchronous one is a pure function of (graph,
+    * rounds) — each round is exactly two aggregations on the
+    * src-partitioned edge frame: neighbor-label counting on
+    * (src, label) and a lexicographic struct-max argmax, both
+    * reusing the hash(src) partitioning, with scalar (node, label)
+    * rows as the only per-round shuffle payload (the [[pageRankOf]]
+    * loop discipline: localCheckpoint per round keeps lineage O(1)).
+    * Like every operator on this graph, the budget guard is the
+    * [[degrees]] census — label counting is Σ deg = 2|E| per round,
+    * so rounds·|E| bounds the whole run.
+    */
+  def labelPropagationOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = e.join(labels, $"dst" === $"node")
+        .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"src")
+        .agg(max(struct($"c", (-$"label").as("neg"))).as("m"))
+        .select($"src".as("node"), (-$"m.neg").as("label"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Gate: community census after 3 synchronous LPA rounds over the
+    * co-purchase graph — (label, member count, member-id sum), the
+    * same order-invariant census shape as [[components]].
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    labelPropagationOf(copurchaseEdges(spark, dir), rounds)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_sum"))
+      .orderBy($"label")
+  }
+
+  val labelPropagationSql: String = {
+    val stages = (1 to 3).map { t =>
+      s"""c$t AS (
+            SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+            FROM edges e JOIN l${t - 1} l ON e.dst = l.node
+            GROUP BY 1, 2),
+          l$t AS (
+            SELECT node, min(label) AS label
+            FROM (SELECT node, label, c,
+                         max(c) OVER (PARTITION BY node) AS mc
+                  FROM c$t)
+            WHERE c = mc
+            GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        $stages
+        SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS node_sum
+        FROM l3 GROUP BY label ORDER BY label"""
+  }
 }

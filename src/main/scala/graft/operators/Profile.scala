@@ -268,4 +268,123 @@ object Profile {
         $rows
         ORDER BY var_x, var_y"""
   }
+
+  /** Population-stability (PSI-style) drift bins between a BASELINE
+    * and a CURRENT population of one numeric column — the standard
+    * production drift monitor: decile edges are frozen from the
+    * baseline, both populations are counted against those fixed
+    * edges, and per-bin mass shifts are reported. The gate emits the
+    * EXACT INTEGER bin table (masses + ppm shares + deviation) and
+    * leaves the logarithmic PSI statistic to the caller/spec — ln is
+    * not correctly-rounded in IEEE so a folded Σ(p−q)·ln(p/q) could
+    * differ in the last ulp across engines (the same stance as
+    * [[Olap.kruskalWallisLengths]] emitting rank sums, not H).
+    *
+    * Scale devices: decile edges come from the VALUE HISTOGRAM's
+    * cumulative frame — the crossing set i ∈ (⌊prev·B/N⌋, ⌊cum·B/N⌋]
+    * per histogram row via integer sequence(), so the corpus never
+    * sorts and the window is domain-sized; binning joins distinct
+    * values against the B-row broadcast edge frame; the dense
+    * 1..B spine left-join makes empty current bins report 0 rather
+    * than vanish.
+    */
+  def psiBinsOf(base: DataFrame, curr: DataFrame, nBins: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val histB = base.groupBy($"v").agg(count(lit(1)).as("cb"))
+    val histC = curr.groupBy($"v").agg(count(lit(1)).as("cc"))
+    val cumW = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nb = histB.agg(sum($"cb").as("nb"))
+    val edges = histB
+      .withColumn("cum", sum($"cb").over(cumW))
+      .crossJoin(broadcast(nb))
+      .select($"v".as("e"),
+        expr(s"((cum - cb) * $nBins) div nb + 1").as("ilo"),
+        expr(s"(cum * $nBins) div nb").as("ihi"))
+      // sequence(lo, hi) DESCENDS when lo > hi (unlike SQL
+      // generate_series' empty result) — drop non-crossing rows first
+      .filter($"ihi" >= $"ilo")
+      .select($"e", explode(sequence($"ilo", $"ihi")).as("i"))
+      .filter($"i" >= 1 && $"i" <= nBins)
+    val vals = histB.select($"v")
+      .unionByName(histC.select($"v")).distinct()
+    val binOf = vals.join(broadcast(edges), $"v" <= $"e", "left")
+      .groupBy($"v").agg(coalesce(min($"i"), lit(nBins.toLong)).as("bin"))
+    val spine = spark.range(1, nBins + 1).select($"id".as("bin"))
+    val bMass = histB.join(binOf, "v").groupBy($"bin")
+      .agg(sum($"cb").as("n_base"))
+    val cMass = histC.join(binOf, "v").groupBy($"bin")
+      .agg(sum($"cc").as("n_curr"))
+    val nc = histC.agg(sum($"cc").as("nc"))
+    spine.join(bMass, Seq("bin"), "left").join(cMass, Seq("bin"), "left")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nc))
+      .select($"bin", coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_curr", lit(0L)).as("n_curr"),
+        expr("(coalesce(n_base, 0) * 1000000L) div nb").as("p_ppm"),
+        expr("(coalesce(n_curr, 0) * 1000000L) div nc").as("q_ppm"))
+      .withColumn("dev_ppm", $"p_ppm" - $"q_ppm")
+      .orderBy($"bin")
+  }
+
+  /** Gate: doc-length drift between even- and odd-numbered sources
+    * (the stand-in for "last month's corpus vs this month's").
+    */
+  def psiDocLengths(spark: SparkSession, dir: String,
+      nBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"n_chars".cast("long").as("v"),
+        expr("CAST(substring(source, 4) AS INT) % 2 = 0").as("is_base"))
+    psiBinsOf(docs.filter($"is_base").select($"v"),
+      docs.filter(!$"is_base").select($"v"), nBins)
+  }
+
+  def psiDocLengthsSql(nBins: Int = 10): String =
+    s"""WITH d AS (
+         SELECT CAST(n_chars AS BIGINT) AS v,
+                CAST(substring(source, 4) AS INTEGER) % 2 = 0 AS is_base
+         FROM documents),
+       hb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb
+              FROM d WHERE is_base GROUP BY 1),
+       hc AS (SELECT v, CAST(count(*) AS BIGINT) AS cc
+              FROM d WHERE NOT is_base GROUP BY 1),
+       nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM hb),
+       nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM hc),
+       cum AS (
+         SELECT v, cb,
+                CAST(sum(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM hb),
+       edges AS (
+         SELECT v AS e,
+                unnest(generate_series(((cum - cb) * $nBins) // nb + 1,
+                                       (cum * $nBins) // nb)) AS i
+         FROM cum, nb),
+       ed AS (SELECT e, i FROM edges WHERE i BETWEEN 1 AND $nBins),
+       vals AS (SELECT v FROM hb UNION SELECT v FROM hc),
+       binof AS (
+         SELECT vals.v AS v,
+                CAST(coalesce(min(ed.i), $nBins) AS BIGINT) AS bin
+         FROM vals LEFT JOIN ed ON vals.v <= ed.e
+         GROUP BY vals.v),
+       bm AS (SELECT bin, CAST(sum(cb) AS BIGINT) AS n_base
+              FROM hb JOIN binof USING (v) GROUP BY 1),
+       cm AS (SELECT bin, CAST(sum(cc) AS BIGINT) AS n_curr
+              FROM hc JOIN binof USING (v) GROUP BY 1),
+       spine AS (SELECT unnest(generate_series(1, $nBins)) AS bin)
+       SELECT CAST(spine.bin AS BIGINT) AS bin,
+              CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+              CAST(coalesce(n_curr, 0) AS BIGINT) AS n_curr,
+              (coalesce(n_base, 0) * 1000000) // nb AS p_ppm,
+              (coalesce(n_curr, 0) * 1000000) // nc AS q_ppm,
+              (coalesce(n_base, 0) * 1000000) // nb
+                - (coalesce(n_curr, 0) * 1000000) // nc AS dev_ppm
+       FROM spine
+       LEFT JOIN bm ON spine.bin = bm.bin
+       LEFT JOIN cm ON spine.bin = cm.bin
+       CROSS JOIN nb CROSS JOIN nc
+       ORDER BY bin"""
 }

@@ -222,6 +222,26 @@ object GraphCrossCheck {
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (d, ns) => Seq(d, ns.length.toLong, ns.map(_._1).sum) })
 
+    // ── synchronous label propagation (3 rounds, min-label ties) ──
+    {
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to 3) {
+        lab = nodes.map { u =>
+          val counts = mutable.HashMap.empty[Long, Long]
+          adj(u).foreach { v =>
+            counts(lab(v)) = counts.getOrElse(lab(v), 0L) + 1L
+          }
+          val mc = counts.values.max
+          u -> counts.collect { case (l, c) if c == mc => l }.min
+        }.toMap
+      }
+      check("graph_lpa",
+        rows(graft.operators.Graph.labelPropagation(spark, dir)),
+        lab.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, m) =>
+          Seq(l, m.size.toLong, m.keys.sum)
+        })
+    }
+
     // ── neighbor-Jaccard link prediction (top 20 non-adjacent pairs) ──
     // Σ C(deg,2) wedge pairs (~1.4·10⁸ at sf0.1) would OOM a boxed
     // HashMap; pack each a<b pair into one Long, sort the flat

@@ -188,4 +188,48 @@ class EvaluationSpec extends SparkSpec {
     // every score lands in [0, 9]
     assert(bins.map(_._1).forall(b => b >= 0L && b <= 9L))
   }
+
+  test("PSI bins: identical populations report zero drift; a planted shift lights up; masses re-add") {
+    import spark.implicits._
+    import graft.operators.Profile
+    def vdf(xs: Seq[Long]) = xs.toDF("v")
+    val base = (1L to 1000L) ++ (1L to 1000L) // each value twice
+    // identical populations: every bin matches, dev 0, PSI 0
+    val same = Profile.psiBinsOf(vdf(base), vdf(base), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(same.length == 10)
+    assert(same.forall { case (_, nb, nc, dev) => nb == nc && dev == 0L })
+    assert(same.map(_._2).sum == base.length)
+    // baseline deciles are exact here (1000 distinct values): 200 each
+    assert(same.forall(_._2 == 200L), s"$same")
+    def psi(rows: Seq[(Long, Long, Long)]): Double = {
+      val nb = rows.map(_._2).sum.toDouble; val nc = rows.map(_._3).sum.toDouble
+      rows.map { case (_, b, c) =>
+        val p = math.max(b / nb, 1e-6); val q = math.max(c / nc, 1e-6)
+        (p - q) * math.log(p / q)
+      }.sum
+    }
+    // planted location shift of half the range
+    val shifted = Profile.psiBinsOf(vdf(base), vdf(base.map(_ + 500L)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val psiShift = psi(shifted.toSeq)
+    val psiSame = psi(same.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(psiSame == 0.0)
+    assert(psiShift > 1.0, s"planted shift PSI $psiShift should be large")
+    // the shifted population drains the low deciles and floods the top
+    assert(shifted.head._3 == 0L, "lowest bin empties under a +shift")
+    assert(shifted.last._3 > shifted.last._2, "top bin overflows")
+    // the gate itself: masses re-add to the two populations
+    val gate = Profile.psiDocLengths(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, SF)
+      .select(expr("CAST(substring(source, 4) AS INT) % 2 = 0")).collect()
+      .map(_.getBoolean(0))
+    assert(gate.map(_._2).sum == docs.count(identity).toLong)
+    assert(gate.map(_._3).sum == docs.count(!_).toLong)
+    // baseline deciles stay near N/10 (ties can nudge a bin)
+    val nb10 = docs.count(identity).toLong / 10L
+    assert(gate.forall { case (_, b, _) => math.abs(b - nb10) <= 3L },
+      s"baseline deciles uneven: ${gate.toSeq}")
+  }
 }

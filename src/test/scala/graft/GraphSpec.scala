@@ -625,4 +625,40 @@ class GraphSpec extends SparkSpec {
     // the cascade really happened: strictly shrinking until the core
     assert(got.map(_._2) == Seq(7L, 6L, 5L, 4L), s"got $got")
   }
+
+  test("LPA: two disjoint K4s collapse to exactly their min labels; sync rounds ≡ in-memory replay") {
+    import spark.implicits._
+    // K4 on 1-4 and K4 on 5-8, no bridge: after round 1 each clique
+    // holds labels {2,1,1,1} / {6,5,5,5}, and round 2 unifies each
+    // side on its minimum member — a deterministic two-community end
+    // state a single round would NOT reach (round-1 state is mixed)
+    val und = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      (for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b))
+    val bidir = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(bidir, 4)).toDF("src", "dst")
+    val got = Graph.labelPropagationOf(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == (1L to 4L).map(n => (n, 1L)) ++ (5L to 8L).map(n => (n, 5L)),
+      s"got $got")
+    // replay equality on an irregular graph (kite + tail + isolateish
+    // pendant): synchronous update with min-label tie-break, 3 rounds
+    val und2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 6L))
+    val bidir2 = und2.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = bidir2.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.keys.map { u =>
+        val counts = adj(u).groupBy(lab).view.mapValues(_.length).toMap
+        val mc = counts.values.max
+        u -> counts.collect { case (l, c) if c == mc => l }.min
+      }.toMap
+    }
+    val got2 = Graph.labelPropagationOf(
+        spark.createDataFrame(spark.sparkContext.parallelize(bidir2, 4))
+          .toDF("src", "dst"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got2 == lab.toSeq.sorted, s"spark=$got2 replay=${lab.toSeq.sorted}")
+  }
 }

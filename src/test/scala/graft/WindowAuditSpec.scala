@@ -82,6 +82,19 @@ class WindowAuditSpec extends SparkSpec {
       ("midrank prefix sums over the VALUE HISTOGRAM (one row per " +
         "distinct doc length) — identical domain-sized-frame shape " +
         "and rationale as olap_ks_test"),
+    "olap_kruskal" ->
+      ("the same midrank prefix sums over the VALUE HISTOGRAM as " +
+        "olap_mannwhitney, generalized to k groups — the value-level " +
+        "cumulative frame stays domain-sized"),
+    "profile_psi" ->
+      ("decile-edge crossing sums over the baseline VALUE HISTOGRAM " +
+        "(one row per distinct value) — the groupBy below collapsed " +
+        "both populations; same domain-sized-frame rationale as " +
+        "olap_ks_test"),
+    "events_crosscorr" ->
+      ("one 49-shift window pass over the shared gap-filled HOURLY " +
+        "spine (calendar-bounded) — same spine rationale as " +
+        "events_autocorrelation"),
     "ml_auc" ->
       ("cumulative negatives over the SCORE HISTOGRAM (one row per " +
         "distinct quality-model score, bounded by max doc length × " +
