@@ -1169,6 +1169,66 @@ object Events {
        ORDER BY h"""
   }
 
+  /** Last-observation-carried-forward (LOCF) imputation of the
+    * hourly purchase-value series: hours with no observation inherit
+    * the most recent observed value, tagged with how stale it is —
+    * the standard time-series imputation that must precede any
+    * model consuming a dense feature grid. The portability device:
+    * NO `IGNORE NULLS` anywhere (engines disagree on its window
+    * spelling) — the carried value is found by the two-step argmax
+    * device instead: `last_h = max(CASE WHEN observed THEN h END)
+    * OVER (ORDER BY h)` is a plain running max (integer, exact),
+    * and the value at that hour returns by equi-joining the spine
+    * to itself on `last_h` — domain-sized join, bit-identical
+    * across engines. `gap_age = h − last_h` falls out for free.
+    * Money in exact cents; the window runs over the calendar-bounded
+    * spine (the events_anomaly_hours exemption family).
+    */
+  def locfHours(spark: SparkSession, dir: String,
+      eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.events(spark, dir)
+      .filter($"event_type" === eventType)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy($"h").agg(count(lit(1)).as("n"), sum($"vc").as("sum_c"))
+    val spine = obs.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("h"))
+      .repartition(col("h"))
+    val filled = spine.join(obs, Seq("h"), "left")
+      .withColumn("last_h",
+        max(when($"n".isNotNull, $"h")).over(
+          Window.orderBy($"h")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    filled
+      .join(obs.select($"h".as("oh"), $"sum_c".as("carried_c")),
+        $"last_h" === $"oh")
+      .select($"h", coalesce($"n", lit(0L)).as("n"),
+        $"carried_c", ($"h" - $"last_h").as("gap_age"))
+      .orderBy($"h")
+  }
+
+  def locfHoursSql(eventType: String = "purchase"): String =
+    s"""WITH obs AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_c
+         FROM events WHERE event_type = '$eventType' GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       f AS (
+         SELECT hrs.h AS h, obs.n AS n,
+                CAST(max(CASE WHEN obs.n IS NOT NULL THEN hrs.h END)
+                  OVER (ORDER BY hrs.h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS last_h
+         FROM hrs LEFT JOIN obs USING (h))
+       SELECT f.h AS h, CAST(coalesce(f.n, 0) AS BIGINT) AS n,
+              o2.sum_c AS carried_c, f.h - f.last_h AS gap_age
+       FROM f JOIN obs o2 ON f.last_h = o2.h
+       ORDER BY h"""
+
   /** Cross-correlogram between two event types' hourly series at
     * lags −`maxLag`..+`maxLag` — the lead/lag detector ACF cannot
     * see (does a surge of `typeX` precede a surge of `typeY`, and by

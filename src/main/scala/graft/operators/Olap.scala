@@ -1432,4 +1432,84 @@ object Olap {
        FROM h JOIN r USING (n_chars) CROSS JOIN tot
        GROUP BY lang, n_total, tie_term
        ORDER BY lang"""
+
+  /** SQL-standard INTERPOLATED percentiles (PERCENTILE_CONT WITHIN
+    * GROUP) per language, re-planned scale-safe AND exact: the
+    * standard's x_⌊pos⌋ + frac·(x_⌊pos⌋+1 − x_⌊pos⌋) at 0-based pos
+    * = p·(n−1) is all integer when carried in hundredths — pos100 =
+    * p_pct·(n−1), frac = pos100 mod 100, and the emitted value is
+    * ×100: lo·(100−frac) + hi·frac, a BIGINT no fp interpolation
+    * ever touches (the companion to [[percentilesByLang]]'s DISC
+    * form, which can only return data values). The two bracketing
+    * order statistics come from the per-group VALUE HISTOGRAM: rank
+    * r's value is the row with cum−c < r ≤ cum, fetched by joining a
+    * domain-sized (lang, rank) target frame against the cumulative
+    * histogram — corpus rows feed one aggregation, the ranking
+    * window is partitioned by lang over histogram rows, and no
+    * per-group sort of raw rows exists anywhere.
+    */
+  def percentileContByLang(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .groupBy($"lang", $"n_chars".cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy($"lang").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum($"c").over(cumW))
+    val ns = hist.groupBy($"lang").agg(sum($"c").as("n"))
+    val targets = ns.select($"lang", $"n",
+        explode(typedLit(pcts.map(_.toLong))).as("p"))
+      .select($"lang", $"n", $"p",
+        expr("(p * (n - 1)) div 100 + 1").as("r_lo"),
+        expr("least((p * (n - 1)) div 100 + 2, n)").as("r_hi"),
+        expr("(p * (n - 1)) % 100").as("frac"))
+    def rankValue(rankCol: String, as: String) =
+      cum.select($"lang".as("hl"), $"v", $"c", $"cum")
+        .join(targets, $"hl" === $"lang" &&
+          col(rankCol) > $"cum" - $"c" && col(rankCol) <= $"cum")
+        .select($"lang", $"p", $"n", $"frac", $"v".as(as))
+    rankValue("r_lo", "v_lo")
+      .join(rankValue("r_hi", "v_hi"), Seq("lang", "p", "n", "frac"))
+      .select($"lang", $"p", $"n".as("n_docs"),
+        ($"v_lo" * (lit(100L) - $"frac") + $"v_hi" * $"frac")
+          .as("pcont_x100"))
+      .withColumn("pcont", round($"pcont_x100".cast("double") / 100.0, 2))
+      .orderBy($"lang", $"p")
+  }
+
+  def percentileContByLangSql(pcts: Seq[Int] = Seq(50, 90)): String = {
+    val plist = pcts.mkString(", ")
+    s"""WITH h AS (
+         SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                CAST(count(*) AS BIGINT) AS c
+         FROM documents GROUP BY 1, 2),
+       cum AS (
+         SELECT lang, v, c,
+                CAST(sum(c) OVER (PARTITION BY lang ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM h),
+       ns AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+       t AS (
+         SELECT lang, n, CAST(p AS BIGINT) AS p,
+                (p * (n - 1)) // 100 + 1 AS r_lo,
+                least((p * (n - 1)) // 100 + 2, n) AS r_hi,
+                (p * (n - 1)) % 100 AS frac
+         FROM ns, unnest([$plist]) AS u(p)),
+       lo AS (
+         SELECT t.lang, t.p, t.n, t.frac, cum.v AS v_lo
+         FROM t JOIN cum ON t.lang = cum.lang
+          AND t.r_lo > cum.cum - cum.c AND t.r_lo <= cum.cum),
+       hi AS (
+         SELECT t.lang, t.p, cum.v AS v_hi
+         FROM t JOIN cum ON t.lang = cum.lang
+          AND t.r_hi > cum.cum - cum.c AND t.r_hi <= cum.cum)
+       SELECT lo.lang, lo.p, lo.n AS n_docs,
+              lo.v_lo * (100 - lo.frac) + hi.v_hi * lo.frac AS pcont_x100,
+              round(CAST(lo.v_lo * (100 - lo.frac) + hi.v_hi * lo.frac
+                    AS DOUBLE) / 100.0, 2) AS pcont
+       FROM lo JOIN hi ON lo.lang = hi.lang AND lo.p = hi.p
+       ORDER BY lo.lang, lo.p"""
+  }
 }

@@ -591,4 +591,69 @@ object TextAnalysis {
        SELECT pair, CAST(sum(f) AS BIGINT) AS freq
        FROM pairs GROUP BY pair
        ORDER BY freq DESC, pair LIMIT 50"""
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS device): hash every character `k`-gram,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * MINIMUM — the selected set is position-stable, so any two
+    * documents sharing a substring of length ≥ w+k−1 are GUARANTEED
+    * to share a fingerprint (the local-min property rolling/md5
+    * whole-doc fingerprints lack: one edited byte changes those
+    * entirely, while winnowing fingerprints away from the edit
+    * survive). Density is ~2/(w+1) of all grams — the tunable
+    * storage/recall dial.
+    *
+    * Plan: pure map-side — gram hashes, window minima, and the
+    * distinct-selection census are all codegen'd array transforms
+    * inside one projection; no shuffle, no explode, nothing leaves
+    * the row until the final per-doc summary. Hash parity with the
+    * oracle via the md5-prefix device (48-bit: Σ over ≤10³ selected
+    * stays far under BIGINT).
+    */
+  def winnowing(spark: SparkSession, dir: String, k: Int = 8,
+      w: Int = 4): DataFrame =
+    winnowingOf(Tables.documents(spark, dir), k, w)
+
+  /** Winnowing core over any (doc_id, text) frame — see
+    * [[winnowing]] for the selection contract.
+    */
+  def winnowingOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", lower(trim($"text")).as("t"))
+      .select($"doc_id",
+        expr(s"""transform(sequence(1, greatest(length(t) - ${k - 1}, 0)),
+                 i -> CAST(conv(substring(md5(substring(t, i, $k)), 1, 12),
+                                16, 10) AS BIGINT))""").as("hs"))
+      .select($"doc_id", size($"hs").cast("long").as("n_grams"),
+        expr(s"""array_distinct(transform(
+                   sequence(1, greatest(size(hs) - ${w - 1}, 0)),
+                   j -> array_min(slice(hs, j, $w))))""").as("fps"))
+      .select($"doc_id", $"n_grams",
+        size($"fps").cast("long").as("n_fps"),
+        coalesce(expr("array_min(fps)"), lit(0L)).as("fp_min"),
+        coalesce(expr("aggregate(fps, 0L, (a, x) -> a + x)"), lit(0L))
+          .as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
+  def winnowingSql(k: Int = 8, w: Int = 4): String =
+    s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       g AS (
+         SELECT doc_id,
+                list_transform(
+                  range(1, greatest(length(t) - ${k - 1}, 0) + 1),
+                  i -> ('0x' || substr(md5(substr(t, i::INTEGER, $k)), 1, 12))
+                       ::BIGINT) AS hs
+         FROM d),
+       s AS (
+         SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+                list_distinct(list_transform(
+                  range(1, greatest(len(hs) - ${w - 1}, 0) + 1),
+                  j -> list_min(hs[j:j+${w - 1}]))) AS fps
+         FROM g)
+       SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+              CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min,
+              CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+       FROM s ORDER BY doc_id"""
 }

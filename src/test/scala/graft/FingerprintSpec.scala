@@ -80,4 +80,95 @@ class FingerprintSpec extends SparkSpec {
     assert(fp(Seq(Seq(Some("7"), None, Some("c"), Some("s"), Some("3")))) !=
       fp(Seq(Seq(Some("7"), Some(""), Some("c"), Some("s"), Some("3")))))
   }
+
+  test("winnowing: shared >= w+k-1 substrings guarantee a shared fingerprint; ≡ in-memory replay") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val (k, w) = (8, 4)
+    // in-memory reference of the exact same selection
+    def refFps(text: String): Set[Long] = {
+      val t = text.toLowerCase.trim
+      val hs = (0 to t.length - k).map { i =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(t.substring(i, i + k).getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString, 16)
+      }
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    val shared = "the quick brown fox jumps over it"  // >= 11 chars shared
+    val a = s"AAAA $shared BBBB"
+    val b = s"CCCCCC $shared DDD"
+    val c = "completely different content here with zero overlap at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowingOf(df, k, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // gate stats match the reference selection exactly
+    Seq((1L, a), (2L, b), (3L, c)).foreach { case (id, text) =>
+      val fps = refFps(text)
+      val (nGrams, nFps, fpMin, fpSum) = got(id)
+      assert(nGrams == text.trim.length - k + 1, s"doc $id n_grams")
+      assert(nFps == fps.size, s"doc $id n_fps")
+      assert(fpMin == fps.min && fpSum == fps.sum, s"doc $id fp agg")
+    }
+    // the guarantee: a and b share the long substring → share a fp
+    assert(refFps(a).intersect(refFps(b)).nonEmpty,
+      "shared substring must yield a shared fingerprint")
+    assert(refFps(a).intersect(refFps(c)).isEmpty,
+      "disjoint content shares nothing at this scale")
+    // density: roughly 2/(w+1) of grams get selected (loose bounds)
+    val (ng, nf, _, _) = got(1L)
+    assert(nf.toDouble / ng > 0.15 && nf.toDouble / ng < 0.9,
+      s"selection density $nf/$ng out of range")
+  }
+
+  test("LOCF: gaps carry the last observed value with correct staleness; observed hours carry themselves") {
+    import spark.implicits._
+    val gate = graft.operators.Events.locfHours(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gate.nonEmpty)
+    // re-derive the observation map
+    val obs = Tables.events(spark, SF)
+      .filter($"event_type" === "purchase")
+      .select(expr("unix_timestamp(ts) div 3600").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy($"h").agg(sum($"vc").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gate.foreach { case (h, n, carried, age) =>
+      if (n > 0L) {
+        assert(age == 0L, s"hour $h observed but age $age")
+        assert(carried == obs(h), s"hour $h carries itself")
+      } else {
+        assert(age > 0L && !obs.contains(h), s"hour $h gap flags")
+        assert(carried == obs(h - age), s"hour $h carries h-${age}")
+        // nothing observed in between
+        assert((h - age + 1 to h).forall(x => !obs.contains(x)))
+      }
+    }
+  }
+
+  test("percentile_cont: exact x100 interpolation equals an in-memory sorted computation") {
+    import spark.implicits._
+    val gate = graft.operators.Olap.percentileContByLang(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val byLang = Tables.documents(spark, SF)
+      .select($"lang", $"n_chars".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length
+      Seq(50L, 90L).foreach { p =>
+        val pos100 = p * (n - 1)
+        val idx = (pos100 / 100L).toInt; val frac = pos100 % 100L
+        val hi = math.min(idx + 1, n - 1)
+        val want = xs(idx) * (100L - frac) + xs(hi) * frac
+        val (gn, gx100) = gate((lang, p))
+        assert(gn == n.toLong, s"$lang n")
+        assert(gx100 == want, s"$lang p$p: $gx100 vs $want")
+      }
+    }
+  }
 }

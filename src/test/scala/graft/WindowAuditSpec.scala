@@ -95,6 +95,11 @@ class WindowAuditSpec extends SparkSpec {
       ("one 49-shift window pass over the shared gap-filled HOURLY " +
         "spine (calendar-bounded) — same spine rationale as " +
         "events_autocorrelation"),
+    "events_locf_hours" ->
+      ("running max of the last observed hour over the gap-filled " +
+        "HOURLY spine (calendar-bounded) — same spine rationale as " +
+        "events_autocorrelation; the carried value itself arrives by " +
+        "a domain-sized equi-join, not the window"),
     "ml_auc" ->
       ("cumulative negatives over the SCORE HISTOGRAM (one row per " +
         "distinct quality-model score, bounded by max doc length × " +
@@ -175,12 +180,20 @@ class WindowAuditSpec extends SparkSpec {
   private def lowCardOffenders(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // ReusedExchangeExec is a LEAF that points at another exchange —
+    // follow it, or a histogram window whose aggregation got
+    // deduplicated into a reused exchange is falsely flagged
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
+        p.collect { case r: ReusedExchangeExec => r.child }
+          .exists(hasAggBelow)
     plan.collect {
       case w: WindowExec
           if w.partitionSpec.nonEmpty &&
             w.partitionSpec.flatMap(_.references.map(_.name))
               .forall(lowCardCols) &&
-            w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty =>
+            !hasAggBelow(w.child) =>
         w
     }
   }
