@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics over the part co-purchase graph (edges =
   * distinct within-order part pairs, both directions): integer-unit
@@ -82,17 +81,23 @@ object Graph {
   def pageRankOf(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // node-count-sized; cached because it seeds the ranks AND joins
-    // the edge list — uncached it would re-aggregate the edges twice
+    // node-count-sized; materialized because it seeds the ranks AND
+    // joins the edge list. localCheckpoint, NOT persist: plan-keyed
+    // cache entries are process-global, and the deg/e plans here are
+    // structurally identical across the PageRank-family gates — a
+    // peer gate's unpersist under Verify's 4-way concurrency yanked
+    // the shared entry mid-loop (observed once as an empty propagation
+    // in graph_ppr, r11). Checkpoint blocks are RDD-private and
+    // reaped by GC.
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // one cached copy serves every iteration; the shuffle join on src
     // already leaves it hash-partitioned on src (an explicit
     // repartition here would be a second full exchange of the edge
     // list for the identical partitioning), and only scalar
     // (node, rank) rows move per step
     val e = edges.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = deg.select($"src".as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       ranks = e.join(ranks, $"src" === $"node")
@@ -101,16 +106,12 @@ object Graph {
         .agg(expr("150000L + (850L * sum(contrib)) div 1000L").as("rank"))
         .select($"dst".as("node"), $"rank")
     }
-    // materialize (top-k rows only) before unpersisting the edges so
-    // no consumer re-derives from an evicted cache; localCheckpoint
-    // rather than cache() so repeated invocations don't alias each
-    // other through the plan-keyed CacheManager (which would make any
-    // run after the first read a 20-row cache — unrepresentative)
-    val out = ranks.orderBy($"rank".desc, $"node").limit(topK)
+    // materialize the top-k rows eagerly; localCheckpoint rather
+    // than cache() so repeated invocations don't alias each other
+    // through the plan-keyed CacheManager (which would make any run
+    // after the first read a 20-row cache — unrepresentative)
+    ranks.orderBy($"rank".desc, $"node").limit(topK)
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    out
   }
 
   /** Oracle: the identical five stages unrolled as chained CTEs. */
@@ -179,7 +180,7 @@ object Graph {
     // feeds both wedge sides AND the closing semi-join — persist
     // each or the upstream edge-distinct recomputes three times
     // (measured 8.6 s → the persisted form below at sf0.1)
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.localCheckpoint(true)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     // persisted pre-partitioned on the apex: the wedge self-join
     // below joins oriented⋈oriented on u, so caching the hash(u)
@@ -192,7 +193,7 @@ object Graph {
       .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
       .select($"src".as("u"), $"dst".as("v"), $"dv")
       .repartition($"u")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // in-operator budget guard (one aggregate over the node-sized
     // oriented out-degree frame, off the cache the join reuses):
     // orientation caps outdeg at √(2|E|), so tripping this means the
@@ -217,8 +218,6 @@ object Graph {
       .groupBy($"node")
       .agg(count(lit(1)).as("triangles"))
       .localCheckpoint(true)
-    oriented.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     out
   }
 
@@ -332,7 +331,7 @@ object Graph {
   def kHopOf(edges: DataFrame, seedMod: Long, hops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.repartition($"src").localCheckpoint(true)
     // each level is eagerly materialized (localCheckpoint): the next
     // level's lineage starts from the small (node, hop) set instead
     // of replaying every earlier frontier join — without this, level
@@ -354,7 +353,6 @@ object Graph {
       .agg(count(lit(1)).as("n"), sum($"node").as("node_sum"))
       .orderBy($"hop")
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
     out
   }
 
@@ -434,9 +432,9 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val wout = edges.groupBy($"src").agg(sum($"w").as("wout"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val e = edges.join(wout, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = wout.select($"src".as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       ranks = e.join(ranks, $"src" === $"node")
@@ -447,8 +445,6 @@ object Graph {
     }
     val out = ranks.orderBy($"rank".desc, $"node").limit(topK)
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    wout.unpersist(blocking = false)
     out
   }
 
@@ -588,7 +584,7 @@ object Graph {
   def ssspDistsOf(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.repartition($"src").localCheckpoint(true)
     var dists = e.select($"src".as("node")).distinct()
       .filter($"node" % seedMod === 0)
       .withColumn("dist", lit(0L))
@@ -609,7 +605,6 @@ object Graph {
         .localCheckpoint(true)
       frontier = improved
     }
-    e.unpersist(blocking = false)
     dists
   }
 
@@ -693,7 +688,7 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     def cached(df: DataFrame): DataFrame =
-      if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      if (materialize) df.localCheckpoint(true) else df
     val e = cached(edges)
     val deg = cached(e.groupBy($"src").agg(count(lit(1)).as("deg")))
     if (materialize) {
@@ -753,9 +748,6 @@ object Graph {
     if (!materialize) composed
     else {
       val out = composed.localCheckpoint(true)
-      nb.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      e.unpersist(blocking = false)
       out
     }
   }
@@ -815,9 +807,9 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val e = edges.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var ranks = deg.select($"src".as("node"),
       when($"src" % seedMod === 0, 1000000L).otherwise(0L).as("rank"))
     for (_ <- 1 to iters) {
@@ -836,8 +828,6 @@ object Graph {
     val out = ranks.filter($"rank" > 0)
       .orderBy($"rank".desc, $"node").limit(topK)
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
     out
   }
 
@@ -900,7 +890,7 @@ object Graph {
   def kCoreOf(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.repartition($"src").localCheckpoint(true)
     var nodes = e.select($"src".as("node")).distinct().localCheckpoint(true)
     val censuses = Seq.newBuilder[DataFrame]
     censuses += nodes.select(lit(0L).as("round"),
@@ -918,7 +908,6 @@ object Graph {
     val out = censuses.result().reduce(_ unionByName _)
       .orderBy($"round")
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
     out
   }
 
@@ -1216,7 +1205,7 @@ object Graph {
       topK: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.repartition($"src").localCheckpoint(true)
     var x = e.select($"src".as("node")).distinct()
       .withColumn("score", lit(1000000L))
       .localCheckpoint(true)
@@ -1232,7 +1221,6 @@ object Graph {
     }
     val out = x.orderBy($"score".desc, $"node").limit(topK)
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
     out
   }
 
@@ -1444,7 +1432,7 @@ object Graph {
   def labelPropagationOf(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.localCheckpoint(true)
     var labels = e.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
       .localCheckpoint(true)
@@ -1455,10 +1443,8 @@ object Graph {
         .agg(max(struct($"c", (-$"label").as("neg"))).as("m"))
         .select($"src".as("node"), (-$"m.neg").as("label"))
         .localCheckpoint(true)
-      labels.unpersist(blocking = false)
       labels = next
     }
-    e.unpersist(blocking = false)
     labels
   }
 
