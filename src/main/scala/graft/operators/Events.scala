@@ -1325,4 +1325,186 @@ object Events {
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                     6) AS r
        FROM a ORDER BY lag"""
+
+  /** Mann–Kendall monotone-trend test per event type over the DAILY
+    * count series (Mann 1945 / Kendall's S): S = Σ_{i<j}
+    * sign(n_j − n_i) over day pairs, the tie-corrected variance
+    * Var(S) = [m(m−1)(2m+5) − Σ_t t(t−1)(2t+5)] / 18 (t = size of
+    * each group of equal counts), and the continuity-corrected
+    * z = (S − sign S)/√Var — the distribution-free "is volume
+    * drifting?" readout that needs no normality assumption, unlike
+    * the OLS slope gate. Integer until the last expression: S, the
+    * tie term, and the ×18 variance numerator are exact BIGINTs, so
+    * the only fp op is one sqrt+divide per event type.
+    *
+    * Scale shape: the corpus collapses to one row per (type, day)
+    * first (scan + partial agg — the only data-sized stage), and the
+    * pair frame is O(|types| · days²) DOMAIN rows — calendar-bounded
+    * (a decade ≈ 3.7k days → ~7M pairs per type), independent of row
+    * count, exactly the budget posture of the other spine operators.
+    */
+  def mannKendallDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mannKendallOf(Tables.events(spark, dir)
+      .select($"event_type", expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("n")))
+  }
+
+  /** MK core over any per-group (event_type, d, n) series — see
+    * [[mannKendallDaily]] for the arithmetic contract.
+    */
+  def mannKendallOf(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.n") - col("a.n")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy($"event_type", $"n")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n_days"),
+        sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+    pairs.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        $"n_days" * ($"n_days" - 1L) * (lit(2L) * $"n_days" + 5L) - $"tie_term")
+      .withColumn("z", round(
+        when($"var18" <= 0L, lit(0.0)).otherwise(
+          ($"s_stat".cast("double") - signum($"s_stat".cast("double"))) /
+            sqrt($"var18".cast("double") / 18.0)), 4))
+      .select($"event_type", $"n_days", $"s_stat", $"var18", $"z")
+      .orderBy($"event_type")
+  }
+
+  val mannKendallDailySql: String =
+    """WITH daily AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       s AS (
+         SELECT a.event_type AS event_type,
+                CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s_stat
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.d < b.d
+         GROUP BY 1),
+       grp AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2),
+       ties AS (
+         SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         FROM grp GROUP BY 1),
+       j AS (
+         SELECT s.event_type AS event_type, n_days, s_stat,
+                CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                     AS BIGINT) AS var18
+         FROM s JOIN ties USING (event_type))
+       SELECT event_type, n_days, s_stat, var18,
+              round(CASE WHEN var18 <= 0 THEN 0.0
+                    ELSE (CAST(s_stat AS DOUBLE) - sign(s_stat))
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0) END, 4) AS z
+       FROM j ORDER BY event_type"""
+
+  /** Theil–Sen robust slope per event type over the daily count
+    * series (Theil 1950 / Sen 1968) — the drift MAGNITUDE companion
+    * to [[mannKendallDaily]]'s direction test: the median of all
+    * pairwise slopes (n_j − n_i)/(d_j − d_i), 29%-breakdown robust
+    * where the OLS slope is dragged by a single outlier day.
+    *
+    * Exactness device: each slope is quantized to integer
+    * MICRO-units-per-day by `(Δn · 10⁶) div Δd` — Spark's `div` and
+    * DuckDB's `//` both truncate toward zero on signed operands
+    * (verified), so the quantized multiset is bit-identical across
+    * engines — and the median is then the [[percentileContByLang]]
+    * order-statistic device: a (slope, count) histogram, cumulative
+    * ranks over the DISTINCT-slope frame, the two bracketing order
+    * stats fetched by a rank-interval join, and `sen_x2_micro =
+    * lo + hi` kept as an exact BIGINT (halving would reintroduce a
+    * rounding branch).
+    *
+    * Scale shape: the corpus collapses to one (type, day) row first
+    * — the only data-sized stage — and the pair frame is
+    * O(|types| · days²) DOMAIN rows, calendar-bounded exactly like
+    * the MK pair frame; the median windows run on the distinct-slope
+    * histogram, never the pair frame.
+    */
+  def theilSenDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    theilSenOf(Tables.events(spark, dir)
+      .select($"event_type", expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("n")))
+  }
+
+  /** Theil–Sen core over any per-group (event_type, d, n) series —
+    * see [[theilSenDaily]] for the arithmetic contract.
+    */
+  def theilSenOf(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val hist = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        expr("((b.n - a.n) * 1000000L) div (b.d - a.d)").as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum($"c").over(cumW))
+    val targets = hist.groupBy($"event_type").agg(sum($"c").as("m"))
+      .select($"event_type", $"m",
+        expr("(m + 1) div 2").as("r_lo"),
+        expr("m div 2 + 1").as("r_hi"))
+    def rankValue(rankCol: String, as: String) =
+      cum.select($"event_type".as("he"), $"v", $"c", $"cum")
+        .join(targets, $"he" === $"event_type" &&
+          col(rankCol) > $"cum" - $"c" && col(rankCol) <= $"cum")
+        .select($"event_type", $"m", $"v".as(as))
+    rankValue("r_lo", "v_lo")
+      .join(rankValue("r_hi", "v_hi"), Seq("event_type", "m"))
+      .select($"event_type", $"m".as("n_pairs"),
+        ($"v_lo" + $"v_hi").as("sen_x2_micro"))
+      .withColumn("slope_per_day",
+        round($"sen_x2_micro".cast("double") / 2.0e6, 4))
+      .orderBy($"event_type")
+  }
+
+  val theilSenDailySql: String =
+    """WITH daily AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       h AS (
+         SELECT a.event_type AS event_type,
+                ((b.n - a.n) * 1000000) // (b.d - a.d) AS v,
+                CAST(count(*) AS BIGINT) AS c
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.d < b.d
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, v, c,
+                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM h),
+       t AS (
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS m,
+                (sum(c) + 1) // 2 AS r_lo,
+                sum(c) // 2 + 1 AS r_hi
+         FROM h GROUP BY 1),
+       lo AS (
+         SELECT t.event_type, t.m, cum.v AS v_lo
+         FROM t JOIN cum ON t.event_type = cum.event_type
+          AND t.r_lo > cum.cum - cum.c AND t.r_lo <= cum.cum),
+       hi AS (
+         SELECT t.event_type, cum.v AS v_hi
+         FROM t JOIN cum ON t.event_type = cum.event_type
+          AND t.r_hi > cum.cum - cum.c AND t.r_hi <= cum.cum)
+       SELECT lo.event_type, m AS n_pairs,
+              CAST(v_lo + v_hi AS BIGINT) AS sen_x2_micro,
+              round(CAST(v_lo + v_hi AS DOUBLE) / 2000000.0, 4)
+                AS slope_per_day
+       FROM lo JOIN hi USING (event_type)
+       ORDER BY event_type"""
 }

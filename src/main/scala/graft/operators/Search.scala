@@ -513,4 +513,286 @@ object Search {
         SELECT query, term, coll_freq, dist FROM ranked
         WHERE rn <= $k
         ORDER BY query, coll_freq DESC, term"""
+
+  /** Top-k adjacent-bigram PMI (Church/Hanks 1990) — the collocation
+    * detector that separates lexicalized phrases ("et al") from
+    * chance co-occurrence, with marginals taken over the bigram
+    * table itself: pmi(a,b) = ln(c_ab·N / (c_a·c_b)) where c_a/c_b
+    * are a's left-slot and b's right-slot totals and N = Σ c_ab.
+    * Adjacency is pos+1 over [[Dedup.tokenRowsOf]]'s numbering
+    * (dropped empties break adjacency — the `search_phrase`
+    * contract), computed join-free as lead() per doc. Ranking is the
+    * integer ppm score ⌊c_ab·N·10⁶ / (c_a·c_b)⌋ (monotone with pmi),
+    * so the top-k cut is exact integer arithmetic in both engines
+    * and the fp pmi column is display-only; the bound is
+    * c_ab·N·10⁶ < 2⁶³, i.e. Σc·max c < 9.2·10¹², past which the
+    * score needs the 128-bit path (DECIMAL) — document-scale
+    * corpora at sf≤100 sit orders under it.
+    *
+    * Scale shape: one doc-partitioned window over the token stream
+    * (the corpus-sized stage, same exchange the other token
+    * operators reuse), then everything downstream is
+    * distinct-bigram-sized: two marginal groupBys, a min-count
+    * filter BEFORE the joins, and the global rank window runs on the
+    * filtered aggregate (vocabulary-scale — exempted in
+    * WindowAuditSpec with that justification).
+    */
+  def pmiBigrams(spark: SparkSession, dir: String, k: Int = 50,
+      minCount: Long = 5L): DataFrame =
+    pmiBigramsOf(Tables.documents(spark, dir), k, minCount)
+
+  /** PMI core over any (doc_id, text) frame — see [[pmiBigrams]] for
+    * the arithmetic contract.
+    */
+  def pmiBigramsOf(docs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = Dedup.tokenRowsOf(docs)
+      .select($"doc_id", $"pos", $"token")
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val big = tok
+      .withColumn("t2", lead($"token", 1).over(wd))
+      .withColumn("p2", lead($"pos", 1).over(wd))
+      .filter($"t2".isNotNull && $"p2" === $"pos" + 1)
+      .groupBy($"token".as("t1"), $"t2")
+      .agg(count(lit(1)).as("c_ab"))
+    val nTot = big.agg(sum($"c_ab").as("n_big"))
+    val leftM = big.groupBy($"t1").agg(sum($"c_ab").as("ca"))
+    val rightM = big.groupBy($"t2").agg(sum($"c_ab").as("cb"))
+    val wr = Window.orderBy($"score_ppm".desc, $"t1", $"t2")
+    big.filter($"c_ab" >= minCount)
+      .join(leftM, Seq("t1")).join(rightM, Seq("t2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("score_ppm",
+        expr("(c_ab * n_big * 1000000) div (ca * cb)"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter($"rk" <= k)
+      .select($"rk", $"t1", $"t2", $"c_ab", $"ca", $"cb", $"score_ppm",
+        round(log(($"c_ab" * $"n_big").cast("double") /
+          ($"ca" * $"cb").cast("double")), 4).as("pmi"))
+  }
+
+  def pmiBigramsSql(k: Int = 50, minCount: Long = 5L): String =
+    s"""WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(toks, x -> trim(x))) AS token,
+                   unnest(range(0, len(toks))) AS pos
+            FROM t) z
+          WHERE length(token) > 0),
+        big AS (
+          SELECT l.token AS t1, r.token AS t2,
+                 CAST(count(*) AS BIGINT) AS c_ab
+          FROM tok l JOIN tok r
+            ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
+          GROUP BY 1, 2),
+        n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM big),
+        lm AS (SELECT t1, CAST(sum(c_ab) AS BIGINT) AS ca
+               FROM big GROUP BY 1),
+        rm AS (SELECT t2, CAST(sum(c_ab) AS BIGINT) AS cb
+               FROM big GROUP BY 1),
+        scored AS (
+          SELECT big.t1 AS t1, big.t2 AS t2, c_ab, ca, cb,
+                 CAST((c_ab * n_big * 1000000) // (ca * cb) AS BIGINT)
+                   AS score_ppm,
+                 round(ln(CAST(c_ab * n_big AS DOUBLE)
+                          / CAST(ca * cb AS DOUBLE)), 4) AS pmi
+          FROM big JOIN lm USING (t1) JOIN rm USING (t2), n
+          WHERE c_ab >= $minCount),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER
+                   (ORDER BY score_ppm DESC, t1, t2) AS BIGINT) AS rk
+          FROM scored)
+        SELECT rk, t1, t2, c_ab, ca, cb, score_ppm, pmi
+        FROM ranked WHERE rk <= $k"""
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
+    * 1998; Zhai/Lafferty 2001) — the language-modeling ranking family
+    * next to [[bm25TopKOf]]'s probabilistic one, kept in the
+    * rank-equivalent form that drops the doc-independent constant:
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + c_td·|C| / (μ·c_t))
+    *            + |q|·ln(μ / (|d|+μ)).
+    * Per-term contributions are rounded to integer MICRO-NATS before
+    * the sum (BM25's summation-order-proof device), so the per-doc
+    * score and the top-k cut are exact integer arithmetic; candidate
+    * docs are those matching ≥1 term — the standard inverted-index
+    * evaluation (unmatched docs differ only in the shared length
+    * penalty and rank below any matcher of equal length).
+    *
+    * Scale shape: the token stream is filtered to the query terms
+    * BEFORE any shuffle (postings-sized from the scan on), collection
+    * stats and the workload ride as broadcasts, and the only
+    * corpus-sized frames are the scan itself and the per-doc length
+    * aggregate the BM25 path already budgets.
+    */
+  def queryLikelihoodTopK(spark: SparkSession, dir: String, k: Int = 10,
+      mu: Long = 300L): DataFrame =
+    queryLikelihoodOf(spark, Tables.documents(spark, dir), bm25Workload, k, mu)
+
+  /** QL core over any (doc_id, text) frame and workload — see
+    * [[queryLikelihoodTopK]] for the arithmetic contract.
+    */
+  def queryLikelihoodOf(spark: SparkSession, docs: DataFrame,
+      workload: Seq[(String, Seq[String])], k: Int, mu: Long): DataFrame = {
+    import spark.implicits._
+    val allTerms = workload.flatMap(_._2).distinct
+    val queryTerms = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val nqDf = workload.map { case (q, ts) => (q, ts.length.toLong) }
+      .toDF("query_id", "nq")
+    val docLen = docs
+      .select($"doc_id", size(Dedup.tokensCol($"text")).cast("long").as("dl"))
+    val nTot = docLen.agg(sum($"dl").as("n_coll"))
+    val tokens = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .filter($"token".isin(allTerms.map(lit): _*))
+    val coll = tokens.groupBy($"token").agg(count(lit(1)).as("ct"))
+    val matched = tokens.groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("ctd"))
+      .join(broadcast(queryTerms), "token")
+      .join(broadcast(coll), "token")
+      .crossJoin(broadcast(nTot))
+      .withColumn("cu", round(log(lit(1.0) +
+        ($"ctd" * $"n_coll").cast("double") /
+          (lit(mu) * $"ct").cast("double")) * lit(1000000.0)).cast("long"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"cu").as("s1"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy($"query_id").orderBy($"su".desc, $"doc_id")
+    matched
+      .join(docLen, "doc_id")
+      .join(broadcast(nqDf), "query_id")
+      .withColumn("su", $"s1" +
+        round(log(lit(mu).cast("double") /
+          ($"dl" + lit(mu)).cast("double")) * lit(1000000.0)).cast("long")
+          * $"nq")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"doc_id", $"n_matched",
+        ($"su".cast("double") / lit(1000000.0)).as("score"), $"rk")
+  }
+
+  def queryLikelihoodSql(k: Int = 10, mu: Long = 300L): String = {
+    val qvals = bm25Workload
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, token) AS (VALUES $qvals),
+        nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+               FROM q GROUP BY 1),
+        t AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0) AS toks
+          FROM documents),
+        dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        n AS (SELECT CAST(sum(dl) AS BIGINT) AS n_coll FROM dls),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        ftok AS (SELECT * FROM tok
+                 WHERE token IN (SELECT token FROM q)),
+        coll AS (SELECT token, CAST(count(*) AS BIGINT) AS ct
+                 FROM ftok GROUP BY 1),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS ctd
+               FROM ftok GROUP BY 1, 2),
+        m AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(sum(CAST(round(ln(1.0 +
+                     CAST(tf.ctd * n.n_coll AS DOUBLE)
+                     / CAST($mu * coll.ct AS DOUBLE)) * 1000000.0)
+                   AS BIGINT)) AS BIGINT) AS s1,
+                 CAST(count(*) AS BIGINT) AS n_matched
+          FROM tf JOIN q USING (token) JOIN coll USING (token), n
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT m.query_id, m.doc_id, n_matched,
+                 CAST(m.s1 + CAST(round(ln(CAST($mu AS DOUBLE)
+                       / CAST(dls.dl + $mu AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) * nq.nq AS BIGINT) AS su
+          FROM m JOIN dls USING (doc_id) JOIN nq USING (query_id)),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY su DESC, doc_id) AS BIGINT) AS rk
+          FROM sc)
+        SELECT query_id, doc_id, n_matched,
+               CAST(su AS DOUBLE) / 1000000.0 AS score, rk
+        FROM ranked WHERE rk <= $k"""
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR 2009) of
+    * the repo's two retrieval families — [[bm25TopKOf]]
+    * (probabilistic) and [[queryLikelihoodOf]] (language-model) —
+    * the standard hybrid-retrieval combiner: score(d) =
+    * Σ_systems 1/(κ + rank_s(d)) over the systems that returned d,
+    * κ = 60 per the paper. RRF only reads RANKS, so it fuses
+    * systems whose scores live on incomparable scales — exactly why
+    * it is the default fusion for lexical+semantic stacks.
+    *
+    * Exactness device: each contribution is the integer
+    * PARTS-PER-BILLION value `10⁹ div (κ + rank)` — ranks are exact
+    * in both engines, so the fused score and the re-rank cut are
+    * pure integer arithmetic; absent-from-a-list contributes 0 via
+    * the outer join's coalesce, and `doc_id` breaks score ties.
+    *
+    * Scale shape: both retrieval DAGs share the postings-filtered
+    * scan shape they already budget; the fusion itself joins two
+    * top-k-sized frames (|queries|·k rows) — metadata-scale, one
+    * broadcast-sized full-outer join and a rerank window over ≤2k
+    * rows per query.
+    */
+  def rrfFusionTopK(spark: SparkSession, dir: String, k: Int = 10,
+      kappa: Int = 60): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    rrfFusionOf(
+      bm25TopKOf(spark, docs, bm25Workload, k),
+      queryLikelihoodOf(spark, docs, bm25Workload, k, 300L), k, kappa)
+  }
+
+  /** RRF core over any two (query_id, doc_id, …, rk) ranked lists —
+    * see [[rrfFusionTopK]] for the arithmetic contract.
+    */
+  def rrfFusionOf(sysA: DataFrame, sysB: DataFrame, k: Int,
+      kappa: Int): DataFrame = {
+    val spark = sysA.sparkSession
+    import spark.implicits._
+    val a = sysA.select($"query_id", $"doc_id", $"rk".as("rk_a"))
+    val b = sysB.select($"query_id", $"doc_id", $"rk".as("rk_b"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf_ppb".desc, $"doc_id")
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        coalesce($"rk_a", lit(0L)).as("bm25_rk"),
+        coalesce($"rk_b", lit(0L)).as("ql_rk"),
+        (coalesce(expr(s"1000000000L div ($kappa + rk_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($kappa + rk_b)"), lit(0L)))
+          .as("rrf_ppb"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  def rrfFusionSql(k: Int = 10, kappa: Int = 60): String =
+    s"""WITH bm AS (SELECT query_id, doc_id, rk
+          FROM (${bm25TopKSql(k)}) zbm),
+        ql AS (SELECT query_id, doc_id, rk
+          FROM (${queryLikelihoodSql(k)}) zql),
+        f AS (
+          SELECT coalesce(bm.query_id, ql.query_id) AS query_id,
+                 coalesce(bm.doc_id, ql.doc_id) AS doc_id,
+                 CAST(coalesce(bm.rk, 0) AS BIGINT) AS bm25_rk,
+                 CAST(coalesce(ql.rk, 0) AS BIGINT) AS ql_rk,
+                 CAST(coalesce(1000000000 // ($kappa + bm.rk), 0)
+                    + coalesce(1000000000 // ($kappa + ql.rk), 0)
+                    AS BIGINT) AS rrf_ppb
+          FROM bm FULL OUTER JOIN ql
+            ON bm.query_id = ql.query_id AND bm.doc_id = ql.doc_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rk
+          FROM f)
+        SELECT query_id, doc_id, bm25_rk, ql_rk, rrf_ppb, rk
+        FROM ranked WHERE rk <= $k"""
 }

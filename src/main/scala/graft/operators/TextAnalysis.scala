@@ -656,4 +656,133 @@ object TextAnalysis {
               CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min,
               CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
        FROM s ORDER BY doc_id"""
+
+  /** Per-source unigram Shannon entropy (nats) + type/token ratio —
+    * the lexical-diversity profile a mixture designer reads before
+    * weighting sources (a low-entropy source is boilerplate/templated
+    * text; a TTR near 1 is ID-like noise). Uses the identity
+    * H = ln N − (Σ c·ln c)/N so the shuffle moves ONE (count) row
+    * per distinct (source, token) — both engines aggregate the same
+    * positive c·ln c terms, so fp error is ~N·ε with no
+    * cancellation, orders below the 1e-4 rounding. Scale shape:
+    * explode → two partial-agg'd groupBys, vocabulary-sized
+    * exchanges, no windows, no joins.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(Tables.documents(spark, dir))
+
+  /** Entropy core over any (source, text) frame — see
+    * [[tokenEntropy]] for the arithmetic contract.
+    */
+  def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"source", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"source", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum($"c".cast("double") * log($"c".cast("double"))).as("clnc"))
+      .select($"source", $"n_tokens", $"n_types",
+        round($"n_types".cast("double") / $"n_tokens".cast("double"), 4)
+          .as("ttr"),
+        round(log($"n_tokens".cast("double"))
+          - $"clnc" / $"n_tokens".cast("double"), 4).as("entropy_nats"))
+      .orderBy($"source")
+  }
+
+  val tokenEntropySql: String =
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+       a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+             FROM c GROUP BY 1)
+       SELECT source, n_tokens, n_types,
+              round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+                AS ttr,
+              round(ln(CAST(n_tokens AS DOUBLE))
+                    - clnc / CAST(n_tokens AS DOUBLE), 4) AS entropy_nats
+       FROM a ORDER BY source"""
+
+  /** Per-document cross-entropy under the corpus UNIGRAM language
+    * model — the CCNet-style (Wenzek 2020) perplexity quality
+    * signal, with the corpus itself as the LM: H(d) = (1/|d|)
+    * Σ_{t∈d} ln(N / c_t), where c_t is t's corpus count and N the
+    * corpus token total. A low-H doc is made of common words
+    * (boilerplate reads LOW, so the useful band is the middle — same
+    * read as CCNet's head/middle/tail split); a high-H doc is
+    * rare-token noise. No held-out model to ship: every term's count
+    * comes from the corpus, so c_t ≥ 1 and the score is total.
+    *
+    * Exactness device: per-TERM cost `round(ln(N/c_t)·10⁶)` in
+    * integer micro-nats (the BM25/QL summation-order-proof device),
+    * so `h_micro = Σ tf·cost` is an exact BIGINT and only the final
+    * display division is fp. Scale shape: tf per (doc, token) is the
+    * corpus-sized groupBy every token operator budgets; term costs
+    * are vocabulary-sized and join by token (postings-keyed shuffle,
+    * never broadcast — the vocabulary grows with the corpus); the
+    * per-doc sum reuses the doc_id partitioning.
+    */
+  def unigramXent(spark: SparkSession, dir: String): DataFrame =
+    unigramXentOf(Tables.documents(spark, dir))
+
+  /** Cross-entropy core over any (doc_id, text) frame — see
+    * [[unigramXent]] for the arithmetic contract.
+    */
+  def unigramXentOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val coll = tf.groupBy($"token").agg(sum($"tf").as("ct"))
+    val nTot = coll.agg(sum($"ct").as("n_coll"))
+    val cost = coll.crossJoin(broadcast(nTot))
+      .select($"token", round(log($"n_coll".cast("double") /
+        $"ct".cast("double")) * lit(1000000.0)).cast("long").as("cost"))
+    tf.join(cost, "token")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("dl"), sum($"tf" * $"cost").as("h_micro"))
+      .select($"doc_id", $"dl", $"h_micro",
+        round($"h_micro".cast("double") /
+          ($"dl".cast("double") * 1.0e6), 4).as("xent_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val unigramXentSql: String =
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2),
+       coll AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ct
+                FROM tf GROUP BY 1),
+       n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_coll FROM coll),
+       cost AS (
+         SELECT token,
+                CAST(round(ln(CAST(n_coll AS DOUBLE) / CAST(ct AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS cost
+         FROM coll, n),
+       agg AS (
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+                CAST(sum(tf * cost) AS BIGINT) AS h_micro
+         FROM tf JOIN cost USING (token) GROUP BY 1)
+       SELECT doc_id, dl, h_micro,
+              round(CAST(h_micro AS DOUBLE)
+                    / (CAST(dl AS DOUBLE) * 1000000.0), 4) AS xent_nats
+       FROM agg ORDER BY doc_id"""
 }

@@ -227,4 +227,165 @@ class SearchSpec extends SparkSpec {
     // verification really ran: no candidate sits past distance 1
     assert(got.forall(_._3 <= 1L))
   }
+
+  test("token entropy: uniform corpus gives H = ln k exactly; TTR reconciles") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // source u: 4 distinct tokens × 5 occurrences each → H = ln 4
+    val docs = Seq(
+      (1L, "a b c d a b c d a b", "en", "u"),
+      (2L, "c d a b c d a b c d", "en", "u"),
+      (3L, "x x x x", "en", "v")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.tokenEntropyOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getAs[Long]("n_tokens") == 20L)
+    assert(u.getAs[Long]("n_types") == 4L)
+    assert(u.getAs[Double]("ttr") == 0.2)
+    assert(math.abs(u.getAs[Double]("entropy_nats") - math.log(4.0)) < 5e-5)
+    val v = got("v")
+    assert(v.getAs[Long]("n_tokens") == 4L)
+    assert(v.getAs[Long]("n_types") == 1L)
+    assert(v.getAs[Double]("ttr") == 0.25)
+    assert(v.getAs[Double]("entropy_nats") == 0.0)
+  }
+
+  test("pmi bigrams match a hand fold; ppm ranking agrees with pmi order") {
+    import spark.implicits._
+    val texts = Seq(
+      "x y x y x y a b",
+      "a c a b x y a c",
+      "x y a c b a c a")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong + 1, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Search.pmiBigramsOf(docs, k = 100, minCount = 1L)
+      .orderBy("rk").collect()
+    val pairs = texts.flatMap { t => val w = t.split(" ").toSeq; w.zip(w.tail) }
+    val cab = pairs.groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+    val n = pairs.size.toLong
+    val ca = pairs.groupBy(_._1).map { case (a, l) => a -> l.size.toLong }
+    val cb = pairs.groupBy(_._2).map { case (b, l) => b -> l.size.toLong }
+    assert(got.length == cab.size)
+    got.foreach { r =>
+      val key = (r.getString(1), r.getString(2))
+      assert(r.getAs[Long]("c_ab") == cab(key))
+      assert(r.getAs[Long]("ca") == ca(key._1))
+      assert(r.getAs[Long]("cb") == cb(key._2))
+      assert(r.getAs[Long]("score_ppm") ==
+        cab(key) * n * 1000000L / (ca(key._1) * cb(key._2)))
+      val pmi = math.round(math.log(
+        cab(key).toDouble * n / (ca(key._1) * cb(key._2))) * 10000) / 10000.0
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-9)
+    }
+    // rank order is (score_ppm desc, t1, t2) and agrees with pmi ordering
+    val keys = got.map(r =>
+      (-r.getAs[Long]("score_ppm"), r.getString(1), r.getString(2))).toSeq
+    assert(keys == keys.sorted, "rank order broken")
+    got.sliding(2).foreach {
+      case Array(hi, lo) if hi.getAs[Long]("score_ppm") > lo.getAs[Long]("score_ppm") =>
+        assert(hi.getAs[Double]("pmi") >= lo.getAs[Double]("pmi"),
+          "ppm ranking disagreed with pmi")
+      case _ => ()
+    }
+    // the perfect collocation tops the board
+    assert((got.head.getString(1), got.head.getString(2)) == (("x", "y")))
+  }
+
+  test("query likelihood: hand fold exact; more tf outranks; shorter doc wins at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad", "en", "s"), // tf=3, dl=6
+      (2L, "spark pad pad pad pad pad", "en", "s"),     // tf=1, dl=6
+      (3L, "spark pad", "en", "s"),                     // tf=1, dl=2
+      (4L, "pad pad pad pad pad pad", "en", "s")        // no match
+    ).toDF("doc_id", "text", "lang", "source")
+    val mu = 300L
+    val got = Search.queryLikelihoodOf(spark, docs,
+      Seq("q" -> Seq("spark")), k = 10, mu).orderBy("rk").collect()
+    // more occurrences first, then the shorter of the equal-tf pair
+    // (the Dirichlet length penalty), unmatched doc absent
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 2L))
+    val nColl = 20L
+    val ct = 5L
+    def cu(ctd: Long) =
+      math.round(math.log(1.0 + ctd.toDouble * nColl / (mu * ct)) * 1e6)
+    def pen(dl: Long) =
+      math.round(math.log(mu.toDouble / (dl + mu)) * 1e6)
+    val su = Map(1L -> (cu(3) + pen(6)), 2L -> (cu(1) + pen(6)),
+      3L -> (cu(1) + pen(2)))
+    got.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(math.abs(r.getAs[Double]("score") - su(d) / 1e6) < 1e-12,
+        s"doc $d: ${r.getAs[Double]("score")} vs ${su(d) / 1e6}")
+      assert(r.getAs[Long]("n_matched") == 1L)
+    }
+  }
+
+  test("rrf fusion: hand fold; both-lists doc outranks single-list; absent rank is 0") {
+    import spark.implicits._
+    val kappa = 60
+    def ppb(rk: Long) = 1000000000L / (kappa + rk)
+    // system A ranks docs 1,2,3; system B ranks 2,1,4 — docs 1 and 2
+    // tie at ppb(1)+ppb(2), broken by doc_id; docs 3 and 4 are
+    // single-list and must fall below both
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val b = Seq(("q", 2L, 1L), ("q", 1L, 2L), ("q", 4L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val got = Search.rrfFusionOf(a, b, k = 10, kappa).orderBy("rk").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byDoc = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(1L).getAs[Long]("rrf_ppb") == ppb(1) + ppb(2))
+    assert(byDoc(2L).getAs[Long]("rrf_ppb") == ppb(2) + ppb(1))
+    assert(byDoc(3L).getAs[Long]("rrf_ppb") == ppb(3))
+    assert(byDoc(3L).getAs[Long]("ql_rk") == 0L, "absent rank must be 0")
+    assert(byDoc(4L).getAs[Long]("bm25_rk") == 0L)
+    // both-lists docs outrank every single-list doc at these depths
+    assert(byDoc(1L).getAs[Long]("rrf_ppb") > byDoc(3L).getAs[Long]("rrf_ppb"))
+    // end-to-end over the corpus: every fused row carries at least
+    // one real rank and the per-query ordering is (rrf desc, doc_id)
+    val full = Search.rrfFusionTopK(spark, SF).collect()
+    assert(full.nonEmpty)
+    assert(full.forall(r =>
+      r.getAs[Long]("bm25_rk") > 0 || r.getAs[Long]("ql_rk") > 0))
+    full.groupBy(_.getString(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      val keys = sorted.map(r =>
+        (-r.getAs[Long]("rrf_ppb"), r.getAs[Long]("doc_id"))).toSeq
+      assert(keys == keys.sorted, "fused order broken")
+    }
+  }
+
+  test("unigram cross-entropy: uniform corpus gives xent = ln k; rare tokens score higher") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 4 tokens × 5 occurrences each → every token costs ln(20/5) =
+    // ln 4, so every doc's xent is exactly ln 4 regardless of length
+    val uniform = Seq(
+      (1L, "a b c d a b c d a b", "en", "u"),
+      (2L, "c d a b c d a b c d", "en", "u"))
+    val gotU = TextAnalysis.unigramXentOf(
+        uniform.toDF("doc_id", "text", "lang", "source")).collect()
+    gotU.foreach { r =>
+      assert(math.abs(r.getAs[Double]("xent_nats") - math.log(4.0)) < 5e-5,
+        s"doc ${r.getLong(0)}: ${r.getAs[Double]("xent_nats")}")
+    }
+    assert(gotU.map(r => r.getAs[Long]("dl")).toSeq == Seq(10L, 10L))
+    // a doc of corpus-rare tokens must score above a doc of the
+    // corpus-common token, and h_micro must equal the scala fold
+    val skewed = Seq(
+      (1L, "the the the the the the", "en", "s"),
+      (2L, "zyx wvu tsr", "en", "s"))
+    val gotS = TextAnalysis.unigramXentOf(
+        skewed.toDF("doc_id", "text", "lang", "source")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val n = 9L
+    def cost(ct: Long) = math.round(math.log(n.toDouble / ct) * 1e6)
+    assert(gotS(1L).getAs[Long]("h_micro") == 6 * cost(6))
+    assert(gotS(2L).getAs[Long]("h_micro") == 3 * cost(1))
+    assert(gotS(2L).getAs[Double]("xent_nats") >
+      gotS(1L).getAs[Double]("xent_nats"))
+  }
 }

@@ -483,4 +483,102 @@ class TimeSeriesSpec extends SparkSpec {
       s"lag-3 peak not dominant: $got")
     assert(got(3L)._3 > 0.9)
   }
+
+  test("mann-kendall: monotone series gives S = C(m,2), all-tied gives z = 0") {
+    import spark.implicits._
+    val m = 10
+    val up = (1 to m).map(i => ("up", i.toLong, i.toLong * 3))
+    val flat = (1 to m).map(i => ("flat", i.toLong, 7L))
+    val got = Events.mannKendallOf((up ++ flat).toDF("event_type", "d", "n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("up")
+    assert(s.getAs[Long]("s_stat") == m.toLong * (m - 1) / 2)
+    val var18 = m.toLong * (m - 1) * (2 * m + 5)
+    assert(s.getAs[Long]("var18") == var18)
+    val z = (m * (m - 1) / 2.0 - 1.0) / math.sqrt(var18 / 18.0)
+    assert(math.abs(s.getAs[Double]("z") -
+      math.round(z * 10000) / 10000.0) < 1e-9)
+    val f = got("flat")
+    assert(f.getAs[Long]("s_stat") == 0L)
+    assert(f.getAs[Long]("var18") == 0L)
+    assert(f.getAs[Double]("z") == 0.0)
+  }
+
+  test("mann-kendall matches a scala pair-fold on the real daily series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val daily = Tables.events(spark, SF)
+      .select($"event_type", expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val ns = rows.sortBy(_._2).map(_._3).toSeq
+      val sStat = (for { i <- ns.indices; j <- i + 1 until ns.length }
+        yield java.lang.Long.signum(ns(j) - ns(i)).toLong).sum
+      val ties = ns.groupBy(identity).values
+        .map(g => { val t2 = g.size.toLong; t2 * (t2 - 1) * (2 * t2 + 5) }).sum
+      val md = ns.length.toLong
+      t -> ((sStat, md * (md - 1) * (2 * md + 5) - ties))
+    }
+    val got = Events.mannKendallDaily(spark, SF).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("s_stat"), r.getAs[Long]("var18")))).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  /** Scala reference fold for Theil–Sen: quantized pairwise slopes
+    * via Java truncating division (the operator's documented `div`
+    * semantics), median as lo+hi bracketing order stats.
+    */
+  private def senRef(rows: Seq[(Long, Long)]): (Long, Long) = {
+    val sorted = rows.sortBy(_._1)
+    val slopes = (for {
+      i <- sorted.indices; j <- i + 1 until sorted.length
+    } yield (sorted(j)._2 - sorted(i)._2) * 1000000L /
+        (sorted(j)._1 - sorted(i)._1)).sorted
+    val m = slopes.length
+    (m.toLong, slopes((m + 1) / 2 - 1) + slopes(m / 2))
+  }
+
+  test("theil-sen: exact median slope incl. negative truncation; outlier-robust vs OLS") {
+    import spark.implicits._
+    // down: slope −1/3 per day → each pairwise slope −1000000/3Δ
+    // exercises trunc-toward-zero on NEGATIVE operands in both the
+    // operator and the scala fold (floor division would give −333334)
+    val down = (0 to 6).map(i => ("down", i.toLong, 10L - i / 3))
+    // robust: clean slope 2/day with one wild outlier day — the
+    // median slope must stay 2.0 where OLS would be dragged
+    val robust = (0 to 8).map(i =>
+      ("robust", i.toLong, if (i == 4) 1000L else 5L + 2 * i))
+    val df = (down ++ robust).toDF("event_type", "d", "n")
+    val got = Events.theilSenOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((name, rows) <- Seq(
+        "down" -> down.map(t => (t._2, t._3)),
+        "robust" -> robust.map(t => (t._2, t._3)))) {
+      val (m, x2) = senRef(rows)
+      assert(got(name).getAs[Long]("n_pairs") == m, s"$name pairs")
+      assert(got(name).getAs[Long]("sen_x2_micro") == x2,
+        s"$name: ${got(name).getAs[Long]("sen_x2_micro")} vs $x2")
+    }
+    assert(got("robust").getAs[Double]("slope_per_day") == 2.0,
+      "outlier day dragged the Sen slope")
+    assert(got("down").getAs[Double]("slope_per_day") < 0.0)
+  }
+
+  test("theil-sen matches the scala fold on the real daily series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val daily = Tables.events(spark, SF)
+      .select($"event_type", expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      t -> senRef(rows.map(r => (r._2, r._3)).toSeq)
+    }
+    val got = Events.theilSenDaily(spark, SF).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("sen_x2_micro")))).toMap
+    assert(got == expected.toMap, s"$got vs $expected")
+  }
 }

@@ -21,6 +21,12 @@ class WindowAuditSpec extends SparkSpec {
       ("global rank over per-token aggregates: the window input is " +
         "one row per distinct token (vocabulary-sized, orders smaller " +
         "than the corpus) — both shuffles below it are partial-agg'd"),
+    "text_pmi_bigrams" ->
+      ("global rank over the min-count-filtered distinct-bigram " +
+        "aggregate (vocabulary-scale, orders smaller than the " +
+        "corpus) — the doc-partitioned lead window and three " +
+        "partial-agg'd groupBys below it already collapsed the " +
+        "token stream; same device as text_vocabulary"),
     "search_spell" ->
       ("inherits text_vocabulary's vocabulary-sized rank window (the " +
         "500-term cut feeding the delete index); the candidate " +
