@@ -1489,4 +1489,158 @@ object Graph {
                CAST(sum(node) AS BIGINT) AS node_sum
         FROM l3 GROUP BY label ORDER BY label"""
   }
+
+  /** Gate: sampled-source 3-hop betweenness, top 20 parts. */
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    betweennessOf(copurchaseEdges(spark, dir), seedMod = 499L, hops = 3,
+      topK = 20)
+
+  /** Betweenness centrality, Brandes 2001 restricted to a SAMPLED
+    * source set and a BOUNDED path horizon (the Brandes/Pich 2007
+    * "pivot" estimator family): forward multi-source BFS carries
+    * (source, node, level, σ) where σ is the exact shortest-path
+    * COUNT, then the dependency recursion runs the levels backward —
+    * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)) — and bc(v) =
+    * Σ_sources δ_s(v), v ≠ s.
+    *
+    * Exactness device (what makes this gate hash-exact where
+    * textbook betweenness is an fp sum in shuffle order): δ is
+    * carried in integer MICRO-units, and each edge's contribution is
+    * `(σ_v · (10⁶ + δμ_w)) div σ_w` — σ_w ≥ σ_v for a successor
+    * (σ_w sums its predecessors' σ), so the ratio ≤ 1 and the
+    * magnitudes stay far under 2⁶³ (σ ≤ maxdeg^hops, δμ ≤
+    * (maxdeg·10⁶)^{hops-1}-ish; ~2·10¹⁵ worst-case here). Truncation
+    * quantizes each RECURSION STEP at 10⁻⁶ — a documented estimator
+    * choice, identical in both engines (`div` ≡ `//`, trunc toward
+    * zero), making the whole pipeline BIGINT and every sum
+    * order-proof. The hop bound both caps the work AND makes the
+    * recursion unrollable as SQL CTEs — the same bounded-rounds
+    * device as [[ssspDistsOf]]; paths longer than `hops` simply
+    * don't contribute (δ at the horizon level is 0).
+    *
+    * Scale shape: edges cached hash-partitioned on src once; every
+    * forward level is one frontier join on that partitioning + one
+    * partial-agg'd σ-sum, every backward level one join pair on the
+    * same key — only (s, node, σ/δμ) scalars shuffle, lineage
+    * truncated per level. Work is O(|seeds| · |E ≤ hops out|):
+    * `seedMod` (density) and `hops` (horizon) are the two budget
+    * knobs, exactly the SpaceSaving/IVF posture — the exact global
+    * algorithm exists (seedMod = 1, hops = diameter) but is an
+    * informed choice, not the default.
+    */
+  def betweennessOf(edges: DataFrame, seedMod: Long, hops: Int,
+      topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(hops >= 2, s"hops=$hops: need at least 2 for any interior node")
+    val e = edges.repartition($"src").localCheckpoint(true)
+    val seeds = e.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0)
+      .select($"node".as("s"), $"node", lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    // forward: levels(l) = (s, node, sigma) at BFS distance l from s
+    val levels = new Array[DataFrame](hops + 1)
+    levels(0) = seeds
+    var vis = seeds.select($"s", $"node")
+    for (l <- 1 to hops) {
+      levels(l) = e.join(levels(l - 1), $"src" === $"node")
+        .select($"s", $"dst", $"sigma")
+        .join(vis.select($"s".as("vs"), $"node".as("vn")),
+          $"s" === $"vs" && $"dst" === $"vn", "left_anti")
+        .groupBy($"s", $"dst").agg(sum($"sigma").as("sigma"))
+        .select($"s", $"dst".as("node"), $"sigma")
+        .localCheckpoint(true)
+      vis = vis.unionByName(levels(l).select($"s", $"node"))
+        .localCheckpoint(true)
+    }
+    // backward: δμ at the horizon is 0; each step joins level l to
+    // level l+1 through the edge list, a missing δ row reads as 0
+    var delta: DataFrame = null // δμ frame for level l+1 (null ⇒ all 0)
+    var acc: DataFrame = null   // union of interior δμ frames
+    for (l <- hops - 1 to 1 by -1) {
+      val upper0 = levels(l + 1)
+        .select($"s".as("us"), $"node".as("un"), $"sigma".as("usigma"))
+      val upper = if (delta == null)
+        upper0.withColumn("udm", lit(0L))
+      else upper0.join(
+          delta.select($"s".as("ds"), $"node".as("dn"), $"dm"),
+          $"us" === $"ds" && $"un" === $"dn", "left_outer")
+        .select($"us", $"un", $"usigma", coalesce($"dm", lit(0L)).as("udm"))
+      delta = levels(l)
+        .join(e, $"node" === $"src")
+        .join(upper, $"s" === $"us" && $"dst" === $"un")
+        .select($"s", $"node",
+          expr("(sigma * (1000000 + udm)) div usigma").as("contrib"))
+        .groupBy($"s", $"node").agg(sum($"contrib").as("dm"))
+        .localCheckpoint(true)
+      acc = if (acc == null) delta else acc.unionByName(delta)
+    }
+    acc.groupBy($"node").agg(sum($"dm").as("bc_micro"))
+      .orderBy($"bc_micro".desc, $"node")
+      .limit(topK)
+  }
+
+  /** Oracle: the identical recursion unrolled — 3 forward BFS levels
+    * (σ as the predecessor-σ sum, visited set excluded per level),
+    * then δμ₂ from the zero horizon and δμ₁ from δμ₂, in the same
+    * integer micro-unit arithmetic.
+    */
+  val betweennessSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       l0 AS (
+         SELECT DISTINCT src AS s, src AS node, CAST(1 AS BIGINT) AS sigma
+         FROM edges WHERE src % 499 = 0),
+       l1 AS (
+         SELECT l0.s, e.dst AS node, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+         FROM l0 JOIN edges e ON e.src = l0.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l0.s AND p.node = e.dst)
+         GROUP BY 1, 2),
+       l2 AS (
+         SELECT l1.s, e.dst AS node, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+         FROM l1 JOIN edges e ON e.src = l1.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l1.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l1.s AND p.node = e.dst)
+         GROUP BY 1, 2),
+       l3 AS (
+         SELECT l2.s, e.dst AS node, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+         FROM l2 JOIN edges e ON e.src = l2.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l2 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+         GROUP BY 1, 2),
+       d2 AS (
+         SELECT v.s, v.node,
+                CAST(sum((v.sigma * (1000000 + 0)) // w.sigma)
+                     AS BIGINT) AS dm
+         FROM l2 v JOIN edges e ON e.src = v.node
+         JOIN l3 w ON w.s = v.s AND w.node = e.dst
+         GROUP BY 1, 2),
+       d1 AS (
+         SELECT v.s, v.node,
+                CAST(sum((v.sigma * (1000000 + coalesce(d2.dm, 0)))
+                         // w.sigma) AS BIGINT) AS dm
+         FROM l1 v JOIN edges e ON e.src = v.node
+         JOIN l2 w ON w.s = v.s AND w.node = e.dst
+         LEFT JOIN d2 ON d2.s = w.s AND d2.node = w.node
+         GROUP BY 1, 2),
+       bc AS (
+         SELECT node, CAST(sum(dm) AS BIGINT) AS bc_micro
+         FROM (SELECT s, node, dm FROM d1
+               UNION ALL SELECT s, node, dm FROM d2) u
+         GROUP BY node)
+       SELECT node, bc_micro FROM bc
+       ORDER BY bc_micro DESC, node LIMIT 20"""
 }

@@ -391,7 +391,50 @@ object GraphCrossCheck {
     check("graph_neighbor_jaccard_sketch",
       rows(graft.operators.Graph.neighborJaccardSketch(spark, dir)), sketchSeq)
 
-    println(if (failed == 0) s"ALL 11 GRAPH GATES MATCH the scala re-derivation at $dir"
+    // ── betweenness (sampled sources % 499, 3-hop horizon, quantized
+    //    Brandes — δ in integer micro-units, trunc division) ──
+    {
+      val dedup = adj.map { case (u, vs) => u -> vs.distinct.toArray }
+      val bc = mutable.HashMap.empty[Long, Long]
+      nodes.filter(_ % 499 == 0).foreach { s =>
+        val dist = mutable.HashMap(s -> 0)
+        val sigma = mutable.HashMap(s -> 1L)
+        val byLevel = mutable.ArrayBuffer(mutable.ArrayBuffer(s))
+        for (l <- 1 to 3) {
+          val next = mutable.LinkedHashSet.empty[Long]
+          byLevel(l - 1).foreach { u =>
+            dedup(u).foreach { v =>
+              if (!dist.contains(v)) next += v
+            }
+          }
+          next.foreach { v => dist(v) = l }
+          next.foreach { v =>
+            sigma(v) = dedup(v).iterator
+              .filter(u => dist.get(u).contains(l - 1)).map(sigma).sum
+          }
+          byLevel += mutable.ArrayBuffer(next.toSeq.sorted: _*)
+        }
+        val dm = mutable.HashMap.empty[Long, Long]
+        for (l <- 2 to 1 by -1) {
+          byLevel(l).foreach { v =>
+            val contribs = dedup(v).iterator
+              .filter(wn => dist.get(wn).contains(l + 1))
+              .map(wn => (sigma(v) * (1000000L + dm.getOrElse(wn, 0L))) / sigma(wn))
+              .toSeq
+            if (contribs.nonEmpty) {
+              dm(v) = contribs.sum
+              bc(v) = bc.getOrElse(v, 0L) + dm(v)
+            }
+          }
+        }
+      }
+      val want = bc.toSeq.sortBy { case (n, b) => (-b, n) }.take(20)
+        .map { case (n, b) => Seq(n, b) }
+      check("graph_betweenness",
+        rows(graft.operators.Graph.betweenness(spark, dir)), want)
+    }
+
+    println(if (failed == 0) s"ALL 16 GRAPH GATES MATCH the scala re-derivation at $dir"
       else s"$failed gate(s) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -661,4 +661,74 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got2 == lab.toSeq.sorted, s"spark=$got2 replay=${lab.toSeq.sorted}")
   }
+
+  /** In-memory replay of the QUANTIZED Brandes estimator — the same
+    * sampled sources, hop horizon, and integer micro-unit δ with
+    * truncating division the operator documents.
+    */
+  private def bruteBetweenness(und: Seq[(Long, Long)], seedMod: Long,
+      hops: Int, topK: Int): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.Set[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val bc = mutable.HashMap.empty[Long, Long]
+    adj.keys.toSeq.sorted.filter(_ % seedMod == 0).foreach { s =>
+      val dist = mutable.HashMap(s -> 0)
+      val sigma = mutable.HashMap(s -> 1L)
+      val levels = mutable.ArrayBuffer(Seq(s))
+      for (l <- 1 to hops) {
+        val next = levels(l - 1).flatMap(adj(_)).distinct
+          .filterNot(dist.contains).sorted
+        next.foreach(v => dist(v) = l)
+        next.foreach(v => sigma(v) = adj(v).toSeq
+          .filter(u => dist.get(u).contains(l - 1)).map(sigma).sum)
+        levels += next
+      }
+      val dm = mutable.HashMap.empty[Long, Long]
+      for (l <- hops - 1 to 1 by -1) levels(l).foreach { v =>
+        val cs = adj(v).toSeq
+          .filter(w => dist.get(w).contains(l + 1))
+          .map(w => sigma(v) * (1000000L + dm.getOrElse(w, 0L)) / sigma(w))
+        if (cs.nonEmpty) { dm(v) = cs.sum; bc(v) = bc.getOrElse(v, 0L) + dm(v) }
+      }
+    }
+    bc.toSeq.sortBy { case (n, b) => (-b, n) }.take(topK)
+  }
+
+  test("betweenness: star center carries all of it, path midpoint tops; ≡ quantized replay") {
+    // star: center 10, leaves 1..5 — every leaf-to-leaf shortest path
+    // runs through the center, leaves are never interior
+    val star = (1L to 5L).map(l => (10L, l))
+    val gotStar = Graph.betweennessOf(toEdgeDf(star), seedMod = 1L,
+        hops = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // from each of 5 leaf sources the center's δμ is 4·10⁶ (4 unit-σ
+    // successors); the center source contributes nothing interior
+    assert(gotStar == Seq((10L, 20000000L)),
+      s"star: $gotStar (leaves must be absent, not zero)")
+    // path 1-2-3-4-5: the midpoint dominates; exact vs replay
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val gotPath = Graph.betweennessOf(toEdgeDf(path), seedMod = 1L,
+        hops = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPath == bruteBetweenness(path, 1L, 3, 10),
+      s"path: $gotPath vs ${bruteBetweenness(path, 1L, 3, 10)}")
+    assert(gotPath.head._1 == 3L, s"midpoint must top the path: $gotPath")
+  }
+
+  test("betweenness equals the quantized replay on a random graph incl. tied-σ splits") {
+    val rnd = new scala.util.Random(11)
+    // dense-ish so multiple equal-length paths (σ > 1) actually occur
+    val und = (for {
+      a <- 1L to 24L; b <- (a + 1) to 24L if rnd.nextDouble() < 0.18
+    } yield (a, b)).toSeq
+    val want = bruteBetweenness(und, seedMod = 2L, hops = 3, topK = 15)
+    val got = Graph.betweennessOf(toEdgeDf(und, parts = 4), seedMod = 2L,
+        hops = 3, topK = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"$got vs $want")
+  }
 }
