@@ -785,4 +785,104 @@ object TextAnalysis {
               round(CAST(h_micro AS DOUBLE)
                     / (CAST(dl AS DOUBLE) * 1000000.0), 4) AS xent_nats
        FROM agg ORDER BY doc_id"""
+
+  /** Heaps-law vocabulary growth curve + exponent (Heaps 1978,
+    * V(n) ≈ K·n^β): distinct-type count V and token count N at ten
+    * doc-id decile checkpoints, with β fit by log-log OLS — the
+    * curve a corpus builder reads to extrapolate vocabulary (and
+    * so tokenizer/embedding-table size) from a sample to the full
+    * 100 TB crawl; β stalling toward 0 is also a template/
+    * boilerplate alarm.
+    *
+    * No corpus-sized window anywhere: a global "tokens seen so far"
+    * prefix would be an unpartitionable ordered scan, so the curve
+    * is evaluated only at CHECKPOINTS — V(cut) counts tokens whose
+    * FIRST doc (a vocabulary-sized min aggregate) is ≤ cut, N(cut)
+    * sums per-doc lengths below the cut; both are ≤10× re-scans of
+    * already-aggregated frames against ten broadcast cut rows. The
+    * fit is exact-integer until the last division: x = round(ln N ·
+    * 10⁶), y = round(ln V · 10⁶) are BIGINTs per checkpoint (the
+    * micro-nat device), the five OLS moments are exact integer sums
+    * over ≤10 rows (≲2·10¹⁶, far under 2⁶³), and β is ONE pinned fp
+    * division rounded to 4.
+    */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame =
+    heapsCurveOf(Tables.documents(spark, dir))
+
+  /** Heaps core over any (doc_id, text) frame — see [[heapsCurve]]
+    * for the arithmetic contract.
+    */
+  def heapsCurveOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+    val firstDoc = tok.groupBy($"token").agg(min($"doc_id").as("fd"))
+    val perDoc = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val cuts = docs.agg(max($"doc_id").as("max_id"))
+      .select(explode(expr("sequence(1, 10)")).as("dec_i"), $"max_id")
+      .select($"dec_i".cast("long").as("dec"),
+        expr("(CAST(dec_i AS BIGINT) * max_id) div 10").as("cut"))
+    val v = broadcast(cuts).join(firstDoc, $"fd" <= $"cut")
+      .groupBy($"dec", $"cut").agg(count(lit(1)).as("v_types"))
+    val n = broadcast(cuts.select($"dec".as("nd"), $"cut".as("nc")))
+      .join(perDoc, $"doc_id" <= $"nc")
+      .groupBy($"nd").agg(sum($"dl").as("n_tokens"))
+    val curve = v.join(n, $"dec" === $"nd")
+      .select($"dec", $"cut", $"n_tokens", $"v_types")
+    val pts = curve.filter($"v_types" > 0L)
+      .select(
+        round(log($"n_tokens".cast("double")) * 1e6).cast("long").as("x"),
+        round(log($"v_types".cast("double")) * 1e6).cast("long").as("y"))
+    val beta = pts.agg(count(lit(1)).as("m"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"))
+      .select(round(
+        ($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"m" * $"sxx" - $"sx" * $"sx").cast("double"), 4).as("beta"))
+    curve.crossJoin(broadcast(beta)).orderBy($"dec")
+  }
+
+  val heapsCurveSql: String =
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       fd AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS fd
+              FROM tok GROUP BY 1),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+       cuts AS (
+         SELECT CAST(dec AS BIGINT) AS dec,
+                (dec * (SELECT max(doc_id) FROM documents)) // 10 AS cut
+         FROM unnest(range(1, 11)) AS u(dec)),
+       v AS (
+         SELECT dec, cut, CAST(count(*) AS BIGINT) AS v_types
+         FROM cuts JOIN fd ON fd.fd <= cuts.cut
+         GROUP BY 1, 2),
+       n AS (
+         SELECT dec, CAST(sum(dl) AS BIGINT) AS n_tokens
+         FROM cuts JOIN pd ON pd.doc_id <= cuts.cut
+         GROUP BY 1),
+       curve AS (
+         SELECT v.dec, cut, n_tokens, v_types
+         FROM v JOIN n ON v.dec = n.dec),
+       pts AS (
+         SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS x,
+                CAST(round(ln(CAST(v_types AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS y
+         FROM curve WHERE v_types > 0),
+       fit AS (
+         SELECT round(
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 4)
+           AS beta
+         FROM pts)
+       SELECT dec, cut, n_tokens, v_types, beta
+       FROM curve, fit ORDER BY dec"""
 }

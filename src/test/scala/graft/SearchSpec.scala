@@ -388,4 +388,42 @@ class SearchSpec extends SparkSpec {
     assert(gotS(2L).getAs[Double]("xent_nats") >
       gotS(1L).getAs[Double]("xent_nats"))
   }
+
+  test("heaps curve: all-distinct corpus fits beta = 1, constant corpus beta = 0; census by hand") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 10 docs (ids 1..10), 3 UNIQUE tokens each → V(cut) = N(cut) at
+    // every checkpoint, so the log-log fit is exactly beta = 1
+    val distinctDocs = (1 to 10).map(i =>
+      (i.toLong, s"t${i}a t${i}b t${i}c", "en", "s"))
+    val gotD = TextAnalysis.heapsCurveOf(
+      distinctDocs.toDF("doc_id", "text", "lang", "source"))
+      .orderBy("dec").collect()
+    assert(gotD.length == 10)
+    gotD.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("v_types"))
+      assert(r.getAs[Double]("beta") == 1.0)
+    }
+    // decile cut d covers docs 1..d → N = 3d
+    assert(gotD.map(_.getAs[Long]("n_tokens")).toSeq ==
+      (1 to 10).map(_ * 3L))
+    // constant corpus: V = 1 at every checkpoint → y ≡ 0 → beta = 0
+    val constDocs = (1 to 10).map(i => (i.toLong, "x x x x", "en", "s"))
+    val gotC = TextAnalysis.heapsCurveOf(
+      constDocs.toDF("doc_id", "text", "lang", "source"))
+      .orderBy("dec").collect()
+    gotC.foreach { r =>
+      assert(r.getAs[Long]("v_types") == 1L)
+      assert(r.getAs[Double]("beta") == 0.0)
+    }
+    // real corpus: the curve is monotone in both N and V. The synthetic
+    // corpus draws from a ~31-word pool, so V saturates at decile 1 and
+    // beta = 0 exactly — the boilerplate alarm the operator documents.
+    val real = TextAnalysis.heapsCurve(spark, SF).orderBy("dec").collect()
+    val ns = real.map(_.getAs[Long]("n_tokens")).toSeq
+    val vs = real.map(_.getAs[Long]("v_types")).toSeq
+    assert(ns == ns.sorted && vs == vs.sorted, "curve must be monotone")
+    val beta = real.head.getAs[Double]("beta")
+    assert(beta >= 0.0 && beta <= 1.0, s"beta=$beta out of the Heaps band")
+  }
 }
