@@ -582,6 +582,55 @@ object DecisionSupport {
       .orderBy($"numwait".desc, $"s_name")
   }
 
+  /** Q12 (shipping modes and order priority): per "mode", count
+    * high-priority vs low-priority orders among late-shipped lines —
+    * the conditional-census-after-join shape, the last partsupp-free
+    * TPC-H query. This corpus has no l_shipmode / commit / receipt
+    * dates, so the mode dimension is l_linestatus and lateness is
+    * ship-vs-order (the Q4 adaptation). Scale: the lineitem scan is
+    * date-pruned before the keyed orderkey shuffle (neither side of
+    * lineitem↔orders broadcasts at 100 TB), both CASE-counts
+    * partial-aggregate map-side, and the final exchange carries
+    * |distinct linestatus| rows per partition.
+    */
+  def q12ShipmodePriority(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01",
+      lateDays: Int = 60): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= from && $"l_shipdate" < until)
+      .select($"l_orderkey", $"l_shipdate", $"l_linestatus")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    li.join(ord, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" &&
+          $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  def q12ShipmodePrioritySql(from: String = "1996-01-01",
+      until: String = "1997-01-01", lateDays: Int = 60): String =
+    s"""SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '$from'
+         AND l_shipdate < TIMESTAMP '$until'
+         AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY
+       GROUP BY l_linestatus
+       ORDER BY l_linestatus"""
+
   def q21SoleLateSupplierSql(lateDays: Int = 90): String =
     s"""WITH os AS (
          SELECT l_orderkey, l_suppkey,

@@ -155,6 +155,28 @@ class DecisionSupportSpec extends SparkSpec {
     assert(gate == direct, s"gate $gate != driver re-count $direct")
   }
 
+  test("q12: high+low counts re-add to the late-line census per status") {
+    import spark.implicits._
+    val gate = DecisionSupport.q12ShipmodePriority(spark, SF).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pri = Tables.orders(spark, SF)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority").collect()
+      .map(r => r.getLong(0) -> ((ldt(r.get(1)), r.getString(2)))).toMap
+    val direct = Tables.lineitem(spark, SF)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .select($"l_orderkey", $"l_shipdate", $"l_linestatus").collect()
+      .flatMap { r =>
+        val (od, p) = pri(r.getLong(0))
+        if (ldt(r.get(1)).isAfter(od.plusDays(60)))
+          Some(r.getString(2) -> (p == "1-URGENT" || p == "2-HIGH"))
+        else None
+      }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }.toMap
+    assert(gate == direct, s"gate $gate != driver re-count $direct")
+  }
+
   test("q10: the returned top-k is the prefix of the full revenue ordering") {
     import spark.implicits._
     val top = DecisionSupport.q10ReturnedItems(spark, SF, k = 20).collect()
