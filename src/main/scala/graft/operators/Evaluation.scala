@@ -134,4 +134,122 @@ object Evaluation {
        FROM binned
        GROUP BY bin ORDER BY bin"""
   }
+
+  /** Multi-feature OLS by normal equations — the canonical
+    * distributed-regression shape: ONE map-side-combined aggregate
+    * accumulates the Gram moments X'X and X'y (here 2 features +
+    * intercept → 10 scalars), and the 3×3 solve is a metadata-scale
+    * projection over that single row. The corpus never shuffles and
+    * never sorts; at 100 TB the job is one pass + one 10-number
+    * reduce, and d features cost O(d²) aggregate state — the same
+    * shape MLlib's normal-equation solver uses, restated declaratively.
+    *
+    * Exactness: features and target are integer-quantized (quantity
+    * units, discount basis points, price cents) and every moment is
+    * an exact decimal(38,0) sum — order-free, with ~10²⁰ rows of
+    * headroom over the worst per-row product (y² ≈ 10¹³). The solve
+    * (Cramer) runs in doubles, but BOTH engines evaluate the SAME
+    * expression tree over the SAME exact integers, and IEEE ops are
+    * deterministic — the formula text below is interpolated into the
+    * Spark projection and the DuckDB oracle from one constant.
+    */
+  def mlLinregNormal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mlLinregNormalOf(Tables.lineitem(spark, dir).select(
+      $"l_quantity".cast("long").as("x1"),
+      round($"l_discount" * 10000).cast("long").as("x2"),
+      round($"l_extendedprice" * 100).cast("long").as("y")))
+  }
+
+  /** Core over any (x1, x2, y) integer-quantized frame. */
+  def mlLinregNormalOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val moments = d.agg(
+      count(lit(1)).as("n"),
+      sum($"x1".cast("decimal(38,0)")).as("s1"),
+      sum($"x2".cast("decimal(38,0)")).as("s2"),
+      sum(($"x1" * $"x1").cast("decimal(38,0)")).as("s11"),
+      sum(($"x1" * $"x2").cast("decimal(38,0)")).as("s12"),
+      sum(($"x2" * $"x2").cast("decimal(38,0)")).as("s22"),
+      sum(($"x1" * $"y").cast("decimal(38,0)")).as("s1y"),
+      sum(($"x2" * $"y").cast("decimal(38,0)")).as("s2y"),
+      sum($"y".cast("decimal(38,0)")).as("sy"),
+      sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+    moments
+      .selectExpr(Evaluation.linregDoubleCasts: _*)
+      .selectExpr(Evaluation.linregSolve: _*)
+      .selectExpr(Evaluation.linregOut: _*)
+  }
+
+  /** Stage 1: one double cast per exact moment (deterministic —
+    * integer → nearest double on both engines). */
+  val linregDoubleCasts: Seq[String] = Seq(
+    "CAST(n AS BIGINT) AS n_out", "CAST(n AS DOUBLE) AS nd",
+    "CAST(s1 AS DOUBLE) AS d1", "CAST(s2 AS DOUBLE) AS d2",
+    "CAST(s11 AS DOUBLE) AS d11", "CAST(s12 AS DOUBLE) AS d12",
+    "CAST(s22 AS DOUBLE) AS d22", "CAST(s1y AS DOUBLE) AS d1y",
+    "CAST(s2y AS DOUBLE) AS d2y", "CAST(sy AS DOUBLE) AS dy",
+    "CAST(syy AS DOUBLE) AS dyy")
+
+  /** Stage 2: Cramer's rule on the 3×3 normal matrix
+    * [n s1 s2; s1 s11 s12; s2 s12 s22]·b = [sy s1y s2y]. */
+  val linregSolve: Seq[String] = Seq(
+    "n_out", "nd", "dy", "dyy", "d1y", "d2y",
+    """((dy*(d11*d22 - d12*d12) - d1*(d1y*d22 - d12*d2y)
+        + d2*(d1y*d12 - d11*d2y))
+       / (nd*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+          + d2*(d1*d12 - d11*d2))) AS b0""",
+    """((nd*(d1y*d22 - d12*d2y) - dy*(d1*d22 - d12*d2)
+        + d2*(d1*d2y - d1y*d2))
+       / (nd*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+          + d2*(d1*d12 - d11*d2))) AS b1""",
+    """((nd*(d11*d2y - d1y*d12) - d1*(d1*d2y - d1y*d2)
+        + dy*(d1*d12 - d11*d2))
+       / (nd*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+          + d2*(d1*d12 - d11*d2))) AS b2""")
+
+  /** Stage 3: betas cents→dollars at the display edge; R² from the
+    * unrounded solution via SSE = syy − b·X'y. */
+  val linregOut: Seq[String] = Seq(
+    "n_out AS n",
+    "round(b0 / 100.0, 6) AS beta0",
+    "round(b1 / 100.0, 6) AS beta1",
+    "round(b2 / 100.0, 6) AS beta2",
+    """round(1.0 - (dyy - b0*dy - b1*d1y - b2*d2y)
+             / (dyy - dy*dy/nd), 6) AS r2""")
+
+  val mlLinregNormalSql: String = {
+    val casts = linregDoubleCasts.mkString(",\n              ")
+    val solve = linregSolve.mkString(",\n              ")
+    val out = linregOut.mkString(",\n              ")
+    s"""WITH m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+                CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                     AS DECIMAL(38,0)) AS s2,
+                CAST(sum(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT))
+                     AS DECIMAL(38,0)) AS s11,
+                CAST(sum(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_discount * 10000) AS BIGINT))
+                     AS DECIMAL(38,0)) AS s12,
+                CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)
+                         * CAST(round(l_discount * 10000) AS BIGINT))
+                     AS DECIMAL(38,0)) AS s22,
+                CAST(sum(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DECIMAL(38,0)) AS s1y,
+                CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DECIMAL(38,0)) AS s2y,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DECIMAL(38,0)) AS sy,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DECIMAL(38,0)) AS syy
+         FROM lineitem),
+       c AS (SELECT $casts FROM m),
+       s AS (SELECT $solve FROM c)
+       SELECT $out FROM s"""
+  }
 }

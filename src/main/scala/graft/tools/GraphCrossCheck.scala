@@ -242,43 +242,59 @@ object GraphCrossCheck {
         })
     }
 
-    // ── neighbor-Jaccard link prediction (top 20 non-adjacent pairs) ──
+    // ── neighbor-Jaccard + Adamic–Adar link prediction (top 20
+    // non-adjacent pairs each) ──
     // Σ C(deg,2) wedge pairs (~1.4·10⁸ at sf0.1) would OOM a boxed
-    // HashMap; pack each a<b pair into one Long, sort the flat
-    // primitive array, and count runs — ~1.1 GB peak, no boxing.
+    // HashMap; pack each a<b pair AND the apex degree into one Long
+    // (a:24 | b:24 | deg:16), sort the flat primitive array, and walk
+    // runs over the 48-bit pair prefix — ~1.1 GB peak, no boxing, one
+    // array serving both gates (run length = common count for
+    // Jaccard; Σ round(10⁶/ln(low 16 bits)) = the Adamic–Adar sum).
     val nbrSet = adj.view.mapValues(_.toSet).toMap
     val wedgeCount = nodes.map { n =>
       val d = adj(n).length.toLong; d * (d - 1) / 2
     }.sum
-    require(wedgeCount < Int.MaxValue && nodes.last < (1L << 31),
-      s"wedge array too large: $wedgeCount")
+    val maxDeg = nodes.map(n => adj(n).length).max
+    require(wedgeCount < Int.MaxValue && nodes.last < (1L << 24) &&
+        maxDeg < (1 << 16),
+      s"wedge array too large: $wedgeCount (maxDeg=$maxDeg)")
     val wedges = new Array[Long](wedgeCount.toInt)
     var wi = 0
     nodes.foreach { apex =>
       val ns = adj(apex).sorted.toArray
+      val d = ns.length.toLong
       var i = 0
       while (i < ns.length) {
         var j = i + 1
         while (j < ns.length) {
-          wedges(wi) = (ns(i) << 32) | ns(j); wi += 1; j += 1
+          wedges(wi) = (ns(i) << 40) | (ns(j) << 16) | d; wi += 1; j += 1
         }
         i += 1
       }
     }
     java.util.Arrays.sort(wedges)
-    // keep-20 queue dequeues the WORST candidate under (ppm desc, a, b)
+    // keep-20 queues dequeue the WORST candidate under (score desc, a, b)
     val worstFirst = mutable.PriorityQueue.empty[(Long, Long, Long, Long)](
       Ordering.by { case (ppm, a, b, _) => (-ppm, a, b) })
+    val worstAa = mutable.PriorityQueue.empty[(Long, Long, Long, Long)](
+      Ordering.by { case (aa, a, b, _) => (-aa, a, b) })
     var k = 0
     while (k < wedges.length) {
       var e = k
-      while (e < wedges.length && wedges(e) == wedges(k)) e += 1
-      val (a, b) = (wedges(k) >>> 32, wedges(k) & 0xffffffffL)
+      var aaSum = 0L
+      while (e < wedges.length &&
+          (wedges(e) >>> 16) == (wedges(k) >>> 16)) {
+        aaSum += math.round(1000000.0 / math.log((wedges(e) & 0xffffL).toDouble))
+        e += 1
+      }
+      val (a, b) = (wedges(k) >>> 40, (wedges(k) >> 16) & 0xffffffL)
       if (!nbrSet(a).contains(b)) {
         val c = (e - k).toLong
         worstFirst.enqueue(
           (c * 1000000L / (nbrSet(a).size + nbrSet(b).size - c), a, b, c))
         if (worstFirst.size > 20) worstFirst.dequeue()
+        worstAa.enqueue((aaSum, a, b, c))
+        if (worstAa.size > 20) worstAa.dequeue()
       }
       k = e
     }
@@ -287,6 +303,11 @@ object GraphCrossCheck {
       .toSeq
     check("graph_neighbor_jaccard",
       rows(graft.operators.Graph.neighborJaccard(spark, dir)), jacTop)
+    val aaTop = worstAa.dequeueAll.reverse
+      .map((t: (Long, Long, Long, Long)) => Seq(t._2, t._3, t._4, t._1))
+      .toSeq
+    check("graph_adamic_adar",
+      rows(graft.operators.Graph.adamicAdar(spark, dir)), aaTop)
 
     // ── personalized pagerank (seeds ≡ 0 mod 97, 5 iters, top 20) ──
     val pprSeq: Map[Long, Long] = {

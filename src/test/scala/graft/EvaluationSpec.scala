@@ -232,4 +232,49 @@ class EvaluationSpec extends SparkSpec {
     assert(gate.forall { case (_, b, _) => math.abs(b - nb10) <= 3L },
       s"baseline deciles uneven: ${gate.toSeq}")
   }
+
+  test("normal-equation OLS: betas re-solve from a driver-side fold; R2 in [0,1]") {
+    import spark.implicits._
+    val row = graft.operators.Evaluation.mlLinregNormal(spark, SF).head
+    // independent re-solve: exact BigInt moments off the raw rows,
+    // then Gaussian elimination in plain doubles
+    val rows = Tables.lineitem(spark, SF)
+      .select($"l_quantity".cast("long"),
+        round($"l_discount" * 10000).cast("long"),
+        round($"l_extendedprice" * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toDouble
+    def s(f: ((Long, Long, Long)) => BigInt): Double =
+      rows.map(f).sum.toDouble
+    val (s1, s2) = (s(_._1.toLong), s(_._2.toLong))
+    val (s11, s12, s22) = (s(r => BigInt(r._1) * r._1),
+      s(r => BigInt(r._1) * r._2), s(r => BigInt(r._2) * r._2))
+    val (s1y, s2y, sy) = (s(r => BigInt(r._1) * r._3),
+      s(r => BigInt(r._2) * r._3), s(_._3.toLong))
+    val a = Array(
+      Array(n, s1, s2, sy), Array(s1, s11, s12, s1y),
+      Array(s2, s12, s22, s2y))
+    for (p <- 0 until 3; r <- 0 until 3 if r != p) {
+      val f = a(r)(p) / a(p)(p)
+      for (c <- 0 to 3) a(r)(c) -= f * a(p)(c)
+    }
+    val b = (0 until 3).map(i => a(i)(3) / a(i)(i) / 100.0)
+    assert(math.abs(row.getAs[Double]("beta0") - b(0)) < 1e-4, s"$row vs $b")
+    assert(math.abs(row.getAs[Double]("beta1") - b(1)) < 1e-4)
+    assert(math.abs(row.getAs[Double]("beta2") - b(2)) < 1e-4)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2=$r2")
+    // planted exact-linear data: y_cents = 30000 + 200*x1 + 500*x2
+    // recovers (300, 2, 5) in display dollars with r2 = 1 exactly
+    val planted = (1 to 200).map { i =>
+      val (x1, x2) = (i.toLong % 37L, (i * 7).toLong % 53L)
+      (x1, x2, 30000L + 200L * x1 + 500L * x2)
+    }
+    val got = graft.operators.Evaluation.mlLinregNormalOf(
+      planted.toDF("x1", "x2", "y")).head
+    assert(got.getAs[Double]("beta0") == 300.0, got.toString)
+    assert(got.getAs[Double]("beta1") == 2.0)
+    assert(got.getAs[Double]("beta2") == 5.0)
+    assert(got.getAs[Double]("r2") == 1.0)
+  }
 }

@@ -486,6 +486,66 @@ class GraphSpec extends SparkSpec {
     spark.createDataFrame(
       spark.sparkContext.parallelize(bothDirs(und), parts)).toDF("src", "dst")
 
+  /** Brute-force Adamic–Adar in the same quantize-then-sum integer
+    * arithmetic: w(c) = round(10⁶ / ln deg c), summed per pair.
+    */
+  private def bruteAdamicAdar(
+      und: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+    val nbrs = bothDirs(und).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def w(c: Long): Long =
+      if (nbrs(c).size >= 2) math.round(1000000.0 / math.log(nbrs(c).size))
+      else 0L
+    val nodes = nbrs.keys.toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b
+      if !nbrs(a).contains(b)
+      cs = nbrs(a) & nbrs(b) if cs.nonEmpty
+    } yield (a, b) -> (cs.size.toLong, cs.toSeq.map(w).sum)).toMap
+  }
+
+  test("Adamic-Adar equals integer brute force on crafted and random graphs") {
+    // crafted: the shared-clique shape — node 4 is the hub apex
+    // (deg 4 → weight 10⁶/ln 4), pendant 8 exercises the deg-1 guard
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L), (8L, 1L))
+    val got = Graph.adamicAdarOf(toEdgeDf(und), topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val exp = bruteAdamicAdar(und)
+    assert(got == exp, s"spark=$got brute=$exp")
+    assert(!got.keySet.exists(p => und.contains(p)))
+    // pair (2,8) shares only node 1 (deg 3): its score is exactly
+    // that one apex weight — pins the quantization formula itself
+    val byPair = got.view.mapValues(_._2).toMap
+    assert(byPair((2L, 8L)) == math.round(1000000.0 / math.log(3)),
+      "single-wedge pair scores exactly its apex weight")
+    // random graph
+    val rnd = new scala.util.Random(23)
+    val rndUnd = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val gotR = Graph.adamicAdarOf(toEdgeDf(rndUnd, 5), topK = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(gotR == bruteAdamicAdar(rndUnd))
+  }
+
+  test("Adamic-Adar enforces the wedge budget and the id packing bound") {
+    val hub = (1L to 40L).map(i => (0L, i))
+    val ex = intercept[IllegalStateException] {
+      Graph.adamicAdarOf(toEdgeDf(hub), topK = 5, wedgeBudget = 100L)
+    }
+    assert(ex.getMessage.contains("neighborJaccardSketchOf"))
+    assert(Graph.adamicAdarOf(toEdgeDf(hub), topK = 5,
+      wedgeBudget = 1000L).count() > 0)
+    val bad = Seq((1L, 4294967296L))
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.adamicAdarOf(toEdgeDf(bad), topK = 5)
+    }
+    assert(ex2.getMessage.contains("remap ids first"))
+  }
+
   test("wedge budget guard: a hub graph over the ceiling throws and names the valve; under it runs") {
     // star with a 40-degree hub: Σ C(deg,2) = C(40,2) = 780 wedges
     val hub = (1L to 40L).map(i => (0L, i))
