@@ -106,6 +106,79 @@ object EntityResolution {
                     ELSE (n_found * 1000000) // n_true END AS recall_ppm
         FROM agg"""
 
+  /** American Soundex as a pure column-expression chain (Russell &
+    * Odell's 1918 patent algorithm, public domain; the recipe is the
+    * standard one: digit-map with h/w deleted BEFORE run-collapsing —
+    * that deletion IS the "same code separated by h/w merges" rule —
+    * vowels kept as 0-separators, collapse runs, drop the first
+    * letter's own run, strip zeros, pad to letter+3). Everything is
+    * translate/regexp/substring built-ins, so the whole derivation
+    * runs inside whole-stage codegen and restates verbatim in the
+    * oracle.
+    */
+  private val sdxFrom = "abcdefgijklmnopqrstuvxyzhw" // h,w last → deleted
+  private val sdxTo = "012301202245501262301202"
+
+  def soundexCol(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val code = translate(lower(tok), sdxFrom, sdxTo)
+    val collapsed = (0 to 6).foldLeft(code)((c, d) =>
+      regexp_replace(c, s"$d+", s"$d"))
+    val first = lower(substring(tok, 1, 1))
+    val body = when(first.isin("h", "w"), collapsed)
+      .otherwise(substring(collapsed, 2, 1000000))
+    concat(upper(first),
+      substring(concat(regexp_replace(body, "0", ""), lit("000")), 1, 3))
+  }
+
+  /** The same derivation in DuckDB SQL over an expression `x`
+    * (regexp_replace needs the 'g' flag there; translate deletion
+    * semantics match).
+    */
+  def soundexSqlExpr(x: String): String = {
+    val code = s"translate(lower($x), '$sdxFrom', '$sdxTo')"
+    val collapsed = (0 to 6).foldLeft(code)((c, d) =>
+      s"regexp_replace($c, '$d+', '$d', 'g')")
+    s"""(upper(substring($x, 1, 1)) ||
+        substring(replace(
+          CASE WHEN lower(substring($x, 1, 1)) IN ('h', 'w')
+               THEN $collapsed
+               ELSE substring($collapsed, 2) END,
+          '0', '') || '000', 1, 3))"""
+  }
+
+  /** Gate: phonetic block census over the distinct leading-token
+    * vocabulary of part names — the blocking-key builder for ER at
+    * scale (soundex collides spelling variants first-token equality
+    * misses: smith/smyth, robert/rupert). The corpus collapses to
+    * the token vocabulary BEFORE any soundex work, so the derivation
+    * cost is vocabulary-sized and corpus-size-independent; the census
+    * groups on the code domain.
+    */
+  def soundexBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(substring_index($"p_name", " ", 1).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .withColumn("sdx", soundexCol($"token"))
+      .groupBy($"sdx")
+      .agg(count(lit(1)).as("n_tokens"), sum($"n").as("n_names"),
+        min($"token").as("sample_token"))
+      .orderBy($"sdx")
+  }
+
+  def soundexBlocksSql: String = {
+    val sdx = soundexSqlExpr("token")
+    s"""WITH toks AS (
+         SELECT split_part(p_name, ' ', 1) AS token,
+                CAST(count(*) AS BIGINT) AS n
+         FROM part GROUP BY 1),
+       coded AS (SELECT token, n, $sdx AS sdx FROM toks)
+       SELECT sdx, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(n) AS BIGINT) AS n_names,
+              min(token) AS sample_token
+       FROM coded GROUP BY sdx ORDER BY sdx"""
+  }
+
   def jaroNamePairsSql(threshold: Double = 0.85): String =
     s"""WITH names AS (
           SELECT p_name, CAST(count(*) AS BIGINT) AS n

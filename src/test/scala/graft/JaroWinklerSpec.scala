@@ -123,4 +123,32 @@ class JaroWinklerSpec extends SparkSpec {
     // this corpus (first tokens carry the JW prefix weight)
     assert(r.getLong(4) > 500000L, s"reduction too weak: ${r.getLong(4)}")
   }
+
+  test("soundex column matches the published reference codes, incl. the H/W rule") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    // the canonical National-Archives examples + phonetic collisions
+    val cases = Seq(
+      "robert" -> "R163", "rupert" -> "R163",     // collision pair
+      "ashcraft" -> "A261", "ashcroft" -> "A261", // s,c merge across h
+      "tymczak" -> "T522",                        // z,c adjacent merge
+      "pfister" -> "P236",                        // first-letter run drop
+      "honeyman" -> "H555",                       // leading h
+      "smith" -> "S530", "smyth" -> "S530",       // collision pair
+      "washington" -> "W252",                     // leading w
+      "lee" -> "L000", "a" -> "A000",             // short names pad
+      "jackson" -> "J250", "gutierrez" -> "G362")
+    val got = cases.map(_._1).toDF("tok")
+      .select($"tok", EntityResolution.soundexCol($"tok").as("sdx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (tok, want) =>
+      assert(got(tok) == want, s"soundex($tok) = ${got(tok)}, want $want")
+    }
+    // block census: every token lands in exactly one block, masses re-add
+    val census = EntityResolution.soundexBlocks(spark, SF).collect()
+    val vocab = Tables.part(spark, SF)
+      .select(substring_index($"p_name", " ", 1)).distinct().count()
+    assert(census.map(_.getLong(1)).sum == vocab)
+    assert(census.map(_.getLong(2)).sum == Tables.part(spark, SF).count())
+  }
 }
