@@ -757,6 +757,88 @@ object Analytics {
        ORDER BY support DESC, p1, p2, p3
        LIMIT 20"""
 
+  /** Association rules with confidence and lift (Agrawal/Imieliński/
+    * Swami 1993) — the directional layer above [[basketPairs]]:
+    * rule a→b scored by confidence = supp(ab)/supp(a) and
+    * lift = N·supp(ab)/(supp(a)·supp(b)), both held exact in integer
+    * ppm (floor-divided products of exact BIGINT supports; N·10⁶·supp
+    * ≈ 10¹⁴ at gate scale — the DECIMAL(38,0) valve applies past
+    * ~10⁹ baskets). Supports are ORDER-level (distinct parts per
+    * basket), unlike the line-pair census of basketPairs.
+    *
+    * Plan: one distinct (order, part) shuffle feeds BOTH the
+    * map-side pair enumeration (Σ basket², bounded by basket size —
+    * never a fact self-join) and the item-support aggregate; rules
+    * join pair supports to the two part-keyed support frames
+    * (vocabulary-sized, broadcast), and the basket total rides in as
+    * a one-row broadcast. Nothing corpus-sized shuffles twice.
+    */
+  def assocRules(spark: SparkSession, dir: String,
+      minSupport: Long = 3L, topK: Int = 30): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val items = baskets.groupBy($"l_partkey".as("item"))
+      .agg(count(lit(1)).as("supp_item"))
+    val nBaskets = baskets.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS p1, y AS p2))))""")).as("pr"))
+      .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter($"supp_ab" >= minSupport)
+    // both rule directions off the symmetric pair support
+    val rules = pairs.select($"p1".as("ante"), $"p2".as("cons"), $"supp_ab")
+      .unionByName(
+        pairs.select($"p2".as("ante"), $"p1".as("cons"), $"supp_ab"))
+    rules
+      .join(broadcast(items.select($"item".as("ante"), $"supp_item".as("supp_a"))), "ante")
+      .join(broadcast(items.select($"item".as("cons"), $"supp_item".as("supp_b"))), "cons")
+      .crossJoin(broadcast(nBaskets))
+      .select($"ante", $"cons", $"supp_ab", $"supp_a", $"supp_b",
+        expr("(supp_ab * 1000000L) div supp_a").as("conf_ppm"),
+        expr("(supp_ab * n_baskets * 1000000L) div (supp_a * supp_b)")
+          .as("lift_ppm"))
+      .orderBy($"lift_ppm".desc, $"ante", $"cons")
+      .limit(topK)
+  }
+
+  def assocRulesSql(minSupport: Long = 3L, topK: Int = 30): String =
+    s"""WITH baskets AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       items AS (
+         SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS supp_item
+         FROM baskets GROUP BY 1),
+       n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+             FROM baskets),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                CAST(count(*) AS BIGINT) AS supp_ab
+         FROM baskets a JOIN baskets b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         HAVING count(*) >= $minSupport),
+       rules AS (
+         SELECT p1 AS ante, p2 AS cons, supp_ab FROM pairs
+         UNION ALL
+         SELECT p2 AS ante, p1 AS cons, supp_ab FROM pairs)
+       SELECT ante, cons, supp_ab,
+              ia.supp_item AS supp_a, ib.supp_item AS supp_b,
+              (supp_ab * 1000000) // ia.supp_item AS conf_ppm,
+              (supp_ab * n.n_baskets * 1000000)
+                // (ia.supp_item * ib.supp_item) AS lift_ppm
+       FROM rules
+       JOIN items ia ON ia.item = rules.ante
+       JOIN items ib ON ib.item = rules.cons
+       CROSS JOIN n
+       ORDER BY lift_ppm DESC, ante, cons
+       LIMIT $topK"""
+
   /** Last-touch marketing attribution: each purchase is credited to
     * the user's most recent click/view at-or-before it within
     * `windowHours`; purchases with no in-window touch are 'direct'.

@@ -160,4 +160,34 @@ class MiningSpec extends SparkSpec {
     assert(corpus == active,
       s"identity broken: ${corpus.toSet.diff(active.toSet).take(3)}")
   }
+
+  test("association rules: supports, confidence, and lift re-derive from a basket fold") {
+    import spark.implicits._
+    val rules = graft.operators.Analytics.assocRules(spark, SF).collect()
+    assert(rules.nonEmpty)
+    val baskets = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemSupp = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = byOrder.size.toLong
+    val pairSupp = byOrder.values
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rules.foreach { r =>
+      val (a, c) = (r.getAs[Long]("ante"), r.getAs[Long]("cons"))
+      val sAb = pairSupp(if (a < c) (a, c) else (c, a))
+      assert(r.getAs[Long]("supp_ab") == sAb, s"supp mismatch $r")
+      assert(r.getAs[Long]("supp_a") == itemSupp(a))
+      assert(r.getAs[Long]("supp_b") == itemSupp(c))
+      assert(r.getAs[Long]("conf_ppm") == sAb * 1000000L / itemSupp(a))
+      assert(r.getAs[Long]("lift_ppm") ==
+        sAb * n * 1000000L / (itemSupp(a) * itemSupp(c)))
+      assert(sAb >= 3L, "min-support leak")
+    }
+    // lift ordering is respected and symmetric rules both appear when
+    // both clear the cut (they share supp_ab so both were emitted)
+    val lifts = rules.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+  }
 }
