@@ -106,6 +106,63 @@ object EntityResolution {
                     ELSE (n_found * 1000000) // n_true END AS recall_ppm
         FROM agg"""
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    * SIGMOD 1995): sort the distinct-name vocabulary on its own
+    * value and pair each name with its next `w−1` neighbors via
+    * `lead` — the classic alternative to equality blocking, catching
+    * near-duplicates that straddle a block boundary. Candidates are
+    * verified with the native Jaro–Winkler kernel and kept at
+    * ≥ `threshold`.
+    *
+    * Scale: the window runs over the DISTINCT-NAME domain
+    * (vocabulary-sized — the same exemption family as the other ER
+    * operators), never corpus rows; at corpus scale the sort becomes
+    * the range-partitioned total order of [[graft.pipeline.SortedExport]]
+    * and the window stays per-partition with a (w−1)-row boundary
+    * exchange, which is how the multi-pass method is deployed in
+    * practice.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+      w: Int = 4, threshold: Double = 0.80): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables.part(spark, dir).select($"p_name").distinct()
+    val win = Window.orderBy($"p_name")
+    val withLeads = names.select($"p_name".as("name_a") +:
+      (1 until w).map(i => lead($"p_name", i).over(win).as(s"nb$i")): _*)
+    val cand = withLeads.select($"name_a",
+        explode(array((1 until w).map(i =>
+          struct(col(s"nb$i").as("name_b"), lit(i.toLong).as("dist"))): _*))
+          .as("c"))
+      .select($"name_a", $"c.name_b", $"c.dist")
+      .filter($"name_b".isNotNull)
+    cand
+      .withColumn("jw", call_function("jaro_winkler", $"name_a", $"name_b"))
+      .filter($"jw" >= threshold)
+      .select($"name_a", $"name_b", $"dist", round($"jw", 4).as("jw_sim"))
+      .orderBy($"name_a", $"name_b")
+  }
+
+  def sortedNeighborhoodSql(w: Int = 4, threshold: Double = 0.80): String = {
+    val leads = (1 until w).map(i =>
+      s"lead(p_name, $i) OVER (ORDER BY p_name) AS nb$i").mkString(",\n                ")
+    val arms = (1 until w).map(i =>
+      s"SELECT name_a, nb$i AS name_b, CAST($i AS BIGINT) AS dist FROM leads WHERE nb$i IS NOT NULL")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+       leads AS (
+         SELECT p_name AS name_a,
+                $leads
+         FROM names),
+       cand AS (
+         $arms)
+       SELECT name_a, name_b, dist,
+              round(jaro_winkler_similarity(name_a, name_b), 4) AS jw_sim
+       FROM cand
+       WHERE jaro_winkler_similarity(name_a, name_b) >= $threshold
+       ORDER BY name_a, name_b"""
+  }
+
   /** American Soundex as a pure column-expression chain (Russell &
     * Odell's 1918 patent algorithm, public domain; the recipe is the
     * standard one: digit-map with h/w deleted BEFORE run-collapsing —

@@ -124,6 +124,24 @@ class JaroWinklerSpec extends SparkSpec {
     assert(r.getLong(4) > 500000L, s"reduction too weak: ${r.getLong(4)}")
   }
 
+  test("sorted-neighborhood candidates equal a driver-side sliding window over the sorted vocabulary") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    val got = EntityResolution.sortedNeighborhood(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val vocab = Tables.part(spark, SF).select($"p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val exp = (for {
+      i <- vocab.indices; d <- 1 to 3 if i + d < vocab.length
+      j = jw(vocab(i), vocab(i + d)) if j >= 0.80
+    } yield (vocab(i), vocab(i + d), d.toLong,
+        math.rint(j * 10000) / 10000)).toSet
+    assert(got == exp,
+      s"diff: ${(got diff exp).take(3)} / ${(exp diff got).take(3)}")
+  }
+
   test("soundex column matches the published reference codes, incl. the H/W rule") {
     import spark.implicits._
     import graft.operators.EntityResolution

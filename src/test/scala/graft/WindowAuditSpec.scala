@@ -142,7 +142,13 @@ class WindowAuditSpec extends SparkSpec {
         "≤1000-row band-total frame — the groupBy below already " +
         "collapsed the corpus; the corpus-sized running sum is " +
         "partitioned by band (same banded-cumsum device as " +
-        "capTokensPerSource)")
+        "capTokensPerSource)"),
+    "er_sorted_neighborhood" ->
+      ("w−1 lead columns over the DISTINCT-NAME vocabulary " +
+        "(vocabulary-sized, orders smaller than the corpus — same " +
+        "domain rationale as the other ER operators); at corpus " +
+        "scale the sort becomes the range-partitioned total order " +
+        "of SortedExport with per-partition windows")
     // lake_sorted_export's disjointness lag runs EAGERLY inside gate
     // construction over the per-file stats frame (`files` rows) — the
     // returned plan carries no window, so no exemption is needed here
