@@ -120,6 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("dtw"),
+      new ExpressionInfo(classOf[Dtw].getName, "dtw"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dtw(a, b)")
+        Dtw(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("ss_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "ss_topk"),
       (children: Seq[Expression]) =>

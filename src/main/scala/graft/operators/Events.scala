@@ -312,6 +312,43 @@ object Events {
       .orderBy($"dow", $"hod")
   }
 
+  /** Pairwise dynamic-time-warping distance between event-type
+    * hour-of-day activity profiles (Berndt & Clifford 1994 — the
+    * time-series-similarity classic; DTW forgives phase shifts a
+    * Euclidean distance punishes, which is exactly what differing
+    * usage rhythms are). Profiles are dense 24-point integer count
+    * vectors; the warp runs in the native `dtw` kernel
+    * (functions/Dtw.scala — exact BIGINT DP, whole-stage codegen) so
+    * no oracle-unfriendly fp exists anywhere.
+    *
+    * Scale shape: the corpus collapses to |types|·24 counts in one
+    * map-side-partial aggregate; profile assembly is a per-row
+    * transform over a 24-slot spine (no second shuffle), and the
+    * pairwise join runs on the TYPE domain — corpus-size-independent,
+    * broadcast both sides. No SQL oracle exists for the DP (DuckDB
+    * has no DTW and its RE2 SQL can't express the recurrence), so the
+    * gate is rows-only and exactness is pinned by TimeSeriesSpec's
+    * reference fold.
+    */
+  def dtwProfiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prof = Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").cast("long").as("hod"))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(map_from_entries(collect_list(struct($"hod", $"n"))).as("m"))
+      .select($"event_type",
+        expr("transform(sequence(0L, 23L), h -> coalesce(element_at(m, h), 0L))")
+          .as("profile"))
+    val a = prof.select($"event_type".as("type_a"), $"profile".as("pa"))
+    val b = prof.select($"event_type".as("type_b"), $"profile".as("pb"))
+    a.join(broadcast(b), $"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        call_function("dtw", $"pa", $"pb").as("dtw_dist"))
+      .orderBy($"dtw_dist", $"type_a", $"type_b")
+  }
+
   val weeklyProfileSql: String =
     """SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
               CAST(date_part('hour', ts) AS BIGINT) AS hod,

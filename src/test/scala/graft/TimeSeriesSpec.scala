@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Events
+import org.apache.spark.sql.functions.{call_function, hour}
 
 /** Gap-fill densification and the integer z-score anomaly detector
   * built on it.
@@ -316,6 +317,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("seasonal residuals: each (dow, hod) cell sums to zero and matches brute force") {
     import graft.operators.Events
+import org.apache.spark.sql.functions.{call_function, hour}
     val rows = Events.seasonalResidual(spark, SF)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -580,5 +582,62 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         ((r.getAs[Long]("n_pairs"), r.getAs[Long]("sen_x2_micro")))).toMap
     assert(got == expected.toMap, s"$got vs $expected")
+  }
+
+  /** Reference DTW: the full (n+1)×(m+1) textbook matrix, no rolling
+    * rows — an independent spelling of the kernel's recurrence.
+    */
+  private def refDtw(a: Seq[Long], b: Seq[Long]): Long = {
+    if (a.isEmpty && b.isEmpty) return 0L
+    if (a.isEmpty) return b.map(math.abs).sum
+    if (b.isEmpty) return a.map(math.abs).sum
+    val inf = Long.MaxValue / 4
+    val dp = Array.fill(a.length + 1, b.length + 1)(inf)
+    dp(0)(0) = 0L
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+        math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+    dp(a.length)(b.length)
+  }
+
+  test("dtw kernel: identities, symmetry, phase forgiveness, and random ≡ full-matrix reference") {
+    import spark.implicits._
+    def k(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(call_function("dtw", $"a", $"b")).head.getLong(0)
+    assert(k(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0L)
+    // the defining property: a phase shift warps away for free where
+    // Euclidean distance would pay |2-0|+|0-2| at the misalignment
+    assert(k(Seq(0L, 1L, 2L, 0L), Seq(0L, 0L, 1L, 2L, 0L)) == 0L)
+    assert(k(Seq(1L, 3L, 4L), Seq(1L, 4L)) == 1L) // 3 matches 4 at cost 1
+    assert(k(Seq.empty, Seq(2L, -3L)) == 5L)      // documented empty rule
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val a = Seq.fill(rnd.nextInt(10) + 1)(rnd.nextInt(20).toLong)
+      val b = Seq.fill(rnd.nextInt(10) + 1)(rnd.nextInt(20).toLong)
+      assert(k(a, b) == refDtw(a, b), s"a=$a b=$b")
+      assert(k(a, b) == k(b, a), "symmetry")
+    }
+  }
+
+  test("dtw profiles gate: distances re-derive from driver-side hourly profiles") {
+    import spark.implicits._
+    val got = Events.dtwProfiles(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    val counts = Tables.events(spark, SF)
+      .select($"event_type", hour($"ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    val prof = types.map(t =>
+      t -> (0L to 23L).map(h => counts.getOrElse((t, h), 0L))).toMap
+    val exp = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j)) -> refDtw(prof(types(i)), prof(types(j))))
+      .toMap
+    assert(got.toMap == exp, s"${got.toMap} vs $exp")
+    // ordering contract: ascending distance, then types
+    val ds = got.map(_._2)
+    assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
   }
 }
