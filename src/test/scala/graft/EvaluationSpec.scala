@@ -277,4 +277,48 @@ class EvaluationSpec extends SparkSpec {
     assert(got.getAs[Double]("beta2") == 5.0)
     assert(got.getAs[Double]("r2") == 1.0)
   }
+
+  test("pca moments re-derive from a driver fold; eigensolve satisfies trace and rank identities") {
+    import spark.implicits._
+    import graft.operators.Pca
+    val rows = Pca.pcaMoments(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent fold over the same quantized corpus
+    val vecs = Tables.embeddings(spark, SF).select($"embedding")
+      .as[Array[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1000)))
+    val d = vecs.head.length
+    val n = rows.find(r => r._1 == -1L && r._2 == -1L).get._3
+    assert(n == vecs.length.toLong)
+    val mp = rows.map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- 0 until d) {
+      assert(mp((i.toLong, -1L)) == vecs.map(_(i)).sum, s"mean sum $i")
+      for (j <- i until d)
+        assert(mp((i.toLong, j.toLong)) ==
+          vecs.map(v => v(i) * v(j)).sum, s"moment ($i,$j)")
+    }
+    // eigensolve: trace(C) == sum of eigenvalues; PSD up to numerics
+    val ev = Pca.eigenvaluesFromMoments(rows.toSeq)
+    assert(ev.length == d)
+    val mean = (0 until d).map(i => mp((i.toLong, -1L)).toDouble / n)
+    val trace = (0 until d).map(i =>
+      mp((i.toLong, i.toLong)).toDouble / n - mean(i) * mean(i)).sum
+    assert(math.abs(ev.sum - trace) < 1e-6 * math.abs(trace),
+      s"trace ${trace} != eigensum ${ev.sum}")
+    assert(ev.forall(_ > -1e-6), s"negative eigenvalue: ${ev.min}")
+    // planted rank-1 data: rows (t, 2t) → exactly one nonzero
+    // eigenvalue, 5·var(t·1000 quantized)
+    val ts = (1 to 100).map(_.toDouble / 100.0)
+    val planted = ts.map(t => Array(t.toFloat, (2 * t).toFloat))
+      .toDF("embedding")
+    val prows = Pca.pcaMomentsOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pev = Pca.eigenvaluesFromMoments(prows)
+    val q = ts.map(t => math.round(t * 1000).toDouble)
+    val varQ = q.map(x => x * x).sum / q.length -
+      math.pow(q.sum / q.length, 2)
+    assert(math.abs(pev(0) - 5.0 * varQ) < 1e-6 * pev(0),
+      s"top eigenvalue ${pev(0)} != ${5.0 * varQ}")
+    assert(math.abs(pev(1)) < 1e-6 * pev(0), s"rank-1 data, ev2=${pev(1)}")
+  }
 }
