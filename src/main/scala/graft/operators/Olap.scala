@@ -1512,4 +1512,51 @@ object Olap {
        FROM lo JOIN hi ON lo.lang = hi.lang AND lo.p = hi.p
        ORDER BY lo.lang, lo.p"""
   }
+
+  /** The Skyline operator (Börzsönyi/Kossmann/Stocker, ICDE 2001):
+    * Pareto-optimal (size, price) points — parts where you cannot get
+    * a bigger size for the same-or-less money. The classic dominance
+    * definition ((size' ≥ size ∧ price' ≤ price, one strict) knocks a
+    * point out), restated scan-wise: aggregate to the best (min)
+    * price per size, order sizes DESCENDING, and keep a size iff its
+    * best price is strictly below every larger size's best price — a
+    * running strict-min, the 2-d skyline's linear form.
+    *
+    * Scale: the corpus collapses to ≤|distinct sizes| rows in one
+    * map-side-partial aggregate; the running-min window runs on that
+    * DOMAIN frame (50 rows at any corpus size — WindowAuditSpec-
+    * exempt), never on parts. The oracle keeps the textbook
+    * NOT-EXISTS dominance spelling, cross-checking the rewrite.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val best = graft.Tables.part(spark, dir)
+      .select($"p_size".cast("long").as("size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_i"))
+      .groupBy($"size")
+      .agg(min($"price_i").as("best_price_i"), count(lit(1)).as("n_parts"))
+    val win = Window.orderBy($"size".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best
+      .withColumn("min_larger", min($"best_price_i").over(win))
+      .filter($"min_larger".isNull || $"best_price_i" < $"min_larger")
+      .select($"size", $"best_price_i", $"n_parts")
+      .orderBy($"size")
+  }
+
+  val skylinePartsSql: String =
+    """WITH best AS (
+         SELECT CAST(p_size AS BIGINT) AS size,
+                CAST(min(CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS best_price_i,
+                CAST(count(*) AS BIGINT) AS n_parts
+         FROM part GROUP BY 1)
+       SELECT size, best_price_i, n_parts
+       FROM best b
+       WHERE NOT EXISTS (
+         SELECT 1 FROM best o
+         WHERE o.size >= b.size AND o.best_price_i <= b.best_price_i
+           AND (o.size > b.size OR o.best_price_i < b.best_price_i))
+       ORDER BY size"""
 }

@@ -657,4 +657,27 @@ class OlapSpec extends SparkSpec {
       assert(q0 > 0 && q1 > 0)
     }
   }
+
+  test("skyline: returned points are exactly the undominated set of the (size, best-price) domain") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val got = Olap.skylineParts(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force dominance over the independently aggregated domain
+    val best = Tables.part(spark, SF)
+      .select($"p_size".cast("long"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap.toSeq
+    val exp = best.filter { case (sz, pr) =>
+      !best.exists { case (sz2, pr2) =>
+        sz2 >= sz && pr2 <= pr && (sz2 > sz || pr2 < pr)
+      }
+    }.toSet
+    assert(got == exp, s"$got vs $exp")
+    // skyline is a strict staircase: sizes ascending => prices ascending
+    val stair = got.toSeq.sorted
+    assert(stair.map(_._2) == stair.map(_._2).sorted,
+      "bigger skyline size must cost strictly more")
+  }
 }

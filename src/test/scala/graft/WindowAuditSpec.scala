@@ -148,7 +148,12 @@ class WindowAuditSpec extends SparkSpec {
         "(vocabulary-sized, orders smaller than the corpus — same " +
         "domain rationale as the other ER operators); at corpus " +
         "scale the sort becomes the range-partitioned total order " +
-        "of SortedExport with per-partition windows")
+        "of SortedExport with per-partition windows"),
+    "olap_skyline" ->
+      ("running strict-min over the per-SIZE best-price aggregate " +
+        "(≤ 50 distinct sizes at any corpus size) — the groupBy " +
+        "below already collapsed the part scan; the 2-d skyline's " +
+        "linear scan IS an ordered pass over the domain frame")
     // lake_sorted_export's disjointness lag runs EAGERLY inside gate
     // construction over the per-file stats frame (`files` rows) — the
     // returned plan carries no window, so no exemption is needed here
