@@ -745,6 +745,74 @@ object Analytics {
       .limit(20)
   }
 
+  /** Frequent triples with the classical A-priori prune (Agrawal &
+    * Srikant, VLDB 1994) — the scale valve [[basketTriples]]
+    * documents, as code: downward closure says a triple with support
+    * ≥ s only contains pairs with support ≥ s, so baskets are
+    * REDUCED to items participating in a surviving pair before any
+    * triple enumerates. On a corpus with unbounded baskets this
+    * turns Σ C(b,3) into Σ C(b',3) over the pruned basket width b' —
+    * the difference between infeasible and linear when supports are
+    * selective; counting afterwards is exact, so the result set
+    * equals the direct form at the same threshold (spec'd).
+    *
+    * Shapes: supports are ORDER-level (distinct parts per basket);
+    * the surviving-pair semi-join broadcasts the frequent-pair frame
+    * (small by A-priori's own premise); two orderkey-keyed shuffles
+    * (basket assembly, reduced re-assembly) and map-side-partial
+    * counts everywhere else.
+    */
+  def triplesApriori(spark: SparkSession, dir: String,
+      minSupport: Long = 2L, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairsWithOrder = baskets
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("parts"))
+      .select($"l_orderkey", explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS p1, y AS p2))))""")).as("pr"))
+      .select($"l_orderkey", $"pr.p1".as("p1"), $"pr.p2".as("p2"))
+    val freqPairs = pairsWithOrder
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("c"))
+      .filter($"c" >= minSupport)
+      .select($"p1", $"p2")
+    val surviving = pairsWithOrder
+      .join(broadcast(freqPairs), Seq("p1", "p2"), "left_semi")
+    val reduced = surviving
+      .select($"l_orderkey", explode(array($"p1", $"p2")).as("item"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"item")).as("parts"))
+    reduced
+      .select(explode(expr(
+        """flatten(flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)), (y, j) ->
+               transform(slice(parts, i + j + 3, size(parts)),
+                         z -> struct(x AS p1, y AS p2, z AS p3))))))"""))
+        .as("tr"))
+      .groupBy($"tr.p1".as("p1"), $"tr.p2".as("p2"), $"tr.p3".as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= minSupport)
+      .orderBy($"support".desc, $"p1", $"p2", $"p3")
+      .limit(topK)
+  }
+
+  def triplesAprioriSql(minSupport: Long = 2L, topK: Int = 20): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS p1, x.l_partkey AS p2, c.l_partkey AS p3,
+              CAST(count(*) AS BIGINT) AS support
+       FROM b a
+       JOIN b x ON a.l_orderkey = x.l_orderkey
+               AND a.l_partkey < x.l_partkey
+       JOIN b c ON a.l_orderkey = c.l_orderkey
+               AND x.l_partkey < c.l_partkey
+       GROUP BY 1, 2, 3
+       HAVING count(*) >= $minSupport
+       ORDER BY support DESC, p1, p2, p3
+       LIMIT $topK"""
+
   val basketTriplesSql: String =
     """SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
               CAST(count(*) AS BIGINT) AS support
