@@ -120,9 +120,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // current right cursor row (null = exhausted), pre-skipping
-        // rows that can never match (null key or null time)
-        private var rRow: InternalRow = advanceRight()
+        // current right cursor row (null = exhausted) with its key and
+        // time projected ONCE per advance — the merge loop's
+        // comparisons run on these cached copies, not re-projections
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTime: InternalRow = _
+        advanceRight()
         // best (greatest (time, payload)) right row seen for the
         // CURRENT key whose time was ≤ some processed left time;
         // stored as copies — the source iterator reuses its buffer
@@ -130,12 +134,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var candidateKey: InternalRow = _
         private var candidateTime: InternalRow = _
 
-        private def advanceRight(): InternalRow = {
+        private def advanceRight(): Unit = {
           while (rIter.hasNext) {
             val r = rIter.next()
-            if (!rKeyProj(r).anyNull && !rTimeProj(r).anyNull) return r
+            val k = rKeyProj(r)
+            if (!k.anyNull) {
+              val t = rTimeProj(r)
+              if (!t.anyNull) {
+                rRow = r; rKey = k; rTime = t
+                return
+              }
+            }
           }
-          null
+          rRow = null
         }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -143,22 +154,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          if (lKey.anyNull || lTimeProj(lRow).anyNull) {
+          val lTime = lTimeProj(lRow)
+          if (lKey.anyNull || lTime.anyNull) {
             joined(lRow, nullRight)
           } else {
-            val lTime = lTimeProj(lRow).copy()
             // drop right rows of strictly smaller keys — they can
             // never match this or any later left row
-            while (rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) < 0)
-              rRow = advanceRight()
+            while (rRow != null && keyOrd.compare(rKey, lKey) < 0)
+              advanceRight()
             // absorb right rows with equal key and time ≤ left time;
             // the LAST one (sorted by time, then payload) wins
-            while (rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0 &&
-                timeOrd.compare(rTimeProj(rRow), lTime) <= 0) {
+            while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                timeOrd.compare(rTime, lTime) <= 0) {
               candidate = rRow.copy()
-              candidateKey = rKeyProj(rRow).copy()
-              candidateTime = rTimeProj(rRow).copy()
-              rRow = advanceRight()
+              candidateKey = rKey.copy()
+              candidateTime = rTime.copy()
+              advanceRight()
             }
             val ok = candidate != null &&
               keyOrd.compare(candidateKey, lKey) == 0 &&
