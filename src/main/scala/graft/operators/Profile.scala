@@ -387,4 +387,110 @@ object Profile {
        LEFT JOIN cm ON spine.bin = cm.bin
        CROSS JOIN nb CROSS JOIN nc
        ORDER BY bin"""
+
+  /** KMV / theta-sketch audience overlap (Beyer et al. SIGMOD 2007;
+    * the Theta-sketch set algebra of Dasgupta et al.): pairwise
+    * DISTINCT-USER intersection estimates between event types from
+    * k-minimum-value sketches — the segment-overlap question a
+    * full distinct-count join would answer at corpus cost, answered
+    * instead from k·|types| scalars.
+    *
+    * Everything is deterministic and integer-exact, so the gate is
+    * hash-exact, not tolerance-checked: the hash is the md5-prefix
+    * device (60-bit, portable to the oracle), each type keeps its k
+    * smallest DISTINCT hashes (rank window partitioned by type over
+    * the type-deduped hash frame), θ = the k-th smallest (or the 2⁶⁰
+    * domain bound in exact mode, when the type has < k distinct
+    * users — then the "estimate" IS the true intersection, the
+    * SpaceSaving exact-mode device), and
+    * est = ⌊common_below_θ · 2⁶⁰ / θ⌋.
+    *
+    * Scale shape: the corpus collapses to distinct (type, hash) in
+    * one partial-agg'd shuffle; sketches are k-bounded per type, so
+    * the pairwise stage is |types|²·k — corpus-size-independent.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    kmvOverlapOf(graft.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id")), k)
+
+  /** Core over any (event_type, user_id) frame. */
+  def kmvOverlapOf(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bound = 1152921504606846976L // 2^60
+    val hashes = df
+      .select($"event_type",
+        expr("conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)")
+          .cast("long").as("h"))
+      .distinct()
+    val ranked = hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"h")))
+      .filter($"rk" <= k)
+    val sketch = ranked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("max_h"))
+      .withColumn("theta",
+        when($"n_sk" < k, lit(bound)).otherwise($"max_h"))
+    val vals = ranked.select($"event_type", $"h")
+    val common = vals.as("x").join(vals.as("y"),
+        $"x.h" === $"y.h" && $"x.event_type" < $"y.event_type")
+      .select($"x.event_type".as("type_a"), $"y.event_type".as("type_b"),
+        $"x.h".as("h"))
+    val pairs = sketch.select($"event_type".as("type_a"),
+        $"n_sk".as("n_a_sketch"), $"theta".as("theta_a"))
+      .join(sketch.select($"event_type".as("type_b"),
+        $"n_sk".as("n_b_sketch"), $"theta".as("theta_b")),
+        $"type_a" < $"type_b")
+      .withColumn("theta", least($"theta_a", $"theta_b"))
+    pairs
+      .join(common, Seq("type_a", "type_b"), "left")
+      .filter($"h".isNull || $"h" < $"theta")
+      .groupBy($"type_a", $"type_b", $"n_a_sketch", $"n_b_sketch", $"theta")
+      .agg(sum(when($"h".isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("est_inter", expr(
+        s"CAST((CAST(n_common AS DECIMAL(38,0)) * ${bound}L) div theta " +
+          "AS BIGINT)"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def kmvOverlapSql(k: Int = 256): String = {
+    val bound = "1152921504606846976"
+    s"""WITH hashes AS (
+         SELECT DISTINCT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+         FROM events),
+       ranked AS (
+         SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         FROM hashes),
+       sk AS (SELECT event_type, h FROM ranked WHERE rk <= $k),
+       sketch AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_sk,
+                CASE WHEN count(*) < $k THEN $bound
+                     ELSE max(h) END AS theta
+         FROM sk GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n_sk AS n_a_sketch, b.n_sk AS n_b_sketch,
+                least(a.theta, b.theta) AS theta
+         FROM sketch a JOIN sketch b ON a.event_type < b.event_type),
+       common AS (
+         SELECT x.event_type AS type_a, y.event_type AS type_b, x.h
+         FROM sk x JOIN sk y
+           ON x.h = y.h AND x.event_type < y.event_type)
+       SELECT p.type_a, p.type_b, p.n_a_sketch, p.n_b_sketch,
+              CAST(p.theta AS BIGINT) AS theta,
+              CAST(sum(CASE WHEN c.h IS NOT NULL AND c.h < p.theta
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+              CAST((CAST(sum(CASE WHEN c.h IS NOT NULL AND c.h < p.theta
+                              THEN 1 ELSE 0 END) AS HUGEINT) * $bound)
+                   // CAST(p.theta AS HUGEINT) AS BIGINT) AS est_inter
+       FROM pairs p
+       LEFT JOIN common c ON c.type_a = p.type_a AND c.type_b = p.type_b
+       GROUP BY p.type_a, p.type_b, p.n_a_sketch, p.n_b_sketch, p.theta
+       ORDER BY 1, 2"""
+  }
 }

@@ -658,6 +658,37 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("kmv overlap: exact mode equals true intersections; sketch mode lands within the k-bound error") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // crafted: A = 1..100, B = 51..150, C = 200..210 (disjoint from A)
+    val rows = (1L to 100L).map(("A", _)) ++ (51L to 150L).map(("B", _)) ++
+      (200L to 210L).map(("C", _))
+    val df = rows.toDF("event_type", "user_id")
+    // exact mode: k >= every distinct count -> theta = 2^60 and the
+    // estimate IS the true intersection
+    val exact = Profile.kmvOverlapOf(df, k = 512).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    assert(exact(("A", "B")) == ((50L, 50L)), s"${exact(("A", "B"))}")
+    assert(exact(("A", "C")) == ((0L, 0L)))
+    assert(exact(("B", "C")) == ((0L, 0L)))
+    // sketch mode on the real corpus: estimates within the KMV error
+    // envelope of the true distinct intersections (k=256 -> rse ~1/16;
+    // assert a generous 5x that = ~31%)
+    val got = Profile.kmvOverlap(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    val ev = Tables.events(spark, SF)
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case ((a, b), est) =>
+      val truth = (byType(a) & byType(b)).size.toLong
+      assert(math.abs(est - truth) <= math.max(5L, (truth * 0.31).toLong),
+        s"($a,$b): est=$est truth=$truth")
+    }
+  }
+
   test("skyline: returned points are exactly the undominated set of the (size, best-price) domain") {
     import spark.implicits._
     import graft.operators.Olap
