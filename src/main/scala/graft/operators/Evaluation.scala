@@ -135,6 +135,81 @@ object Evaluation {
        GROUP BY bin ORDER BY bin"""
   }
 
+  /** Isotonic calibration (pool-adjacent-violators — Ayer et al.
+    * 1955; Zadrozny & Elkan KDD 2002 as the probability-calibration
+    * trainer): the monotone non-decreasing fit of per-bin positive
+    * rates, computed NOT by the sequential PAV sweep but by the
+    * equivalent minimax identity
+    * iso(i) = max_{j≤i} min_{k≥i} avg(j..k) — which is pure
+    * relational algebra over the BIN domain, so the oracle restates
+    * it verbatim and the gate is hash-exact (the sequential sweep has
+    * no SQL spelling; EvaluationSpec proves minimax ≡ PAV pooling).
+    *
+    * Scale: the corpus collapses to `nBins` rows in the calibration
+    * aggregate; every minimax stage is a join on that ≤10-row domain —
+    * O(nBins³) work on METADATA, zero additional passes over data.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String,
+      nBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val bins = calibrationBins(spark, dir, nBins)
+      .select($"bin", $"n", $"n_pos")
+    isotonicOf(bins)
+  }
+
+  /** Minimax isotonic fit over any (bin, n, n_pos) frame. */
+  def isotonicOf(bins: DataFrame): DataFrame = {
+    import bins.sparkSession.implicits._
+    val ids = bins.select($"bin".as("b"))
+    val seg = ids.select($"b".as("j")).join(ids.select($"b".as("k")),
+        $"j" <= $"k")
+      .join(bins, $"bin" >= $"j" && $"bin" <= $"k")
+      .groupBy($"j", $"k")
+      .agg((sum($"n_pos").cast("double") / sum($"n").cast("double"))
+        .as("avg_jk"))
+    val inner = ids.select($"b".as("i"))
+      .join(seg, $"j" <= $"i" && $"i" <= $"k")
+      .groupBy($"i", $"j").agg(min($"avg_jk").as("min_k"))
+      .groupBy($"i").agg(max($"min_k").as("iso"))
+    bins.join(inner, $"bin" === $"i")
+      .select($"bin", $"n", $"n_pos", round($"iso", 6).as("iso_rate"))
+      .orderBy($"bin")
+  }
+
+  def isotonicCalibrationSql(nBins: Int = 10): String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       bnd AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+       binned AS (
+         SELECT CAST((score - lo) * $nBins AS BIGINT)
+                // (hi - lo + 1) AS bin, is_pos
+         FROM s, bnd),
+       bins AS (
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(is_pos) AS BIGINT) AS n_pos
+         FROM binned GROUP BY bin),
+       seg AS (
+         SELECT j.bin AS j, k.bin AS k,
+                CAST(sum(x.n_pos) AS DOUBLE) / CAST(sum(x.n) AS DOUBLE)
+                  AS avg_jk
+         FROM bins j
+         JOIN bins k ON j.bin <= k.bin
+         JOIN bins x ON x.bin >= j.bin AND x.bin <= k.bin
+         GROUP BY 1, 2),
+       inner_min AS (
+         SELECT i.bin AS i, seg.j, min(seg.avg_jk) AS min_k
+         FROM bins i JOIN seg ON seg.j <= i.bin AND i.bin <= seg.k
+         GROUP BY 1, 2),
+       iso AS (SELECT i, max(min_k) AS iso FROM inner_min GROUP BY i)
+       SELECT b.bin, b.n, b.n_pos, round(iso.iso, 6) AS iso_rate
+       FROM bins b JOIN iso ON iso.i = b.bin
+       ORDER BY b.bin"""
+  }
+
   /** Multi-feature OLS by normal equations — the canonical
     * distributed-regression shape: ONE map-side-combined aggregate
     * accumulates the Gram moments X'X and X'y (here 2 features +

@@ -278,6 +278,55 @@ class EvaluationSpec extends SparkSpec {
     assert(got.getAs[Double]("r2") == 1.0)
   }
 
+  test("isotonic minimax fit == sequential PAV pooling; monotone; planted violator pools") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    /** textbook PAV: pool adjacent violating blocks until monotone. */
+    def pav(bins: Seq[(Long, Long, Long)]): Seq[Double] = {
+      case class Block(n: Long, pos: Long, w: Int)
+      var blocks = bins.map { case (_, n, p) => Block(n, p, 1) }.toList
+      var changed = true
+      while (changed) {
+        changed = false
+        val out = scala.collection.mutable.ListBuffer.empty[Block]
+        blocks.foreach { b =>
+          out += b
+          while (out.length >= 2 && {
+            val Seq(x, y) = out.takeRight(2).toSeq
+            // x before y: violation when rate(x) > rate(y), compared
+            // by exact cross-multiplication
+            x.pos * y.n > y.pos * x.n
+          }) {
+            val y = out.remove(out.length - 1)
+            val x = out.remove(out.length - 1)
+            out += Block(x.n + y.n, x.pos + y.pos, x.w + y.w)
+            changed = true
+          }
+        }
+        blocks = out.toList
+      }
+      blocks.flatMap(b =>
+        Seq.fill(b.w)(b.pos.toDouble / b.n.toDouble))
+    }
+    // planted: bins with a violation (0.8 then 0.2) must pool to 0.5
+    val planted = Seq((0L, 10L, 1L), (1L, 10L, 8L), (2L, 10L, 2L),
+      (3L, 10L, 9L))
+    val gotP = Evaluation.isotonicOf(planted.toDF("bin", "n", "n_pos"))
+      .orderBy("bin").collect().map(_.getDouble(3))
+    val expP = pav(planted).map(x => math.rint(x * 1e6) / 1e6)
+    assert(gotP.toSeq == expP, s"${gotP.toSeq} vs $expP")
+    assert(gotP(1) == 0.5 && gotP(2) == 0.5, "violating pair must pool")
+    // real gate: equals PAV on the same bins and is monotone
+    val bins = Evaluation.calibrationBins(spark, SF)
+      .select($"bin", $"n", $"n_pos").orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Evaluation.isotonicCalibration(spark, SF)
+      .orderBy("bin").collect().map(_.getDouble(3)).toSeq
+    val exp = pav(bins).map(x => math.rint(x * 1e6) / 1e6)
+    assert(got == exp, s"$got vs $exp")
+    assert(got.zip(got.tail).forall { case (a, b) => a <= b }, "not monotone")
+  }
+
   test("pca moments re-derive from a driver fold; eigensolve satisfies trace and rank identities") {
     import spark.implicits._
     import graft.operators.Pca
