@@ -885,4 +885,72 @@ object TextAnalysis {
          FROM pts)
        SELECT dec, cut, n_tokens, v_types, beta
        FROM curve, fit ORDER BY dec"""
+
+  /** Harman S-stemmer (Harman 1991, "How effective is suffixing?"):
+    * the three-rule conservative English stemmer — strong enough to
+    * conflate plural/singular for retrieval, weak enough to never
+    * mangle (the property the paper measured against Porter/Lovins).
+    * Rules branch on the LONGEST matching suffix; an exception means
+    * the word is left UNCHANGED (no cascade to a shorter rule):
+    *   1. -ies → -y   unless -eies / -aies
+    *   2. -es  → -e   unless -aes / -ees / -oes
+    *   3. -s   → ∅    unless -us / -ss
+    * Pure CASE/substring column algebra — codegen'd, restated
+    * verbatim in the oracle.
+    */
+  /** SQL-text form shared by the Spark plan and the oracle — both
+    * engines evaluate the same CASE over the same string functions.
+    */
+  def sStemSqlExpr(x: String): String =
+    s"""CASE
+          WHEN $x LIKE '%ies' THEN
+            CASE WHEN $x LIKE '%eies' OR $x LIKE '%aies' THEN $x
+                 ELSE substring($x, 1, length($x) - 3) || 'y' END
+          WHEN $x LIKE '%es' THEN
+            CASE WHEN $x LIKE '%aes' OR $x LIKE '%ees' OR $x LIKE '%oes'
+                 THEN $x
+                 ELSE substring($x, 1, length($x) - 1) END
+          WHEN $x LIKE '%s' THEN
+            CASE WHEN $x LIKE '%us' OR $x LIKE '%ss' THEN $x
+                 ELSE substring($x, 1, length($x) - 1) END
+          ELSE $x
+        END"""
+
+  /** Gate: stemmed-vocabulary census — per stem, how many surface
+    * forms collapsed into it and the pooled collection frequency; the
+    * normalization a retrieval index applies before posting (the
+    * synthetic vocabulary happens to carry no plural variants, so
+    * n_forms is 1 throughout there — the conflation behavior itself
+    * is pinned by the spec's crafted plural corpus). The
+    * corpus collapses to the surface vocabulary first (one
+    * partial-agg'd shuffle); stemming is a per-row CASE on the
+    * vocabulary frame.
+    */
+  def sStemVocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.tokenRows(spark, dir)
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .withColumn("stem", expr(sStemSqlExpr("lower(token)")))
+      .groupBy($"stem")
+      .agg(count(lit(1)).as("n_forms"), sum($"c").as("coll_freq"),
+        min($"token").as("sample_form"))
+      .orderBy($"stem")
+  }
+
+  val sStemVocabularySql: String = {
+    val stem = sStemSqlExpr("lower(token)")
+    s"""WITH tok AS (
+         SELECT unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       vocab AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       stemmed AS (SELECT token, c, $stem AS stem FROM vocab)
+       SELECT stem, CAST(count(*) AS BIGINT) AS n_forms,
+              CAST(sum(c) AS BIGINT) AS coll_freq,
+              min(token) AS sample_form
+       FROM stemmed GROUP BY stem
+       ORDER BY stem"""
+  }
 }

@@ -389,6 +389,40 @@ class SearchSpec extends SparkSpec {
       gotS(1L).getAs[Double]("xent_nats"))
   }
 
+  test("s-stemmer: the three Harman rules and their exceptions; crafted plurals conflate") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      "queries" -> "query".replace("r", "r"), // -ies → -y
+      "ladies" -> "lady",
+      "eies" -> "eies", "aies" -> "aies",     // rule-1 exceptions hold
+      "boxes" -> "boxe",                       // -es → -e (Harman, not Porter)
+      "tables" -> "table",
+      "goes" -> "goes", "sees" -> "sees",      // -oes / -ees exceptions
+      "cats" -> "cat", "runs" -> "run",        // -s → ∅
+      "bus" -> "bus", "class" -> "class",      // -us / -ss exceptions
+      "dog" -> "dog")                          // untouched
+    val got = cases.map(_._1).toDF("token")
+      .select($"token",
+        expr(TextAnalysis.sStemSqlExpr("lower(token)")).as("stem"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (t, w) =>
+      assert(got(t) == w, s"stem($t) = ${got(t)}, want $w") }
+    // crafted corpus: plural + singular surface forms pool under one
+    // stem with summed frequency
+    val docs = Seq((1L, "cats cat queries query boxes", "en", "s"),
+      (2L, "cats tables table dog", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("stem").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val census = TextAnalysis.sStemVocabulary(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(census("cat") == ((2L, 3L)), s"${census("cat")}")   // cats×2 + cat×1, 2 forms
+    assert(census("query") == ((2L, 2L)))
+    assert(census("table") == ((2L, 2L)))
+    assert(census("dog") == ((1L, 1L)))
+  }
+
   test("heaps curve: all-distinct corpus fits beta = 1, constant corpus beta = 0; census by hand") {
     import spark.implicits._
     import graft.operators.TextAnalysis
