@@ -324,4 +324,72 @@ object Curation {
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM r"""
   }
+
+  /** Quantile normalization of quality scores across sources
+    * (Bolstad et al. 2003, the microarray standard, here as the
+    * cross-source score calibrator: a threshold learned on one
+    * source's score scale transfers to every other source once each
+    * source's distribution is mapped onto the GLOBAL quantiles).
+    * Each doc's score becomes the global value at its within-source
+    * quantile: target global rank t = ⌈r·N/n⌉ (exact integers), and
+    * the value at rank t comes from the score VALUE HISTOGRAM's
+    * cumulative frame — domain-sized, the olap_ks_test exemption
+    * family — via a broadcast range join on [cum−cnt+1, cum]. The
+    * corpus-sized ranking window is PARTITIONED by source; nothing
+    * corpus-sized is globally sorted.
+    */
+  def qnormScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val s = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"score")
+    val ranked = s
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"score", $"doc_id")).cast("long"))
+    val perSource = s.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val total = s.agg(count(lit(1)).as("n_all"))
+    val hist = s.groupBy($"score".as("gv"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.orderBy($"gv").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    ranked
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("t", expr("(r * n_all + n_src - 1) div n_src"))
+      .join(broadcast(hist), $"t" >= $"cum" - $"cnt" + 1 && $"t" <= $"cum")
+      .select($"doc_id", $"source", $"score", $"gv".as("qnorm_score"))
+      .orderBy($"doc_id")
+  }
+
+  def qnormScoresSql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.doc_id, d.source, sd.score
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       ranked AS (
+         SELECT doc_id, source, score,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY score, doc_id) AS BIGINT) AS r
+         FROM s),
+       per_source AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM s GROUP BY 1),
+       total AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM s),
+       hist AS (
+         SELECT gv, cnt,
+                CAST(sum(cnt) OVER (ORDER BY gv) AS BIGINT) AS cum
+         FROM (SELECT score AS gv, CAST(count(*) AS BIGINT) AS cnt
+               FROM s GROUP BY 1)),
+       t AS (
+         SELECT r.doc_id, r.source, r.score,
+                (r.r * total.n_all + p.n_src - 1) // p.n_src AS t
+         FROM ranked r JOIN per_source p ON p.source = r.source, total)
+       SELECT t.doc_id, t.source, t.score, h.gv AS qnorm_score
+       FROM t JOIN hist h ON t.t >= h.cum - h.cnt + 1 AND t.t <= h.cum
+       ORDER BY t.doc_id"""
+  }
+
 }

@@ -1052,6 +1052,98 @@ object Graph {
         ORDER BY round"""
   }
 
+  /** Gate: 3 rounds of k-truss peeling (k = 17) — census per round. */
+  def kTruss(spark: SparkSession, dir: String): DataFrame =
+    kTrussOf(copurchaseEdges(spark, dir), k = 17, rounds = 3)
+
+  /** Bounded-round k-truss decomposition (Cohen 2008, "Trusses:
+    * cohesive subgraphs for social network analysis") — the EDGE
+    * cohesion ladder above [[kCoreOf]]'s node ladder: round r drops
+    * every edge lying on fewer than k−2 triangles of the surviving
+    * subgraph; the fixpoint is the k-truss, the standard community
+    * scaffold. Per round: the co-partitioned wedge self-join (the
+    * [[trianglesOf]] device) produces each surviving a<b pair's
+    * common-neighbor count map-side-partial-aggregated, and an INNER
+    * join against the surviving edge set keeps exactly the edges
+    * with support ≥ k−2 (an edge on no wedge has support 0 and drops
+    * with the join — correct for k > 2). Bounded rounds keep the
+    * oracle expressible (unrolled CTEs, the kCore device); production
+    * runs to an empty diff. Per-round lineage is truncated; each
+    * round is Σ C(deg′,2) on the SHRINKING graph, and the first
+    * round enforces the same wedge budget as the other wedge-stream
+    * operators.
+    */
+  def kTrussOf(edges: DataFrame, k: Long, rounds: Int,
+      wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.repartition($"src").localCheckpoint(true)
+    requireWedgeBudget(
+      e0.groupBy($"src").agg(count(lit(1)).as("deg")), "deg",
+      wedgeBudget, "kTrussOf", "neighborJaccardSketchOf-style sketching")
+    // surviving UNDIRECTED edges as a<b pairs
+    var und = e0.filter($"src" < $"dst")
+      .select($"src".as("a"), $"dst".as("b")).localCheckpoint(true)
+    val censuses = Seq.newBuilder[DataFrame]
+    def census(r: Long, frame: DataFrame): DataFrame =
+      frame.select(lit(r).as("round"), count(lit(1)).as("n_edges"),
+        sum($"a" + $"b").as("edge_sum"))
+    censuses += census(0L, und)
+    for (r <- 1 to rounds) {
+      val nb = und.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+        .repartition($"src").localCheckpoint(true)
+      val support = nb.select($"src", $"dst".as("a"))
+        .join(nb.select($"src", $"dst".as("b")), "src")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+      und = und.join(support, Seq("a", "b"))
+        .filter($"sup" >= k - 2)
+        .select($"a", $"b")
+        .localCheckpoint(true)
+      censuses += census(r.toLong, und)
+    }
+    censuses.result().reduce(_ unionByName _).orderBy($"round")
+      .localCheckpoint(true)
+  }
+
+  /** Oracle: the identical peeling rounds unrolled — wedge self-join
+    * for support, inner join against the surviving edge set.
+    */
+  val kTrussSql: String = {
+    val stages = (1 to 3).map { t =>
+      s"""e$t AS (
+            SELECT w.a, w.b
+            FROM (
+              SELECT n1.dst AS a, n2.dst AS b,
+                     CAST(count(*) AS BIGINT) AS sup
+              FROM (SELECT a AS src, b AS dst FROM e${t - 1}
+                    UNION ALL SELECT b, a FROM e${t - 1}) n1
+              JOIN (SELECT a AS src, b AS dst FROM e${t - 1}
+                    UNION ALL SELECT b, a FROM e${t - 1}) n2
+                ON n1.src = n2.src AND n1.dst < n2.dst
+              GROUP BY 1, 2) w
+            JOIN e${t - 1} s ON s.a = w.a AND s.b = w.b
+            WHERE w.sup >= 15)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e0 AS (SELECT p1 AS a, p2 AS b FROM pairs),
+        $stages
+        SELECT CAST(0 AS BIGINT) AS round,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(a + b) AS BIGINT) AS edge_sum FROM e0
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(a + b) AS BIGINT) FROM e1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(a + b) AS BIGINT) FROM e2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(a + b) AS BIGINT) FROM e3
+        ORDER BY round"""
+  }
+
   /** Gate: sketch-path link prediction, top 20 — the scale valve for
     * [[neighborJaccard]] as CODE, not prose.
     */

@@ -353,6 +353,25 @@ object GraphCrossCheck {
       if (s(1) == 0L) Seq(s(0), 0L, -1L) else s }
     check("graph_kcore", kcoreGot, kcoreWant)
 
+    // ── k-truss peeling (k = 17, 3 rounds; per-round edge census) ──
+    val ktrussWant: Seq[Seq[Long]] = {
+      var es = und.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .distinct.toSeq
+      val out = Seq.newBuilder[Seq[Long]]
+      def cens(r: Long): Unit =
+        out += Seq(r, es.length.toLong, es.map { case (a, b) => a + b }.sum)
+      cens(0L)
+      for (r <- 1 to 3) {
+        val nbr = (es ++ es.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        es = es.filter { case (a, b) => (nbr(a) & nbr(b)).size >= 15 }
+        cens(r.toLong)
+      }
+      out.result()
+    }
+    check("graph_ktruss",
+      rows(graft.operators.Graph.kTruss(spark, dir)), ktrussWant)
+
     // ── neighbor-Jaccard SKETCH (md5 MinHash replayed in scala) ──
     val sketchSeq: Seq[Seq[Long]] = {
       val mdt = new ThreadLocal[java.security.MessageDigest] {

@@ -174,4 +174,36 @@ class CurationSpec extends SparkSpec {
     assert(kept < all, "nothing trimmed")
     assert(kept >= all * 7 / 10, s"cut too deep: $kept of $all")
   }
+
+  test("quantile normalization: every doc maps to the global value at its within-source quantile") {
+    import spark.implicits._
+    import graft.operators.{Curation, QualityModel}
+    val got = Curation.qnormScores(spark, SF).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+    assert(got.nonEmpty)
+    // driver-side re-derivation from the raw scores
+    val docs = Tables.documents(spark, SF)
+    val s = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val globalSorted = s.map(_._3).sorted
+    val n = globalSorted.length.toLong
+    val bySource = s.groupBy(_._2)
+    val exp = bySource.toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val m = sorted.length.toLong
+      sorted.zipWithIndex.map { case ((id, _, sc), i) =>
+        val t = ((i + 1) * n + m - 1) / m
+        id -> ((src, sc, globalSorted((t - 1).toInt)))
+      }
+    }
+    assert(got.toMap == exp.toMap,
+      s"first diffs: ${(got.toMap.toSet diff exp.toSet).take(3)}")
+    // rank order is preserved within each source
+    got.groupBy(_._2._1).foreach { case (_, rows) =>
+      val byScore = rows.sortBy(r => (r._2._2, r._1)).map(_._2._3)
+      assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }

@@ -531,6 +531,47 @@ class GraphSpec extends SparkSpec {
     assert(gotR == bruteAdamicAdar(rndUnd))
   }
 
+  test("k-truss peeling: clique edges survive, bridges peel; ≡ brute force on a random graph") {
+    // 5-clique (every edge on 3 triangles) + a bridge to a pendant
+    // triangle: at k=4 (support ≥ 2) the clique survives whole, the
+    // bridge (on 0 triangles) peels in round 1, and the pendant
+    // triangle (support 1 each) peels too
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val und = clique ++ Seq((5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val got = Graph.kTrussOf(toEdgeDf(und), k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == und.length.toLong)
+    assert(got(1L) == 10L, s"round 1 kept ${got(1L)} edges, want the clique")
+    assert(got(2L) == 10L, "clique must be stable")
+
+    // brute force on a random graph: same peeling in plain scala
+    def brute(undE: Seq[(Long, Long)], k: Long, rounds: Int): Seq[(Long, Long, Long)] = {
+      var es = undE.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      def cens(r: Long): Unit =
+        out += ((r, es.length.toLong, es.map { case (a, b) => a + b }.sum))
+      cens(0L)
+      for (r <- 1 to rounds) {
+        val nbr = (es ++ es.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        es = es.filter { case (a, b) =>
+          (nbr(a) & nbr(b)).size >= k - 2 }
+        cens(r.toLong)
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(17)
+    val rndUnd = (for {
+      a <- 1L to 25L; b <- (a + 1) to 25L if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    val gotR = Graph.kTrussOf(toEdgeDf(rndUnd, 5), k = 5, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val expR = brute(rndUnd, 5L, 3).map { case (r, n, s) =>
+      (r, n, if (n == 0) 0L else s) }
+    assert(gotR.toSeq == expR, s"${gotR.toSeq} vs $expR")
+  }
+
   test("Adamic-Adar enforces the wedge budget and the id packing bound") {
     val hub = (1L to 40L).map(i => (0L, i))
     val ex = intercept[IllegalStateException] {

@@ -149,6 +149,12 @@ class WindowAuditSpec extends SparkSpec {
         "domain rationale as the other ER operators); at corpus " +
         "scale the sort becomes the range-partitioned total order " +
         "of SortedExport with per-partition windows"),
+    "text_quality_qnorm" ->
+      ("cumulative counts over the quality-score VALUE HISTOGRAM " +
+        "(one row per distinct integer score, bounded by max doc " +
+        "length × max |weight|) — same domain-sized-frame rationale " +
+        "as olap_ks_test; the corpus-sized ranking window is " +
+        "partitioned by source"),
     "olap_skyline" ->
       ("running strict-min over the per-SIZE best-price aggregate " +
         "(≤ 50 distinct sizes at any corpus size) — the groupBy " +
