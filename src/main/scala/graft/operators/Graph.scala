@@ -1395,6 +1395,95 @@ object Graph {
     * Σ_neighbors 10⁶ ≤ deg·10⁶, then ×10⁶ ≤ 10¹⁸ at 10⁶-degree
     * hubs — the BIGINT edge, noted.
     */
+  /** Gate: 3 HITS iterations on the customer→part purchase graph,
+    * top 20 hubs + top 20 authorities.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), $"l_partkey".as("p"))
+      .distinct()
+    hitsOf(edges, iters = 3, topK = 20)
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) on a BIPARTITE
+    * u→p graph — the mutual-reinforcement pair the undirected
+    * [[eigenCentralityOf]] collapses into one score: a good hub
+    * (customer) buys authoritative parts, an authoritative part is
+    * bought by good hubs. Exactness device = eigencentrality's:
+    * scores live in integer micro-units normalized by the MAX each
+    * half-step (raw·10⁶ div max — one scalar aggregate, merge-order-
+    * exact; raw ≤ deg·10⁶ keeps the multiply under 2⁶³ up to ~10⁶
+    * degree, past which the decimal(38,0) valve applies).
+    *
+    * Plan shape per iteration: two keyed joins against the cached
+    * edge list, each followed by a map-side-partial sum and a scalar
+    * max — only (node, score) pairs shuffle; lineage truncated per
+    * half-step. Bounded iterations keep the unrolled-CTE oracle.
+    */
+  def hitsOf(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.repartition($"u").localCheckpoint(true)
+    var h = e.select($"u").distinct().withColumn("hs", lit(1000000L))
+      .localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, "u").groupBy($"p").agg(sum($"hs").as("raw"))
+        .localCheckpoint(true)
+      val aMax = aRaw.agg(max($"raw")).head.getLong(0)
+      a = aRaw.select($"p", expr(s"(raw * 1000000L) div ${aMax}L").as("as"))
+        .localCheckpoint(true)
+      val hRaw = e.join(a, "p").groupBy($"u").agg(sum($"as").as("raw"))
+        .localCheckpoint(true)
+      val hMax = hRaw.agg(max($"raw")).head.getLong(0)
+      h = hRaw.select($"u", expr(s"(raw * 1000000L) div ${hMax}L").as("hs"))
+        .localCheckpoint(true)
+    }
+    val auth = a.orderBy($"as".desc, $"p").limit(topK)
+      .select(lit("auth").as("side"), $"p".as("id"), $"as".as("score"))
+    val hub = h.orderBy($"hs".desc, $"u").limit(topK)
+      .select(lit("hub").as("side"), $"u".as("id"), $"hs".as("score"))
+    auth.unionByName(hub).orderBy($"side", $"score".desc, $"id")
+      .localCheckpoint(true)
+  }
+
+  /** Oracle: the identical half-steps unrolled. */
+  val hitsSql: String = {
+    val stages = (1 to 3).map { t =>
+      s"""araw$t AS (
+            SELECT e.p, CAST(sum(h.hs) AS BIGINT) AS raw
+            FROM edges e JOIN h${t - 1} h ON h.u = e.u GROUP BY e.p),
+          am$t AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM araw$t),
+          a$t AS (SELECT p, (raw * 1000000) // mx AS ascore
+                  FROM araw$t CROSS JOIN am$t),
+          hraw$t AS (
+            SELECT e.u, CAST(sum(a.ascore) AS BIGINT) AS raw
+            FROM edges e JOIN a$t a ON a.p = e.p GROUP BY e.u),
+          hm$t AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM hraw$t),
+          h$t AS (SELECT u, (raw * 1000000) // mx AS hs
+                  FROM hraw$t CROSS JOIN hm$t)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT o_custkey AS u, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS hs FROM edges),
+        $stages,
+        auth AS (
+          SELECT 'auth' AS side, p AS id, CAST(ascore AS BIGINT) AS score
+          FROM a3 ORDER BY ascore DESC, p LIMIT 20),
+        hub AS (
+          SELECT 'hub' AS side, u AS id, CAST(hs AS BIGINT) AS score
+          FROM h3 ORDER BY hs DESC, u LIMIT 20)
+        SELECT side, id, score FROM auth
+        UNION ALL
+        SELECT side, id, score FROM hub
+        ORDER BY side, score DESC, id"""
+  }
+
   def eigenCentrality(spark: SparkSession, dir: String): DataFrame =
     eigenCentralityOf(copurchaseEdges(spark, dir), iters = 5, topK = 20)
 

@@ -474,7 +474,36 @@ object GraphCrossCheck {
         rows(graft.operators.Graph.betweenness(spark, dir)), want)
     }
 
-    println(if (failed == 0) s"ALL 16 GRAPH GATES MATCH the scala re-derivation at $dir"
+    // ── HITS on the bipartite customer→part graph (3 iters) ──
+    {
+      import spark.implicits._
+      val ords = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+        .toMap
+      val up = li.map { case (ok, pk) => (ords(ok), pk) }.distinct
+      var h = up.map(_._1).distinct.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to 3) {
+        val ar = up.groupBy(_._2).view
+          .mapValues(_.map(e => h(e._1)).sum).toMap
+        val am = ar.values.max
+        a = ar.view.mapValues(v => v * 1000000L / am).toMap
+        val hr = up.groupBy(_._1).view
+          .mapValues(_.map(e => a(e._2)).sum).toMap
+        val hm = hr.values.max
+        h = hr.view.mapValues(v => v * 1000000L / hm).toMap
+      }
+      val want =
+        a.toSeq.sortBy { case (p, s) => (-s, p) }.take(20)
+          .map { case (p, s) => Seq(p, s) } ++
+        h.toSeq.sortBy { case (u, s) => (-s, u) }.take(20)
+          .map { case (u, s) => Seq(u, s) }
+      val got = graft.operators.Graph.hits(spark, dir).collect()
+        .map(r => Seq(r.getLong(1), r.getLong(2)).toSeq).toSeq
+      check("graph_hits", got, want)
+    }
+
+    println(if (failed == 0) s"ALL GRAPH GATES MATCH the scala re-derivation at $dir"
       else s"$failed gate(s) FAILED")
     spark.stop()
     if (failed > 0) sys.exit(1)

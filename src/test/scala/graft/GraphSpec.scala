@@ -531,6 +531,37 @@ class GraphSpec extends SparkSpec {
     assert(gotR == bruteAdamicAdar(rndUnd))
   }
 
+  test("HITS: spark == sequential integer reference; star hub and its authority dominate") {
+    import spark.implicits._
+    // bipartite: user 1 buys parts 10,11,12,13; users 2,3 buy part 10
+    // -> user 1 is the hub, part 10 the authority
+    val up = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 10L), (3L, 10L))
+    def reference(edges: Seq[(Long, Long)], iters: Int): (Map[Long, Long], Map[Long, Long]) = {
+      var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val ar = edges.groupBy(_._2).view
+          .mapValues(_.map(e => h(e._1)).sum).toMap
+        val am = ar.values.max
+        a = ar.view.mapValues(v => v * 1000000L / am).toMap
+        val hr = edges.groupBy(_._1).view
+          .mapValues(_.map(e => a(e._2)).sum).toMap
+        val hm = hr.values.max
+        h = hr.view.mapValues(v => v * 1000000L / hm).toMap
+      }
+      (h, a)
+    }
+    val got = Graph.hitsOf(up.toDF("u", "p"), iters = 3, topK = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val (h, a) = reference(up, 3)
+    h.foreach { case (u, s) => assert(got(("hub", u)) == s, s"hub $u") }
+    a.foreach { case (p, s) => assert(got(("auth", p)) == s, s"auth $p") }
+    assert(got(("hub", 1L)) == 1000000L, "star center is the max hub")
+    assert(got(("auth", 10L)) == 1000000L, "shared part is the max authority")
+  }
+
   test("k-truss peeling: clique edges survive, bridges peel; ≡ brute force on a random graph") {
     // 5-clique (every edge on 3 triangles) + a bridge to a pendant
     // triangle: at k=4 (support ≥ 2) the clique survives whole, the
