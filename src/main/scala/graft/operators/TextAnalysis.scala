@@ -786,6 +786,95 @@ object TextAnalysis {
                     / (CAST(dl AS DOUBLE) * 1000000.0), 4) AS xent_nats
        FROM agg ORDER BY doc_id"""
 
+  def bigramXent(spark: SparkSession, dir: String): DataFrame =
+    bigramXentOf(Tables.documents(spark, dir))
+
+  /** Per-document cross-entropy under the corpus BIGRAM LM with
+    * Laplace smoothing — the conditional-probability step above
+    * [[unigramXentOf]] (the CCNet/KenLM quality-signal family:
+    * P(w|w′) = (c₂(w′,w)+1)/(c₁(w′)+V)): a document of common words
+    * in UNCOMMON order now scores high where the unigram model
+    * cannot see it. Per-bigram cost is quantized ONCE to integer
+    * micro-nats — round((ln(c₁+V) − ln(c₂+1))·10⁶) — so the per-doc
+    * sum is exact BIGINT on any merge order and the single display
+    * division is pinned.
+    *
+    * Scale shape: adjacency comes from a doc-partitioned lead (no
+    * join), the cost table is DISTINCT-BIGRAM-sized and JOINED by
+    * (w1, w2) — never broadcast, never corpus²; V rides as a one-row
+    * broadcast. Docs with < 2 tokens have no bigram and drop
+    * (documented; the unigram gate covers them).
+    */
+  def bigramXentOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select($"doc_id", posexplode(expr(
+        """filter(transform(split(trim(text), ' '), x -> trim(x)),
+           x -> length(x) > 0)""")))
+      .select($"doc_id", $"pos", $"col".as("w1"))
+    val bg = toks
+      .withColumn("w2", lead($"w1", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"w2".isNotNull)
+    val tf2 = bg.groupBy($"doc_id", $"w1", $"w2")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy($"w1", $"w2").agg(sum($"tf").as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val v = toks.agg(count_distinct($"w1").as("v"))
+    val cost = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select($"w1", $"w2",
+        round((log(($"c1" + $"v").cast("double")) -
+          log(($"c2" + 1L).cast("double"))) * lit(1000000.0))
+          .cast("long").as("cost"))
+    tf2.join(cost, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"cost").as("h_micro"))
+      .select($"doc_id", $"n_bigrams", $"h_micro",
+        round($"h_micro".cast("double") /
+          ($"n_bigrams".cast("double") * 1.0e6), 4).as("xent_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramXentSql: String =
+    """WITH raw AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+       toks AS (
+         SELECT doc_id, w1, pos FROM (
+           SELECT doc_id,
+                  unnest(list_transform(arr, x -> trim(x))) AS w1,
+                  unnest(range(0, len(arr))) AS pos
+           FROM raw) z
+         WHERE length(w1) > 0),
+       bg AS (
+         SELECT doc_id, w1,
+                lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         FROM toks),
+       tf2 AS (
+         SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+         FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+       c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+              FROM tf2 GROUP BY 1, 2),
+       c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM toks),
+       cost AS (
+         SELECT c2.w1, c2.w2,
+                CAST(round((ln(CAST(c1.c1 + v.v AS DOUBLE))
+                            - ln(CAST(c2.c2 + 1 AS DOUBLE)))
+                           * 1000000.0) AS BIGINT) AS cost
+         FROM c2 JOIN c1 ON c1.w1 = c2.w1, v),
+       agg AS (
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                CAST(sum(tf * cost) AS BIGINT) AS h_micro
+         FROM tf2 JOIN cost ON tf2.w1 = cost.w1 AND tf2.w2 = cost.w2
+         GROUP BY 1)
+       SELECT doc_id, n_bigrams, h_micro,
+              round(CAST(h_micro AS DOUBLE)
+                    / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 4)
+                AS xent_nats
+       FROM agg ORDER BY doc_id"""
+
   /** Heaps-law vocabulary growth curve + exponent (Heaps 1978,
     * V(n) ≈ K·n^β): distinct-type count V and token count N at ten
     * doc-id decile checkpoints, with β fit by log-log OLS — the

@@ -389,6 +389,38 @@ class SearchSpec extends SparkSpec {
       gotS(1L).getAs[Double]("xent_nats"))
   }
 
+  test("bigram xent: ≡ scala fold on a crafted corpus; rare transitions score above common ones") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1 repeats the dominant transition a→b; doc 2 contains the
+    // corpus-rare transitions b→b and b→a — it must score higher
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "s"),
+      (2L, "a b b a", "en", "s"),
+      (3L, "a b a b", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bigramXentOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // reference fold
+    val toks = Map(1L -> Seq("a", "b", "a", "b", "a", "b"),
+      2L -> Seq("a", "b", "b", "a"), 3L -> Seq("a", "b", "a", "b"))
+    val allBg = toks.values.flatMap(t => t.zip(t.tail)).toSeq
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = toks.values.flatten.toSeq.distinct.length.toLong
+    def cost(bg: (String, String)): Long =
+      math.round((math.log((c1(bg._1) + v).toDouble) -
+        math.log((c2(bg) + 1).toDouble)) * 1e6)
+    toks.foreach { case (id, t) =>
+      val bgs = t.zip(t.tail)
+      val h = bgs.map(cost).sum
+      assert(got(id)._1 == bgs.length.toLong, s"doc $id n_bigrams")
+      assert(got(id)._2 == h, s"doc $id h_micro: ${got(id)._2} vs $h")
+    }
+    assert(got(2L)._3 > got(1L)._3,
+      s"rare transitions must score above common: $got")
+  }
+
   test("s-stemmer: the three Harman rules and their exceptions; crafted plurals conflate") {
     import spark.implicits._
     import graft.operators.TextAnalysis
