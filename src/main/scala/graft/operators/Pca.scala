@@ -90,6 +90,61 @@ object Pca {
        UNION ALL SELECT i, j, s FROM second
        ORDER BY i, j"""
 
+  /** Per-label embedding-centroid drift: pairwise cosine between
+    * label centroids — the cheap first-order answer to "do these two
+    * sources/slices live in the same embedding region?" before
+    * reaching for MMD. Exactness: component sums accumulate over the
+    * SAME milli-quantized integers as [[pcaMomentsOf]] (exact BIGINT
+    * per (label, dim) — one partial-agg'd shuffle of |labels|·d
+    * cells), and the cosine of the SUM vectors (≡ cosine of the mean
+    * vectors — the 1/n scalars cancel) is one pinned double
+    * expression over those exact integers, rounded at the edge.
+    * Pairwise stage is |labels|²·d on metadata.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.embeddings(spark, dir)
+      .select($"label", posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")))
+      .groupBy($"label", $"pos").agg(sum($"col").as("s"))
+    val a = sums.select($"label".as("la"), $"pos", $"s".as("sa"))
+    val b = sums.select($"label".as("lb"), $"pos", $"s".as("sb"))
+    a.join(b, Seq("pos")).filter($"la" < $"lb")
+      .groupBy($"la", $"lb")
+      .agg(sum($"sa".cast("decimal(38,0)") * $"sb").as("dot"),
+        sum($"sa".cast("decimal(38,0)") * $"sa").as("na"),
+        sum($"sb".cast("decimal(38,0)") * $"sb").as("nb"))
+      .select($"la", $"lb",
+        round($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6)
+          .as("centroid_cos"))
+      .orderBy($"la", $"lb")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH q AS (
+         SELECT label,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         FROM embeddings),
+       sums AS (
+         SELECT label, CAST(i.range AS BIGINT) AS pos,
+                CAST(sum(q[i.range + 1]) AS BIGINT) AS s
+         FROM q, range(0, 64) i
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.label AS la, b.label AS lb,
+                CAST(sum(CAST(a.s AS HUGEINT) * b.s) AS DECIMAL(38,0)) AS dot,
+                CAST(sum(CAST(a.s AS HUGEINT) * a.s) AS DECIMAL(38,0)) AS na,
+                CAST(sum(CAST(b.s AS HUGEINT) * b.s) AS DECIMAL(38,0)) AS nb
+         FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+         GROUP BY 1, 2)
+       SELECT la, lb,
+              round(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                    6) AS centroid_cos
+       FROM pairs ORDER BY la, lb"""
+
   /** Driver-side eigensolve over the moment rows — cyclic Jacobi on
     * the exact covariance C = S/n − μμᵀ of the QUANTIZED corpus
     * (deterministic: fixed sweep order, fixed iteration count to

@@ -278,6 +278,32 @@ class EvaluationSpec extends SparkSpec {
     assert(got.getAs[Double]("r2") == 1.0)
   }
 
+  test("embedding drift: pairwise centroid cosines re-derive from a driver fold") {
+    import spark.implicits._
+    import graft.operators.Pca
+    val got = Pca.embeddingDrift(spark, SF).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+        -> r.getDouble(2)).toMap
+    assert(got.size == 45)
+    val vecs = Tables.embeddings(spark, SF)
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (l, v) => (l, v.map(x => math.round(x.toDouble * 1000))) }
+    val sums = vecs.groupBy(_._1).view.mapValues { vs =>
+      val d = vs.head._2.length
+      (0 until d).map(i => vs.map(_._2(i)).sum).toArray
+    }.toMap
+    got.foreach { case ((a, b), cosGot) =>
+      val (sa, sb) = (sums(a), sums(b))
+      val dot = sa.zip(sb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val na = sa.map(x => BigInt(x) * x).sum
+      val nb = sb.map(x => BigInt(x) * x).sum
+      val cos = math.rint(dot.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6) / 1e6
+      assert(cosGot == cos, s"($a,$b): $cosGot vs $cos")
+    }
+  }
+
   test("isotonic minimax fit == sequential PAV pooling; monotone; planted violator pools") {
     import spark.implicits._
     import graft.operators.Evaluation
