@@ -123,4 +123,47 @@ object Pii {
        GROUP BY 1, 2, 3
        HAVING count(*) < 5
        ORDER BY 1, 2, 3"""
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    * follow-up k-anonymity needs: a group can be large yet still leak
+    * if every member shares one SENSITIVE value). Quasi-identifier =
+    * (nation, balance band); sensitive attribute = market segment;
+    * report every QI group whose distinct-sensitive count is below l,
+    * with the group's size and its dominant segment as the breach
+    * witness. One partial-agg'd two-level aggregation — the
+    * |QI-groups|-sized frame never round-trips the corpus.
+    */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.customer(spark, dir)
+      .select($"c_nationkey",
+        floor(round($"c_acctbal" * 100).cast("long").cast("double")
+          / 200000.0).cast("long").as("bal_band"),
+        $"c_mktsegment")
+      .groupBy($"c_nationkey", $"bal_band", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy($"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("n_sensitive"),
+        sum($"n").as("group_size"),
+        max(struct($"n", $"c_mktsegment")).getField("c_mktsegment")
+          .as("dominant_segment"))
+      .filter($"n_sensitive" < l)
+      .orderBy($"c_nationkey", $"bal_band")
+  }
+
+  def lDiversitySql(l: Int = 3): String =
+    s"""WITH cells AS (
+         SELECT c_nationkey,
+                CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS DOUBLE) / 200000.0) AS BIGINT) AS bal_band,
+                c_mktsegment, CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY 1, 2, 3)
+       SELECT c_nationkey, bal_band,
+              CAST(count(*) AS BIGINT) AS n_sensitive,
+              CAST(sum(n) AS BIGINT) AS group_size,
+              (max(struct_pack(n := n, seg := c_mktsegment))).seg AS dominant_segment
+       FROM cells
+       GROUP BY 1, 2
+       HAVING count(*) < $l
+       ORDER BY 1, 2"""
 }

@@ -64,4 +64,29 @@ class PiiSpec extends SparkSpec {
       col("redacted").rlike("@|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
     assert(leftover.count() == 0)
   }
+
+  test("l-diversity: flagged groups re-derive from a driver fold and are exactly the low-diversity set") {
+    import spark.implicits._
+    import graft.operators.Pii
+    val got = Pii.lDiversity(spark, SF).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val rows = Tables.customer(spark, SF)
+      .select($"c_nationkey",
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.round($"c_acctbal" * 100)
+            .cast("long").cast("double") / 200000.0).cast("long"),
+        $"c_mktsegment").collect()
+      .map(r => ((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue),
+        r.getString(2)))
+    val exp = rows.groupBy(_._1).collect {
+      case (qi, members) if members.map(_._2).distinct.length < 3 =>
+        val byseg = members.groupBy(_._2).view.mapValues(_.length).toMap
+        val dominant = byseg.toSeq.maxBy { case (seg, n) => (n, seg) }._1
+        qi -> ((byseg.size.toLong, members.length.toLong, dominant))
+    }
+    assert(got == exp, s"${got.toSeq.sortBy(_._1)} vs ${exp.toSeq.sortBy(_._1)}")
+    // every flagged group is below l; none of the unflagged are
+    assert(got.values.forall(_._1 < 3L))
+  }
 }
