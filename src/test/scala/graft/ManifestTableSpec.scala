@@ -597,4 +597,37 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("merge-on-read"))
   }
+
+  test("WAP: a clean batch publishes through the branch; a dirty batch never touches main") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    t.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val audit = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(
+        sum(when($"v" < 0L, 1L).otherwise(0L)).as("neg"),
+        sum(when($"id".isNull, 1L).otherwise(0L)).as("nullid"))
+        .select(expr("stack(2, 'v_nonnegative', neg, 'id_not_null', nullid)" +
+          " AS (rule, n_violations)"))
+    // clean batch: publishes, main gains the rows, audit all-zero
+    val br1 = java.nio.file.Files.createTempDirectory("wap1").toString + "/b"
+    val (ok1, rep1) = graft.pipeline.Wap.writeAuditPublish(
+      t, Seq((3L, 30L)).toDF("id", "v"), br1, audit)
+    assert(ok1 && rep1.forall(_._2 == 0L))
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val vAfterClean = t.currentVersion.get
+    // dirty batch: rejected, main version and contents unchanged,
+    // the staging branch retains the batch for inspection
+    val br2 = java.nio.file.Files.createTempDirectory("wap2").toString + "/b"
+    val (ok2, rep2) = graft.pipeline.Wap.writeAuditPublish(
+      t, Seq((4L, -5L)).toDF("id", "v"), br2, audit)
+    assert(!ok2)
+    assert(rep2.toMap.apply("v_nonnegative") == 1L)
+    assert(t.currentVersion.contains(vAfterClean), "main must not advance")
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val staged = new ManifestTable(spark, br2).read()
+    assert(staged.filter($"id" === 4L).count() == 1L,
+      "staging branch must retain the dirty batch for inspection")
+  }
+
 }
