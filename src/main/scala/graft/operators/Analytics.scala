@@ -630,6 +630,188 @@ object Analytics {
                             / CAST(n2 AS DOUBLE)), 4) AS t_stat
         FROM mo"""
 
+  /** CUPED variance reduction (Deng/Xu/Kohavi/Walker, WSDM 2013) —
+    * the experimentation-platform standard the plain t-test leaves
+    * power on the table without: each user's post-period metric Y is
+    * adjusted by their PRE-period covariate X,
+    * Ŷ = Y − θ·(X − mean X) with θ = cov(X,Y)/var(X), which shrinks
+    * variance by the squared correlation while leaving the treatment
+    * difference unbiased (assignment is independent of the
+    * pre-period).
+    *
+    * Exactness chain: per-user X/Y are exact micro-unit BIGINTs
+    * (pre/post split at the deterministic epoch midpoint of the
+    * purchase stream); θ and mean X are ONE pinned double expression
+    * of decimal-exact pooled moments; each user's Ŷ is quantized
+    * ONCE back to micro-units; both t statistics then come from
+    * exact per-variant moment sums. Two aggregates over the
+    * USER-sized frame (not the event stream), second moments in
+    * decimal(38,0).
+    */
+  def abCuped(spark: SparkSession, dir: String,
+      salt: String = "ab"): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+    val cut = p.agg(expr("(min(tus) + max(tus)) div 2").as("cut"))
+    val users = p.crossJoin(broadcast(cut))
+      .groupBy($"user_id")
+      .agg(sum(when($"tus" < $"cut", $"x").otherwise(0L)).as("pre"),
+        sum(when($"tus" >= $"cut", $"x").otherwise(0L)).as("post"))
+      .withColumn("variant",
+        when(Sampling.bucket($"user_id", salt) % 2 === 0, "A")
+          .otherwise("B"))
+    val pooled = users.agg(
+      count(lit(1)).as("n"),
+      sum($"pre").as("sx"), sum($"post").as("sy"),
+      sum(($"pre".cast("decimal(38,0)") * $"pre")).as("sxx"),
+      sum(($"pre".cast("decimal(38,0)") * $"post")).as("sxy"))
+    val adj = users.crossJoin(broadcast(pooled))
+      .withColumn("theta", expr(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""))
+      .withColumn("adj", expr(
+        """CAST(round(CAST(post AS DOUBLE)
+             - theta * (CAST(pre AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           AS BIGINT)"""))
+    val m = adj.groupBy()
+      .agg(
+        max($"theta").as("theta"),
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === "A", $"post").otherwise(0L)).as("sy1"),
+        sum(when($"variant" === "A",
+          $"post".cast("decimal(38,0)") * $"post").otherwise(lit(0)))
+          .as("qy1"),
+        sum(when($"variant" === "A", $"adj").otherwise(0L)).as("sa1"),
+        sum(when($"variant" === "A",
+          $"adj".cast("decimal(38,0)") * $"adj").otherwise(lit(0)))
+          .as("qa1"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n2"),
+        sum(when($"variant" === "B", $"post").otherwise(0L)).as("sy2"),
+        sum(when($"variant" === "B",
+          $"post".cast("decimal(38,0)") * $"post").otherwise(lit(0)))
+          .as("qy2"),
+        sum(when($"variant" === "B", $"adj").otherwise(0L)).as("sa2"),
+        sum(when($"variant" === "B",
+          $"adj".cast("decimal(38,0)") * $"adj").otherwise(lit(0)))
+          .as("qa2"))
+    def meanD(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varD(n: String, s: String, q: String) =
+      (col(n).cast("double") * col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    def welch(s1: String, q1: String, s2: String, q2: String) =
+      (meanD(s1, "n1") - meanD(s2, "n2")) /
+        sqrt(varD("n1", s1, q1) / $"n1".cast("double") +
+          varD("n2", s2, q2) / $"n2".cast("double"))
+    m.select($"n1", $"n2",
+      round($"theta", 6).as("theta"),
+      round(welch("sy1", "qy1", "sy2", "qy2"), 4).as("t_raw"),
+      round(welch("sa1", "qa1", "sa2", "qa2"), 4).as("t_cuped"),
+      round(
+        (varD("n1", "sa1", "qa1") * ($"n1".cast("double") - 1.0) +
+          varD("n2", "sa2", "qa2") * ($"n2".cast("double") - 1.0)) /
+        (varD("n1", "sy1", "qy1") * ($"n1".cast("double") - 1.0) +
+          varD("n2", "sy2", "qy2") * ($"n2".cast("double") - 1.0)), 6)
+        .as("var_ratio"))
+  }
+
+  def abCupedSql(salt: String = "ab"): String =
+    s"""WITH p AS (
+          SELECT user_id,
+                 epoch_us(date_trunc('microseconds', ts)) AS tus,
+                 CAST(round(value * 1000000) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase'),
+        cut AS (SELECT (min(tus) + max(tus)) // 2 AS cut FROM p),
+        users AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN tus < cut THEN x ELSE 0 END) AS BIGINT)
+                   AS pre,
+                 CAST(sum(CASE WHEN tus >= cut THEN x ELSE 0 END) AS BIGINT)
+                   AS post,
+                 CASE WHEN ${Sampling.bucketSql("user_id", salt)} % 2 = 0
+                      THEN 'A' ELSE 'B' END AS variant
+          FROM p, cut GROUP BY user_id),
+        pooled AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pre) AS BIGINT) AS sx,
+                 CAST(sum(post) AS BIGINT) AS sy,
+                 CAST(sum(CAST(pre AS HUGEINT) * pre) AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(CAST(pre AS HUGEINT) * post) AS DECIMAL(38,0)) AS sxy
+          FROM users),
+        withadj AS (
+          SELECT variant, post,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+                 CAST(round(CAST(post AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * (CAST(pre AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS BIGINT) AS adj
+          FROM users, pooled),
+        mo AS (
+          SELECT max(theta) AS theta,
+            CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN variant = 'A' THEN post ELSE 0 END) AS BIGINT) AS sy1,
+            CAST(sum(CASE WHEN variant = 'A' THEN CAST(post AS HUGEINT) * post ELSE 0 END) AS DECIMAL(38,0)) AS qy1,
+            CAST(sum(CASE WHEN variant = 'A' THEN adj ELSE 0 END) AS BIGINT) AS sa1,
+            CAST(sum(CASE WHEN variant = 'A' THEN CAST(adj AS HUGEINT) * adj ELSE 0 END) AS DECIMAL(38,0)) AS qa1,
+            CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN variant = 'B' THEN post ELSE 0 END) AS BIGINT) AS sy2,
+            CAST(sum(CASE WHEN variant = 'B' THEN CAST(post AS HUGEINT) * post ELSE 0 END) AS DECIMAL(38,0)) AS qy2,
+            CAST(sum(CASE WHEN variant = 'B' THEN adj ELSE 0 END) AS BIGINT) AS sa2,
+            CAST(sum(CASE WHEN variant = 'B' THEN CAST(adj AS HUGEINT) * adj ELSE 0 END) AS DECIMAL(38,0)) AS qa2
+          FROM withadj)
+        SELECT n1, n2, round(theta, 6) AS theta,
+          round((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt(((CAST(n1 AS DOUBLE) * CAST(qy1 AS DOUBLE)
+                         - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                       / CAST(n1 AS DOUBLE)
+                       + ((CAST(n2 AS DOUBLE) * CAST(qy2 AS DOUBLE)
+                           - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+                       / CAST(n2 AS DOUBLE)), 4) AS t_raw,
+          round((CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(sa2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt(((CAST(n1 AS DOUBLE) * CAST(qa1 AS DOUBLE)
+                         - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                       / CAST(n1 AS DOUBLE)
+                       + ((CAST(n2 AS DOUBLE) * CAST(qa2 AS DOUBLE)
+                           - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+                       / CAST(n2 AS DOUBLE)), 4) AS t_cuped,
+          round((((CAST(n1 AS DOUBLE) * CAST(qa1 AS DOUBLE)
+                   - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                 * (CAST(n1 AS DOUBLE) - 1.0)
+                 + ((CAST(n2 AS DOUBLE) * CAST(qa2 AS DOUBLE)
+                     - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+                 * (CAST(n2 AS DOUBLE) - 1.0))
+                / (((CAST(n1 AS DOUBLE) * CAST(qy1 AS DOUBLE)
+                     - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                   * (CAST(n1 AS DOUBLE) - 1.0)
+                   + ((CAST(n2 AS DOUBLE) * CAST(qy2 AS DOUBLE)
+                       - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+                   * (CAST(n2 AS DOUBLE) - 1.0)), 6) AS var_ratio
+        FROM mo"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

@@ -278,6 +278,51 @@ class EvaluationSpec extends SparkSpec {
     assert(got.getAs[Double]("r2") == 1.0)
   }
 
+  test("cuped: re-derives from a driver fold; pooled adjusted variance never exceeds raw") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Sampling}
+    val row = Analytics.abCuped(spark, SF).head
+    // driver re-derivation from raw purchases
+    val p = Tables.events(spark, SF).filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)"),
+        expr("CAST(round(value * 1000000) AS BIGINT)"),
+        Sampling.bucket($"user_id", "ab") % 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cut = (p.map(_._2).min + p.map(_._2).max) / 2
+    val users = p.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.filter(_._2 < cut).map(_._3).sum,
+        rs.filter(_._2 >= cut).map(_._3).sum, rs.head._4 == 0L)
+    }.toSeq
+    val n = users.length.toDouble
+    val (sx, sy) = (users.map(_._2).sum.toDouble, users.map(_._3).sum.toDouble)
+    val sxx = users.map(u => BigInt(u._2) * u._2).sum.toDouble
+    val sxy = users.map(u => BigInt(u._2) * u._3).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getAs[Double]("theta") == math.rint(theta * 1e6) / 1e6)
+    val adj = users.map(u =>
+      (u._4, u._3, math.round(u._3.toDouble - theta * (u._2.toDouble - sx / n))))
+    def tOf(vals: Seq[(Boolean, Long)]): Double = {
+      val g1 = vals.filter(_._1).map(_._2); val g2 = vals.filterNot(_._1).map(_._2)
+      def m(v: Seq[Long]) = v.sum.toDouble / v.length
+      def vr(v: Seq[Long]) = {
+        val nn = v.length.toDouble
+        (nn * v.map(x => BigInt(x) * x).sum.toDouble -
+          v.sum.toDouble * v.sum.toDouble) / (nn * (nn - 1.0))
+      }
+      (m(g1) - m(g2)) / math.sqrt(vr(g1) / g1.length + vr(g2) / g2.length)
+    }
+    val tRaw = tOf(adj.map(a => (a._1, a._2)))
+    val tCuped = tOf(adj.map(a => (a._1, a._3)))
+    assert(math.abs(row.getAs[Double]("t_raw") - tRaw) < 1e-3,
+      s"${row.getAs[Double]("t_raw")} vs $tRaw")
+    assert(math.abs(row.getAs[Double]("t_cuped") - tCuped) < 1e-3)
+    // the pooled adjusted variance cannot exceed the raw variance
+    // (theta is the OLS minimizer); allow quantization slack
+    assert(row.getAs[Double]("var_ratio") <= 1.000001,
+      s"var_ratio ${row.getAs[Double]("var_ratio")}")
+    assert(row.getAs[Double]("var_ratio") > 0.0)
+  }
+
   test("embedding drift: pairwise centroid cosines re-derive from a driver fold") {
     import spark.implicits._
     import graft.operators.Pca
