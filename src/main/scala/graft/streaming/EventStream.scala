@@ -30,6 +30,22 @@ case class HitterEstimate(part: Int, user_id: Long, est: Long, err: Long)
 case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
     s_plus: Double)
 
+/** Streaming as-of state: the newest reference at-or-below the last
+  * flush point (`floor`), references still above it, and probes
+  * waiting for the watermark to certify no earlier reference can
+  * arrive.
+  */
+case class AsofRef(ts: Long, id: Long, value: Double)
+case class AsofPending(event_id: Long, ts: Long)
+case class AsofEnrichState(floor: Option[AsofRef], refs: List[AsofRef],
+    pending: List[AsofPending])
+
+/** One enriched probe: the latest same-key reference at-or-before its
+  * event time (None = no reference preceded it).
+  */
+case class AsofOut(event_id: Long, user_id: Long,
+    asof_signup_id: Option[Long], asof_signup_value: Option[Double])
+
 /** #40/#41 Structured Streaming operators. Both take an *unbounded*
   * input DataFrame/Dataset (from readStream / MemoryStream) and
   * return a streaming result — the streaming mirror of the batch
@@ -342,4 +358,72 @@ object EventStream {
           alarms.result().iterator
       }
   }
+
+  /** #41h streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.AsOfJoin.asOf]] (and of the native
+    * AsOfJoinExec): each probe event is matched to the latest
+    * same-user `signup` at-or-before its event time. Correctness
+    * under out-of-order arrival comes from the WATERMARK: a probe is
+    * held in state until the watermark passes its event time — at
+    * that point any still-missing earlier reference would be
+    * late-beyond-watermark, so the match is final. References at or
+    * below the watermark collapse into ONE floor row per key, so
+    * state is bounded by the in-flight window (floor + refs/probes
+    * above the watermark), the same per-key O(window) contract as
+    * the sessionizer. Ties at equal (key, ts) resolve to the max
+    * (id, value) reference — the batch operator's payload-ascending
+    * last-wins tie-break, exactly.
+    */
+  def asOfEnrich(events: Dataset[StreamEvent],
+      watermark: String = "2 hours"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofEnrichState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[StreamEvent],
+            state: GroupState[AsofEnrichState]) =>
+          var st = state.getOption
+            .getOrElse(AsofEnrichState(None, Nil, Nil))
+          if (!state.hasTimedOut) {
+            batch.foreach { e =>
+              if (e.event_type == "signup")
+                st = st.copy(refs =
+                  AsofRef(e.ts.getTime, e.event_id, e.value) :: st.refs)
+              else
+                st = st.copy(pending =
+                  AsofPending(e.event_id, e.ts.getTime) :: st.pending)
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val ordered = st.refs.sortBy(r => (r.ts, r.id, r.value))
+          val (flush, hold) = st.pending.partition(_.ts <= wm)
+          val out = flush.sortBy(p => (p.ts, p.event_id)).map { p =>
+            val cand = (st.floor.toList ++ ordered.takeWhile(_.ts <= p.ts))
+              .filter(_.ts <= p.ts)
+            val best = cand.sortBy(r => (r.ts, r.id, r.value)).lastOption
+            AsofOut(p.event_id, user,
+              best.map(_.id), best.map(r => math.rint(r.value * 10000) / 10000))
+          }
+          // collapse refs at-or-below the watermark into the floor
+          val (below, above) = ordered.partition(_.ts <= wm)
+          val newFloor = (st.floor.toList ++ below)
+            .sortBy(r => (r.ts, r.id, r.value)).lastOption
+          st = AsofEnrichState(newFloor, above, hold)
+          if (st.floor.isEmpty && st.refs.isEmpty && st.pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(st)
+            // wake up when the watermark passes the oldest pending
+            // probe; clamp above the current watermark (required by
+            // setTimeoutTimestamp)
+            if (st.pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(st.pending.map(_.ts).min, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
 }

@@ -631,4 +631,70 @@ class StreamingSpec extends SparkSpec {
     want.foreach { case (u, n) =>
       assert(got(u) == ((n, 0L)), s"user $u: ${got(u)} want ($n, 0)") }
   }
+
+  test("streaming as-of enrichment: crafted out-of-order stream, ties, and no-ref probes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(min: Int) = new Timestamp(min * 60000L)
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.asOfEnrich(mem.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: probe BEFORE its ref arrives (out of order within
+      // the watermark), plus a ref tie at the same ts
+      mem.addData(Seq(
+        StreamEvent(10, t(5), 1, "click", 0.0),     // probe at 5
+        StreamEvent(2, t(3), 1, "signup", 7.0),     // ref at 3 (late-ish)
+        StreamEvent(3, t(3), 1, "signup", 9.0),     // tie: higher id wins
+        StreamEvent(20, t(1), 2, "click", 0.0)))    // user 2: no ref ever
+      q.processAllAvailable()
+      // batch 2: sentinel advances the watermark past every probe
+      mem.addData(Seq(StreamEvent(99, t(120), 42, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(100, t(360), 42, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(10L) == ((Some(3L), Some(9.0))), s"tie-break: ${got(10L)}")
+    assert(got(20L) == ((None, None)), s"no-ref probe: ${got(20L)}")
+  }
+
+  test("streaming as-of enrichment ≡ batch as-of join on the real event table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().sortBy(_.ts.getTime)
+    val maxTs = rows.map(_.ts.getTime).max
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.asOfEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream_real")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      mem.addData(Seq(StreamEvent(-1L,
+        new Timestamp(maxTs + 40L * 3600 * 1000), -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamEvent(-2L,
+        new Timestamp(maxTs + 80L * 3600 * 1000), -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream_real")
+      .filter($"user_id" =!= -1L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val want = graft.operators.AsOfJoin.eventsAsOfSignup(spark, SF).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    val diff = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+    assert(diff.isEmpty,
+      s"diverged at $diff: stream=${diff.map(got.get)} batch=${diff.map(want.get)}")
+  }
+
 }
