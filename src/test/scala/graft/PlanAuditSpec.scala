@@ -456,4 +456,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("sort_array") || p.contains("collect_set"),
       s"basket device missing — did the pair path regress to a self-join?\n$p")
   }
+
+  test("ml_pca_moments: triangle expansion aggregates in-stage — exchanges carry only moment cells") {
+    val p = plan("ml_pca_moments")
+    // the exploded corpus×2080 stream must hash-aggregate BEFORE the
+    // exchange (Generate under HashAggregate(partial) in one stage);
+    // no exchange may carry the embedding arrays themselves
+    assert(p.contains("Generate explode"), s"expansion missing:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+    val exchanges = p.split("Exchange").drop(1)
+    assert(!exchanges.exists(_.linesIterator.next().contains("embedding")),
+      s"an exchange carries embedding arrays:\n$p")
+  }
+
+  test("analytics_assoc_rules: support frames broadcast into the rule join — no fact self-join") {
+    val p = plan("analytics_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"),
+      s"support frames not broadcast:\n$p")
+    // sort_array folds into the aggregate's resultExpressions, which
+    // the plan string elides — assert the visible half of the device
+    assert(p.contains("collect_list") && p.contains("Generate explode"),
+      s"map-side basket pair device missing:\n$p")
+  }
+
+  test("text_quality_qnorm: ranking window partitioned by source; histogram lookup broadcast") {
+    val p = plan("text_quality_qnorm")
+    assert(p.contains("row_number") &&
+      p.contains("partitionBy" ) || p.contains("PartitionBy") ||
+      p.contains("windowspecdefinition(source"),
+      s"source-partitioned ranking window missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"histogram range join not broadcast:\n$p")
+  }
+
+  test("events_asof_native plans the custom exec with no window state") {
+    val p = plan("events_asof_native")
+    assert(p.contains("AsOfJoin "), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"native path must carry no window:\n$p")
+  }
+
 }
