@@ -312,6 +312,88 @@ object Events {
       .orderBy($"dow", $"hod")
   }
 
+  /** Kleinberg burst detection (Kleinberg, "Bursty and hierarchical
+    * structure in streams", KDD 2002 — the 2-state automaton): the
+    * hourly count series is explained by a base state (rate = the
+    * series mean) and a burst state (rate = s × base), with a
+    * transition cost γ·ln n for entering the burst; the minimum-cost
+    * state sequence (Viterbi) marks the burst intervals. The standard
+    * "when did attention spike" primitive over event streams.
+    *
+    * Scale split, the [[anomalyRobustHours]] precedent: the per-hour
+    * aggregation and gap-fill are DISTRIBUTED (the corpus reduces to
+    * the calendar-bounded spine — ~88k rows/decade at any corpus
+    * size); the 2-state Viterbi then runs driver-side over that
+    * domain-sized series at gate construction (an inherently
+    * sequential DP, like the PAV sweep and the Jacobi eigensolve —
+    * O(spine) work on metadata). No SQL oracle exists for the DP →
+    * rows-only gate; TimeSeriesSpec checks Viterbi against EXHAUSTIVE
+    * state-sequence enumeration on short series, which a same-code
+    * re-run could not.
+    */
+  def bursts(spark: SparkSession, dir: String, s: Double = 2.0,
+      gamma: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val spine = gapfillHourly(spark, dir)
+      .orderBy($"h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val iv = burstIntervals(spine.toSeq, s, gamma)
+    if (iv.isEmpty)
+      spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("start_h", "end_h", "n_hours", "n_events")
+    else
+      iv.toDF("start_h", "end_h", "n_hours", "n_events")
+        .orderBy($"start_h")
+  }
+
+  /** Viterbi over the 2-state automaton; returns (start_h, end_h,
+    * n_hours, n_events) per maximal burst interval. Emission cost is
+    * the Poisson negative log-likelihood −(c·ln r − r − ln c!), with
+    * the ln c! term DROPPED (identical in both states, so it cancels
+    * from every comparison); entering the burst costs γ·ln n.
+    */
+  def burstIntervals(series: Seq[(Long, Long)], s: Double,
+      gamma: Double): Seq[(Long, Long, Long, Long)] = {
+    if (series.isEmpty) return Nil
+    val n = series.length
+    val base = math.max(series.map(_._2).sum.toDouble / n, 1e-9)
+    val burst = s * base
+    def emit(c: Long, r: Double): Double = -(c * math.log(r) - r)
+    val enter = gamma * math.log(n.toDouble)
+    // dp(state): (cost, backpointers)
+    var c0 = emit(series.head._2, base)
+    var c1 = enter + emit(series.head._2, burst)
+    val bp = Array.ofDim[Int](n, 2)
+    bp(0)(0) = 0; bp(0)(1) = 1
+    for (i <- 1 until n) {
+      val e0 = emit(series(i)._2, base)
+      val e1 = emit(series(i)._2, burst)
+      val stay0 = c0; val from1 = c1 // leaving the burst is free
+      val n0 = math.min(stay0, from1) + e0
+      bp(i)(0) = if (stay0 <= from1) 0 else 1
+      val stay1 = c1; val from0 = c0 + enter
+      val n1 = math.min(stay1, from0) + e1
+      bp(i)(1) = if (stay1 <= from0) 1 else 0
+      c0 = n0; c1 = n1
+    }
+    // backtrack
+    val states = new Array[Int](n)
+    states(n - 1) = if (c0 <= c1) 0 else 1
+    for (i <- n - 1 until 0 by -1) states(i - 1) = bp(i)(states(i))
+    // maximal burst runs
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    var i = 0
+    while (i < n) {
+      if (states(i) == 1) {
+        var j = i
+        while (j < n && states(j) == 1) j += 1
+        out += ((series(i)._1, series(j - 1)._1, (j - i).toLong,
+          series.slice(i, j).map(_._2).sum))
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** Pairwise dynamic-time-warping distance between event-type
     * hour-of-day activity profiles (Berndt & Clifford 1994 — the
     * time-series-similarity classic; DTW forgives phase shifts a

@@ -584,6 +584,69 @@ import org.apache.spark.sql.functions.{call_function, hour}
     assert(got == expected.toMap, s"$got vs $expected")
   }
 
+  test("kleinberg bursts: Viterbi == exhaustive state enumeration; planted burst recovered exactly") {
+    import graft.operators.Events
+    // exhaustive reference: minimum-cost state sequence over ALL 2^n
+    // assignments — an algorithm the Viterbi shares no code with
+    def brute(series: Seq[(Long, Long)], s: Double,
+        gamma: Double): Seq[Int] = {
+      val n = series.length
+      val base = math.max(series.map(_._2).sum.toDouble / n, 1e-9)
+      val burst = s * base
+      val enter = gamma * math.log(n.toDouble)
+      def cost(states: Seq[Int]): Double = {
+        var c = 0.0; var prev = 0
+        states.zip(series).foreach { case (st, (_, cnt)) =>
+          if (st == 1 && prev == 0) c += enter
+          val r = if (st == 1) burst else base
+          c += -(cnt * math.log(r) - r)
+          prev = st
+        }
+        c
+      }
+      (0 until (1 << n)).map(m => (0 until n).map(i => (m >> i) & 1))
+        .minBy(cost)
+    }
+    def toIntervals(series: Seq[(Long, Long)], st: Seq[Int]) = {
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var i = 0
+      while (i < st.length) {
+        if (st(i) == 1) {
+          var j = i
+          while (j < st.length && st(j) == 1) j += 1
+          out += ((series(i)._1, series(j - 1)._1, (j - i).toLong,
+            series.slice(i, j).map(_._2).sum))
+          i = j
+        } else i += 1
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 12) {
+      val n = 8 + rnd.nextInt(5)
+      val series = (0 until n).map(i =>
+        (i.toLong, (2 + rnd.nextInt(10)).toLong))
+      val got = Events.burstIntervals(series, 2.0, 1.0)
+      val want = toIntervals(series, brute(series, 2.0, 1.0))
+      assert(got == want, s"trial $trial: $got vs $want (series $series)")
+    }
+    // planted: flat 5/h with hours 10..13 at 25/h — the burst is
+    // exactly that window
+    val planted = (0L to 23L).map(h =>
+      (h, if (h >= 10 && h <= 13) 25L else 5L))
+    val got = Events.burstIntervals(planted, 2.0, 1.0)
+    assert(got == Seq((10L, 13L, 4L, 100L)), s"planted: $got")
+    // real corpus: intervals ordered, disjoint, within the spine
+    val real = Events.bursts(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    real.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, "overlapping bursts")
+      case _ =>
+    }
+    real.foreach { case (s0, e0, nh, _) =>
+      assert(e0 - s0 + 1 >= nh || nh >= 1) }
+  }
+
   /** Reference DTW: the full (n+1)×(m+1) textbook matrix, no rolling
     * rows — an independent spelling of the kernel's recurrence.
     */
