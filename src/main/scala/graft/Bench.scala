@@ -54,18 +54,41 @@ object Bench {
     // System.gc() lets the cleaner drain; every 25 gates costs ~1s
     // per pass total, noise next to a 150+s board.
     val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").map(_.toInt).getOrElse(25)
-    def timeAll(): Map[String, Double] = {
+    // The r10→r11 driver-vs-builder residual on the wedge family
+    // attributed to co-resident load + storage-memory pressure at
+    // harvest time (SCALING.md r11 attribution experiment). Two
+    // pieces of armor, per r11 verdict item 2:
+    //  (a) pre-gate GC isolation for the heavy wedge/sketch gates, so
+    //      whatever block-manager lag the preceding 100+ gates left
+    //      behind is drained BEFORE the clock starts, not during;
+    //  (b) host-load telemetry — 1-min loadavg sampled at every
+    //      gate's start and end, carried into bench_summary — so a
+    //      future driver/builder gap self-attributes from the
+    //      artifact instead of needing a reproduction experiment.
+    val isolate: Set[String] = sys.env.get("SPARK_GRAFT_GC_BEFORE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("graph_neighbor_jaccard", "graph_adamic_adar",
+        "graph_neighbor_jaccard_sketch", "graph_adamic_adar_sketch",
+        "graph_triangles", "graph_clustering", "graph_ktruss",
+        "graph_betweenness"))
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    final case class Timing(sec: Double, loadBefore: Double, loadAfter: Double)
+    def timeAll(): Map[String, Timing] = {
       var i = 0
       selected.map { case (name, fn) =>
+        if (isolate.contains(name)) { spark.catalog.clearCache(); System.gc() }
+        val lb = loadAvg()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         i += 1
         if (gcEvery > 0 && i % gcEvery == 0) System.gc()
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> Timing(if (ok) (System.nanoTime() - t0) / 1e9 else -1.0,
+          lb, loadAvg())
       }
     }
-    def pass(): Map[String, Double] = {
+    def pass(): Map[String, Timing] = {
       val r = timeAll()
       // plan-keyed cache entries a gate failed to release must not
       // ride into the next pass
@@ -73,7 +96,8 @@ object Bench {
       System.gc()
       r
     }
-    val passes = Seq(pass(), pass(), pass())
+    val timedPasses = Seq(pass(), pass(), pass())
+    val passes = timedPasses.map(_.map { case (k, t) => k -> t.sec })
     val results = passes.head.keys.map { k =>
       val ts = passes.map(_(k)).filter(_ >= 0)
       k -> (if (ts.nonEmpty) ts.min else -1.0)
@@ -94,6 +118,18 @@ object Bench {
         else Seq(ts.min, ts(ts.size / 2), ts.max)
       s"\"" + k + "\":[" + s.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // host-load column: per gate, the [before, after] 1-min loadavg
+    // of the pass that produced the reported min — a min harvested at
+    // loadavg 60 on a 32-cpu box reads as crowded, one at 8 as clean
+    def fmt1(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val loads = timedPasses.head.keys.map { k =>
+      val best = timedPasses.map(_(k)).filter(_.sec >= 0)
+        .sortBy(_.sec).headOption
+      val s = best.map(t => Seq(t.loadBefore, t.loadAfter))
+        .getOrElse(Seq(-1.0, -1.0))
+      s"\"" + k + "\":[" + s.map(fmt1).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // total sums only successful queries — the -1 sentinels would
     // otherwise make a broken round look FASTER than a working one
     val total = results.values.filter(_ >= 0).sum
@@ -109,7 +145,7 @@ object Bench {
     java.nio.file.Files.write(summaryPath,
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failed":$failed,"n":${results.size},"queries":$qs,""" +
-        s""""spread":$spread,"sf":"$sfDir"}""" + "\n")
+        s""""spread":$spread,"load":$loads,"sf":"$sfDir"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n":${results.size},"detail":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()

@@ -917,13 +917,58 @@ object Events {
     * Headroom: h ≈ 5·10^5 × per-hour counts ≤ 10^9 × 24 terms stays
     * under BIGINT.
     */
+  /** Banded two-phase device for the SPINE family — lifts a trailing
+    * `ROWS BETWEEN (trailing−1) PRECEDING AND CURRENT ROW` window
+    * over a DENSE spine off the single unpartitioned window task
+    * (the hour-grain family's documented exemption) so the same
+    * operators hold at minute/second grain, where the spine is
+    * calendar-bounded but no longer small (a decade of seconds is
+    * 3·10⁸ rows — past any one task).
+    *
+    * Device: rows band by `hourCol div bandWidth`; each row within
+    * `trailing−1` of a band's END is additionally emitted as a GHOST
+    * row of the NEXT band (map-side fan, ≤ 2× and in practice
+    * ~(1 + trailing/bandWidth)× blow-up), so every row's full
+    * trailing frame is present inside its own band and the window
+    * runs `partitionBy(__band)` — parallel, spill-free, no
+    * SinglePartition exchange. Ghost rows are dropped after the
+    * windowed columns are computed. EXACT for any trailing-frame
+    * computation on a dense spine, because density makes "previous
+    * trailing−1 rows" ≡ "previous trailing−1 spine ticks", all of
+    * which the ghost prefix carries. (An unbounded-preceding frame
+    * does NOT fit this device — that's the bandedNtile offset
+    * layout's job, Analytics.scala.)
+    */
+  def bandedSpine(spine: DataFrame, hourCol: String, trailing: Int,
+      bandWidth: Long = 8192L)(
+      f: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    require(trailing >= 1 && bandWidth >= trailing,
+      s"bandWidth=$bandWidth must cover trailing=$trailing")
+    import spine.sparkSession.implicits._
+    val h = col(hourCol)
+    // floor division in exact integer arithmetic (`div` truncates
+    // toward zero, so negative off-boundary hours need the −1 nudge)
+    val ghosted = spine
+      .withColumn("__own", expr(s"$hourCol div $bandWidth")
+        - when(h < 0 && h % bandWidth =!= 0, 1L).otherwise(0L))
+      .withColumn("__band", explode(when(
+          h - ($"__own" + 1L) * bandWidth >= -(trailing - 1).toLong,
+          array($"__own", $"__own" + 1L))
+        .otherwise(array($"__own"))))
+    val w = Window.partitionBy(col("__band")).orderBy(h)
+      .rowsBetween(-(trailing - 1).toLong, 0)
+    f(ghosted, w)
+      .filter($"__band" === $"__own")
+      .drop("__band", "__own")
+  }
+
   def wmaHours(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val frame = Window.orderBy($"h").rowsBetween(-23, 0)
-    gapfillHourly(spark, dir)
-      .withColumn("nw", count(lit(1)).over(frame))
-      .withColumn("sx", sum($"n").over(frame))
-      .withColumn("shx", sum($"h" * $"n").over(frame))
+    bandedSpine(gapfillHourly(spark, dir), "h", trailing = 24) { (df, w) =>
+      df.withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum($"n").over(w))
+        .withColumn("shx", sum($"h" * $"n").over(w))
+    }
       .filter($"nw" === 24)
       .withColumn("wma_num", $"shx" - ($"h" - 24) * $"sx")
       .select($"h", $"n", $"wma_num",

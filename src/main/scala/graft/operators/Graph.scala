@@ -41,16 +41,114 @@ object Graph {
   /** Enforce the wedge budget off an already-computed degree frame —
     * one aggregate over the node-sized frame, nothing edge-sized.
     */
-  private def requireWedgeBudget(deg: DataFrame, degCol: String,
-      budget: Long, op: String, valve: String): Unit = {
+  /** Σ C(deg, 2) off an already-computed degree frame — one aggregate
+    * over the node-sized frame, nothing edge-sized.
+    */
+  private def wedgeSum(deg: DataFrame, degCol: String): Long = {
     import org.apache.spark.sql.functions.{expr, sum => fsum}
-    val wedges = Option(deg.agg(
+    Option(deg.agg(
         fsum(expr(s"$degCol * ($degCol - 1) div 2")).as("w"))
       .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  private def requireWedgeBudget(deg: DataFrame, degCol: String,
+      budget: Long, op: String, valve: String): Unit = {
+    val wedges = wedgeSum(deg, degCol)
     if (wedges > budget) throw new IllegalStateException(
       s"$op: wedge stream is sum C(deg,2) = $wedges > budget $budget — " +
         s"the exact form is past-budget at this scale; use $valve, or " +
         "raise wedgeBudget explicitly if you have the cluster for it")
+  }
+
+  /** The knobs [[planGraphBudget]] derives from one degree-census
+    * read, plus the census itself so callers can log the evidence.
+    * `seedMod` knobs assume the id-density the gates' `% seedMod`
+    * sampling does — a sparse id space just samples fewer seeds,
+    * which only UNDERshoots the budget.
+    */
+  final case class GraphBudgetKnobs(
+      nodes: Long, edgeRows: Long, maxDeg: Long, wedges: Long,
+      exactWedgesOk: Boolean, betweennessSeedMod: Long,
+      walkSeedMod: Long, trussPrePeel: Boolean)
+
+  /** Auto-budget pre-flight for the graph family — the joinSkew-style
+    * census read that replaces manual knobs. One node-sized aggregate
+    * yields (|V|, edge rows, max deg, Σ C(deg,2)); from it:
+    * `betweennessSeedMod` bounds seeds·|E|·hops (each seed's BFS can
+    * touch every edge row per hop — the [[betweennessOf]] worst
+    * case), `walkSeedMod` bounds walkers·steps, `exactWedgesOk` says
+    * whether the exact wedge-stream operators fit, and
+    * `trussPrePeel` says [[kTrussOf]] will engage its (k−1)-core
+    * valve. One seed is the floor — a budget below one seed's work
+    * clamps rather than refusing, since the caller asked for the
+    * operator; the returned census lets them see that clamp.
+    */
+  def planGraphBudget(edges: DataFrame, hops: Int = 4, steps: Int = 8,
+      workBudget: Long = DefaultWedgeBudget,
+      wedgeBudget: Long = DefaultWedgeBudget): GraphBudgetKnobs = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max => fmax, sum => fsum}
+    val row = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n"), fsum(col("deg")).as("m"),
+        fmax(col("deg")).as("mx"),
+        fsum(expr("deg * (deg - 1) div 2")).as("w")).head
+    val nodes = row.getLong(0)
+    val m = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val mx = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val w = if (row.isNullAt(3)) 0L else row.getLong(3)
+    // smallest seedMod whose seed-count UPPER bound (nodes/s + 1,
+    // covering the % alignment) keeps seeds·unit ≤ budget; BigInt
+    // because nodes·|E|·hops overflows long well inside 100 TB range
+    def fitSeedMod(unit: BigInt): Long = {
+      if (nodes == 0L || unit <= 0) 1L
+      else {
+        var s = ((unit * nodes + workBudget - 1) / workBudget)
+          .min(BigInt(nodes)).toLong.max(1L)
+        while (s < nodes &&
+            BigInt(nodes / s + 1) * unit > BigInt(workBudget))
+          s = math.min(s * 2, nodes)
+        s
+      }
+    }
+    GraphBudgetKnobs(nodes, m, mx, w,
+      exactWedgesOk = w <= wedgeBudget,
+      betweennessSeedMod = fitSeedMod(BigInt(m) * hops),
+      walkSeedMod = fitSeedMod(BigInt(steps)),
+      trussPrePeel = w > wedgeBudget)
+  }
+
+  /** Restrict a both-directions edge frame to its k-core: peel nodes
+    * of induced degree < k to the FIXPOINT (each round is one
+    * aggregation + two semi-joins on the shrinking graph, the
+    * [[kCoreOf]] device run to convergence instead of a bounded
+    * census). Returns the surviving edges, still both-directions.
+    * Lineage truncates per round; the loop exits as soon as a round
+    * peels nothing, and the round cap is a runaway backstop — a peel
+    * that removes ≥1 node per round terminates in ≤ |V| rounds
+    * regardless.
+    */
+  private[operators] def coreRestrict(edges: DataFrame, k: Long,
+      maxRounds: Int = 1 << 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.localCheckpoint(true)
+    var n = e.count()
+    var r = 0
+    var stable = false
+    while (!stable && r < maxRounds) {
+      val nodes = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"src".as("node"))
+      val kept = e
+        .join(nodes.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(nodes.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+      val m = kept.count()
+      stable = m == n
+      e = kept
+      n = m
+      r += 1
+    }
+    e
   }
 
   /** Distinct undirected co-purchase edges, emitted in both
@@ -804,8 +902,9 @@ object Graph {
     * co-partitioned self-join (zero extra exchanges — deg is
     * computed ON the same hash(src) layout), and the pair aggregate
     * sums it instead of counting. Same Σ C(deg,2) intrinsic cost,
-    * same wedge-budget guard, same single-long pair packing, same
-    * MinHash valve ([[neighborJaccardSketchOf]]) past budget.
+    * same wedge-budget guard, same single-long pair packing; past
+    * budget the guard names [[adamicAdarSketchOf]] — the MinHash
+    * candidate stage with the SAME integer AA re-score on candidates.
     */
   def adamicAdarOf(edges: DataFrame, topK: Int,
       materialize: Boolean = true,
@@ -831,8 +930,8 @@ object Graph {
             s"ids in [0, 2^32) — got [$mn, $mx]; remap ids first")
       }
       requireWedgeBudget(deg, "deg", wedgeBudget, "adamicAdarOf",
-        "neighborJaccardSketchOf (adjacency-MinHash candidates + " +
-          "exact re-verify)")
+        "adamicAdarSketchOf (adjacency-MinHash candidates + exact " +
+          "integer micro-unit AA re-score)")
     }
     val nbw = cached(nb.join(deg.select($"src", $"w"), "src"))
     if (materialize) nbw.count()
@@ -1077,10 +1176,28 @@ object Graph {
       wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges.repartition($"src").localCheckpoint(true)
-    requireWedgeBudget(
-      e0.groupBy($"src").agg(count(lit(1)).as("deg")), "deg",
-      wedgeBudget, "kTrussOf", "neighborJaccardSketchOf-style sketching")
+    val eIn = edges.repartition($"src").localCheckpoint(true)
+    // Past-budget valve, LOSSLESS for k-truss: every k-truss edge has
+    // both endpoints of induced degree ≥ k−1 (each lies on ≥ k−2
+    // triangles of the truss), so the k-truss is contained in the
+    // (k−1)-core and peeling to that core first cannot drop a truss
+    // edge. The peel is O(|E|) per round on a shrinking graph — the
+    // density filter that brings the wedge sum back under budget on
+    // hub-heavy graphs. If even the core is past budget, the guard
+    // throws honestly (there is no lossless reduction left).
+    val e0 = {
+      val deg = eIn.groupBy($"src").agg(count(lit(1)).as("deg"))
+      if (wedgeSum(deg, "deg") <= wedgeBudget) eIn
+      else {
+        val peeled = coreRestrict(eIn, k - 1)
+        requireWedgeBudget(
+          peeled.groupBy($"src").agg(count(lit(1)).as("deg")), "deg",
+          wedgeBudget, "kTrussOf",
+          s"a larger explicit wedgeBudget — the ${k - 1}-core pre-peel " +
+            "already ran and the surviving core is still past budget")
+        peeled
+      }
+    }
     // surviving UNDIRECTED edges as a<b pairs
     var und = e0.filter($"src" < $"dst")
       .select($"src".as("a"), $"dst".as("b")).localCheckpoint(true)
@@ -1177,21 +1294,24 @@ object Graph {
     * md5-derived, so the DuckDB oracle replays it hash-exactly; the
     * recall floor vs the exact operator is GraphSpec's job.
     */
-  def neighborJaccardSketchOf(edges: DataFrame, topK: Int): DataFrame = {
-    val spark = edges.sparkSession
+  /** Shared banded-LSH candidate stage of the sketch valves: per-node
+    * adjacency MinHash signatures (64 Kirsch–Mitzenmacher hashes off
+    * one md5 per edge endpoint, folded map-side into 64 `min`
+    * aggregates on one src-keyed shuffle), 16×4 banded bucketing, and
+    * the anti-join that drops already-adjacent pairs. Returns the
+    * distinct NON-ADJACENT candidate (a, b) pairs (a < b); what each
+    * valve re-scores on those candidates — Jaccard counts
+    * ([[neighborJaccardSketchOf]]) or weighted common-neighbor sums
+    * ([[adamicAdarSketchOf]]) — is the caller's business. Entirely
+    * md5-derived, so a SQL oracle can replay it hash-exactly.
+    */
+  private def lshNewLinkCandidates(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
     val H = MinHashLSH.H
     val BANDS = MinHashLSH.BANDS
     val R = MinHashLSH.R
     val M = MinHashLSH.M
-    // localCheckpoint, NOT persist: the edge plan is shared verbatim
-    // with the exact gate and triangles, and plan-keyed cache entries
-    // are process-global — a peer query unpersisting "its" entry
-    // mid-flight yanks it from under this one (observed as a rare
-    // empty result under Verify's 4-way concurrency). An RDD-level
-    // checkpoint is private to this invocation and reaped by GC.
-    val e = edges.localCheckpoint(true)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
     // one md5 per edge endpoint → two 28-bit halves → 64 KM hashes;
     // all column arithmetic inside whole-stage codegen, folded by
     // map-side partial min aggregation before the single src shuffle
@@ -1215,10 +1335,24 @@ object Graph {
           $"x.band_hash" === $"y.band_hash" && $"x.src" < $"y.src")
       .select($"x.src".as("a"), $"y.src".as("b"))
       .distinct()
-    // drop already-adjacent pairs, then exact common-neighbor counts
+    // drop already-adjacent pairs; the exact re-score downstream runs
     // on the surviving candidates only
-    val newLinks = cand.join(e.select($"src".as("a"), $"dst".as("b")),
+    cand.join(e.select($"src".as("a"), $"dst".as("b")),
       Seq("a", "b"), "left_anti")
+  }
+
+  def neighborJaccardSketchOf(edges: DataFrame, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // localCheckpoint, NOT persist: the edge plan is shared verbatim
+    // with the exact gate and triangles, and plan-keyed cache entries
+    // are process-global — a peer query unpersisting "its" entry
+    // mid-flight yanks it from under this one (observed as a rare
+    // empty result under Verify's 4-way concurrency). An RDD-level
+    // checkpoint is private to this invocation and reaped by GC.
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val newLinks = lshNewLinkCandidates(e)
     val common = newLinks
       .join(e.select($"src".as("a"), $"dst".as("n")), "a")
       .join(e.select($"src".as("b"), $"dst".as("n")), Seq("b", "n"))
@@ -1290,6 +1424,104 @@ object Graph {
         JOIN deg da ON da.src = co.a
         JOIN deg db ON db.src = co.b
         ORDER BY jac_ppm DESC, co.a, co.b LIMIT 20"""
+  }
+
+  /** Gate: sketch-path Adamic–Adar link prediction, top 20 — the
+    * scale valve [[adamicAdarOf]]'s budget guard names, as CODE.
+    */
+  def adamicAdarSketch(spark: SparkSession, dir: String): DataFrame =
+    adamicAdarSketchOf(copurchaseEdges(spark, dir), topK = 20)
+
+  /** Adamic–Adar past the wedge budget: [[lshNewLinkCandidates]]'s
+    * adjacency-MinHash banded-LSH candidate stage (O(|E|) hashing +
+    * Σ bucket² pair work) replaces the exact form's Σ C(deg, 2)
+    * wedge enumeration, then the EXACT integer micro-unit AA score —
+    * Σ_{n ∈ N(a)∩N(b)} round(10⁶/ln deg(n)), [[adamicAdarOf]]'s own
+    * arithmetic — is recomputed on candidates only via the adjacency
+    * join (Σ_cand (deg(a)+deg(b)) verify cost, the PPJoin
+    * filter-then-verify shape). Every REPORTED score is exact; what
+    * is traded is RECALL below the LSH s-curve, which is GraphSpec's
+    * floor to hold. A 10⁶-degree hub costs 10⁶ hashes, not C(10⁶,2)
+    * wedges. The md5-derived candidate stage replays hash-exactly in
+    * the SQL oracle.
+    */
+  def adamicAdarSketchOf(edges: DataFrame, topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    // apex weight quantized once per node — adamicAdarOf's device
+    val wt = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .withColumn("w", expr(
+        "CASE WHEN deg >= 2 THEN CAST(round(1000000.0 / ln(deg)) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    val newLinks = lshNewLinkCandidates(e)
+    val out = newLinks
+      .join(e.select($"src".as("a"), $"dst".as("n")), "a")
+      .join(e.select($"src".as("b"), $"dst".as("n")), Seq("b", "n"))
+      .join(wt.select($"src".as("n"), $"w"), "n")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"), sum($"w").as("aa_micro"))
+      .select($"a", $"b", $"common", $"aa_micro")
+      .orderBy($"aa_micro".desc, $"a", $"b")
+      .limit(topK)
+      .localCheckpoint(true)
+    out
+  }
+
+  /** Oracle: the identical md5 candidate pipeline + the weighted
+    * re-score, replayed in DuckDB.
+    */
+  val adamicAdarSketchSql: String = {
+    val H = MinHashLSH.H
+    val R = MinHashLSH.R
+    val M = MinHashLSH.M
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (
+          SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pairs),
+        wt AS (
+          SELECT src,
+                 CASE WHEN count(*) >= 2
+                      THEN CAST(round(1000000.0 / ln(count(*))) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS w
+          FROM edges GROUP BY src),
+        halves AS (
+          SELECT src,
+                 ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 7))::BIGINT AS h1,
+                 ('0x' || substr(md5(CAST(dst AS VARCHAR)), 9, 7))::BIGINT AS h2
+          FROM edges),
+        sig AS (
+          SELECT src, i, min((h1 + i * (2 * h2 + 1)) % $M) AS m
+          FROM halves CROSS JOIN range($H) t(i)
+          GROUP BY src, i),
+        bands AS (
+          SELECT src, i // $R AS band_idx,
+                 ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY i)), 1, 15))::BIGINT
+                   AS band_hash
+          FROM sig GROUP BY src, i // $R),
+        cand AS (
+          SELECT DISTINCT x.src AS a, y.src AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.src < y.src),
+        newc AS (
+          SELECT a, b FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                            WHERE p.p1 = c.a AND p.p2 = c.b)),
+        scored AS (
+          SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common,
+                 CAST(sum(wt.w) AS BIGINT) AS aa_micro
+          FROM newc c
+          JOIN edges e1 ON e1.src = c.a
+          JOIN edges e2 ON e2.src = c.b AND e2.dst = e1.dst
+          JOIN wt ON wt.src = e1.dst
+          GROUP BY c.a, c.b)
+        SELECT a, b, common, aa_micro
+        FROM scored ORDER BY aa_micro DESC, a, b LIMIT 20"""
   }
 
   /** Newman modularity of the BRAND partition over the co-purchase
@@ -1431,15 +1663,34 @@ object Graph {
     var h = e.select($"u").distinct().withColumn("hs", lit(1000000L))
       .localCheckpoint(true)
     var a: DataFrame = null
+    // Normalizer guard: an empty/all-null edge frame yields no max
+    // row (or a null/zero max) and must fail loudly, not NPE or
+    // divide by zero inside the `div` — library callers hand us
+    // arbitrary frames, not just the gate input.
+    def scalarMax(raw: DataFrame, side: String): Long = {
+      val mx = raw.agg(max($"raw")).head.getAs[Any](0) match {
+        case l: java.lang.Long => Option(l).map(_.longValue)
+        case null              => None
+      }
+      mx match {
+        case Some(v) if v > 0L => v
+        case Some(v) => throw new IllegalArgumentException(
+          s"hitsOf: $side max score is $v — the edge frame has no " +
+            "positively-scored nodes; check the u/p key columns")
+        case None => throw new IllegalArgumentException(
+          s"hitsOf: empty $side frame — the edge set is empty or all " +
+            "keys are null; hand hitsOf a non-empty (u, p) edge frame")
+      }
+    }
     for (_ <- 1 to iters) {
       val aRaw = e.join(h, "u").groupBy($"p").agg(sum($"hs").as("raw"))
         .localCheckpoint(true)
-      val aMax = aRaw.agg(max($"raw")).head.getLong(0)
+      val aMax = scalarMax(aRaw, "authority")
       a = aRaw.select($"p", expr(s"(raw * 1000000L) div ${aMax}L").as("as"))
         .localCheckpoint(true)
       val hRaw = e.join(a, "p").groupBy($"u").agg(sum($"as").as("raw"))
         .localCheckpoint(true)
-      val hMax = hRaw.agg(max($"raw")).head.getLong(0)
+      val hMax = scalarMax(hRaw, "hub")
       h = hRaw.select($"u", expr(s"(raw * 1000000L) div ${hMax}L").as("hs"))
         .localCheckpoint(true)
     }

@@ -444,11 +444,14 @@ object Profile {
         $"n_sk".as("n_b_sketch"), $"theta".as("theta_b")),
         $"type_a" < $"type_b")
       .withColumn("theta", least($"theta_a", $"theta_b"))
+    // The θ cut lives inside the count (mirroring the oracle's
+    // SUM(CASE...)) so a pair whose every shared hash equals θ still
+    // surfaces with n_common = 0 instead of vanishing from the output.
     pairs
       .join(common, Seq("type_a", "type_b"), "left")
-      .filter($"h".isNull || $"h" < $"theta")
       .groupBy($"type_a", $"type_b", $"n_a_sketch", $"n_b_sketch", $"theta")
-      .agg(sum(when($"h".isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .agg(sum(when($"h".isNotNull && $"h" < $"theta", 1L).otherwise(0L))
+        .as("n_common"))
       .withColumn("est_inter", expr(
         s"CAST((CAST(n_common AS DECIMAL(38,0)) * ${bound}L) div theta " +
           "AS BIGINT)"))

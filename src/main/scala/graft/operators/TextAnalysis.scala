@@ -662,9 +662,11 @@ object TextAnalysis {
     * weighting sources (a low-entropy source is boilerplate/templated
     * text; a TTR near 1 is ID-like noise). Uses the identity
     * H = ln N − (Σ c·ln c)/N so the shuffle moves ONE (count) row
-    * per distinct (source, token) — both engines aggregate the same
-    * positive c·ln c terms, so fp error is ~N·ε with no
-    * cancellation, orders below the 1e-4 rounding. Scale shape:
+    * per distinct (source, token) — and each c·ln c term is
+    * quantized to integer micro-nats (`round(c·ln c·10⁶)` as BIGINT,
+    * the same summation-order-proof device as unigramXent/bigramXent)
+    * so the sum is exact regardless of partition merge order; only
+    * the final display division is fp. Scale shape:
     * explode → two partial-agg'd groupBys, vocabulary-sized
     * exchanges, no windows, no joins.
     */
@@ -684,12 +686,14 @@ object TextAnalysis {
       .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
       .groupBy($"source")
       .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum($"c".cast("double") * log($"c".cast("double"))).as("clnc"))
+        sum(round($"c".cast("double") * log($"c".cast("double"))
+          * lit(1000000.0)).cast("long")).as("clnc_micro"))
       .select($"source", $"n_tokens", $"n_types",
         round($"n_types".cast("double") / $"n_tokens".cast("double"), 4)
           .as("ttr"),
         round(log($"n_tokens".cast("double"))
-          - $"clnc" / $"n_tokens".cast("double"), 4).as("entropy_nats"))
+          - $"clnc_micro".cast("double")
+            / ($"n_tokens".cast("double") * 1.0e6), 4).as("entropy_nats"))
       .orderBy($"source")
   }
 
@@ -704,13 +708,17 @@ object TextAnalysis {
              FROM tok GROUP BY 1, 2),
        a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
                     CAST(count(*) AS BIGINT) AS n_types,
-                    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+                    CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                          * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                      AS BIGINT) AS clnc_micro
              FROM c GROUP BY 1)
        SELECT source, n_tokens, n_types,
               round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
                 AS ttr,
               round(ln(CAST(n_tokens AS DOUBLE))
-                    - clnc / CAST(n_tokens AS DOUBLE), 4) AS entropy_nats
+                    - CAST(clnc_micro AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * 1000000), 4)
+                AS entropy_nats
        FROM a ORDER BY source"""
 
   /** Per-document cross-entropy under the corpus UNIGRAM language

@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Minimal PostgreSQL v3 wire-protocol client + Spark sink/source —
+  * the driver-jar-free way to hit a REAL Postgres wire target (the
+  * reference's `to_sql` lands in exactly such a table,
+  * reference task.py:143). The environment ships Postgres server
+  * binaries but no pgjdbc jar and has no egress, so the protocol
+  * subset is spoken directly: startup (trust auth), simple-query
+  * ('Q'), RowDescription/DataRow/CommandComplete/ErrorResponse/
+  * ReadyForQuery. Text format only — every exchanged value is the
+  * SQL-literal text Postgres itself prints, which is also what makes
+  * the round trip assertable.
+  *
+  * Scale posture: [[writeTable]] opens ONE socket PER PARTITION
+  * inside `foreachPartition` (executor-side, like any JDBC sink) and
+  * streams multi-row INSERT batches — rows never collect to the
+  * driver, memory is bounded by `batchRows`, and a 1000-executor
+  * write is 1000 sockets, which is the same fan-in any JDBC sink
+  * imposes (pool in front of the DB at that scale). [[queryAll]] is
+  * a driver-side single-socket reader for verification-scale result
+  * sets (the spec's read-back); a production-scale reader would
+  * range-partition the predicate per task — same shape as
+  * spark.read.jdbc's partitionColumn — and is out of scope here.
+  * No retries: a failed partition rethrows and Spark's task retry
+  * re-runs it, so the sink is at-least-once (idempotent only under
+  * a keyed target — documented, matching to_sql 'append').
+  */
+object PgWire {
+
+  /** One wire connection, simple-query protocol only. Not thread-safe. */
+  final class Conn(host: String, port: Int, db: String, user: String)
+      extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    startup()
+
+    private def startup(): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeInt(196608) // protocol 3.0
+      def z(s: String): Unit = { w.write(s.getBytes(UTF_8)); w.write(0) }
+      z("user"); z(user); z("database"); z(db); w.write(0)
+      out.writeInt(4 + body.size())
+      body.writeTo(out)
+      out.flush()
+      // trust auth: AuthenticationOk then parameter chatter until ReadyForQuery
+      var ready = false
+      while (!ready) {
+        val (tag, payload) = readMessage()
+        tag match {
+          case 'R' =>
+            val code = ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
+              ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+            require(code == 0,
+              s"PgWire supports trust auth only (got auth code $code) — " +
+                "start the target with -A trust")
+          case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
+          case 'E' => throw new java.io.IOException(errorText(payload))
+          case 'Z' => ready = true
+          case t => throw new java.io.IOException(s"unexpected startup tag '$t'")
+        }
+      }
+    }
+
+    private def readMessage(): (Char, Array[Byte]) = {
+      val tag = in.readByte().toChar
+      val len = in.readInt() - 4
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      (tag, payload)
+    }
+
+    private def errorText(payload: Array[Byte]): String = {
+      // error fields: repeated (type byte, cstring), 0-terminated list
+      val fields = scala.collection.mutable.Map.empty[Char, String]
+      var i = 0
+      while (i < payload.length && payload(i) != 0) {
+        val t = payload(i).toChar
+        val end = payload.indexOf(0.toByte, i + 1)
+        fields(t) = new String(payload, i + 1, end - i - 1, UTF_8)
+        i = end + 1
+      }
+      s"postgres error ${fields.getOrElse('C', "?")}: " +
+        fields.getOrElse('M', "(no message)")
+    }
+
+    /** Run one simple query; return (columnNames, rows as text cells,
+      * command tags). Throws on ErrorResponse. Values arrive exactly
+      * as Postgres text-formats them; NULL is None.
+      */
+    def query(sql: String): (Seq[String], Seq[Seq[Option[String]]], Seq[String]) = {
+      val bytes = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + bytes.length + 1)
+      out.write(bytes); out.writeByte(0)
+      out.flush()
+      var cols = Seq.empty[String]
+      val rows = Seq.newBuilder[Seq[Option[String]]]
+      val tags = Seq.newBuilder[String]
+      var err: Option[String] = None
+      var done = false
+      while (!done) {
+        val (tag, payload) = readMessage()
+        tag match {
+          case 'T' =>
+            val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+            var i = 2
+            cols = (0 until n).map { _ =>
+              val end = payload.indexOf(0.toByte, i)
+              val name = new String(payload, i, end - i, UTF_8)
+              i = end + 1 + 18 // table oid(4) attnum(2) type oid(4) len(2) mod(4) fmt(2)
+              name
+            }
+          case 'D' =>
+            val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+            var i = 2
+            rows += (0 until n).map { _ =>
+              val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+                ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+              i += 4
+              if (len == -1) None
+              else { val v = new String(payload, i, len, UTF_8); i += len; Some(v) }
+            }
+          case 'C' =>
+            tags += new String(payload, 0, payload.length - 1, UTF_8)
+          case 'E' => err = Some(errorText(payload)) // ReadyForQuery still follows
+          case 'Z' => done = true
+          case 'N' | 'S' | 'I' | 'G' | 'H' => () // notices / empty-query / copy chatter
+          case t => throw new java.io.IOException(s"unexpected tag '$t'")
+        }
+      }
+      err.foreach(m => throw new java.io.IOException(m))
+      (cols, rows.result(), tags.result())
+    }
+
+    def exec(sql: String): Seq[String] = query(sql)._3
+
+    override def close(): Unit = {
+      try { out.writeByte('X'); out.writeInt(4); out.flush() }
+      catch { case _: java.io.IOException => () }
+      sock.close()
+    }
+  }
+
+  /** SQL literal for one Spark value, standard_conforming_strings
+    * quoting ('' doubles quotes — the RFC-4180-of-SQL device).
+    */
+  private[sources] def literal(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => "timestamp '" + t.toString + "'"
+    case d: java.sql.Date => "date '" + d.toString + "'"
+    case b: Boolean => if (b) "true" else "false"
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite, s"non-finite double $d")
+      d.toString
+    case f: Float => f.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => throw new IllegalArgumentException(
+      s"PgWire.literal: unsupported type ${other.getClass.getName}")
+  }
+
+  /** Spark column type → Postgres DDL type for [[createTable]]. */
+  private def pgType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case DoubleType => "double precision"
+      case StringType => "text"
+      case BooleanType => "boolean"
+      case TimestampType => "timestamp"
+      case DateType => "date"
+      case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"PgWire: unsupported Spark type $other")
+    }
+  }
+
+  def createTable(conn: Conn, table: String, df: DataFrame,
+      dropFirst: Boolean = true): Unit = {
+    if (dropFirst) conn.exec(s"DROP TABLE IF EXISTS $table")
+    val cols = df.schema.fields
+      .map(f => s""""${f.name}" ${pgType(f.dataType)}""").mkString(", ")
+    conn.exec(s"CREATE TABLE $table ($cols)")
+  }
+
+  /** Executor-side distributed write: one socket per partition,
+    * multi-row INSERT batches of `batchRows`.
+    */
+  def writeTable(df: DataFrame, host: String, port: Int, db: String,
+      user: String, table: String, batchRows: Int = 200): Unit = {
+    val names = df.schema.fieldNames
+      .map(n => s""""$n"""").mkString("(", ", ", ")")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = new Conn(host, port, db, user)
+        try {
+          rows.grouped(batchRows).foreach { chunk =>
+            val values = chunk.map(r =>
+              r.toSeq.map(literal).mkString("(", ", ", ")")).mkString(", ")
+            conn.exec(s"INSERT INTO $table $names VALUES $values")
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Driver-side read-back for verification-scale result sets: text
+    * cells exactly as Postgres renders them (see scale posture above).
+    */
+  def queryAll(spark: SparkSession, host: String, port: Int, db: String,
+      user: String, sql: String): (Seq[String], Seq[Seq[Option[String]]]) = {
+    val conn = new Conn(host, port, db, user)
+    try { val (c, r, _) = conn.query(sql); (c, r) }
+    finally conn.close()
+  }
+}

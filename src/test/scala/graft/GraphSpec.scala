@@ -608,7 +608,8 @@ class GraphSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] {
       Graph.adamicAdarOf(toEdgeDf(hub), topK = 5, wedgeBudget = 100L)
     }
-    assert(ex.getMessage.contains("neighborJaccardSketchOf"))
+    assert(ex.getMessage.contains("adamicAdarSketchOf"),
+      s"guard must name the AA-capable valve: ${ex.getMessage}")
     assert(Graph.adamicAdarOf(toEdgeDf(hub), topK = 5,
       wedgeBudget = 1000L).count() > 0)
     val bad = Seq((1L, 4294967296L))
@@ -691,6 +692,111 @@ class GraphSpec extends SparkSpec {
     val hit = exact.count(p => sketch.contains(p._1))
     assert(hit >= exact.length * 3 / 10,
       s"sketch recall collapsed: $hit of ${exact.length} exact top-20 pairs")
+  }
+
+  test("AA sketch valve: identical neighborhoods certain, every reported score re-verified exact") {
+    // nodes 100/101 share the identical 8-node neighborhood → every
+    // band collides → certain candidate; each shared neighbor has
+    // deg 2, so aa_micro = 8·round(10⁶/ln 2) exactly — pins both the
+    // candidate stage and the integer re-score
+    val und = (1L to 8L).flatMap(i => Seq((100L, i), (101L, i))) ++
+      Seq((200L, 50L), (201L, 60L))
+    val got = Graph.adamicAdarSketchOf(toEdgeDf(und), topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val w2 = math.round(1000000.0 / math.log(2))
+    assert(got.contains((100L, 101L)), s"certain pair missed: $got")
+    assert(got((100L, 101L)) == (8L, 8L * w2), s"score not exact: $got")
+    assert(!got.contains((200L, 201L)))
+    val brute = bruteAdamicAdar(und)
+    got.foreach { case (pair, score) =>
+      assert(brute(pair) == score, s"$pair: sketch=$score brute=${brute(pair)}")
+    }
+  }
+
+  test("AA sketch recall floor vs the exact operator on the corpus graph") {
+    val edges = Graph.copurchaseEdges(spark, SF)
+    val exact = Graph.adamicAdarOf(edges, topK = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    val sketch = Graph.adamicAdarSketchOf(edges, topK = 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      .toMap
+    // (a) reported scores are EXACT — never estimated
+    exact.filter(p => sketch.contains(p._1)).foreach { case (pair, aa) =>
+      assert(sketch(pair) == aa, s"$pair: sketch=${sketch(pair)} exact=$aa")
+    }
+    // (b) recall floor on the exact top-20 (md5 is fixed, so the
+    // realized recall is deterministic for this corpus)
+    val hit = exact.count(p => sketch.contains(p._1))
+    assert(hit >= exact.length * 3 / 10,
+      s"AA sketch recall collapsed: $hit of ${exact.length} top-20 pairs")
+  }
+
+  test("k-truss valve: past budget the (k-1)-core pre-peel engages, fixpoint ≡ direct") {
+    // 5-clique + a 40-leaf star at a separate hub: the hub alone is
+    // C(40,2)=780 wedges, past a 500 budget; the 3-core fixpoint
+    // peels the leaves (deg 1) and then the stranded hub, leaving
+    // just the clique (30 wedges — under budget). k-truss ⊆
+    // (k−1)-core makes the peel lossless, so the FIXPOINT census of
+    // the valved run must equal the direct (big-budget) run's.
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val und = clique ++ (101L to 140L).map(i => (50L, i))
+    val valved = Graph.kTrussOf(toEdgeDf(und), k = 4, rounds = 2,
+      wedgeBudget = 500L).collect()
+    val direct = Graph.kTrussOf(toEdgeDf(und), k = 4, rounds = 2,
+      wedgeBudget = 100000L).collect()
+    def last(rows: Array[org.apache.spark.sql.Row]) = {
+      val r = rows.maxBy(_.getLong(0))
+      (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    // both reach the same fixpoint: the intact clique (10 edges)
+    assert(last(valved) == last(direct), s"${last(valved)} vs ${last(direct)}")
+    assert(last(valved)._1 == 10L, s"clique must survive whole: ${last(valved)}")
+    // round 0 of the valved run is the PEELED graph — the valve ran
+    assert(valved.minBy(_.getLong(0)).getLong(1) == 10L,
+      "pre-peel did not shrink the census base")
+    // if even the core is past budget there is no lossless reduction
+    // left — the guard must throw and say the pre-peel already ran
+    val ex = intercept[IllegalStateException] {
+      Graph.kTrussOf(toEdgeDf(und), k = 4, rounds = 2, wedgeBudget = 5L)
+    }
+    assert(ex.getMessage.contains("pre-peel"), ex.getMessage)
+  }
+
+  test("planGraphBudget: census-derived knobs keep the crafted hub graph under budget") {
+    // 200-leaf star: 201 nodes, 400 edge rows, C(200,2)=19900 wedges
+    val und = (1L to 200L).map(i => (0L, i))
+    val edges = toEdgeDf(und)
+    val knobs = Graph.planGraphBudget(edges, hops = 4, steps = 8,
+      workBudget = 10000L, wedgeBudget = 1000L)
+    assert(knobs.nodes == 201L && knobs.edgeRows == 400L &&
+      knobs.maxDeg == 200L && knobs.wedges == 19900L, knobs.toString)
+    assert(!knobs.exactWedgesOk && knobs.trussPrePeel, knobs.toString)
+    // the knob's promise, checked against the REAL seed count the
+    // % sampling realizes on this id space, not the planner's bound
+    val bSeeds = (0L to 200L).count(_ % knobs.betweennessSeedMod == 0L)
+    assert(bSeeds * 400L * 4L <= 10000L,
+      s"betweenness work ${bSeeds * 1600L} > budget (seedMod=${knobs.betweennessSeedMod})")
+    assert(bSeeds >= 1L, "planner must keep at least one seed")
+    val wSeeds = (0L to 200L).count(_ % knobs.walkSeedMod == 0L)
+    assert(wSeeds * 8L <= 10000L)
+    // and the knob drives the operator as-is
+    assert(Graph.betweennessOf(edges, knobs.betweennessSeedMod, hops = 4,
+      topK = 5).count() >= 0L)
+  }
+
+  test("hitsOf refuses an empty or zero-scored edge frame with a clear message") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsOf(Seq.empty[(Long, Long)].toDF("u", "p"), iters = 1,
+        topK = 5)
+    }
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.hitsOf(Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+        .toDF("u", "p"), iters = 1, topK = 5)
+    }
+    assert(ex2.getMessage.contains("hitsOf"), ex2.getMessage)
   }
 
   test("personalized PageRank equals a sequential integer re-derivation; mass stays near the seed") {

@@ -697,4 +697,130 @@ class StreamingSpec extends SparkSpec {
       s"diverged at $diff: stream=${diff.map(got.get)} batch=${diff.map(want.get)}")
   }
 
+  test("crash recovery: intoManifestTable stays effectively-once across restart AND a forced batch replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.pipeline.ManifestTable
+    // every prior streaming spec runs one query lifetime; this one
+    // exercises the RESTART path the checkpoint + #batch markers
+    // exist for: (1) a clean stop/restart must not duplicate or lose
+    // rows; (2) deleting the checkpoint's last commit file simulates
+    // the crash window between sink commit and checkpoint commit —
+    // Spark REPLAYS that batch id into foreachBatch on restart, and
+    // the #batch marker must turn the replay into a no-op.
+    val rows = (1 to 60).map(i =>
+      StreamEvent(i.toLong, ts(i.toLong), i.toLong % 7, "click", i * 1.0))
+    val (b1, b2) = rows.splitAt(30)
+    val root = java.nio.file.Files.createTempDirectory("stream_recover").toString
+    val table = new ManifestTable(spark, root + "/t")
+    val ckpt = root + "/ckpt"
+    val mem = MemoryStream[StreamEvent]
+    def start() = EventStream.intoManifestTable(mem.toDF(), table, ckpt).start()
+    // lifetime 1: first half
+    val q1 = start()
+    try { mem.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    assert(table.read().count() == 30L, "first lifetime landed")
+    val vAfter1 = table.currentVersion.get
+    // lifetime 2 (clean restart): second half — no dup, no loss
+    val q2 = start()
+    try { mem.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    assert(table.read().count() == 60L,
+      s"clean restart must append exactly the new batch: ${table.read().count()}")
+    assert(table.currentVersion.get > vAfter1)
+    val vAfter2 = table.currentVersion.get
+    // forced replay: drop the newest checkpoint commit marker → the
+    // restarted query re-runs that batch id from recorded offsets
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "checkpoint has no commit files?")
+    assert(commits.last.delete(), "could not tamper with the checkpoint")
+    // the local checksum fs shadows every commit file with .N.crc; a
+    // real crash leaves neither, and a stale crc would make the
+    // replay's commit rename fail for the wrong reason
+    new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc").delete()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(table.read().count() == 60L,
+      s"replayed batch must be a #batch-marker no-op: ${table.read().count()}")
+    assert(table.currentVersion.get == vAfter2,
+      "replay must not mint a new version")
+    // and the row CONTENT survived intact, not just the count
+    assert(table.read().agg(
+        org.apache.spark.sql.functions.sum($"event_id")).head.getLong(0) ==
+      (1 to 60).map(_.toLong).sum)
+  }
+
+  test("crash recovery: slidingDau resumes from checkpoint with no lost or duplicated windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // append-mode windows must finalize EXACTLY ONCE across a query
+    // restart: the watermark + window state live in the checkpoint,
+    // so lifetime 2 must neither re-emit lifetime 1's windows nor
+    // skip windows straddling the stop.
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val root = java.nio.file.Files.createTempDirectory("sdau_recover").toString
+    val mem = MemoryStream[StreamEvent]
+    def start() = EventStream.slidingDau(mem.toDF())
+      .writeStream.option("checkpointLocation", root + "/ckpt")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.collect().foreach(r =>
+          emitted.add((id, r.getTimestamp(0).getTime, r.getLong(1))))
+        ()
+      }.start()
+    // users 1..3 in hour 0, users 1..2 in hour 6, user 9 in hour 30
+    val q1 = start()
+    try {
+      mem.addData((1 to 3).map(u =>
+        StreamEvent(u.toLong, ts(10), u.toLong, "click", 1.0)) ++
+        Seq(StreamEvent(10L, ts(6 * 60 + 5), 1L, "click", 1.0),
+          StreamEvent(11L, ts(6 * 60 + 6), 2L, "click", 1.0)))
+      q1.processAllAvailable()
+      // advance the watermark deep enough to finalize the early
+      // windows (24h windows + 2h watermark)
+      mem.addData(Seq(StreamEvent(20L, ts(30 * 60), 9L, "click", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterL1 = emitted.size()
+    assert(afterL1 > 0, "lifetime 1 finalized no windows — fixture too shallow")
+    // lifetime 2: restart from the same checkpoint, push the
+    // watermark past everything so ALL remaining windows finalize
+    val q2 = start()
+    try {
+      mem.addData(Seq(StreamEvent(21L, ts(80 * 60), 9L, "click", 1.0)))
+      q2.processAllAvailable()
+      mem.addData(Seq(StreamEvent(22L, ts(130 * 60), 9L, "click", 1.0)))
+      q2.processAllAvailable()
+      // one more micro-batch so windows finalized by the 130h
+      // watermark actually EMIT before the stop (emission happens in
+      // the batch AFTER the watermark advances); same hour as the
+      // 130h event, so it adds no new windows to the expectation
+      mem.addData(Seq(StreamEvent(23L, ts(130 * 60 + 1), 9L, "click", 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = emitted.toArray(Array.empty[(Long, Long, Long)])
+      .map { case (_, w, n) => (w, n) }
+    // no window emitted twice across the restart
+    assert(got.length == got.toSet.size,
+      s"duplicated windows across restart: ${got.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(emitted.size() > afterL1, "lifetime 2 finalized nothing")
+    // and the union over both lifetimes ≡ the batch 24h/1h count on
+    // every window that CAN be final (those the last watermark passed)
+    val allEvents = Seq((ts(10), 1L), (ts(10), 2L), (ts(10), 3L),
+      (ts(6 * 60 + 5), 1L), (ts(6 * 60 + 6), 2L), (ts(30 * 60), 9L),
+      (ts(80 * 60), 9L), (ts(130 * 60), 9L))
+    val lastWm = ts(130 * 60).getTime - 2L * 3600 * 1000
+    val expect = allEvents.flatMap { case (t, u) =>
+      val hour = t.getTime / 3600000L * 3600000L
+      (0L until 24L).map(k => (hour - k * 3600000L, u))
+    }.distinct.groupBy(_._1)
+      .map { case (w, us) => (w, us.length.toLong) }
+      .filter { case (w, _) => w + 24L * 3600000L <= lastWm }
+    val gotFinal = got.toMap.filter { case (w, _) =>
+      w + 24L * 3600000L <= lastWm }
+    assert(gotFinal == expect,
+      s"stream-only=${gotFinal.toSet -- expect.toSet} batch-only=${expect.toSet -- gotFinal.toSet}")
+  }
+
 }

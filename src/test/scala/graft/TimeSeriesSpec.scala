@@ -98,6 +98,55 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("bandedSpine ≡ the unpartitioned spine window across band boundaries; plan is band-partitioned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // dense spine crossing several 10-wide bands, values irregular so
+    // a dropped/duplicated ghost row would corrupt some trailing sum
+    val spine = (0L to 97L).map(h => (h, (h * h) % 13))
+      .toDF("h", "n").repartition(7)
+    def stats(df: org.apache.spark.sql.DataFrame,
+        w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum($"n").over(w))
+        .withColumn("mx", max($"n").over(w))
+    val banded = Events.bandedSpine(spine, "h", trailing = 6,
+        bandWidth = 10L)(stats)
+      .select($"h", $"nw", $"sx", $"mx")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val flat = stats(spine, Window.orderBy($"h").rowsBetween(-5, 0))
+      .select($"h", $"nw", $"sx", $"mx")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(banded == flat, s"first diff: ${
+      flat.keys.toSeq.sorted.find(k => banded.get(k) != flat.get(k))
+        .map(k => s"$k banded=${banded.get(k)} flat=${flat.get(k)}")}")
+    // negative hours band correctly too (floor, not truncate-to-zero)
+    val negSpine = (-25L to 14L).map(h => (h, h % 7 + 7)).toDF("h", "n")
+    val bN = Events.bandedSpine(negSpine, "h", trailing = 4,
+        bandWidth = 10L)(stats)
+      .select($"h", $"sx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fN = stats(negSpine, Window.orderBy($"h").rowsBetween(-3, 0))
+      .select($"h", $"sx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bN == fN)
+    // every row survives exactly once (ghost filter is airtight)
+    assert(banded.size == 98 && bN.size == 40)
+    // and the WHOLE POINT: the window runs hash-partitioned on the
+    // band, not through one SinglePartition exchange
+    val plan = Events.bandedSpine(spine, "h", trailing = 6,
+      bandWidth = 10L)(stats).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__band"),
+      s"banded window is not band-partitioned:\n$plan")
+    // guard: a band narrower than the trailing frame must refuse
+    intercept[IllegalArgumentException] {
+      Events.bandedSpine(spine, "h", trailing = 24, bandWidth = 10L)(stats)
+    }
+  }
+
   test("weekly profile: ≤168 in-range cells, counts sum to the corpus total") {
     import spark.implicits._
     val cells = Events.weeklyProfile(spark, SF)
