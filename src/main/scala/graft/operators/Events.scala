@@ -254,17 +254,18 @@ object Events {
     * are integers, so the flag is bit-exact across engines with no
     * fp mean/stddev anywhere (BIGINT headroom to per-hour counts
     * ~10⁸). ROWS frame on the densified series = true wall-clock
-    * trailing day; the window is unpartitioned but runs over the
-    * aggregate-scale hour spine (bounded by calendar span, not corpus
-    * — WindowAuditSpec carries the exemption rationale).
+    * trailing day; runs under [[bandedSpine]], so the window is
+    * band-partitioned and holds past hourly grain (SCALING.md
+    * "Spine-granularity ceiling" carries the receipts).
     */
   def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val trailing = Window.orderBy($"h").rowsBetween(-24, -1)
-    gapfillHourly(spark, dir)
-      .withColumn("nw", count(lit(1)).over(trailing))
-      .withColumn("s1", sum($"n").over(trailing))
-      .withColumn("s2", sum($"n" * $"n").over(trailing))
+    bandedSpine(gapfillHourly(spark, dir), "h", lookback = 24) { (df, w0) =>
+      val trailing = w0.rowsBetween(-24, -1)
+      df.withColumn("nw", count(lit(1)).over(trailing))
+        .withColumn("s1", sum($"n").over(trailing))
+        .withColumn("s2", sum($"n" * $"n").over(trailing))
+    }
       .filter($"nw" === 24 &&
         (lit(24) * $"n" - $"s1") * (lit(24) * $"n" - $"s1") >
           lit(4) * (lit(24) * $"s2" - $"s1" * $"s1"))
@@ -939,11 +940,11 @@ object Events {
     * does NOT fit this device — that's the bandedNtile offset
     * layout's job, Analytics.scala.)
     */
-  def bandedSpine(spine: DataFrame, hourCol: String, trailing: Int,
+  def bandedSpine(spine: DataFrame, hourCol: String, lookback: Int,
       bandWidth: Long = 8192L)(
       f: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
-    require(trailing >= 1 && bandWidth >= trailing,
-      s"bandWidth=$bandWidth must cover trailing=$trailing")
+    require(lookback >= 1 && bandWidth > lookback,
+      s"bandWidth=$bandWidth must exceed lookback=$lookback")
     import spine.sparkSession.implicits._
     val h = col(hourCol)
     // floor division in exact integer arithmetic (`div` truncates
@@ -952,11 +953,13 @@ object Events {
       .withColumn("__own", expr(s"$hourCol div $bandWidth")
         - when(h < 0 && h % bandWidth =!= 0, 1L).otherwise(0L))
       .withColumn("__band", explode(when(
-          h - ($"__own" + 1L) * bandWidth >= -(trailing - 1).toLong,
+          h - ($"__own" + 1L) * bandWidth >= -lookback.toLong,
           array($"__own", $"__own" + 1L))
         .otherwise(array($"__own"))))
+    // frameless on purpose: the caller picks its ROWS frame, which
+    // must lie inside [-lookback, 0] — ghosts carry exactly lookback
+    // predecessors across each band boundary and nothing after
     val w = Window.partitionBy(col("__band")).orderBy(h)
-      .rowsBetween(-(trailing - 1).toLong, 0)
     f(ghosted, w)
       .filter($"__band" === $"__own")
       .drop("__band", "__own")
@@ -964,7 +967,8 @@ object Events {
 
   def wmaHours(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bandedSpine(gapfillHourly(spark, dir), "h", trailing = 24) { (df, w) =>
+    bandedSpine(gapfillHourly(spark, dir), "h", lookback = 23) { (df, w0) =>
+      val w = w0.rowsBetween(-23, 0)
       df.withColumn("nw", count(lit(1)).over(w))
         .withColumn("sx", sum($"n").over(w))
         .withColumn("shx", sum($"h" * $"n").over(w))

@@ -359,6 +359,129 @@ object TextAnalysis {
             AS BIGINT) AS n_bpe_tokens
        FROM documents"""
 
+  /** Tokenizer fertility per language — the mixture-design signal a
+    * multilingual corpus needs BEFORE token budgeting: how many
+    * subword-ish tokens one "word" (whitespace token) costs per
+    * language, and how many bytes one token carries. A high-fertility
+    * language burns budget faster than its document share suggests
+    * (the standard multilingual-tokenizer observation); the byte
+    * ratio separates wide scripts from verbose ones. Uses the SAME
+    * BPE-ish lexer as [[tokenCounts]], so the two gates can't drift.
+    * All sums exact BIGINT off one map-side-partial aggregate to
+    * |langs| rows; the two ratios divide once at the edge.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertilityOf(Tables.documents(spark, dir))
+
+  /** Fertility core over any (lang, text) frame. */
+  def tokenFertilityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"lang",
+        size(Dedup.tokensCol($"text")).cast("long").as("ws"),
+        size(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe"),
+        length($"text").cast("long").as("chars"),
+        expr("octet_length(text)").cast("long").as("bytes"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ws").as("ws_tokens"),
+        sum($"bpe").as("bpe_tokens"), sum($"chars").as("n_chars"),
+        sum($"bytes").as("n_bytes"))
+      .select($"lang", $"n_docs", $"ws_tokens", $"bpe_tokens",
+        $"n_chars", $"n_bytes",
+        when($"ws_tokens" > 0,
+          round($"bpe_tokens".cast("double") / $"ws_tokens".cast("double"), 4))
+          .otherwise(0.0).as("fertility"),
+        when($"bpe_tokens" > 0,
+          round($"n_bytes".cast("double") / $"bpe_tokens".cast("double"), 4))
+          .otherwise(0.0).as("bytes_per_token"))
+      .orderBy($"lang")
+  }
+
+  val tokenFertilitySql: String =
+    """WITH per AS (
+         SELECT lang,
+                CAST(len(list_filter(list_transform(
+                  string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS BIGINT) AS ws,
+                CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes
+         FROM documents),
+       a AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                CAST(sum(chars) AS BIGINT) AS n_chars,
+                CAST(sum(bytes) AS BIGINT) AS n_bytes
+         FROM per GROUP BY 1)
+       SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars, n_bytes,
+              CASE WHEN ws_tokens > 0 THEN
+                round(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 4)
+              ELSE 0.0 END AS fertility,
+              CASE WHEN bpe_tokens > 0 THEN
+                round(CAST(n_bytes AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 4)
+              ELSE 0.0 END AS bytes_per_token
+       FROM a ORDER BY lang"""
+
+  /** Encoding-health census per source — the crawl-hygiene screen
+    * that runs before any text scoring: replacement characters
+    * (U+FFFD marks a decode that already failed upstream), raw C0
+    * control characters (binary junk masquerading as text), and the
+    * classic UTF-8-read-as-Latin-1 mojibake signatures ("Ã"/"â€"
+    * pairs). A source with a high replacement or control ratio gets
+    * its INGEST fixed, not its documents filtered — which is why the
+    * census is per source, with counts, not a per-doc filter. Counts
+    * are exact integers by the subtract-after-strip device
+    * (len − len(strip(class))); one aggregate to |sources| rows.
+    */
+  def encodingCensus(spark: SparkSession, dir: String): DataFrame =
+    encodingCensusOf(Tables.documents(spark, dir))
+
+  /** Census core over any (source, text) frame. */
+  def encodingCensusOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def classCount(c: org.apache.spark.sql.Column, pattern: String) =
+      (length(c) - length(regexp_replace(c, pattern, ""))).cast("long")
+    docs
+      .select($"source",
+        length($"text").cast("long").as("chars"),
+        classCount($"text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("ctrl"),
+        classCount($"text", "[^\\x00-\\x7F]").as("non_ascii"),
+        when($"text".contains("�"), 1L).otherwise(0L).as("repl_doc"),
+        when($"text".contains("Ã") || $"text".contains("â"),
+          1L).otherwise(0L).as("moji_doc"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"chars").as("n_chars"),
+        sum($"ctrl").as("ctrl_chars"), sum($"non_ascii").as("non_ascii_chars"),
+        sum($"repl_doc").as("repl_docs"), sum($"moji_doc").as("moji_docs"))
+      .orderBy($"source")
+  }
+
+  val encodingCensusSql: String =
+    """WITH per AS (
+         SELECT source,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS ctrl,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii,
+                CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS repl_doc,
+                CASE WHEN contains(text, chr(195))
+                       OR contains(text, chr(226))
+                     THEN 1 ELSE 0 END AS moji_doc
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(chars) AS BIGINT) AS n_chars,
+              CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+              CAST(sum(non_ascii) AS BIGINT) AS non_ascii_chars,
+              CAST(sum(repl_doc) AS BIGINT) AS repl_docs,
+              CAST(sum(moji_doc) AS BIGINT) AS moji_docs
+       FROM per GROUP BY 1 ORDER BY source"""
+
   /** #38 fingerprint: md5 of whitespace-normalized text (the
     * oracle-checkable half; the custom-codegen rolling hash is
     * rollingFingerprint).

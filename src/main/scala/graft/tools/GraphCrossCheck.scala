@@ -373,7 +373,7 @@ object GraphCrossCheck {
       rows(graft.operators.Graph.kTruss(spark, dir)), ktrussWant)
 
     // ── neighbor-Jaccard SKETCH (md5 MinHash replayed in scala) ──
-    val sketchSeq: Seq[Seq[Long]] = {
+    val sketchSeq: (Seq[Seq[Long]], Seq[Seq[Long]]) = {
       val mdt = new ThreadLocal[java.security.MessageDigest] {
         override def initialValue() = java.security.MessageDigest.getInstance("MD5")
       }
@@ -418,7 +418,7 @@ object GraphCrossCheck {
           i += 1
         }
       }
-      cand.toSeq.flatMap { case (a, b) =>
+      val jacTop = cand.toSeq.flatMap { case (a, b) =>
         val common = (adjSet(a) & adjSet(b)).size.toLong
         if (common == 0) None
         else {
@@ -427,9 +427,25 @@ object GraphCrossCheck {
         }
       }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
         .map { case (a, b, c, j) => Seq(a, b, c, j) }
+      // AA re-score on the SAME candidate set (the shared LSH stage):
+      // per shared neighbor round(1e6/ln deg), summed exact
+      def w(n: Long): Long = {
+        val d = adjSet(n).size
+        if (d >= 2) math.round(1000000.0 / math.log(d.toDouble)) else 0L
+      }
+      val aaTop = cand.toSeq.flatMap { case (a, b) =>
+        val shared = adjSet(a) & adjSet(b)
+        if (shared.isEmpty) None
+        else Some((a, b, shared.size.toLong, shared.iterator.map(w).sum))
+      }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(20)
+        .map { case (a, b, c, s) => Seq(a, b, c, s) }
+      (jacTop, aaTop)
     }
     check("graph_neighbor_jaccard_sketch",
-      rows(graft.operators.Graph.neighborJaccardSketch(spark, dir)), sketchSeq)
+      rows(graft.operators.Graph.neighborJaccardSketch(spark, dir)),
+      sketchSeq._1)
+    check("graph_adamic_adar_sketch",
+      rows(graft.operators.Graph.adamicAdarSketch(spark, dir)), sketchSeq._2)
 
     // ── betweenness (sampled sources % 499, 3-hop horizon, quantized
     //    Brandes — δ in integer micro-units, trunc division) ──

@@ -228,6 +228,51 @@ class SearchSpec extends SparkSpec {
     assert(got.forall(_._3 <= 1L))
   }
 
+  test("tokenizer fertility: hand-counted multibyte fixture; bytes separate from chars") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // en: "ab cd, ef" → ws 3; bpe: ab|cd|,|ef = 4; chars 9; bytes 9
+    // zh: "日本 語x" → ws 2; bpe lexer on lower: 日本|語 are [^a-z0-9 ]
+    //     singles → 日|本|語|x = 4; chars 5; bytes = 3·3+1+1 = 11
+    val docs = Seq(
+      (1L, "ab cd, ef", "en", "s"),
+      (2L, "日本 語x", "zh", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.tokenFertilityOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4),
+      en.getLong(5)) == ((1L, 3L, 4L, 9L, 9L)), en.toString)
+    assert(en.getDouble(6) == 1.3333 && en.getDouble(7) == 2.25)
+    val zh = got("zh")
+    assert((zh.getLong(2), zh.getLong(3), zh.getLong(4), zh.getLong(5)) ==
+      ((2L, 4L, 5L, 11L)), zh.toString)
+    assert(zh.getDouble(6) == 2.0 && zh.getDouble(7) == 2.75)
+  }
+
+  test("encoding census: planted replacement/control/mojibake chars counted exactly") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "clean ascii only", "en", "a"),
+      (2L, "bad � decode � twice", "en", "a"),
+      (3L, "ctrl\u0001here\u0002and\ttab stays", "en", "b"),
+      (4L, "mojibake Ã© and â€œ marks", "en", "b"),
+      (5L, "naïve café — true utf8", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.encodingCensusOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // source a: 2 docs, no ctrl, 2 non-ascii (the two U+FFFD), 1
+    // replacement doc, 0 mojibake
+    assert(got("a") == ((2L, 0L, 2L, 1L, 0L)), got("a").toString)
+    // source b: doc3 has TWO C0 controls (\t exempt), doc4 has
+    // Ã/é/â/€/œ non-ascii (5) + doc5 ï/é/— (3); mojibake doc = doc4
+    // (é in doc5 alone is legit utf-8, no Ã/â signature)
+    assert(got("b") == ((3L, 2L, 8L, 0L, 1L)), got("b").toString)
+  }
+
   test("token entropy: uniform corpus gives H = ln k exactly; TTR reconciles") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -107,29 +107,46 @@ class TimeSeriesSpec extends SparkSpec {
     val spine = (0L to 97L).map(h => (h, (h * h) % 13))
       .toDF("h", "n").repartition(7)
     def stats(df: org.apache.spark.sql.DataFrame,
-        w: org.apache.spark.sql.expressions.WindowSpec) =
+        w0: org.apache.spark.sql.expressions.WindowSpec) = {
+      val w = w0.rowsBetween(-5, 0)
       df.withColumn("nw", count(lit(1)).over(w))
         .withColumn("sx", sum($"n").over(w))
         .withColumn("mx", max($"n").over(w))
-    val banded = Events.bandedSpine(spine, "h", trailing = 6,
+    }
+    val banded = Events.bandedSpine(spine, "h", lookback = 5,
         bandWidth = 10L)(stats)
       .select($"h", $"nw", $"sx", $"mx")
       .collect().map(r => (r.getLong(0),
         (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val flat = stats(spine, Window.orderBy($"h").rowsBetween(-5, 0))
+    val flat = stats(spine, Window.orderBy($"h"))
       .select($"h", $"nw", $"sx", $"mx")
       .collect().map(r => (r.getLong(0),
         (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(banded == flat, s"first diff: ${
       flat.keys.toSeq.sorted.find(k => banded.get(k) != flat.get(k))
         .map(k => s"$k banded=${banded.get(k)} flat=${flat.get(k)}")}")
+    // a frame NOT ending at the current row works too (anomalyHours'
+    // -24..-1 shape) — ghosts cover any frame inside [-lookback, 0]
+    def lagStats(df: org.apache.spark.sql.DataFrame,
+        w0: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("sx", sum($"n").over(w0.rowsBetween(-5, -1)))
+    val bLag = Events.bandedSpine(spine, "h", lookback = 5,
+        bandWidth = 10L)(lagStats)
+      .select($"h", $"sx").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val fLag = lagStats(spine, Window.orderBy($"h"))
+      .select($"h", $"sx").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(bLag == fLag)
     // negative hours band correctly too (floor, not truncate-to-zero)
     val negSpine = (-25L to 14L).map(h => (h, h % 7 + 7)).toDF("h", "n")
-    val bN = Events.bandedSpine(negSpine, "h", trailing = 4,
+    val bN = Events.bandedSpine(negSpine, "h", lookback = 5,
         bandWidth = 10L)(stats)
       .select($"h", $"sx").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fN = stats(negSpine, Window.orderBy($"h").rowsBetween(-3, 0))
+    val fN = stats(negSpine, Window.orderBy($"h"))
       .select($"h", $"sx").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bN == fN)
@@ -137,13 +154,13 @@ class TimeSeriesSpec extends SparkSpec {
     assert(banded.size == 98 && bN.size == 40)
     // and the WHOLE POINT: the window runs hash-partitioned on the
     // band, not through one SinglePartition exchange
-    val plan = Events.bandedSpine(spine, "h", trailing = 6,
+    val plan = Events.bandedSpine(spine, "h", lookback = 5,
       bandWidth = 10L)(stats).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(__band"),
       s"banded window is not band-partitioned:\n$plan")
-    // guard: a band narrower than the trailing frame must refuse
+    // guard: a band narrower than the lookback must refuse
     intercept[IllegalArgumentException] {
-      Events.bandedSpine(spine, "h", trailing = 24, bandWidth = 10L)(stats)
+      Events.bandedSpine(spine, "h", lookback = 24, bandWidth = 10L)(stats)
     }
   }
 

@@ -36,12 +36,6 @@ class WindowAuditSpec extends SparkSpec {
         "token count, bounded by max doc length) — the groupBy below " +
         "already collapsed the corpus; the window input is " +
         "domain-sized, not data-sized"),
-    "events_anomaly_hours" ->
-      ("trailing-24h stats over the gap-filled HOURLY series: the " +
-        "window input is one row per calendar hour (a decade is ~88k " +
-        "rows at any corpus size) — the per-hour count aggregation " +
-        "below it already reduced the data; an ordered scan of the " +
-        "hour spine is the operator's semantics"),
     "analytics_rfm" ->
       ("three exclusive-prefix offset windows over the per-band " +
         "count frames of bandedNtile (≤ a few hundred band rows " +
@@ -63,10 +57,10 @@ class WindowAuditSpec extends SparkSpec {
         "(calendar-bounded, ~88k rows a decade) — the per-hour " +
         "aggregation below already reduced the corpus; an ordered " +
         "scan of the spine is the CUSUM's semantics"),
-    "events_wma_hours" ->
-      ("trailing-24h moment windows over the gap-filled HOURLY " +
-        "spine (calendar-bounded) — same aggregate-then-window shape " +
-        "as events_anomaly_hours"),
+    // events_anomaly_hours / events_wma_hours migrated onto
+    // Events.bandedSpine (r12): their trailing windows now run
+    // partitionBy(__band), so the exemptions retired — the stale-
+    // exemption assertion below is what enforces their removal
     "events_autocorrelation" ->
       ("one 24-lag window pass over the gap-filled HOURLY spine " +
         "(calendar-bounded) — the per-hour aggregation below already " +
