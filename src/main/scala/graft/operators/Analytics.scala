@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns
 import graft.pipeline.DimensionalEtl
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -630,6 +630,95 @@ object Analytics {
                             / CAST(n2 AS DOUBLE)), 4) AS t_stat
         FROM mo"""
 
+  /** Minimum detectable effect at 80% power / two-sided 5% α for the
+    * [[abTtest]] design — the experiment-PLANNING readout the test
+    * family lacks ("can this experiment even see the lift we care
+    * about at its current traffic"): MDE = (z_{0.975} + z_{0.8})·SE,
+    * SE = √(v₁/n₁ + v₂/n₂) from the same exact micro-unit moment
+    * sums as the t-test (so the two gates cannot disagree about the
+    * variance). The two normal quantiles are fixed LITERALS
+    * (1.959964, 0.841621 — both engines see identical doubles); the
+    * relative MDE divides by the pooled mean, pinned. One map-side
+    * aggregate; nothing corpus-sized past it.
+    */
+  def abPowerMde(spark: SparkSession, dir: String,
+      salt: String = "ab"): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+      .withColumn("variant",
+        when(Sampling.bucket($"user_id", salt) % 2 === 0, "A")
+          .otherwise("B"))
+      .groupBy()
+      .agg(
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === "A", $"x").otherwise(0L)).as("s1"),
+        sum(when($"variant" === "A", $"x" * $"x").otherwise(0L)).as("q1"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n2"),
+        sum(when($"variant" === "B", $"x").otherwise(0L)).as("s2"),
+        sum(when($"variant" === "B", $"x" * $"x").otherwise(0L)).as("q2"))
+    def varD(n: String, s: String, q: String) =
+      (col(n).cast("double") * col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double")) /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    m.withColumn("se_micro",
+        sqrt(varD("n1", "s1", "q1") / $"n1".cast("double") +
+          varD("n2", "s2", "q2") / $"n2".cast("double")))
+      .withColumn("mean_micro",
+        ($"s1" + $"s2").cast("double") / ($"n1" + $"n2").cast("double"))
+      .select($"n1", $"n2",
+        round($"mean_micro" / 1.0e6, 4).as("pooled_mean"),
+        round(lit(1.959964 + 0.841621) * $"se_micro" / 1.0e6, 4)
+          .as("mde_abs"),
+        round(lit(1.959964 + 0.841621) * $"se_micro" / $"mean_micro", 6)
+          .as("mde_rel"))
+  }
+
+  def abPowerMdeSql(salt: String = "ab"): String =
+    s"""WITH p AS (
+          SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT x, CASE WHEN ${Sampling.bucketSql("user_id", salt)}
+                               % 2 = 0
+                             THEN 'A' ELSE 'B' END AS variant FROM p),
+        mo AS (
+          SELECT
+            CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT)
+              AS s1,
+            CAST(sum(CASE WHEN variant = 'A' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT)
+              AS s2,
+            CAST(sum(CASE WHEN variant = 'B' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q2
+          FROM v),
+        d AS (
+          SELECT n1, n2,
+                 sqrt(((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                      / CAST(n1 AS DOUBLE)
+                      + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+                      / CAST(n2 AS DOUBLE)) AS se_micro,
+                 CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                   AS mean_micro
+          FROM mo)
+        SELECT n1, n2,
+               round(mean_micro / 1000000, 4) AS pooled_mean,
+               round((1.959964 + 0.841621) * se_micro / 1000000, 4)
+                 AS mde_abs,
+               round((1.959964 + 0.841621) * se_micro / mean_micro, 6)
+                 AS mde_rel
+        FROM d"""
+
   /** CUPED variance reduction (Deng/Xu/Kohavi/Walker, WSDM 2013) —
     * the experimentation-platform standard the plain t-test leaves
     * power on the table without: each user's post-period metric Y is
@@ -811,6 +900,98 @@ object Analytics {
                       / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
                    * (CAST(n2 AS DOUBLE) - 1.0)), 6) AS var_ratio
         FROM mo"""
+
+  /** Difference-in-differences readout over the purchase stream —
+    * the quasi-experimental companion to [[abTTest]]/[[abCuped]] for
+    * when assignment is NOT randomized (a rollout, a policy change):
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) nets out both
+    * the group baseline and the common time trend, identifying the
+    * effect under parallel trends. Groups come from the same md5
+    * bucket parity as [[abCuped]]; the pre/post cut is the same
+    * deterministic epoch midpoint of the purchase stream — both
+    * reproducible across engines, no config drift between the A/B
+    * operators. Cell sums are exact micro-unit BIGINTs off ONE
+    * map-side-combined aggregate to FOUR cells; the four means and
+    * the DiD are pinned divisions in the final projection.
+    */
+  def didPurchaseValue(spark: SparkSession, dir: String,
+      salt: String = "ab"): DataFrame =
+    didPurchaseValueOf(Tables.events(spark, dir), salt)
+
+  /** DiD core over any (user_id, ts, event_type, value) frame. */
+  def didPurchaseValueOf(events: DataFrame,
+      salt: String = "ab"): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = events
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("x"))
+    val cut = p.agg(expr("(min(tus) + max(tus)) div 2").as("cut"))
+    def mean(sc: Column, nc: Column): Column =
+      round(sc.cast("double") / (nc.cast("double") * 1.0e6), 4)
+    p.crossJoin(broadcast(cut))
+      .withColumn("treat",
+        when(Sampling.bucket($"user_id", salt) % 2 === 0, 0L).otherwise(1L))
+      .withColumn("post", when($"tus" >= $"cut", 1L).otherwise(0L))
+      .agg(
+        sum(when($"treat" === 1L && $"post" === 1L, 1L).otherwise(0L)).as("n_tp"),
+        sum(when($"treat" === 1L && $"post" === 1L, $"x").otherwise(0L)).as("s_tp"),
+        sum(when($"treat" === 1L && $"post" === 0L, 1L).otherwise(0L)).as("n_tr"),
+        sum(when($"treat" === 1L && $"post" === 0L, $"x").otherwise(0L)).as("s_tr"),
+        sum(when($"treat" === 0L && $"post" === 1L, 1L).otherwise(0L)).as("n_cp"),
+        sum(when($"treat" === 0L && $"post" === 1L, $"x").otherwise(0L)).as("s_cp"),
+        sum(when($"treat" === 0L && $"post" === 0L, 1L).otherwise(0L)).as("n_cr"),
+        sum(when($"treat" === 0L && $"post" === 0L, $"x").otherwise(0L)).as("s_cr"))
+      .select($"n_tp", $"n_tr", $"n_cp", $"n_cr",
+        mean($"s_tp", $"n_tp").as("mean_treat_post"),
+        mean($"s_tr", $"n_tr").as("mean_treat_pre"),
+        mean($"s_cp", $"n_cp").as("mean_ctrl_post"),
+        mean($"s_cr", $"n_cr").as("mean_ctrl_pre"),
+        round((($"s_tp".cast("double") / ($"n_tp".cast("double") * 1.0e6)
+            - $"s_tr".cast("double") / ($"n_tr".cast("double") * 1.0e6))
+          - ($"s_cp".cast("double") / ($"n_cp".cast("double") * 1.0e6)
+            - $"s_cr".cast("double") / ($"n_cr".cast("double") * 1.0e6))), 4)
+          .as("did"))
+  }
+
+  def didPurchaseValueSql(salt: String = "ab"): String =
+    s"""WITH p AS (
+          SELECT user_id,
+                 epoch_us(date_trunc('microseconds', ts)) AS tus,
+                 CAST(round(value * 1000000) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase'),
+        cut AS (SELECT (min(tus) + max(tus)) // 2 AS cut FROM p),
+        c AS (
+          SELECT CASE WHEN ${Sampling.bucketSql("user_id", salt)} % 2 = 0
+                      THEN 0 ELSE 1 END AS treat,
+                 CASE WHEN tus >= cut THEN 1 ELSE 0 END AS post, x
+          FROM p, cut),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN x ELSE 0 END) AS BIGINT) AS s_tp,
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN x ELSE 0 END) AS BIGINT) AS s_tr,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN x ELSE 0 END) AS BIGINT) AS s_cp,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN x ELSE 0 END) AS BIGINT) AS s_cr
+          FROM c)
+        SELECT n_tp, n_tr, n_cp, n_cr,
+          round(CAST(s_tp AS DOUBLE) / (CAST(n_tp AS DOUBLE) * 1000000), 4)
+            AS mean_treat_post,
+          round(CAST(s_tr AS DOUBLE) / (CAST(n_tr AS DOUBLE) * 1000000), 4)
+            AS mean_treat_pre,
+          round(CAST(s_cp AS DOUBLE) / (CAST(n_cp AS DOUBLE) * 1000000), 4)
+            AS mean_ctrl_post,
+          round(CAST(s_cr AS DOUBLE) / (CAST(n_cr AS DOUBLE) * 1000000), 4)
+            AS mean_ctrl_pre,
+          round((CAST(s_tp AS DOUBLE) / (CAST(n_tp AS DOUBLE) * 1000000)
+                 - CAST(s_tr AS DOUBLE) / (CAST(n_tr AS DOUBLE) * 1000000))
+                - (CAST(s_cp AS DOUBLE) / (CAST(n_cp AS DOUBLE) * 1000000)
+                   - CAST(s_cr AS DOUBLE) / (CAST(n_cr AS DOUBLE) * 1000000)),
+                4) AS did
+        FROM a"""
 
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {

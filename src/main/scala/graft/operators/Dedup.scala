@@ -448,6 +448,74 @@ object Dedup {
         FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
         ORDER BY d.doc_id"""
 
+  /** Soft dedup: one canonical survivor per near-dup cluster,
+    * carrying the cluster's multiplicity as a WEIGHT — the
+    * reweighting form of deduplication (cf. He et al., "SoftDedup",
+    * ACL 2024; the sampled-count columns of public corpus releases):
+    * hard-dropping duplicates changes the training distribution,
+    * while keeping the survivor at weight = cluster size preserves
+    * the original token mass with none of the redundant storage or
+    * compute — the consumer samples the canonical doc `weight`
+    * times (or scales its loss). Survivor choice and clustering are
+    * EXACTLY [[canonicalDocs]]'s (longest doc, doc_id tie-break, on
+    * the verified n-gram Jaccard clusters), so the two gates cannot
+    * drift; singletons ride through at weight 1.
+    *
+    * Scale shape: inherits the cluster operator's frontier-join CC
+    * and the per-cluster rank window (cluster-sized partitions);
+    * the weight is one partial-agg'd count per cluster.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val members = ngramJaccardClusters(spark, dir)
+    val sized = members
+      .join(members.groupBy($"cluster_id").agg(count(lit(1)).as("weight")),
+        "cluster_id")
+      .join(graft.Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id")
+          .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"weight")
+    graft.Tables.documents(spark, dir).select($"doc_id")
+      .join(sized, Seq("doc_id"), "left")
+      .join(members.select($"doc_id", lit(1L).as("in_cluster")),
+        Seq("doc_id"), "left")
+      // non-survivor cluster members drop; everything else weight 1
+      .filter($"weight".isNotNull || $"in_cluster".isNull)
+      .select($"doc_id", coalesce($"weight", lit(1L)).as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH RECURSIVE $pairsCte,
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+        labels AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS weight
+          FROM labels GROUP BY 1),
+        ranked AS (
+          SELECT l.doc_id, l.cluster_id,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY d.n_chars DESC, l.doc_id) AS rk
+          FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(s.weight, 1) AS BIGINT) AS weight
+        FROM documents d
+        LEFT JOIN ranked r ON r.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.cluster_id = r.cluster_id AND r.rk = 1
+        WHERE r.doc_id IS NULL OR r.rk = 1
+        ORDER BY d.doc_id"""
+
   /** Content-defined chunking dedup (the LBFS/FastCDC device,
     * Muthitacharoen SOSP'01): chunk boundaries cut where the hash of
     * the 4-gram ending at each position ≡ 0 mod 32, so an edit moves

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,5 +326,213 @@ object Evaluation {
        c AS (SELECT $casts FROM m),
        s AS (SELECT $solve FROM c)
        SELECT $out FROM s"""
+  }
+
+  /** NDCG@k of the BM25 ranking against a tf-graded relevance proxy
+    * — the RANKING-quality readout the retrieval family lacks (AUC
+    * scores a classifier, langid_eval a labeler; nothing yet grades
+    * an ordered list). Relevance of (query, doc) = total occurrences
+    * of the query's terms in the doc, capped at grade 3 (the standard
+    * graded-judgment shape when no human labels exist — a pseudo-
+    * relevance proxy, documented as such); gain = 2^rel − 1 via a
+    * 4-way CASE, no pow. DCG = Σ_r gain·w_r with the rank discounts
+    * w_r = round(10⁶/log₂(r+1)) — ten CONSTANTS, identical in both
+    * engines — so DCG and IDCG are exact BIGINT micro-unit sums and
+    * the one division is pinned. IDCG ranks the SAME relevance table
+    * by (rel desc, doc_id): deterministic total order, top-k cut.
+    *
+    * Scale shape: the relevance table is term-filtered BEFORE any
+    * shuffle (only docs containing a query term survive the scan —
+    * the bm25 postings posture); the ideal-ranking window partitions
+    * by query over that filtered frame, exactly [[Search.bm25TopKOf]]'s
+    * own top-k shape; the DCG join is k-sized metadata.
+    */
+  def ndcgBm25(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ndcgBm25Of(spark, Tables.documents(spark, dir), Search.bm25Workload, k)
+
+  /** NDCG core over any (doc_id, text) frame and workload — lets
+    * specs assert ranking-metric behavior on crafted corpora through
+    * the real code path.
+    */
+  def ndcgBm25Of(spark: SparkSession, docs: DataFrame,
+      workload: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val retrieved = Search.bm25TopKOf(spark, docs, workload, k)
+      .select($"query_id", $"doc_id", $"rk")
+    val allTerms = workload.flatMap(_._2).distinct
+    val queryTerms = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val rel = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .filter($"token".isin(allTerms.map(lit): _*))
+      .join(broadcast(queryTerms), "token")
+      .groupBy($"query_id", $"doc_id")
+      .agg(least(sum(lit(1L)), lit(3L)).as("rel"))
+      .withColumn("gain", when($"rel" === 1L, 1L)
+        .when($"rel" === 2L, 3L).when($"rel" >= 3L, 7L).otherwise(0L))
+    def w(r: Column): Column = {
+      // round(1e6 / log2(r+1)) for r in 1..k — constant per rank
+      round(lit(1.0e6) / log2(r.cast("double") + lit(1.0))).cast("long")
+    }
+    val dcg = retrieved
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"gain", lit(0L)) * w($"rk")).as("dcg_micro"))
+    val wIdeal = Window.partitionBy($"query_id")
+      .orderBy($"rel".desc, $"doc_id")
+    val idcg = rel.filter($"rel" > 0L)
+      .withColumn("irk", row_number().over(wIdeal).cast("long"))
+      .filter($"irk" <= k)
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_rel_topk"),
+        sum($"gain" * w($"irk")).as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"))
+      .select($"query_id", $"n_rel_topk", $"dcg_micro", $"idcg_micro",
+        round($"dcg_micro".cast("double") / $"idcg_micro".cast("double"), 6)
+          .as("ndcg"))
+      .orderBy($"query_id")
+  }
+
+  /** MRR + precision/recall@k of the BM25 ranking against the same
+    * tf-graded pseudo-relevance as [[ndcgBm25]] — the binary-judgment
+    * half of the retrieval eval (NDCG reads graded gains; MRR/P@k/R@k
+    * read "is it relevant at all", which is what a recall-oriented
+    * RAG retriever is actually tuned on). ENTIRELY integer: the
+    * reciprocal rank is `10⁶ div first_rank`, precision and recall
+    * are ppm ratios of exact counts — no fp anywhere, not even
+    * pinned.
+    */
+  def mrrBm25(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    mrrBm25Of(spark, Tables.documents(spark, dir), Search.bm25Workload, k)
+
+  /** MRR core over any (doc_id, text) frame and workload. */
+  def mrrBm25Of(spark: SparkSession, docs: DataFrame,
+      workload: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val retrieved = Search.bm25TopKOf(spark, docs, workload, k)
+      .select($"query_id", $"doc_id", $"rk")
+    val allTerms = workload.flatMap(_._2).distinct
+    val queryTerms = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val rel = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .filter($"token".isin(allTerms.map(lit): _*))
+      .join(broadcast(queryTerms), "token")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("matches"))
+      // binary judgment = graded proxy at grade ≥ 2: merely MENTIONING
+      // a term once is not relevance, and the threshold is what lets
+      // a retrieved-but-irrelevant doc push first_rel_rank past 1
+      .filter($"matches" >= 2L)
+      .select($"query_id", $"doc_id")
+    val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
+    retrieved
+      .join(rel.withColumn("hit", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .groupBy($"query_id")
+      .agg(min(when($"hit" === 1L, $"rk")).as("first_rel_rank"),
+        sum(coalesce($"hit", lit(0L))).as("hits_at_k"))
+      .join(nRel, Seq("query_id"))
+      .select($"query_id",
+        coalesce($"first_rel_rank", lit(0L)).as("first_rel_rank"),
+        $"hits_at_k", $"n_rel",
+        // CASE-guarded: div-by-zero would throw under ANSI when a
+        // query has no relevant doc in the top k
+        when(coalesce($"first_rel_rank", lit(0L)) > 0L,
+          expr("1000000 div first_rel_rank")).otherwise(0L).as("rr_ppm"),
+        expr(s"(hits_at_k * 1000000) div $k").as("p_at_k_ppm"),
+        expr("(hits_at_k * 1000000) div n_rel").as("r_at_k_ppm"))
+      .orderBy($"query_id")
+  }
+
+  def mrrBm25Sql(k: Int = 10): String = {
+    val bm = Search.bm25TopKSql(k)
+    val qvals = Search.bm25Workload
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH bm AS (SELECT query_id, doc_id, rk FROM ($bm)),
+       q(query_id, token) AS (VALUES $qvals),
+       tok AS (
+         SELECT doc_id,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       rel AS (
+         SELECT q.query_id, tok.doc_id
+         FROM tok JOIN q ON q.token = tok.token
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+              FROM rel GROUP BY 1),
+       a AS (
+         SELECT bm.query_id,
+                CAST(coalesce(min(CASE WHEN rel.doc_id IS NOT NULL
+                  THEN bm.rk END), 0) AS BIGINT) AS first_rel_rank,
+                CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k
+         FROM bm LEFT JOIN rel
+           ON rel.query_id = bm.query_id AND rel.doc_id = bm.doc_id
+         GROUP BY 1)
+       SELECT a.query_id AS query_id, first_rel_rank, hits_at_k, n_rel,
+              CAST(CASE WHEN first_rel_rank > 0
+                   THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT)
+                AS rr_ppm,
+              CAST((hits_at_k * 1000000) // $k AS BIGINT) AS p_at_k_ppm,
+              CAST((hits_at_k * 1000000) // n_rel AS BIGINT) AS r_at_k_ppm
+       FROM a JOIN nr ON nr.query_id = a.query_id
+       ORDER BY a.query_id"""
+  }
+
+  def ndcgBm25Sql(k: Int = 10): String = {
+    val bm = Search.bm25TopKSql(k)
+    val qvals = Search.bm25Workload
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH bm AS (SELECT query_id, doc_id, rk FROM ($bm)),
+       q(query_id, token) AS (VALUES $qvals),
+       tok AS (
+         SELECT doc_id,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       rel AS (
+         SELECT q.query_id, tok.doc_id,
+                CASE WHEN count(*) >= 3 THEN 3 ELSE count(*) END AS rel
+         FROM tok JOIN q ON q.token = tok.token
+         GROUP BY 1, 2),
+       g AS (
+         SELECT query_id, doc_id, rel,
+                CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS gain
+         FROM rel WHERE rel > 0),
+       dcg AS (
+         SELECT bm.query_id,
+                CAST(sum(coalesce(g.gain, 0)
+                  * CAST(round(1000000.0 / log2(CAST(bm.rk AS DOUBLE) + 1.0))
+                    AS BIGINT)) AS BIGINT) AS dcg_micro
+         FROM bm LEFT JOIN g
+           ON g.query_id = bm.query_id AND g.doc_id = bm.doc_id
+         GROUP BY 1),
+       ideal AS (
+         SELECT query_id, gain,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, doc_id) AS BIGINT) AS irk
+         FROM g),
+       idcg AS (
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_topk,
+                CAST(sum(gain
+                  * CAST(round(1000000.0 / log2(CAST(irk AS DOUBLE) + 1.0))
+                    AS BIGINT)) AS BIGINT) AS idcg_micro
+         FROM ideal WHERE irk <= $k GROUP BY 1)
+       SELECT dcg.query_id AS query_id, n_rel_topk, dcg_micro, idcg_micro,
+              round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+                AS ndcg
+       FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id
+       ORDER BY dcg.query_id"""
   }
 }

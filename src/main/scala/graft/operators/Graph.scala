@@ -1610,6 +1610,94 @@ object Graph {
        FROM degs LEFT JOIN intra USING (community) CROSS JOIN m
        ORDER BY community"""
 
+  /** Conductance per community — the CUT-quality companion to
+    * [[modularityByBrand]] (modularity compares intra-density to a
+    * null model; conductance φ(S) = cut(S)/min(vol(S), 2m−vol(S))
+    * reads the boundary directly — Kannan/Vempala/Vetta's (JACM
+    * 2004) measure, the standard partition-quality diagnostic):
+    * a community whose members mostly co-purchase with OUTSIDE
+    * brands has φ near 1 and is a labeling artifact, not a cluster.
+    * Same labeling and edge frame as modularity so the two gates
+    * read the same partition. cut and vol are exact integer counts
+    * off the one labeled-edge pass (a cut edge counts toward BOTH
+    * sides); φ is one pinned division rounded at the edge.
+    */
+  def conductanceByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    conductanceOf(
+      copurchaseEdges(spark, dir).filter($"src" < $"dst"),
+      Tables.part(spark, dir)
+        .select($"p_partkey".as("node"), $"p_brand".as("community")))
+  }
+
+  /** Core over any (src < dst) edge frame and (node, community)
+    * labeling.
+    */
+  def conductanceOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.localCheckpoint(true)
+    val m = und.count()
+    val labeled = und
+      .join(labels.select($"node".as("src"), $"community".as("ca")), "src")
+      .join(labels.select($"node".as("dst"), $"community".as("cb")), "dst")
+    val cut = labeled.filter($"ca" =!= $"cb")
+      .select(explode(array($"ca", $"cb")).as("community"))
+      .groupBy($"community").agg(count(lit(1)).as("cut_edges"))
+    val degree = und.select(explode(array($"src", $"dst")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .join(labels, "node")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("degree_sum"))
+    degree.join(cut, Seq("community"), "left")
+      .withColumn("cut_edges", coalesce($"cut_edges", lit(0L)))
+      // a boundary-less community reads 0 (the whole-graph community
+      // would otherwise be 0/0 — conductance is undefined there)
+      .withColumn("conductance", when($"cut_edges" === 0L, lit(0.0))
+        .otherwise(round(
+          $"cut_edges".cast("double") /
+            least($"degree_sum", lit(2L * m) - $"degree_sum").cast("double"),
+          6)))
+      .select($"community", $"n_nodes", $"cut_edges", $"degree_sum",
+        $"conductance")
+      .orderBy($"community")
+  }
+
+  val conductanceByBrandSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       lab AS (
+         SELECT pa.p_brand AS ca, pb.p_brand AS cb
+         FROM pairs JOIN part pa ON pa.p_partkey = p1
+                    JOIN part pb ON pb.p_partkey = p2),
+       cut AS (
+         SELECT community, CAST(count(*) AS BIGINT) AS cut_edges
+         FROM (SELECT unnest([ca, cb]) AS community
+               FROM lab WHERE ca <> cb) c
+         GROUP BY 1),
+       und AS (SELECT p1 AS node FROM pairs
+               UNION ALL SELECT p2 FROM pairs),
+       degs AS (
+         SELECT p.p_brand AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         FROM (SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM und GROUP BY 1) d
+         JOIN part p ON p.p_partkey = d.node
+         GROUP BY 1)
+       SELECT community, n_nodes,
+              CAST(coalesce(cut_edges, 0) AS BIGINT) AS cut_edges,
+              degree_sum,
+              CASE WHEN coalesce(cut_edges, 0) = 0 THEN 0.0
+                   ELSE round(CAST(cut_edges AS DOUBLE)
+                        / CAST(least(degree_sum, 2 * m - degree_sum)
+                               AS DOUBLE), 6)
+              END AS conductance
+       FROM degs LEFT JOIN cut USING (community) CROSS JOIN m
+       ORDER BY community"""
+
   /** Eigenvector centrality by integer-normalized power iteration —
     * the prestige score where a node matters because its NEIGHBORS
     * matter (Bonacich 1972), completing the centrality family next
@@ -2180,4 +2268,105 @@ object Graph {
          GROUP BY node)
        SELECT node, bc_micro FROM bc
        ORDER BY bc_micro DESC, node LIMIT 20"""
+
+  def harmonic(spark: SparkSession, dir: String): DataFrame =
+    harmonicOf(copurchaseEdges(spark, dir), seedMod = 499L, hops = 3,
+      topK = 20)
+
+  /** Harmonic centrality h(v) = Σ_s 1/d(s, v) over SAMPLED seed
+    * sources and a BOUNDED hop horizon — the centrality that, unlike
+    * closeness, stays well-defined on disconnected graphs (an
+    * unreachable pair contributes 0, not ∞; Boldi/Vigna "Axioms for
+    * Centrality" 2014 make it the principled pick of the two). Same
+    * estimator posture as [[betweennessOf]]: seeds = node % seedMod,
+    * horizon `hops` — both are the documented budget knobs, and the
+    * bounded horizon is what a 100 TB graph can afford anyway (the
+    * far tail contributes ≤ 1/(hops+1) each).
+    *
+    * Exactness: the per-level BFS frontier IS the distance (first
+    * time a (seed, node) pair appears = shortest distance, the
+    * visited anti-join guarantees it), so h_micro(v) =
+    * Σ_l |{s: d(s,v) = l}| · round(10⁶/l) — counts are exact
+    * BIGINTs, the per-level weights are CONSTANTS, no fp anywhere.
+    *
+    * Scale shape: identical to the betweenness forward pass minus σ
+    * — edges cached hash-partitioned on src once, one frontier join +
+    * partial-agg'd distinct per level, only (s, node) scalars
+    * shuffle, lineage truncated per level.
+    */
+  def harmonicOf(edges: DataFrame, seedMod: Long, hops: Int,
+      topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(hops >= 1, s"hops=$hops: need at least 1 level")
+    val e = edges.select($"src", $"dst").repartition($"src")
+      .localCheckpoint(true)
+    val seeds = e.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0)
+      .select($"node".as("s"), $"node")
+      .localCheckpoint(true)
+    var frontier = seeds
+    var vis = seeds
+    var acc: DataFrame = null
+    for (l <- 1 to hops) {
+      frontier = e.join(frontier, $"src" === $"node")
+        .select($"s", $"dst")
+        .join(vis.select($"s".as("vs"), $"node".as("vn")),
+          $"s" === $"vs" && $"dst" === $"vn", "left_anti")
+        .select($"s", $"dst".as("node")).distinct()
+        .localCheckpoint(true)
+      vis = vis.unionByName(frontier).localCheckpoint(true)
+      val lvl = frontier.withColumn("w",
+        lit(math.round(1.0e6 / l)))
+      acc = if (acc == null) lvl else acc.unionByName(lvl)
+    }
+    acc.groupBy($"node").agg(sum($"w").as("h_micro"))
+      .orderBy($"h_micro".desc, $"node")
+      .limit(topK)
+  }
+
+  /** Oracle: the same 3 BFS levels as the betweenness oracle (σ
+    * dropped), each level weighted by its constant 10⁶/l.
+    */
+  val harmonicSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       l0 AS (
+         SELECT DISTINCT src AS s, src AS node
+         FROM edges WHERE src % 499 = 0),
+       l1 AS (
+         SELECT DISTINCT l0.s, e.dst AS node
+         FROM l0 JOIN edges e ON e.src = l0.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l0.s AND p.node = e.dst)),
+       l2 AS (
+         SELECT DISTINCT l1.s, e.dst AS node
+         FROM l1 JOIN edges e ON e.src = l1.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l1.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l1.s AND p.node = e.dst)),
+       l3 AS (
+         SELECT DISTINCT l2.s, e.dst AS node
+         FROM l2 JOIN edges e ON e.src = l2.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l2 p
+                           WHERE p.s = l2.s AND p.node = e.dst)),
+       h AS (
+         SELECT node, CAST(sum(w) AS BIGINT) AS h_micro
+         FROM (SELECT s, node, 1000000 AS w FROM l1
+               UNION ALL SELECT s, node, 500000 FROM l2
+               UNION ALL SELECT s, node, 333333 FROM l3) u
+         GROUP BY node)
+       SELECT node, h_micro FROM h
+       ORDER BY h_micro DESC, node LIMIT 20"""
 }

@@ -537,4 +537,32 @@ object Lake {
         SELECT doc_id, n_chars, 'removed' FROM documents
         WHERE n_chars <= ${cut / 2}
         ORDER BY change, doc_id"""
+
+  /** Gate-shaped RESTORE: three-version history (write ≤cut → append
+    * mid-band → deleteWhere a sub-box), then roll back to v1 and read
+    * the LIVE table. The live read after rollback is definitionally
+    * v1's filter, so a plain oracle hash-gates the whole
+    * rollback-as-new-commit path — the append must vanish from the
+    * live view, the delete must un-happen, and history must have
+    * grown (the gate requires a fourth version, i.e. rollback
+    * committed forward rather than rewriting the past).
+    */
+  def rollbackRead(spark: SparkSession, dir: String,
+      cut: Long = 300): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_rb") + "/documents")
+    val v1 = t.write(docs.filter($"n_chars" <= cut), statCols = Seq("n_chars"))
+    t.append(docs.filter($"n_chars" > cut && $"n_chars" <= cut * 2),
+      statCols = Seq("n_chars"))
+    val v3 = t.deleteWhere(Seq(("n_chars", 0.0, (cut / 2).toDouble)))
+    val v4 = t.rollbackTo(v1)
+    require(v4 > v3, s"rollback must commit FORWARD (v4=$v4, v3=$v3)")
+    t.read().select($"doc_id", $"n_chars")
+  }
+
+  def rollbackReadSql(cut: Long = 300): String =
+    s"""SELECT doc_id, n_chars FROM documents WHERE n_chars <= $cut"""
 }

@@ -1054,6 +1054,89 @@ object Olap {
        FROM a JOIN nation ON n_nationkey = nk
        ORDER BY nation"""
 
+  /** Theil T inequality index of customer revenue per nation, plus
+    * the pooled 'ALL' row — the DECOMPOSABLE companion to
+    * [[giniRevenueByNation]]: unlike Gini, Theil splits exactly into
+    * within-group + between-group terms (T_total = Σ s_g·T_g +
+    * Σ s_g·ln(s_g/p_g), s_g = revenue share, p_g = population
+    * share), so the pooled row and the per-nation rows together
+    * answer "is inequality driven inside nations or between them"
+    * (TheilSpec pins the identity). Identity used per group:
+    * T = [Σ x·ln x]/S − ln(S/N) — so no per-row x/μ division ever
+    * happens. Exactness: x is exact integer cents; each customer's
+    * x·ln x is quantized ONCE to integer milli-(cent·nat)s (round
+    * at 10³ keeps the quantization error ~N/(2·10³·S) ≈ 10⁻⁹ at any
+    * real μ, orders below the 6-decimal display rounding, with
+    * BIGINT headroom Σ x·lnx·10³ < 9.2×10¹⁸ ≈ $4.6B·ln-weighted),
+    * so the group sums are order-proof BIGINTs and the two fp steps
+    * (the final division and ln μ) are pinned in one projection.
+    * Zero-revenue customers contribute x·ln x = 0 — the correct
+    * x→0 limit — and are counted in N.
+    *
+    * Scale shape: one partial-agg'd pass collapses orders to
+    * per-customer cents, a second to |nations|+1 rows; no window,
+    * no sort, nothing corpus-sized past the first aggregate.
+    */
+  def theilRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spent"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+      .join(perCust, Seq("ck"), "left")
+      .withColumn("cents", coalesce($"spent", lit(0L)))
+      .withColumn("xlx_milli",
+        when($"cents" > 0L, round($"cents".cast("double")
+          * log($"cents".cast("double")) * lit(1000.0)).cast("long"))
+          .otherwise(0L))
+    def theilCol = round(
+      $"xlx_milli".cast("double") / ($"t".cast("double") * 1000.0)
+        - log($"t".cast("double") / $"n".cast("double")), 6)
+    val byNation = cust.groupBy($"nk")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("t"),
+        sum($"xlx_milli").as("xlx_milli"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("nk"), $"n_name".as("nation"))), Seq("nk"))
+      .select($"nation", $"n", $"t".as("total_cents"), theilCol.as("theil"))
+    val pooled = cust
+      .agg(count(lit(1)).as("n"), sum($"cents").as("t"),
+        sum($"xlx_milli").as("xlx_milli"))
+      .select(lit("ALL").as("nation"), $"n", $"t".as("total_cents"),
+        theilCol.as("theil"))
+    byNation.unionByName(pooled).orderBy($"nation")
+  }
+
+  val theilRevenueByNationSql: String =
+    """WITH pc AS (
+         SELECT o_custkey AS ck,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS spent
+         FROM orders GROUP BY 1),
+       cu AS (
+         SELECT c_custkey AS ck, c_nationkey AS nk,
+                CAST(coalesce(pc.spent, 0) AS BIGINT) AS cents
+         FROM customer LEFT JOIN pc ON pc.ck = c_custkey),
+       x AS (
+         SELECT nk, cents,
+                CAST(CASE WHEN cents > 0 THEN
+                  round(CAST(cents AS DOUBLE) * ln(CAST(cents AS DOUBLE))
+                        * 1000) ELSE 0 END AS BIGINT) AS xlx_milli
+         FROM cu),
+       g AS (
+         SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS t,
+                CAST(sum(xlx_milli) AS BIGINT) AS xlx_milli
+         FROM x JOIN nation ON n_nationkey = nk GROUP BY 1
+         UNION ALL
+         SELECT 'ALL', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+                CAST(sum(xlx_milli) AS BIGINT)
+         FROM x)
+       SELECT nation, n, t AS total_cents,
+              round(CAST(xlx_milli AS DOUBLE) / (CAST(t AS DOUBLE) * 1000)
+                    - ln(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS theil
+       FROM g ORDER BY nation"""
+
   /** ABC (Pareto) classification of parts by revenue contribution —
     * the inventory-analysis classic that operationalizes [[
     * giniRevenueByNation]]'s concentration number: parts are ranked

@@ -149,6 +149,109 @@ object Sampling {
         coalesce($"kept", lit(0L)).as("n_kept"))
   }
 
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling"): split a
+    * total token budget B across sources as UNIFORMLY as possible,
+    * subject to no source repeating more than `maxEpochs` times —
+    * the mixture policy that neither drowns small sources
+    * (proportional sampling) nor overcooks them (plain uniform).
+    * Closed form of the water-filling recursion: sources sorted
+    * ASCENDING by size; small sources bind at cap = E·nᵢ, and once a
+    * source's cap exceeds the running fair share every larger source
+    * is uncapped too (the fair share is invariant across uncapped
+    * steps), so the capped set is a PREFIX. The per-row capped test
+    * `E·nᵢ·(k−i+1) ≤ B − E·Pᵢ₋₁` is exact cross-multiplied BIGINT
+    * arithmetic (monotone in i, so one window pass decides it), and
+    * the uncapped share is one integer floor division — both engines
+    * replay it bit-for-bit, no fp anywhere.
+    *
+    * Scale shape: the corpus collapses to a per-source token total
+    * (one partial-agg'd pass); everything after runs on that
+    * |sources|-row frame — the ordered window is aggregate-sized
+    * (WindowAuditSpec's exempt family), the capped-prefix summary is
+    * one broadcast row. The allocation feeds [[capTokensPerSource]]
+    * per source to materialize the admitted set.
+    */
+  def unimaxAllocation(spark: SparkSession, dir: String,
+      budgetTokens: Long = 50000L, maxEpochs: Long = 3L): DataFrame = {
+    import spark.implicits._
+    unimaxAllocationOf(
+      Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text"),
+      budgetTokens, maxEpochs)
+  }
+
+  /** Allocation core over any (source, text) frame. */
+  def unimaxAllocationOf(docs: DataFrame, budgetTokens: Long,
+      maxEpochs: Long): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1)
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    val totals = docs
+      .select($"source",
+        size(graft.operators.Dedup.tokensCol($"text")).cast("long").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+    // |sources|-row frame from here on
+    val w = Window.orderBy($"n_tokens", $"source")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = totals
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p_prev", coalesce(sum($"n_tokens").over(wPrev), lit(0L)))
+    val k = ranked.agg(count(lit(1)).as("k")).select($"k")
+    val flagged = ranked.crossJoin(broadcast(k))
+      .withColumn("capped",
+        when(lit(maxEpochs) * $"n_tokens" * ($"k" - $"i" + 1L)
+          <= lit(budgetTokens) - lit(maxEpochs) * $"p_prev", 1L)
+          .otherwise(0L))
+    val cappedAgg = flagged.agg(
+      sum($"capped").as("m"),
+      sum($"capped" * $"n_tokens").as("p_m"))
+    flagged.crossJoin(broadcast(cappedAgg))
+      .withColumn("alloc_tokens",
+        when($"capped" === 1L, lit(maxEpochs) * $"n_tokens")
+          .otherwise(expr(
+            s"($budgetTokens - $maxEpochs * p_m) div (k - m)")))
+      .select($"source", $"n_tokens",
+        (lit(maxEpochs) * $"n_tokens").as("cap_tokens"),
+        $"capped", $"alloc_tokens")
+      .orderBy($"source")
+  }
+
+  def unimaxAllocationSql(budgetTokens: Long = 50000L,
+      maxEpochs: Long = 3L): String =
+    s"""WITH t AS (
+         SELECT source,
+                CAST(sum(len(list_filter(list_transform(
+                  string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       r AS (
+         SELECT source, n_tokens,
+                CAST(row_number() OVER (ORDER BY n_tokens, source)
+                  AS BIGINT) AS i,
+                CAST(coalesce(sum(n_tokens) OVER (
+                  ORDER BY n_tokens, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p_prev,
+                CAST(count(*) OVER () AS BIGINT) AS k
+         FROM t),
+       f AS (
+         SELECT *, CASE WHEN $maxEpochs * n_tokens * (k - i + 1)
+                          <= $budgetTokens - $maxEpochs * p_prev
+                        THEN 1 ELSE 0 END AS capped
+         FROM r),
+       s AS (
+         SELECT CAST(sum(capped) AS BIGINT) AS m,
+                CAST(sum(capped * n_tokens) AS BIGINT) AS p_m
+         FROM f)
+       SELECT source, n_tokens,
+              CAST($maxEpochs * n_tokens AS BIGINT) AS cap_tokens,
+              CAST(capped AS BIGINT) AS capped,
+              CAST(CASE WHEN capped = 1 THEN $maxEpochs * n_tokens
+                   ELSE ($budgetTokens - $maxEpochs * p_m) // (k - m)
+                   END AS BIGINT) AS alloc_tokens
+       FROM f, s ORDER BY source"""
+
   /** Per-source token-budget cap — "take at most `budgetTokens`
     * tokens from each source", the other half of training-mix
     * construction (mixture sampling fixes RATES; a budget cap fixes

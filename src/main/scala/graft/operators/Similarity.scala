@@ -906,4 +906,56 @@ object Similarity {
                       ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
           FROM cand)
         WHERE rk <= $k"""
+
+  /** Recall@k of every approximate ANN path against the brute-force
+    * ground truth, as ONE gated table — the measurement that turns
+    * the recall SPECS (per-method floors in ClusterSpec/SearchSpec)
+    * into an oracle-checked artifact a user can read per run. Each
+    * method's (query, candidate) top-k set joins the brute top-k on
+    * the SAME queries; recall is an exact ppm ratio of integer
+    * counts. This gate recomputes the four pipelines the sim_*
+    * gates already verify (same defaults), so its cost is the
+    * family's cost — run it when tuning, not per-query.
+    */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = bruteforceTopK(spark, dir)
+      .select($"query_id", $"cand_id").localCheckpoint(true)
+    val total = brute.count()
+    val methods = Seq(
+      "ivf" -> ivfTopK(spark, dir),
+      "ivfpq" -> ivfPqTopK(spark, dir),
+      "lsh" -> lshTopK(spark, dir),
+      "pq" -> pqTopK(spark, dir, rerank = 50))
+    methods.map { case (name, df) =>
+      val hits = df.select($"query_id", $"cand_id")
+        .join(brute, Seq("query_id", "cand_id"), "left_semi").count()
+      (name, total, hits, hits * 1000000L / total)
+    }.toDF("method", "n_truth", "hits", "recall_ppm")
+      .orderBy($"method")
+  }
+
+  def recallEvalSql(): String = {
+    val methods = Seq(
+      "ivf" -> ivfTopKSql(),
+      "ivfpq" -> ivfPqTopKSql(),
+      "lsh" -> lshTopKSql(),
+      "pq" -> pqTopKSql(rerank = 50))
+    val arms = methods.map { case (name, sql) =>
+      s"""SELECT '$name' AS method,
+                 (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_truth,
+                 CAST(count(*) AS BIGINT) AS hits
+          FROM (SELECT query_id, cand_id FROM ($sql)) x
+          WHERE EXISTS (SELECT 1 FROM brute b
+                        WHERE b.query_id = x.query_id
+                          AND b.cand_id = x.cand_id)"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH brute AS (
+          SELECT query_id, cand_id FROM (${bruteforceTopKSql()})),
+        arms AS (
+        $arms)
+        SELECT method, n_truth, hits,
+               CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+        FROM arms ORDER BY method"""
+  }
 }

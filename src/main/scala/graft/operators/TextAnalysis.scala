@@ -844,6 +844,126 @@ object TextAnalysis {
                 AS entropy_nats
        FROM a ORDER BY source"""
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * token distributions — the symmetric, bounded (≤ ln 2) distance
+    * a mixture designer reads before weighting sources: two crawls
+    * whose JSD ≈ 0 are redundant; a source far from every other adds
+    * diversity. Computed WITHOUT a full outer join: tokens private to
+    * one side contribute exactly ½·p·ln2 each, so their total is
+    * ½ln2·(1 − common_mass) per side — one exact integer (the common
+    * tokens' count sum) per pair recovers it. Only COMMON tokens need
+    * the real term ½[p·ln(2p/(p+q)) + q·ln(2q/(p+q))], each quantized
+    * to integer nano-nats before the sum (the unigramXent
+    * summation-order device, 10⁹ here since terms are ≤ ln2·p), so
+    * the pair aggregate is an exact BIGINT and the one fp combination
+    * is pinned in the final projection.
+    *
+    * Scale shape: the corpus collapses to the (source, token) count
+    * table first (partial-agg'd); the pair frame is that table
+    * self-joined on TOKEN (postings-keyed shuffle, never broadcast —
+    * the vocabulary grows with the corpus), fanning each token to
+    * C(sources_with_it, 2) pairs — Σ bounded by |pairs|·|V|, never
+    * corpus². Totals per source ride a broadcast (|sources| rows).
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceOf(Tables.documents(spark, dir))
+
+  /** JSD core over any (source, text) frame — see [[jsDivergence]]
+    * for the arithmetic contract.
+    */
+  def jsDivergenceOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select($"source", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"source", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val sided = counts.join(broadcast(totals), "source")
+    val l = sided.select($"token", $"source".as("s1"),
+      $"c".as("c1"), $"n".as("n1"))
+    val r = sided.select($"token", $"source".as("s2"),
+      $"c".as("c2"), $"n".as("n2"))
+    val common = l.join(r, Seq("token")).filter($"s1" < $"s2")
+      .withColumn("p", $"c1".cast("double") / $"n1".cast("double"))
+      .withColumn("q", $"c2".cast("double") / $"n2".cast("double"))
+      // ½[p ln(2p/(p+q)) + q ln(2q/(p+q))] per common token, in
+      // integer nano-nats — identical expression in the oracle
+      .withColumn("t_nano", round(
+        (lit(0.5) * ($"p" * log(lit(2.0) * $"p" / ($"p" + $"q"))
+          + $"q" * log(lit(2.0) * $"q" / ($"p" + $"q"))))
+          * lit(1.0e9)).cast("long"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("nc"), sum($"c1").as("scc1"),
+        sum($"c2").as("scc2"), sum($"t_nano").as("tns"))
+    // the pair UNIVERSE comes from the totals frame, not the join:
+    // a pair with zero shared tokens must still report jsd = ln 2,
+    // not vanish (the all-private-mass case is the maximum, and the
+    // row-set must not depend on the data)
+    val universe = totals.select($"source".as("s1"), $"n".as("n1"))
+      .crossJoin(totals.select($"source".as("s2"), $"n".as("n2")))
+      .filter($"s1" < $"s2")
+    universe.join(common, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2",
+        coalesce($"nc", lit(0L)).as("n_common_types"),
+        coalesce($"scc1", lit(0L)).as("cc1"),
+        coalesce($"scc2", lit(0L)).as("cc2"),
+        $"n1", $"n2", coalesce($"tns", lit(0L)).as("t_nano_sum"))
+      .select($"s1", $"s2", $"n_common_types",
+        round(lit(0.5 * math.log(2.0)) *
+            (lit(2.0) - $"cc1".cast("double") / $"n1".cast("double")
+              - $"cc2".cast("double") / $"n2".cast("double"))
+            + $"t_nano_sum".cast("double") / lit(1.0e9),
+          6).as("jsd"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val jsDivergenceSql: String =
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+       n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       sided AS (SELECT c.source, c.token, c.c, n.n
+                 FROM c JOIN n ON n.source = c.source),
+       p AS (
+         SELECT l.source AS s1, r.source AS s2,
+                CAST(l.c AS DOUBLE) / CAST(l.n AS DOUBLE) AS p,
+                CAST(r.c AS DOUBLE) / CAST(r.n AS DOUBLE) AS q,
+                l.c AS c1, r.c AS c2
+         FROM sided l JOIN sided r ON l.token = r.token
+         WHERE l.source < r.source),
+       a AS (
+         SELECT s1, s2, CAST(count(*) AS BIGINT) AS nc,
+                CAST(sum(c1) AS BIGINT) AS scc1,
+                CAST(sum(c2) AS BIGINT) AS scc2,
+                CAST(sum(CAST(round(
+                  0.5 * (p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q)))
+                  * 1000000000) AS BIGINT)) AS BIGINT) AS t_nano_sum
+         FROM p GROUP BY 1, 2),
+       u AS (
+         SELECT l.source AS s1, r.source AS s2, l.n AS n1, r.n AS n2
+         FROM n l JOIN n r ON l.source < r.source),
+       g AS (
+         SELECT u.s1, u.s2,
+                CAST(coalesce(a.nc, 0) AS BIGINT) AS n_common_types,
+                CAST(coalesce(a.scc1, 0) AS BIGINT) AS cc1,
+                CAST(coalesce(a.scc2, 0) AS BIGINT) AS cc2,
+                u.n1, u.n2, CAST(coalesce(a.t_nano_sum, 0) AS BIGINT)
+                  AS t_nano_sum
+         FROM u LEFT JOIN a ON a.s1 = u.s1 AND a.s2 = u.s2)
+       SELECT s1, s2, n_common_types,
+              round(0.5 * ln(2.0)
+                    * (2.0 - CAST(cc1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(cc2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    + CAST(t_nano_sum AS DOUBLE) / 1000000000, 6) AS jsd
+       FROM g ORDER BY s1, s2"""
+
   /** Per-document cross-entropy under the corpus UNIGRAM language
     * model — the CCNet-style (Wenzek 2020) perplexity quality
     * signal, with the corpus itself as the LM: H(d) = (1/|d|)

@@ -885,6 +885,37 @@ class ManifestTable(spark: SparkSession, root: String) {
     v
   }
 
+  /** RESTORE: roll the table back to version `v` as a NEW commit —
+    * history moves FORWARD (an audit trail never rewrites), the new
+    * manifest simply lists `v`'s segments again, zero data IO (the
+    * zero-copy posture of [[branchTo]] applied to time). Row-level
+    * state is restored too: `v`'s delete files and CHECK constraints
+    * carry verbatim. `#batch=` idempotency markers do NOT carry — a
+    * rollback is not a re-delivery of that batch, and re-claiming
+    * the id would make the streaming effectively-once path skip a
+    * genuine future retry. Refuses when any of `v`'s segments has
+    * been [[vacuum]]ed away (retention already erased that data);
+    * rolling back to the live version is a no-op (returns it).
+    */
+  def rollbackTo(v: Long): Long = {
+    val segs = segments(v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"version $v of $root is not readable (never committed, or vacuumed)"))
+    val (liveV, _) = liveSegments.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    if (v == liveV) return liveV
+    val gone = segs.filterNot(s => fs.exists(s.dir))
+    require(gone.isEmpty,
+      s"cannot roll back $root to version $v: segment(s) " +
+        s"${gone.map(_.dir.getName).mkString(", ")} were vacuumed — " +
+        "the retention window has erased that data")
+    val nv = currentVersion.getOrElse(0L) + 1
+    val meta = manifestLines(v).getOrElse(Nil)
+      .filter(l => l.startsWith("#") && !l.startsWith("#batch="))
+    commit(nv, segs, ownStaged = Nil, extraLines = meta)
+    nv
+  }
+
   /** Incremental consumption: the rows ADDED since version `v` — the
     * live segments `v`'s manifest doesn't list. Exact while the
     * history from `v` to live is append-shaped; a rewriting commit in

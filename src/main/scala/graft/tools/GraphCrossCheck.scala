@@ -490,6 +490,33 @@ object GraphCrossCheck {
         rows(graft.operators.Graph.betweenness(spark, dir)), want)
     }
 
+    // ── harmonic centrality (same sampled seeds + 3-hop BFS,
+    //    constant per-level weights 10⁶/l) ──
+    {
+      val dedup = adj.map { case (u, vs) => u -> vs.distinct.toArray }
+      val h = mutable.HashMap.empty[Long, Long]
+      val w = Array(0L, 1000000L, 500000L, 333333L)
+      nodes.filter(_ % 499 == 0).foreach { s =>
+        val dist = mutable.HashMap(s -> 0)
+        var frontier = Seq(s)
+        for (l <- 1 to 3) {
+          val next = mutable.LinkedHashSet.empty[Long]
+          frontier.foreach(u => dedup(u).foreach { v =>
+            if (!dist.contains(v)) next += v
+          })
+          next.foreach { v =>
+            dist(v) = l
+            h(v) = h.getOrElse(v, 0L) + w(l)
+          }
+          frontier = next.toSeq
+        }
+      }
+      val want = h.toSeq.sortBy { case (n, s) => (-s, n) }.take(20)
+        .map { case (n, s) => Seq(n, s) }
+      check("graph_harmonic",
+        rows(graft.operators.Graph.harmonic(spark, dir)), want)
+    }
+
     // ── HITS on the bipartite customer→part graph (3 iters) ──
     {
       import spark.implicits._

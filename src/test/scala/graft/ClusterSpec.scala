@@ -62,6 +62,41 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup: weights conserve corpus mass, survivors match canonical, sizes match clusters") {
+    import spark.implicits._
+    val weights = Dedup.softDedupWeights(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, SF).count()
+    // token-mass conservation: Σ weights ≡ corpus size exactly
+    assert(weights.values.sum == nDocs, s"Σw=${weights.values.sum} n=$nDocs")
+    // the weighted survivors are EXACTLY the canonical kept set
+    val kept = Dedup.canonicalDocs(spark, SF)
+      .filter($"kept").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(weights.keySet == kept)
+    // each clustered survivor's weight is its cluster's member count
+    val clusters = Dedup.ngramJaccardClusters(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val members = clusters.toMap
+    weights.foreach { case (d, w) =>
+      assert(w == members.get(d).map(sizes).getOrElse(1L), s"doc $d w=$w")
+    }
+    assert(weights.values.exists(_ > 1L), "fixture must contain a real cluster")
+  }
+
+  test("recall-eval gate: all four ANN arms present, ratios exact, IVF clears its spec floor") {
+    val rows = operators.Similarity.recallEval(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    rows.foreach { case (m, (total, hits, ppm)) =>
+      assert(hits <= total && ppm == hits * 1000000L / total, s"$m")
+    }
+    // the same floor the dedicated IVF spec holds (measured 0.85)
+    assert(rows("ivf")._3 >= 600000L, rows("ivf").toString)
+  }
+
   test("IVF top-k recall ≥ 0.6 at nprobe=4/16 over 20 queries (measured 0.85)") {
     val brute = operators.Similarity.bruteforceTopK(spark, SF, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -441,4 +441,108 @@ class EvaluationSpec extends SparkSpec {
       s"top eigenvalue ${pev(0)} != ${5.0 * varQ}")
     assert(math.abs(pev(1)) < 1e-6 * pev(0), s"rank-1 data, ev2=${pev(1)}")
   }
+
+  test("ndcg: perfect bm25 ordering hits 1.0 exactly; a length-penalized reversal pays the replayed discount") {
+    import spark.implicits._
+    val wl = Seq("q" -> Seq("apple"))
+    def run(docs: Seq[(Long, String)]): Double =
+      Evaluation.ndcgBm25Of(spark, docs.toDF("doc_id", "text"), wl, k = 10)
+        .collect().map(r => r.getDouble(4)).head
+    // tf and brevity agree → bm25 order ≡ relevance order → NDCG = 1
+    val aligned = Seq((1L, "apple apple apple x"), (2L, "apple apple y z"),
+      (3L, "apple y z w v"), (4L, "nothing relevant"))
+    assert(run(aligned) == 1.0)
+    // rel-3 doc buried in filler: bm25's length normalization ranks
+    // the short rel-1 doc first — NDCG = (1·w1 + 7·w2)/(7·w1 + 1·w2)
+    val filler = (1 to 50).map(i => s"f$i").mkString(" ")
+    val reversed = Seq((1L, s"apple apple apple $filler"), (2L, "apple z"))
+    val w1 = 1000000L
+    val w2 = math.round(1e6 / (math.log(3.0) / math.log(2.0)))
+    val want = math.floor((1 * w1 + 7 * w2).toDouble /
+      (7 * w1 + 1 * w2).toDouble * 1e6 + 0.5) / 1e6
+    val got = run(reversed)
+    assert(got == want && got < 1.0, s"got=$got want=$want")
+  }
+
+  test("mrr/p@k/r@k: a short irrelevant doc outranks the buried relevant one — rank 2 reciprocal, integer ratios") {
+    import spark.implicits._
+    val wl = Seq("q" -> Seq("apple"))
+    def run(docs: Seq[(Long, String)]) =
+      Evaluation.mrrBm25Of(spark, docs.toDF("doc_id", "text"), wl, k = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).head
+    // tf-1 doc is NOT relevant (grade < 2) but its brevity wins bm25
+    // rank 1; the relevant tf-2 doc is buried in filler at rank 2
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val buried = Seq((1L, "apple"), (2L, s"apple apple $filler"))
+    assert(run(buried) == ((2L, 1L, 1L, 500000L, 100000L, 1000000L)),
+      run(buried).toString)
+    // recall denominator: 3 relevant docs, only top-ranked hits count
+    val three = Seq((1L, "apple apple a"), (2L, "apple apple b"),
+      (3L, "apple apple c"), (4L, "apple x"))
+    val (fr, hits, nRel, rr, p, r) = run(three)
+    assert(fr == 1L && hits == 3L && nRel == 3L && rr == 1000000L)
+    assert(p == 300000L && r == 1000000L)
+  }
+
+  test("power/mde: SE and MDE re-derive from a driver fold over the same variant split") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def variantA(u: Long): Boolean = {
+      val hex = md.digest((u.toString + "ab").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1000 % 2 == 0
+    }
+    val xs = Tables.events(spark, SF)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (a, b) = xs.partition { case (u, _) => variantA(u) }
+    def mo(v: Array[(Long, Long)]) = {
+      val n = v.length.toDouble
+      val s = v.map(_._2).sum.toDouble
+      val q = v.map(x => x._2 * x._2).sum.toDouble
+      (n, s, (n * q - s * s) / (n * (n - 1.0)))
+    }
+    val (n1, s1, v1) = mo(a); val (n2, s2, v2) = mo(b)
+    val se = math.sqrt(v1 / n1 + v2 / n2)
+    val mean = (s1 + s2) / (n1 + n2)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Analytics.abPowerMde(spark, SF).collect().head
+    assert(got.getLong(0) == a.length.toLong && got.getLong(1) == b.length.toLong)
+    assert(got.getDouble(2) == r4(mean / 1e6), s"pooled mean ${got.getDouble(2)}")
+    assert(got.getDouble(3) == r4((1.959964 + 0.841621) * se / 1e6),
+      s"mde_abs ${got.getDouble(3)}")
+    assert(got.getDouble(4) == r6((1.959964 + 0.841621) * se / mean))
+    // sanity: the MDE is positive and larger than zero lift
+    assert(got.getDouble(3) > 0.0 && got.getDouble(4) > 0.0)
+  }
+
+  test("did: recovers a planted lift exactly under parallel trends; zero-effect fixture reads 0") {
+    import graft.operators.{Analytics, Sampling}
+    import spark.implicits._
+    // label users with the operator's OWN group assignment, then
+    // plant group-specific post means on top of a common trend
+    val users = (1L to 40L).toDF("user_id")
+    val parity = users
+      .select($"user_id", (Sampling.bucket($"user_id", "ab") % 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(parity.values.toSet == Set(0L, 1L), "need both groups")
+    def events(liftPost: Double) = (1L to 40L).flatMap { u =>
+      val treat = parity(u) == 1L
+      Seq((u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "purchase", 10.0),
+        (u, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          "purchase", 12.0 + (if (treat) liftPost else 0.0)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val lifted = Analytics.didPurchaseValueOf(events(1.5)).collect().head
+    assert(lifted.getDouble(4) == 13.5 && lifted.getDouble(5) == 10.0 &&
+      lifted.getDouble(6) == 12.0 && lifted.getDouble(7) == 10.0,
+      lifted.toString)
+    assert(lifted.getDouble(8) == 1.5)
+    val flat = Analytics.didPurchaseValueOf(events(0.0)).collect().head
+    assert(flat.getDouble(8) == 0.0)
+  }
 }

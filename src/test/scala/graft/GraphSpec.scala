@@ -969,4 +969,47 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want, s"$got vs $want")
   }
+
+  test("harmonic: star center sums its leaves, path halves with distance, components stay apart") {
+    def run(und: Seq[(Long, Long)], hops: Int = 3) =
+      Graph.harmonicOf(toEdgeDf(und), seedMod = 1L, hops = hops, topK = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star 0—{1..5}: center gets 5 seeds at d=1; each leaf gets the
+    // center at d=1 plus 4 siblings at d=2
+    val star = run((1L to 5L).map(l => (0L, l)))
+    assert(star(0L) == 5000000L)
+    (1L to 5L).foreach(l => assert(star(l) == 1000000L + 4L * 500000L))
+    // path 0—1—2—3 at 3 hops: ends see 1e6+5e5+333333, middles
+    // 2·1e6 + 5e5 (+333333 only if a 3-away node exists — none)
+    val path = run(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(path(0L) == 1000000L + 500000L + 333333L && path(0L) == path(3L))
+    assert(path(1L) == 2L * 1000000L + 500000L && path(1L) == path(2L))
+    // two disjoint edges: no cross-component contribution ever
+    val comp = run(Seq((0L, 1L), (10L, 11L)))
+    assert(comp.values.toSet == Set(1000000L))
+    // horizon binds: the path at hops=1 drops every d≥2 term
+    val path1 = run(Seq((0L, 1L), (1L, 2L), (2L, 3L)), hops = 1)
+    assert(path1(0L) == 1000000L && path1(1L) == 2000000L)
+  }
+
+  test("conductance: two bridged cliques read cut/vol exactly; a boundary-less community reads 0") {
+    import spark.implicits._
+    // K3 + K3 joined by one bridge: vol = 7 each side, cut = 1
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(und, 3)).toDF("src", "dst")
+    def labels(f: Long => String) =
+      (1L to 6L).map(n => (n, f(n))).toDF("node", "community")
+    val got = Graph.conductanceOf(edges,
+        labels(n => if (n <= 3) "A" else "B"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val phi = math.floor(1.0 / 7.0 * 1e6 + 0.5) / 1e6
+    assert(got("A") == ((3L, 1L, 7L, phi)) && got("B") == ((3L, 1L, 7L, phi)),
+      got.toString)
+    // one community over everything: no boundary, conductance 0
+    val whole = Graph.conductanceOf(edges, labels(_ => "ALL")).collect().head
+    assert(whole.getLong(2) == 0L && whole.getDouble(4) == 0.0)
+  }
 }

@@ -630,4 +630,37 @@ class ManifestTableSpec extends SparkSpec {
       "staging branch must retain the dirty batch for inspection")
   }
 
+  test("rollback: restores data + dvs as a FORWARD commit, drops batch markers, refuses past vacuum") {
+    import spark.implicits._
+    val t = freshTable()
+    t.write((1L to 100L).map(i => (i, i % 10)).toDF("id", "m"),
+      statCols = Seq("id"))
+    val v2 = t.deleteWhereMor(Seq(("id", 40.0, 60.0)), "id")
+    t.append((101L to 120L).map(i => (i, i % 10)).toDF("id", "m"),
+      batchId = Some(7L))
+    val v3 = t.currentVersion.get
+    // restore to the MoR-delete state: the append vanishes from the
+    // live view, the delete file still applies
+    val v4 = t.rollbackTo(v2)
+    assert(v4 > v3, "rollback must commit forward")
+    assert(t.read().select($"id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 39L) ++ (61L to 100L)).toSet, "dv must travel with the rollback")
+    // the past is intact: v3 still time-travels with its append
+    assert(t.readVersion(v3).count() == 100 - 21 + 20)
+    // restoring the batch-marked version must NOT re-claim batch 7
+    val v5 = t.rollbackTo(v3)
+    val hist = t.history.map(h => h.version -> h).toMap
+    assert(hist(v3).batchId.contains(7L) && hist(v5).batchId.isEmpty,
+      s"batch marker leaked into the rollback commit: ${hist(v5)}")
+    assert(t.read().count() == 100 - 21 + 20)
+    // rolling back to the live version is a no-op
+    assert(t.rollbackTo(v5) == v5 && t.currentVersion.contains(v5))
+    // a vacuumed-away version refuses with a clear error
+    val t2 = freshTable()
+    t2.write(Seq((1L, 1L)).toDF("id", "m"))
+    t2.write(Seq((2L, 2L)).toDF("id", "m")) // full rewrite, v1 orphaned
+    t2.vacuum(keep = 1)
+    intercept[java.io.FileNotFoundException] { t2.rollbackTo(1L) }
+  }
+
 }

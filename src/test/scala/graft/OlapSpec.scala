@@ -580,6 +580,40 @@ class OlapSpec extends SparkSpec {
     assert(su1x2 == 2 * sn1 * sn2 && stie == 0L)
   }
 
+  test("Theil: extremes, quantized re-derivation, and the within/between decomposition identity") {
+    import org.apache.spark.sql.Row
+    // replay of the gate's arithmetic: milli-quantized x·ln x sums
+    def theil(xs: Seq[Long]): Double = {
+      val n = xs.size.toLong; val s = xs.sum
+      val xlx = xs.map(x => if (x > 0)
+        math.round(x.toDouble * math.log(x.toDouble) * 1000.0) else 0L).sum
+      math.floor((xlx.toDouble / (s.toDouble * 1000.0)
+        - math.log(s.toDouble / n.toDouble)) * 1e6 + 0.5) / 1e6
+    }
+    // all-equal → 0 (within milli-quantization at realistic cents)
+    assert(math.abs(theil(Seq.fill(20)(70000L))) <= 1e-6)
+    // one owner of everything → ln N (the Theil maximum)
+    assert(math.abs(theil(Seq.fill(9)(0L) :+ 900000L) - math.log(10.0)) < 1e-4)
+    // concentration strictly increases it
+    assert(theil(Seq(10000L, 90000L)) > theil(Seq(40000L, 60000L)))
+    // gate output: the pooled row must equal the exact decomposition
+    // T_all = Σ s_g·T_g + Σ s_g·ln(s_g/p_g) — Theil's whole point
+    val rows = graft.operators.Olap.theilRevenueByNation(spark, SF)
+      .collect().map { case Row(nat: String, n: Long, t: Long, th: Double) =>
+        nat -> ((n, t, th)) }.toMap
+    val (nAll, tAll, thAll) = rows("ALL")
+    val groups = (rows - "ALL").values
+    assert(groups.map(_._1).sum == nAll && groups.map(_._2).sum == tAll)
+    val within = groups.map { case (_, tg, thg) =>
+      tg.toDouble / tAll.toDouble * thg }.sum
+    val between = groups.map { case (ng, tg, _) =>
+      val sg = tg.toDouble / tAll.toDouble
+      val pg = ng.toDouble / nAll.toDouble
+      if (tg > 0) sg * math.log(sg / pg) else 0.0 }.sum
+    assert(math.abs(thAll - (within + between)) < 1e-5,
+      s"decomposition broke: all=$thAll within=$within between=$between")
+  }
+
   test("Gini ≡ a sorted-scan re-derivation per nation; extremes hit 0 and (n-1)/n") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

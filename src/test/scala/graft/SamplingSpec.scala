@@ -102,6 +102,36 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("unimax: capped prefix binds small sources at E·n, splits the rest evenly, exhausts the budget") {
+    import spark.implicits._
+    def alloc(sizes: Map[String, Long], b: Long, e: Long) = {
+      val docs = sizes.toSeq.flatMap { case (s, n) =>
+        Seq((s, 1L, ("tok " * n.toInt).trim)) } // n whitespace tokens
+        .toDF("source", "doc_id", "text")
+      Sampling.unimaxAllocationOf(docs, b, e).collect()
+        .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    }
+    // hand-traced: E=2, B=100 over [10, 20, 1000] → the two small
+    // sources bind at 20/40, the giant splits the remaining 40 alone
+    val g = alloc(Map("a" -> 10L, "b" -> 20L, "c" -> 1000L), 100L, 2L)
+    assert(g == Map("a" -> ((1L, 20L)), "b" -> ((1L, 40L)),
+      "c" -> ((0L, 40L))), g.toString)
+    // budget below every cap → plain uniform split, floor division
+    val u = alloc(Map("a" -> 100L, "b" -> 100L, "c" -> 100L), 31L, 5L)
+    assert(u.values.toSeq == Seq((0L, 10L), (0L, 10L), (0L, 10L)))
+    // budget above all caps → every source binds at E·n
+    val c = alloc(Map("a" -> 10L, "b" -> 20L, "c" -> 30L), 10000L, 2L)
+    assert(c == Map("a" -> ((1L, 20L)), "b" -> ((1L, 40L)),
+      "c" -> ((1L, 60L))))
+    // the allocation never over-spends and never exceeds a cap
+    for ((m, b, e) <- Seq((Map("x" -> 7L, "y" -> 900L, "z" -> 35L), 200L, 3L),
+        (Map("x" -> 1L, "y" -> 2L, "z" -> 3L, "w" -> 1000L), 50L, 4L))) {
+      val a = alloc(m, b, e)
+      assert(a.values.map(_._2).sum <= b)
+      a.foreach { case (s, (_, al)) => assert(al <= e * m(s)) }
+    }
+  }
+
   test("token-budget cap: two-phase banding ≡ single global window on a 90%-skewed corpus") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -273,6 +273,34 @@ class SearchSpec extends SparkSpec {
     assert(got("b") == ((3L, 2L, 8L, 0L, 1L)), got("b").toString)
   }
 
+  test("JSD: identical sources at 0, disjoint at ln 2, hand fold on a shared-token pair") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def jsd(docs: Seq[(Long, String, String)]): Map[(String, String), Double] =
+      TextAnalysis.jsDivergenceOf(
+        docs.toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+        .toMap
+    // identical token distributions → 0 exactly (all terms ln 1)
+    val same = jsd(Seq((1L, "a a b c", "s1"), (2L, "a a b c", "s2")))
+    assert(same(("s1", "s2")) == 0.0)
+    // disjoint vocabularies → the JSD maximum ln 2
+    val disj = jsd(Seq((1L, "a b", "s1"), (2L, "c d", "s2")))
+    assert(math.abs(disj(("s1", "s2")) - math.log(2.0)) < 1e-6)
+    // hand fold: s1 = {a:2, b:1}, s2 = {a:1, c:1} — one common token
+    val got = jsd(Seq((1L, "a a b", "s1"), (2L, "a c", "s2")))(("s1", "s2"))
+    val (p, q) = (2.0 / 3.0, 1.0 / 2.0)
+    val tNano = math.round(0.5 * (p * math.log(2 * p / (p + q))
+      + q * math.log(2 * q / (p + q))) * 1e9)
+    val want = math.floor((0.5 * math.log(2.0) * (2.0 - 2.0 / 3.0 - 1.0 / 2.0)
+      + tNano / 1e9) * 1e6 + 0.5) / 1e6
+    assert(got == want, s"got=$got want=$want")
+    // symmetry of the construction: swapping source labels reverses
+    // the (s1, s2) key but not the value
+    val sw = jsd(Seq((1L, "a c", "s1"), (2L, "a a b", "s2")))(("s1", "s2"))
+    assert(sw == got)
+  }
+
   test("token entropy: uniform corpus gives H = ln k exactly; TTR reconciles") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -137,6 +137,12 @@ class WindowAuditSpec extends SparkSpec {
         "collapsed the corpus; the corpus-sized running sum is " +
         "partitioned by band (same banded-cumsum device as " +
         "capTokensPerSource)"),
+    "sample_unimax" ->
+      ("the UniMax capped-prefix scan runs its row_number/prefix-sum " +
+        "window over the per-SOURCE token-total aggregate (|sources| " +
+        "rows at any corpus size) — the corpus collapses in the " +
+        "partial-agg'd groupBy below; same aggregate-sized-frame " +
+        "rationale as analytics_yoy_growth"),
     "er_sorted_neighborhood" ->
       ("w−1 lead columns over the DISTINCT-NAME vocabulary " +
         "(vocabulary-sized, orders smaller than the corpus — same " +
