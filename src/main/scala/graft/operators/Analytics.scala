@@ -993,6 +993,305 @@ object Analytics {
                 4) AS did
         FROM a"""
 
+  /** Data-driven Markov (removal-effect) attribution — the
+    * principled alternative to the positional rules ([[Analytics]]'
+    * last-touch and linear gates): model user journeys as a
+    * first-order chain over channels with START/CONV/NULL states,
+    * and credit each channel by how much the conversion probability
+    * DROPS when it is removed from the chain (Anderl et al. 2014's
+    * removal effect). Journeys truncate at the first purchase (the
+    * conversion); a journey with no purchase terminates in NULL.
+    *
+    * Exactness device: transition probabilities are integer ppm
+    * (`n·10⁶ div out_total`), and absorption is computed by a
+    * BOUNDED 12-step power iteration whose state vector is
+    * re-quantized to ppm by trunc division after every step — the
+    * same documented-truncation posture as the EWMA/betweenness
+    * gates — so every scenario replays bit-for-bit as 12 unrolled
+    * SQL CTEs over the ≤(channels+3)²-row matrix. Channels are a
+    * CONFIG input (like the BM25 workload): the oracle is static
+    * text, and an unlisted event type simply never enters a journey.
+    *
+    * Scale shape: journey construction (per-user ordered prefix +
+    * lead) is the distributed work and shuffles only (user, type,
+    * ts) scalars; the chain itself is metadata (≤ 49 rows), so the
+    * scenario folds run driver-side — the [[Pca]] Jacobi contract:
+    * collect is bounded by the CHANNEL count, never the corpus.
+    */
+  def markovAttribution(spark: SparkSession, dir: String,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      steps: Int = 12): DataFrame =
+    markovAttributionOf(Tables.events(spark, dir), channels, steps)
+
+  /** Attribution core over any (user_id, ts, event_type, event_id)
+    * frame — lets specs plant journeys with known removal effects.
+    */
+  def markovAttributionOf(events: DataFrame,
+      channels: Seq[String], steps: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val tagged = events
+      .filter($"event_type" === "purchase" ||
+        $"event_type".isin(channels.map(lit): _*))
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec"),
+        $"event_id")
+      .withColumn("rn", row_number().over(w))
+    val firstP = tagged.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("prn"))
+    val journey = tagged.join(firstP, Seq("user_id"), "left")
+      .filter($"prn".isNull || $"rn" <= $"prn")
+      .withColumn("state", when($"event_type" === "purchase", "__CONV")
+        .otherwise($"event_type"))
+    val wj = Window.partitionBy($"user_id").orderBy($"rn")
+    val hops = journey
+      .withColumn("from_state",
+        coalesce(lag($"state", 1).over(wj), lit("__START")))
+      .select($"from_state", $"state".as("to_state"))
+      .unionByName(journey
+        .withColumn("nxt", lead($"state", 1).over(wj))
+        .filter($"nxt".isNull && $"state" =!= "__CONV")
+        .select($"state".as("from_state"), lit("__NULL").as("to_state")))
+    val counts = hops.groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_state").agg(sum($"n").as("tot"))
+    // the chain is metadata: ≤ (|channels|+3)² rows — bounded by the
+    // CONFIG, not the corpus (documented collect contract)
+    val matrix = counts.join(totals, "from_state")
+      .select($"from_state", $"to_state",
+        expr("(n * 1000000) div tot").as("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def absorbed(removed: Option[String]): Long = {
+      var v = Map[String, Long]("__START" -> 1000000L)
+      var conv = 0L
+      for (_ <- 1 to steps) {
+        val nv = scala.collection.mutable.Map.empty[String, Long]
+        for {
+          ((f, t), p) <- matrix
+          if f != "__CONV" && f != "__NULL" &&
+            removed.forall(c => f != c && t != c)
+          m = v.getOrElse(f, 0L)
+          if m > 0L
+        } nv(t) = nv.getOrElse(t, 0L) + m * p
+        v = nv.map { case (k, s) => k -> s / 1000000L }.toMap
+        conv += v.getOrElse("__CONV", 0L)
+        v = v - "__CONV" - "__NULL"
+      }
+      conv
+    }
+    val base = absorbed(None)
+    val effects = channels.sorted.map { c =>
+      val rc = absorbed(Some(c))
+      (c, base, rc, math.max(0L, base - rc))
+    }
+    val sumEff = effects.map(_._4).sum
+    effects.map { case (c, b, rc, e) =>
+      (c, b, rc, e, if (sumEff > 0) e * 1000000L / sumEff else 0L)
+    }.toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+      "effect_ppm", "share_ppm")
+  }
+
+  def markovAttributionSql(
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      steps: Int = 12): String = {
+    val chList = channels.map(c => s"'$c'").mkString(", ")
+    def chain(tag: String, removedPred: String): String = {
+      val t = s"""t_$tag AS (
+           SELECT from_state, to_state, p_ppm FROM m WHERE $removedPred)"""
+      val steps_ = (1 to steps).map { i =>
+        val prev = if (i == 1) "v0" else s"v_${tag}_${i - 1}"
+        s"""v_${tag}_$i AS (
+           SELECT t.to_state AS state,
+                  CAST(sum(v.m * t.p_ppm) // 1000000 AS BIGINT) AS m
+           FROM $prev v JOIN t_$tag t ON t.from_state = v.state
+           WHERE v.state NOT IN ('__CONV', '__NULL')
+           GROUP BY 1)"""
+      }
+      val convSum = (1 to steps).map(i =>
+        s"coalesce((SELECT m FROM v_${tag}_$i WHERE state = '__CONV'), 0)")
+        .mkString(" + ")
+      (Seq(t) ++ steps_ :+
+        s"""c_$tag AS (SELECT CAST($convSum AS BIGINT) AS conv)""")
+        .mkString(",\n       ")
+    }
+    val removalChains = channels.sorted.zipWithIndex.map { case (c, i) =>
+      chain(s"r$i", s"from_state <> '$c' AND to_state <> '$c'")
+    }
+    val removalRows = channels.sorted.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, (SELECT conv FROM c_r$i) AS removed" }
+      .mkString("\n           UNION ALL ")
+    s"""WITH j0 AS (
+         SELECT user_id, event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                            event_id) AS rn
+         FROM events
+         WHERE event_type = 'purchase' OR event_type IN ($chList)),
+       fp AS (SELECT user_id, min(rn) AS prn FROM j0
+              WHERE event_type = 'purchase' GROUP BY 1),
+       j AS (
+         SELECT j0.user_id, j0.rn,
+                CASE WHEN j0.event_type = 'purchase' THEN '__CONV'
+                     ELSE j0.event_type END AS state
+         FROM j0 LEFT JOIN fp ON fp.user_id = j0.user_id
+         WHERE fp.prn IS NULL OR j0.rn <= fp.prn),
+       hops AS (
+         SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+                         '__START') AS from_state,
+                state AS to_state
+         FROM j
+         UNION ALL
+         SELECT state, '__NULL' FROM (
+           SELECT state, lead(state) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS nxt
+           FROM j) x
+         WHERE nxt IS NULL AND state <> '__CONV'),
+       cnt AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+               FROM hops GROUP BY 1, 2),
+       m AS (
+         SELECT from_state, to_state,
+                CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_state)
+                  AS BIGINT) AS p_ppm
+         FROM cnt),
+       v0 AS (SELECT '__START' AS state, CAST(1000000 AS BIGINT) AS m),
+       ${chain("base", "TRUE")},
+       ${removalChains.mkString(",\n       ")},
+       eff AS (
+         SELECT channel,
+                (SELECT conv FROM c_base) AS base_conv_ppm,
+                removed AS removed_conv_ppm,
+                CAST(greatest(0, (SELECT conv FROM c_base) - removed)
+                  AS BIGINT) AS effect_ppm
+         FROM (${removalRows}) r),
+       tot AS (SELECT CAST(sum(effect_ppm) AS BIGINT) AS s FROM eff)
+       SELECT channel, base_conv_ppm, removed_conv_ppm, effect_ppm,
+              CAST(CASE WHEN tot.s > 0
+                   THEN (effect_ppm * 1000000) // tot.s ELSE 0 END
+                AS BIGINT) AS share_ppm
+       FROM eff, tot ORDER BY channel"""
+  }
+
+  /** Kaplan–Meier survival curve for time-to-repeat-purchase with
+    * right-censoring (Kaplan/Meier, JASA 1958) — the
+    * time-to-convert distribution done RIGHT when the window hasn't
+    * closed: a user who hasn't purchased twice yet is CENSORED at
+    * the observation end, not dropped (dropping them biases the
+    * curve optimistic — exactly the mistake `time_to_convert`-style
+    * means make on an open cohort). Duration = whole hours from
+    * first to second purchase; censored duration = hours from first
+    * purchase to the corpus max timestamp.
+    *
+    * Exactness device: S(t) = Π_{u≤t} (1 − d_u/n_u) is an ordered
+    * PRODUCT — fp-hostile — so it's computed as
+    * exp(Σ ln((n−d)/n)) with each step's ln quantized ONCE to
+    * integer micro-nats: the prefix sums are exact BIGINTs in any
+    * order, and exp is one pinned call per output row. The at-risk
+    * count n_u comes from the DURATION HISTOGRAM (one row per
+    * distinct duration) via an exclusive prefix sum — the
+    * domain-sized-window family of olap_ks_test, never a
+    * corpus-sized scan; the per-user duration pass is one window
+    * partitioned by user.
+    */
+  def survivalRepeatPurchase(spark: SparkSession, dir: String): DataFrame =
+    survivalRepeatPurchaseOf(Tables.events(spark, dir))
+
+  /** KM core over any (user_id, ts, event_type) frame. */
+  def survivalRepeatPurchaseOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"))
+    val horizon = p.agg(max($"tus").as("h_us"))
+    val wU = Window.partitionBy($"user_id").orderBy($"tus")
+    val perUser = p
+      .withColumn("rn", row_number().over(wU))
+      .filter($"rn" <= 2)
+      .groupBy($"user_id")
+      .agg(min($"tus").as("t1"),
+        max(when($"rn" === 2, $"tus")).as("t2"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"t2".isNotNull,
+          expr("(t2 - t1) div 3600000000")).otherwise(
+          expr("(h_us - t1) div 3600000000")).as("dur_h"),
+        when($"t2".isNotNull, 1L).otherwise(0L).as("event"))
+    val hist = perUser.groupBy($"dur_h")
+      .agg(sum($"event").as("d"),
+        sum(lit(1L) - $"event").as("c"))
+    val wT = Window.orderBy($"dur_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum($"d" + $"c").as("n_total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("left_before",
+        coalesce(sum($"d" + $"c").over(wT), lit(0L)))
+      .withColumn("n_risk", $"n_total" - $"left_before")
+      .filter($"d" > 0L)
+      // per-step ln((n−d)/n) in integer micro-nats, then an exact
+      // running BIGINT sum in the same ordered pass
+      // n_risk == d can only happen at the LAST duration (no one is
+      // left after it): its step is pinned to 0 and survival to 0.0,
+      // dodging ln(0) without perturbing any earlier prefix
+      .withColumn("step_micro",
+        when($"n_risk" > $"d",
+          round(log(($"n_risk" - $"d").cast("double") /
+            $"n_risk".cast("double")) * lit(1.0e6)).cast("long"))
+          .otherwise(0L))
+      .withColumn("lnS_micro", sum($"step_micro").over(
+        Window.orderBy($"dur_h")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"dur_h", $"n_risk", $"d".as("n_events"),
+        $"c".as("n_censored"),
+        when($"n_risk" === $"d", lit(0.0))
+          .otherwise(round(exp($"lnS_micro".cast("double") / lit(1.0e6)), 6))
+          .as("survival"))
+      .orderBy($"dur_h")
+  }
+
+  val survivalRepeatPurchaseSql: String =
+    """WITH p AS (
+         SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus
+         FROM events WHERE event_type = 'purchase'),
+       h AS (SELECT max(tus) AS h_us FROM p),
+       r AS (
+         SELECT user_id, tus,
+                row_number() OVER (PARTITION BY user_id ORDER BY tus) AS rn
+         FROM p),
+       u AS (
+         SELECT user_id, min(tus) AS t1,
+                max(CASE WHEN rn = 2 THEN tus END) AS t2
+         FROM r WHERE rn <= 2 GROUP BY 1),
+       d AS (
+         SELECT CASE WHEN t2 IS NOT NULL THEN (t2 - t1) // 3600000000
+                     ELSE (h_us - t1) // 3600000000 END AS dur_h,
+                CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM u, h),
+       hist AS (
+         SELECT dur_h, CAST(sum(event) AS BIGINT) AS d,
+                CAST(sum(1 - event) AS BIGINT) AS c
+         FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM hist),
+       risk AS (
+         SELECT dur_h, d, c,
+                n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+         FROM hist, t),
+       steps AS (
+         SELECT dur_h, n_risk, d, c,
+                CASE WHEN n_risk > d THEN
+                  CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+                ELSE 0 END AS step_micro
+         FROM risk WHERE d > 0)
+       SELECT dur_h, n_risk, d AS n_events, c AS n_censored,
+              CASE WHEN n_risk = d THEN 0.0
+                   ELSE round(exp(CAST(sum(step_micro) OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / 1000000), 6)
+              END AS survival
+       FROM steps ORDER BY dur_h"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

@@ -106,6 +106,101 @@ object EntityResolution {
                     ELSE (n_found * 1000000) // n_true END AS recall_ppm
         FROM agg"""
 
+  // ── Fellegi–Sunter probabilistic record linkage ───────────────────
+  // m/u parameters (P[field agrees | match] / P[agrees | non-match])
+  // are MODEL INPUTS — fixed literals here, estimated from labeled
+  // pairs or EM in production. Weights are precomputed integer
+  // MILLI-BITS (round(log2(m/u)·1000)), so the pair score is pure
+  // BIGINT addition — a single source of truth interpolated into the
+  // SQL twin.
+  private val fsFields: Seq[(String, Double, Double)] = Seq(
+    // field, m, u
+    ("name", 0.90, 0.01),  // jaro-winkler ≥ 0.90 on the full name
+    ("brand", 0.95, 0.04), // exact brand equality (25 brands)
+    ("typ", 0.90, 0.02),   // exact type equality (150 types)
+    ("size", 0.85, 0.02))  // exact size equality (50 sizes)
+  private def mb(x: Double): Long =
+    math.round(math.log(x) / math.log(2.0) * 1000.0)
+  /** (field, agreeWeight, disagreeWeight) in milli-bits. */
+  val fsWeights: Seq[(String, Long, Long)] = fsFields.map {
+    case (f, m, u) => (f, mb(m / u), mb((1.0 - m) / (1.0 - u)))
+  }
+
+  /** Fellegi–Sunter match scoring (Fellegi/Sunter, JASA 1969 — the
+    * canonical probabilistic record-linkage model): each blocked
+    * candidate pair gets Σ over fields of log2(m/u) when the field
+    * agrees and log2((1−m)/(1−u)) when it disagrees — the
+    * log-likelihood ratio that a pair is a match, the number the
+    * classic link/review/non-link thresholds cut on. Agreement
+    * fields here: near-name (Jaro–Winkler ≥ 0.9 via the native
+    * kernel), brand, type, and size equality over first-token-blocked
+    * part pairs (the [[jaroNamePairs]] candidate space, so candidate
+    * cost stays vocabulary²-blocked and corpus-size-independent).
+    * Scoring is EXACT integer milli-bit addition — the m/u literals
+    * compile to constant integer weights shared verbatim with the
+    * oracle; the only fp is the jw comparison both engines make on
+    * identical strings.
+    */
+  def fellegiSunter(spark: SparkSession, dir: String,
+      topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey".as("pk"), $"p_name".as("nm"),
+        $"p_brand".as("br"), $"p_type".as("tp"), $"p_size".as("sz"))
+      .withColumn("blk", substring_index($"nm", " ", 1))
+    val a = parts.select($"blk", $"pk".as("pk_a"), $"nm".as("nm_a"),
+      $"br".as("br_a"), $"tp".as("tp_a"), $"sz".as("sz_a"))
+    val b = parts.select($"blk", $"pk".as("pk_b"), $"nm".as("nm_b"),
+      $"br".as("br_b"), $"tp".as("tp_b"), $"sz".as("sz_b"))
+    a.join(b, Seq("blk")).filter($"pk_a" < $"pk_b")
+      .withColumn("ag_name",
+        when(call_function("jaro_winkler", $"nm_a", $"nm_b") >= 0.9, 1L)
+          .otherwise(0L))
+      .withColumn("ag_brand", when($"br_a" === $"br_b", 1L).otherwise(0L))
+      .withColumn("ag_type", when($"tp_a" === $"tp_b", 1L).otherwise(0L))
+      .withColumn("ag_size", when($"sz_a" === $"sz_b", 1L).otherwise(0L))
+      .withColumn("score_mbits",
+        when($"ag_name" === 1L, lit(nA)).otherwise(lit(nD)) +
+          when($"ag_brand" === 1L, lit(bA)).otherwise(lit(bD)) +
+          when($"ag_type" === 1L, lit(tA)).otherwise(lit(tD)) +
+          when($"ag_size" === 1L, lit(sA)).otherwise(lit(sD)))
+      .select($"pk_a", $"pk_b", $"ag_name", $"ag_brand", $"ag_type",
+        $"ag_size", $"score_mbits")
+      .orderBy($"score_mbits".desc, $"pk_a", $"pk_b")
+      .limit(topK)
+  }
+
+  def fellegiSunterSql(topK: Int = 50): String = {
+    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
+    s"""WITH parts AS (
+          SELECT p_partkey AS pk, p_name AS nm, p_brand AS br,
+                 p_type AS tp, p_size AS sz,
+                 split_part(p_name, ' ', 1) AS blk
+          FROM part),
+        scored AS (
+          SELECT a.pk AS pk_a, b.pk AS pk_b,
+                 CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+                      THEN 1 ELSE 0 END AS ag_name,
+                 CASE WHEN a.br = b.br THEN 1 ELSE 0 END AS ag_brand,
+                 CASE WHEN a.tp = b.tp THEN 1 ELSE 0 END AS ag_type,
+                 CASE WHEN a.sz = b.sz THEN 1 ELSE 0 END AS ag_size
+          FROM parts a JOIN parts b
+            ON a.blk = b.blk AND a.pk < b.pk)
+        SELECT pk_a, pk_b,
+               CAST(ag_name AS BIGINT) AS ag_name,
+               CAST(ag_brand AS BIGINT) AS ag_brand,
+               CAST(ag_type AS BIGINT) AS ag_type,
+               CAST(ag_size AS BIGINT) AS ag_size,
+               CAST(CASE WHEN ag_name = 1 THEN $nA ELSE $nD END
+                  + CASE WHEN ag_brand = 1 THEN $bA ELSE $bD END
+                  + CASE WHEN ag_type = 1 THEN $tA ELSE $tD END
+                  + CASE WHEN ag_size = 1 THEN $sA ELSE $sD END
+                 AS BIGINT) AS score_mbits
+        FROM scored
+        ORDER BY score_mbits DESC, pk_a, pk_b LIMIT $topK"""
+  }
+
   /** Sorted-neighborhood candidate generation (Hernández & Stolfo,
     * SIGMOD 1995): sort the distinct-name vocabulary on its own
     * value and pair each name with its next `w−1` neighbors via

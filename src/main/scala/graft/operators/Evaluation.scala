@@ -79,6 +79,67 @@ object Evaluation {
        FROM a"""
   }
 
+  /** Precision–recall curve of the quality-model score against the
+    * binary label — the eval that matters when positives are RARE
+    * (ROC flatters a classifier at class imbalance; the curation
+    * question "of what I keep, how much is good" is precision, and
+    * PR is its whole trade-off). One point per distinct score,
+    * descending: tp/fp are cumulative sums over the SCORE HISTOGRAM
+    * (the ml_auc domain-sized-window device), and precision/recall
+    * are integer ppm ratios — the entire gate is BIGINT arithmetic,
+    * no fp anywhere. The trapezoidal PR-AUC, when wanted, folds from
+    * these exact points; emitting the curve rather than one scalar
+    * keeps the gate integer-exact and the operating-point choice
+    * with the consumer.
+    */
+  def prCurveQualityVsEnglish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("is_pos"))
+    val hist = scored.groupBy($"score")
+      .agg(sum($"is_pos").as("p"), sum(lit(1L) - $"is_pos").as("q"))
+    val fromTop = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = hist.agg(sum($"p").as("n_pos"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("tp", sum($"p").over(fromTop))
+      .withColumn("fp", sum($"q").over(fromTop))
+      .select($"score", $"tp", $"fp",
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div n_pos").as("recall_ppm"))
+      .orderBy($"score".desc)
+  }
+
+  val prCurveQualityVsEnglishSql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       h AS (
+         SELECT score, CAST(sum(is_pos) AS BIGINT) AS p,
+                CAST(sum(1 - is_pos) AS BIGINT) AS q
+         FROM s GROUP BY score),
+       t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos FROM h),
+       c AS (
+         SELECT score,
+                CAST(sum(p) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(sum(q) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp
+         FROM h)
+       SELECT score, tp, fp,
+              CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+              CAST((tp * 1000000) // n_pos AS BIGINT) AS recall_ppm
+       FROM c, t ORDER BY score DESC"""
+  }
+
   /** Calibration (reliability) bins of the quality-model score
     * against the binary label — AUC says the ranking is right;
     * calibration says whether the score LEVEL means what it claims,

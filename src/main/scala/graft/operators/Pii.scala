@@ -166,4 +166,92 @@ object Pii {
        GROUP BY 1, 2
        HAVING count(*) < $l
        ORDER BY 1, 2"""
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007 — the
+    * step after [[lDiversity]]: a group can be diverse yet still
+    * leak if its sensitive DISTRIBUTION skews far from the table's;
+    * "every member of this cell skews 90% BUILDING" is a disclosure
+    * even with all five segments present). Distance is the
+    * categorical EMD = total variation ½ Σ_s |p_s − q_s| between the
+    * group's sensitive distribution and the global one. Per-sentinel
+    * |p − q| is quantized ONCE to integer ppm (pinned divisions of
+    * exact counts, ≤ |segments| rows per group), so the group sum is
+    * an exact BIGINT and the ½ is an integer halving. Reports every
+    * QI group above `tPpm` — same quasi-identifiers as the k-anon
+    * gate, so the three audits read one release candidate.
+    *
+    * Scale: two partial-agg'd aggregations to the (QI × segment)
+    * cell frame; the global distribution is a |segments|-row
+    * broadcast; nothing corpus-sized past the first groupBy.
+    */
+  def tCloseness(spark: SparkSession, dir: String,
+      tPpm: Long = 300000L): DataFrame =
+    tClosenessOf(Tables.customer(spark, dir), tPpm)
+
+  /** Audit core over any (c_nationkey, c_mktsegment, c_acctbal)
+    * frame — lets specs plant skewed cells through the real path.
+    */
+  def tClosenessOf(customer: DataFrame, tPpm: Long): DataFrame = {
+    import customer.sparkSession.implicits._
+    val cells = customer
+      .select($"c_nationkey",
+        floor(round($"c_acctbal" * 100).cast("long").cast("double")
+          / 200000.0).cast("long").as("bal_band"),
+        $"c_mktsegment")
+      .groupBy($"c_nationkey", $"bal_band", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val global = cells.groupBy($"c_mktsegment")
+      .agg(sum($"n").as("ns"))
+      .crossJoin(broadcast(cells.agg(sum($"n").as("n_total"))))
+    val groups = cells.groupBy($"c_nationkey", $"bal_band")
+      .agg(sum($"n").as("group_size"))
+    // the group × segment frame needs ABSENT segments too (p = 0
+    // still contributes |0 − q|): build it from groups × global and
+    // left-join the observed cells
+    groups.crossJoin(broadcast(global))
+      .join(cells, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .withColumn("dev_ppm",
+        abs(round(coalesce($"n", lit(0L)).cast("double") * lit(1.0e6)
+            / $"group_size".cast("double"))
+          - round($"ns".cast("double") * lit(1.0e6)
+            / $"n_total".cast("double"))).cast("long"))
+      .groupBy($"c_nationkey", $"bal_band")
+      .agg(min($"group_size").as("group_size"),
+        sum($"dev_ppm").as("sum_dev"))
+      .withColumn("t_ppm", expr("sum_dev div 2"))
+      .filter($"t_ppm" > tPpm)
+      .select($"c_nationkey", $"bal_band", $"group_size", $"t_ppm")
+      .orderBy($"c_nationkey", $"bal_band")
+  }
+
+  def tClosenessSql(tPpm: Long = 300000L): String =
+    s"""WITH cells AS (
+         SELECT c_nationkey,
+                CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS DOUBLE) / 200000.0) AS BIGINT) AS bal_band,
+                c_mktsegment, CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY 1, 2, 3),
+       g AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS ns FROM cells
+             GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells),
+       grp AS (SELECT c_nationkey, bal_band,
+                      CAST(sum(n) AS BIGINT) AS group_size
+               FROM cells GROUP BY 1, 2),
+       dev AS (
+         SELECT grp.c_nationkey, grp.bal_band, grp.group_size,
+                CAST(abs(round(CAST(coalesce(cells.n, 0) AS DOUBLE) * 1000000
+                           / CAST(grp.group_size AS DOUBLE))
+                     - round(CAST(g.ns AS DOUBLE) * 1000000
+                           / CAST(tot.n_total AS DOUBLE))) AS BIGINT)
+                  AS dev_ppm
+         FROM grp CROSS JOIN g CROSS JOIN tot
+         LEFT JOIN cells ON cells.c_nationkey = grp.c_nationkey
+           AND cells.bal_band = grp.bal_band
+           AND cells.c_mktsegment = g.c_mktsegment)
+       SELECT c_nationkey, bal_band,
+              CAST(min(group_size) AS BIGINT) AS group_size,
+              CAST(sum(dev_ppm) // 2 AS BIGINT) AS t_ppm
+       FROM dev GROUP BY 1, 2
+       HAVING sum(dev_ppm) // 2 > $tPpm
+       ORDER BY 1, 2"""
 }

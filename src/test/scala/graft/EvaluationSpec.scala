@@ -520,6 +520,126 @@ class EvaluationSpec extends SparkSpec {
     assert(got.getDouble(3) > 0.0 && got.getDouble(4) > 0.0)
   }
 
+  test("pr curve: points re-derive from a driver fold; endpoints pinned") {
+    import graft.operators.Evaluation
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", ($"lang" === "en").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nPos = scored.map(_._2).sum
+    val hist = scored.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).sum, v.size - v.map(_._2).sum)).toMap
+    var tp = 0L; var fp = 0L
+    val want = hist.keys.toSeq.sorted.reverse.map { s =>
+      val (p, q) = hist(s); tp += p; fp += q
+      s -> ((tp, fp, tp * 1000000L / (tp + fp), tp * 1000000L / nPos))
+    }
+    val got = Evaluation.prCurveQualityVsEnglish(spark, SF)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.toSeq == want, s"first diff: ${
+      got.zip(want).find(x => x._1 != x._2)}")
+    // terminal recall is exactly 1e6; tp never decreases
+    assert(got.last._2._4 == 1000000L)
+    assert(got.map(_._2._1).sliding(2).forall(w => w.head <= w.last))
+  }
+
+  test("kaplan-meier: textbook hand fold with censoring; terminal full-event step reads exactly 0") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def ts(h: Double) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + (h * 3600 * 1000).toLong)
+    // u1,u2: event at 1h; u5: event at 2.5h (floor → 2); u3: event at
+    // 3h; u4: one purchase only → censored at the 3h horizon
+    val ev = Seq(
+      (1L, ts(0), "purchase"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "purchase"), (2L, ts(1), "purchase"),
+      (3L, ts(0), "purchase"), (3L, ts(3), "purchase"),
+      (4L, ts(0), "purchase"),
+      (5L, ts(0), "purchase"), (5L, ts(2.5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.survivalRepeatPurchaseOf(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // replay the quantized arithmetic: S = exp(Σ round(ln((n−d)/n)·1e6)/1e6)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val s1 = math.round(math.log(3.0 / 5.0) * 1e6)
+    val s2 = math.round(math.log(2.0 / 3.0) * 1e6)
+    val s3 = math.round(math.log(1.0 / 2.0) * 1e6)
+    assert(got(1L) == ((5L, 2L, 0L, r6(math.exp(s1 / 1e6)))), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, 0L, r6(math.exp((s1 + s2) / 1e6)))))
+    assert(got(3L) == ((2L, 1L, 1L, r6(math.exp((s1 + s2 + s3) / 1e6)))))
+    // the quantized curve sits on the textbook values 0.6 / 0.4 / 0.2
+    assert(math.abs(got(1L)._4 - 0.6) < 1e-5 &&
+      math.abs(got(2L)._4 - 0.4) < 1e-5 && math.abs(got(3L)._4 - 0.2) < 1e-5)
+    // terminal step where everyone at risk events: survival exactly 0
+    val all = Seq(
+      (1L, ts(0), "purchase"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "purchase"), (2L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val term = Analytics.survivalRepeatPurchaseOf(all).collect()
+    assert(term.length == 1 && term.head.getDouble(4) == 0.0)
+  }
+
+  test("markov attribution: single path credits the cut channel fully; parallel paths split by hand-folded removal effects") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def run(rows: Seq[(Long, java.sql.Timestamp, String, Long)]) =
+      Analytics.markovAttributionOf(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        channels = Seq("a", "b"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // one path START→a→CONV: removing a kills every conversion;
+    // b never appears, so its removal is a no-op
+    val single = run(Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(10), "purchase", 2L)))
+    assert(single("a") == ((1000000L, 0L, 1000000L, 1000000L)), single.toString)
+    assert(single("b") == ((1000000L, 1000000L, 0L, 0L)))
+    // parallel: 2×(START→a→CONV), 1×(START→b→CONV), 1×(START→b→NULL)
+    // base = 0.5·1 + 0.5·0.5 = 0.75; cut a → 0.25; cut b → 0.5
+    val par = run(Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(10), "purchase", 2L),
+      (2L, ts(0), "a", 3L), (2L, ts(10), "purchase", 4L),
+      (3L, ts(0), "b", 5L), (3L, ts(10), "purchase", 6L),
+      (4L, ts(0), "b", 7L)))
+    assert(par("a") == ((750000L, 250000L, 500000L,
+      500000L * 1000000L / 750000L)), par.toString)
+    assert(par("b") == ((750000L, 500000L, 250000L,
+      250000L * 1000000L / 750000L)))
+  }
+
+  test("fellegi-sunter: milli-bit weights re-derive from m/u; every gate score is its agreement-pattern sum") {
+    import graft.operators.EntityResolution
+    // the weight table is the model: re-derive it from the literals
+    val w = EntityResolution.fsWeights.map { case (f, a, d) => f -> ((a, d)) }.toMap
+    def mb(x: Double) = math.round(math.log(x) / math.log(2.0) * 1000.0)
+    assert(w("name") == ((mb(0.90 / 0.01), mb(0.10 / 0.99))))
+    assert(w("brand") == ((mb(0.95 / 0.04), mb(0.05 / 0.96))))
+    // agreement always outweighs disagreement on every field
+    EntityResolution.fsWeights.foreach { case (f, a, d) =>
+      assert(a > 0 && d < 0, s"$f: a=$a d=$d")
+    }
+    // gate rows: score ≡ the agreement-pattern sum, order respected
+    val rows = EntityResolution.fellegiSunter(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) =
+      EntityResolution.fsWeights
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val want = (if (r.getLong(2) == 1L) nA else nD) +
+        (if (r.getLong(3) == 1L) bA else bD) +
+        (if (r.getLong(4) == 1L) tA else tD) +
+        (if (r.getLong(5) == 1L) sA else sD)
+      assert(r.getLong(6) == want, r.toString)
+      assert(r.getLong(6) <= prev); prev = r.getLong(6)
+    }
+  }
+
   test("did: recovers a planted lift exactly under parallel trends; zero-effect fixture reads 0") {
     import graft.operators.{Analytics, Sampling}
     import spark.implicits._

@@ -89,4 +89,49 @@ class PiiSpec extends SparkSpec {
     // every flagged group is below l; none of the unflagged are
     assert(got.values.forall(_._1 < 3L))
   }
+
+  test("t-closeness: a planted pure cell reads its hand-computed total variation; balanced cells stay below the default bar") {
+    import spark.implicits._
+    import graft.operators.Pii
+    // two nations, two balance bands. nation 0 spreads 4 segments
+    // evenly in both bands; nation 1 packs band 0 with pure 'AUTO'
+    // (the disclosure) and keeps band 1 even. The pure cell also
+    // drags the GLOBAL distribution AUTO-ward, so the even cells sit
+    // at a small-but-nonzero TV — both levels are asserted.
+    val segs = Seq("AUTO", "BUILDING", "FURNITURE", "MACHINERY")
+    val uniform = for {
+      b <- Seq(0, 1); i <- 0 until 4
+      r <- 0 until 3
+    } yield (0L, segs(i), b * 2000.0 + 100.0)
+    val skewed = Seq.fill(8)((1L, "AUTO", 100.0)) ++
+      (0 until 8).map(i => (1L, segs(i % 4), 2100.0))
+    val all = uniform ++ skewed
+    val df = all.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    // hand fold of the gate's quantized arithmetic
+    val nTot = all.size.toLong
+    val globalPpm = segs.map(sg => sg ->
+      math.round(all.count(_._2 == sg).toDouble * 1e6 / nTot)).toMap
+    def tv(nk: Long, band: Long): Long = {
+      val cell = all.filter(r => r._1 == nk &&
+        (r._3 / 2000.0).toLong == band)
+      segs.map { sg =>
+        math.abs(math.round(cell.count(_._2 == sg).toDouble * 1e6
+          / cell.size) - globalPpm(sg))
+      }.sum / 2
+    }
+    // pure AUTO cell: global is 16/40 AUTO, 8/40 others →
+    // TV = ½(0.6 + 3·0.2) = 0.6
+    assert(tv(1L, 0L) == 600000L && tv(0L, 0L) == 150000L)
+    // default bar (0.3): ONLY the pure cell trips
+    val strict = Pii.tClosenessOf(df, tPpm = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(strict == Map((1L, 0L) -> ((8L, 600000L))), strict.toString)
+    // a 0.1 bar also surfaces the even cells at their exact TV (the
+    // global shift the pure cell itself caused)
+    val loose = Pii.tClosenessOf(df, tPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(loose((0L, 0L)) == 150000L && loose((0L, 1L)) == 150000L &&
+      loose((1L, 1L)) == 150000L && loose((1L, 0L)) == 600000L)
+  }
 }

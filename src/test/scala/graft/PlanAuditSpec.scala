@@ -188,6 +188,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_js_divergence: no exchange carries document bodies — pairs ride the token-count frame") {
+    val shuffles = shuffleOutputs("text_js_divergence")
+    shuffles.foreach { out =>
+      assert(!out.exists(a => a.name == "text" || a.name == "doc_id"),
+        s"document rows in a JSD exchange: ${out.map(_.name)}")
+    }
+  }
+
+  test("sample_unimax: the corpus never shuffles — the allocation runs on per-source totals") {
+    val shuffles = shuffleOutputs("sample_unimax")
+    shuffles.foreach { out =>
+      assert(!out.exists(a => a.name == "text" || a.name == "doc_id"),
+        s"corpus rows in a unimax exchange: ${out.map(_.name)}")
+    }
+  }
+
   test("dedup_minhash_incremental: the signature index never shuffles — by construction, not AQE") {
     // band keys and the verify side (pairs ⋈ batch sigs) are batch-
     // bounded and broadcast EXPLICITLY, so the corpus signature index

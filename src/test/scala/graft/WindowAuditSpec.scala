@@ -100,6 +100,10 @@ class WindowAuditSpec extends SparkSpec {
         "HOURLY spine (calendar-bounded) — same spine rationale as " +
         "events_autocorrelation; the carried value itself arrives by " +
         "a domain-sized equi-join, not the window"),
+    "ml_pr_curve" ->
+      ("cumulative tp/fp over the SCORE HISTOGRAM (one row per " +
+        "distinct quality-model score) — identical domain-sized-frame " +
+        "shape and rationale as ml_auc"),
     "ml_auc" ->
       ("cumulative negatives over the SCORE HISTOGRAM (one row per " +
         "distinct quality-model score, bounded by max doc length × " +
@@ -137,6 +141,12 @@ class WindowAuditSpec extends SparkSpec {
         "collapsed the corpus; the corpus-sized running sum is " +
         "partitioned by band (same banded-cumsum device as " +
         "capTokensPerSource)"),
+    "analytics_survival_km" ->
+      ("the at-risk prefix sum and the ln-survival running sum both " +
+        "run over the DURATION HISTOGRAM (one row per distinct " +
+        "whole-hour duration — calendar-bounded) — the per-user " +
+        "duration window is partitioned by user; same domain-sized-" +
+        "frame rationale as olap_ks_test"),
     "sample_unimax" ->
       ("the UniMax capped-prefix scan runs its row_number/prefix-sum " +
         "window over the per-SOURCE token-total aggregate (|sources| " +
