@@ -149,14 +149,24 @@ object EntityResolution {
       .select($"p_partkey".as("pk"), $"p_name".as("nm"),
         $"p_brand".as("br"), $"p_type".as("tp"), $"p_size".as("sz"))
       .withColumn("blk", substring_index($"nm", " ", 1))
+    // the jaro kernel runs on the DISTINCT-NAME-PAIR domain
+    // (vocabulary² within blocks — corpus-size-independent, the
+    // jaroNamePairs posture); record pairs then join the flag by
+    // name, so the per-record-pair work is equality tests + one
+    // broadcast hash lookup, never a string kernel
+    val names = parts.select($"blk", $"nm").distinct()
+    val namePairs = names
+      .join(names.select($"blk", $"nm".as("nm2")), Seq("blk"))
+      .select($"nm".as("np_a"), $"nm2".as("np_b"),
+        when(call_function("jaro_winkler", $"nm", $"nm2") >= 0.9, 1L)
+          .otherwise(0L).as("ag_name"))
     val a = parts.select($"blk", $"pk".as("pk_a"), $"nm".as("nm_a"),
       $"br".as("br_a"), $"tp".as("tp_a"), $"sz".as("sz_a"))
     val b = parts.select($"blk", $"pk".as("pk_b"), $"nm".as("nm_b"),
       $"br".as("br_b"), $"tp".as("tp_b"), $"sz".as("sz_b"))
     a.join(b, Seq("blk")).filter($"pk_a" < $"pk_b")
-      .withColumn("ag_name",
-        when(call_function("jaro_winkler", $"nm_a", $"nm_b") >= 0.9, 1L)
-          .otherwise(0L))
+      .join(broadcast(namePairs),
+        $"nm_a" === $"np_a" && $"nm_b" === $"np_b")
       .withColumn("ag_brand", when($"br_a" === $"br_b", 1L).otherwise(0L))
       .withColumn("ag_type", when($"tp_a" === $"tp_b", 1L).otherwise(0L))
       .withColumn("ag_size", when($"sz_a" === $"sz_b", 1L).otherwise(0L))
