@@ -182,6 +182,78 @@ object Olap {
               max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
        FROM ranked GROUP BY lang"""
 
+  /** Tukey-fence outlier audit per brand (the boxplot rule, Tukey
+    * *EDA* 1977): values past Q1 − 1.5·IQR / Q3 + 1.5·IQR are
+    * flagged — the distribution-free screen next to the parametric
+    * z-test (events) and the robust MAD (olap_mad); quartiles make
+    * it resistant where extreme values inflate mean/stddev. Fully
+    * integer: prices are exact cents, quartiles are type-1 discrete
+    * quantiles off the per-brand VALUE HISTOGRAM (min value whose
+    * cumulative count clears ⌈q·n⌉ by cross-multiplication — 4·cum ≥
+    * n / 4·cum ≥ 3·n), and the fences compare DOUBLED cents against
+    * 5·Q1 − 3·Q3 and 5·Q3 − 3·Q1 so the ×1.5 never leaves the
+    * integers. Outlier counts come from the same histogram.
+    *
+    * Scale: the corpus collapses to (brand, cents, cnt) first; the
+    * cumulative window is partitioned by brand OVER THE HISTOGRAM
+    * (aggregate input — the WindowAuditSpec low-card rule's
+    * sanctioned shape); fences join back brand-keyed and broadcast.
+    */
+  def tukeyOutliersByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.part(spark, dir)
+      .select($"p_brand",
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"p_brand", $"cents").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"p_brand").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .join(hist.groupBy($"p_brand").agg(sum($"cnt").as("n")), "p_brand")
+    val fences = cum.groupBy($"p_brand")
+      .agg(min($"n").as("n"),
+        min(when(lit(4L) * $"cum" >= $"n", $"cents")).as("q1"),
+        min(when(lit(4L) * $"cum" >= lit(3L) * $"n", $"cents")).as("q3"))
+    hist.join(broadcast(fences), "p_brand")
+      .groupBy($"p_brand")
+      .agg(min($"n").as("n"), min($"q1").as("q1_cents"),
+        min($"q3").as("q3_cents"),
+        sum(when(lit(2L) * $"cents" < lit(5L) * $"q1" - lit(3L) * $"q3",
+          $"cnt").otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * $"cents" > lit(5L) * $"q3" - lit(3L) * $"q1",
+          $"cnt").otherwise(0L)).as("n_high"))
+      .orderBy($"p_brand")
+  }
+
+  val tukeyOutliersByBrandSql: String =
+    """WITH h AS (
+         SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM part GROUP BY 1, 2),
+       c AS (
+         SELECT p_brand, cents, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY p_brand ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+         FROM h),
+       f AS (
+         SELECT p_brand, CAST(min(n) AS BIGINT) AS n,
+                CAST(min(CASE WHEN 4 * cum >= n THEN cents END)
+                  AS BIGINT) AS q1,
+                CAST(min(CASE WHEN 4 * cum >= 3 * n THEN cents END)
+                  AS BIGINT) AS q3
+         FROM c GROUP BY 1)
+       SELECT h.p_brand, CAST(min(f.n) AS BIGINT) AS n,
+              CAST(min(f.q1) AS BIGINT) AS q1_cents,
+              CAST(min(f.q3) AS BIGINT) AS q3_cents,
+              CAST(sum(CASE WHEN 2 * h.cents < 5 * f.q1 - 3 * f.q3
+                   THEN h.cnt ELSE 0 END) AS BIGINT) AS n_low,
+              CAST(sum(CASE WHEN 2 * h.cents > 5 * f.q3 - 3 * f.q1
+                   THEN h.cnt ELSE 0 END) AS BIGINT) AS n_high
+       FROM h JOIN f ON f.p_brand = h.p_brand
+       GROUP BY 1 ORDER BY 1"""
+
   /** Equi-width histogram of order value with a DENSE bin spine —
     * empty bins appear as zero rows (the property chart/alerting
     * consumers need and a bare GROUP BY can't give). Binning is

@@ -252,6 +252,76 @@ object Sampling {
                    END AS BIGINT) AS alloc_tokens
        FROM f, s ORDER BY source"""
 
+  /** Deterministic proportional interleave — the training ORDER half
+    * of mixture construction (rates and budgets say how much of each
+    * source; this says in what sequence the trainer consumes it):
+    * each source's r-th document lands at the systematic midpoint
+    * (2r−1)·(10¹² div 2nₛ) of a shared integer line — the Madow
+    * placement of [[ppsSystematic]] applied per source — so any
+    * prefix of the global key order carries every source in
+    * proportion to its size (no "all of CommonCrawl, then all of
+    * books" pathology, no RNG shuffle that resumes differently after
+    * a restart). Reading order within a source is the md5-bucket
+    * order of [[hashSample]], so the interleave composes with the
+    * sampling family and replays bit-for-bit on any engine.
+    *
+    * Scale shape: the per-source rank is the [[capTokensPerSource]]
+    * two-phase banded layout (per-band counts → exclusive offsets
+    * over the ≤1000-row band frame → within-band row_number), so a
+    * 90%-one-source corpus never funnels through one window task;
+    * the key is one integer expression. A full materialization of
+    * the order is a sorted export ([[graft.pipeline.SortedExport]]'s
+    * job); the gate reads the head of the order (TakeOrdered — no
+    * global sort).
+    */
+  def interleaveOrderOf(df: DataFrame, salt: String = "ilv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import df.sparkSession.implicits._
+    val banded = df.withColumn("__band", bucket($"doc_id", salt))
+    val bandCounts = banded.groupBy($"source", $"__band")
+      .agg(count(lit(1)).as("__bn"))
+    val wB = Window.partitionBy($"source").orderBy($"__band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("__off", coalesce(sum($"__bn").over(wB), lit(0L)))
+      .select($"source".as("__o_source"), $"__band".as("__o_band"), $"__off")
+    val totals = bandCounts.groupBy($"source").agg(sum($"__bn").as("__ns"))
+    val wIn = Window.partitionBy($"source", $"__band").orderBy($"doc_id")
+    banded
+      .join(broadcast(offsets),
+        $"source" === $"__o_source" && $"__band" === $"__o_band")
+      .join(broadcast(totals), "source")
+      .withColumn("__r", $"__off" + row_number().over(wIn))
+      .withColumn("interleave_key",
+        (lit(2L) * $"__r" - 1L) * expr("1000000000000 div (2 * __ns)"))
+      .drop("__band", "__o_source", "__o_band", "__off", "__ns", "__r")
+  }
+
+  /** Gate: the head of the global training order. */
+  def sampleInterleave(spark: SparkSession, dir: String,
+      head: Int = 200): DataFrame = {
+    import spark.implicits._
+    interleaveOrderOf(
+      Tables.documents(spark, dir).select($"doc_id", $"source"))
+      .orderBy($"interleave_key", $"source", $"doc_id")
+      .limit(head)
+      .select($"interleave_key", $"source", $"doc_id")
+  }
+
+  def sampleInterleaveSql(head: Int = 200): String =
+    s"""WITH r AS (
+         SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY ${bucketSql("doc_id", "ilv")}, doc_id)
+                  AS BIGINT) AS r,
+                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+         FROM documents)
+       SELECT CAST((2 * r - 1) * (1000000000000 // (2 * ns)) AS BIGINT)
+                AS interleave_key,
+              source, doc_id
+       FROM r
+       ORDER BY interleave_key, source, doc_id LIMIT $head"""
+
   /** Per-source token-budget cap — "take at most `budgetTokens`
     * tokens from each source", the other half of training-mix
     * construction (mixture sampling fixes RATES; a budget cap fixes

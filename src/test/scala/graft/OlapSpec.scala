@@ -580,6 +580,34 @@ class OlapSpec extends SparkSpec {
     assert(su1x2 == 2 * sn1 * sn2 && stie == 0L)
   }
 
+  test("Tukey fences: quartiles and outlier counts re-derive from a sorted driver fold per brand") {
+    import spark.implicits._
+    val got = graft.operators.Olap.tukeyOutliersByBrand(spark, SF)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val rows = Tables.part(spark, SF)
+      .select($"p_brand",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(p_retailprice * 100) AS BIGINT)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = rows.groupBy(_._1).map { case (b, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.length
+      def q(num: Int, den: Int) = s(((num * n + den - 1) / den) - 1)
+      val (q1, q3) = (q(1, 4), q(3, 4))
+      val low = s.count(x => 2 * x < 5 * q1 - 3 * q3)
+      val high = s.count(x => 2 * x > 5 * q3 - 3 * q1)
+      b -> ((n.toLong, q1, q3, low.toLong, high.toLong))
+    }
+    assert(got == want, s"first diff: ${
+      want.find { case (b, w) => got.get(b) != Some(w) }}")
+    // rank sanity: quartiles ordered, counts within the group size
+    got.values.foreach { case (n, q1, q3, lo, hi) =>
+      assert(q1 <= q3 && lo + hi <= n)
+    }
+  }
+
   test("Theil: extremes, quantized re-derivation, and the within/between decomposition identity") {
     import org.apache.spark.sql.Row
     // replay of the gate's arithmetic: milli-quantized x·ln x sums

@@ -102,6 +102,39 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("interleave: every prefix stays proportional on a 90/10 corpus; banded rank ≡ naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 900L).map(i => (i, "crawl")) ++
+      (901L to 1000L).map(i => (i, "books"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("doc_id", "source")
+    val order = Sampling.interleaveOrderOf(docs)
+      .orderBy($"interleave_key", $"source", $"doc_id")
+      .select($"source").collect().map(_.getString(0))
+    assert(order.length == 1000)
+    // systematic midpoints: any prefix of length L carries each
+    // source within ±1 of its proportional share
+    for (l <- Seq(10, 100, 333, 500, 1000)) {
+      val books = order.take(l).count(_ == "books")
+      assert(math.abs(books - l * 0.1) <= 1.0, s"prefix $l: books=$books")
+    }
+    // the banded rank is exactly the naive per-source window rank
+    val naive = docs
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"source")
+          .orderBy(Sampling.bucket($"doc_id", "ilv"), $"doc_id")))
+      .withColumn("k", (lit(2L) * $"r" - 1L) *
+        expr("1000000000000 div (2 * CASE WHEN source = 'crawl' " +
+          "THEN 900 ELSE 100 END)"))
+      .select($"doc_id", $"k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sampling.interleaveOrderOf(docs)
+      .select($"doc_id", $"interleave_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
   test("unimax: capped prefix binds small sources at E·n, splits the rest evenly, exhausts the budget") {
     import spark.implicits._
     def alloc(sizes: Map[String, Long], b: Long, e: Long) = {
