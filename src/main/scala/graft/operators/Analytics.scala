@@ -1096,12 +1096,18 @@ object Analytics {
       channels: Seq[String] = Seq("click", "error", "signup", "view"),
       steps: Int = 12): String = {
     val chList = channels.map(c => s"'$c'").mkString(", ")
+    // every CTE is AS MATERIALIZED: DuckDB INLINES chained CTEs, so
+    // without it each power-iteration step re-evaluates the whole
+    // window-function base recursively — ~78 chained steps made the
+    // plain form burn >12 min on 10k rows (r12 board-zeroing defect);
+    // materialized, the identical query runs in ~0.6 s and is
+    // hash-identical to the Spark output.
     def chain(tag: String, removedPred: String): String = {
-      val t = s"""t_$tag AS (
+      val t = s"""t_$tag AS MATERIALIZED (
            SELECT from_state, to_state, p_ppm FROM m WHERE $removedPred)"""
       val steps_ = (1 to steps).map { i =>
         val prev = if (i == 1) "v0" else s"v_${tag}_${i - 1}"
-        s"""v_${tag}_$i AS (
+        s"""v_${tag}_$i AS MATERIALIZED (
            SELECT t.to_state AS state,
                   CAST(sum(v.m * t.p_ppm) // 1000000 AS BIGINT) AS m
            FROM $prev v JOIN t_$tag t ON t.from_state = v.state
@@ -1112,7 +1118,7 @@ object Analytics {
         s"coalesce((SELECT m FROM v_${tag}_$i WHERE state = '__CONV'), 0)")
         .mkString(" + ")
       (Seq(t) ++ steps_ :+
-        s"""c_$tag AS (SELECT CAST($convSum AS BIGINT) AS conv)""")
+        s"""c_$tag AS MATERIALIZED (SELECT CAST($convSum AS BIGINT) AS conv)""")
         .mkString(",\n       ")
     }
     val removalChains = channels.sorted.zipWithIndex.map { case (c, i) =>
@@ -1121,7 +1127,7 @@ object Analytics {
     val removalRows = channels.sorted.zipWithIndex.map { case (c, i) =>
       s"SELECT '$c' AS channel, (SELECT conv FROM c_r$i) AS removed" }
       .mkString("\n           UNION ALL ")
-    s"""WITH j0 AS (
+    s"""WITH j0 AS MATERIALIZED (
          SELECT user_id, event_type,
                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
                 row_number() OVER (PARTITION BY user_id
@@ -1129,15 +1135,15 @@ object Analytics {
                                             event_id) AS rn
          FROM events
          WHERE event_type = 'purchase' OR event_type IN ($chList)),
-       fp AS (SELECT user_id, min(rn) AS prn FROM j0
+       fp AS MATERIALIZED (SELECT user_id, min(rn) AS prn FROM j0
               WHERE event_type = 'purchase' GROUP BY 1),
-       j AS (
+       j AS MATERIALIZED (
          SELECT j0.user_id, j0.rn,
                 CASE WHEN j0.event_type = 'purchase' THEN '__CONV'
                      ELSE j0.event_type END AS state
          FROM j0 LEFT JOIN fp ON fp.user_id = j0.user_id
          WHERE fp.prn IS NULL OR j0.rn <= fp.prn),
-       hops AS (
+       hops AS MATERIALIZED (
          SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
                          '__START') AS from_state,
                 state AS to_state
@@ -1148,24 +1154,27 @@ object Analytics {
                                            ORDER BY rn) AS nxt
            FROM j) x
          WHERE nxt IS NULL AND state <> '__CONV'),
-       cnt AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+       cnt AS MATERIALIZED (SELECT from_state, to_state,
+                CAST(count(*) AS BIGINT) AS n
                FROM hops GROUP BY 1, 2),
-       m AS (
+       m AS MATERIALIZED (
          SELECT from_state, to_state,
                 CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_state)
                   AS BIGINT) AS p_ppm
          FROM cnt),
-       v0 AS (SELECT '__START' AS state, CAST(1000000 AS BIGINT) AS m),
+       v0 AS MATERIALIZED (SELECT '__START' AS state,
+              CAST(1000000 AS BIGINT) AS m),
        ${chain("base", "TRUE")},
        ${removalChains.mkString(",\n       ")},
-       eff AS (
+       eff AS MATERIALIZED (
          SELECT channel,
                 (SELECT conv FROM c_base) AS base_conv_ppm,
                 removed AS removed_conv_ppm,
                 CAST(greatest(0, (SELECT conv FROM c_base) - removed)
                   AS BIGINT) AS effect_ppm
          FROM (${removalRows}) r),
-       tot AS (SELECT CAST(sum(effect_ppm) AS BIGINT) AS s FROM eff)
+       tot AS MATERIALIZED (SELECT CAST(sum(effect_ppm) AS BIGINT) AS s
+              FROM eff)
        SELECT channel, base_conv_ppm, removed_conv_ppm, effect_ppm,
               CAST(CASE WHEN tot.s > 0
                    THEN (effect_ppm * 1000000) // tot.s ELSE 0 END

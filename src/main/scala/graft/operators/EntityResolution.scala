@@ -141,25 +141,91 @@ object EntityResolution {
     * oracle; the only fp is the jw comparison both engines make on
     * identical strings.
     */
+  /** Default ceiling on the within-block record-pair fan-out
+    * Σ C(|block|,2) — ~4× the sf0.1 first-token census (≈50 M pairs
+    * measured, r12 board note). Block sizes grow linearly with the
+    * corpus under a fixed key vocabulary, so pairs grow QUADRATICALLY
+    * — past the ceiling the exact pair join is the scale-killer the
+    * wedge family refuses, and the guard throws naming the finer-key
+    * valve instead of launching a job that can't finish.
+    */
+  val DefaultPairBudget: Long = 200000000L
+
+  /** Σ C(n,2) over a block census — ONE aggregate over the
+    * (block, n) frame, nothing pair-sized; the wedgeSum device
+    * (Graph.scala) applied to ER blocking.
+    */
+  def blockPairCensus(keyed: DataFrame, blkCol: String): Long = {
+    val row = keyed.groupBy(col(blkCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("p")).head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  private def requirePairBudget(keyed: DataFrame, blkCol: String,
+      budget: Long, op: String): Unit = {
+    val pairs = blockPairCensus(keyed, blkCol)
+    if (pairs > budget) throw new IllegalStateException(
+      s"$op: within-block record-pair fan-out is sum C(|block|,2) = " +
+        s"$pairs > budget $budget — the blocking key is too coarse at " +
+        "this scale; use a finer composite key (fellegiSunterFine's " +
+        "first-token x brand, or pick one with blockingKeySelect), or " +
+        "raise pairBudget explicitly if you have the cluster for it")
+  }
+
   def fellegiSunter(spark: SparkSession, dir: String,
       topK: Int = 50): DataFrame = {
     import spark.implicits._
-    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
     val parts = Tables.part(spark, dir)
       .select($"p_partkey".as("pk"), $"p_name".as("nm"),
         $"p_brand".as("br"), $"p_type".as("tp"), $"p_size".as("sz"))
-      .withColumn("blk", substring_index($"nm", " ", 1))
+    fellegiSunterOf(parts, substring_index($"nm", " ", 1), topK)
+  }
+
+  /** The finer-blocking VALVE: same scorer on the composite
+    * first-token × brand key — candidate pairs drop by ~the brand
+    * cardinality (every within-block pair now also agrees on brand),
+    * trading cross-brand recall for a quadratic-fan-out cut. This is
+    * the key [[fellegiSunter]]'s budget guard names; pick between
+    * them with data via [[blockingKeySelect]].
+    */
+  def fellegiSunterFine(spark: SparkSession, dir: String,
+      topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey".as("pk"), $"p_name".as("nm"),
+        $"p_brand".as("br"), $"p_type".as("tp"), $"p_size".as("sz"))
+    fellegiSunterOf(parts,
+      concat(substring_index($"nm", " ", 1), lit("|"), $"br"), topK)
+  }
+
+  /** FS core over any (pk, nm, br, tp, sz) frame and blocking key.
+    * Refuses past `pairBudget` (census first — one block-sized
+    * aggregate — never the pair join itself).
+    */
+  def fellegiSunterOf(partsIn: DataFrame,
+      blkExpr: org.apache.spark.sql.Column, topK: Int,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
+    val spark = partsIn.sparkSession
+    import spark.implicits._
+    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
+    val parts = partsIn.withColumn("blk", blkExpr)
+    requirePairBudget(parts, "blk", pairBudget, "fellegiSunter")
     // the jaro kernel runs on the DISTINCT-NAME-PAIR domain
     // (vocabulary² within blocks — corpus-size-independent, the
     // jaroNamePairs posture); record pairs then join the flag by
     // name, so the per-record-pair work is equality tests + one
     // broadcast hash lookup, never a string kernel
     val names = parts.select($"blk", $"nm").distinct()
+    // distinct AFTER dropping blk: under a composite key one name can
+    // sit in many blocks, and a name pair sharing k blocks would
+    // otherwise join k flag rows onto every record pair (duplicate
+    // output rows crowding the top-k — the r13 _fine defect)
     val namePairs = names
       .join(names.select($"blk", $"nm".as("nm2")), Seq("blk"))
       .select($"nm".as("np_a"), $"nm2".as("np_b"),
         when(call_function("jaro_winkler", $"nm", $"nm2") >= 0.9, 1L)
           .otherwise(0L).as("ag_name"))
+      .distinct()
     val a = parts.select($"blk", $"pk".as("pk_a"), $"nm".as("nm_a"),
       $"br".as("br_a"), $"tp".as("tp_a"), $"sz".as("sz_a"))
     val b = parts.select($"blk", $"pk".as("pk_b"), $"nm".as("nm_b"),
@@ -181,12 +247,19 @@ object EntityResolution {
       .limit(topK)
   }
 
-  def fellegiSunterSql(topK: Int = 50): String = {
+  def fellegiSunterSql(topK: Int = 50): String =
+    fellegiSunterSqlWithKey("split_part(p_name, ' ', 1)", topK)
+
+  def fellegiSunterFineSql(topK: Int = 50): String =
+    fellegiSunterSqlWithKey(
+      "split_part(p_name, ' ', 1) || '|' || p_brand", topK)
+
+  private def fellegiSunterSqlWithKey(blkSql: String, topK: Int): String = {
     val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
     s"""WITH parts AS (
           SELECT p_partkey AS pk, p_name AS nm, p_brand AS br,
                  p_type AS tp, p_size AS sz,
-                 split_part(p_name, ' ', 1) AS blk
+                 $blkSql AS blk
           FROM part),
         scored AS (
           SELECT a.pk AS pk_a, b.pk AS pk_b,
@@ -339,6 +412,152 @@ object EntityResolution {
               CAST(sum(n) AS BIGINT) AS n_names,
               min(token) AS sample_token
        FROM coded GROUP BY sdx ORDER BY sdx"""
+  }
+
+  /** Blocking-KEY SELECTION as code (r12 verdict item 6):
+    * [[blockingQuality]] measures one key's trade; this operator
+    * measures the MENU — first-token, soundex(first-token), and
+    * their × brand composites — and picks the key a production run
+    * should block on: the CHEAPEST (fewest within-block record
+    * pairs, the number [[fellegiSunterOf]]'s budget guard cuts on)
+    * among keys whose pairs-completeness clears `recallFloorPpm`;
+    * if none clears it, the highest-recall key. Per key, one
+    * block-sized census aggregate (never the pair join) plus one
+    * vocabulary-domain retained-truth count; ground truth is the
+    * un-blocked distinct-name pair set at `threshold`, affordable
+    * exactly because it lives on the vocabulary² domain. Output is
+    * one row per candidate key with the evidence (block census,
+    * candidate pairs, reduction, recall) and a `chosen` flag — the
+    * row to feed back into [[fellegiSunterOf]] as the valve.
+    */
+  def blockingKeySelect(spark: SparkSession, dir: String,
+      threshold: Double = 0.9,
+      recallFloorPpm: Long = 800000L): DataFrame = {
+    import spark.implicits._
+    blockingKeySelectOf(
+      Tables.part(spark, dir).select($"p_partkey".as("pk"),
+        $"p_name".as("nm"), $"p_brand".as("br")),
+      threshold, recallFloorPpm)
+  }
+
+  /** Core over any (pk, nm, br) frame. */
+  def blockingKeySelectOf(parts: DataFrame, threshold: Double,
+      recallFloorPpm: Long): DataFrame = {
+    val spark = parts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val tok = substring_index($"nm", " ", 1)
+    val keys: Seq[(String, Column)] = Seq(
+      "first_token" -> tok,
+      "soundex" -> soundexCol(tok),
+      "token_brand" -> concat(tok, lit("|"), $"br"),
+      "soundex_brand" -> concat(soundexCol(tok), lit("|"), $"br"))
+    val names = parts.select($"nm").distinct()
+    val truth = names.select($"nm".as("na"))
+      .join(broadcast(names.select($"nm".as("nb"))), $"na" < $"nb")
+      .filter(call_function("jaro_winkler", $"na", $"nb") >= threshold)
+      .localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val allPairs = parts.agg(
+      expr("count(1) * (count(1) - 1) div 2").as("all_pairs"))
+    val perKey = keys.map { case (kn, kc) =>
+      val census = parts.withColumn("k", kc).groupBy($"k")
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_blocks"), max($"n").as("max_block"),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand_pairs"))
+      val nk = parts.select($"nm", kc.as("k")).distinct()
+      val retained = truth
+        .join(nk.select($"nm".as("na"), $"k"), Seq("na"))
+        .join(nk.select($"nm".as("nb"), $"k"), Seq("nb", "k"))
+        .select($"na", $"nb").distinct()
+        .agg(count(lit(1)).as("retained"))
+      census.crossJoin(retained).crossJoin(nTruth).crossJoin(allPairs)
+        .select(lit(kn).as("key"), $"n_blocks", $"max_block",
+          $"cand_pairs",
+          expr("CASE WHEN all_pairs = 0 THEN 1000000L ELSE " +
+            "((all_pairs - cand_pairs) * 1000000L) div all_pairs END")
+            .as("reduction_ppm"),
+          expr("CASE WHEN n_truth = 0 THEN 1000000L ELSE " +
+            "(retained * 1000000L) div n_truth END").as("recall_ppm"))
+    }.reduce(_.unionByName(_))
+    // chosen: cheapest above the floor, else highest recall; the
+    // window is over the |keys| = 4-row key menu — domain-sized
+    val meets = when($"recall_ppm" >= recallFloorPpm, 1L).otherwise(0L)
+    val rankKey = when($"recall_ppm" >= recallFloorPpm, $"cand_pairs")
+      .otherwise(lit(1000000L) - $"recall_ppm")
+    perKey
+      .withColumn("rk", row_number().over(Window.orderBy(
+        meets.desc, rankKey.asc, $"cand_pairs".asc, $"key".asc)))
+      .withColumn("chosen", when($"rk" === 1, 1L).otherwise(0L))
+      .drop("rk")
+      .orderBy($"key")
+  }
+
+  def blockingKeySelectSql(threshold: Double = 0.9,
+      recallFloorPpm: Long = 800000L): String = {
+    val sdx = soundexSqlExpr("split_part(nm, ' ', 1)")
+    def arm(kn: String, kSql: String): String =
+      s"""SELECT '$kn' AS key, cs.n_blocks, cs.max_block, cs.cand_pairs,
+                 rt.retained
+          FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(max(n) AS BIGINT) AS max_block,
+                   CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                     AS cand_pairs
+            FROM (SELECT $kSql AS k, CAST(count(*) AS BIGINT) AS n
+                  FROM parts GROUP BY 1)) cs,
+          (
+            SELECT CAST(count(*) AS BIGINT) AS retained
+            FROM (
+              SELECT DISTINCT t.na, t.nb
+              FROM truth t
+              JOIN (SELECT DISTINCT nm, $kSql AS k FROM parts) x
+                ON x.nm = t.na
+              JOIN (SELECT DISTINCT nm, $kSql AS k FROM parts) y
+                ON y.nm = t.nb AND y.k = x.k)) rt"""
+    s"""WITH parts AS MATERIALIZED (
+          SELECT p_partkey AS pk, p_name AS nm, p_brand AS br FROM part),
+        names AS MATERIALIZED (SELECT DISTINCT nm FROM parts),
+        truth AS MATERIALIZED (
+          SELECT x.nm AS na, y.nm AS nb
+          FROM names x JOIN names y ON x.nm < y.nm
+          WHERE jaro_winkler_similarity(x.nm, y.nm) >= $threshold),
+        tot AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        ap AS MATERIALIZED (
+          SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+            AS all_pairs FROM parts),
+        arms AS MATERIALIZED (
+          ${arm("first_token", "split_part(nm, ' ', 1)")}
+          UNION ALL
+          ${arm("soundex", sdx)}
+          UNION ALL
+          ${arm("token_brand", "split_part(nm, ' ', 1) || '|' || br")}
+          UNION ALL
+          ${arm("soundex_brand", s"$sdx || '|' || br")}),
+        scored AS MATERIALIZED (
+          SELECT key, n_blocks, max_block, cand_pairs,
+                 CAST(CASE WHEN all_pairs = 0 THEN 1000000
+                      ELSE ((all_pairs - cand_pairs) * 1000000) // all_pairs
+                      END AS BIGINT) AS reduction_ppm,
+                 CAST(CASE WHEN n_truth = 0 THEN 1000000
+                      ELSE (retained * 1000000) // n_truth
+                      END AS BIGINT) AS recall_ppm
+          FROM arms, tot, ap),
+        ranked AS MATERIALIZED (
+          SELECT *, row_number() OVER (ORDER BY
+                   CASE WHEN recall_ppm >= $recallFloorPpm
+                        THEN 1 ELSE 0 END DESC,
+                   CASE WHEN recall_ppm >= $recallFloorPpm
+                        THEN cand_pairs
+                        ELSE 1000000 - recall_ppm END ASC,
+                   cand_pairs ASC, key ASC) AS rk
+          FROM scored)
+        SELECT key, n_blocks, max_block, cand_pairs, reduction_ppm,
+               recall_ppm,
+               CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        FROM ranked ORDER BY key"""
   }
 
   def jaroNamePairsSql(threshold: Double = 0.85): String =

@@ -82,6 +82,14 @@ object Graph {
     * valve. One seed is the floor — a budget below one seed's work
     * clamps rather than refusing, since the caller asked for the
     * operator; the returned census lets them see that clamp.
+    *
+    * CONTRACT: `edges` must carry BOTH directions of every undirected
+    * edge (the frame shape every gate in this family passes —
+    * `requireWedgeBudget`'s callers assume the same). The census
+    * groups on `src` only, which is the true degree exactly under
+    * that shape; a directed or single-direction frame UNDERSTATES
+    * degree/wedges here and would under-budget the very operators
+    * the knobs gate — union src/dst into both directions first.
     */
   def planGraphBudget(edges: DataFrame, hops: Int = 4, steps: Int = 8,
       workBudget: Long = DefaultWedgeBudget,
@@ -1740,47 +1748,52 @@ object Graph {
     * degree, past which the decimal(38,0) valve applies).
     *
     * Plan shape per iteration: two keyed joins against the cached
-    * edge list, each followed by a map-side-partial sum and a scalar
-    * max — only (node, score) pairs shuffle; lineage truncated per
-    * half-step. Bounded iterations keep the unrolled-CTE oracle.
+    * edge list, each followed by a map-side-partial sum and a ONE-ROW
+    * broadcast max join for the renormalization (no mid-loop driver
+    * scalar reads) — only (node, score) pairs shuffle; lineage
+    * truncated per half-step. Bounded iterations keep the
+    * unrolled-CTE oracle.
     */
   def hitsOf(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"u").localCheckpoint(true)
+    // Pre-flight guard (ONE driver action, before the loop): an
+    // empty/all-null edge frame must fail loudly, not NPE or return
+    // an empty frame twelve joins later — library callers hand us
+    // arbitrary frames, not just the gate input.
+    val e = edges.filter($"u".isNotNull && $"p".isNotNull)
+      .repartition($"u").localCheckpoint(true)
+    require(!e.isEmpty,
+      "hitsOf: empty edge frame — the edge set is empty or all keys " +
+        "are null; hand hitsOf a non-empty (u, p) edge frame")
     var h = e.select($"u").distinct().withColumn("hs", lit(1000000L))
       .localCheckpoint(true)
     var a: DataFrame = null
-    // Normalizer guard: an empty/all-null edge frame yields no max
-    // row (or a null/zero max) and must fail loudly, not NPE or
-    // divide by zero inside the `div` — library callers hand us
-    // arbitrary frames, not just the gate input.
-    def scalarMax(raw: DataFrame, side: String): Long = {
-      val mx = raw.agg(max($"raw")).head.getAs[Any](0) match {
-        case l: java.lang.Long => Option(l).map(_.longValue)
-        case null              => None
-      }
-      mx match {
-        case Some(v) if v > 0L => v
-        case Some(v) => throw new IllegalArgumentException(
-          s"hitsOf: $side max score is $v — the edge frame has no " +
-            "positively-scored nodes; check the u/p key columns")
-        case None => throw new IllegalArgumentException(
-          s"hitsOf: empty $side frame — the edge set is empty or all " +
-            "keys are null; hand hitsOf a non-empty (u, p) edge frame")
-      }
-    }
+    // Per-half-step normalization stays ON THE CLUSTER: the scalar
+    // max rides a one-row broadcast cross join (the q15_top_supplier
+    // device) instead of an agg(max).head driver read — 12 mid-loop
+    // driver actions at iters=3 become 0. The non-positive-max guard
+    // keeps its loud-failure semantics executor-side via raise_error
+    // (structurally unreachable once edges is non-empty: the argmax
+    // node renormalizes to exactly 10⁶ each half-step, so the next
+    // raw max is ≥ 10⁶ — defense for future callers, not a live path).
+    def normalized(raw: DataFrame, key: String, out: String,
+        side: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max($"raw").as("mx"))))
+        .select(col(key),
+          when($"mx".isNull || $"mx" <= 0L,
+            raise_error(lit(s"hitsOf: $side max score is non-positive " +
+              "— the edge frame has no positively-scored nodes; check " +
+              "the u/p key columns")).cast("long"))
+            .otherwise(expr("(raw * 1000000L) div mx")).as(out))
+        .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val aRaw = e.join(h, "u").groupBy($"p").agg(sum($"hs").as("raw"))
         .localCheckpoint(true)
-      val aMax = scalarMax(aRaw, "authority")
-      a = aRaw.select($"p", expr(s"(raw * 1000000L) div ${aMax}L").as("as"))
-        .localCheckpoint(true)
+      a = normalized(aRaw, "p", "as", "authority")
       val hRaw = e.join(a, "p").groupBy($"u").agg(sum($"as").as("raw"))
         .localCheckpoint(true)
-      val hMax = scalarMax(hRaw, "hub")
-      h = hRaw.select($"u", expr(s"(raw * 1000000L) div ${hMax}L").as("hs"))
-        .localCheckpoint(true)
+      h = normalized(hRaw, "u", "hs", "hub")
     }
     val auth = a.orderBy($"as".desc, $"p").limit(topK)
       .select(lit("auth").as("side"), $"p".as("id"), $"as".as("score"))

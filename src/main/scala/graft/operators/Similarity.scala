@@ -930,7 +930,9 @@ object Similarity {
     methods.map { case (name, df) =>
       val hits = df.select($"query_id", $"cand_id")
         .join(brute, Seq("query_id", "cand_id"), "left_semi").count()
-      (name, total, hits, hits * 1000000L / total)
+      // zero-truth guard: an empty embedding corpus reports recall 0,
+      // not ArithmeticException (the prCurve n_pos=0 class)
+      (name, total, hits, if (total > 0) hits * 1000000L / total else 0L)
     }.toDF("method", "n_truth", "hits", "recall_ppm")
       .orderBy($"method")
   }
@@ -955,7 +957,8 @@ object Similarity {
         arms AS (
         $arms)
         SELECT method, n_truth, hits,
-               CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+               CAST(CASE WHEN n_truth > 0 THEN hits * 1000000 // n_truth
+                    ELSE 0 END AS BIGINT) AS recall_ppm
         FROM arms ORDER BY method"""
   }
 }

@@ -109,6 +109,15 @@ class ManifestTable(spark: SparkSession, root: String) {
       else Some(segs).filter(_.forall(s => fs.exists(s.dir)))
     }
 
+  /** v's manifest segments WITHOUT the exists-filter — for callers
+    * that must distinguish "dirs vacuumed away" from "never
+    * committed" ([[rollbackTo]]'s descriptive refusal) or must not
+    * let one missing dir silently un-reference a retained version's
+    * OTHER segments ([[vacuum]]'s refcount).
+    */
+  private def segmentsRaw(v: Long): Option[Seq[Segment]] =
+    manifestLines(v).map(_.filterNot(_.startsWith("#")).map(parseSegment))
+
   // ── Merge-on-read equality deletes (Iceberg-v2-delete-file /
   //    Delta-deletion-vector role) ────────────────────────────────
   //
@@ -898,16 +907,25 @@ class ManifestTable(spark: SparkSession, root: String) {
     * rolling back to the live version is a no-op (returns it).
     */
   def rollbackTo(v: Long): Long = {
-    val segs = segments(v).getOrElse(
+    // Parse v's manifest RAW — segments() exists-filters missing dirs
+    // into None, which made the descriptive vacuumed-rollback message
+    // below unreachable (every vacuumed rollback surfaced as the
+    // generic "never committed" error instead). A missing MANIFEST is
+    // still never-committed; missing segment or delete-file dirs get
+    // the refusal that names exactly what retention erased.
+    val segs = segmentsRaw(v).getOrElse(
       throw new java.io.FileNotFoundException(
-        s"version $v of $root is not readable (never committed, or vacuumed)"))
+        s"version $v of $root is not readable (never committed)"))
     val (liveV, _) = liveSegments.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $root"))
     if (v == liveV) return liveV
     val gone = segs.filterNot(s => fs.exists(s.dir))
+      .map(s => s"segment ${s.dir.getName}") ++
+      dvsOf(v).filterNot(d => fs.exists(d.dir))
+        .map(d => s"delete-file ${d.dir.getName}")
     require(gone.isEmpty,
-      s"cannot roll back $root to version $v: segment(s) " +
-        s"${gone.map(_.dir.getName).mkString(", ")} were vacuumed — " +
+      s"cannot roll back $root to version $v: " +
+        s"${gone.mkString(", ")} were vacuumed — " +
         "the retention window has erased that data")
     val nv = currentVersion.getOrElse(0L) + 1
     val meta = manifestLines(v).getOrElse(Nil)
@@ -1106,7 +1124,7 @@ class ManifestTable(spark: SparkSession, root: String) {
     val drop = all.dropRight(keep).filter(_ < cur)
     drop.foreach(v => fs.delete(manifest(v), false))
     val ownReferenced = (all.toSet -- drop)
-      .flatMap(v => segments(v).getOrElse(Nil).map(_.dir.getName) ++
+      .flatMap(v => segmentsRaw(v).getOrElse(Nil).map(_.dir.getName) ++
         dvsOf(v).filter(_.dir.getParent == rootPath).map(_.dir.getName))
     // cross-table refcount: a segment under THIS root that a
     // registered branch's retained manifests still reference survives

@@ -163,7 +163,9 @@ object PgWire {
     case d: Double =>
       require(!d.isNaN && !d.isInfinite, s"non-finite double $d")
       d.toString
-    case f: Float => f.toString
+    case f: Float =>
+      require(!f.isNaN && !f.isInfinite, s"non-finite float $f")
+      f.toString
     case d: java.math.BigDecimal => d.toPlainString
     case other => throw new IllegalArgumentException(
       s"PgWire.literal: unsupported type ${other.getClass.getName}")

@@ -88,6 +88,41 @@ class EntryConsistencySpec extends SparkSpec {
       s"uncast integer sums reaching gate output (HUGEINT class):\n${bad.mkString("\n")}")
   }
 
+  /** The chained-CTE lint (r12 verdict item 2): DuckDB INLINES plain
+    * chained CTEs, so an oracle that unrolls an iteration as a long
+    * chain over a window-bearing base re-evaluates that base
+    * recursively — r12's markov oracle (~78 plain CTEs) burned >12
+    * minutes on 10k rows and zeroed the whole driver board. Any
+    * window-bearing oracle with a long unmaterialized CTE chain must
+    * fail CI; `AS MATERIALIZED` is the fix (0.6 s, hash-identical).
+    * selfcheck.py's per-oracle watchdog is the runtime backstop; this
+    * spec is the sbt-test-time tripwire.
+    */
+  test("window-bearing oracles that would inline-explode in DuckDB are banned") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => OracleLint.inlineExplosionRisk(sql)
+        .map(ev => s"$name: $ev — add AS MATERIALIZED")
+    }
+    assert(bad.isEmpty,
+      s"DuckDB inline-explosion class oracles:\n${bad.mkString("\n")}")
+  }
+
+  test("the inline-explosion lint is red on the r12 markov oracle shape (planted)") {
+    val shipped = operators.Analytics.markovAttributionSql()
+    // shipped form: fully materialized → green
+    assert(OracleLint.windowBearing(shipped))
+    assert(OracleLint.inlineExplosionRisk(shipped).isEmpty,
+      OracleLint.inlineExplosionRisk(shipped).toString)
+    // the exact r12 defect: same oracle with MATERIALIZED stripped —
+    // the window-bearing transition-matrix CTE lands at multiplicity
+    // in the hundreds (>12 min of DuckDB CPU on 10k rows)
+    val planted = shipped.replace("AS MATERIALIZED (", "AS (")
+    val risk = OracleLint.inlineExplosionRisk(planted)
+    assert(risk.isDefined, "lint must flag the unrolled plain-CTE chain")
+    assert(OracleLint.inlineMultiplicity(planted)("m") >
+      OracleLint.CteChainCap * 4L, risk.toString)
+  }
+
   test("the lint is red on the r8 anomalyHoursSql text (regression fixture)") {
     // verbatim final SELECT of the oracle that shipped r8's only hash
     // fail: `s1` is a windowed integer sum projected without a CAST
@@ -141,6 +176,99 @@ object SurveyIds {
   * anomalyHoursSql text, green on every oracle at HEAD.
   */
 object OracleLint {
+  /** Max estimated inline MULTIPLICITY tolerated for a plain
+    * (unmaterialized) window-bearing CTE. DuckDB inlines a plain CTE
+    * once PER REFERENCE, so along a chain of k steps each referencing
+    * the previous one the base is re-evaluated a number of times that
+    * grows with the number of reference PATHS — the r12 markov defect
+    * put its window base at multiplicity ~400 (>12 min on 10k rows);
+    * the widest legitimate oracle at HEAD (the 4-armed recall table
+    * re-referencing its brute-force CTE) sits at ~8.
+    */
+  val CteChainCap = 16
+  private val WindowRe = "(?i)\\bover\\s*\\(".r
+
+  def windowBearing(sql: String): Boolean =
+    WindowRe.findFirstIn(sql).isDefined
+
+  final case class CteDef(name: String, body: String, materialized: Boolean)
+
+  /** Top-level CTE definitions (nested WITHs inside a body are left
+    * inside that body — their references to outer CTEs still count)
+    * and the trailing final-select text.
+    */
+  def parseCtes(sql: String): (Seq[CteDef], String) = {
+    val defRe =
+      "(?i)\\b([a-z_][a-z0-9_]*)\\s+as\\s+(materialized\\s+)?\\(".r
+    val defs = scala.collection.mutable.ArrayBuffer[CteDef]()
+    var lastEnd = 0
+    for (m <- defRe.findAllMatchIn(sql)) {
+      if (m.start >= lastEnd) {
+        val open = m.end - 1
+        var depth = 0; var i = open; var end = -1
+        while (i < sql.length && end < 0) {
+          sql(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (end > 0) {
+          defs += CteDef(m.group(1).toLowerCase,
+            sql.substring(open + 1, end), m.group(2) != null)
+          lastEnd = end
+        }
+      }
+    }
+    (defs.toSeq, sql.substring(math.max(lastEnd, 0)))
+  }
+
+  /** Estimated evaluation count of each CTE under reference-inlining:
+    * a plain CTE's body is inlined at every reference, so its weight
+    * is the SUM of its referencers' weights × reference counts; a
+    * MATERIALIZED CTE is evaluated once however often it's
+    * referenced. References are counted in FROM/JOIN position only
+    * (the way CTEs are actually consumed; column/alias name
+    * collisions don't count).
+    */
+  def inlineMultiplicity(sql: String): Map[String, Long] = {
+    val (defs, tail) = parseCtes(sql)
+    val mult = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    def refs(body: String, name: String): Int =
+      s"(?i)\\b(?:from|join)\\s+$name\\b".r.findAllIn(body).size
+    def addRefs(body: String, weight: Long): Unit =
+      defs.foreach { d =>
+        val n = refs(body, d.name)
+        if (n > 0) mult(d.name) = math.min(
+          mult(d.name) + n * weight, 1000000L)
+      }
+    addRefs(tail, 1L)
+    // WITH references point backwards only, so walking defs from last
+    // to first sees every referencer's weight before weighing the def
+    defs.reverse.foreach { d =>
+      val weight =
+        if (d.materialized) math.min(mult(d.name), 1L) else mult(d.name)
+      if (weight > 0) addRefs(d.body, weight)
+    }
+    defs.map(d => d.name -> mult(d.name)).toMap
+  }
+
+  /** The DuckDB inline-explosion lint: Some(evidence) when any plain
+    * window-bearing CTE would be re-evaluated more than
+    * [[CteChainCap]] times under inlining.
+    */
+  def inlineExplosionRisk(sql: String): Option[String] = {
+    val (defs, _) = parseCtes(sql)
+    val mult = inlineMultiplicity(sql)
+    val hot = defs.filter(d => !d.materialized &&
+        WindowRe.findFirstIn(d.body).isDefined &&
+        mult(d.name) > CteChainCap)
+      .map(d => s"${d.name} x${mult(d.name)}")
+    if (hot.isEmpty) None else Some(hot.mkString(", "))
+  }
+
   private val AsRe = "(?i)\\bas\\s+([a-z_][a-z0-9_]*)".r
   private val SumRe = "(?i)\\bsum\\s*\\(".r
   private val CastRe = "(?is)(cast\\s*\\(.*\\bas\\s+(big|u?huge)?int|::\\s*(big|u?huge)?int)".r

@@ -640,6 +640,67 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("fellegi-sunter: refuses a crafted giant block past pairBudget, naming the valve") {
+    import graft.operators.EntityResolution
+    import spark.implicits._
+    import org.apache.spark.sql.functions.substring_index
+    // 100 records share the first token → sum C(|block|,2) = 4950
+    val parts = (1L to 100L)
+      .map(i => (i, s"mega item$i", "B1", "T1", 1L))
+      .toDF("pk", "nm", "br", "tp", "sz")
+    val ex = intercept[IllegalStateException] {
+      EntityResolution.fellegiSunterOf(parts,
+        substring_index($"nm", " ", 1), topK = 5, pairBudget = 100L)
+    }
+    assert(ex.getMessage.contains("4950"), ex.getMessage)
+    assert(ex.getMessage.contains("fellegiSunterFine"), ex.getMessage)
+    assert(ex.getMessage.contains("blockingKeySelect"), ex.getMessage)
+    // the same frame under a budget that fits runs (composite key
+    // splits nothing here — brand is constant — so budget must carry)
+    assert(EntityResolution.fellegiSunterOf(parts,
+      substring_index($"nm", " ", 1), topK = 5,
+      pairBudget = 5000L).count() == 5L)
+  }
+
+  test("blocking-key select: crafted skew makes first-token lose to the soundex-brand composite") {
+    import graft.operators.EntityResolution
+    import spark.implicits._
+    // giant first-token block ("mega", 40 records over 20 brands)
+    // + two variant-spelling truth pairs first-token blocking MISSES
+    // (robert/robart, walter/waltar — same soundex, same brand)
+    val mega = (1L to 40L).map(i => (i, "mega item", s"b${i % 20}"))
+    val vars = Seq(
+      (101L, "robert plate", "B1"), (102L, "robart plate", "B1"),
+      (103L, "walter crate", "B2"), (104L, "waltar crate", "B2"))
+    val parts = (mega ++ vars).toDF("pk", "nm", "br")
+    val rows = EntityResolution
+      .blockingKeySelectOf(parts, threshold = 0.9, recallFloorPpm = 800000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    // (key -> (cand_pairs, recall_ppm, chosen))
+    assert(rows.keySet == Set("first_token", "soundex", "token_brand",
+      "soundex_brand"))
+    // first-token blocking misses both truth pairs → recall 0
+    assert(rows("first_token")._2 == 0L, rows.toString)
+    assert(rows("token_brand")._2 == 0L)
+    // soundex keys retain both; the brand composite is ~36x cheaper
+    assert(rows("soundex")._2 == 1000000L)
+    assert(rows("soundex_brand")._2 == 1000000L)
+    assert(rows("soundex_brand")._1 < rows("soundex")._1 / 30)
+    // chosen = cheapest ABOVE the floor: soundex_brand — not
+    // token_brand, the cheapest overall, which fails the floor
+    assert(rows("soundex_brand")._3 == 1L, rows.toString)
+    assert(rows.collect { case (k, (_, _, 1L)) => k }.toSeq ==
+      Seq("soundex_brand"))
+    // no key above the floor → highest recall wins
+    val strict = EntityResolution
+      .blockingKeySelectOf(parts, threshold = 0.9,
+        recallFloorPpm = 1000001L)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(strict("soundex") == 1L || strict("soundex_brand") == 1L,
+      strict.toString)
+  }
+
   test("did: recovers a planted lift exactly under parallel trends; zero-effect fixture reads 0") {
     import graft.operators.{Analytics, Sampling}
     import spark.implicits._

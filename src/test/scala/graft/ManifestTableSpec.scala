@@ -67,6 +67,36 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.readVersion(3).count() == 1) // live version unaffected
   }
 
+  test("rollback past an erased segment or delete-file dir refuses with the descriptive vacuumed message") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val t = freshTable()
+    t.write((1L to 10L).map(i => (i, i * 2)).toDF("id", "m"),
+      statCols = Seq("id"))                                  // v1
+    t.deleteWhereMor(Seq(("id", 3.0, 4.0)), "id")            // v2 (+dv)
+    t.write(Seq((99L, 0L)).toDF("id", "m"), statCols = Seq("id")) // v3
+    val root = new Path(t.read().inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("v")).sortBy(_.getName)
+    // erase v2's DELETE-FILE dir (simulated retention) → descriptive
+    val dvDir = dirs.find(_.getName.contains("-dv-")).get
+    fs.delete(dvDir, true)
+    val e1 = intercept[IllegalArgumentException] { t.rollbackTo(2L) }
+    assert(e1.getMessage.contains("were vacuumed"), e1.getMessage)
+    assert(e1.getMessage.contains("delete-file"), e1.getMessage)
+    // erase v1's SEGMENT dir too → descriptive, names the segment
+    val segDir = dirs.find(d => d.getName.startsWith("v00000001")).get
+    fs.delete(segDir, true)
+    val e2 = intercept[IllegalArgumentException] { t.rollbackTo(1L) }
+    assert(e2.getMessage.contains("were vacuumed"), e2.getMessage)
+    assert(e2.getMessage.contains("segment"), e2.getMessage)
+    // a version that never existed keeps the generic not-committed path
+    intercept[java.io.FileNotFoundException] { t.rollbackTo(7L) }
+    // and the live version still reads — the refusals changed nothing
+    assert(t.read().count() == 1)
+  }
+
   test("publish is reader-atomic: an in-flight reader of the old version survives a new commit") {
     import spark.implicits._
     val t = freshTable()

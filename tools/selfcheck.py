@@ -9,9 +9,42 @@ parquet tables and compares: row count, column names (sorted), and a
 hash of all values with rows sorted canonically. NOT part of the
 library — driver-side python/duckdb only.
 """
-import sys, os, json, subprocess, hashlib, glob
+import sys, os, json, subprocess, hashlib, glob, threading, time
 import duckdb
 import pandas as pd
+
+# Per-oracle wall-clock cap. One pathological oracle (r12: the markov
+# chained-CTE unroll that DuckDB inlined into exponential re-evaluation)
+# must FAIL alone, never hang the whole board. DuckDB connections
+# support interrupt(): a watchdog thread fires it after the cap and the
+# running execute() raises, which we report as a timeout FAIL.
+# Default 120s: the slowest LEGITIMATE oracle at sf0.01 (the recursive
+# graph_components CTE) measures ~63s solo; the r12 pathology class
+# does not finish in 150s — 120 splits them with margin both ways.
+ORACLE_TIMEOUT_S = int(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "120"))
+
+
+def run_capped(con, sql, seconds=ORACLE_TIMEOUT_S):
+    """Execute sql; raise TimeoutError if it exceeds `seconds`."""
+    timed_out = threading.Event()
+
+    def fire():
+        timed_out.set()
+        con.interrupt()
+
+    watchdog = threading.Timer(seconds, fire)
+    watchdog.start()
+    t0 = time.monotonic()
+    try:
+        return con.execute(sql).fetchdf()
+    except Exception:
+        if timed_out.is_set():
+            raise TimeoutError(
+                f"oracle exceeded {seconds}s wall clock "
+                f"({time.monotonic() - t0:.1f}s elapsed)")
+        raise
+    finally:
+        watchdog.cancel()
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -88,7 +121,7 @@ for name in names:
         # which fetchdf() hands back as float64 — a hash mismatch on
         # identical values. Reject the dtype itself so the class can't
         # reach the compare.
-        desc = con.execute(f"DESCRIBE {oracle[name]}").fetchdf()
+        desc = run_capped(con, f"DESCRIBE {oracle[name]}")
         huge = [c for c, t in zip(desc["column_name"], desc["column_type"])
                 if "HUGEINT" in str(t)]
         if huge:
@@ -96,7 +129,9 @@ for name in names:
             print(f"FAIL {name}: oracle columns {huge} are HUGEINT "
                   f"(uncast integer sum — add CAST(... AS BIGINT))")
             continue
-        exp = con.execute(oracle[name]).fetchdf()
+        exp = run_capped(con, oracle[name])
+    except TimeoutError as e:
+        fails.append(name); print(f"FAIL {name}: {e}"); continue
     except Exception as e:
         fails.append(name); print(f"FAIL {name}: duckdb error {e}"); continue
     (gn, gc, gh), (en, ec, eh) = canon(got), canon(exp)
