@@ -1717,6 +1717,195 @@ object Analytics {
                CAST(sum(credit) AS BIGINT) AS credit_cents
         FROM cred GROUP BY 1 ORDER BY 1"""
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the
+    * standard 40/20/40 rule (first and last in-window touch each get
+    * 40%, the middle touches split the remaining 20% equally; 1
+    * touch → 100%, 2 touches → 50/50). Completes the attribution
+    * menu next to last-touch ([[attributionLastTouch]]), linear
+    * ([[attributionLinear]]) and data-driven Markov
+    * ([[markovAttributionOf]]).
+    *
+    * Exactness device: weights are integer PARTS-PER-MILLION —
+    * 400 000 for the endpoints, `200000 div (n−2)` for each middle
+    * touch (both engines truncate identically) — and the credit is
+    * the BIGINT product `value_cents · w_ppm`, summed per channel.
+    * No fp until nothing is left to compute. Ranking ties break on
+    * the unique touch event_id, so rank 1 / rank n are engine-stable
+    * even for equal-timestamp touches.
+    *
+    * Plan shape: the purchase×touch pairing is the banded range join
+    * (Σ bucket² per user, never |P|×|T|); the rank window partitions
+    * by purchase event_id over the PAIR frame (bounded by the 72 h
+    * window, not the corpus — the sanctioned aggregate-frame shape);
+    * everything after is one hash aggregate.
+    */
+  def attributionPosition(spark: SparkSession, dir: String,
+      windowHours: Int = 72): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"event_id".as("touch_id"), $"user_id",
+        $"ts".as("touch_ts"), $"event_type".as("touch_type"))
+    val pairs = RangeJoin.bandJoin(touches, purchases.select($"event_id",
+        $"user_id", $"ts", $"value_cents"),
+      keys = Seq("user_id"), lTime = "touch_ts", rTime = "ts",
+      band = windowHours * 3600000000L + 1)
+    val wRank = Window.partitionBy($"event_id")
+      .orderBy($"touch_ts", $"touch_id")
+    val ranked = pairs
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_id")))
+    val credited = ranked.select($"touch_type".as("channel"),
+      when($"n" === 1, lit(1000000L))
+        .when($"n" === 2, lit(500000L))
+        .when($"rk" === 1 || $"rk" === $"n", lit(400000L))
+        .otherwise(expr("200000L div (n - 2)")).as("w_ppm"),
+      $"value_cents")
+    val direct = purchases
+      .join(pairs.select($"event_id").distinct(), Seq("event_id"),
+        "left_anti")
+      .select(lit("direct").as("channel"), lit(1000000L).as("w_ppm"),
+        $"value_cents")
+    credited.unionByName(direct)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"value_cents" * $"w_ppm").as("credit_ppm_cents"))
+      .orderBy($"channel")
+  }
+
+  def attributionPositionSql(windowHours: Int = 72): String =
+    s"""WITH ev AS (
+          SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                 user_id, event_type, value
+          FROM events),
+        p AS (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM ev WHERE event_type = 'purchase'),
+        t AS (SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+                     event_type AS touch_type
+              FROM ev WHERE event_type IN ('click', 'view')),
+        cand AS (
+          SELECT p.event_id, p.vc, t.touch_type,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY t.touch_ts, t.touch_id) AS rk,
+                 CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n
+          FROM p JOIN t
+            ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+           AND t.touch_ts >= p.ts - INTERVAL $windowHours HOUR),
+        cred AS (
+          SELECT touch_type AS channel,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN rk = 1 OR rk = n THEN 400000
+                      ELSE 200000 // (n - 2) END AS w_ppm, vc
+          FROM cand
+          UNION ALL
+          SELECT 'direct', 1000000, vc FROM p
+          WHERE event_id NOT IN (SELECT event_id FROM cand))
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(vc * w_ppm) AS BIGINT) AS credit_ppm_cents
+        FROM cred GROUP BY 1 ORDER BY 1"""
+
+  /** TIME-DECAY multi-touch attribution — each in-window touch's
+    * share decays with its age at conversion by a 12-hour half-life
+    * (the classic exponential-decay model, cf. the standard
+    * marketing-analytics formulation; recency matters, but every
+    * touch keeps some credit — the middle ground between last-touch
+    * and linear).
+    *
+    * Exactness device: the decay is DISCRETIZED to half-life steps —
+    * k = age_µs div 12h ∈ [0, 6] inside the 72 h window, weight
+    * w = 2^(6−k) ∈ {64 … 1} — so weights are small integer units,
+    * the per-purchase normalizer Σw is a BIGINT, and each channel
+    * share is the integer division `value_cents·w div Σw` truncated
+    * identically on both engines (the [[attributionLinear]] device
+    * with non-uniform weights). A continuous 2^(−age/h) would be
+    * transcendental and engine-drift-prone; the discrete ladder is
+    * the documented contract.
+    *
+    * Plan shape: banded range join for the pairing, two hash
+    * aggregates (per-purchase normalizer, per-channel rollup) — no
+    * windows at all.
+    */
+  def attributionTimeDecay(spark: SparkSession, dir: String,
+      windowHours: Int = 72): DataFrame = {
+    import spark.implicits._
+    val halfLifeUs = 12L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts".as("touch_ts"),
+        $"event_type".as("touch_type"))
+    val pairs = RangeJoin.bandJoin(touches, purchases.select($"event_id",
+        $"user_id", $"ts", $"value_cents"),
+      keys = Seq("user_id"), lTime = "touch_ts", rTime = "ts",
+      band = windowHours * 3600000000L + 1)
+      .withColumn("w", expr(
+        s"shiftleft(1L, 6 - CAST((unix_micros(ts) - unix_micros(touch_ts))" +
+          s" div $halfLifeUs AS INT))"))
+    val perChannel = pairs.groupBy($"event_id", $"touch_type")
+      .agg(count(lit(1)).as("n_ch"), sum($"w").as("w_ch"))
+    val perPurchase = perChannel.groupBy($"event_id")
+      .agg(sum($"w_ch").as("w_tot"))
+    val credited = perChannel
+      .join(perPurchase, "event_id")
+      .join(purchases.select($"event_id", $"value_cents"), "event_id")
+      .select($"touch_type".as("channel"), $"n_ch",
+        expr("(value_cents * w_ch) div w_tot").as("credit"))
+    val direct = purchases
+      .join(perPurchase.select($"event_id"), Seq("event_id"), "left_anti")
+      .select(lit("direct").as("channel"), lit(0L).as("n_ch"),
+        $"value_cents".as("credit"))
+    credited.unionByName(direct)
+      .groupBy($"channel")
+      .agg(sum($"n_ch").as("n_touches"), sum($"credit").as("credit_cents"))
+      .orderBy($"channel")
+  }
+
+  def attributionTimeDecaySql(windowHours: Int = 72): String =
+    s"""WITH ev AS (
+          SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                 user_id, event_type, value
+          FROM events),
+        p AS (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM ev WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+              FROM ev WHERE event_type IN ('click', 'view')),
+        cand AS (
+          SELECT p.event_id, t.touch_type,
+                 (CAST(1 AS BIGINT) << (6 - CAST(
+                    (epoch_us(p.ts) - epoch_us(t.touch_ts))
+                      // ${12L * 3600 * 1000000} AS INTEGER))) AS w
+          FROM p JOIN t
+            ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+           AND t.touch_ts >= p.ts - INTERVAL $windowHours HOUR),
+        ch AS (SELECT event_id, touch_type,
+                      CAST(count(*) AS BIGINT) AS n_ch,
+                      CAST(sum(w) AS BIGINT) AS w_ch
+               FROM cand GROUP BY 1, 2),
+        tot AS (SELECT event_id, CAST(sum(w_ch) AS BIGINT) AS w_tot
+                FROM ch GROUP BY 1),
+        cred AS (
+          SELECT ch.touch_type AS channel, ch.n_ch,
+                 (p.vc * ch.w_ch) // tot.w_tot AS credit
+          FROM ch JOIN tot ON ch.event_id = tot.event_id
+          JOIN p ON p.event_id = ch.event_id
+          UNION ALL
+          SELECT 'direct', CAST(0 AS BIGINT), vc FROM p
+          WHERE event_id NOT IN (SELECT event_id FROM tot))
+        SELECT channel, CAST(sum(n_ch) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM cred GROUP BY 1 ORDER BY 1"""
+
   /** Time-to-convert distribution — the product-analytics companion
     * of the funnel: per user, first signup → first SUBSEQUENT
     * purchase latency, summarized as exact integer-second

@@ -142,6 +142,104 @@ object Decontaminate {
           AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"""
   }
 
+  /** Per-source contamination sweep against MULTIPLE eval sets in
+    * ONE corpus pass — the production shape: a lab holds dozens of
+    * held-out benchmarks, and re-scanning 100 TB once per benchmark
+    * is the naive per-set loop this operator replaces. Each eval
+    * gram carries its set id into one union'd broadcast index; the
+    * corpus is shingled ONCE, probes the index once, and the per-
+    * (source, eval_set) contaminated-document census falls out of a
+    * single aggregation. The (source × set) spine is built from the
+    * per-source totals so zero-contamination cells appear as explicit
+    * zero rows (the dashboard/alerting contract, same stance as the
+    * dense histogram bins).
+    *
+    * Eval sets here are `nSets` disjoint md5-bucket slices of
+    * `perSetPerMille` buckets each (set i = buckets [i·m, (i+1)·m));
+    * training = everything past them — deterministic, so the DuckDB
+    * oracle re-derives the exact same sets. In production the index
+    * is built from the real benchmark files instead; the sweep shape
+    * is identical.
+    *
+    * Scale: the union'd eval index stays benchmark-sized (its grams
+    * travel as 8-byte xxhash64 values, broadcast); the corpus-side
+    * join output is hits-sized; both aggregations are map-side
+    * partial. Zero extra corpus scans per additional eval set.
+    */
+  def contaminatedMulti(spark: SparkSession, dir: String,
+      nSets: Int = 3, perSetPerMille: Int = 25): DataFrame = {
+    import spark.implicits._
+    val evalCut = nSets * perSetPerMille
+    val post = Dedup.shinglePostings(spark, dir)
+      .withColumn("b", Sampling.bucket($"doc_id", "eval"))
+    val evalGrams = post.filter($"b" < evalCut)
+      .select(expr(s"b div $perSetPerMille").as("eval_set"),
+        xxhash64($"shingle").as("g")).distinct()
+    val train = post.filter($"b" >= evalCut)
+      .select($"doc_id", xxhash64($"shingle").as("g"))
+    val docSrc = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+    val contam = train.join(broadcast(evalGrams), "g")
+      .select($"doc_id", $"eval_set").distinct()
+      .join(docSrc, "doc_id")
+      .groupBy($"source", $"eval_set")
+      .agg(count(lit(1)).as("n_contam"))
+    val spine = docSrc
+      .filter(Sampling.bucket($"doc_id", "eval") >= evalCut)
+      .groupBy($"source").agg(count(lit(1)).as("n_train"))
+      .select($"source", $"n_train",
+        explode(sequence(lit(0L), lit(nSets - 1L))).as("eval_set"))
+    spine.join(contam, Seq("source", "eval_set"), "left")
+      .select($"source", $"eval_set",
+        coalesce($"n_contam", lit(0L)).as("n_contam"), $"n_train",
+        expr("(coalesce(n_contam, 0L) * 1000000L) div n_train")
+          .as("contam_ppm"))
+      .orderBy($"source", $"eval_set")
+  }
+
+  def contaminatedMultiSql(nSets: Int = 3, perSetPerMille: Int = 25): String = {
+    val bucket = Sampling.bucketSql("doc_id", "eval")
+    val evalCut = nSets * perSetPerMille
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(trim(text), ' '),
+                             x -> trim(x)), x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, $bucket AS b,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, len(t) - 1)]) AS s
+          FROM toks WHERE len(t) >= 3),
+        ev AS (SELECT DISTINCT b // $perSetPerMille AS eval_set,
+                      unnest(s) AS g
+               FROM sh WHERE b < $evalCut),
+        tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+               WHERE b >= $evalCut),
+        hits AS (
+          SELECT DISTINCT tr.doc_id, ev.eval_set
+          FROM tr JOIN ev USING (g)),
+        contam AS (
+          SELECT d.source, h.eval_set, CAST(count(*) AS BIGINT) AS n_contam
+          FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+          GROUP BY 1, 2),
+        totals AS (
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_train
+          FROM documents d WHERE $bucket >= $evalCut
+          GROUP BY d.source),
+        spine AS (
+          SELECT source, n_train,
+                 CAST(unnest(range(0, $nSets)) AS BIGINT) AS eval_set
+          FROM totals)
+        SELECT s.source, s.eval_set,
+               CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
+               s.n_train,
+               (CAST(coalesce(c.n_contam, 0) AS BIGINT) * 1000000)
+                 // s.n_train AS contam_ppm
+        FROM spine s LEFT JOIN contam c
+          ON c.source = s.source AND c.eval_set = s.eval_set
+        ORDER BY s.source, s.eval_set"""
+  }
+
   /** Oracle: same split (md5 bucket), same distinct-3-shingle build,
     * joined on the gram STRING (the Spark side joins on xxhash64 of
     * it — identical output barring a 2^-64-per-pair hash collision,

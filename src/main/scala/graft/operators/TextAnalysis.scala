@@ -844,6 +844,79 @@ object TextAnalysis {
                 AS entropy_nats
        FROM a ORDER BY source"""
 
+  /** Good–Turing frequency-of-frequencies census + smoothed mass
+    * estimates per source (Good 1953, Biometrika 40; the Gale/Sampson
+    * "Simple Good-Turing" 1995 presentation) — the vocabulary-mass
+    * readout a mixture designer uses to answer "how much of this
+    * source's token mass is singletons, and what's the probability
+    * the NEXT token is unseen?". Emits the spectrum N₁…N₅ (types
+    * seen exactly r times), the leave-one-out unseen-mass estimate
+    * p₀ = N₁/N, and the Turing-adjusted counts
+    * r* = (r+1)·N_{r+1}/N_r for r = 1, 2.
+    *
+    * Exactness device: the spectrum is pure integer counting off the
+    * (source, token, c) aggregate; p₀ and r* are integer-division
+    * micro/ppm units (`N₁·10⁶ div N`, `(r+1)·N_{r+1}·10⁶ div N_r`,
+    * 0-guarded) — no fp anywhere, hash-exact by construction.
+    *
+    * Scale shape: explode → two partial-agg'd groupBys (token counts,
+    * then count-of-counts) — vocabulary-sized then spectrum-sized
+    * exchanges, no windows, no joins. The same shape as
+    * [[tokenEntropyOf]] minus the logs.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    goodTuringOf(Tables.documents(spark, dir))
+
+  def goodTuringOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select($"source", explode(split(trim($"text"), " ")).as("raw"))
+      .select($"source", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    counts.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"c" === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when($"c" === 4, 1L).otherwise(0L)).as("n4"),
+        sum(when($"c" === 5, 1L).otherwise(0L)).as("n5"))
+      .select($"source", $"n_tokens", $"n_types",
+        $"n1", $"n2", $"n3", $"n4", $"n5",
+        expr("(n1 * 1000000L) div n_tokens").as("p0_ppm"),
+        when($"n1" > 0, expr("(2L * n2 * 1000000L) div n1"))
+          .otherwise(0L).as("r1_star_micro"),
+        when($"n2" > 0, expr("(3L * n3 * 1000000L) div n2"))
+          .otherwise(0L).as("r2_star_micro"))
+      .orderBy($"source")
+  }
+
+  val goodTuringSql: String =
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+       s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                    CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                    CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                    CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+             FROM c GROUP BY 1)
+       SELECT source, n_tokens, n_types, n1, n2, n3, n4, n5,
+              (n1 * 1000000) // n_tokens AS p0_ppm,
+              CASE WHEN n1 > 0 THEN (2 * n2 * 1000000) // n1
+                   ELSE 0 END AS r1_star_micro,
+              CASE WHEN n2 > 0 THEN (3 * n3 * 1000000) // n2
+                   ELSE 0 END AS r2_star_micro
+       FROM s ORDER BY source"""
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * token distributions — the symmetric, bounded (≤ ln 2) distance
     * a mixture designer reads before weighting sources: two crawls

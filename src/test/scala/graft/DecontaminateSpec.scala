@@ -45,6 +45,47 @@ class DecontaminateSpec extends SparkSpec {
       "a re-admitted doc meets the dirty threshold")
   }
 
+  test("multi-set sweep equals a naive driver-side recomputation on the real corpus") {
+    import spark.implicits._
+    // independent replica of the md5 bucket + shingle + sweep logic
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((id.toString + "eval").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1000
+    }
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val t = text.trim.split(" ").map(_.trim).filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalGrams: Map[Long, Set[String]] = docs
+      .filter(d => bucket(d._1) < 75)
+      .groupBy(d => bucket(d._1) / 25)
+      .map { case (s, ds) => s -> ds.flatMap(d => shingles(d._2)).toSet }
+    val train = docs.filter(d => bucket(d._1) >= 75)
+    val expected = (for {
+      (doc, text, source) <- train
+      set <- 0L until 3L
+      if shingles(text).exists(evalGrams.getOrElse(set, Set.empty))
+    } yield (source, set)).groupBy(identity).view.mapValues(_.length).toMap
+    val trainBySource = train.groupBy(_._3).view.mapValues(_.length).toMap
+    val got = Decontaminate.contaminatedMulti(spark, SF).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.size == trainBySource.size * 3, "spine must be sources × 3")
+    for (((source, set), (nContam, nTrain, ppm)) <- got) {
+      assert(nContam == expected.getOrElse((source, set), 0).toLong,
+        s"($source, $set): got $nContam")
+      assert(nTrain == trainBySource(source).toLong)
+      assert(ppm == nContam * 1000000L / nTrain)
+    }
+    assert(got.values.exists(_._1 > 0L), "sweep found no contamination")
+  }
+
   test("bloom probe is a pre-join scan filter, not a shuffle") {
     val plan = Decontaminate.contaminatedViaBloom(spark, SF)
       .queryExecution.executedPlan.toString

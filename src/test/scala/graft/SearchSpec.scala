@@ -565,4 +565,31 @@ class SearchSpec extends SparkSpec {
     val beta = real.head.getAs[Double]("beta")
     assert(beta >= 0.0 && beta <= 1.0, s"beta=$beta out of the Heaps band")
   }
+
+  test("good-turing: crafted spectrum pins N_r, p0 = N1/N and r* = (r+1)N_{r+1}/N_r in integer units, N_r=0 guarded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // source u: counts a=2 b=1 c=1 → N=4, V=3, n1=2, n2=1
+      (1L, "a a b c", "en", "u"),
+      // source v: every type a singleton → r1* uses n2=0 → 0;
+      // n1=0 branch on r1 guard exercised by w below
+      (2L, "p q r", "en", "v"),
+      // source w: one type seen 3 times → n1=0, n2=0 → both r* 0
+      (3L, "z z z", "en", "w")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.goodTuringOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getAs[Long]("n_tokens") == 4L && u.getAs[Long]("n_types") == 3L)
+    assert(u.getAs[Long]("n1") == 2L && u.getAs[Long]("n2") == 1L)
+    assert(u.getAs[Long]("p0_ppm") == 500000L) // 2·10⁶ div 4
+    assert(u.getAs[Long]("r1_star_micro") == 1000000L) // 2·1·10⁶ div 2
+    assert(u.getAs[Long]("r2_star_micro") == 0L) // n3 = 0
+    val v = got("v")
+    assert(v.getAs[Long]("n1") == 3L && v.getAs[Long]("p0_ppm") == 1000000L)
+    val w = got("w")
+    assert(w.getAs[Long]("n1") == 0L && w.getAs[Long]("r1_star_micro") == 0L)
+    assert(w.getAs[Long]("p0_ppm") == 0L)
+  }
 }

@@ -309,6 +309,67 @@ class TimeSeriesSpec extends SparkSpec {
       ("view", 2L, 800L)), s"got $got")
   }
 
+  test("position attribution: 40/20/40 by rank, 1-touch takes all, 2-touch splits even, middles share 20% by integer div") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def tns(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u7: click, view → n=2 → 500000 ppm each over 10.00
+      (1L, tns(0), 7L, "click", 1.0, "{}"),
+      (2L, tns(10), 7L, "view", 1.0, "{}"),
+      (3L, tns(20), 7L, "purchase", 10.0, "{}"),
+      // u9: no touches → direct keeps w=1e6 over 5.00
+      (6L, tns(0), 9L, "purchase", 5.0, "{}"),
+      // u12: click, view, view, click → endpoints 400000 each (click),
+      // two middles (view) split 200000 → 100000 each, over 10.00
+      (7L, tns(0), 12L, "click", 1.0, "{}"),
+      (8L, tns(5), 12L, "view", 1.0, "{}"),
+      (9L, tns(10), 12L, "view", 1.0, "{}"),
+      (10L, tns(15), 12L, "click", 1.0, "{}"),
+      (11L, tns(20), 12L, "purchase", 10.0, "{}"),
+      // u14: a single view → 100% over 2.00
+      (12L, tns(0), 14L, "view", 1.0, "{}"),
+      (13L, tns(5), 14L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("attr_pos").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.attributionPosition(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // click: u7 500000·1000 + u12 2·400000·1000 = 1,300,000,000 (3 touches)
+    // direct: 5.00 → 500·1000000 = 500,000,000
+    // view: u7 500000·1000 + u12 2·100000·1000 + u14 1000000·200
+    //     = 500M + 200M + 200M = 900,000,000 (4 touches)
+    assert(got == Seq(("click", 3L, 1300000000L), ("direct", 1L, 500000000L),
+      ("view", 4L, 900000000L)), s"got $got")
+  }
+
+  test("time-decay attribution: weights halve per 12h step, 72h boundary weight 1, shares truncate per channel") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def tns(min: Long): Long = min * 60L * 1000000000L
+    val ev = Seq(
+      // u7: click 25h before (k=2, w=16), view 1h before (k=0, w=64)
+      // over 8.00 → Σw=80: click 800·16 div 80 = 160, view 640
+      (1L, tns(0), 7L, "click", 1.0, "{}"),
+      (2L, tns(24 * 60), 7L, "view", 1.0, "{}"),
+      (3L, tns(25 * 60), 7L, "purchase", 8.0, "{}"),
+      // u8: touch past 72h → direct keeps 2000c
+      (4L, tns(0), 8L, "click", 1.0, "{}"),
+      (5L, tns(4321), 8L, "purchase", 20.0, "{}"),
+      // u9: no touches → direct 500c
+      (6L, tns(0), 9L, "purchase", 5.0, "{}"),
+      // u11: sole click at exactly 72h → k=6, w=1, full 300c
+      (10L, tns(0), 11L, "click", 1.0, "{}"),
+      (11L, tns(4320), 11L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("attr_decay").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.attributionTimeDecay(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 2L, 460L), ("direct", 0L, 2500L),
+      ("view", 1L, 640L)), s"got $got")
+  }
+
   test("longest streak: gaps-and-islands on a crafted calendar; ties pick the earliest run") {
     import spark.implicits._
     def dayNs(d: Long): Long = d * 86400L * 1000000000L
