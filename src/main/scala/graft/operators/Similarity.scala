@@ -937,6 +937,133 @@ object Similarity {
       .orderBy($"method")
   }
 
+  /** DBSCAN density clustering over the embedding corpus (Ester,
+    * Kriegel, Sander, Xu — KDD 1996), cosine-similarity metric: a
+    * point is CORE when ≥ `minPts` OTHER points sit at cosine ≥
+    * `simMin` (the ε-ball; minPts counts neighbors, the point itself
+    * excluded — classic minPts minus one); clusters are connected
+    * components of the core-core proximity graph; non-core points
+    * with a core neighbor are BORDER and take the smallest cluster
+    * label among their core neighbors (the deterministic pin for
+    * DBSCAN's well-known border ambiguity); everything else is NOISE
+    * (cluster −1). Labels are min core vec_id per component — the
+    * repo-wide canonical-component convention. This is the
+    * density-based companion to the centroid k-means quantizer
+    * (34e): it finds arbitrary-shape clusters and an explicit noise
+    * set, the dedup/curation-friendly semantics (HDBSCAN's
+    * density-ladder generalizes it; the fixed-ε cut is what has an
+    * exact cross-engine oracle).
+    *
+    * Exactness: cosine via the [[cosineCol]] sequential-fold kernel
+    * (bit-identical to the DuckDB list_reduce), thresholded on the
+    * ROUNDED 4-decimal value — the established sign/threshold parity
+    * device; everything downstream is integer counting and min-label
+    * propagation ([[graft.operators.Dedup.clusters]], the CC engine).
+    *
+    * Scale: the ε-neighbor pair frame is the budgeted part — the
+    * pre-flight refuses past `pairBudget` naming the valve: generate
+    * candidate pairs with the hyperplane-LSH bucket device
+    * ([[embeddingDedupLsh]]'s blocking) or IVF cells and feed them
+    * to [[dbscanOf]], which accepts ANY pair source (recall-traded
+    * DBSCAN, the DBSCAN-LSH literature shape). CC propagation is
+    * rounds ≤ core-graph diameter, labels-sized shuffles.
+    */
+  def dbscan(spark: SparkSession, dir: String, simMin: Double = 0.35,
+      minPts: Int = 2, pairBudget: Long = 50000000L): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val n = emb.count() // pre-flight census, one scalar
+    require(n * (n - 1) / 2 <= pairBudget,
+      s"dbscan: ${n * (n - 1) / 2} exact candidate pairs exceed " +
+        s"pairBudget=$pairBudget — block candidates with the " +
+        "hyperplane-LSH device (embeddingDedupLsh) or IVF cells and " +
+        "feed them to dbscanOf")
+    val a = emb.select($"vec_id".as("i"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("j"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"i" < $"j")
+      .filter(round(cosineCol($"ea", $"eb"), 4) >= simMin)
+      .select($"i", $"j")
+    dbscanOf(emb.select($"vec_id"), pairs, minPts)
+  }
+
+  /** Clustering core over any (vec_id) point frame + (i, j)
+    * one-directional similar-pair frame — see [[dbscan]] for the
+    * semantics contract.
+    */
+  def dbscanOf(points: DataFrame, simPairs: DataFrame,
+      minPts: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val p = simPairs.localCheckpoint(true)
+    val nb = p.select($"i".as("v"), $"j".as("o"))
+      .unionByName(p.select($"j".as("v"), $"i".as("o")))
+    val core = nb.groupBy($"v").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= minPts).select($"v")
+    // core-core edges; CC labels = min core id per component
+    val corePairs = p
+      .join(core.select($"v".as("i")), "i")
+      .join(core.select($"v".as("j")), "j")
+      .select($"i", $"j")
+    val ccLabels = Dedup.clusters(corePairs, "i", "j")
+      .select($"doc_id".as("v"), $"cluster_id".as("cluster"))
+    // isolated cores (no core neighbor) label themselves
+    val coreLabels = ccLabels.unionByName(
+      core.join(ccLabels.select($"v"), Seq("v"), "left_anti")
+        .select($"v", $"v".as("cluster"))).localCheckpoint(true)
+    val borderLabels = nb
+      .join(core.select($"v".as("nc")), $"o" === $"nc") // core neighbors
+      .join(coreLabels.select($"v".as("cv"), $"cluster"), $"o" === $"cv")
+      .join(core, Seq("v"), "left_anti") // border = non-core
+      .groupBy($"v").agg(min($"cluster").as("cluster"))
+    val assigned = coreLabels.withColumn("role", lit("core"))
+      .unionByName(borderLabels.withColumn("role", lit("border")))
+    points.select($"vec_id")
+      .join(assigned.select($"v".as("vec_id"), $"cluster", $"role"),
+        Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"role", lit("noise")).as("role"),
+        coalesce($"cluster", lit(-1L)).as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  def dbscanSql(simMin: Double = 0.35, minPts: Int = 2): String =
+    s"""WITH RECURSIVE e AS (
+          SELECT vec_id, embedding FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS i, b.vec_id AS j
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
+                  >= $simMin),
+        nb AS (SELECT i AS v, j AS o FROM p
+               UNION ALL SELECT j AS v, i AS o FROM p),
+        core AS (SELECT v FROM nb GROUP BY v
+                 HAVING count(*) >= $minPts),
+        cc AS (SELECT p.i, p.j FROM p
+               JOIN core a ON a.v = p.i JOIN core b ON b.v = p.j),
+        und AS (SELECT i AS src, j AS dst FROM cc
+                UNION ALL SELECT j AS src, i AS dst FROM cc),
+        reach(id, r) AS (
+          SELECT v, v FROM core
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+        core_lbl AS (SELECT id AS v, min(r) AS cluster
+                     FROM reach GROUP BY id),
+        border_lbl AS (
+          SELECT nb.v, min(cl.cluster) AS cluster
+          FROM nb JOIN core c ON c.v = nb.o
+          JOIN core_lbl cl ON cl.v = nb.o
+          WHERE nb.v NOT IN (SELECT v FROM core)
+          GROUP BY nb.v),
+        assigned AS (
+          SELECT v, 'core' AS role, cluster FROM core_lbl
+          UNION ALL
+          SELECT v, 'border', cluster FROM border_lbl)
+        SELECT e.vec_id,
+               coalesce(a.role, 'noise') AS role,
+               CAST(coalesce(a.cluster, -1) AS BIGINT) AS cluster
+        FROM e LEFT JOIN assigned a ON a.v = e.vec_id
+        ORDER BY e.vec_id"""
+
   def recallEvalSql(): String = {
     val methods = Seq(
       "ivf" -> ivfTopKSql(),

@@ -225,4 +225,42 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: got ${rows.map(_._2).toSeq} want $want")
     }
   }
+
+  test("dbscan: crafted core/border/noise roles, min-label clusters, border takes smallest core neighbor label") {
+    import spark.implicits._
+    val points = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("vec_id")
+    // triangle 1-2-3 (all core at minPts=2); 4 hangs off 1 (border);
+    // 5-6 a lone pair (deg 1 each -> noise); 7 isolated (noise);
+    // 8 linked to 9 and 10 (core), 9/10 deg-1 borders of cluster 8
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (5L, 6L), (8L, 9L), (8L, 10L)).toDF("i", "j")
+    val got = Similarity.dbscanOf(points, pairs, minPts = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", -1L), (6L, "noise", -1L),
+      (7L, "noise", -1L), (8L, "core", 8L),
+      (9L, "border", 8L), (10L, "border", 8L)), s"got $got")
+  }
+
+  test("dbscan: a border point between two clusters takes the SMALLER cluster label; pair budget refusal names the LSH valve") {
+    import spark.implicits._
+    val points = (1L to 9L).toDF("vec_id")
+    // two K4 cliques {1,2,3,4} and {5,6,7,8} (every member core at
+    // minPts=3); 9 hangs off cores 1 AND 5 with deg 2 < 3 — a border
+    // point reachable from BOTH clusters -> takes min(cluster) = 1
+    def k4(a: Long, b: Long, c: Long, d: Long) =
+      Seq((a, b), (a, c), (a, d), (b, c), (b, d), (c, d))
+    val pairs = (k4(1L, 2L, 3L, 4L) ++ k4(5L, 6L, 7L, 8L) ++
+      Seq((1L, 9L), (5L, 9L))).toDF("i", "j")
+    val m = Similarity.dbscanOf(points, pairs, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(9L) == ("border", 1L), s"got ${m(9L)}")
+    assert(m(5L) == ("core", 5L) && m(8L) == ("core", 5L))
+    assert(m(4L) == ("core", 1L))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.dbscan(spark, SF, pairBudget = 1L).collect()
+    }
+    assert(err.getMessage.contains("embeddingDedupLsh"))
+  }
 }
