@@ -1714,4 +1714,247 @@ object Olap {
          WHERE o.size >= b.size AND o.best_price_i <= b.best_price_i
            AND (o.size > b.size OR o.best_price_i < b.best_price_i))
        ORDER BY size"""
+
+  /** Cramér's V + contingency-coefficient summary of the
+    * priority × status association (Cramér 1946) — the effect-size
+    * companion of [[chiSquareOrders]]: χ² grows with n, V ∈ [0, 1]
+    * does not, so V is what a pipeline alerts on. χ² is accumulated
+    * in integer MICRO units per cell (round(d²/(n·r·c)·10⁶) with
+    * d = n·O − r·c BIGINT-exact — the chi-square device) so the sum
+    * is merge-order-exact; V = √(χ²/(n·(min(r,c)−1))) and
+    * C = √(χ²/(χ²+n)) divide once at the end. The cell frame is
+    * |priorities|×|statuses| — metadata-scale after one corpus
+    * aggregation.
+    */
+  def cramersVOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = obs.groupBy($"o_orderpriority")
+      .agg(sum($"observed").as("r_tot"))
+    val colTot = obs.groupBy($"o_orderstatus")
+      .agg(sum($"observed").as("c_tot"))
+    val grand = obs.agg(sum($"observed").as("n_tot"),
+      countDistinct($"o_orderpriority").as("r"),
+      countDistinct($"o_orderstatus").as("c"))
+    // DENSE r×c cell lattice: a zero cell still contributes
+    // (0−E)²/E = r·c/n — dropping it understates χ² (and V) whenever
+    // an (priority, status) combination never occurs
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .withColumn("observed", coalesce($"observed", lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("d", expr("n_tot * observed - r_tot * c_tot"))
+      .withColumn("contrib_micro",
+        expr("CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) " +
+          "/ (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE) " +
+          "* CAST(c_tot AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .groupBy($"n_tot", $"r", $"c")
+      .agg(sum($"contrib_micro").as("chi2_micro"))
+      .select($"n_tot", $"r", $"c",
+        (($"r" - 1) * ($"c" - 1)).as("dof"),
+        round($"chi2_micro".cast("double") / 1.0e6, 4).as("chi2"),
+        round(sqrt($"chi2_micro".cast("double") / 1.0e6
+          / ($"n_tot".cast("double") * (least($"r", $"c") - 1)
+            .cast("double"))), 6).as("cramers_v"),
+        round(sqrt($"chi2_micro".cast("double") / 1.0e6
+          / ($"chi2_micro".cast("double") / 1.0e6
+            + $"n_tot".cast("double"))), 6).as("contingency_c"))
+  }
+
+  val cramersVOrdersSql: String =
+    """WITH obs AS (
+         SELECT o_orderpriority, o_orderstatus,
+                CAST(count(*) AS BIGINT) AS observed
+         FROM orders GROUP BY 1, 2),
+       rt AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS r_tot
+              FROM obs GROUP BY 1),
+       ct AS (SELECT o_orderstatus, CAST(sum(observed) AS BIGINT) AS c_tot
+              FROM obs GROUP BY 1),
+       g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot,
+                    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+                    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
+             FROM obs),
+       cell AS (
+         SELECT g.n_tot, g.r, g.c,
+                g.n_tot * CAST(coalesce(obs.observed, 0) AS BIGINT)
+                  - rt.r_tot * ct.c_tot AS d,
+                rt.r_tot, ct.c_tot
+         FROM rt CROSS JOIN ct
+         LEFT JOIN obs
+           ON obs.o_orderpriority = rt.o_orderpriority
+          AND obs.o_orderstatus = ct.o_orderstatus
+         CROSS JOIN g),
+       agg AS (
+         SELECT n_tot, r, c,
+                CAST(sum(CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                  / (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE)
+                  * CAST(c_tot AS DOUBLE)) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS chi2_micro
+         FROM cell GROUP BY 1, 2, 3)
+       SELECT n_tot, r, c, (r - 1) * (c - 1) AS dof,
+              round(CAST(chi2_micro AS DOUBLE) / 1000000.0, 4) AS chi2,
+              round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                / (CAST(n_tot AS DOUBLE)
+                  * CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v,
+              round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                / (CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  + CAST(n_tot AS DOUBLE))), 6) AS contingency_c
+       FROM agg"""
+
+  /** Delete-one-group JACKKNIFE for the ratio estimator (Quenouille
+    * 1956 / Tukey 1958; the grouped jackknife is the production
+    * variance device for ratio metrics — Σx/Σy has no closed-form
+    * variance): θ = mean order value = Σ cents / #orders over all
+    * customers, groups = the 25 customer nations. Each leave-one-out
+    * replicate is quantized by INTEGER division
+    * r_g = (X − x_g) div (Y − y_g) (cents — both engines truncate
+    * identically), and the variance numerator
+    * (G−1)·(G·Σr² − (Σr)²) stays BIGINT (headroom: r ~ 10⁷ cents,
+    * r² ~ 10¹⁴, Σ over G=25 ~ 10¹⁶ — and r is scale-INVARIANT, so
+    * the bound holds at any corpus size). Only the final SE divides.
+    * Plan: one orders aggregate keyed by nation (via the customer
+    * dim broadcast), then everything is G-row metadata.
+    */
+  def jackknifeOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+    val perNation = Tables.orders(spark, dir)
+      .select($"o_custkey".as("ck"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy($"nk")
+      .agg(sum($"cents").as("x_g"), count(lit(1)).as("y_g"))
+    val tot = perNation.agg(sum($"x_g").as("xx"), sum($"y_g").as("yy"),
+      count(lit(1)).as("g"))
+    val reps = perNation.crossJoin(broadcast(tot))
+      .select($"g", $"xx", $"yy",
+        expr("(xx - x_g) div (yy - y_g)").as("r_g"))
+    reps.groupBy($"g", $"xx", $"yy")
+      .agg(sum($"r_g").as("sum_r"), sum($"r_g" * $"r_g").as("sum_r2"))
+      .select($"g",
+        expr("xx div yy").as("theta_cents"),
+        $"sum_r",
+        (($"g" - 1) * ($"g" * $"sum_r2" - $"sum_r" * $"sum_r"))
+          .as("var_num"),
+        round(sqrt((($"g" - 1) * ($"g" * $"sum_r2" - $"sum_r" * $"sum_r"))
+          .cast("double")) / $"g".cast("double"), 4).as("jk_se_cents"))
+  }
+
+  val jackknifeOrderValueSql: String =
+    """WITH pn AS (
+         SELECT c.c_nationkey AS nk,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x_g,
+                CAST(count(*) AS BIGINT) AS y_g
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         GROUP BY 1),
+       t AS (SELECT CAST(sum(x_g) AS BIGINT) AS xx,
+                    CAST(sum(y_g) AS BIGINT) AS yy,
+                    CAST(count(*) AS BIGINT) AS g
+             FROM pn),
+       reps AS (
+         SELECT t.g, t.xx, t.yy, (t.xx - pn.x_g) // (t.yy - pn.y_g) AS r_g
+         FROM pn CROSS JOIN t),
+       agg AS (
+         SELECT g, xx, yy, CAST(sum(r_g) AS BIGINT) AS sum_r,
+                CAST(sum(r_g * r_g) AS BIGINT) AS sum_r2
+         FROM reps GROUP BY 1, 2, 3)
+       SELECT g, xx // yy AS theta_cents, sum_r,
+              (g - 1) * (g * sum_r2 - sum_r * sum_r) AS var_num,
+              round(sqrt(CAST((g - 1) * (g * sum_r2 - sum_r * sum_r)
+                AS DOUBLE)) / CAST(g AS DOUBLE), 4) AS jk_se_cents
+       FROM agg"""
+
+  /** Kendall's τ-b rank correlation between retail price and size
+    * per brand (Kendall 1938; τ-b with the Stuart tie correction) —
+    * the rank-concordance companion of the per-group Spearman
+    * (27bg.2): robust to monotone transforms and, unlike Spearman's
+    * rank-average device, purely COUNTING — concordant, discordant,
+    * and tie pair censuses are BIGINTs off a within-brand pair join,
+    * so everything to the final √ is exact. Pair space is
+    * Σ C(n_brand, 2), budget-guarded with a one-pass census (the
+    * wedge-budget stance); past budget the documented valve is
+    * per-brand hash-sampling the rows first — τ estimates degrade
+    * gracefully under uniform pair thinning.
+    */
+  def kendallTauBrand(spark: SparkSession, dir: String,
+      pairBudget: Long = 500000000L): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+      .select($"p_brand", $"p_partkey",
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("x"),
+        $"p_size".cast("long").as("y"))
+    val census = p.groupBy($"p_brand").agg(count(lit(1)).as("n"))
+    val totalPairs = census.agg(
+      expr("sum(n * (n - 1) div 2)").as("pairs")).head.getLong(0)
+    require(totalPairs <= pairBudget,
+      s"kendallTauBrand: $totalPairs within-brand pairs exceed " +
+        s"pairBudget=$pairBudget — hash-sample rows per brand " +
+        "(Sampling.hashSample) before the pair join")
+    val a = p.select($"p_brand", $"p_partkey".as("ka"),
+      $"x".as("xa"), $"y".as("ya"))
+    val b = p.select($"p_brand", $"p_partkey".as("kb"),
+      $"x".as("xb"), $"y".as("yb"))
+    val pairs = a.join(b, Seq("p_brand")).filter($"ka" < $"kb")
+    val counts = pairs.groupBy($"p_brand").agg(
+      count(lit(1)).as("n0"),
+      sum(when(($"xa" < $"xb" && $"ya" < $"yb")
+        || ($"xa" > $"xb" && $"ya" > $"yb"), 1L).otherwise(0L)).as("nc"),
+      sum(when(($"xa" < $"xb" && $"ya" > $"yb")
+        || ($"xa" > $"xb" && $"ya" < $"yb"), 1L).otherwise(0L)).as("nd"),
+      sum(when($"xa" === $"xb" && $"ya" =!= $"yb", 1L)
+        .otherwise(0L)).as("tx"),
+      sum(when($"ya" === $"yb" && $"xa" =!= $"xb", 1L)
+        .otherwise(0L)).as("ty"),
+      sum(when($"xa" === $"xb" && $"ya" === $"yb", 1L)
+        .otherwise(0L)).as("txy"))
+    counts.join(census, Seq("p_brand"))
+      .select($"p_brand", $"n", $"n0", $"nc", $"nd", $"tx", $"ty", $"txy",
+        when($"n0" - $"tx" - $"txy" > 0 && $"n0" - $"ty" - $"txy" > 0,
+          round(($"nc" - $"nd").cast("double")
+            / sqrt(($"n0" - $"tx" - $"txy").cast("double")
+              * ($"n0" - $"ty" - $"txy").cast("double")), 6))
+          .otherwise(lit(0.0)).as("tau_b"))
+      .orderBy($"p_brand")
+  }
+
+  val kendallTauBrandSql: String =
+    """WITH p AS (
+         SELECT p_brand, p_partkey,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+                CAST(p_size AS BIGINT) AS y
+         FROM part),
+       census AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1),
+       pr AS (
+         SELECT a.p_brand,
+                a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+         FROM p a JOIN p b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+       c AS (
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+                               OR (xa > xb AND ya > yb)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+                               OR (xa > xb AND ya < yb)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                CAST(sum(CASE WHEN xa = xb AND ya <> yb
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                CAST(sum(CASE WHEN ya = yb AND xa <> xb
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                CAST(sum(CASE WHEN xa = xb AND ya = yb
+                          THEN 1 ELSE 0 END) AS BIGINT) AS txy
+         FROM pr GROUP BY 1)
+       SELECT c.p_brand, census.n, c.n0, c.nc, c.nd, c.tx, c.ty, c.txy,
+              CASE WHEN n0 - tx - txy > 0 AND n0 - ty - txy > 0
+                   THEN round(CAST(nc - nd AS DOUBLE)
+                     / sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                       * CAST(n0 - ty - txy AS DOUBLE)), 6)
+                   ELSE 0.0 END AS tau_b
+       FROM c JOIN census USING (p_brand)
+       ORDER BY c.p_brand"""
 }

@@ -773,4 +773,80 @@ class OlapSpec extends SparkSpec {
     assert(stair.map(_._2) == stair.map(_._2).sorted,
       "bigger skyline size must cost strictly more")
   }
+
+  test("cramers v: perfect association gives V=1 with zero cells counted; dof and margins pinned") {
+    import spark.implicits._
+    import graft.operators.Olap
+    // P1 always S1, P2 always S2 — the 2x2 has two ZERO cells whose
+    // (0-E)^2/E terms are what push chi2 to n (V would be sqrt(0.5)
+    // if they were dropped)
+    val orders = (Seq.fill(10)(("P1", "S1")) ++ Seq.fill(10)(("P2", "S2")))
+      .zipWithIndex.map { case ((p, st), i) => (i.toLong, p, st, 100.0, 1L) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus",
+        "o_totalprice", "o_custkey")
+    val tmp = java.nio.file.Files.createTempDirectory("cram").toString
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Olap.cramersVOrders(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_tot") == 20L && r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 20.0)
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+    assert(math.abs(r.getAs[Double]("contingency_c")
+      - math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("jackknife ratio: equal-ratio groups give zero variance; hand-computed two-group SE matches") {
+    import spark.implicits._
+    import graft.operators.Olap
+    def write(orders: Seq[(Long, Long, Double)], nations: Seq[(Long, Long)],
+        dir: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(dir).toString
+      orders.map { case (k, ck, v) => (k, ck, v, "P", "S") }
+        .toDF("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      nations.toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+      tmp
+    }
+    // two nations, every order 100.00 -> all replicates equal theta
+    val t1 = write(Seq((1L, 1L, 100.0), (2L, 2L, 100.0),
+      (3L, 3L, 100.0), (4L, 4L, 100.0)),
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)), "jk1")
+    val r1 = Olap.jackknifeOrderValue(spark, t1).collect().head
+    assert(r1.getAs[Long]("theta_cents") == 10000L)
+    assert(r1.getAs[Long]("var_num") == 0L)
+    assert(r1.getAs[Double]("jk_se_cents") == 0.0)
+    // nation 1: one 100.00 order; nation 2: one 300.00 order
+    // r_1 = 30000, r_2 = 10000, var_num = 1*(2*(9e8+1e8) - 4e8^0.5...)
+    val t2 = write(Seq((1L, 1L, 100.0), (2L, 2L, 300.0)),
+      Seq((1L, 1L), (2L, 2L)), "jk2")
+    val r2 = Olap.jackknifeOrderValue(spark, t2).collect().head
+    assert(r2.getAs[Long]("theta_cents") == 20000L)
+    assert(r2.getAs[Long]("var_num") ==
+      1L * (2L * (900000000L + 100000000L) - 40000L * 40000L))
+    assert(r2.getAs[Double]("jk_se_cents") == 10000.0)
+  }
+
+  test("kendall tau-b: concordant +1, discordant -1, all-tied denominator guarded to 0; budget refusal names the sampling valve") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val parts = Seq(
+      (1L, "B1", 1.0, 1), (2L, "B1", 2.0, 2), (3L, "B1", 3.0, 3),
+      (4L, "B2", 3.0, 1), (5L, "B2", 2.0, 2), (6L, "B2", 1.0, 3),
+      (7L, "B3", 1.0, 1), (8L, "B3", 1.0, 2))
+      .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+    val tmp = java.nio.file.Files.createTempDirectory("tau").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val m = Olap.kendallTauBrand(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("B1").getAs[Double]("tau_b") == 1.0)
+    assert(m("B1").getAs[Long]("nc") == 3L)
+    assert(m("B2").getAs[Double]("tau_b") == -1.0)
+    assert(m("B3").getAs[Long]("tx") == 1L)
+    assert(m("B3").getAs[Double]("tau_b") == 0.0)
+    val err = intercept[IllegalArgumentException] {
+      Olap.kendallTauBrand(spark, tmp, pairBudget = 1L).collect()
+    }
+    assert(err.getMessage.contains("hashSample"))
+  }
 }
