@@ -446,7 +446,6 @@ object EntityResolution {
     val spark = parts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
     val tok = substring_index($"nm", " ", 1)
     val keys: Seq[(String, Column)] = Seq(
       "first_token" -> tok,
@@ -481,16 +480,20 @@ object EntityResolution {
           expr("CASE WHEN n_truth = 0 THEN 1000000L ELSE " +
             "(retained * 1000000L) div n_truth END").as("recall_ppm"))
     }.reduce(_.unionByName(_))
-    // chosen: cheapest above the floor, else highest recall; the
-    // window is over the |keys| = 4-row key menu — domain-sized
+    // chosen: cheapest above the floor, else highest recall — the
+    // winner comes off a lexicographic MIN-STRUCT aggregate + one-row
+    // broadcast join (the q15_top_supplier device), so the 4-row key
+    // menu never needs a window at all
     val meets = when($"recall_ppm" >= recallFloorPpm, 1L).otherwise(0L)
     val rankKey = when($"recall_ppm" >= recallFloorPpm, $"cand_pairs")
       .otherwise(lit(1000000L) - $"recall_ppm")
-    perKey
-      .withColumn("rk", row_number().over(Window.orderBy(
-        meets.desc, rankKey.asc, $"cand_pairs".asc, $"key".asc)))
-      .withColumn("chosen", when($"rk" === 1, 1L).otherwise(0L))
-      .drop("rk")
+    val best = perKey
+      .agg(min(struct((lit(1L) - meets).as("m"), rankKey.as("r"),
+        $"cand_pairs".as("c"), $"key".as("k"))).as("b"))
+      .select($"b.k".as("best_key"))
+    perKey.crossJoin(broadcast(best))
+      .withColumn("chosen", when($"key" === $"best_key", 1L).otherwise(0L))
+      .drop("best_key")
       .orderBy($"key")
   }
 

@@ -965,6 +965,71 @@ object Events {
       .drop("__band", "__own")
   }
 
+  /** CLASSICAL seasonal decomposition of the hourly series
+    * (Macaulay 1931, the moving-average decomposition STL
+    * generalizes): trend = centered 2×24 moving average, seasonal =
+    * per-hour-of-day mean of the detrended series. Both components
+    * are held EXACT in integer ×48 units: the even-window 2×24 MA is
+    * trend_x48(t) = c[t−12] + c[t+12] + 2·Σ_{−11..+11} c[t+i] (the
+    * half-weight endpoints ARE the ×48 trick), rewritten into
+    * trailing form at e = t+12 as 2·S25(e) − c(e) − c(e−24), so it
+    * runs under [[bandedSpine]] with lookback 24 — no centered
+    * frame, no unpartitioned window, minute-grain-safe. The
+    * detrended census 48·c(t) − trend_x48(t) sums as BIGINTs per
+    * hour-of-day; only the display mean divides (once, rounded).
+    * Edge hours without a full ±12 window are trimmed, the classical
+    * convention.
+    */
+  def decomposeClassical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spine = gapfillHourly(spark, dir)
+    val trail = bandedSpine(spine, "h", lookback = 24) { (df, w0) =>
+      val w = w0.rowsBetween(-24, 0)
+      df.withColumn("nw", count(lit(1)).over(w))
+        .withColumn("s25", sum($"n").over(w))
+        .withColumn("c24", lag($"n", 24).over(w0))
+    }
+    val trend = trail.filter($"nw" === 25)
+      .select(($"h" - 12).as("t"),
+        (lit(2L) * $"s25" - $"n" - $"c24").as("trend_x48"))
+    val det = trend.join(spine.select($"h".as("t"), $"n"), Seq("t"))
+      .select($"t", (lit(48L) * $"n" - $"trend_x48").as("det_x48"))
+    det.groupBy(($"t" % 24).as("hod"))
+      .agg(count(lit(1)).as("n_obs"), sum($"det_x48").as("det_sum_x48"))
+      .select($"hod", $"n_obs", $"det_sum_x48",
+        round($"det_sum_x48".cast("double")
+          / (lit(48.0) * $"n_obs".cast("double")), 4).as("seasonal"))
+      .orderBy($"hod")
+  }
+
+  val decomposeClassicalSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       sp AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM hrs LEFT JOIN c USING (h)),
+       w AS (
+         SELECT h, n,
+                CAST(count(*) OVER tw AS BIGINT) AS nw,
+                CAST(sum(n) OVER tw AS BIGINT) AS s25,
+                lag(n, 24) OVER (ORDER BY h) AS c24
+         FROM sp
+         WINDOW tw AS (ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+       tr AS (
+         SELECT h - 12 AS t, 2 * s25 - n - c24 AS trend_x48
+         FROM w WHERE nw = 25),
+       det AS (
+         SELECT tr.t, 48 * sp.n - tr.trend_x48 AS det_x48
+         FROM tr JOIN sp ON sp.h = tr.t)
+       SELECT t % 24 AS hod, CAST(count(*) AS BIGINT) AS n_obs,
+              CAST(sum(det_x48) AS BIGINT) AS det_sum_x48,
+              round(CAST(sum(det_x48) AS DOUBLE)
+                / (48.0 * CAST(count(*) AS DOUBLE)), 4) AS seasonal
+       FROM det GROUP BY 1 ORDER BY 1"""
+
   def wmaHours(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bandedSpine(gapfillHourly(spark, dir), "h", lookback = 23) { (df, w0) =>

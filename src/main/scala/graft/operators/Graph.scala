@@ -2338,6 +2338,107 @@ object Graph {
       .limit(topK)
   }
 
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    linClosenessOf(copurchaseEdges(spark, dir), seedMod = 499L, hops = 3,
+      topK = 20)
+
+  /** Lin's-index closeness over SAMPLED seeds and a BOUNDED horizon —
+    * the classical closeness completed with Lin (1976)'s
+    * reachability-squared correction, lin(v) = reached(v)² / Σ d(s,v),
+    * which is what keeps the ranking sane on disconnected graphs
+    * (bare reached/Σd would crown any node touched by ONE seed at
+    * distance 1; Boldi/Vigna "Axioms for Centrality" 2014 retain Lin
+    * and harmonic as the two principled closeness forms — harmonic is
+    * 33n, this is its companion so a reference user gets both).
+    *
+    * Exactness: identical frontier-BFS to [[harmonicOf]] — the first
+    * level a (seed, node) pair appears IS its distance, so reached =
+    * COUNT and Σd = SUM of small integer levels; lin_micro =
+    * reached²·10⁶ div Σd by integer division (Σd ≥ reached ≥ 1 for
+    * every emitted node — no zero guard needed). Same budget knobs
+    * (seedMod, hops), same per-level truncated-lineage scale shape.
+    */
+  def linClosenessOf(edges: DataFrame, seedMod: Long, hops: Int,
+      topK: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(hops >= 1, s"hops=$hops: need at least 1 level")
+    val e = edges.select($"src", $"dst").repartition($"src")
+      .localCheckpoint(true)
+    val seeds = e.select($"src".as("node")).distinct()
+      .filter($"node" % seedMod === 0)
+      .select($"node".as("s"), $"node")
+      .localCheckpoint(true)
+    var frontier = seeds
+    var vis = seeds
+    var acc: DataFrame = null
+    for (l <- 1 to hops) {
+      frontier = e.join(frontier, $"src" === $"node")
+        .select($"s", $"dst")
+        .join(vis.select($"s".as("vs"), $"node".as("vn")),
+          $"s" === $"vs" && $"dst" === $"vn", "left_anti")
+        .select($"s", $"dst".as("node")).distinct()
+        .localCheckpoint(true)
+      vis = vis.unionByName(frontier).localCheckpoint(true)
+      val lvl = frontier.withColumn("d", lit(l.toLong))
+      acc = if (acc == null) lvl else acc.unionByName(lvl)
+    }
+    acc.groupBy($"node")
+      .agg(count(lit(1)).as("reached"), sum($"d").as("sum_d"))
+      .select($"node", $"reached", $"sum_d",
+        expr("(reached * reached * 1000000L) div sum_d").as("lin_micro"))
+      .orderBy($"lin_micro".desc, $"node")
+      .limit(topK)
+  }
+
+  /** Oracle: the harmonic oracle's 3 BFS levels re-aggregated as
+    * (count, Σ level) per node with the Lin integer division.
+    */
+  val closenessSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       l0 AS (
+         SELECT DISTINCT src AS s, src AS node
+         FROM edges WHERE src % 499 = 0),
+       l1 AS (
+         SELECT DISTINCT l0.s, e.dst AS node
+         FROM l0 JOIN edges e ON e.src = l0.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l0.s AND p.node = e.dst)),
+       l2 AS (
+         SELECT DISTINCT l1.s, e.dst AS node
+         FROM l1 JOIN edges e ON e.src = l1.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l1.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l1.s AND p.node = e.dst)),
+       l3 AS (
+         SELECT DISTINCT l2.s, e.dst AS node
+         FROM l2 JOIN edges e ON e.src = l2.node
+         WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l1 p
+                           WHERE p.s = l2.s AND p.node = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM l2 p
+                           WHERE p.s = l2.s AND p.node = e.dst)),
+       agg AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS reached,
+                CAST(sum(d) AS BIGINT) AS sum_d
+         FROM (SELECT s, node, 1 AS d FROM l1
+               UNION ALL SELECT s, node, 2 FROM l2
+               UNION ALL SELECT s, node, 3 FROM l3) u
+         GROUP BY node)
+       SELECT node, reached, sum_d,
+              (reached * reached * 1000000) // sum_d AS lin_micro
+       FROM agg
+       ORDER BY lin_micro DESC, node LIMIT 20"""
+
   /** Oracle: the same 3 BFS levels as the betweenness oracle (σ
     * dropped), each level weighted by its constant 10⁶/l.
     */

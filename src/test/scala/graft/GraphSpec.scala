@@ -1012,4 +1012,22 @@ class GraphSpec extends SparkSpec {
     val whole = Graph.conductanceOf(edges, labels(_ => "ALL")).collect().head
     assert(whole.getLong(2) == 0L && whole.getDouble(4) == 0.0)
   }
+
+  test("lin closeness: star graph, all nodes seeded — center dominates with reached^2/sum_d exact") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // star: center 0, leaves 1..4 (both directions)
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.linClosenessOf(edges, seedMod = 1L, hops = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // center: reached 4 at d=1 -> lin = 16e6/4; every leaf: d=1 to
+    // center + d=2 to the other three -> reached 4, sum_d 7
+    assert(got.head == (0L, 4L, 4L, 4000000L), s"got ${got.head}")
+    got.tail.foreach { case (node, reached, sumd, lin) =>
+      assert(reached == 4L && sumd == 7L && lin == 16000000L / 7L,
+        s"leaf $node: ($reached, $sumd, $lin)")
+    }
+  }
 }

@@ -830,4 +830,36 @@ import org.apache.spark.sql.functions.{call_function, hour}
     val ds = got.map(_._2)
     assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
   }
+
+  test("classical decomposition: period-24 impulse series recovers the exact seasonal profile, edges trimmed") {
+    import spark.implicits._
+    import graft.operators.Events
+    def hns(h: Long): Long = h * 3600L * 1000000000L
+    // 72 hours: hod 0 gets 3 events, every other hour 1 event
+    val rows = (0L until 72L).flatMap { t =>
+      val k = if (t % 24 == 0) 3 else 1
+      (0 until k).map(i => (t * 10 + i, hns(t), 1L, "view", 0.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("decomp").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.decomposeClassical(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.size == 24)
+    // full-window centers are t in [12, 59]: every hod seen exactly
+    // twice; the 2x24 MA of a pure period-24 series is the flat mean
+    // 26/24, so trend_x48 = 52 everywhere: det = 48c - 52
+    got.foreach { case (hod, nObs, detSum, seasonal) =>
+      assert(nObs == 2L, s"hod $hod: n_obs $nObs")
+      if (hod == 0L) {
+        assert(detSum == 184L && seasonal == 1.9167,
+          s"hod 0: ($detSum, $seasonal)")
+      } else {
+        assert(detSum == -8L && seasonal == -0.0833,
+          s"hod $hod: ($detSum, $seasonal)")
+      }
+    }
+  }
 }
