@@ -795,4 +795,113 @@ object Search {
           FROM f)
         SELECT query_id, doc_id, bm25_rk, ql_rk, rrf_ppb, rk
         FROM ranked WHERE rk <= $k"""
+
+  /** RAKE stopword delimiter set — fixed and tiny by design (RAKE's
+    * authors use a standard stopword list; the corpus here carries
+    * function words from this set). Shared verbatim with the SQL
+    * oracle.
+    */
+  val RakeStopwords: Seq[String] =
+    Seq("a", "the", "of", "and", "or", "to", "in")
+
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer, Cowley 2010 —
+    * "Rapid Automatic Keyword Extraction"): candidate phrases are
+    * maximal stopword-free token runs (the gaps-and-islands trick:
+    * island = rank-among-kept − rank-among-content); each word w
+    * scores deg(w)/freq(w) where freq counts phrase occurrences
+    * containing w and deg additionally credits the words it
+    * co-occurs with (Σ phrase length over its occurrences); a
+    * phrase scores the sum of its member word scores. Word scores
+    * are integer MICRO units (deg·10⁶ div freq — both engines
+    * truncate identically) so phrase scores are exact BIGINTs; the
+    * final top-k is fully tie-broken (score, n_occurrences, phrase).
+    * Phrases longer than `maxLen` are discarded (the rake-nltk
+    * convention — unbounded runs are boilerplate, not keyphrases).
+    *
+    * Scale shape: two doc-keyed windows (high-cardinality partition
+    * key) build the islands; phrase assembly is one groupBy with a
+    * run-bounded sort_array buffer; word stats and the phrase-score
+    * join move only (word, counts) and (phrase-occurrence, score)
+    * rows. No corpus-sized window, no driver loops.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String, maxLen: Int = 4,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val kept = Dedup.tokenRows(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    val content = kept.filter(!$"token".isin(RakeStopwords: _*))
+      .withColumn("rn2", row_number().over(w))
+      .withColumn("island", $"rn" - $"rn2")
+    val occ = content.groupBy($"doc_id", $"island")
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(sort_array(collect_list(
+          struct($"rn", $"token"))), t => t.getField("token")), " ")
+          .as("phrase"))
+      .filter($"len" <= maxLen)
+      .withColumn("occ_id", monotonically_increasing_id())
+    val members = occ.select($"occ_id", $"len",
+      explode(split($"phrase", " ")).as("token"))
+    val wordScore = members.groupBy($"token")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .select($"token", expr("(deg * 1000000L) div freq").as("w_micro"))
+    val phraseScores = members
+      .join(wordScore, "token")
+      .groupBy($"occ_id").agg(sum($"w_micro").as("score_micro"))
+      .join(occ.select($"occ_id", $"phrase"), "occ_id")
+    phraseScores.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min($"score_micro").as("score_micro"))
+      .orderBy($"score_micro".desc, $"n_occurrences".desc, $"phrase")
+      .limit(topK)
+  }
+
+  def rakeKeyphrasesSql(maxLen: Int = 4, topK: Int = 20): String = {
+    val stop = RakeStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+          SELECT doc_id, pos, token FROM (
+            SELECT doc_id, generate_subscripts(t, 1) AS pos,
+                   unnest(t) AS token
+            FROM (SELECT doc_id,
+                    list_filter(list_transform(
+                      string_split(trim(text), ' '), x -> trim(x)),
+                      x -> length(x) > 0) AS t
+                  FROM documents))),
+        kept AS (
+          SELECT doc_id, pos, token,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS rn
+          FROM toks),
+        content AS (
+          SELECT doc_id, pos, token, rn,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS rn2
+          FROM kept WHERE token NOT IN ($stop)),
+        occ AS (
+          SELECT doc_id, rn - rn2 AS island,
+                 CAST(count(*) AS BIGINT) AS len,
+                 string_agg(token, ' ' ORDER BY rn) AS phrase,
+                 row_number() OVER (ORDER BY doc_id, rn - rn2) AS occ_id
+          FROM content GROUP BY doc_id, rn - rn2
+          HAVING count(*) <= $maxLen),
+        members AS (
+          SELECT occ_id, len, unnest(string_split(phrase, ' ')) AS token
+          FROM occ),
+        ws AS (
+          SELECT token,
+                 (CAST(sum(len) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS w_micro
+          FROM members GROUP BY token),
+        ps AS (
+          SELECT m.occ_id, CAST(sum(ws.w_micro) AS BIGINT) AS score_micro
+          FROM members m JOIN ws USING (token)
+          GROUP BY m.occ_id)
+        SELECT o.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(ps.score_micro) AS BIGINT) AS score_micro
+        FROM ps JOIN occ o USING (occ_id)
+        GROUP BY o.phrase
+        ORDER BY score_micro DESC, n_occurrences DESC, phrase
+        LIMIT $topK"""
+  }
 }

@@ -1366,4 +1366,90 @@ object TextAnalysis {
        FROM stemmed GROUP BY stem
        ORDER BY stem"""
   }
+
+  /** Multinomial Naive-Bayes language-model scoring matrix — the
+    * train/score loop of the classic NB classifier (Maron 1961;
+    * McCallum/Nigam 1998 for the multinomial event model) run as a
+    * pure dataflow: unigram models are TRAINED per language on the
+    * even-doc_id half, then every odd-doc_id document is scored
+    * under EVERY language model and the per-(true_lang, model_lang)
+    * log-likelihood census comes out — the full confusion-structure
+    * evidence without the argmax knife-edge (1-ulp log drift could
+    * flip a near-tied argmax across engines; summed integer
+    * micro-nats cannot drift at all).
+    *
+    * Exactness: per-(model, token) cost = round(ln((c+1)/(N+V))·10⁶)
+    * — Laplace smoothing, BIGINT micro-nats (the unigramXent
+    * device); doc log-lik = Σ tf·cost is exact whatever the merge
+    * order. Scale: token-count frames only; the ×|langs| fan applies
+    * to the EVAL token frame (broadcast lang models), never raw text.
+    */
+  def nbLogLik(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        explode(split(trim($"text"), " ")).as("raw"))
+      .select($"doc_id", $"lang", trim($"raw").as("token"))
+      .filter(length($"token") > 0)
+    val counts = toks.filter($"doc_id" % 2 === 0)
+      .groupBy($"lang".as("model_lang"), $"token")
+      .agg(count(lit(1)).as("c"))
+    val nLang = counts.groupBy($"model_lang").agg(sum($"c").as("n_lang"))
+    val vocab = counts.select($"token").distinct()
+      .agg(count(lit(1)).as("v"))
+    val evalTf = toks.filter($"doc_id" % 2 === 1)
+      .groupBy($"doc_id", $"lang".as("true_lang"), $"token")
+      .agg(count(lit(1)).as("tf"))
+    val scored = evalTf
+      .crossJoin(broadcast(nLang.crossJoin(vocab)))
+      .join(counts, Seq("model_lang", "token"), "left")
+      .withColumn("cost_micro",
+        round(log((coalesce($"c", lit(0L)) + lit(1L)).cast("double")
+          / ($"n_lang" + $"v").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    scored.groupBy($"doc_id", $"true_lang", $"model_lang")
+      .agg(sum($"tf" * $"cost_micro").as("ll_micro"))
+      .groupBy($"true_lang", $"model_lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ll_micro").as("ll_sum_micro"))
+      .select($"true_lang", $"model_lang", $"n_docs", $"ll_sum_micro",
+        round($"ll_sum_micro".cast("double")
+          / ($"n_docs".cast("double") * 1.0e6), 4).as("avg_ll_nats"))
+      .orderBy($"true_lang", $"model_lang")
+  }
+
+  val nbLogLikSql: String =
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                unnest(list_filter(
+                  list_transform(string_split(trim(text), ' '), x -> trim(x)),
+                  x -> length(x) > 0)) AS token
+         FROM documents),
+       counts AS (
+         SELECT lang AS model_lang, token, CAST(count(*) AS BIGINT) AS c
+         FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       nl AS (SELECT model_lang, CAST(sum(c) AS BIGINT) AS n_lang
+              FROM counts GROUP BY 1),
+       vo AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+              FROM counts),
+       ev AS (
+         SELECT doc_id, lang AS true_lang, token,
+                CAST(count(*) AS BIGINT) AS tf
+         FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+       scored AS (
+         SELECT ev.doc_id, ev.true_lang, nl.model_lang, ev.tf,
+                CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                  / CAST(nl.n_lang + vo.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS cost_micro
+         FROM ev CROSS JOIN nl CROSS JOIN vo
+         LEFT JOIN counts c
+           ON c.model_lang = nl.model_lang AND c.token = ev.token),
+       per_doc AS (
+         SELECT doc_id, true_lang, model_lang,
+                CAST(sum(tf * cost_micro) AS BIGINT) AS ll_micro
+         FROM scored GROUP BY 1, 2, 3)
+       SELECT true_lang, model_lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ll_micro) AS BIGINT) AS ll_sum_micro,
+              round(CAST(sum(ll_micro) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 1000000), 4) AS avg_ll_nats
+       FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2"""
 }

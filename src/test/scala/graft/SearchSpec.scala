@@ -592,4 +592,50 @@ class SearchSpec extends SparkSpec {
     assert(w.getAs[Long]("n1") == 0L && w.getAs[Long]("r1_star_micro") == 0L)
     assert(w.getAs[Long]("p0_ppm") == 0L)
   }
+
+  test("rake: crafted phrases pin deg/freq scoring, occurrence merge, maxLen discard, tie-breaks") {
+    import spark.implicits._
+    import graft.operators.Search
+    val docs = Seq(
+      // "deep learning" twice + "neural nets" once, split on of/and
+      (1L, "deep learning of deep learning and neural nets", "en", "s1"),
+      // a 5-word stopword-free run -> discarded at maxLen=4
+      (3L, "alpha beta gamma delta epsilon", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("rake").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Search.rakeKeyphrases(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // freq: deep 2, learning 2, neural 1, nets 1
+    // deg:  deep 4, learning 4, neural 2, nets 2 -> every word 2e6
+    // "deep learning" scores 4e6 with 2 occurrences and outranks the
+    // equal-scoring "neural nets" on the occurrence tie-break;
+    // the epsilon run never appears
+    assert(got == Seq(("deep learning", 2L, 4000000L),
+      ("neural nets", 1L, 4000000L)), s"got $got")
+  }
+
+  test("nb loglik: disjoint-vocabulary langs produce the exact hand-computed matrix, diagonal dominant") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "x x x", "aa", "s"), (1L, "x x", "aa", "s"),
+      (2L, "y y y", "bb", "s"), (3L, "y y", "bb", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("nb").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.nbLogLik(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def cost(c: Long, n: Long, v: Long): Long =
+      math.round(math.log((c + 1).toDouble / (n + v).toDouble) * 1e6)
+    // V = 2, each train model has N = 3
+    val hit = cost(3, 3, 2)  // seen token
+    val miss = cost(0, 3, 2) // unseen token
+    assert(got(("aa", "aa")) == (1L, 2 * hit), s"got ${got(("aa", "aa"))}")
+    assert(got(("aa", "bb")) == (1L, 2 * miss))
+    assert(got(("bb", "aa")) == (1L, 2 * miss))
+    assert(got(("bb", "bb")) == (1L, 2 * hit))
+    assert(2 * hit > 2 * miss, "diagonal must dominate")
+  }
 }
