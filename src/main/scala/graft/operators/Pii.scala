@@ -254,4 +254,93 @@ object Pii {
        FROM dev GROUP BY 1, 2
        HAVING sum(dev_ppm) // 2 > $tPpm
        ORDER BY 1, 2"""
+
+  /** Generalization LADDER for the k-anonymity release (Samarati
+    * 2001's generalization lattice, walked as the practical ladder):
+    * four increasingly coarse quasi-identifier encodings of the
+    * customer table — L0 (nation, segment, $2 000 balance band),
+    * L1 (nation, segment, $10 000 band), L2 (REGION, segment,
+    * $10 000 band), L3 (region, $50 000 band, segment dropped) —
+    * each audited in one aggregate pass, with the minimal level that
+    * achieves k-anonymity flagged `chosen` (the release decision;
+    * if none achieves it the coarsest level is chosen). Bands floor
+    * integer cents over an IEEE double division — the kAnonymity
+    * device: `div` would truncate-vs-floor-differ on negative
+    * balances. Everything after the per-level aggregate is
+    * 4-row metadata; the winner comes off a one-row min aggregate +
+    * broadcast join, no window.
+    */
+  def generalizationLadder(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("c_nationkey"),
+          $"n_regionkey".as("region"))), Seq("c_nationkey"))
+      .select($"c_nationkey".as("nation"), $"region", $"c_mktsegment",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+    def band(c: org.apache.spark.sql.Column, unitCents: Long) =
+      floor(c.cast("double") / unitCents.toDouble).cast("long")
+    def audit(level: Long, keys: Seq[org.apache.spark.sql.Column]) =
+      cust.groupBy(keys: _*).agg(count(lit(1)).as("gs"))
+        .agg(count(lit(1)).as("n_groups"), min($"gs").as("min_group"),
+          sum(when($"gs" < k, 1L).otherwise(0L)).as("n_violating"),
+          sum(when($"gs" < k, $"gs").otherwise(0L)).as("rows_at_risk"))
+        .select(lit(level).as("level"), $"n_groups", $"min_group",
+          $"n_violating", $"rows_at_risk")
+    val levels = Seq(
+      audit(0L, Seq($"nation", $"c_mktsegment", band($"cents", 200000L))),
+      audit(1L, Seq($"nation", $"c_mktsegment", band($"cents", 1000000L))),
+      audit(2L, Seq($"region", $"c_mktsegment", band($"cents", 1000000L))),
+      audit(3L, Seq($"region", band($"cents", 5000000L))))
+      .reduce(_.unionByName(_))
+    val best = levels
+      .agg(coalesce(min(when($"n_violating" === 0L, $"level")),
+        lit(3L)).as("best_level"))
+    levels.crossJoin(broadcast(best))
+      .select($"level", $"n_groups", $"min_group", $"n_violating",
+        $"rows_at_risk",
+        when($"level" === $"best_level", 1L).otherwise(0L).as("chosen"))
+      .orderBy($"level")
+  }
+
+  def generalizationLadderSql(k: Int = 5): String = {
+    def lvl(level: Int, keys: String, unit: Long) =
+      s"""SELECT CAST($level AS BIGINT) AS level,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(min(gs) AS BIGINT) AS min_group,
+                 CAST(sum(CASE WHEN gs < $k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 CAST(sum(CASE WHEN gs < $k THEN gs ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk
+          FROM (SELECT CAST(count(*) AS BIGINT) AS gs FROM cu
+                GROUP BY $keys)"""
+    val b2 = "CAST(floor(CAST(cents AS DOUBLE) / 200000.0) AS BIGINT)"
+    val b10 = "CAST(floor(CAST(cents AS DOUBLE) / 1000000.0) AS BIGINT)"
+    val b50 = "CAST(floor(CAST(cents AS DOUBLE) / 5000000.0) AS BIGINT)"
+    s"""WITH cu AS (
+          SELECT c.c_nationkey AS nation, n.n_regionkey AS region,
+                 c.c_mktsegment,
+                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer c JOIN nation n
+            ON n.n_nationkey = c.c_nationkey),
+        levels AS (
+          ${lvl(0, s"nation, c_mktsegment, $b2", 200000L)}
+          UNION ALL
+          ${lvl(1, s"nation, c_mktsegment, $b10", 1000000L)}
+          UNION ALL
+          ${lvl(2, s"region, c_mktsegment, $b10", 1000000L)}
+          UNION ALL
+          ${lvl(3, s"region, $b50", 5000000L)}),
+        best AS (
+          SELECT coalesce(min(CASE WHEN n_violating = 0 THEN level END),
+                          3) AS best_level
+          FROM levels)
+        SELECT level, n_groups, min_group, n_violating, rows_at_risk,
+               CAST(CASE WHEN level = best_level THEN 1 ELSE 0 END
+                 AS BIGINT) AS chosen
+        FROM levels CROSS JOIN best
+        ORDER BY level"""
+  }
 }

@@ -101,4 +101,56 @@ object Recommend {
                 ORDER BY cos_ppm DESC, neighbor) AS rk FROM cand)
         SELECT item, neighbor, co, cos_ppm FROM r
         WHERE rk <= $k ORDER BY item, cos_ppm DESC, neighbor"""
+
+  /** Recommendation COVERAGE + exposure-concentration readout over
+    * the item-CF top-k table (Herlocker et al. 2004's catalog
+    * coverage; Gini exposure per Castells/Vargas diversity work) —
+    * the serving-side audit: how much of the catalog do the rec
+    * lists reach, and how concentrated is item exposure? Coverage is
+    * integer ppm; the exposure Gini uses the PAIRWISE form
+    * G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) over the recommended-item exposure
+    * counts — the rec table is (nItems·k)-bounded by construction
+    * (metadata-scale), so the pair join is a few thousand integer
+    * rows and needs no ranking window at all.
+    */
+  def coverage(spark: SparkSession, dir: String,
+      nItems: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val recs = itemItemCf(spark, dir, nItems, k)
+      .select($"neighbor").localCheckpoint(true)
+    val catalog = Tables.lineitem(spark, dir)
+      .select($"l_partkey").distinct()
+      .agg(count(lit(1)).as("catalog"))
+    val expo = recs.groupBy($"neighbor").agg(count(lit(1)).as("x"))
+    val tot = expo.agg(count(lit(1)).as("n_recommended"),
+      sum($"x").as("sum_x"))
+    val absDiff = expo.select($"x".as("xa"))
+      .crossJoin(expo.select($"x".as("xb")))
+      .agg(sum(abs($"xa" - $"xb")).as("dsum"))
+    catalog.crossJoin(tot).crossJoin(absDiff)
+      .select($"catalog", $"n_recommended",
+        expr("(n_recommended * 1000000L) div catalog").as("coverage_ppm"),
+        round($"dsum".cast("double")
+          / (lit(2.0) * $"n_recommended".cast("double")
+            * $"sum_x".cast("double")), 6).as("exposure_gini"))
+  }
+
+  def coverageSql(nItems: Int = 10, k: Int = 5): String =
+    s"""WITH recs AS (
+          SELECT neighbor FROM (${itemItemCfSql(nItems, k)})),
+        cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS catalog
+                FROM lineitem),
+        expo AS (SELECT neighbor, CAST(count(*) AS BIGINT) AS x
+                 FROM recs GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+                       CAST(sum(x) AS BIGINT) AS sum_x
+                FROM expo),
+        ad AS (SELECT CAST(sum(abs(a.x - b.x)) AS BIGINT) AS dsum
+               FROM expo a CROSS JOIN expo b)
+        SELECT catalog, n_recommended,
+               (n_recommended * 1000000) // catalog AS coverage_ppm,
+               round(CAST(dsum AS DOUBLE)
+                 / (2.0 * CAST(n_recommended AS DOUBLE)
+                   * CAST(sum_x AS DOUBLE)), 6) AS exposure_gini
+        FROM cat CROSS JOIN tot CROSS JOIN ad"""
 }

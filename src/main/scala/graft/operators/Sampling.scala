@@ -781,4 +781,33 @@ object Sampling {
                CAST(min(es) AS BIGINT) AS lo_es,
                CAST(max(es) AS BIGINT) AS hi_es
         FROM lab GROUP BY split ORDER BY split"""
+
+  /** Deterministic k-FOLD assignment + balance census — the
+    * cross-validation split (Stone 1974) as a replayable dataflow:
+    * fold = md5-bucket(doc_id, "fold") div (1000/k), so folds are
+    * disjoint, exhaustive, and bit-identical on any engine (the
+    * sampleSplit device with k equal slices). The census reports the
+    * per-(fold, source) cell counts a CV harness checks before
+    * trusting fold symmetry. One aggregate; fold math is scan-side.
+    */
+  def kfoldCensus(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(1000 % k == 0, s"k=$k must divide the 1000-bucket space")
+    val width = 1000 / k
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("fold_b", bucket($"doc_id", "fold"))
+      .withColumn("fold", expr(s"fold_b div $width"))
+      .groupBy($"fold", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"fold", $"source")
+  }
+
+  def kfoldCensusSql(k: Int = 5): String = {
+    val width = 1000 / k
+    s"""SELECT ${bucketSql("doc_id", "fold")} // $width AS fold,
+               source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

@@ -134,4 +134,25 @@ class PiiSpec extends SparkSpec {
     assert(loose((0L, 0L)) == 150000L && loose((0L, 1L)) == 150000L &&
       loose((1L, 1L)) == 150000L && loose((1L, 0L)) == 600000L)
   }
+
+  test("generalization ladder: nested levels are monotone, exactly one chosen = minimal achieving level") {
+    import graft.operators.Pii
+    val rows = Pii.generalizationLadder(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // each level is a coarsening of the previous: groups merge, so
+    // group count can't grow, the min group can't shrink, and no row
+    // becomes newly at-risk
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2, s"n_groups grew ${a} -> ${b}")
+      assert(b._3 >= a._3, s"min_group shrank ${a} -> ${b}")
+      assert(b._5 <= a._5, s"rows_at_risk grew ${a} -> ${b}")
+    }
+    assert(rows.count(_._6 == 1L) == 1, "exactly one chosen level")
+    val chosen = rows.find(_._6 == 1L).get._1
+    val achieving = rows.filter(_._4 == 0L).map(_._1)
+    if (achieving.nonEmpty) assert(chosen == achieving.min)
+    else assert(chosen == 3L)
+  }
 }

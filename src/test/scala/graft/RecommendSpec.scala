@@ -42,4 +42,19 @@ class RecommendSpec extends SparkSpec {
     assert(out.length == 2 && out.map(_._2).toSeq == Seq(1L, 2L),
       s"got ${out.toSeq}") // equal cosines tie-break by neighbor id
   }
+
+  test("coverage: ppm ratio reconciles, gini matches the pairwise re-derivation, bounds hold") {
+    import graft.operators.Recommend
+    val r = Recommend.coverage(spark, SF).collect().head
+    val catalog = r.getLong(0); val nRec = r.getLong(1)
+    assert(nRec > 0 && nRec <= 50, s"n_recommended $nRec outside (0, nItems*k]")
+    assert(r.getLong(2) == nRec * 1000000L / catalog)
+    // independent gini: exposure counts off the rec table itself
+    val expo = Recommend.itemItemCf(spark, SF)
+      .groupBy("neighbor").count().collect().map(_.getLong(1))
+    val dsum = (for (a <- expo; b <- expo) yield math.abs(a - b)).sum
+    val want = dsum.toDouble / (2.0 * expo.length * expo.sum)
+    assert(math.abs(r.getDouble(3) - want) < 1e-6 + 1e-9)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+  }
 }

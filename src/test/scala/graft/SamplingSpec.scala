@@ -424,4 +424,30 @@ class SamplingSpec extends SparkSpec {
     val frac = rows("train")._1.toDouble / total
     assert(frac >= 0.79 && frac <= 0.82, s"train fraction $frac")
   }
+
+  test("kfold census: folds disjoint-exhaustive over 0..k-1, counts reconcile, md5 replica agrees") {
+    import graft.operators.Sampling
+    val rows = Sampling.kfoldCensus(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).forall(f => f >= 0L && f < 5L))
+    val total = Tables.documents(spark, SF).count()
+    assert(rows.map(_._3).sum == total, "census drops or double-counts docs")
+    // independent md5 replica of the fold assignment
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((id.toString + "fold").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1000
+    }
+    val docs = Tables.documents(spark, SF)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy { case (id, src) => (bucket(id) / 200, src) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap ==
+      expected.map { case ((f, s), n) => (f, s) -> n })
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldCensus(spark, SF, k = 7)
+    }
+  }
 }
