@@ -1740,4 +1740,82 @@ object Events {
                 AS slope_per_day
        FROM lo JOIN hi USING (event_type)
        ORDER BY event_type"""
+
+  /** HOLT linear-trend exponential smoothing forecast over the
+    * hourly count series (Holt 1957 / Winters 1960 — the
+    * level-plus-trend recursion; the no-seasonality member of the
+    * exponential-smoothing family next to the truncated EWMA,
+    * 27av.4): α = β = ¼, state in integer MICRO units with
+    * truncating division at every step — l_t = (10⁶·x_t +
+    * 3(l_{t−1}+b_{t−1})) div 4, b_t = ((l_t − l_{t−1}) + 3b_{t−1})
+    * div 4 — so the whole trajectory is BIGINT-exact and replays
+    * bit-for-bit as a DuckDB recursive CTE (both engines truncate
+    * integer division toward zero — verified, not assumed). Emits
+    * the h = 1..24 forecast fan l_n + h·b_n.
+    *
+    * Contract: the smoothing recursion is inherently sequential, so
+    * after the DISTRIBUTED spine aggregation the fold runs
+    * driver-side over the collected spine — CALENDAR-BOUNDED rows
+    * (a decade of hours is 88 k; the markov-matrix collect stance).
+    * Past hour grain, the documented valve is the associative
+    * matrix-product scan form of the same linear recursion (each
+    * step is an affine 2×2 map; fold maps per-band, combine
+    * prefixes), which trades the integer-truncation contract for
+    * distribution — not needed at any calendar-bounded grain.
+    */
+  def holtForecast(spark: SparkSession, dir: String,
+      horizon: Int = 24): DataFrame = {
+    import spark.implicits._
+    val spine = gapfillHourly(spark, dir)
+      .orderBy($"h").collect().map(_.getLong(1))
+    require(spine.length >= 2,
+      s"holtForecast: need ≥ 2 spine hours, got ${spine.length}")
+    var l = spine(0) * 1000000L
+    var b = (spine(1) - spine(0)) * 1000000L
+    for (t <- 1 until spine.length) {
+      val lPrev = l
+      l = (spine(t) * 1000000L + 3L * (lPrev + b)) / 4L
+      b = ((l - lPrev) + 3L * b) / 4L
+    }
+    val rows = (1 to horizon).map(h => (h.toLong, l + h.toLong * b))
+    spark.createDataFrame(rows).toDF("h_ahead", "forecast_micro")
+      .select($"h_ahead", $"forecast_micro",
+        round($"forecast_micro".cast("double") / 1.0e6, 4).as("forecast"))
+      .orderBy($"h_ahead")
+  }
+
+  def holtForecastSql(horizon: Int = 24): String = {
+    // l2 inlined twice in the recursive arm (SQL can't name it)
+    val l2 = "(sp.n * 1000000 + 3 * (st.l + st.b)) // 4"
+    s"""WITH RECURSIVE c AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+          FROM events GROUP BY 1),
+        bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bnd),
+        spf AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                FROM hrs LEFT JOIN c USING (h)),
+        sp AS (SELECT CAST(h - (SELECT lo FROM bnd) + 1 AS BIGINT) AS rn, n
+               FROM spf),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM sp),
+        st(t, l, b) AS (
+          SELECT CAST(1 AS BIGINT),
+                 (SELECT n FROM sp WHERE rn = 1) * 1000000,
+                 ((SELECT n FROM sp WHERE rn = 2)
+                   - (SELECT n FROM sp WHERE rn = 1)) * 1000000
+          UNION ALL
+          SELECT st.t + 1,
+                 $l2,
+                 (($l2 - st.l) + 3 * st.b) // 4
+          FROM st JOIN sp ON sp.rn = st.t + 1
+          WHERE st.t < (SELECT n_rows FROM nn)),
+        fin AS (SELECT l, b FROM st
+                WHERE t = (SELECT n_rows FROM nn)),
+        fan AS (SELECT CAST(unnest(range(1, ${horizon + 1})) AS BIGINT)
+                  AS h_ahead)
+        SELECT h_ahead, l + h_ahead * b AS forecast_micro,
+               round(CAST(l + h_ahead * b AS DOUBLE) / 1000000.0, 4)
+                 AS forecast
+        FROM fan CROSS JOIN fin
+        ORDER BY h_ahead"""
+  }
 }

@@ -862,4 +862,29 @@ import org.apache.spark.sql.functions.{call_function, hour}
       }
     }
   }
+
+  test("holt: a linear ramp is a fixed point of the recursion — forecast extends it exactly; constant series stays flat") {
+    import spark.implicits._
+    import graft.operators.Events
+    def hns(h: Long): Long = h * 3600L * 1000000000L
+    def write(counts: Seq[Int], dir: String): String = {
+      val rows = counts.zipWithIndex.flatMap { case (k, t) =>
+        (0 until k).map(i => (t.toLong * 100 + i, hns(t.toLong), 1L,
+          "view", 0.0, "{}"))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(dir).toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // ramp 5,6,...,14: l_t = 1e6·x_t, b = 1e6 exactly at every step
+    val ramp = Events.holtForecast(spark, write((5 to 14).toSeq, "holt1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ramp == (1L to 24L).map(h => (h, (14L + h) * 1000000L)),
+      s"ramp fan wrong: ${ramp.take(3)}")
+    // constant 7: level pinned, trend zero, flat fan
+    val flat = Events.holtForecast(spark, write(Seq.fill(6)(7), "holt2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flat.forall(_._2 == 7000000L), s"flat fan wrong: ${flat.take(3)}")
+  }
 }
