@@ -654,4 +654,203 @@ object DecisionSupport {
                            AND l3.late = 1)
        GROUP BY s_name
        ORDER BY numwait DESC, s_name"""
+
+  /** Q9 (product-type profit measure) — profit per supplier nation
+    * and ship year over a part-name cut. No partsupp exists in this
+    * corpus, so unit supply cost is the documented stand-in
+    * 60% of p_retailprice (a fixed rational — the shape, the
+    * two-dim broadcast join tree, and the nation×year rollup are
+    * Q9's; only the cost column is adapted, as q2 adapts
+    * ps_supplycost). Exact integer units of 10⁻² cents:
+    * profit_u = price_c·(100−d_pct) − 60·qty·retail_c, all BIGINT;
+    * the display division happens once. Plan: lineitem joins two
+    * BROADCAST dims (part cut, supplier→nation) — zero shuffles
+    * before the (nation, year) hash aggregate, partial map-side.
+    */
+  def q9ProfitShape(spark: SparkSession, dir: String,
+      nameToken: String = "widget"): DataFrame = {
+    import spark.implicits._
+    val partCut = Tables.part(spark, dir)
+      .filter($"p_name".contains(nameToken))
+      .select($"p_partkey", cents("p_retailprice").as("retail_c"))
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(partCut), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+      .select($"nation", year($"l_shipdate").cast("long").as("o_year"),
+        (cents("l_extendedprice")
+          * (lit(100L) - round($"l_discount" * 100).cast("long"))
+          - lit(60L) * round($"l_quantity").cast("long") * $"retail_c")
+          .as("profit_u"))
+      .groupBy($"nation", $"o_year")
+      .agg(sum($"profit_u").as("profit_u"))
+      .select($"nation", $"o_year", $"profit_u",
+        round($"profit_u".cast("double") / 1.0e4, 2).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  def q9ProfitShapeSql(nameToken: String = "widget"): String =
+    s"""SELECT nation, o_year, CAST(sum(profit_u) AS BIGINT) AS profit_u,
+               round(CAST(sum(profit_u) AS DOUBLE) / 10000.0, 2) AS profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 - 60 * CAST(round(l.l_quantity) AS BIGINT)
+                   * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   AS profit_u
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%$nameToken%')
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""
+
+  /** Q11 (important stock identification) — the parts whose supplied
+    * value inside ONE nation exceeds a fixed fraction of that
+    * nation's total supplied value. partsupp's availqty·supplycost
+    * is adapted to Σ lineitem extendedprice (the value actually
+    * moved), the fraction test is CROSS-MULTIPLIED integer
+    * (value_c·frac_den > total_c — no fp threshold), and the
+    * one-row nation total broadcasts back (the q15 device). Plan:
+    * one shuffle on partkey inside the nation slice.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+      nationName: String = "NATION_7", fracDen: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val supIn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter($"n_name" === nationName)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(supIn), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(cents("l_extendedprice")).as("value_c"))
+    val tot = vals.agg(sum($"value_c").as("total_c"))
+    vals.crossJoin(broadcast(tot))
+      .filter($"value_c" * fracDen > $"total_c")
+      .select($"l_partkey", $"value_c")
+      .orderBy($"value_c".desc, $"l_partkey")
+  }
+
+  def q11ImportantPartsSql(nationName: String = "NATION_7",
+      fracDen: Long = 2000L): String =
+    s"""WITH vals AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS value_c
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = '$nationName'
+          GROUP BY l_partkey),
+        tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM vals)
+        SELECT l_partkey, value_c
+        FROM vals CROSS JOIN tot
+        WHERE value_c * $fracDen > total_c
+        ORDER BY value_c DESC, l_partkey"""
+
+  /** Q16 (parts/supplier relationship census) — distinct suppliers
+    * per (brand, type, size) over a negated part cut, excluding
+    * flagged suppliers. The spec's comment-LIKE complaint filter has
+    * no comment column here; the documented stand-in flag is a
+    * NEGATIVE account balance. The exclusion is a broadcast
+    * anti-join BEFORE the distinct aggregation, the count-distinct
+    * is one partial-agg'd exchange on the group key.
+    */
+  def q16SupplierCensus(spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#1", excludeType: String = "PROMO")
+      : DataFrame = {
+    import spark.implicits._
+    val partCut = Tables.part(spark, dir)
+      .filter($"p_brand" =!= excludeBrand &&
+        !$"p_type".startsWith(excludeType))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val flagged = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey".as("l_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(partCut), $"l_partkey" === $"p_partkey")
+      .join(broadcast(flagged), Seq("l_suppkey"), "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  def q16SupplierCensusSql(excludeBrand: String = "Brand#1",
+      excludeType: String = "PROMO"): String =
+    s"""SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> '$excludeBrand'
+          AND p_type NOT LIKE '$excludeType%'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q20 (potential part promotion) — suppliers in one nation who
+    * DOMINATE the supply of some name-cut part in a ship year:
+    * partsupp's `availqty > ½·Σ qty` becomes `supplier's qty share
+    * > ½ of the part's total` (cross-multiplied integers, 2·own >
+    * total). Q20's nested-IN chain is the same semi-join ladder:
+    * qualifying (supplier, part) pairs → DISTINCT suppliers →
+    * broadcast semi-join into the supplier dim. One partkey-grouped
+    * aggregate + a broadcast total join; no pair blow-up anywhere.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String,
+      nameToken: String = "widget", shipYear: Int = 1997,
+      nationName: String = "NATION_3"): DataFrame = {
+    import spark.implicits._
+    val partCut = Tables.part(spark, dir)
+      .filter($"p_name".contains(nameToken)).select($"p_partkey")
+    val qty = Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate") === shipYear)
+      .join(broadcast(partCut), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(round($"l_quantity").cast("long")).as("own_q"))
+    val totals = qty.groupBy($"l_partkey".as("tk"))
+      .agg(sum($"own_q").as("tot_q"))
+    val dominant = qty
+      .join(totals, $"l_partkey" === $"tk")
+      .filter(lit(2L) * $"own_q" > $"tot_q")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter($"n_name" === nationName)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(dominant), $"s_suppkey" === $"l_suppkey")
+      .select($"s_name", cents("s_acctbal").as("s_bal_c"))
+      .orderBy($"s_name")
+  }
+
+  def q20ExcessSuppliersSql(nameToken: String = "widget",
+      shipYear: Int = 1997, nationName: String = "NATION_3"): String =
+    s"""WITH qty AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS own_q
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE year(l_shipdate) = $shipYear
+            AND p_name LIKE '%$nameToken%'
+          GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, CAST(sum(own_q) AS BIGINT) AS tot_q
+                FROM qty GROUP BY 1),
+        dom AS (
+          SELECT DISTINCT q.l_suppkey
+          FROM qty q JOIN tot t ON t.l_partkey = q.l_partkey
+          WHERE 2 * q.own_q > t.tot_q)
+        SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_bal_c
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN dom ON l_suppkey = s_suppkey
+        WHERE n_name = '$nationName'
+        ORDER BY s_name"""
 }

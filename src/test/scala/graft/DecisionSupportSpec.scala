@@ -232,4 +232,61 @@ class DecisionSupportSpec extends SparkSpec {
     }.groupBy(t => names(t._2)).view.mapValues(_.size.toLong).toMap
     assert(gate == direct, s"gate $gate != brute fold $direct")
   }
+
+  test("q9/q11/q16/q20 shapes: driver-side re-derivations and cut invariants on the real corpus") {
+    import spark.implicits._
+    import graft.operators.DecisionSupport
+    // q9: exact profit recompute
+    val li = Tables.lineitem(spark, SF)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice",
+        $"l_discount", $"l_quantity", year($"l_shipdate").as("yr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100), math.round(r.getDouble(3) * 100),
+        math.round(r.getDouble(4)), r.getInt(5)))
+    val retail = Tables.part(spark, SF)
+      .filter($"p_name".contains("widget"))
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val supNat = Tables.supplier(spark, SF).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("s_nationkey")).toMap
+    val natName = Tables.nation(spark, SF).collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expected = li.filter(x => retail.contains(x._1))
+      .groupBy(x => (natName(supNat(x._2)), x._6.toLong))
+      .view.mapValues(_.map(x =>
+        x._3 * (100L - x._4) - 60L * x._5 * retail(x._1)).sum).toMap
+    val q9 = DecisionSupport.q9ProfitShape(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q9 == expected, s"q9 mismatch: ${q9.size} vs ${expected.size}")
+    // q11: threshold strict, emitted set = filtered set
+    val q11 = DecisionSupport.q11ImportantParts(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (q11.nonEmpty) {
+      val tot = li.filter(x => natName(supNat(x._2)) == "NATION_7")
+        .map(_._3).sum
+      q11.foreach { case (_, v) => assert(v * 2000L > tot) }
+    }
+    // q16: the negated cut and the flagged exclusion hold
+    val flagged = Tables.supplier(spark, SF)
+      .filter($"s_acctbal" < 0).collect().map(_.getLong(0)).toSet
+    val q16 = DecisionSupport.q16SupplierCensus(spark, SF).collect()
+    q16.foreach { r =>
+      assert(r.getString(0) != "Brand#1" && !r.getString(1).startsWith("PROMO"))
+      assert(r.getLong(3) >= 1L)
+    }
+    // q20: every emitted supplier dominates at least one widget part in 1997
+    val qty = li.filter(x => retail.contains(x._1) && x._6 == 1997)
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._5).sum).toMap
+    val tots = qty.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val dominant = qty.collect {
+      case ((p, s), own) if 2 * own > tots(p) => s }.toSet
+    val supName = Tables.supplier(spark, SF).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("s_suppkey")).toMap
+    DecisionSupport.q20ExcessSuppliers(spark, SF).collect().foreach { r =>
+      val sk = supName(r.getString(0))
+      assert(dominant.contains(sk), s"supplier $sk not dominant")
+      assert(natName(supNat(sk)) == "NATION_3")
+    }
+  }
 }
