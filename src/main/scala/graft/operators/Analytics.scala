@@ -2277,4 +2277,126 @@ object Analytics {
        SELECT d, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
        FROM dau JOIN mau ON date_trunc('month', d) = m
        ORDER BY d"""
+
+  /** Bradley–Terry preference strengths over event types (Bradley &
+    * Terry 1952; the MM fixpoint per Hunter 2004): each user casts
+    * one "contest" per event-type pair — the type they engaged with
+    * MORE wins (ties abstain) — and 10 minorization-maximization
+    * iterations recover the latent strengths:
+    * pᵢ ← wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ), renormalized to mean 10⁶ each step.
+    * All iteration arithmetic is INTEGER (pico-unit numerators with
+    * truncating division, a max(·,1) denominator guard), so the
+    * trajectory replays exactly as unrolled SQL CTEs.
+    *
+    * Contract: contest construction (per-user type counts → pairwise
+    * preferences → the wins/contests matrices) is the DISTRIBUTED
+    * work; the MM fold then runs driver-side on the collected
+    * ≤ |types|² matrix — config-bounded metadata, the markov-chain
+    * collect stance (Analytics.markovAttributionOf).
+    */
+  def bradleyTerry(spark: SparkSession, dir: String,
+      iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val prefs = perUser.as("a")
+      .join(perUser.as("b"), $"a.user_id" === $"b.user_id"
+        && $"a.event_type" < $"b.event_type")
+      .filter($"a.c" =!= $"b.c")
+      .select(
+        when($"a.c" > $"b.c", $"a.event_type")
+          .otherwise($"b.event_type").as("winner"),
+        when($"a.c" > $"b.c", $"b.event_type")
+          .otherwise($"a.event_type").as("loser"))
+      .groupBy($"winner", $"loser").agg(count(lit(1)).as("w"))
+    // ≤ |types|² rows — config-bounded metadata (documented contract)
+    val cells = prefs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val wins = cells.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap.withDefaultValue(0L)
+    val nPair = cells
+      .groupBy(c => if (c._1 < c._2) (c._1, c._2) else (c._2, c._1))
+      .view.mapValues(_.map(_._3).sum).toMap.withDefaultValue(0L)
+    def n(i: String, j: String) = nPair(if (i < j) (i, j) else (j, i))
+    var p = types.map(_ -> 1000000L).toMap
+    val k = types.length
+    for (_ <- 1 to iters) {
+      val raw = types.map { i =>
+        val d = types.filter(_ != i).map { j =>
+          val nij = n(i, j)
+          if (nij == 0) 0L
+          else nij * 1000000000000L / math.max(p(i) + p(j), 1L)
+        }.sum
+        i -> (if (d > 0) wins(i) * 1000000000000L / d else p(i))
+      }.toMap
+      val s = math.max(raw.values.sum, 1L)
+      p = raw.map { case (i, v) => i -> v * k * 1000000L / s }
+    }
+    val rows = types.map { i =>
+      (i, wins(i), types.filter(_ != i).map(j => n(i, j)).sum, p(i))
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_type", "wins", "n_contests", "p_micro")
+      .orderBy($"p_micro".desc, $"event_type")
+  }
+
+  def bradleyTerrySql(iters: Int = 10): String = {
+    val steps = (1 to iters).map { t =>
+      s"""raw$t AS MATERIALIZED (
+            SELECT ty.i,
+                   CASE WHEN coalesce(d.d, 0) > 0
+                        THEN (ty.w * 1000000000000) // d.d
+                        ELSE p.p END AS p
+            FROM ty
+            JOIN it${t - 1} p ON p.i = ty.i
+            LEFT JOIN (
+              SELECT pr.i,
+                     CAST(sum((pr.n * 1000000000000)
+                       // greatest(p0.p + p1.p, 1)) AS BIGINT) AS d
+              FROM pairs pr
+              JOIN it${t - 1} p0 ON p0.i = pr.i
+              JOIN it${t - 1} p1 ON p1.i = pr.j
+              GROUP BY pr.i) d ON d.i = ty.i),
+          it$t AS MATERIALIZED (
+            SELECT i, CAST((p * (SELECT k FROM kk) * 1000000)
+                      // greatest((SELECT sum(p) FROM raw$t), 1)
+                      AS BIGINT) AS p
+            FROM raw$t)"""
+    }.mkString(",\n")
+    s"""WITH pu AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        prefs AS (
+          SELECT CASE WHEN a.c > b.c THEN a.event_type
+                      ELSE b.event_type END AS winner,
+                 CASE WHEN a.c > b.c THEN b.event_type
+                      ELSE a.event_type END AS loser,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM pu a JOIN pu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          WHERE a.c <> b.c
+          GROUP BY 1, 2),
+        ty AS (
+          SELECT i, CAST(coalesce(sum(w), 0) AS BIGINT) AS w FROM (
+            SELECT winner AS i, w FROM prefs
+            UNION ALL SELECT loser, 0 FROM prefs)
+          GROUP BY i),
+        pairs AS (
+          SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+            SELECT winner AS i, loser AS j, w AS n FROM prefs
+            UNION ALL SELECT loser, winner, w FROM prefs)
+          GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+        it0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM ty),
+        $steps
+        SELECT ty.i AS event_type, ty.w AS wins,
+               CAST(coalesce((SELECT sum(n) FROM pairs pr
+                              WHERE pr.i = ty.i), 0) AS BIGINT)
+                 AS n_contests,
+               it$iters.p AS p_micro
+        FROM ty JOIN it$iters ON it$iters.i = ty.i
+        ORDER BY p_micro DESC, event_type"""
+  }
 }

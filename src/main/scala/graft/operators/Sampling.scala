@@ -810,4 +810,64 @@ object Sampling {
                source, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** Importance-reweighting plan toward a UNIFORM source mix (the
+    * domain-reweighting primitive behind DoReMi-style mixture tuning
+    * and survey post-stratification — Horvitz–Thompson weights): per
+    * source, weight ∝ target share / empirical share, i.e.
+    * w_ppm = n_total·10⁶ div (k·n_source), clamped at `capPpm`
+    * (uncapped tail weights explode on rare sources). Emits the plan
+    * plus the diagnostic that decides if it's usable: Kish's
+    * effective sample size (Σ nw)²/(Σ nw²) — exact integer
+    * numerators (headroom: ppm² ·n² ≤ 10¹² ·n², n ≤ 10⁹ per source
+    * under the cap), one final division. One aggregate pass;
+    * metadata after.
+    */
+  def importanceWeights(spark: SparkSession, dir: String,
+      capPpm: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum($"n_docs").as("n_total"),
+      count(lit(1)).as("k"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        least(lit(capPpm),
+          expr("(n_total * 1000000L) div (k * n_docs)")).as("w_ppm"))
+      .localCheckpoint(true)
+    val ess = plan
+      .agg(sum($"n_docs" * $"w_ppm").as("sw"),
+        sum($"n_docs" * $"w_ppm" * $"w_ppm").as("sw2"))
+      .select(round($"sw".cast("double") * $"sw".cast("double")
+        / $"sw2".cast("double"), 2).as("ess"))
+    plan.crossJoin(broadcast(ess))
+      .select($"source", $"n_docs", $"w_ppm",
+        when($"w_ppm" === capPpm, 1L).otherwise(0L).as("capped"),
+        $"ess")
+      .orderBy($"source")
+  }
+
+  def importanceWeightsSql(capPpm: Long = 10000000L): String =
+    s"""WITH counts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM counts),
+        plan AS (
+          SELECT source, n_docs,
+                 least($capPpm,
+                   (n_total * 1000000) // (k * n_docs)) AS w_ppm
+          FROM counts CROSS JOIN tot),
+        ess AS (
+          SELECT round(CAST(sum(n_docs * w_ppm) AS DOUBLE)
+            * CAST(sum(n_docs * w_ppm) AS DOUBLE)
+            / CAST(sum(n_docs * w_ppm * w_ppm) AS DOUBLE), 2) AS ess
+          FROM plan)
+        SELECT source, n_docs, w_ppm,
+               CAST(CASE WHEN w_ppm = $capPpm THEN 1 ELSE 0 END
+                 AS BIGINT) AS capped,
+               ess
+        FROM plan CROSS JOIN ess
+        ORDER BY source"""
 }

@@ -1452,4 +1452,67 @@ object TextAnalysis {
               round(CAST(sum(ll_micro) AS DOUBLE)
                 / (CAST(count(*) AS DOUBLE) * 1000000), 4) AS avg_ll_nats
        FROM per_doc GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Cohen's κ for the langid classifier (Cohen 1960) — chance-
+    * corrected agreement over the full gold × predicted confusion
+    * matrix, the single-number honesty check precision/recall tables
+    * miss (a degenerate majority-class predictor scores high
+    * accuracy but κ ≈ 0). Held EXACT until the last division:
+    * κ = (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k), all
+    * BIGINT cross-multiplications over the |labels|²-sized cell
+    * frame (the langIdEval aggregate — one corpus pass, metadata
+    * after). The 'und' prediction class participates as a label with
+    * an empty gold row, as it should.
+    */
+  def langIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = langId(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rowTot = cells.groupBy($"lang").agg(sum($"n").as("r"))
+    val colTot = cells.groupBy($"pred_lang".as("lang"))
+      .agg(sum($"n").as("c"))
+    val pe = rowTot.join(colTot, Seq("lang"), "full")
+      .agg(sum(coalesce($"r", lit(0L)) * coalesce($"c", lit(0L)))
+        .as("pe_num"))
+    val agg = cells.agg(sum($"n").as("n_tot"),
+      sum(when($"lang" === $"pred_lang", $"n").otherwise(0L)).as("diag"))
+    agg.crossJoin(broadcast(pe))
+      .select($"n_tot", $"diag", $"pe_num",
+        ($"n_tot" * $"diag" - $"pe_num").as("kappa_num"),
+        ($"n_tot" * $"n_tot" - $"pe_num").as("kappa_den"),
+        round(($"n_tot" * $"diag" - $"pe_num").cast("double")
+          / ($"n_tot" * $"n_tot" - $"pe_num").cast("double"), 6)
+          .as("kappa"))
+  }
+
+  val langIdKappaSql: String = {
+    // the same langid prediction as the langIdEval oracle
+    s"""WITH pred AS (${langIdSql}),
+        cells AS (
+          SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, pred_lang FROM pred) p
+          JOIN documents d ON d.doc_id = p.doc_id
+          GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+        ct AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+        pe AS (SELECT CAST(sum(coalesce(rt.r, 0) * coalesce(ct.c, 0))
+                 AS BIGINT) AS pe_num
+               FROM rt FULL JOIN ct USING (lang)),
+        agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                       CAST(sum(CASE WHEN lang = pred_lang THEN n
+                                ELSE 0 END) AS BIGINT) AS diag
+                FROM cells)
+        SELECT n_tot, diag, pe_num,
+               n_tot * diag - pe_num AS kappa_num,
+               n_tot * n_tot - pe_num AS kappa_den,
+               round(CAST(n_tot * diag - pe_num AS DOUBLE)
+                 / CAST(n_tot * n_tot - pe_num AS DOUBLE), 6) AS kappa
+        FROM agg CROSS JOIN pe"""
+  }
 }

@@ -726,4 +726,54 @@ class EvaluationSpec extends SparkSpec {
     val flat = Analytics.didPurchaseValueOf(events(0.0)).collect().head
     assert(flat.getDouble(8) == 0.0)
   }
+
+  test("bradley-terry: transitive dominance recovers the order; ties abstain; strengths normalize to mean 1e6") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ev(id: Long, u: Long, t: String, k: Int) =
+      (0 until k).map(i => (id * 100 + i, (id * 100 + i) * 1000000000L,
+        u, t, 0.0, "{}"))
+    // 6 users each prefer A>B, B>C, A>C consistently; user 7 ties A=B
+    val rows = (1L to 6L).flatMap { u =>
+      ev(u * 10, u, "alpha", 3) ++ ev(u * 10 + 1, u, "beta", 2) ++
+        ev(u * 10 + 2, u, "gamma", 1)
+    } ++ ev(70, 7L, "alpha", 2) ++ ev(71, 7L, "beta", 2)
+    val tmp = java.nio.file.Files.createTempDirectory("bt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.bradleyTerry(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq("alpha", "beta", "gamma"),
+      s"order wrong: ${got.toSeq}")
+    // wins: alpha 12 (6 over beta + 6 over gamma), beta 6, gamma 0;
+    // the tied user contributes NO contest
+    assert(got.map(_._2).toSeq == Seq(12L, 6L, 0L))
+    assert(got.map(_._3).toSeq == Seq(12L, 12L, 12L))
+    val ps = got.map(_._4)
+    assert(ps(0) > ps(1) && ps(1) > ps(2))
+    // normalization keeps the mean at 1e6 (within integer truncation)
+    assert(math.abs(ps.sum - 3000000L) <= 3, s"sum ${ps.sum}")
+  }
+
+  test("cohen kappa: reconciles with a driver-side recompute off the langid confusion; bounded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val cells = TextAnalysis.langId(spark, SF)
+      .join(Tables.documents(spark, SF).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"pred_lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val labels = (cells.map(_._1) ++ cells.map(_._2)).distinct
+    val pe = labels.map { l =>
+      cells.filter(_._1 == l).map(_._3).sum *
+        cells.filter(_._2 == l).map(_._3).sum
+    }.sum
+    val r = TextAnalysis.langIdKappa(spark, SF).collect().head
+    assert(r.getAs[Long]("n_tot") == n && r.getAs[Long]("diag") == diag)
+    assert(r.getAs[Long]("pe_num") == pe)
+    assert(r.getAs[Long]("kappa_num") == n * diag - pe)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
 }

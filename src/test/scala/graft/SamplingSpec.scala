@@ -450,4 +450,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.kfoldCensus(spark, SF, k = 7)
     }
   }
+
+  test("importance weights: 9:1 mix gives the exact uniform-target weights, cap binds, ESS reconciles") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = ((1L to 9L).map(i => (i, "big")) ++ Seq((10L, "rare")))
+      .map { case (id, s) => (id, s"t$id", "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("iw").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.importanceWeights(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    // w = n_total*1e6 div (k*n): big = 10e6/18 = 555555, rare = 5e6
+    assert(got("big") == ((9L, 555555L, 0L, got("big")._4)))
+    assert(got("rare")._2 == 5000000L && got("rare")._3 == 0L)
+    val sw = 9L * 555555L + 5000000L
+    val sw2 = 9L * 555555L * 555555L + 5000000L * 5000000L
+    val ess = math.rint(sw.toDouble * sw / sw2 * 100) / 100
+    assert(math.abs(got("big")._4 - ess) < 1e-9, s"ess ${got("big")._4} vs $ess")
+    // a tight cap binds and flags
+    val capped = Sampling.importanceWeights(spark, tmp, capPpm = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped("rare") == 1L && capped("big") == 0L)
+  }
 }
