@@ -978,12 +978,19 @@ object Similarity {
         s"pairBudget=$pairBudget — block candidates with the " +
         "hyperplane-LSH device (embeddingDedupLsh) or IVF cells and " +
         "feed them to dbscanOf")
+    dbscanOf(emb.select($"vec_id"), dbscanPairs(emb, simMin), minPts)
+  }
+
+  /** The exact ε-neighbor pair frame [[dbscan]] clusters over —
+    * exposed so PlanAuditSpec pins its broadcast-NL shape.
+    */
+  def dbscanPairs(emb: DataFrame, simMin: Double): DataFrame = {
+    import emb.sparkSession.implicits._
     val a = emb.select($"vec_id".as("i"), $"embedding".as("ea"))
     val b = emb.select($"vec_id".as("j"), $"embedding".as("eb"))
-    val pairs = a.join(b, $"i" < $"j")
+    a.join(b, $"i" < $"j")
       .filter(round(cosineCol($"ea", $"eb"), 4) >= simMin)
       .select($"i", $"j")
-    dbscanOf(emb.select($"vec_id"), pairs, minPts)
   }
 
   /** Clustering core over any (vec_id) point frame + (i, j)

@@ -512,4 +512,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"native path must carry no window:\n$p")
   }
 
+
+  test("sim_dbscan: pair frame is a broadcast nested-loop, never a cartesian shuffle") {
+    // the clustering core truncates lineage at a checkpoint, so pin
+    // the pair stage (the scale-critical part) directly
+    val p = Similarity.dbscanPairs(
+        graft.Tables.embeddings(spark, SF), simMin = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dbscan pair join not broadcast-NL:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"dbscan fell back to a shuffled cartesian:\n$p")
+  }
+
+  test("q9_profit: both dims broadcast, one partial-agg'd exchange on (nation, year)") {
+    val p = plan("q9_profit")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"q9 dims not both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q9 fact shuffled for a dim join:\n$p")
+    assert(p.contains("partial"), s"q9 aggregate not map-side partial:\n$p")
+  }
+
+  test("q16_supplier_census: flagged suppliers excluded via broadcast anti-join before the distinct aggregation") {
+    val p = plan("q16_supplier_census")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"q16 exclusion not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q16 shuffled a dim join:\n$p")
+  }
+
+  test("decontaminate_multi: eval gram index broadcast — the corpus never shuffles for membership") {
+    val p = plan("decontaminate_multi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"multi-set gram probe not broadcast:\n$p")
+  }
 }
