@@ -205,6 +205,18 @@ object EntityResolution {
   def fellegiSunterOf(partsIn: DataFrame,
       blkExpr: org.apache.spark.sql.Column, topK: Int,
       pairBudget: Long = DefaultPairBudget): DataFrame = {
+    import partsIn.sparkSession.implicits._
+    fsScoredPairs(partsIn, blkExpr, pairBudget)
+      .orderBy($"score_mbits".desc, $"pk_a", $"pk_b")
+      .limit(topK)
+  }
+
+  /** The scored candidate-pair frame both [[fellegiSunterOf]] (top-k
+    * review list) and [[resolveEntities]] (threshold + closure) cut.
+    */
+  private def fsScoredPairs(partsIn: DataFrame,
+      blkExpr: org.apache.spark.sql.Column,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val spark = partsIn.sparkSession
     import spark.implicits._
     val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
@@ -243,8 +255,75 @@ object EntityResolution {
           when($"ag_size" === 1L, lit(sA)).otherwise(lit(sD)))
       .select($"pk_a", $"pk_b", $"ag_name", $"ag_brand", $"ag_type",
         $"ag_size", $"score_mbits")
-      .orderBy($"score_mbits".desc, $"pk_a", $"pk_b")
-      .limit(topK)
+  }
+
+  /** End-to-end ENTITY RESOLUTION — the decision step on top of the
+    * Fellegi–Sunter scorer: pairs at or above `thresholdMbits` (the
+    * classic "link" cut; default = agree on name+brand+type whatever
+    * size does) become match edges, connected components merge them
+    * into entities (transitive closure — the standard ER final step,
+    * via the repo CC engine), and the output is the entity census a
+    * data steward reviews: canonical id = min record key, sizes,
+    * distinct names, a sample name. Runs on the FINE composite
+    * blocking key (first-token × brand) — the production valve, so
+    * the pair fan-out stays budget-guarded and brand-bounded.
+    */
+  def resolveEntities(spark: SparkSession, dir: String,
+      thresholdMbits: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val Seq((_, nA, _), (_, bA, _), (_, tA, _), (_, _, sD)) = fsWeights
+    val thr = thresholdMbits.getOrElse(nA + bA + tA + sD)
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey".as("pk"), $"p_name".as("nm"),
+        $"p_brand".as("br"), $"p_type".as("tp"), $"p_size".as("sz"))
+    val blk = concat(substring_index($"nm", " ", 1), lit("|"), $"br")
+    val matches = fsScoredPairs(parts, blk)
+      .filter($"score_mbits" >= thr)
+      .select($"pk_a", $"pk_b")
+    val clusters = Dedup.clusters(matches, "pk_a", "pk_b")
+      .select($"doc_id".as("pk"), $"cluster_id".as("entity"))
+    clusters
+      .join(parts.select($"pk", $"nm"), "pk")
+      .groupBy($"entity")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"nm").as("n_names"),
+        min($"nm").as("sample_name"))
+      .orderBy($"n_records".desc, $"entity")
+  }
+
+  def resolveEntitiesSql(thresholdMbits: Option[Long] = None): String = {
+    val Seq((_, nA, nD), (_, bA, bD), (_, tA, tD), (_, sA, sD)) = fsWeights
+    val thr = thresholdMbits.getOrElse(nA + bA + tA + sD)
+    s"""WITH RECURSIVE parts AS (
+          SELECT p_partkey AS pk, p_name AS nm, p_brand AS br,
+                 p_type AS tp, p_size AS sz,
+                 split_part(p_name, ' ', 1) || '|' || p_brand AS blk
+          FROM part),
+        scored AS (
+          SELECT a.pk AS pk_a, b.pk AS pk_b,
+                 CAST(CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+                      THEN $nA ELSE $nD END
+                    + CASE WHEN a.br = b.br THEN $bA ELSE $bD END
+                    + CASE WHEN a.tp = b.tp THEN $tA ELSE $tD END
+                    + CASE WHEN a.sz = b.sz THEN $sA ELSE $sD END
+                   AS BIGINT) AS score_mbits
+          FROM parts a JOIN parts b
+            ON a.blk = b.blk AND a.pk < b.pk),
+        m AS (SELECT pk_a, pk_b FROM scored
+              WHERE score_mbits >= $thr),
+        und AS (SELECT pk_a AS src, pk_b AS dst FROM m
+                UNION ALL SELECT pk_b, pk_a FROM m),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+        lbl AS (SELECT id AS pk, min(r) AS entity FROM reach GROUP BY id)
+        SELECT l.entity, CAST(count(*) AS BIGINT) AS n_records,
+               CAST(count(DISTINCT p.nm) AS BIGINT) AS n_names,
+               min(p.nm) AS sample_name
+        FROM lbl l JOIN parts p ON p.pk = l.pk
+        GROUP BY l.entity
+        ORDER BY n_records DESC, entity"""
   }
 
   def fellegiSunterSql(topK: Int = 50): String =

@@ -1818,4 +1818,60 @@ object Events {
         FROM fan CROSS JOIN fin
         ORDER BY h_ahead"""
   }
+
+  /** PINBALL (quantile) loss backtest of the seasonal-naive hourly
+    * forecast (Koenker/Bassett 1978's check function; the metric
+    * quantile forecasts are scored with, cf. the M5-uncertainty
+    * setup): ŷ(t) = y(t−24), scored at τ ∈ {0.1, 0.5, 0.9}. Integer
+    * DECI units: 10·loss = τ₁₀·(y−ŷ) when y ≥ ŷ else (10−τ₁₀)·(ŷ−y)
+    * — counts are integers, so the per-τ totals are exact BIGINTs
+    * and only the display mean divides. The lag rides
+    * [[bandedSpine]] (lookback 24), so the backtest holds past
+    * hourly grain; warm-up hours without a lag are excluded.
+    */
+  def pinballBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lagged = bandedSpine(gapfillHourly(spark, dir), "h",
+        lookback = 24) { (df, w0) =>
+      df.withColumn("yhat", lag($"n", 24).over(w0))
+    }.filter($"yhat".isNotNull)
+    val taus = Seq(1L, 5L, 9L).toDF("tau10")
+    lagged.crossJoin(broadcast(taus))
+      .select($"tau10",
+        when($"n" >= $"yhat", $"tau10" * ($"n" - $"yhat"))
+          .otherwise((lit(10L) - $"tau10") * ($"yhat" - $"n"))
+          .as("loss_deci"))
+      .groupBy($"tau10")
+      .agg(count(lit(1)).as("n_hours"),
+        sum($"loss_deci").as("loss_deci_sum"))
+      .select($"tau10", $"n_hours", $"loss_deci_sum",
+        round($"loss_deci_sum".cast("double")
+          / ($"n_hours".cast("double") * 10.0), 4).as("mean_loss"))
+      .orderBy($"tau10")
+  }
+
+  val pinballBacktestSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       sp AS (SELECT hrs.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM hrs LEFT JOIN c USING (h)),
+       lagged AS (
+         SELECT h, n, lag(n, 24) OVER (ORDER BY h) AS yhat
+         FROM sp),
+       taus AS (SELECT CAST(unnest([1, 5, 9]) AS BIGINT) AS tau10),
+       losses AS (
+         SELECT t.tau10,
+                CASE WHEN l.n >= l.yhat
+                     THEN t.tau10 * (l.n - l.yhat)
+                     ELSE (10 - t.tau10) * (l.yhat - l.n) END AS loss_deci
+         FROM lagged l CROSS JOIN taus t
+         WHERE l.yhat IS NOT NULL)
+       SELECT tau10, CAST(count(*) AS BIGINT) AS n_hours,
+              CAST(sum(loss_deci) AS BIGINT) AS loss_deci_sum,
+              round(CAST(sum(loss_deci) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 10.0), 4) AS mean_loss
+       FROM losses GROUP BY 1 ORDER BY 1"""
 }

@@ -1095,4 +1095,82 @@ object Similarity {
                     ELSE 0 END AS BIGINT) AS recall_ppm
         FROM arms ORDER BY method"""
   }
+
+  /** Simplified SILHOUETTE over the DBSCAN clustering (Rousseeuw
+    * 1987; the "simplified" medoid variant — per point, a = distance
+    * to its OWN cluster's canonical point, b = the nearest OTHER
+    * canonical, s = (b−a)/max(a,b)) — the clustering-quality readout
+    * that closes the loop on [[dbscan]] the way recallEval closes it
+    * on the ANN family. Canonicals are the cluster labels themselves
+    * (min core vec_id — real points by construction), so the medoid
+    * set needs no extra pass and broadcasts. Distances are 1 − the
+    * ROUNDED 4-decimal cosine (the established parity device); each
+    * point's s quantizes to integer micro BEFORE the per-cluster sum
+    * (fp sums are merge-order-dependent; BIGINT sums are not). Noise
+    * is excluded, per the standard convention.
+    */
+  def dbscanSilhouette(spark: SparkSession, dir: String,
+      simMin: Double = 0.35, minPts: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val assigned = dbscan(spark, dir, simMin, minPts)
+      .filter($"cluster" =!= -1L)
+      .select($"vec_id", $"cluster")
+      .join(emb, "vec_id")
+      .localCheckpoint(true)
+    val canon = assigned.select($"cluster".as("c_id")).distinct()
+      .join(emb.select($"vec_id".as("c_id"), $"embedding".as("c_emb")),
+        "c_id")
+    val scored = assigned.crossJoin(broadcast(canon))
+      .select($"vec_id", $"cluster", $"c_id",
+        (lit(1.0) - round(cosineCol($"embedding", $"c_emb"), 4)).as("d"))
+    val ab = scored.groupBy($"vec_id", $"cluster")
+      .agg(min(when($"c_id" === $"cluster", $"d")).as("a"),
+        min(when($"c_id" =!= $"cluster", $"d")).as("b"))
+    // b is NULL when only one cluster exists (no other canonical) —
+    // engines disagree on NULL propagation through greatest, so pin
+    // that edge to s = 0 explicitly
+    ab.select($"cluster",
+        when($"b".isNotNull && greatest($"a", $"b") > 0,
+          round(($"b" - $"a") / greatest($"a", $"b") * 1.0e6))
+          .otherwise(0.0).cast("long").as("s_micro"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_points"), sum($"s_micro").as("s_sum_micro"))
+      .select($"cluster", $"n_points", $"s_sum_micro",
+        round($"s_sum_micro".cast("double")
+          / ($"n_points".cast("double") * 1.0e6), 4).as("mean_sil"))
+      .orderBy($"cluster")
+  }
+
+  def dbscanSilhouetteSql(simMin: Double = 0.35, minPts: Int = 2): String =
+    s"""WITH asg AS (
+          SELECT vec_id, cluster FROM (${dbscanSql(simMin, minPts)})
+          WHERE cluster <> -1),
+        emb AS (SELECT vec_id, embedding FROM embeddings),
+        pts AS (SELECT a.vec_id, a.cluster, e.embedding
+                FROM asg a JOIN emb e USING (vec_id)),
+        canon AS (
+          SELECT DISTINCT a.cluster AS c_id, e.embedding AS c_emb
+          FROM asg a JOIN emb e ON e.vec_id = a.cluster),
+        scored AS (
+          SELECT p.vec_id, p.cluster, c.c_id,
+                 1.0 - round(${cosineSql("p.embedding", "c.c_emb")}, 4)
+                   AS d
+          FROM pts p CROSS JOIN canon c),
+        ab AS (
+          SELECT vec_id, cluster,
+                 min(CASE WHEN c_id = cluster THEN d END) AS a,
+                 min(CASE WHEN c_id <> cluster THEN d END) AS b
+          FROM scored GROUP BY 1, 2),
+        s AS (
+          SELECT cluster,
+                 CAST(CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+                      THEN round((b - a) / greatest(a, b) * 1000000)
+                      ELSE 0 END AS BIGINT) AS s_micro
+          FROM ab)
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(s_micro) AS BIGINT) AS s_sum_micro,
+               round(CAST(sum(s_micro) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000), 4) AS mean_sil
+        FROM s GROUP BY cluster ORDER BY cluster"""
 }

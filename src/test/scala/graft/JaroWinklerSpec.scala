@@ -169,4 +169,26 @@ class JaroWinklerSpec extends SparkSpec {
     assert(census.map(_.getLong(1)).sum == vocab)
     assert(census.map(_.getLong(2)).sum == Tables.part(spark, SF).count())
   }
+
+  test("entity resolution: transitive near-name matches merge into one entity with the min-key canonical") {
+    import spark.implicits._
+    import graft.operators.EntityResolution
+    val parts = Seq(
+      (11L, "blue widgett", "B1", "PROMO", 5),
+      (12L, "blue widgettt", "B1", "PROMO", 7),
+      (13L, "blue widgetttt", "B1", "PROMO", 9),
+      // same block, name too far -> stays out
+      (14L, "blue bolt", "B1", "PROMO", 5),
+      // different brand -> different block under the fine key
+      (15L, "blue widgett", "B2", "PROMO", 5))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val tmp = java.nio.file.Files.createTempDirectory("er_res").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = EntityResolution.resolveEntities(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 11~12 and 12~13 chain into one entity even if 11~13 alone were
+    // borderline — the transitive-closure contract
+    assert(got.length == 1, s"got ${got.toSeq}")
+    assert(got.head == ((11L, 3L, 3L, "blue widgett")), s"got ${got.head}")
+  }
 }

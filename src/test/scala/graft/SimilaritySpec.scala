@@ -263,4 +263,23 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("embeddingDedupLsh"))
   }
+
+  test("silhouette: two exact orthogonal clusters score 1.0; cluster set matches dbscan's non-noise labels") {
+    import spark.implicits._
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.0f, 1.0f)
+    val emb = Seq((1L, a, 0), (2L, a, 0), (3L, a, 0),
+      (4L, b, 1), (5L, b, 1), (6L, b, 1))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("sil").toString
+    emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.dbscanSilhouette(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    // identical members, orthogonal canonicals: a = 0, b = 1, s = 1
+    assert(got == Seq((1L, 3L, 1.0), (4L, 3L, 1.0)), s"got $got")
+    val clusters = Similarity.dbscan(spark, tmp)
+      .filter($"cluster" =!= -1L).select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == clusters)
+  }
 }

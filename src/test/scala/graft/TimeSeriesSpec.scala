@@ -887,4 +887,30 @@ import org.apache.spark.sql.functions.{call_function, hour}
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(flat.forall(_._2 == 7000000L), s"flat fan wrong: ${flat.take(3)}")
   }
+
+  test("pinball: perfect seasonal-naive forecast scores 0; a +1/day drift scores exactly tau/10") {
+    import spark.implicits._
+    import graft.operators.Events
+    def hns(h: Long): Long = h * 3600L * 1000000000L
+    def write(counts: Seq[Int], dir: String): String = {
+      val rows = counts.zipWithIndex.flatMap { case (k, t) =>
+        (0 until k).map(i => (t.toLong * 100 + i, hns(t.toLong), 1L,
+          "view", 0.0, "{}"))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(dir).toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val flat = Events.pinballBacktest(spark,
+        write(Seq.fill(72)(2), "pin1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(flat.map(_._1).toSeq == Seq(1L, 5L, 9L))
+    assert(flat.forall(r => r._2 == 48L && r._3 == 0L && r._4 == 0.0))
+    // y(t) = 1 + t div 24: every scored hour over-shoots yhat by 1
+    val drift = Events.pinballBacktest(spark,
+        write((0 until 72).map(t => 1 + t / 24), "pin2")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(drift == Map(1L -> 0.1, 5L -> 0.5, 9L -> 0.9), s"got $drift")
+  }
 }
