@@ -287,7 +287,7 @@ object Dedup {
   /** Pair CTEs shared by the pairs oracle and the recursive
     * clustering oracle.
     */
-  private val pairsCte: String =
+  private[operators] val pairsCte: String =
     """toks AS (
          SELECT doc_id, lang,
                 list_filter(list_transform(string_split(trim(text), ' '), x -> trim(x)),

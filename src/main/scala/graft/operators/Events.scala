@@ -1874,4 +1874,101 @@ object Events {
               round(CAST(sum(loss_deci) AS DOUBLE)
                 / (CAST(count(*) AS DOUBLE) * 10.0), 4) AS mean_loss
        FROM losses GROUP BY 1 ORDER BY 1"""
+
+  /** HOLT–WINTERS additive seasonal smoothing forecast (Winters 1960
+    * — [[holtForecast]]'s level+trend recursion completed with the
+    * 24-slot hour-of-day seasonal state; α = β = γ = ¼). The whole
+    * state trajectory — level, trend, and the seasonal VECTOR — is
+    * integer micro units with truncating division, initialized from
+    * the first day (l₀ = day-1 mean, b₀ = 0, s₀ = day-1 deviations)
+    * and replayed exactly by a DuckDB recursive CTE that carries the
+    * seasonal array as a LIST column. Forecast fan:
+    * l + h·b + s[(last_hour + h) mod 24] for h = 1..24.
+    *
+    * Same contract as [[holtForecast]]: spine aggregation is the
+    * distributed work, the inherently-sequential fold runs
+    * driver-side over calendar-bounded rows, matrix-scan valve
+    * documented there.
+    */
+  def holtWintersForecast(spark: SparkSession, dir: String,
+      horizon: Int = 24): DataFrame = {
+    import spark.implicits._
+    val spine = gapfillHourly(spark, dir)
+      .orderBy($"h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(spine.length >= 48,
+      s"holtWinters: need ≥ 48 spine hours (one init day + one fit " +
+        s"day), got ${spine.length}")
+    val l0 = spine.take(24).map(_._2).sum * 1000000L / 24L
+    val s = new Array[Long](24)
+    spine.take(24).foreach { case (h, x) =>
+      s((h % 24).toInt) = x * 1000000L - l0
+    }
+    var l = l0
+    var b = 0L
+    for (i <- 24 until spine.length) {
+      val (h, x) = spine(i)
+      val hd = (h % 24).toInt
+      val xm = x * 1000000L
+      val lPrev = l
+      l = ((xm - s(hd)) + 3L * (lPrev + b)) / 4L
+      b = ((l - lPrev) + 3L * b) / 4L
+      s(hd) = ((xm - l) + 3L * s(hd)) / 4L
+    }
+    val lastH = spine.last._1
+    val rows = (1 to horizon).map { h =>
+      (h.toLong, l + h.toLong * b + s(((lastH + h) % 24).toInt))
+    }
+    spark.createDataFrame(rows).toDF("h_ahead", "forecast_micro")
+      .select($"h_ahead", $"forecast_micro",
+        round($"forecast_micro".cast("double") / 1.0e6, 4).as("forecast"))
+      .orderBy($"h_ahead")
+  }
+
+  def holtWintersForecastSql(horizon: Int = 24): String =
+    s"""WITH RECURSIVE c AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+          FROM events GROUP BY 1),
+        bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bnd),
+        sp AS (SELECT CAST(hrs.h - (SELECT lo FROM bnd) + 1 AS BIGINT)
+                        AS rn,
+                      CAST(hrs.h % 24 AS BIGINT) AS hod,
+                      CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+               FROM hrs LEFT JOIN c USING (h)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM sp),
+        i0 AS (SELECT CAST((sum(n) * 1000000) // 24 AS BIGINT) AS l0
+               FROM sp WHERE rn <= 24),
+        s0 AS (SELECT list(CAST(n * 1000000 - (SELECT l0 FROM i0)
+                 AS BIGINT) ORDER BY hod) AS s
+               FROM sp WHERE rn <= 24),
+        st(rn, l, b, s) AS (
+          SELECT CAST(24 AS BIGINT), (SELECT l0 FROM i0),
+                 CAST(0 AS BIGINT), (SELECT s FROM s0)
+          UNION ALL
+          SELECT rn2, l2,
+                 CAST(((l2 - l) + 3 * b) // 4 AS BIGINT),
+                 [CASE WHEN i = idx
+                       THEN CAST(((xm - l2) + 3 * s[i]) // 4 AS BIGINT)
+                       ELSE s[i] END for i in range(1, 25)]
+          FROM (
+            SELECT st.rn + 1 AS rn2, st.l, st.b, st.s,
+                   sp.hod + 1 AS idx, sp.n * 1000000 AS xm,
+                   CAST(((sp.n * 1000000 - st.s[sp.hod + 1])
+                     + 3 * (st.l + st.b)) // 4 AS BIGINT) AS l2
+            FROM st JOIN sp ON sp.rn = st.rn + 1)
+          WHERE rn2 <= (SELECT n_rows FROM nn)),
+        fin AS (SELECT l, b, s FROM st
+                WHERE rn = (SELECT n_rows FROM nn)),
+        fan AS (SELECT CAST(unnest(range(1, ${horizon + 1})) AS BIGINT)
+                  AS h_ahead)
+        SELECT h_ahead,
+               l + h_ahead * b
+                 + s[CAST(((SELECT hi FROM bnd) + h_ahead) % 24
+                     AS BIGINT) + 1] AS forecast_micro,
+               round(CAST(l + h_ahead * b
+                 + s[CAST(((SELECT hi FROM bnd) + h_ahead) % 24
+                     AS BIGINT) + 1] AS DOUBLE) / 1000000.0, 4)
+                 AS forecast
+        FROM fan CROSS JOIN fin
+        ORDER BY h_ahead"""
 }

@@ -295,4 +295,84 @@ object MinHashLSH {
           JOIN sig b ON b.doc_id = c.doc_b AND b.i = a.i
           GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
+
+  /** LSH BAND-PLAN selection as code — the (bands × rows) knob every
+    * MinHash deployment hand-tunes, decided from DATA instead
+    * (Broder/IR collision calculus: a pair at Jaccard s becomes an
+    * LSH candidate with p = 1 − (1 − s^r)^b). For each config on the
+    * 64-permutation budget, the EXPECTED RECALL over the corpus' own
+    * observed near-dup pairs (the exact-Jaccard gate frame) is
+    * E[p(s)] — each pair's p computed by REPEATED multiplication
+    * (fixed-length IEEE chains both engines evaluate identically;
+    * `pow` carries no cross-engine rounding guarantee), quantized to
+    * integer micro per pair before the mean. `chosen` = the FEWEST
+    * bands (bucket work ∝ b) clearing `recallFloorPpm`, else the
+    * highest-recall config — the blockingKeySelect decision shape on
+    * the LSH axis.
+    */
+  def lshBandPlan(spark: SparkSession, dir: String,
+      recallFloorPpm: Long = 900000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select($"jaccard").localCheckpoint(true)
+    def powCol(c: Column, k: Int): Column = Seq.fill(k)(c).reduce(_ * _)
+    val configs = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+    val arms = configs.map { case (b, r) =>
+      pairs.select(lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        round((lit(1.0) - powCol(lit(1.0) - powCol($"jaccard", r), b))
+          * 1.0e6).cast("long").as("p_micro"))
+    }.reduce(_.unionByName(_))
+    val perConfig = arms.groupBy($"bands", $"rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(p_micro) div count(1)").as("exp_recall_ppm"))
+    val best = perConfig
+      .agg(min(struct(
+        when($"exp_recall_ppm" >= recallFloorPpm, 0L).otherwise(1L)
+          .as("miss"),
+        when($"exp_recall_ppm" >= recallFloorPpm, $"bands")
+          .otherwise(lit(1000000L) - $"exp_recall_ppm").as("rank"),
+        $"bands".as("b"))).as("w"))
+      .select($"w.b".as("best_b"))
+    perConfig.crossJoin(broadcast(best))
+      .select($"bands", $"rows_per_band", $"n_pairs", $"exp_recall_ppm",
+        when($"bands" === $"best_b", 1L).otherwise(0L).as("chosen"))
+      .orderBy($"bands".desc)
+  }
+
+  def lshBandPlanSql(recallFloorPpm: Long = 900000L): String = {
+    val configs = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+    def pow(e: String, k: Int) = Seq.fill(k)(s"($e)").mkString(" * ")
+    val arms = configs.map { case (b, r) =>
+      val p = s"1.0 - ${pow(s"1.0 - ${pow("jaccard", r)}", b)}"
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+                 CAST($r AS BIGINT) AS rows_per_band,
+                 CAST(round(($p) * 1000000) AS BIGINT) AS p_micro
+          FROM pairs"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH ${graft.operators.Dedup.pairsCte},
+        arms AS (
+        $arms),
+        per_config AS (
+          SELECT bands, rows_per_band,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(p_micro) // count(*) AS BIGINT)
+                   AS exp_recall_ppm
+          FROM arms GROUP BY 1, 2),
+        best AS (
+          SELECT bands AS best_b FROM per_config
+          ORDER BY CASE WHEN exp_recall_ppm >= $recallFloorPpm
+                        THEN 0 ELSE 1 END,
+                   CASE WHEN exp_recall_ppm >= $recallFloorPpm
+                        THEN bands
+                        ELSE 1000000 - exp_recall_ppm END,
+                   bands
+          LIMIT 1)
+        SELECT bands, rows_per_band, n_pairs, exp_recall_ppm,
+               CAST(CASE WHEN bands = (SELECT best_b FROM best)
+                    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        FROM per_config
+        ORDER BY bands DESC"""
+  }
 }

@@ -63,4 +63,36 @@ class MinHashSpec extends SparkSpec {
     assert(candidates.size < nDocs * (nDocs - 1) / 20,
       s"${candidates.size} candidates for $nDocs docs — LSH isn't pruning")
   }
+
+  test("lsh band plan: recall monotone in bands, chosen = fewest bands above the floor, one arm re-derived exactly") {
+    import graft.operators.{Dedup, MinHashLSH}
+    val got = MinHashLSH.lshBandPlan(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(_._1) == Seq(64L, 32L, 16L, 8L, 4L))
+    assert(got.forall { case (b, r, _, _, _) => b * r == 64L })
+    // p = 1-(1-s^r)^b is pointwise increasing in b at fixed b·r, so
+    // the expected recall must be too
+    val recalls = got.map(_._4)
+    assert(recalls == recalls.sorted.reverse, s"not monotone: $recalls")
+    assert(recalls.forall(x => x >= 0L && x <= 1000000L))
+    // chosen = fewest bands clearing the 900000 floor
+    val clearing = got.filter(_._4 >= 900000L)
+    val expectChosen =
+      if (clearing.nonEmpty) clearing.minBy(_._1)._1 else got.maxBy(_._4)._1
+    assert(got.filter(_._5 == 1L).map(_._1) == Seq(expectChosen))
+    // re-derive the (16, 4) arm with the same repeated-multiply chain
+    val js = Dedup.ngramJaccardPairs(spark, SF)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.nonEmpty)
+    val ps = js.map { s =>
+      var s4 = 1.0; (1 to 4).foreach(_ => s4 *= s)
+      var q = 1.0; (1 to 16).foreach(_ => q *= (1.0 - s4))
+      math.round((1.0 - q) * 1e6)
+    }
+    val want = ps.sum / ps.length
+    val arm16 = got.find(_._1 == 16L).get
+    assert(arm16._3 == js.length.toLong && arm16._4 == want,
+      s"arm (16,4): got ${(arm16._3, arm16._4)} want (${js.length}, $want)")
+  }
 }

@@ -913,4 +913,29 @@ import org.apache.spark.sql.functions.{call_function, hour}
       .map(r => (r.getLong(0), r.getDouble(3))).toMap
     assert(drift == Map(1L -> 0.1, 5L -> 0.5, 9L -> 0.9), s"got $drift")
   }
+
+  test("holt-winters: a pure period-24 series is a fixed point — the fan reproduces the daily pattern exactly") {
+    import spark.implicits._
+    import graft.operators.Events
+    def hns(h: Long): Long = h * 3600L * 1000000000L
+    // m = 3 with deviations +2/-1/-1 at hods 0/1/2 (sum zero, so the
+    // day-1 init lands exactly on l0 = 3e6 and s0 = the deviations;
+    // every later step is then the identity)
+    def d(hod: Long): Long = hod match {
+      case 0 => 2; case 1 => -1; case 2 => -1; case _ => 0
+    }
+    val rows = (0L until 72L).flatMap { t =>
+      val k = (3 + d(t % 24)).toInt
+      (0 until k).map(i => (t * 100 + i, hns(t), 1L, "view", 0.0, "{}"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("hw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.holtWintersForecast(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lastH = 71L
+    val want = (1L to 24L).map(h =>
+      (h, (3L + d((lastH + h) % 24)) * 1000000L))
+    assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
+  }
 }
