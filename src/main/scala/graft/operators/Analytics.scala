@@ -1301,6 +1301,244 @@ object Analytics {
               END AS survival
        FROM steps ORDER BY dur_h"""
 
+  /** Log-rank test (Mantel 1966) comparing time-to-repeat-purchase
+    * survival between two user cohorts (user_id parity — the
+    * deterministic assignment device of [[abSrmCheck]]): at each
+    * distinct event duration t, group 1 is expected to contribute
+    * d_t·n1_t/n_t of the d_t events under H₀ "same hazard"; the
+    * statistic accumulates observed−expected and the
+    * hypergeometric variance V_t = d_t·(n1/n)·(n0/n)·(n−d)/(n−1).
+    * The chi-square companion to the KM curve
+    * ([[survivalRepeatPurchaseOf]]) — KM draws the two curves,
+    * log-rank says whether they differ.
+    *
+    * Exactness device: counts (d, c, at-risk) are exact BIGINTs off
+    * the per-group DURATION HISTOGRAM (exclusive prefix sums over
+    * the duration spine — the KM domain-sized-window family, never
+    * corpus-sized); each row's expected/variance term is quantized
+    * ONCE to integer micro-units (one double expression per term,
+    * identical shape both engines), the micro sums are exact BIGINT
+    * in any order, and the final chi² is one pinned division.
+    */
+  def logRankRepeatPurchase(spark: SparkSession, dir: String): DataFrame =
+    logRankRepeatPurchaseOf(Tables.events(spark, dir))
+
+  def logRankRepeatPurchaseOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"))
+    val horizon = p.agg(max($"tus").as("h_us"))
+    val wU = Window.partitionBy($"user_id").orderBy($"tus")
+    val perUser = p
+      .withColumn("rn", row_number().over(wU))
+      .filter($"rn" <= 2)
+      .groupBy($"user_id")
+      .agg(min($"tus").as("t1"),
+        max(when($"rn" === 2, $"tus")).as("t2"))
+      .crossJoin(broadcast(horizon))
+      .select(($"user_id" % 2).as("g"),
+        when($"t2".isNotNull,
+          expr("(t2 - t1) div 3600000000")).otherwise(
+          expr("(h_us - t1) div 3600000000")).as("dur_h"),
+        when($"t2".isNotNull, 1L).otherwise(0L).as("event"))
+    val hist = perUser.groupBy($"dur_h")
+      .agg(sum(when($"g" === 0L, $"event").otherwise(0L)).as("d0"),
+        sum(when($"g" === 0L, lit(1L) - $"event").otherwise(0L)).as("c0"),
+        sum(when($"g" === 1L, $"event").otherwise(0L)).as("d1"),
+        sum(when($"g" === 1L, lit(1L) - $"event").otherwise(0L)).as("c1"))
+    val totals = hist.agg(sum($"d0" + $"c0").as("tot0"),
+      sum($"d1" + $"c1").as("tot1"))
+    val before = Window.orderBy($"dur_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist.crossJoin(broadcast(totals))
+      .withColumn("n0",
+        $"tot0" - coalesce(sum($"d0" + $"c0").over(before), lit(0L)))
+      .withColumn("n1",
+        $"tot1" - coalesce(sum($"d1" + $"c1").over(before), lit(0L)))
+      .withColumn("d", $"d0" + $"d1")
+      .withColumn("n", $"n0" + $"n1")
+      .filter($"d" > 0L)
+    val agg = risk
+      .withColumn("e1_micro",
+        round($"d".cast("double") * $"n1".cast("double") /
+          $"n".cast("double") * lit(1.0e6)).cast("long"))
+      .withColumn("v_micro",
+        when($"n" > 1L,
+          round($"d".cast("double") * $"n1".cast("double") *
+            $"n0".cast("double") * ($"n" - $"d").cast("double") /
+            ($"n".cast("double") * $"n".cast("double") *
+              ($"n" - 1L).cast("double")) * lit(1.0e6)).cast("long"))
+          .otherwise(0L))
+      .agg(sum($"d1").as("o1"), sum($"e1_micro").as("e1_micro"),
+        sum($"v_micro").as("v_micro"))
+    agg.crossJoin(broadcast(totals))
+      .select($"tot0".as("n_group0"), $"tot1".as("n_group1"),
+        $"o1", $"e1_micro", $"v_micro",
+        when($"v_micro" > 0L,
+          round(($"o1".cast("double") * lit(1.0e6) -
+            $"e1_micro".cast("double")) *
+            ($"o1".cast("double") * lit(1.0e6) -
+              $"e1_micro".cast("double")) /
+            ($"v_micro".cast("double") * lit(1.0e6)), 4))
+          .otherwise(lit(0.0)).as("chi2"))
+  }
+
+  val logRankRepeatPurchaseSql: String =
+    """WITH p AS (
+         SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus
+         FROM events WHERE event_type = 'purchase'),
+       h AS (SELECT max(tus) AS h_us FROM p),
+       r AS (
+         SELECT user_id, tus,
+                row_number() OVER (PARTITION BY user_id ORDER BY tus) AS rn
+         FROM p),
+       u AS (
+         SELECT user_id, min(tus) AS t1,
+                max(CASE WHEN rn = 2 THEN tus END) AS t2
+         FROM r WHERE rn <= 2 GROUP BY 1),
+       d AS (
+         SELECT user_id % 2 AS g,
+                CASE WHEN t2 IS NOT NULL THEN (t2 - t1) // 3600000000
+                     ELSE (h_us - t1) // 3600000000 END AS dur_h,
+                CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM u, h),
+       hist AS (
+         SELECT dur_h,
+                CAST(sum(CASE WHEN g = 0 THEN event ELSE 0 END) AS BIGINT) AS d0,
+                CAST(sum(CASE WHEN g = 0 THEN 1 - event ELSE 0 END) AS BIGINT) AS c0,
+                CAST(sum(CASE WHEN g = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN g = 1 THEN 1 - event ELSE 0 END) AS BIGINT) AS c1
+         FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(d0 + c0) AS BIGINT) AS tot0,
+                    CAST(sum(d1 + c1) AS BIGINT) AS tot1 FROM hist),
+       risk AS (
+         SELECT dur_h, d0, d1,
+                tot0 - CAST(coalesce(sum(d0 + c0) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n0,
+                tot1 - CAST(coalesce(sum(d1 + c1) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n1
+         FROM hist, t),
+       terms AS (
+         SELECT d0 + d1 AS d, n0 + n1 AS n, d1, n0, n1,
+                CAST(round(CAST(d0 + d1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE) * 1000000.0) AS BIGINT)
+                  AS e1_micro,
+                CASE WHEN n0 + n1 > 1 THEN
+                  CAST(round(CAST(d0 + d1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    * CAST(n0 AS DOUBLE)
+                    * CAST(n0 + n1 - d0 - d1 AS DOUBLE)
+                    / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+                       * CAST(n0 + n1 - 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                ELSE 0 END AS v_micro
+         FROM risk WHERE d0 + d1 > 0),
+       agg AS (
+         SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+                CAST(sum(v_micro) AS BIGINT) AS v_micro
+         FROM terms)
+       SELECT tot0 AS n_group0, tot1 AS n_group1, o1, e1_micro, v_micro,
+              CASE WHEN v_micro > 0 THEN
+                round((CAST(o1 AS DOUBLE) * 1000000.0
+                       - CAST(e1_micro AS DOUBLE))
+                      * (CAST(o1 AS DOUBLE) * 1000000.0
+                         - CAST(e1_micro AS DOUBLE))
+                      / (CAST(v_micro AS DOUBLE) * 1000000.0), 4)
+              ELSE 0.0 END AS chi2
+       FROM agg, t"""
+
+  /** Nelson–Aalen cumulative-hazard estimator for time-to-repeat-
+    * purchase (Nelson 1972, Aalen 1978) — the additive companion to
+    * the KM product ([[survivalRepeatPurchaseOf]]): Ĥ(t) =
+    * Σ_{u≤t} d_u/n_u accumulates hazard directly, so unlike KM it
+    * needs NO logs at all — each step is the exact integer floor
+    * division (d·10⁶) div n, and the running hazard is an exact
+    * BIGINT prefix sum in micro units. exp(−Ĥ) (the Fleming–
+    * Harrington survival) is left to the caller, keeping the gate
+    * 100 % integer. Same duration-histogram at-risk device and
+    * domain-sized window family as the KM gate.
+    */
+  def nelsonAalenRepeatPurchase(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenRepeatPurchaseOf(Tables.events(spark, dir))
+
+  def nelsonAalenRepeatPurchaseOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"))
+    val horizon = p.agg(max($"tus").as("h_us"))
+    val wU = Window.partitionBy($"user_id").orderBy($"tus")
+    val perUser = p
+      .withColumn("rn", row_number().over(wU))
+      .filter($"rn" <= 2)
+      .groupBy($"user_id")
+      .agg(min($"tus").as("t1"),
+        max(when($"rn" === 2, $"tus")).as("t2"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"t2".isNotNull,
+          expr("(t2 - t1) div 3600000000")).otherwise(
+          expr("(h_us - t1) div 3600000000")).as("dur_h"),
+        when($"t2".isNotNull, 1L).otherwise(0L).as("event"))
+    val hist = perUser.groupBy($"dur_h")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+    val wT = Window.orderBy($"dur_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum($"d" + $"c").as("n_total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("left_before",
+        coalesce(sum($"d" + $"c").over(wT), lit(0L)))
+      .withColumn("n_risk", $"n_total" - $"left_before")
+      .filter($"d" > 0L)
+      .withColumn("step_micro", expr("(d * 1000000) div n_risk"))
+      .withColumn("h_micro", sum($"step_micro").over(
+        Window.orderBy($"dur_h")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"dur_h", $"n_risk", $"d".as("n_events"),
+        $"c".as("n_censored"), $"step_micro", $"h_micro")
+      .orderBy($"dur_h")
+  }
+
+  val nelsonAalenRepeatPurchaseSql: String =
+    """WITH p AS (
+         SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus
+         FROM events WHERE event_type = 'purchase'),
+       h AS (SELECT max(tus) AS h_us FROM p),
+       r AS (
+         SELECT user_id, tus,
+                row_number() OVER (PARTITION BY user_id ORDER BY tus) AS rn
+         FROM p),
+       u AS (
+         SELECT user_id, min(tus) AS t1,
+                max(CASE WHEN rn = 2 THEN tus END) AS t2
+         FROM r WHERE rn <= 2 GROUP BY 1),
+       d AS (
+         SELECT CASE WHEN t2 IS NOT NULL THEN (t2 - t1) // 3600000000
+                     ELSE (h_us - t1) // 3600000000 END AS dur_h,
+                CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM u, h),
+       hist AS (
+         SELECT dur_h, CAST(sum(event) AS BIGINT) AS d,
+                CAST(sum(1 - event) AS BIGINT) AS c
+         FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM hist),
+       risk AS (
+         SELECT dur_h, d, c,
+                n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+         FROM hist, t),
+       steps AS (
+         SELECT dur_h, n_risk, d, c,
+                (d * 1000000) // n_risk AS step_micro
+         FROM risk WHERE d > 0)
+       SELECT dur_h, n_risk, d AS n_events, c AS n_censored,
+              CAST(step_micro AS BIGINT) AS step_micro,
+              CAST(sum(step_micro) OVER (ORDER BY dur_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS h_micro
+       FROM steps ORDER BY dur_h"""
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

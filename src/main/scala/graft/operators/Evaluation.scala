@@ -140,6 +140,105 @@ object Evaluation {
        FROM c, t ORDER BY score DESC"""
   }
 
+  /** Cumulative-gains / lift table at decile depths of the
+    * quality-model score vs the English label — the campaign-
+    * targeting readout ("scoring the top 20 % catches X % of the
+    * positives, at Y× the base rate") that PR/ROC curves imply but
+    * don't state at fixed depths. Depths are score-THRESHOLD
+    * operating points drawn exactly from the SCORE HISTOGRAM: decile
+    * i's row is the first histogram row (descending score) whose
+    * cumulative count reaches (i·N) div 10, so ties never split a
+    * score bucket and the reported depth is the bucket's true
+    * cumulative count. gain_ppm is exact integer division;
+    * lift is the one pinned double, rounded once.
+    *
+    * Scale shape: the corpus collapses into the score histogram by
+    * one partial-agg'd groupBy; the cumulative pass is the ml_auc
+    * domain-sized window; the decile ladder is a 10-row broadcast
+    * fanned over histogram rows then min-reduced — nothing
+    * corpus-sized moves after the first aggregate.
+    */
+  def gainsQualityVsEnglish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("is_pos"))
+    val hist = scored.groupBy($"score")
+      .agg(sum($"is_pos").as("p"), sum(lit(1L) - $"is_pos").as("q"))
+    val fromTop = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = hist.agg(sum($"p" + $"q").as("big_n"), sum($"p").as("n_pos"))
+    val cum = hist
+      .withColumn("cum", sum($"p" + $"q").over(fromTop))
+      .withColumn("tp", sum($"p").over(fromTop))
+      .select($"cum", $"tp")
+    val ladder = broadcast((1L to 10L).toDF("decile"))
+    cum.crossJoin(broadcast(totals)).crossJoin(ladder)
+      .withColumn("target_n", expr("(decile * big_n) div 10"))
+      .filter($"cum" >= $"target_n")
+      .groupBy($"decile")
+      .agg(max($"target_n").as("target_n"),
+        min(struct($"cum", $"tp")).as("m"),
+        max($"big_n").as("big_n"), max($"n_pos").as("n_pos"))
+      .select($"decile", $"target_n", $"m.cum".as("depth_n"),
+        $"m.tp".as("tp"),
+        when($"n_pos" > 0L, expr("(m.tp * 1000000) div n_pos"))
+          .otherwise(0L).as("gain_ppm"),
+        when($"n_pos" > 0L && $"m.cum" > 0L,
+          round($"m.tp".cast("double") * $"big_n".cast("double") /
+            ($"m.cum".cast("double") * $"n_pos".cast("double")), 6))
+          .otherwise(lit(0.0)).as("lift"))
+      .orderBy($"decile")
+  }
+
+  val gainsQualityVsEnglishSql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       h AS (
+         SELECT score, CAST(sum(is_pos) AS BIGINT) AS p,
+                CAST(sum(1 - is_pos) AS BIGINT) AS q
+         FROM s GROUP BY score),
+       t AS (SELECT CAST(sum(p + q) AS BIGINT) AS big_n,
+                    CAST(sum(p) AS BIGINT) AS n_pos FROM h),
+       c AS (
+         SELECT CAST(sum(p + q) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(p) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp
+         FROM h),
+       ladder AS (SELECT CAST(d AS BIGINT) AS decile
+                  FROM (VALUES (1), (2), (3), (4), (5),
+                               (6), (7), (8), (9), (10)) v(d)),
+       hit AS (
+         SELECT decile, (decile * big_n) // 10 AS target_n,
+                cum, tp, big_n, n_pos
+         FROM c, t, ladder WHERE cum >= (decile * big_n) // 10),
+       best AS (
+         SELECT decile, CAST(max(target_n) AS BIGINT) AS target_n,
+                CAST(min(cum) AS BIGINT) AS depth_n,
+                CAST(min_by(tp, cum) AS BIGINT) AS tp,
+                CAST(max(big_n) AS BIGINT) AS big_n,
+                CAST(max(n_pos) AS BIGINT) AS n_pos
+         FROM hit GROUP BY decile)
+       SELECT decile, target_n, depth_n, tp,
+              CASE WHEN n_pos > 0
+                   THEN CAST((tp * 1000000) // n_pos AS BIGINT)
+                   ELSE 0 END AS gain_ppm,
+              CASE WHEN n_pos > 0 AND depth_n > 0
+                   THEN round(CAST(tp AS DOUBLE) * CAST(big_n AS DOUBLE)
+                     / (CAST(depth_n AS DOUBLE) * CAST(n_pos AS DOUBLE)), 6)
+                   ELSE 0.0 END AS lift
+       FROM best ORDER BY decile"""
+  }
+
   /** Calibration (reliability) bins of the quality-model score
     * against the binary label — AUC says the ranking is right;
     * calibration says whether the score LEVEL means what it claims,

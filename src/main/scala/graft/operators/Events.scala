@@ -1971,4 +1971,121 @@ object Events {
                  AS forecast
         FROM fan CROSS JOIN fin
         ORDER BY h_ahead"""
+
+  /** Grid points for the inter-arrival exponential fit: the j/8
+    * quantiles of Exp(1), each −ln(1−j/8) quantized ONCE to integer
+    * micro-nats at build time so BOTH engines compare against the
+    * same literal (never each engine's own ln).
+    */
+  private[operators] val expGridMicroNats: Seq[(Int, Long)] =
+    (1 to 7).map(j => j -> math.round(-math.log(1.0 - j / 8.0) * 1e6))
+
+  /** Per-user inter-arrival exponential fit + grid
+    * Kolmogorov–Smirnov readout per event type — does arrival
+    * behavior look Poisson (memoryless gaps), the base assumption
+    * behind burst detection ([[burstIntervals]]) and capacity
+    * planning? The MLE under Exp(λ) is λ = 1/mean-gap; the fit is
+    * then checked where it claims mass: at the 7 octile points of
+    * the fitted CDF (x_j with F_exp(x_j) = j/8), compare the
+    * empirical fraction of gaps ≤ x_j — a fixed-grid KS statistic
+    * (sup over the grid, a defined, exactly-reproducible statistic;
+    * the classical sup-over-data KS needs a corpus-sized rank).
+    *
+    * Exactness device: gaps are integer micros from a lag window
+    * partitioned by (user, type) — user-sized partitions, never a
+    * type-wide order; (n, Σgap) are exact BIGINTs; each threshold is
+    * one double expression off those exact integers with the
+    * BUILD-TIME micro-nat grid constants ([[expGridMicroNats]]), so
+    * both engines evaluate bit-identical IEEE arithmetic; counts and
+    * ppm fractions below the thresholds are exact integers again.
+    *
+    * Scale shape: corpus → per-(user,type) lag window → one
+    * partial-agg'd groupBy(type) census → 7-row broadcast grid fan
+    * over the type-domain frame → one conditional-count join back on
+    * the gap stream (type-domain broadcast). Nothing type-sized ever
+    * sorts.
+    */
+  def interArrivalFit(spark: SparkSession, dir: String): DataFrame =
+    interArrivalFitOf(Tables.events(spark, dir))
+
+  def interArrivalFitOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"tus")
+    val gaps = events
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("tus"))
+      .withColumn("prev", lag($"tus", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"event_type", ($"tus" - $"prev").as("gap_us"))
+    val census = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"gap_us").as("sum_us"))
+    val grid = broadcast(expGridMicroNats
+      .map { case (j, q) => (j.toLong, q) }.toDF("grid_j", "lnq_micro"))
+    val thresholds = census.crossJoin(grid)
+      .withColumn("thr_us",
+        $"lnq_micro".cast("double") * $"sum_us".cast("double") /
+          ($"n".cast("double") * lit(1.0e6)))
+    val counts = gaps.join(broadcast(thresholds), Seq("event_type"))
+      .groupBy($"event_type", $"grid_j")
+      .agg(max($"n").as("n"),
+        sum(when($"gap_us".cast("double") <= $"thr_us", 1L).otherwise(0L))
+          .as("n_le"))
+      .withColumn("f_exp_ppm", $"grid_j" * lit(125000L))
+      .withColumn("f_emp_ppm", expr("(n_le * 1000000) div n"))
+      .withColumn("dev_ppm", abs($"f_emp_ppm" - $"f_exp_ppm"))
+    val ks = counts.groupBy($"event_type").agg(max($"dev_ppm").as("ks_ppm"))
+    counts.join(broadcast(ks), Seq("event_type"))
+      .select($"event_type", $"grid_j", $"n", $"n_le",
+        $"f_exp_ppm", $"f_emp_ppm", $"dev_ppm", $"ks_ppm")
+      .orderBy($"event_type", $"grid_j")
+  }
+
+  val interArrivalFitSql: String = {
+    val gridRows = expGridMicroNats
+      .map { case (j, q) => s"($j, $q)" }.mkString(", ")
+    s"""WITH e AS (
+         SELECT user_id, event_type,
+                epoch_us(date_trunc('microseconds', ts)) AS tus
+         FROM events),
+       g AS (
+         SELECT event_type,
+                tus - lag(tus) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY tus) AS gap_us
+         FROM e),
+       gaps AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+       census AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(gap_us) AS BIGINT) AS sum_us
+         FROM gaps GROUP BY 1),
+       grid AS (SELECT CAST(j AS BIGINT) AS grid_j,
+                       CAST(q AS BIGINT) AS lnq_micro
+                FROM (VALUES $gridRows) v(j, q)),
+       thr AS (
+         SELECT event_type, grid_j, n,
+                CAST(lnq_micro AS DOUBLE) * CAST(sum_us AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1000000.0) AS thr_us
+         FROM census, grid),
+       c AS (
+         SELECT thr.event_type, grid_j, CAST(max(thr.n) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN CAST(gap_us AS DOUBLE) <= thr_us
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+         FROM gaps JOIN thr ON thr.event_type = gaps.event_type
+         GROUP BY 1, 2),
+       f AS (
+         SELECT event_type, grid_j, n, n_le,
+                grid_j * 125000 AS f_exp_ppm,
+                (n_le * 1000000) // n AS f_emp_ppm
+         FROM c),
+       d AS (
+         SELECT event_type, grid_j, n, n_le, f_exp_ppm, f_emp_ppm,
+                abs(f_emp_ppm - f_exp_ppm) AS dev_ppm
+         FROM f),
+       ks AS (SELECT event_type, CAST(max(dev_ppm) AS BIGINT) AS ks_ppm
+              FROM d GROUP BY 1)
+       SELECT d.event_type, d.grid_j, d.n, d.n_le,
+              CAST(d.f_exp_ppm AS BIGINT) AS f_exp_ppm,
+              CAST(d.f_emp_ppm AS BIGINT) AS f_emp_ppm,
+              CAST(d.dev_ppm AS BIGINT) AS dev_ppm, ks.ks_ppm
+       FROM d JOIN ks ON ks.event_type = d.event_type
+       ORDER BY d.event_type, d.grid_j"""
+  }
 }

@@ -2483,4 +2483,86 @@ object Graph {
          GROUP BY node)
        SELECT node, h_micro FROM h
        ORDER BY h_micro DESC, node LIMIT 20"""
+
+  /** Rich-club coefficient φ(k) over a ladder of degree thresholds —
+    * do the high-degree hubs preferentially link to EACH OTHER
+    * (Colizza, Flammini, Serrano, Vespignani — Nature Physics 2006)?
+    * For each k: N_k = |{v : deg(v) > k}|, E_k = undirected edges
+    * with BOTH endpoints past k, φ(k) = 2·E_k / (N_k·(N_k−1)) — the
+    * density of the subgraph induced by the club. All counts exact
+    * BIGINT; the one division per threshold row is pinned and
+    * rounded once.
+    *
+    * Scale shape: degree census is one partial-agg'd groupBy
+    * (node-sized); the one-direction edge list joins that census on
+    * src then dst — two edge-sized shuffle joins on node keys,
+    * LINEAR in |E| (never a wedge or pair blow-up) — then fans out
+    * over the tiny broadcast threshold ladder (|ks| rows) for one
+    * final partial-agg'd count per k. N_k rides the same ladder over
+    * the census. Nothing here needs a wedge budget: the club is
+    * counted on edges, not pairs.
+    */
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOf(copurchaseEdges(spark, dir), Seq(1L, 2L, 4L, 8L, 16L, 32L))
+
+  def richClubOf(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("node"), $"deg")
+    val ladder = ks.toDF("k")
+    val nk = deg.crossJoin(broadcast(ladder)).filter($"deg" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_nodes"))
+    val one = edges.filter($"src" < $"dst")
+      .join(deg.select($"node".as("src"), $"deg".as("deg_s")), Seq("src"))
+      .join(deg.select($"node".as("dst"), $"deg".as("deg_d")), Seq("dst"))
+    val ek = one.crossJoin(broadcast(ladder))
+      .filter($"deg_s" > $"k" && $"deg_d" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_edges"))
+    // ladder-first left joins: a threshold past the max degree still
+    // emits its row (n_nodes = 0, φ = 0) — the ladder is the contract
+    ladder.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .withColumn("n_nodes", coalesce($"n_nodes", lit(0L)))
+      .withColumn("n_edges", coalesce($"n_edges", lit(0L)))
+      .select($"k", $"n_nodes", $"n_edges",
+        when($"n_nodes" > 1L,
+          round(lit(2.0) * $"n_edges".cast("double") /
+            ($"n_nodes".cast("double") * ($"n_nodes" - 1L).cast("double")),
+            6)).otherwise(lit(0.0)).as("phi"))
+      .orderBy($"k")
+  }
+
+  val richClubSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       deg AS (
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM edges GROUP BY src),
+       ks AS (SELECT CAST(k AS BIGINT) AS k
+              FROM (VALUES (1), (2), (4), (8), (16), (32)) t(k)),
+       nk AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg, ks WHERE deg > k GROUP BY k),
+       ek AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+         FROM pairs
+         JOIN deg ds ON ds.node = pairs.p1
+         JOIN deg dd ON dd.node = pairs.p2, ks
+         WHERE ds.deg > k AND dd.deg > k GROUP BY k)
+       SELECT ks.k, CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+              CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+              CASE WHEN coalesce(nk.n_nodes, 0) > 1
+                   THEN round(2.0 * CAST(coalesce(ek.n_edges, 0) AS DOUBLE)
+                     / (CAST(nk.n_nodes AS DOUBLE)
+                        * CAST(nk.n_nodes - 1 AS DOUBLE)), 6)
+                   ELSE 0.0 END AS phi
+       FROM ks LEFT JOIN nk ON nk.k = ks.k
+       LEFT JOIN ek ON ek.k = ks.k
+       ORDER BY ks.k"""
 }

@@ -1957,4 +1957,143 @@ object Olap {
                    ELSE 0.0 END AS tau_b
        FROM c JOIN census USING (p_brand)
        ORDER BY c.p_brand"""
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue
+    * per nation, plus the pooled 'ALL' row — the antitrust-standard
+    * market-concentration statistic (HHI = Σ shareᵢ², DOJ/FTC
+    * Horizontal Merger Guidelines), and in a training-data pipeline
+    * the one-number answer to "is this source mix dominated by a few
+    * providers". Exactness device: each supplier's share is
+    * quantized ONCE as integer ppm (cᵢ·10⁶ div T — exact BIGINT
+    * floor division), then HHI is the exact Σ share_ppm² — no fp
+    * anywhere, so any aggregation order agrees. HHI lands in
+    * [0, 10¹²] (monopoly = 10¹²).
+    *
+    * Scale shape: per-supplier cents is one partial-agg'd groupBy of
+    * lineitem (supplier-sized output); group totals are a
+    * nation-sized aggregate broadcast back onto supplier rows. The
+    * pooled row rides the same supplier frame with a one-row
+    * broadcast total. Headroom: cᵢ·10⁶ holds BIGINT while a single
+    * supplier's revenue < $9·10¹⁰ — past that, move cents to whole
+    * dollars before the ppm quantization.
+    */
+  def hhiSupplierByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("sk"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+    val supp = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("sk"), $"s_nationkey".as("nk"))
+      .join(perSupp, Seq("sk"), "left")
+      .withColumn("cents", coalesce($"cents", lit(0L)))
+    val nation = broadcast(Tables.nation(spark, dir)
+      .select($"n_nationkey".as("nk"), $"n_name".as("nation")))
+    def hhiOf(grouped: DataFrame): DataFrame =
+      grouped
+        .withColumn("share_ppm", expr("(cents * 1000000) div t"))
+        .groupBy($"nation")
+        .agg(count(lit(1)).as("n_suppliers"), max($"t").as("total_cents"),
+          sum($"share_ppm" * $"share_ppm").as("hhi"))
+    val byNation = hhiOf(
+      supp.join(nation, Seq("nk"))
+        .join(supp.join(nation, Seq("nk")).groupBy($"nation")
+          .agg(sum($"cents").as("t")).filter($"t" > 0L), Seq("nation")))
+    val pooled = hhiOf(
+      supp.withColumn("nation", lit("ALL"))
+        .crossJoin(broadcast(supp.agg(sum($"cents").as("t"))))
+        .filter($"t" > 0L))
+    byNation.unionByName(pooled).orderBy($"nation")
+  }
+
+  val hhiSupplierByNationSql: String =
+    """WITH ps AS (
+         SELECT l_suppkey AS sk,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem GROUP BY 1),
+       su AS (
+         SELECT s_suppkey AS sk, s_nationkey AS nk,
+                CAST(coalesce(ps.cents, 0) AS BIGINT) AS cents
+         FROM supplier LEFT JOIN ps ON ps.sk = s_suppkey),
+       named AS (
+         SELECT n_name AS nation, cents
+         FROM su JOIN nation ON n_nationkey = nk
+         UNION ALL
+         SELECT 'ALL' AS nation, cents FROM su),
+       tot AS (
+         SELECT nation, CAST(sum(cents) AS BIGINT) AS t
+         FROM named GROUP BY 1),
+       sh AS (
+         SELECT named.nation, (cents * 1000000) // t AS share_ppm
+         FROM named JOIN tot ON tot.nation = named.nation
+         WHERE t > 0)
+       SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+              (SELECT t FROM tot WHERE tot.nation = sh.nation)
+                AS total_cents,
+              CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi
+       FROM sh GROUP BY nation ORDER BY nation"""
+
+  /** Mutual information between two categorical columns
+    * (l_returnflag × l_linestatus) in integer micro-nats, with the
+    * per-cell PMI table — the dependence measure that complements
+    * the chi-square audit ([[chiSquareOrders]]) and Cramér's V: MI
+    * is the KL divergence of the joint from independence, the
+    * information-theoretic "how many nats does knowing X tell you
+    * about Y". Exactness device: each cell's ln((n_xy·N)/(n_x·n_y))
+    * is quantized ONCE to integer micro-nats; the MI numerator
+    * Σ n_xy·pmi_micro is then an exact BIGINT in any order, divided
+    * by N once (integer floor division, cross-engine exact).
+    *
+    * Scale shape: the joint and both margins are partial-agg'd
+    * groupBys with domain-sized outputs (|X|·|Y| cells); margins
+    * broadcast onto cells, and the pooled MI rides a one-row
+    * broadcast back onto the cell table. Headroom: Σ n_xy·pmi_micro
+    * ≤ N·ln(N)·10⁶ holds BIGINT to N ≈ 3·10¹¹ rows.
+    */
+  def mutualInfoLineitem(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"))
+    val cells = base.groupBy($"rf", $"ls").agg(count(lit(1)).as("n"))
+    val mx = base.groupBy($"rf").agg(count(lit(1)).as("n_x"))
+    val my = base.groupBy($"ls").agg(count(lit(1)).as("n_y"))
+    val tot = cells.agg(sum($"n").as("big_n"))
+    val pmi = cells
+      .join(broadcast(mx), Seq("rf"))
+      .join(broadcast(my), Seq("ls"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(log(($"n".cast("double") * $"big_n".cast("double")) /
+          ($"n_x".cast("double") * $"n_y".cast("double"))) * lit(1.0e6))
+          .cast("long"))
+    val mi = pmi.agg(sum($"n" * $"pmi_micro").as("num"),
+      max($"big_n").as("nn"))
+      .select(expr("num div nn").as("mi_micro"))
+    pmi.crossJoin(broadcast(mi))
+      .select($"rf", $"ls", $"n", $"n_x", $"n_y", $"big_n",
+        $"pmi_micro", $"mi_micro")
+      .orderBy($"rf", $"ls")
+  }
+
+  val mutualInfoLineitemSql: String =
+    """WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem),
+       cells AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS n
+                 FROM b GROUP BY 1, 2),
+       mx AS (SELECT rf, CAST(count(*) AS BIGINT) AS n_x FROM b GROUP BY 1),
+       my AS (SELECT ls, CAST(count(*) AS BIGINT) AS n_y FROM b GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cells),
+       pmi AS (
+         SELECT rf, ls, n, n_x, n_y, big_n,
+                CAST(round(ln((CAST(n AS DOUBLE) * CAST(big_n AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS pmi_micro
+         FROM cells JOIN mx USING (rf) JOIN my USING (ls), tot),
+       mi AS (
+         SELECT CAST(sum(n * pmi_micro) AS BIGINT) // big_n AS mi_micro
+         FROM pmi GROUP BY big_n)
+       SELECT rf, ls, n, n_x, n_y, big_n, pmi_micro,
+              CAST(mi.mi_micro AS BIGINT) AS mi_micro
+       FROM pmi, mi ORDER BY rf, ls"""
 }

@@ -776,4 +776,104 @@ class EvaluationSpec extends SparkSpec {
     val kappa = r.getAs[Double]("kappa")
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
+
+  test("nelson-aalen: hand fold on the KM fixture — hazard steps are exact (d·1e6) div n and accumulate") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def ts(h: Double) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + (h * 3600 * 1000).toLong)
+    // the KM spec's fixture: events at durations 1h (d=2 of n=5),
+    // 2h (d=1 of n=3), 3h (d=1 of n=2, censor 1)
+    val ev = Seq(
+      (1L, ts(0), "purchase"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "purchase"), (2L, ts(1), "purchase"),
+      (3L, ts(0), "purchase"), (3L, ts(3), "purchase"),
+      (4L, ts(0), "purchase"),
+      (5L, ts(0), "purchase"), (5L, ts(2.5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.nelsonAalenRepeatPurchaseOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))).toMap
+    val s1 = 2L * 1000000L / 5L // 400000
+    val s2 = 1L * 1000000L / 3L // 333333
+    val s3 = 1L * 1000000L / 2L // 500000
+    assert(got(1L) == ((5L, 2L, s1, s1)), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, s2, s1 + s2)))
+    assert(got(3L) == ((2L, 1L, s3, s1 + s2 + s3)))
+    // exp(−Ĥ) ≥ KM survival pointwise (standard bracketing)
+    val km = Analytics.survivalRepeatPurchaseOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got.foreach { case (t, (_, _, _, h)) =>
+      assert(math.exp(-h / 1e6) >= km(t) - 1e-9, s"t=$t")
+    }
+  }
+
+  test("log-rank: identical cohorts score chi2 exactly 0; a planted one-sided hazard folds to chi2 = 5.0 by hand") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    // mirrored cohorts: users 0/1 (even/odd) repeat at 2h; users 2/3
+    // censor at the 2h horizon — every per-duration term has n1 = n0,
+    // so E1 = d/2 exactly in micro units and O - E = 0
+    val same = Seq(
+      (0L, ts(0), "purchase"), (0L, ts(2), "purchase"),
+      (1L, ts(0), "purchase"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "purchase"), (3L, ts(0), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r0 = Analytics.logRankRepeatPurchaseOf(same).collect().head
+    assert(r0.getAs[Long]("n_group0") == 2L && r0.getAs[Long]("n_group1") == 2L)
+    assert(r0.getAs[Long]("o1") * 1000000L == r0.getAs[Long]("e1_micro"))
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    // planted hazard: all three odd users repeat at 1h, all three
+    // even users never do (censored at the 1h horizon). One duration
+    // row: d=3, n0=n1=3, n=6 -> E1 = 1.5, V = 3·3·3·3/(36·5) = 0.45,
+    // chi2 = (3 - 1.5)² / 0.45 = 5.0 exactly in the micro arithmetic
+    val gap = Seq(
+      (0L, ts(0), "purchase"), (2L, ts(0), "purchase"), (4L, ts(0), "purchase"),
+      (1L, ts(0), "purchase"), (1L, ts(1), "purchase"),
+      (3L, ts(0), "purchase"), (3L, ts(1), "purchase"),
+      (5L, ts(0), "purchase"), (5L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r1 = Analytics.logRankRepeatPurchaseOf(gap).collect().head
+    assert(r1.getAs[Long]("o1") == 3L)
+    assert(r1.getAs[Long]("e1_micro") == 1500000L)
+    assert(r1.getAs[Long]("v_micro") == 450000L)
+    assert(r1.getAs[Double]("chi2") == 5.0)
+  }
+
+  test("gains table: ≡ a collected scala fold of the score histogram; terminal decile covers everything") {
+    import graft.operators.{Evaluation, QualityModel}
+    import graft.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val scored = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", ($"lang" === "en").cast("long").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fold the same statistic: histogram desc by score, first row
+    // whose cum reaches (i·N) div 10
+    val hist = scored.groupBy(_._1).map { case (s, rows) =>
+      (s, rows.length.toLong, rows.map(_._2).sum) }
+      .toSeq.sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val nPos = hist.map(_._3).sum
+    val cum = hist.scanLeft((0L, 0L)) { case ((c, t), (_, cn, tp)) =>
+      (c + cn, t + tp) }.tail
+    val want = (1L to 10L).map { i =>
+      val target = i * n / 10
+      val (depth, tp) = cum.find(_._1 >= target).get
+      (i, target, depth, tp, tp * 1000000L / nPos,
+        math.floor(tp.toDouble * n / (depth.toDouble * nPos) * 1e6 + 0.5) / 1e6)
+    }
+    val got = Evaluation.gainsQualityVsEnglish(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == want,
+      s"first diff: ${got.zip(want).find(x => x._1 != x._2)}")
+    // terminal decile: the whole corpus, gain exactly 1e6, lift 1
+    assert(got.last._3 == n && got.last._5 == 1000000L &&
+      got.last._6 == 1.0)
+  }
 }

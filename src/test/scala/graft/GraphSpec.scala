@@ -1030,4 +1030,29 @@ class GraphSpec extends SparkSpec {
         s"leaf $node: ($reached, $sumd, $lin)")
     }
   }
+
+  test("rich club: clique is φ=1 at every feasible k; star's club empties past the spokes; ladder rows survive past max degree") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // K4: every node degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val clique = (k4 ++ k4.map(_.swap)).toDF("src", "dst")
+    val gotClique = Graph.richClubOf(clique, Seq(1L, 2L, 3L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // deg>1 and deg>2 keep all 4 nodes and all 6 edges: density 1
+    assert(gotClique(1L) == ((4L, 6L, 1.0)))
+    assert(gotClique(2L) == ((4L, 6L, 1.0)))
+    // deg>3 excludes everyone — the ladder row still exists, zeroed
+    assert(gotClique(3L) == ((0L, 0L, 0.0)))
+    // star: hub 0 (deg 4), spokes deg 1 — club at k=1 is the lone
+    // hub: no pair, φ pinned to 0 by the n<2 guard
+    val undStar = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val star = (undStar ++ undStar.map(_.swap)).toDF("src", "dst")
+    val gotStar = Graph.richClubOf(star, Seq(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(gotStar(1L) == ((1L, 0L, 0.0)))
+    assert(gotStar(4L) == ((0L, 0L, 0.0)))
+  }
 }

@@ -849,4 +849,55 @@ class OlapSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("hashSample"))
   }
+
+  test("hhi: monopoly nation hits 10^12, equal shares hit n·(10^6/n)^2, pooled row folds both") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val tmp = java.nio.file.Files.createTempDirectory("hhi").toString
+    Seq((1L, 0), (2L, 1), (3L, 1), (4L, 1), (5L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    Seq((0, "ALPHA"), (1, "BETA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq((1L, 100.0, 0.0), (2L, 50.0, 0.0), (3L, 50.0, 0.0),
+      (4L, 50.0, 0.0), (5L, 50.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val m = Olap.hhiSupplierByNation(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // monopoly: one ppm-quantized share of 10^6, squared
+    assert(m("ALPHA").getAs[Long]("hhi") == 1000000000000L)
+    // four exact quarter shares: 4 · 250000²
+    assert(m("BETA").getAs[Long]("hhi") == 250000000000L)
+    assert(m("BETA").getAs[Long]("n_suppliers") == 4L)
+    // pooled: floor shares 333333 + 4·166666 over the 30000-cent total
+    assert(m("ALL").getAs[Long]("n_suppliers") == 5L)
+    assert(m("ALL").getAs[Long]("total_cents") == 30000L)
+    assert(m("ALL").getAs[Long]("hhi") ==
+      333333L * 333333L + 4L * 166666L * 166666L)
+  }
+
+  test("mutual info: exact independence gives 0 everywhere; deterministic pairing gives ln2 micro-nats") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val tmp = java.nio.file.Files.createTempDirectory("mi").toString
+    // perfect product table: every (rf, ls) cell = 2, margins 4/4
+    (for { rf <- Seq("A", "B"); ls <- Seq("X", "Y"); _ <- 1 to 2 }
+      yield (rf, ls))
+      .toDF("l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val indep = Olap.mutualInfoLineitem(spark, tmp).collect()
+    assert(indep.length == 4)
+    assert(indep.forall(_.getAs[Long]("pmi_micro") == 0L))
+    assert(indep.forall(_.getAs[Long]("mi_micro") == 0L))
+    // deterministic pairing: knowing rf pins ls, MI = H(rf) = ln 2
+    val tmp2 = java.nio.file.Files.createTempDirectory("mi2").toString
+    Seq(("A", "X"), ("A", "X"), ("B", "Y"), ("B", "Y"))
+      .toDF("l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$tmp2/lineitem.parquet")
+    val paired = Olap.mutualInfoLineitem(spark, tmp2).collect()
+    assert(paired.length == 2)
+    assert(paired.forall(_.getAs[Long]("pmi_micro") == 693147L))
+    assert(paired.forall(_.getAs[Long]("mi_micro") == 693147L))
+  }
 }

@@ -938,4 +938,33 @@ import org.apache.spark.sql.functions.{call_function, hour}
       (h, (3L + d((lastH + h) % 24)) * 1000000L))
     assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
   }
+
+  test("inter-arrival fit: constant gaps give the step ECDF — zero mass below the mean-side octiles, full mass above, ks at the j=5 octile") {
+    import graft.operators.Events
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // one user, one type, 9 arrivals 100s apart: 8 identical gaps.
+    // Exp thresholds at mean 100s: octiles j=1..5 sit BELOW 100s
+    // (−ln(3/8) ≈ 0.98), j=6,7 above (ln 4 ≈ 1.39, ln 8 ≈ 2.08) —
+    // the ECDF is a step at the constant, so f_emp is 0 then 10⁶
+    val ev = (0L until 9L).map(i => (7L, ts(i * 100L), "a"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.interArrivalFitOf(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    (1L to 5L).foreach { j =>
+      assert(got(j) == ((8L, 0L, 0L, j * 125000L, 625000L)),
+        s"j=$j: ${got(j)}")
+    }
+    assert(got(6L) == ((8L, 8L, 1000000L, 250000L, 625000L)))
+    assert(got(7L) == ((8L, 8L, 1000000L, 125000L, 625000L)))
+    // two users with disjoint gap scales stay independent per type:
+    // the lag window never crosses users
+    val two = ((0L until 3L).map(i => (1L, ts(i * 10L), "b")) ++
+      (0L until 3L).map(i => (2L, ts(1000000L + i * 1000L), "b")))
+      .toDF("user_id", "ts", "event_type")
+    val census = Events.interArrivalFitOf(two).collect()
+    assert(census.forall(_.getLong(2) == 4L)) // 2 gaps per user, not 5
+  }
 }

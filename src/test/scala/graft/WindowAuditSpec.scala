@@ -104,6 +104,18 @@ class WindowAuditSpec extends SparkSpec {
       ("cumulative tp/fp over the SCORE HISTOGRAM (one row per " +
         "distinct quality-model score) — identical domain-sized-frame " +
         "shape and rationale as ml_auc"),
+    "ml_gains" ->
+      ("cumulative counts over the SCORE HISTOGRAM feeding the " +
+        "decile-threshold ladder — identical domain-sized-frame " +
+        "shape and rationale as ml_pr_curve"),
+    "analytics_logrank" ->
+      ("exclusive prefix sums over the per-group DURATION HISTOGRAM " +
+        "(one row per distinct duration) — the same KM at-risk " +
+        "device and rationale as analytics_survival_km"),
+    "analytics_nelson_aalen" ->
+      ("at-risk and hazard prefix sums over the DURATION HISTOGRAM " +
+        "— the same KM at-risk device and rationale as " +
+        "analytics_survival_km"),
     "ml_auc" ->
       ("cumulative negatives over the SCORE HISTOGRAM (one row per " +
         "distinct quality-model score, bounded by max doc length × " +
