@@ -1539,6 +1539,131 @@ object Analytics {
                 AS BIGINT) AS h_micro
        FROM steps ORDER BY dur_h"""
 
+  /** EXACT Shapley-value multi-touch attribution (Shapley 1953;
+    * Dalessandro et al. 2012 for the marketing use): each channel's
+    * credit is its average marginal contribution over all 2^k
+    * channel coalitions — the only attribution satisfying
+    * efficiency/symmetry/dummy, where last-touch and linear are ad
+    * hoc. With k = |channels| small (the real-world case), the
+    * coalition lattice is ENUMERABLE: v(S) = converting users whose
+    * touched-channel set ⊆ S, and φ_c·k! = Σ_{S∌c} |S|!(k−1−|S|)!·
+    * (v(S∪c)−v(S)) is an exact INTEGER in k!-ths — no sampling, no
+    * fp. Efficiency holds exactly: Σφ·k! = k!·(v(full)−v(∅)).
+    *
+    * Scale shape: one groupBy collapses events to a user frame
+    * (conv flag + touched-set bitmask via SUM(DISTINCT 2^i) — the
+    * distinct powers make the sum the bitwise OR); v() is one
+    * conditional aggregate of that frame fanned over the 2^k-row
+    * broadcast subset ladder; the Shapley fold joins the 2^k-row v
+    * table against a k·2^(k-1)-row broadcast (channel, S) ladder.
+    * Past k ≈ 10 the 2^k fan-out stops being free — that is a
+    * different operator (sampled permutations), refused here by the
+    * require.
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String,
+      channels: Seq[String] =
+        Seq("click", "error", "signup", "view")): DataFrame = {
+    require(channels.size <= 10,
+      s"shapleyAttribution enumerates 2^k coalitions: k=${channels.size} " +
+        "is past the exact-lattice budget; use a sampled-permutation " +
+        "estimator for wide channel sets")
+    val spark0 = spark
+    import spark0.implicits._
+    val chs = channels.sorted
+    val k = chs.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val powerOf = chs.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    val maskExpr = chs.map(c =>
+      s"WHEN '$c' THEN ${powerOf(c)}L").mkString(
+      "CASE event_type ", " ", " ELSE NULL END")
+    val users = Tables.events(spark, dir)
+      .select($"user_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"),
+        coalesce(sum_distinct(expr(maskExpr)), lit(0L)).as("mask"))
+      .filter($"conv" === 1L)
+    val subsets = broadcast((0L until (1L << k)).toDF("s"))
+    val v = users.crossJoin(subsets)
+      .filter(expr("(mask & s) = mask"))
+      .groupBy($"s").agg(count(lit(1)).as("v"))
+    // absent subsets (no converting user fits) count as v = 0
+    val vFull = subsets.join(v, Seq("s"), "left")
+      .withColumn("v", coalesce($"v", lit(0L)))
+    val ladder = broadcast((for {
+      c <- chs
+      s <- 0L until (1L << k)
+      if (s & powerOf(c)) == 0L
+    } yield {
+      val size = java.lang.Long.bitCount(s)
+      (c, s, s | powerOf(c), fact(size) * fact(k - 1 - size))
+    }).toDF("channel", "s0", "s1", "w"))
+    val phi = ladder
+      .join(vFull.select($"s".as("s0"), $"v".as("v0")), Seq("s0"))
+      .join(vFull.select($"s".as("s1"), $"v".as("v1")), Seq("s1"))
+      .groupBy($"channel")
+      .agg(sum($"w" * ($"v1" - $"v0")).as("phi_xkf"))
+    val tot = phi.agg(sum($"phi_xkf").as("tot_xkf"))
+    phi.crossJoin(broadcast(tot))
+      .select($"channel", $"phi_xkf", $"tot_xkf",
+        when($"tot_xkf" > 0L, expr("(phi_xkf * 1000000) div tot_xkf"))
+          .otherwise(0L).as("share_ppm"))
+      .orderBy($"channel")
+  }
+
+  def shapleyAttributionSql(
+      channels: Seq[String] =
+        Seq("click", "error", "signup", "view")): String = {
+    val chs = channels.sorted
+    val k = chs.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val powerOf = chs.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    val maskExpr = chs.map(c =>
+      s"WHEN '$c' THEN ${powerOf(c)}").mkString(
+      "CASE event_type ", " ", " ELSE NULL END")
+    val subsetRows = (0L until (1L << k)).map(s => s"($s)").mkString(", ")
+    val ladderRows = (for {
+      c <- chs
+      s <- 0L until (1L << k)
+      if (s & powerOf(c)) == 0L
+    } yield {
+      val size = java.lang.Long.bitCount(s)
+      s"('$c', $s, ${s | powerOf(c)}, ${fact(size) * fact(k - 1 - size)})"
+    }).mkString(",\n                 ")
+    s"""WITH users AS (
+         SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv,
+                coalesce(CAST(sum(DISTINCT $maskExpr) AS BIGINT), 0) AS mask
+         FROM events GROUP BY 1),
+       conv_users AS (SELECT mask FROM users WHERE conv = 1),
+       subsets AS (SELECT CAST(s AS BIGINT) AS s
+                   FROM (VALUES $subsetRows) t(s)),
+       v AS (
+         -- count(mask), not count(*): an unmatched subset row must
+         -- read v = 0, not 1
+         SELECT s, CAST(count(mask) AS BIGINT) AS v
+         FROM subsets LEFT JOIN conv_users ON (mask & s) = mask
+         GROUP BY s),
+       ladder AS (
+         SELECT channel, CAST(s0 AS BIGINT) AS s0,
+                CAST(s1 AS BIGINT) AS s1, CAST(w AS BIGINT) AS w
+         FROM (VALUES $ladderRows) t(channel, s0, s1, w)),
+       phi AS (
+         SELECT channel,
+                CAST(sum(w * (v1.v - v0.v)) AS BIGINT) AS phi_xkf
+         FROM ladder
+         JOIN v v0 ON v0.s = ladder.s0
+         JOIN v v1 ON v1.s = ladder.s1
+         GROUP BY 1),
+       tot AS (SELECT CAST(sum(phi_xkf) AS BIGINT) AS tot_xkf FROM phi)
+       SELECT channel, phi_xkf, tot_xkf,
+              CASE WHEN tot_xkf > 0
+                   THEN CAST((phi_xkf * 1000000) // tot_xkf AS BIGINT)
+                   ELSE 0 END AS share_ppm
+       FROM phi, tot ORDER BY channel"""
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

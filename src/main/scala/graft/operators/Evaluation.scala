@@ -239,6 +239,273 @@ object Evaluation {
        FROM best ORDER BY decile"""
   }
 
+  /** Kolmogorov–Smirnov separation of the quality-model score
+    * (the credit-scoring "KS statistic"): max vertical gap between
+    * the positive and negative score CDFs — the single-threshold
+    * companion to AUC (AUC integrates the separation; KS reports
+    * the best ONE cutoff and where it sits, which is what a
+    * curation threshold actually uses). Fully integer via cross
+    * multiplication: at each distinct score the gap
+    * |F₁−F₀| = |cum_pos·n_neg − cum_neg·n_pos|/(n_pos·n_neg) is
+    * carried scaled (exact BIGINT), the max is taken on the scaled
+    * value with a score tie-break, and the one ppm division happens
+    * at the end. Same SCORE-HISTOGRAM domain-sized window family as
+    * ml_auc. Headroom: cum·n holds BIGINT to n_pos·n_neg < 9·10¹⁸
+    * (≈ 3·10⁹ docs a side).
+    */
+  def ksSeparationQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    ksSeparationOf(QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("is_pos")))
+  }
+
+  /** Core over any (score, is_pos∈{0,1}) frame. */
+  def ksSeparationOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val hist = scored.groupBy($"score")
+      .agg(sum($"is_pos").as("p"), sum(lit(1L) - $"is_pos").as("q"))
+    val upTo = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = hist.agg(sum($"p").as("n_pos"), sum($"q").as("n_neg"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("cum_p", sum($"p").over(upTo))
+      .withColumn("cum_q", sum($"q").over(upTo))
+      .withColumn("gap_scaled",
+        abs($"cum_p" * $"n_neg" - $"cum_q" * $"n_pos"))
+      .agg(max($"n_pos").as("n_pos"), max($"n_neg").as("n_neg"),
+        max(struct($"gap_scaled", $"score")).as("m"))
+      .select($"n_pos", $"n_neg", $"m.score".as("ks_score"),
+        $"m.gap_scaled".as("gap_scaled"),
+        when($"n_pos" > 0L && $"n_neg" > 0L,
+          expr("(m.gap_scaled * 1000000) div (n_pos * n_neg)"))
+          .otherwise(0L).as("ks_ppm"))
+  }
+
+  val ksSeparationQualitySql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       h AS (
+         SELECT score, CAST(sum(is_pos) AS BIGINT) AS p,
+                CAST(sum(1 - is_pos) AS BIGINT) AS q
+         FROM s GROUP BY score),
+       t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                    CAST(sum(q) AS BIGINT) AS n_neg FROM h),
+       c AS (
+         SELECT score,
+                abs(CAST(sum(p) OVER w AS BIGINT) * n_neg
+                    - CAST(sum(q) OVER w AS BIGINT) * n_pos)
+                  AS gap_scaled
+         FROM h, t
+         WINDOW w AS (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       best AS (
+         SELECT score AS ks_score, gap_scaled
+         FROM c ORDER BY gap_scaled DESC, score DESC LIMIT 1)
+       SELECT n_pos, n_neg, CAST(ks_score AS BIGINT) AS ks_score,
+              gap_scaled,
+              CASE WHEN n_pos > 0 AND n_neg > 0
+                   THEN CAST((gap_scaled * 1000000) // (n_pos * n_neg)
+                     AS BIGINT)
+                   ELSE 0 END AS ks_ppm
+       FROM best, t"""
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * BRIER = RELIABILITY − RESOLUTION + UNCERTAINTY — one readout
+    * that says how much of a scorer's squared error is
+    * mis-calibration (REL: forecast level vs realized rate — fixable
+    * by recalibration), how much is earned discrimination (RES: the
+    * bins separate the base rate), and how much is irreducible class
+    * noise (UNC = ō(1−ō)). The quality-model score is min-max
+    * normalized ONCE to integer per-mille as the forecast; bins are
+    * the DISTINCT forecast values (the condition under which
+    * Murphy's identity is exact), so the whole computation runs on
+    * the forecast-value histogram — domain-sized, never the corpus.
+    * Every accumulator is an exact BIGINT in per-mille² units; bin
+    * rates quantized once by floor division (the only deviation from
+    * the real-arithmetic identity, bounded by 1 pm per bin).
+    * Headroom: Σ n·Δ² ≤ N·10⁶ holds BIGINT to N ≈ 9·10¹² docs.
+    */
+  def brierDecompositionQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    brierDecompositionOf(QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", ($"lang" === "en").cast("long").as("o")))
+  }
+
+  /** Core over any (score, o∈{0,1}) frame. */
+  def brierDecompositionOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val bounds = scored.agg(min($"score").as("mn"), max($"score").as("mx"))
+    val cells = scored.crossJoin(broadcast(bounds))
+      .select(
+        when($"mx" > $"mn",
+          expr("((score - mn) * 1000) div (mx - mn)")).otherwise(500L)
+          .as("p"),
+        $"o")
+      .groupBy($"p", $"o").agg(count(lit(1)).as("n_po"))
+    val bins = cells.groupBy($"p")
+      .agg(sum($"n_po").as("n_p"),
+        sum(when($"o" === 1L, $"n_po").otherwise(0L)).as("pos_p"),
+        sum($"n_po" * ($"p" - $"o" * 1000L) * ($"p" - $"o" * 1000L))
+          .as("brier_num_p"))
+      .withColumn("obar_p", expr("(1000 * pos_p) div n_p"))
+    val tot = bins.agg(sum($"n_p").as("n"), sum($"pos_p").as("n_pos"))
+      .withColumn("o_pm", expr("(1000 * n_pos) div n"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max($"n").as("n"), max($"n_pos").as("n_pos"),
+        max($"o_pm").as("o_pm"),
+        sum($"brier_num_p").as("brier_num"),
+        sum($"n_p" * ($"p" - $"obar_p") * ($"p" - $"obar_p")).as("rel_num"),
+        sum($"n_p" * ($"obar_p" - $"o_pm") * ($"obar_p" - $"o_pm"))
+          .as("res_num"))
+      .select($"n", $"n_pos", $"o_pm",
+        expr("brier_num div n").as("brier_pm2"),
+        expr("rel_num div n").as("rel_pm2"),
+        expr("res_num div n").as("res_pm2"),
+        ($"o_pm" * (lit(1000L) - $"o_pm")).as("unc_pm2"))
+  }
+
+  val brierDecompositionQualitySql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH scored_docs AS ($score),
+       s AS (
+         SELECT sd.score,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS o
+         FROM scored_docs sd JOIN documents d ON sd.doc_id = d.doc_id),
+       b AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+       cells AS (
+         SELECT CASE WHEN mx > mn THEN ((score - mn) * 1000) // (mx - mn)
+                     ELSE 500 END AS p,
+                o, CAST(count(*) AS BIGINT) AS n_po
+         FROM s, b GROUP BY 1, 2),
+       bins AS (
+         SELECT p, CAST(sum(n_po) AS BIGINT) AS n_p,
+                CAST(sum(CASE WHEN o = 1 THEN n_po ELSE 0 END) AS BIGINT)
+                  AS pos_p,
+                CAST(sum(n_po * (p - o * 1000) * (p - o * 1000)) AS BIGINT)
+                  AS brier_num_p
+         FROM cells GROUP BY 1),
+       bb AS (
+         SELECT p, n_p, pos_p, brier_num_p,
+                (1000 * pos_p) // n_p AS obar_p
+         FROM bins),
+       tot AS (
+         SELECT CAST(sum(n_p) AS BIGINT) AS n,
+                CAST(sum(pos_p) AS BIGINT) AS n_pos,
+                (1000 * CAST(sum(pos_p) AS BIGINT))
+                  // CAST(sum(n_p) AS BIGINT) AS o_pm
+         FROM bb),
+       agg AS (
+         SELECT CAST(sum(brier_num_p) AS BIGINT) AS brier_num,
+                CAST(sum(n_p * (p - obar_p) * (p - obar_p)) AS BIGINT)
+                  AS rel_num,
+                CAST(sum(n_p * (obar_p - o_pm) * (obar_p - o_pm)) AS BIGINT)
+                  AS res_num
+         FROM bb, tot)
+       SELECT n, n_pos, CAST(o_pm AS BIGINT) AS o_pm,
+              CAST(brier_num // n AS BIGINT) AS brier_pm2,
+              CAST(rel_num // n AS BIGINT) AS rel_pm2,
+              CAST(res_num // n AS BIGINT) AS res_pm2,
+              CAST(o_pm * (1000 - o_pm) AS BIGINT) AS unc_pm2
+       FROM agg, tot"""
+  }
+
+  /** Split-conformal coverage audit (Papadopoulos et al. 2002; Lei
+    * et al. JASA 2018) of the quality-model score: calibrate a
+    * distribution-free interval on one deterministic half of the
+    * corpus, then measure on the other half whether it covers the
+    * promised 1−α = 90 % — the finite-sample-valid counterpart to
+    * the Gaussian ±z·σ interval. Nonconformity is the absolute
+    * deviation from the calibration mean, carried CROSS-MULTIPLIED
+    * (|s·n_cal − Σ_cal| — exact BIGINT, no division), so the
+    * quantile q̂ = the ⌈(1−α)(n_cal+1)⌉-th smallest residual is an
+    * exact order statistic drawn from the residual VALUE HISTOGRAM
+    * by the crossing device, and test-side coverage is an exact
+    * integer count against the same scaled q̂ — the gate is 100 %
+    * integer. The split rides the portable md5 per-mille bucket
+    * ([[graft.operators.Sampling.bucket]], salt "conformal").
+    */
+  def conformalCoverageQuality(spark: SparkSession, dir: String): DataFrame =
+    conformalOf(QualityModel.score(Tables.documents(spark, dir))
+      .select(col("doc_id").as("id"), col("score")))
+
+  /** Core over any (id, score) frame; α = 1/10. */
+  def conformalOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val b = scored.withColumn("bkt", Sampling.bucket($"id", "conformal"))
+    val cal = b.filter($"bkt" < 500)
+    val test = b.filter($"bkt" >= 500)
+    val stats = cal.agg(count(lit(1)).as("n_cal"), sum($"score").as("s_cal"))
+      .withColumn("q_rank",
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), $"n_cal"))
+    val hist = cal.crossJoin(broadcast(stats))
+      .select(abs($"score" * $"n_cal" - $"s_cal").as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("cnt"))
+    val upTo = Window.orderBy($"r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val q = hist
+      .withColumn("cum", sum($"cnt").over(upTo))
+      .crossJoin(broadcast(stats))
+      .filter($"cum" >= $"q_rank")
+      .agg(min($"r").as("q_scaled"))
+    test.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+      .select(
+        when(abs($"score" * $"n_cal" - $"s_cal") <= $"q_scaled", 1L)
+          .otherwise(0L).as("cov"),
+        $"n_cal", $"q_rank", $"q_scaled")
+      .groupBy($"n_cal", $"q_rank", $"q_scaled")
+      .agg(count(lit(1)).as("n_test"), sum($"cov").as("covered"))
+      .select($"n_cal", $"n_test", $"q_rank", $"q_scaled", $"covered",
+        when($"n_test" > 0L, expr("(covered * 1000000) div n_test"))
+          .otherwise(0L).as("coverage_ppm"))
+  }
+
+  val conformalCoverageQualitySql: String = {
+    val score = QualityModel.scoreDocumentsSql
+    val bkt = graft.operators.Sampling.bucketSql("doc_id", "conformal")
+    s"""WITH scored_docs AS ($score),
+       b AS (SELECT doc_id AS id, score, $bkt AS bkt FROM scored_docs),
+       cal AS (SELECT id, score FROM b WHERE bkt < 500),
+       tst AS (SELECT id, score FROM b WHERE bkt >= 500),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                CAST(sum(score) AS BIGINT) AS s_cal,
+                least((9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10,
+                      CAST(count(*) AS BIGINT)) AS q_rank
+         FROM cal),
+       hist AS (
+         SELECT abs(score * n_cal - s_cal) AS r,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM cal, stats GROUP BY 1),
+       c AS (
+         SELECT r, CAST(sum(cnt) OVER (ORDER BY r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+         FROM hist),
+       q AS (
+         SELECT CAST(min(r) AS BIGINT) AS q_scaled
+         FROM c, stats WHERE cum >= q_rank),
+       covt AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN abs(score * n_cal - s_cal) <= q_scaled
+                          THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         FROM tst, stats, q)
+       SELECT n_cal, n_test, q_rank, q_scaled, covered,
+              CASE WHEN n_test > 0
+                   THEN CAST((covered * 1000000) // n_test AS BIGINT)
+                   ELSE 0 END AS coverage_ppm
+       FROM covt, stats, q"""
+  }
+
   /** Calibration (reliability) bins of the quality-model score
     * against the binary label — AUC says the ranking is right;
     * calibration says whether the score LEVEL means what it claims,

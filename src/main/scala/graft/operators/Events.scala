@@ -520,6 +520,78 @@ object Events {
                 AS prob
        FROM c ORDER BY from_type, to_type"""
 
+  /** Per-state transition entropy of the first-order session Markov
+    * chain ([[transitionMatrix]]'s counts) plus the pooled
+    * empirical entropy RATE — how predictable is the next action
+    * given the current one, in integer micro-nats: a state with
+    * H ≈ 0 is a funnel (one successor dominates), a state at
+    * ln(|states|) is noise, and the pooled rate Σ p̂(i)·H(i) is the
+    * per-step compressibility of user behavior (Shannon's source
+    * rate under the empirical bigram model). Exactness device: each
+    * cell's ln(n_from/n_cell) is quantized ONCE to micro-nats; row
+    * numerators Σ n_cell·lnq are exact BIGITs floor-divided by
+    * n_from once, and the pooled rate divides the SAME global
+    * numerator by N — so rows and the ALL row are consistent by
+    * construction. Domain-sized after the per-user lead window
+    * (|event types|² cells).
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val cells = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec"),
+        $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(byUser))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val margins = cells.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    val terms = cells.join(broadcast(margins), Seq("from_type"))
+      .withColumn("lnq",
+        round(log($"n_from".cast("double") / $"n".cast("double")) *
+          lit(1.0e6)).cast("long"))
+    val rows = terms.groupBy($"from_type")
+      .agg(max($"n_from").as("n_from"), sum($"n" * $"lnq").as("num"))
+      .select($"from_type", $"n_from", expr("num div n_from").as("h_micro"))
+    val pooled = terms.agg(sum($"n").as("n_from"),
+      sum($"n" * $"lnq").as("num"))
+      .select(lit("ALL").as("from_type"), $"n_from",
+        expr("num div n_from").as("h_micro"))
+    rows.unionByName(pooled).orderBy($"from_type")
+  }
+
+  val entropyRateSql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       p AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_sec, event_id) AS to_type
+         FROM e),
+       c AS (
+         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       m AS (
+         SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         FROM c GROUP BY 1),
+       terms AS (
+         SELECT c.from_type, n, n_from,
+                CAST(round(ln(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lnq
+         FROM c JOIN m ON m.from_type = c.from_type),
+       rows_ AS (
+         SELECT from_type, CAST(max(n_from) AS BIGINT) AS n_from,
+                CAST(sum(n * lnq) AS BIGINT) // max(n_from) AS h_micro
+         FROM terms GROUP BY from_type
+         UNION ALL
+         SELECT 'ALL', CAST(sum(n) AS BIGINT),
+                CAST(sum(n * lnq) AS BIGINT) // sum(n)
+         FROM terms)
+       SELECT from_type, n_from, CAST(h_micro AS BIGINT) AS h_micro
+       FROM rows_ ORDER BY from_type"""
+
   val pathTrigramsSql: String =
     """WITH e AS (
          SELECT event_id, user_id, event_type,
@@ -1971,6 +2043,188 @@ object Events {
                  AS forecast
         FROM fan CROSS JOIN fin
         ORDER BY h_ahead"""
+
+  /** Build-time DFT basis for [[periodogram]]: (period, phase r,
+    * cos(2πr/p)·10⁶, sin(2πr/p)·10⁶) quantized ONCE so both engines
+    * multiply the same integer literals — never each engine's own
+    * trigonometry.
+    */
+  private[operators] val dftBasis: Seq[(Long, Long, Long, Long)] =
+    for {
+      p <- Seq(24L, 168L)
+      r <- 0L until p
+    } yield (p, r,
+      math.round(math.cos(2.0 * math.Pi * r / p) * 1e6),
+      math.round(math.sin(2.0 * math.Pi * r / p) * 1e6))
+
+  /** Single-frequency periodogram at the two calendar periods that
+    * matter for event streams — 24 h and 168 h: the DFT power
+    * |Σ y·e^{−2πi·t/p}|² read as a relative amplitude, the
+    * frequency-domain companion to the hour-of-week seasonality
+    * profile (a planted daily cycle concentrates its mass at p=24;
+    * white noise spreads it). Phases enter through the BUILD-TIME
+    * integer basis ([[dftBasis]]); the cos/sin accumulators are then
+    * exact micro-scaled BIGINTs in any order, and the amplitude
+    * ratio √(c²+s²)/Σy is one pinned double rounded once. Absent
+    * hours contribute exactly zero to a sum, so no gap-fill spine is
+    * needed — the hour histogram alone drives the whole gate.
+    *
+    * Scale shape: one partial-agg'd groupBy to hourly counts, one
+    * broadcast min for the phase origin, one broadcast 192-row basis
+    * join, one final aggregate per period. Headroom: Σ y·10⁶ holds
+    * BIGINT to ~9·10¹² events.
+    */
+  def periodogram(spark: SparkSession, dir: String): DataFrame =
+    periodogramOf(Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y")))
+
+  /** Core over any (h, y) hourly histogram. */
+  def periodogramOf(hourly: DataFrame): DataFrame = {
+    import hourly.sparkSession.implicits._
+    val origin = hourly.agg(min($"h").as("h0"))
+    val basis = broadcast(dftBasis.toDF("period", "r", "cosq", "sinq"))
+    hourly.crossJoin(broadcast(origin))
+      .withColumn("t", $"h" - $"h0")
+      .crossJoin(broadcast(dftBasis.map(_._1).distinct.toDF("period")))
+      .withColumn("r", $"t" % $"period")
+      .join(basis, Seq("period", "r"))
+      .groupBy($"period")
+      .agg(count(lit(1)).as("n_hours"), sum($"y").as("total"),
+        sum($"y" * $"cosq").as("c_micro"),
+        sum($"y" * $"sinq").as("s_micro"))
+      .select($"period", $"n_hours", $"total", $"c_micro", $"s_micro",
+        when($"total" > 0L,
+          round(sqrt($"c_micro".cast("double") * $"c_micro" +
+            $"s_micro".cast("double") * $"s_micro") /
+            $"total".cast("double")).cast("long"))
+          .otherwise(0L).as("amp_ppm"))
+      .orderBy($"period")
+  }
+
+  val periodogramSql: String = {
+    val basisRows = dftBasis
+      .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }
+      .mkString(",\n                 ")
+    s"""WITH hourly AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1),
+       o AS (SELECT CAST(min(h) AS BIGINT) AS h0 FROM hourly),
+       basis AS (
+         SELECT CAST(p AS BIGINT) AS period, CAST(r AS BIGINT) AS r,
+                CAST(c AS BIGINT) AS cosq, CAST(s AS BIGINT) AS sinq
+         FROM (VALUES $basisRows) t(p, r, c, s)),
+       m AS (
+         SELECT period,
+                CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(y) AS BIGINT) AS total,
+                CAST(sum(y * cosq) AS BIGINT) AS c_micro,
+                CAST(sum(y * sinq) AS BIGINT) AS s_micro
+         FROM hourly CROSS JOIN o
+         JOIN basis ON basis.r = (h - h0) % basis.period
+         GROUP BY 1)
+       SELECT period, n_hours, total, c_micro, s_micro,
+              CASE WHEN total > 0 THEN
+                CAST(round(sqrt(CAST(c_micro AS DOUBLE) * c_micro
+                  + CAST(s_micro AS DOUBLE) * s_micro)
+                  / CAST(total AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS amp_ppm
+       FROM m ORDER BY period"""
+  }
+
+  /** Binary-segmentation changepoint on the daily event-count
+    * series (Scott & Knott 1974; the one-split primitive PELT
+    * iterates): the day boundary whose two-segment split minimizes
+    * total within-segment SSE — the level-shift locator that
+    * complements [[cusumHours]]'s sequential drift alarm with a
+    * global least-squares answer. Candidate costs fold from exact
+    * BIGINT prefix moments (i, Σy, Σy²) via SSE = Q − S²/n per side,
+    * each candidate quantized ONCE to micro-units and the argmin
+    * taken on (cost, day) — deterministic in any evaluation order.
+    * Observed days only (zero-event days excluded — the
+    * [[mannKendallDaily]] series contract).
+    *
+    * Scale shape: one partial-agg'd groupBy to the daily series,
+    * then prefix windows + argmin over the calendar-bounded day
+    * spine (≤ 3653 rows/decade) — the audited spine-window family;
+    * the corpus never re-enters.
+    */
+  def binsegDaily(spark: SparkSession, dir: String): DataFrame =
+    binsegDailyOf(Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y")))
+
+  /** Core over any (d, y) integer series. */
+  def binsegDailyOf(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val upTo = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .withColumn("i", count(lit(1)).over(upTo))
+      .withColumn("s", sum($"y").over(upTo))
+      .withColumn("q", sum($"y" * $"y").over(upTo))
+    val tot = pre.agg(max($"i").as("n"), max($"s").as("s_tot"),
+      max($"q").as("q_tot"))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter($"i" < $"n")
+      .withColumn("cost_micro",
+        round((($"q" - $"s".cast("double") * $"s" / $"i") +
+          ($"q_tot" - $"q" -
+            ($"s_tot" - $"s").cast("double") * ($"s_tot" - $"s") /
+              ($"n" - $"i"))) * lit(1.0e6)).cast("long"))
+    cand
+      .groupBy()
+      .agg(min(struct($"cost_micro", $"d", $"i", $"s")).as("m"),
+        max($"n").as("n_days"), max($"s_tot").as("s_tot"),
+        max($"q_tot").as("q_tot"))
+      .select($"n_days", $"m.d".as("split_last_left_day"),
+        $"m.i".as("n_left"), ($"n_days" - $"m.i").as("n_right"),
+        $"m.s".as("s_left"), ($"s_tot" - $"m.s").as("s_right"),
+        $"m.cost_micro".as("cost_micro"),
+        round(($"q_tot" - $"s_tot".cast("double") * $"s_tot" / $"n_days") *
+          lit(1.0e6)).cast("long").as("sse0_micro"))
+      .withColumn("gain_micro", $"sse0_micro" - $"cost_micro")
+  }
+
+  val binsegDailySql: String =
+    """WITH daily AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1),
+       pre AS (
+         SELECT d,
+                CAST(count(*) OVER w AS BIGINT) AS i,
+                CAST(sum(y) OVER w AS BIGINT) AS s,
+                CAST(sum(y * y) OVER w AS BIGINT) AS q
+         FROM daily
+         WINDOW w AS (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       tot AS (SELECT CAST(max(i) AS BIGINT) AS n,
+                      CAST(max(s) AS BIGINT) AS s_tot,
+                      CAST(max(q) AS BIGINT) AS q_tot
+               FROM pre),
+       cand AS (
+         SELECT d, i, s,
+                CAST(round(((q - CAST(s AS DOUBLE) * s / i)
+                  + (q_tot - q - CAST(s_tot - s AS DOUBLE) * (s_tot - s)
+                     / (n - i))) * 1000000.0) AS BIGINT) AS cost_micro
+         FROM pre, tot WHERE i < n),
+       best AS (
+         SELECT d AS split_d, i AS n_left, s AS s_left,
+                CAST(cost_micro AS BIGINT) AS cost_micro
+         FROM cand ORDER BY cost_micro, d LIMIT 1)
+       SELECT n AS n_days, CAST(split_d AS BIGINT) AS split_last_left_day,
+              CAST(n_left AS BIGINT) AS n_left,
+              CAST(n - n_left AS BIGINT) AS n_right,
+              CAST(s_left AS BIGINT) AS s_left,
+              CAST(s_tot - s_left AS BIGINT) AS s_right,
+              cost_micro,
+              CAST(round((q_tot - CAST(s_tot AS DOUBLE) * s_tot / n)
+                * 1000000.0) AS BIGINT) AS sse0_micro,
+              CAST(round((q_tot - CAST(s_tot AS DOUBLE) * s_tot / n)
+                * 1000000.0) AS BIGINT) - cost_micro AS gain_micro
+       FROM best, tot"""
 
   /** Grid points for the inter-arrival exponential fit: the j/8
     * quantiles of Exp(1), each −ln(1−j/8) quantized ONCE to integer

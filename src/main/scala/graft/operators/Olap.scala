@@ -2096,4 +2096,242 @@ object Olap {
        SELECT rf, ls, n, n_x, n_y, big_n, pmi_micro,
               CAST(mi.mi_micro AS BIGINT) AS mi_micro
        FROM pmi, mi ORDER BY rf, ls"""
+
+  /** Hill tail-index estimator on customer lifetime revenue (Hill
+    * 1975): α̂ = 1/H with H = (1/k)·Σ_{i≤k} ln x₍ᵢ₎ − ln x₍ₖ₊₁₎ over
+    * the k largest observations — the standard answer to "HOW heavy
+    * is the tail" that Gini/Theil (which average over everyone)
+    * blur: α ≤ 2 means infinite variance, α ≤ 1 means even the mean
+    * diverges, exactly the regime where sampling and sketching
+    * assumptions break at 100 TB. k = ⌊n_pos/10⌋. Exactness device:
+    * per distinct value one micro-nat ln quantization; the top-k
+    * mass folds from the DESCENDING value histogram with the
+    * boundary bucket split exactly (contrib = clamp(k − cum_excl)),
+    * so Σ contrib·lnq is an exact BIGINT and H is one floor
+    * division; α̂ = 10¹² div H_micro. Zero-revenue customers are
+    * excluded (ln 0); an all-equal tail reads H = 0 → α pinned 0.
+    */
+  def hillTailRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .filter($"cents" > 0L)
+    val hist = perCust.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("lnq", round(log($"cents".cast("double")) * lit(1.0e6))
+        .cast("long"))
+    val total = hist.agg(sum($"cnt").as("n_pos"))
+      .withColumn("k", expr("n_pos div 10"))
+    val before = Window.orderBy($"cents".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.crossJoin(broadcast(total))
+      .withColumn("cum_excl", coalesce(sum($"cnt").over(before), lit(0L)))
+      .withColumn("contrib",
+        greatest(lit(0L), least($"cnt", $"k" - $"cum_excl")))
+    val xk1 = cum.filter($"cum_excl" + $"cnt" >= $"k" + 1L)
+      .agg(max(struct($"cents", $"lnq")).as("m"))
+      .select($"m.lnq".as("ln_xk1"))
+    cum.agg(max($"n_pos").as("n_pos"), max($"k").as("k"),
+      sum($"contrib" * $"lnq").as("top_ln_sum"))
+      .crossJoin(broadcast(xk1))
+      .select($"n_pos", $"k", $"top_ln_sum", $"ln_xk1",
+        (expr("top_ln_sum div k") - $"ln_xk1").as("h_micro"))
+      .withColumn("alpha_micro",
+        when($"h_micro" > 0L, expr("1000000000000 div h_micro"))
+          .otherwise(0L))
+  }
+
+  val hillTailRevenueSql: String =
+    """WITH pc AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY 1),
+       pos AS (SELECT cents FROM pc WHERE cents > 0),
+       hist AS (
+         SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  AS lnq
+         FROM pos GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pos,
+                    CAST(sum(cnt) AS BIGINT) // 10 AS k FROM hist),
+       c AS (
+         SELECT cents, cnt, lnq, n_pos, k,
+                CAST(coalesce(sum(cnt) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_excl
+         FROM hist, t),
+       contrib AS (
+         SELECT n_pos, k, lnq, cents, cnt, cum_excl,
+                greatest(0, least(cnt, k - cum_excl)) AS contrib
+         FROM c),
+       xk1 AS (
+         SELECT CAST(max_by(lnq, cents) AS BIGINT) AS ln_xk1
+         FROM contrib WHERE cum_excl + cnt >= k + 1),
+       agg AS (
+         SELECT CAST(max(n_pos) AS BIGINT) AS n_pos,
+                CAST(max(k) AS BIGINT) AS k,
+                CAST(sum(contrib * lnq) AS BIGINT) AS top_ln_sum
+         FROM contrib)
+       SELECT n_pos, k, top_ln_sum, ln_xk1,
+              CAST(top_ln_sum // k - ln_xk1 AS BIGINT) AS h_micro,
+              CASE WHEN top_ln_sum // k - ln_xk1 > 0
+                   THEN CAST(1000000000000 // (top_ln_sum // k - ln_xk1)
+                     AS BIGINT)
+                   ELSE 0 END AS alpha_micro
+       FROM agg, xk1"""
+
+  /** Lorenz-curve decile points of customer lifetime revenue per
+    * nation — the curve behind [[giniRevenueByNation]]'s scalar
+    * (Lorenz 1905): L(i) = the revenue share held by the poorest
+    * fraction of customers up to population decile i. Points are
+    * drawn from the per-nation VALUE HISTOGRAM by the crossing
+    * device (first cents value whose cumulative population reaches
+    * ⌊i·n/10⌋ — ties never split a value bucket, the reported depth
+    * is the bucket's true cumulative count), so the corpus never
+    * sorts: one partial-agg'd groupBy to per-customer cents, one to
+    * the (nation, cents) histogram, then nation-PARTITIONED
+    * cumulative windows over domain-sized frames. Shares are exact
+    * integer ppm floor divisions.
+    */
+  def lorenzRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spent"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("ck"), $"c_nationkey".as("nk"))
+      .join(perCust, Seq("ck"), "left")
+      .withColumn("cents", coalesce($"spent", lit(0L)))
+    val hist = cust.groupBy($"nk", $"cents").agg(count(lit(1)).as("cnt"))
+    val upTo = Window.partitionBy($"nk").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = hist.groupBy($"nk")
+      .agg(sum($"cnt").as("n"), sum($"cents" * $"cnt").as("t"))
+    val cum = hist
+      .withColumn("cum_n", sum($"cnt").over(upTo))
+      .withColumn("cum_cents", sum($"cents" * $"cnt").over(upTo))
+    val ladder = broadcast((1L to 10L).toDF("decile"))
+    cum.join(totals, Seq("nk"))
+      .crossJoin(ladder)
+      .withColumn("target_n", expr("(decile * n) div 10"))
+      .filter($"cum_n" >= $"target_n" && $"t" > 0L)
+      .groupBy($"nk", $"decile")
+      .agg(min(struct($"cum_n", $"cum_cents")).as("m"),
+        max($"target_n").as("target_n"), max($"t").as("t"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey".as("nk"), $"n_name".as("nation"))), Seq("nk"))
+      .select($"nation", $"decile", $"target_n", $"m.cum_n".as("depth_n"),
+        $"m.cum_cents".as("cum_cents"),
+        expr("(m.cum_cents * 1000000) div t").as("share_ppm"))
+      .orderBy($"nation", $"decile")
+  }
+
+  val lorenzRevenueByNationSql: String =
+    """WITH pc AS (
+         SELECT o_custkey AS ck,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS spent
+         FROM orders GROUP BY 1),
+       cu AS (
+         SELECT c_nationkey AS nk,
+                CAST(coalesce(pc.spent, 0) AS BIGINT) AS cents
+         FROM customer LEFT JOIN pc ON pc.ck = c_custkey),
+       hist AS (
+         SELECT nk, cents, CAST(count(*) AS BIGINT) AS cnt
+         FROM cu GROUP BY 1, 2),
+       tot AS (
+         SELECT nk, CAST(sum(cnt) AS BIGINT) AS n,
+                CAST(sum(cents * cnt) AS BIGINT) AS t
+         FROM hist GROUP BY 1),
+       c AS (
+         SELECT nk, cents,
+                CAST(sum(cnt) OVER (PARTITION BY nk ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+                CAST(sum(cents * cnt) OVER (PARTITION BY nk ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+         FROM hist),
+       ladder AS (SELECT CAST(d AS BIGINT) AS decile
+                  FROM (VALUES (1), (2), (3), (4), (5),
+                               (6), (7), (8), (9), (10)) v(d)),
+       hit AS (
+         SELECT c.nk, decile, (decile * n) // 10 AS target_n,
+                cum_n, cum_cents, t
+         FROM c JOIN tot ON tot.nk = c.nk, ladder
+         WHERE cum_n >= (decile * n) // 10 AND t > 0),
+       best AS (
+         SELECT nk, decile, CAST(max(target_n) AS BIGINT) AS target_n,
+                CAST(min(cum_n) AS BIGINT) AS depth_n,
+                CAST(min_by(cum_cents, cum_n) AS BIGINT) AS cum_cents,
+                CAST(max(t) AS BIGINT) AS t
+         FROM hit GROUP BY 1, 2)
+       SELECT n_name AS nation, decile, target_n, depth_n, cum_cents,
+              CAST((cum_cents * 1000000) // t AS BIGINT) AS share_ppm
+       FROM best JOIN nation ON n_nationkey = nk
+       ORDER BY nation, decile"""
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is
+    * the high-value-order rate MONOTONE in the ordinal order
+    * priority (1-URGENT … 5-LOW)? Chi-square on the 2×k table asks
+    * "any difference"; CA spends its single degree of freedom on the
+    * ordered alternative, the right test when categories carry a
+    * direction. With dose score k = the priority's leading digit:
+    * Z² = N·(N·Σk·r_k − R·Σk·n_k)² /
+    * (R·(N−R)·(N·Σk²·n_k − (Σk·n_k)²)) — every accumulator an exact
+    * BIGINT off ONE partial-agg'd pass over orders (k-domain-sized
+    * intermediate), Z² the one pinned division. Emitting the five
+    * integer moments keeps the gate cross-engine exact; headroom:
+    * N·Σk·r_k holds BIGINT to N ≈ 4·10⁷ orders at k ≤ 5 — past
+    * that, fold the moments in DOUBLE at the display edge only.
+    */
+  def cochranArmitageOrders(spark: SparkSession, dir: String,
+      highCents: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    val perDose = Tables.orders(spark, dir)
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("k"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") >= highCents)
+          .cast("long").as("resp"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_k"), sum($"resp").as("r_k"))
+    val m = perDose.agg(sum($"n_k").as("n"), sum($"r_k").as("r"),
+      sum($"k" * $"n_k").as("skn"), sum($"k" * $"k" * $"n_k").as("sk2n"),
+      sum($"k" * $"r_k").as("skr"))
+    m.select($"n", $"r", $"skn", $"sk2n", $"skr",
+      ($"n" * $"skr" - $"r" * $"skn").as("num"),
+      ($"r" * ($"n" - $"r") * ($"n" * $"sk2n" - $"skn" * $"skn")).as("den"))
+      .withColumn("chi2_trend",
+        when($"den" > 0L,
+          round($"n".cast("double") * $"num".cast("double") *
+            $"num".cast("double") / $"den".cast("double"), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  def cochranArmitageOrdersSql(highCents: Long = 10000000L): String =
+    s"""WITH b AS (
+         SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS k,
+                CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     >= $highCents THEN 1 ELSE 0 END AS resp
+         FROM orders),
+       perdose AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_k,
+                CAST(sum(resp) AS BIGINT) AS r_k
+         FROM b GROUP BY 1),
+       m AS (
+         SELECT CAST(sum(n_k) AS BIGINT) AS n, CAST(sum(r_k) AS BIGINT) AS r,
+                CAST(sum(k * n_k) AS BIGINT) AS skn,
+                CAST(sum(k * k * n_k) AS BIGINT) AS sk2n,
+                CAST(sum(k * r_k) AS BIGINT) AS skr
+         FROM perdose)
+       SELECT n, r, skn, sk2n, skr,
+              CAST(n * skr - r * skn AS BIGINT) AS num,
+              CAST(r * (n - r) * (n * sk2n - skn * skn) AS BIGINT) AS den,
+              CASE WHEN r * (n - r) * (n * sk2n - skn * skn) > 0
+                   THEN round(CAST(n AS DOUBLE)
+                     * CAST(n * skr - r * skn AS DOUBLE)
+                     * CAST(n * skr - r * skn AS DOUBLE)
+                     / CAST(r * (n - r) * (n * sk2n - skn * skn) AS DOUBLE), 4)
+                   ELSE 0.0 END AS chi2_trend
+       FROM m"""
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling — the reproducible form of the
@@ -869,5 +870,85 @@ object Sampling {
                  AS BIGINT) AS capped,
                ess
         FROM plan CROSS JOIN ess
+        ORDER BY source"""
+
+  /** Neyman optimal allocation of a fixed sampling budget across
+    * strata (Neyman 1934): sample size ∝ N_h·σ_h, the allocation
+    * minimizing the variance of the stratified mean — the principled
+    * answer to "how many docs per source for the eval sample" that
+    * proportional allocation (∝ N_h alone) only approximates when
+    * strata variances are equal. Here strata are document sources
+    * and the metric is n_chars; N_h·σ_h reduces to
+    * √(n_h·Σx² − (Σx)²) exactly (the whole stratum is observed), so
+    * the weight is one correctly-rounded IEEE sqrt over an exact
+    * BIGINT, quantized once. Integer seats are dealt by the
+    * largest-remainder (Hamilton) method: floor quotas exactly via
+    * (B·w) div W, leftovers to the largest (B·w) mod W with a
+    * source-name tie-break — fully deterministic, sums to B exactly.
+    *
+    * Scale shape: one partial-agg'd groupBy(source) collapses the
+    * corpus to the stratum census; everything after (weights, quota
+    * arithmetic, the remainder rank) is source-domain-sized. The
+    * remainder window is unpartitioned but runs on that domain-sized
+    * frame.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val census = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("s1"),
+        sum($"n_chars" * $"n_chars").as("s2"))
+      .withColumn("w",
+        round(sqrt(($"n_docs" * $"s2" - $"s1" * $"s1").cast("double")))
+          .cast("long"))
+    val tot = census.agg(sum($"w").as("big_w"))
+    val quotas = census.crossJoin(broadcast(tot))
+      .withColumn("base",
+        when($"big_w" > 0L, expr(s"($budget * w) div big_w")).otherwise(0L))
+      .withColumn("rem",
+        when($"big_w" > 0L, expr(s"($budget * w) % big_w")).otherwise(0L))
+    val leftover = quotas.agg((lit(budget) - sum($"base")).as("extra"))
+    val wR = Window.orderBy($"rem".desc, $"source")
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("pos", row_number().over(wR).cast("long"))
+      .select($"source", $"n_docs", $"w", $"base", $"rem",
+        ($"base" + when($"pos" <= $"extra" && $"big_w" > 0L, 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy($"source")
+  }
+
+  def neymanAllocationSql(budget: Long = 100L): String =
+    s"""WITH census AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS s1,
+                 CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+          FROM documents GROUP BY 1),
+        wts AS (
+          SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)))
+                   AS BIGINT) AS w
+          FROM census),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS big_w FROM wts),
+        quotas AS (
+          SELECT source, n_docs, w,
+                 CASE WHEN big_w > 0 THEN ($budget * w) // big_w
+                      ELSE 0 END AS base,
+                 CASE WHEN big_w > 0 THEN ($budget * w) % big_w
+                      ELSE 0 END AS rem,
+                 big_w
+          FROM wts, tot),
+        lft AS (SELECT $budget - CAST(sum(base) AS BIGINT) AS extra
+                FROM quotas),
+        ranked AS (
+          SELECT source, n_docs, w, base, rem, big_w,
+                 CAST(row_number() OVER (ORDER BY rem DESC, source)
+                   AS BIGINT) AS pos
+          FROM quotas)
+        SELECT source, n_docs, w, CAST(base AS BIGINT) AS base,
+               CAST(rem AS BIGINT) AS rem,
+               CAST(base + CASE WHEN pos <= extra AND big_w > 0
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked, lft
         ORDER BY source"""
 }

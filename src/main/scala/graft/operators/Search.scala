@@ -85,6 +85,49 @@ object Search {
           FROM v)
         WHERE rk <= $k"""
 
+  /** Word burstiness census (Church & Gale 1995; Katz 1996): for
+    * each vocabulary term, E[tf | tf > 0] = coll_freq/doc_freq — a
+    * function word appears once nearly everywhere (burstiness ≈ 1),
+    * a topical/content word concentrates repeat occurrences in the
+    * few documents that are ABOUT it (burstiness ≫ 1). The signal
+    * Zipf rank hides: two terms with equal collection frequency can
+    * differ wildly in concentration, and burstiness is what
+    * independence-assuming LMs (and naive dedup shingle weights) get
+    * wrong. Exact integer ppm ratio off the same (token, doc)
+    * partial-agg pass as [[vocabulary]]; top-k by TakeOrdered on the
+    * vocabulary-sized frame (partial per-partition sort, no global
+    * exchange of the vocabulary), full deterministic tie-break.
+    */
+  def burstiness(spark: SparkSession, dir: String, k: Int = 30,
+      minDf: Long = 3L): DataFrame = {
+    import spark.implicits._
+    val tf = Dedup.tokenRows(spark, dir)
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+    tf.groupBy($"token")
+      .agg(sum($"c").as("coll_freq"), count(lit(1)).as("doc_freq"))
+      .filter($"doc_freq" >= minDf)
+      .withColumn("burst_ppm", expr("(coll_freq * 1000000) div doc_freq"))
+      .select($"token", $"coll_freq", $"doc_freq", $"burst_ppm")
+      .orderBy($"burst_ppm".desc, $"coll_freq".desc, $"token")
+      .limit(k)
+  }
+
+  def burstinessSql(k: Int = 30, minDf: Long = 3L): String =
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        v AS (SELECT token, CAST(sum(c) AS BIGINT) AS coll_freq,
+                     CAST(count(*) AS BIGINT) AS doc_freq
+              FROM tf GROUP BY 1)
+        SELECT token, coll_freq, doc_freq,
+               (coll_freq * 1000000) // doc_freq AS burst_ppm
+        FROM v WHERE doc_freq >= $minDf
+        ORDER BY burst_ppm DESC, coll_freq DESC, token
+        LIMIT $k"""
+
   // ── BM25 keyword retrieval ────────────────────────────────────────
 
   /** Gate query workload: three keyword queries over the corpus

@@ -777,6 +777,143 @@ class EvaluationSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("ks separation: disjoint supports hit 1e6 at the boundary score; identical class distributions read 0") {
+    import graft.operators.Evaluation
+    import spark.implicits._
+    // negatives at scores 1..3, positives at 5..7: full separation,
+    // the max gap closes at the last all-negative score (3)
+    val disjoint = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (5L, 1L), (6L, 1L), (7L, 1L)).toDF("score", "is_pos")
+    val d = Evaluation.ksSeparationOf(disjoint).collect().head
+    assert(d.getAs[Long]("ks_score") == 3L)
+    assert(d.getAs[Long]("ks_ppm") == 1000000L)
+    // identical distributions: every prefix has equal class mass
+    val same = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L))
+      .toDF("score", "is_pos")
+    val s = Evaluation.ksSeparationOf(same).collect().head
+    assert(s.getAs[Long]("gap_scaled") == 0L)
+    assert(s.getAs[Long]("ks_ppm") == 0L)
+  }
+
+  test("shapley attribution: single-channel journeys reduce to observed counts, symmetric journeys split evenly, efficiency closes in 24ths") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("shap").toString
+    // users 1-3: click then purchase; user 4: view then purchase;
+    // users 5-6: click AND view then purchase; user 7: click only,
+    // no purchase (non-converter — must not contribute)
+    val rows = Seq(
+      (1L, "click"), (1L, "purchase"), (2L, "click"), (2L, "purchase"),
+      (3L, "click"), (3L, "purchase"), (4L, "view"), (4L, "purchase"),
+      (5L, "click"), (5L, "view"), (5L, "purchase"),
+      (6L, "click"), (6L, "view"), (6L, "purchase"),
+      (7L, "click")).zipWithIndex
+      .map { case ((u, e), i) => (i.toLong, u, e, ts(i.toLong)) }
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.shapleyAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // hand Shapley over k=4, k!=24: the 3 click-only journeys add a
+    // full marginal 3·24; the view-only journey 1·24; each symmetric
+    // click+view journey splits 24 evenly (12 + 12)
+    assert(got("click")._1 == 3L * 24L + 2L * 12L, got.toString)
+    assert(got("view")._1 == 1L * 24L + 2L * 12L)
+    assert(got("error")._1 == 0L && got("signup")._1 == 0L)
+    // efficiency: Σφ·24 = 24·(v(full) − v(∅)) = 24·(6 − 0)
+    assert(got.values.map(_._1).sum == 24L * 6L)
+    // shares: click 96/144, view 48/144
+    assert(got("click")._2 == 96L * 1000000L / 144L)
+    assert(got("view")._2 == 48L * 1000000L / 144L)
+  }
+
+  test("brier decomposition: perfect separation closes Murphy's identity at brier 0; hand-fold on mixed cells") {
+    import graft.operators.Evaluation
+    import spark.implicits._
+    // two score clusters, labels perfectly aligned: p ∈ {0, 1000},
+    // obar_p ∈ {0, 1000}, o = 500 -> REL 0, RES = UNC = 250000,
+    // BRIER = 0 - exact closure in the quantized arithmetic
+    val sep = Seq((0L, 0L), (0L, 0L), (10L, 1L), (10L, 1L))
+      .toDF("score", "o")
+    val r = Evaluation.brierDecompositionOf(sep).collect().head
+    assert(r.getAs[Long]("o_pm") == 500L)
+    assert(r.getAs[Long]("brier_pm2") == 0L)
+    assert(r.getAs[Long]("rel_pm2") == 0L)
+    assert(r.getAs[Long]("res_pm2") == 250000L)
+    assert(r.getAs[Long]("unc_pm2") == 250000L)
+    // mixed cells, divisions exact: scores {0,0,10,10} labels
+    // {0,1,0,1}: obar_p = 500 both bins, p = 0/1000.
+    // brier = (2·(0-0)²+... per (p,o) cell) div 4:
+    // cells (0,0):(0)², (0,1):(1000)², (1000,0):(1000)², (1000,1):0
+    // -> (1e6+1e6)/4 = 500000; rel = (2·(0-500)²+2·(1000-500)²)/4
+    // = 250000; res = 0; unc = 250000 -> identity: 500000 =
+    // 250000 - 0 + 250000
+    val mix = Seq((0L, 0L), (0L, 1L), (10L, 0L), (10L, 1L))
+      .toDF("score", "o")
+    val m = Evaluation.brierDecompositionOf(mix).collect().head
+    assert(m.getAs[Long]("brier_pm2") == 500000L)
+    assert(m.getAs[Long]("rel_pm2") == 250000L)
+    assert(m.getAs[Long]("res_pm2") == 0L)
+    assert(m.getAs[Long]("unc_pm2") == 250000L)
+    // ≡ scala fold of the same quantized arithmetic on SF
+    import graft.operators.QualityModel
+    import graft.Tables
+    val docs = Tables.documents(spark, SF)
+    val rows = QualityModel.score(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"score", ($"lang" === "en").cast("long").as("o"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    val cells = rows.groupBy { case (s, o) =>
+      (if (mx > mn) (s - mn) * 1000 / (mx - mn) else 500L, o) }
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val bins = cells.groupBy(_._1).map { case (p, cs) =>
+      val np = cs.map(_._3).sum
+      val pos = cs.filter(_._2 == 1L).map(_._3).sum
+      val brier = cs.map { case (_, o, n) =>
+        n * (p - o * 1000L) * (p - o * 1000L) }.sum
+      (p, np, pos, brier, 1000L * pos / np)
+    }.toSeq
+    val n = bins.map(_._2).sum; val nPos = bins.map(_._3).sum
+    val oPm = 1000L * nPos / n
+    val sf = Evaluation.brierDecompositionQuality(spark, SF).collect().head
+    assert(sf.getAs[Long]("n") == n && sf.getAs[Long]("o_pm") == oPm)
+    assert(sf.getAs[Long]("brier_pm2") == bins.map(_._4).sum / n)
+    assert(sf.getAs[Long]("rel_pm2") ==
+      bins.map(b => b._2 * (b._1 - b._5) * (b._1 - b._5)).sum / n)
+    assert(sf.getAs[Long]("res_pm2") ==
+      bins.map(b => b._2 * (b._5 - oPm) * (b._5 - oPm)).sum / n)
+  }
+
+  test("conformal: quantile and coverage reproduce a scala replay of the md5 split and the hand-ranked order statistic") {
+    import graft.operators.Evaluation
+    import spark.implicits._
+    // deterministic md5 per-mille bucket, replayed bit-exact
+    def bkt(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "conformal").getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % 1000
+    }
+    val scored = (1L to 60L).map(i => (i, (i * 7) % 23))
+    val (cal, tst) = scored.partition { case (id, _) => bkt(id) < 500 }
+    val nCal = cal.length.toLong
+    val sCal = cal.map(_._2).sum
+    val resid = cal.map { case (_, s) => math.abs(s * nCal - sCal) }.sorted
+    val qRank = math.min((9 * (nCal + 1) + 9) / 10, nCal)
+    val q = resid((qRank - 1).toInt)
+    val covered = tst.count { case (_, s) => math.abs(s * nCal - sCal) <= q }
+    val r = Evaluation.conformalOf(scored.toDF("id", "score"))
+      .collect().head
+    assert(r.getAs[Long]("n_cal") == nCal)
+    assert(r.getAs[Long]("n_test") == tst.length.toLong)
+    assert(r.getAs[Long]("q_rank") == qRank)
+    assert(r.getAs[Long]("q_scaled") == q)
+    assert(r.getAs[Long]("covered") == covered.toLong)
+    assert(r.getAs[Long]("coverage_ppm") ==
+      covered.toLong * 1000000L / tst.length)
+  }
+
   test("nelson-aalen: hand fold on the KM fixture — hazard steps are exact (d·1e6) div n and accumulate") {
     import graft.operators.Analytics
     import spark.implicits._

@@ -877,6 +877,93 @@ class OlapSpec extends SparkSpec {
       333333L * 333333L + 4L * 166666L * 166666L)
   }
 
+  test("hill tail: crafted power-law histogram folds by hand including the boundary-bucket split; all-equal tail pins alpha to 0") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val tmp = java.nio.file.Files.createTempDirectory("hill").toString
+    // 20 positive customers: one at $160, two at $80, rest at $20 -> k=2,
+    // top-2 = {16000, 8000} cents, x_(3) = 8000
+    val orders = (Seq((1L, 160.0), (2L, 80.0), (3L, 80.0)) ++
+      (4L to 20L).map(i => (i, 20.0)))
+      .toDF("o_custkey", "o_totalprice")
+    orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Olap.hillTailRevenue(spark, tmp).collect().head
+    def lnq(c: Long) = math.round(math.log(c.toDouble) * 1e6)
+    val top = lnq(16000L) + lnq(8000L)
+    val h = top / 2L - lnq(8000L)
+    assert(r.getAs[Long]("n_pos") == 20L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("top_ln_sum") == top)
+    assert(r.getAs[Long]("h_micro") == h)
+    assert(r.getAs[Long]("alpha_micro") == 1000000000000L / h)
+    // all-equal: H = 0 -> alpha pinned 0
+    val tmp2 = java.nio.file.Files.createTempDirectory("hill2").toString
+    (1L to 20L).map(i => (i, 50.0)).toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp2/orders.parquet")
+    val f = Olap.hillTailRevenue(spark, tmp2).collect().head
+    assert(f.getAs[Long]("h_micro") == 0L)
+    assert(f.getAs[Long]("alpha_micro") == 0L)
+  }
+
+  test("lorenz: crafted 4-customer nation folds by hand; curve is monotone, under the diagonal, terminal share exactly 1e6") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val tmp = java.nio.file.Files.createTempDirectory("lorenz").toString
+    // revenues 0 / 10 / 20 / 70 dollars: histogram rows at 0,1000,
+    // 2000,7000 cents, total 10000
+    Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((0, "ALPHA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq((2L, 10.0), (3L, 20.0), (4L, 70.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = Olap.lorenzRevenueByNation(spark, tmp).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(5)))).toMap
+    // targets (i·4 div 10): deciles 1-2 -> 0, 3-4 -> 1, 5-7 -> 2,
+    // 8-9 -> 3, 10 -> 4; crossing depths/shares fold by hand
+    assert(got(1L) == ((1L, 0L)) && got(4L) == ((1L, 0L)))
+    assert(got(5L) == ((2L, 100000L)) && got(7L) == ((2L, 100000L)))
+    assert(got(8L) == ((3L, 300000L)) && got(9L) == ((3L, 300000L)))
+    assert(got(10L) == ((4L, 1000000L)))
+    // monotone and never above the equality diagonal (share ≤ i/10)
+    (1L to 9L).foreach { i =>
+      assert(got(i)._2 <= got(i + 1)._2)
+      assert(got(i)._2 <= i * 100000L)
+    }
+  }
+
+  test("cochran-armitage: perfect monotone gradient folds to chi2 = 4.0 by hand; flat rates give exactly 0") {
+    import spark.implicits._
+    import graft.operators.Olap
+    val tmp = java.nio.file.Files.createTempDirectory("ca").toString
+    // doses 1..3, two orders each; high-value rate 0/2, 1/2, 2/2:
+    // N=6 R=3 skn=12 sk2n=28 skr=8 -> num=12, den=9*24=216,
+    // chi2 = 6*144/216 = 4.0
+    val hi = 150000.0; val lo = 50000.0
+    Seq(("1-URGENT", lo), ("1-URGENT", lo),
+      ("2-HIGH", hi), ("2-HIGH", lo),
+      ("3-MEDIUM", hi), ("3-MEDIUM", hi))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Olap.cochranArmitageOrders(spark, tmp).collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("r") == 3L)
+    assert(r.getAs[Long]("skn") == 12L && r.getAs[Long]("sk2n") == 28L)
+    assert(r.getAs[Long]("skr") == 8L)
+    assert(r.getAs[Long]("num") == 12L && r.getAs[Long]("den") == 216L)
+    assert(r.getAs[Double]("chi2_trend") == 4.0)
+    // flat: one high-value per dose -> num = 0 -> chi2 exactly 0
+    val tmp2 = java.nio.file.Files.createTempDirectory("ca2").toString
+    Seq(("1-URGENT", hi), ("1-URGENT", lo),
+      ("2-HIGH", hi), ("2-HIGH", lo),
+      ("3-MEDIUM", hi), ("3-MEDIUM", lo))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp2/orders.parquet")
+    val f = Olap.cochranArmitageOrders(spark, tmp2).collect().head
+    assert(f.getAs[Long]("num") == 0L)
+    assert(f.getAs[Double]("chi2_trend") == 0.0)
+  }
+
   test("mutual info: exact independence gives 0 everywhere; deterministic pairing gives ln2 micro-nats") {
     import spark.implicits._
     import graft.operators.Olap

@@ -474,4 +474,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(capped("rare") == 1L && capped("big") == 0L)
   }
+
+  test("neyman allocation: zero-variance strata get nothing, equal weights split evenly, remainders deal deterministically and sum to B") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // A: constant lengths -> sigma 0 -> w 0; B and C: spread 100
+    // scaled variance each -> w = round(sqrt(100)) = 10
+    val docs = Seq(
+      ("A", 10L), ("A", 10L), ("B", 5L), ("B", 15L), ("C", 10L), ("C", 20L))
+      .toDF("source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("ney").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val even = Sampling.neymanAllocation(spark, tmp, budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(even("A") == ((0L, 0L, 0L)))
+    assert(even("B") == ((10L, 50L, 50L)))
+    assert(even("C") == ((10L, 50L, 50L)))
+    // budget 5 over W=20: B and C floor to 2 with remainder 10 each;
+    // the single leftover seat breaks the tie by source name -> B
+    val odd = Sampling.neymanAllocation(spark, tmp, budget = 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(odd("A") == ((0L, 0L, 0L)))
+    assert(odd("B") == ((2L, 10L, 3L)))
+    assert(odd("C") == ((2L, 10L, 2L)))
+    assert(odd.values.map(_._3).sum == 5L)
+  }
 }

@@ -638,4 +638,27 @@ class SearchSpec extends SparkSpec {
     assert(got(("bb", "bb")) == (1L, 2 * hit))
     assert(2 * hit > 2 * miss, "diagonal must dominate")
   }
+
+  test("burstiness: a concentrated topical term outranks a spread function word of equal cf; the min-df floor excludes rare terms") {
+    import spark.implicits._
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("burst").toString
+    // 'the': once in each of 6 docs (cf 6, df 6, burst 1e6);
+    // 'zebra': 4+1+1 across 3 docs (cf 6, df 3, burst 2e6);
+    // 'rare': twice in 2 docs only (df 2 < minDf 3 -> excluded)
+    Seq(
+      (1L, "the zebra zebra zebra zebra rare", "en"),
+      (2L, "the zebra rare", "en"),
+      (3L, "the zebra", "en"),
+      (4L, "the", "en"),
+      (5L, "the", "en"),
+      (6L, "the", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Search.burstiness(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("zebra", 6L, 3L, 2000000L),
+      ("the", 6L, 6L, 1000000L)), got.mkString(", "))
+  }
 }

@@ -939,6 +939,70 @@ import org.apache.spark.sql.functions.{call_function, hour}
     assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
   }
 
+  test("periodogram: a 24h impulse train reads full amplitude at p=24 and strictly less at 168; a constant series reads 0 at both") {
+    import graft.operators.Events
+    import spark.implicits._
+    // impulse train over 14 days: y=24 every 24th hour, else absent
+    val train = (0L until 336L by 24L).map(h => (h, 24L)).toDF("h", "y")
+    val got = Events.periodogramOf(train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(got(24L) == ((336L, 1000000L)), got.toString)
+    assert(got(168L)._2 < 1000000L)
+    // constant over exact common multiples of both periods: every
+    // phase appears equally often, the quantized basis cancels pairwise
+    val flat = (0L until 336L).map(h => (h, 5L)).toDF("h", "y")
+    val f = Events.periodogramOf(flat).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(f(24L) == 0L && f(168L) == 0L, f.toString)
+  }
+
+  test("binseg: a planted level shift is recovered at its exact boundary with cost 0; a constant series has gain 0") {
+    import graft.operators.Events
+    import spark.implicits._
+    // 6 days at 2, then 6 days at 10: the split after day 5 makes
+    // both segments constant -> cost 0, gain = total SSE =
+    // (624 - 72²/12)·1e6 = 192e6
+    val shift = ((0L to 5L).map(d => (d, 2L)) ++
+      (6L to 11L).map(d => (d, 10L))).toDF("d", "y")
+    val r = Events.binsegDailyOf(shift).collect().head
+    assert(r.getAs[Long]("split_last_left_day") == 5L)
+    assert(r.getAs[Long]("n_left") == 6L && r.getAs[Long]("n_right") == 6L)
+    assert(r.getAs[Long]("s_left") == 12L && r.getAs[Long]("s_right") == 60L)
+    assert(r.getAs[Long]("cost_micro") == 0L)
+    assert(r.getAs[Long]("sse0_micro") == 192000000L)
+    assert(r.getAs[Long]("gain_micro") == 192000000L)
+    // constant series: every split costs 0, argmin tie-breaks to the
+    // earliest day, gain exactly 0
+    val flat = (0L to 5L).map(d => (d, 5L)).toDF("d", "y")
+    val f = Events.binsegDailyOf(flat).collect().head
+    assert(f.getAs[Long]("split_last_left_day") == 0L)
+    assert(f.getAs[Long]("gain_micro") == 0L)
+  }
+
+  test("entropy rate: deterministic chain reads 0, uniform fan-out reads ln k, pooled row is the weighted fold") {
+    import graft.operators.Events
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("er").toString
+    // user 1: a->b->a->b (froms: a->b, b->a, a->b — deterministic);
+    // users 2,3: c->a and c->b (c fans out uniformly over 2 targets)
+    val rows = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(1)),
+      (3L, 1L, "a", ts(2)), (4L, 1L, "b", ts(3)),
+      (5L, 2L, "c", ts(0)), (6L, 2L, "a", ts(1)),
+      (7L, 3L, "c", ts(0)), (8L, 3L, "b", ts(1)))
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.entropyRate(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ln2 = 693147L
+    assert(got("a") == ((2L, 0L))) // a always -> b
+    assert(got("b") == ((1L, 0L))) // b always -> a
+    assert(got("c") == ((2L, ln2))) // uniform over {a, b}
+    // pooled: (2·0 + 1·0 + 2·ln2) div 5
+    assert(got("ALL") == ((5L, 2L * ln2 / 5L)))
+  }
+
   test("inter-arrival fit: constant gaps give the step ECDF — zero mass below the mean-side octiles, full mass above, ks at the j=5 octile") {
     import graft.operators.Events
     import spark.implicits._

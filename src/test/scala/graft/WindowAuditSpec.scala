@@ -108,6 +108,28 @@ class WindowAuditSpec extends SparkSpec {
       ("cumulative counts over the SCORE HISTOGRAM feeding the " +
         "decile-threshold ladder — identical domain-sized-frame " +
         "shape and rationale as ml_pr_curve"),
+    "ml_conformal" ->
+      ("order-statistic crossing over the scaled-RESIDUAL value " +
+        "histogram (one row per distinct |s·n−Σ|, bounded by the " +
+        "score domain) — same crossing device and rationale as " +
+        "text_quantile_cut"),
+    "sample_neyman" ->
+      ("largest-remainder seat rank over the per-SOURCE stratum " +
+        "census (|sources| rows at any corpus size) — the groupBy " +
+        "below collapsed the corpus; same aggregate-sized-frame " +
+        "rationale as olap_share_of_total"),
+    "events_binseg" ->
+      ("prefix moments + candidate argmin over the observed DAILY " +
+        "spine (calendar-bounded, ≤3653 rows/decade) — same spine " +
+        "rationale as events_cusum_hours"),
+    "ml_ks_separation" ->
+      ("cumulative class counts over the SCORE HISTOGRAM — " +
+        "identical domain-sized-frame shape and rationale as " +
+        "ml_auc"),
+    "olap_hill_tail" ->
+      ("descending exclusive prefix sums over the revenue VALUE " +
+        "HISTOGRAM to split the top-k boundary bucket exactly — " +
+        "same domain-sized-frame rationale as olap_ks_test"),
     "analytics_logrank" ->
       ("exclusive prefix sums over the per-group DURATION HISTOGRAM " +
         "(one row per distinct duration) — the same KM at-risk " +
