@@ -1998,8 +1998,8 @@ object Olap {
           sum($"share_ppm" * $"share_ppm").as("hhi"))
     val byNation = hhiOf(
       supp.join(nation, Seq("nk"))
-        .join(supp.join(nation, Seq("nk")).groupBy($"nation")
-          .agg(sum($"cents").as("t")).filter($"t" > 0L), Seq("nation")))
+        .join(broadcast(supp.join(nation, Seq("nk")).groupBy($"nation")
+          .agg(sum($"cents").as("t")).filter($"t" > 0L)), Seq("nation")))
     val pooled = hhiOf(
       supp.withColumn("nation", lit("ALL"))
         .crossJoin(broadcast(supp.agg(sum($"cents").as("t"))))

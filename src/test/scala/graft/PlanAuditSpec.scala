@@ -546,4 +546,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"multi-set gram probe not broadcast:\n$p")
   }
+
+  /** The round-13 statistics wave shares one plan contract: collapse
+    * the corpus in the first partial aggregate, then every
+    * ladder/total/basis join on the domain-sized remainder rides a
+    * broadcast — never a shuffled join, never a cartesian. One pin
+    * per gate keeps a refactor from silently re-shuffling a
+    * histogram.
+    */
+  test("round-13 stats wave: histogram-side joins all broadcast, zero cartesians, zero shuffled joins") {
+    val wave = Seq("olap_hhi", "olap_mutual_info", "olap_lorenz",
+      "olap_hill_tail", "graph_richclub", "ml_conformal", "ml_gains",
+      "ml_ks_separation", "ml_brier", "events_periodogram",
+      "events_binseg", "sample_neyman", "analytics_attribution_shapley",
+      "analytics_logrank", "analytics_nelson_aalen")
+    val bad = wave.flatMap { n =>
+      val p = plan(n)
+      val issues = Seq(
+        if (p.contains("CartesianProduct")) Some("CartesianProduct") else None,
+        if (p.contains("SortMergeJoin")) Some("SortMergeJoin") else None)
+        .flatten
+      if (issues.isEmpty) None else Some(s"$n: ${issues.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"shuffled/cartesian joins in the stats wave:\n${bad.mkString("\n")}")
+  }
+
+  test("analytics_attribution_shapley: the 2^k subset fan-out and the Shapley ladder both ride broadcasts") {
+    val p = plan("analytics_attribution_shapley")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"shapley v-table joins not broadcast:\n$p")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 >= 1,
+      s"subset fan-out not a broadcast nested loop:\n$p")
+    assert(p.contains("partial"), s"user collapse not map-side partial:\n$p")
+  }
 }
