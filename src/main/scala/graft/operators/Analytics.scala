@@ -1539,6 +1539,68 @@ object Analytics {
                 AS BIGINT) AS h_micro
        FROM steps ORDER BY dur_h"""
 
+  /** Wilson score interval (Wilson, JASA 1927) for the
+    * high-value-event proportion per event type — the proportion CI
+    * that stays honest at extreme p̂ and small n where the Wald
+    * interval p̂ ± z√(p̂q̂/n) collapses or escapes [0,1]: Wilson
+    * inverts the score test, so the bounds are always inside [0,1]
+    * and never zero-width at p̂ ∈ {0,1}. z is the BUILD-TIME
+    * quantized 1.959964 micro constant (both engines multiply the
+    * same literal); (k, n) are exact BIGINTs off one partial-agg'd
+    * pass; each bound is one double expression over those integers,
+    * rounded once to ppm.
+    */
+  def wilsonCiByType(spark: SparkSession, dir: String,
+      threshold: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    val zm = 1959964L // round(1.959964 * 1e6): z_{0.975}
+    val counts = Tables.events(spark, dir)
+      .select($"event_type",
+        when($"value" >= threshold, 1L).otherwise(0L).as("hi"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"hi").as("k"))
+    counts
+      .withColumn("z", lit(zm).cast("double") / lit(1.0e6))
+      .withColumn("p", $"k".cast("double") / $"n".cast("double"))
+      .withColumn("den", lit(1.0) + $"z" * $"z" / $"n".cast("double"))
+      .withColumn("ctr", $"p" + $"z" * $"z" / (lit(2.0) * $"n".cast("double")))
+      .withColumn("half", $"z" * sqrt($"p" * (lit(1.0) - $"p") /
+        $"n".cast("double") +
+        $"z" * $"z" / (lit(4.0) * $"n".cast("double") * $"n".cast("double"))))
+      .select($"event_type", $"n", $"k",
+        expr("(k * 1000000) div n").as("p_ppm"),
+        round(($"ctr" - $"half") / $"den" * lit(1.0e6)).cast("long")
+          .as("lo_ppm"),
+        round(($"ctr" + $"half") / $"den" * lit(1.0e6)).cast("long")
+          .as("hi_ppm"))
+      .orderBy($"event_type")
+  }
+
+  def wilsonCiByTypeSql(threshold: Double = 50.0): String =
+    s"""WITH counts AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value >= $threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT event_type, n, k,
+                CAST(1959964 AS DOUBLE) / 1000000.0 AS z,
+                CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         FROM counts),
+       parts AS (
+         SELECT event_type, n, k, z, p,
+                1.0 + z * z / CAST(n AS DOUBLE) AS den,
+                p + z * z / (2.0 * CAST(n AS DOUBLE)) AS ctr,
+                z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                  + z * z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  AS half
+         FROM w)
+       SELECT event_type, n, k,
+              (k * 1000000) // n AS p_ppm,
+              CAST(round((ctr - half) / den * 1000000.0) AS BIGINT) AS lo_ppm,
+              CAST(round((ctr + half) / den * 1000000.0) AS BIGINT) AS hi_ppm
+       FROM parts ORDER BY event_type"""
+
   /** EXACT Shapley-value multi-touch attribution (Shapley 1953;
     * Dalessandro et al. 2012 for the marketing use): each channel's
     * credit is its average marginal contribution over all 2^k

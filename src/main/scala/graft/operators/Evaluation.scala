@@ -239,6 +239,71 @@ object Evaluation {
        FROM best ORDER BY decile"""
   }
 
+  /** McNemar paired-classifier test (McNemar, Psychometrika 1947):
+    * do the language-ID heuristic and the quality-model keep flag
+    * DISAGREE about English docs more in one direction than the
+    * other? Two classifiers measured on the SAME documents are
+    * paired — comparing their raw accuracies ignores that pairing;
+    * McNemar looks only at the discordant cells (A right/B wrong vs
+    * A wrong/B right), χ² = (n01−n10)²/(n01+n10). Everything is an
+    * exact integer count off one corpus pass (the langid and quality
+    * frames join on doc_id); the χ² is the one pinned division.
+    * Emitting all four agreement cells keeps the gate cross-engine
+    * exact and lets the consumer fold any paired statistic.
+    */
+  def mcnemarLangidVsQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val truth = docs.select($"doc_id", ($"lang" === "en").as("is_en"))
+    val a = TextAnalysis.langId(spark, dir)
+      .select($"doc_id", ($"pred_lang" === "en").as("pa"))
+    val b = QualityModel.score(docs)
+      .select($"doc_id", ($"keep" === 1L).as("pb"))
+    val cells = truth.join(a, "doc_id").join(b, "doc_id")
+      .select(($"pa" === $"is_en").cast("long").as("ca"),
+        ($"pb" === $"is_en").cast("long").as("cb"))
+      .agg(count(lit(1)).as("n"),
+        sum($"ca" * $"cb").as("n11"),
+        sum((lit(1L) - $"ca") * (lit(1L) - $"cb")).as("n00"),
+        sum($"ca" * (lit(1L) - $"cb")).as("n10"),
+        sum((lit(1L) - $"ca") * $"cb").as("n01"))
+    cells.select($"n", $"n11", $"n00", $"n10", $"n01",
+      when($"n01" + $"n10" > 0L,
+        round(($"n01" - $"n10").cast("double") *
+          ($"n01" - $"n10").cast("double") /
+          ($"n01" + $"n10").cast("double"), 4))
+        .otherwise(lit(0.0)).as("chi2"))
+  }
+
+  val mcnemarLangidVsQualitySql: String = {
+    val langid = TextAnalysis.langIdSql
+    val score = QualityModel.scoreDocumentsSql
+    s"""WITH pred AS ($langid),
+       scored_docs AS ($score),
+       j AS (
+         SELECT CASE WHEN (pred.pred_lang = 'en')
+                       = (d.lang = 'en') THEN 1 ELSE 0 END AS ca,
+                CASE WHEN (sd.keep = 1)
+                       = (d.lang = 'en') THEN 1 ELSE 0 END AS cb
+         FROM documents d
+         JOIN pred ON pred.doc_id = d.doc_id
+         JOIN scored_docs sd ON sd.doc_id = d.doc_id),
+       cells AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(ca * cb) AS BIGINT) AS n11,
+                CAST(sum((1 - ca) * (1 - cb)) AS BIGINT) AS n00,
+                CAST(sum(ca * (1 - cb)) AS BIGINT) AS n10,
+                CAST(sum((1 - ca) * cb) AS BIGINT) AS n01
+         FROM j)
+       SELECT n, n11, n00, n10, n01,
+              CASE WHEN n01 + n10 > 0
+                   THEN round(CAST(n01 - n10 AS DOUBLE)
+                     * CAST(n01 - n10 AS DOUBLE)
+                     / CAST(n01 + n10 AS DOUBLE), 4)
+                   ELSE 0.0 END AS chi2
+       FROM cells"""
+  }
+
   /** Kolmogorov–Smirnov separation of the quality-model score
     * (the credit-scoring "KS statistic"): max vertical gap between
     * the positive and negative score CDFs — the single-threshold

@@ -777,6 +777,68 @@ class EvaluationSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("mcnemar: cells reconcile with a scala fold of the paired predictions; chi2 follows the discordant cells only") {
+    import graft.operators.{Evaluation, QualityModel, TextAnalysis}
+    import graft.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, SF)
+    val truth = docs.select($"doc_id", ($"lang" === "en").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pa = TextAnalysis.langId(spark, SF)
+      .select($"doc_id", ($"pred_lang" === "en").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pb = QualityModel.score(docs)
+      .select($"doc_id", ($"keep" === 1L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val ids = pb.keySet // scored docs only (tokenized) — join domain
+    val cells = ids.toSeq.map { id =>
+      (pa(id) == truth(id), pb(id) == truth(id)) }
+    val (n11, n00, n10, n01) = (
+      cells.count(c => c._1 && c._2).toLong,
+      cells.count(c => !c._1 && !c._2).toLong,
+      cells.count(c => c._1 && !c._2).toLong,
+      cells.count(c => !c._1 && c._2).toLong)
+    val r = Evaluation.mcnemarLangidVsQuality(spark, SF).collect().head
+    assert(r.getAs[Long]("n") == ids.size.toLong)
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n00"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01")) == ((n11, n00, n10, n01)))
+    val chi2 = if (n01 + n10 > 0)
+      math.floor((n01 - n10).toDouble * (n01 - n10) / (n01 + n10) * 1e4 + 0.5) / 1e4
+    else 0.0
+    assert(r.getAs[Double]("chi2") == chi2)
+  }
+
+  test("wilson ci: bounds stay inside [0,1e6] and keep width at the extremes; ≡ scala fold over SF event types") {
+    import graft.operators.Analytics
+    import graft.Tables
+    import spark.implicits._
+    val zm = 1959964L
+    val counts = Tables.events(spark, SF)
+      .select($"event_type", (($"value" >= 50.0).cast("long")).as("hi"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"hi").as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = counts.sortBy(_._1).map { case (t, n, k) =>
+      val z = zm.toDouble / 1e6
+      val p = k.toDouble / n
+      val den = 1.0 + z * z / n
+      val ctr = p + z * z / (2.0 * n)
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      def r0(x: Double) = math.floor(x + 0.5).toLong
+      (t, n, k, k * 1000000L / n,
+        r0((ctr - half) / den * 1e6), r0((ctr + half) / den * 1e6))
+    }
+    val got = Analytics.wilsonCiByType(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want.toSeq,
+      s"first diff: ${got.zip(want).find(x => x._1 != x._2)}")
+    got.foreach { case (t, n, k, p, lo, hi) =>
+      assert(lo >= 0L && hi <= 1000000L && lo < hi, s"$t: [$lo,$hi]")
+      assert(lo <= p && p <= hi, s"$t: p=$p outside [$lo,$hi]")
+    }
+  }
+
   test("ks separation: disjoint supports hit 1e6 at the boundary score; identical class distributions read 0") {
     import graft.operators.Evaluation
     import spark.implicits._
