@@ -128,6 +128,92 @@ object Search {
         ORDER BY burst_ppm DESC, coll_freq DESC, token
         LIMIT $k"""
 
+  /** TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — a word matters
+    * when it co-occurs with words that matter, the recursive signal
+    * raw frequency (vocabulary) and tf-idf (docKeywords) don't
+    * carry. Graph: adjacent surviving tokens (length ≥ 4, the
+    * deterministic content-word stand-in for the paper's POS filter)
+    * within a document, undirected, deduplicated. The ranking is
+    * [[Graph.pageRankOf]] verbatim — the same integer micro-unit
+    * fixpoint, so the oracle is the same 5-stage unrolled-CTE
+    * aggregate chain (aggregate-only CTEs: linear re-evaluation
+    * under DuckDB inlining, unlike the banned window-bearing class).
+    *
+    * Scale shape: the pair stream is one doc-partitioned lead window
+    * over the postings frame (corpus-linear, never a self-join);
+    * dedup + degree are vocabulary-sized partial aggregates; each
+    * PageRank step shuffles scalar (word, rank) rows on the cached
+    * src-partitioned edge list.
+    */
+  def textrankKeywords(spark: SparkSession, dir: String, iters: Int = 5,
+      topK: Int = 20, minLen: Int = 4): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val adj = Dedup.tokenRows(spark, dir)
+      .filter(length($"token") >= minLen)
+      .withColumn("next", lead($"token", 1).over(w))
+      .filter($"next".isNotNull && $"token" =!= $"next")
+      .select(
+        when($"token" < $"next", $"token").otherwise($"next").as("a"),
+        when($"token" < $"next", $"next").otherwise($"token").as("b"))
+      .distinct()
+    val edges = adj.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(adj.select($"b".as("src"), $"a".as("dst")))
+    Graph.pageRankOf(edges, iters, topK)
+  }
+
+  def textrankKeywordsSql(iters: Int = 5, topK: Int = 20,
+      minLen: Int = 4): String = {
+    val stages = (1 to iters).map { t =>
+      s"""r$t AS (
+            SELECT e.dst AS node,
+                   CAST(150000 + (850 * sum(r.rank // d.outdeg)) // 1000
+                        AS BIGINT) AS rank
+            FROM r${t - 1} r
+            JOIN deg d ON r.node = d.src
+            JOIN edges e ON e.src = r.node
+            GROUP BY e.dst)"""
+    }.mkString(",\n        ")
+    // the base CTEs are AS MATERIALIZED: the unrolled stages reference
+    // edges/deg once per level, and DuckDB's CTE inlining would
+    // re-evaluate the window-bearing adj pair stream at the chain's
+    // multiplicity (the r12 markov defect class — the
+    // EntryConsistencySpec lint is red without this)
+    s"""WITH t AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform(string_split(trim(text), ' '),
+                   x -> trim(x)) AS toks
+          FROM documents),
+        tok AS MATERIALIZED (
+          SELECT doc_id, pos, token FROM (
+            SELECT doc_id,
+                   unnest(toks) AS token,
+                   unnest(range(0, len(toks))) AS pos
+            FROM t) z
+          WHERE length(token) >= $minLen),
+        adj AS MATERIALIZED (
+          SELECT DISTINCT
+                 CASE WHEN token < next THEN token ELSE next END AS a,
+                 CASE WHEN token < next THEN next ELSE token END AS b
+          FROM (
+            SELECT token, lead(token) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS next
+            FROM tok) p
+          WHERE next IS NOT NULL AND token <> next),
+        edges AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM adj
+          UNION ALL
+          SELECT b AS src, a AS dst FROM adj),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        $stages
+        SELECT node, rank FROM r$iters
+        ORDER BY rank DESC, node LIMIT $topK"""
+  }
+
   // ── BM25 keyword retrieval ────────────────────────────────────────
 
   /** Gate query workload: three keyword queries over the corpus

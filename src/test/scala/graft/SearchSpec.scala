@@ -639,6 +639,36 @@ class SearchSpec extends SparkSpec {
     assert(2 * hit > 2 * miss, "diagonal must dominate")
   }
 
+  test("textrank: star word-graph matches an exact integer-iteration replay; the hub tops the board") {
+    import spark.implicits._
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("trank").toString
+    // three docs each pairing 'alpha' with one distinct partner (and
+    // a short stop token that the length filter removes): the word
+    // graph is the star alpha-{beta, gamma, delta}
+    Seq((1L, "alpha of beta", "en"), (2L, "alpha of gamma", "en"),
+      (3L, "alpha of delta", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Search.textrankKeywords(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exact replay of the integer fixpoint on the star
+    val nodes = Seq("alpha", "beta", "gamma", "delta")
+    val nbrs = Map("alpha" -> Seq("beta", "gamma", "delta"),
+      "beta" -> Seq("alpha"), "gamma" -> Seq("alpha"),
+      "delta" -> Seq("alpha"))
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      rank = nodes.map { n =>
+        val in = nbrs(n).map(m => rank(m) / nbrs(m).length.toLong).sum
+        n -> (150000L + (850L * in) / 1000L)
+      }.toMap
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.head._1 == "alpha")
+  }
+
   test("burstiness: a concentrated topical term outranks a spread function word of equal cf; the min-df floor excludes rare terms") {
     import spark.implicits._
     import graft.operators.Search
