@@ -529,7 +529,7 @@ object Events {
     * per-step compressibility of user behavior (Shannon's source
     * rate under the empirical bigram model). Exactness device: each
     * cell's ln(n_from/n_cell) is quantized ONCE to micro-nats; row
-    * numerators Σ n_cell·lnq are exact BIGITs floor-divided by
+    * numerators Σ n_cell·lnq are exact BIGINTs floor-divided by
     * n_from once, and the pooled rate divides the SAME global
     * numerator by N — so rows and the ALL row are consistent by
     * construction. Domain-sized after the per-user lead window

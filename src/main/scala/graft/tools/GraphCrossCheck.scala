@@ -546,6 +546,22 @@ object GraphCrossCheck {
       check("graph_hits", got, want)
     }
 
+    // ── rich club (degree-threshold ladder; integer columns — φ is
+    // one pinned division off n_nodes/n_edges, checked by OlapSpec) ──
+    {
+      val deg = adj.map { case (n, l) => n -> l.length.toLong }
+      val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+      val want = ks.map { k =>
+        val club = deg.filter(_._2 > k).keySet
+        val ek = und.count { case (a, b) => club(a) && club(b) }.toLong
+        Seq(k, club.size.toLong, ek)
+      }
+      check("graph_richclub",
+        rows(graft.operators.Graph.richClub(spark, dir)
+          .select("k", "n_nodes", "n_edges")),
+        want)
+    }
+
     println(if (failed == 0) s"ALL GRAPH GATES MATCH the scala re-derivation at $dir"
       else s"$failed gate(s) FAILED")
     spark.stop()
