@@ -2079,6 +2079,34 @@ object Events {
       .select(expr("unix_timestamp(ts) div 3600").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("y")))
 
+  /** Epoch-anchored variant over RAW events — phases are h mod p
+    * with the Unix epoch as origin instead of the corpus min-hour,
+    * which removes the only non-incremental step ([[periodogramOf]]'s
+    * global min) and makes the SAME expression tree legal as a
+    * single streaming aggregation ([[graft.streaming.EventStream
+    * .periodogram]] calls this verbatim on an unbounded frame; the
+    * StreamingSpec proves two-batch incremental ≡ batch). A fixed
+    * phase origin rotates (c, s) but leaves the amplitude invariant.
+    */
+  def periodogramEpochOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val basis = broadcast(dftBasis.toDF("period", "r", "cosq", "sinq"))
+    events
+      .select(expr("unix_timestamp(ts) div 3600").as("h"))
+      .crossJoin(broadcast(dftBasis.map(_._1).distinct.toDF("period")))
+      .withColumn("r", $"h" % $"period")
+      .join(basis, Seq("period", "r"))
+      .groupBy($"period")
+      .agg(count(lit(1)).as("total"),
+        sum($"cosq").as("c_micro"), sum($"sinq").as("s_micro"))
+      .select($"period", $"total", $"c_micro", $"s_micro",
+        when($"total" > 0L,
+          round(sqrt($"c_micro".cast("double") * $"c_micro" +
+            $"s_micro".cast("double") * $"s_micro") /
+            $"total".cast("double")).cast("long"))
+          .otherwise(0L).as("amp_ppm"))
+  }
+
   /** Core over any (h, y) hourly histogram. */
   def periodogramOf(hourly: DataFrame): DataFrame = {
     import hourly.sparkSession.implicits._

@@ -337,6 +337,23 @@ object EventStream {
       }
   }
 
+  /** #41i.2 streaming single-frequency periodogram — the DFT power
+    * accumulator at the 24 h/168 h calendar periods as a LIVE
+    * rhythm monitor (a service losing its daily cycle is an
+    * incident signal the volume alarms miss). The batch operator's
+    * epoch-anchored form ([[graft.operators.Events
+    * .periodogramEpochOf]]) is already a single aggregation over
+    * per-event basis lookups, so the streaming op IS that function
+    * on the unbounded frame: per event one broadcast basis lookup,
+    * then one global groupBy(period) — state is exactly 2 rows of
+    * (n, Σcos, Σsin) regardless of stream length. Complete output
+    * mode; exact BIGINT accumulators, so incremental merge order
+    * cannot drift from the batch fold (StreamingSpec proves
+    * two-batch incremental ≡ batch on the real event table).
+    */
+  def periodogram(events: DataFrame): DataFrame =
+    graft.operators.Events.periodogramEpochOf(events)
+
   def cusumControl(events: Dataset[StreamEvent], target: Double,
       slack: Double, threshold: Double): Dataset[CusumAlarm] = {
     import events.sparkSession.implicits._

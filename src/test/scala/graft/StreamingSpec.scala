@@ -34,6 +34,33 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("streaming periodogram ≡ batch epoch-anchored DFT after two incremental batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent].collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStream.periodogram(mem.toDF())
+      .writeStream.format("memory").queryName("pgram_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pgram_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.operators.Events
+      .periodogramEpochOf(Tables.events(spark, SF))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(streamed.size == 2) // exactly the two calendar periods
+  }
+
   test("streaming sliding rollup ≡ batch hopping-window agg (complete mode)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
