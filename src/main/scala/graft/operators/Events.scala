@@ -2161,6 +2161,95 @@ object Events {
        FROM m ORDER BY period"""
   }
 
+  /** Seasonal-strength ratio per event type (the STL-style
+    * F_s = 1 − Var(residual)/Var(deseasonalized-or-not) diagnostic,
+    * Hyndman's "measuring strength of seasonality" form applied to
+    * the hour-of-week profile): how much of the hourly-count
+    * variance does the 168-cell weekly pattern explain — the one
+    * number that says whether [[seasonalResidual]]'s cells are a
+    * real rhythm or noise. Exactness device: SS_within =
+    * Σy² − Σ_c S_c²/n_c folds from exact BIGINT moments with each
+    * cell's S_c²/n_c quantized ONCE by micro floor division
+    * (≤ 168 cells per type, so the floor bias is bounded by 168
+    * micro-units); SS_total = Σy² − (Σy)²/N the same way; the
+    * strength ratio is one pinned double rounded to ppm and clamped
+    * at 0. Observed hours only (the [[mannKendallDaily]]-family
+    * series contract).
+    *
+    * Scale shape: two partial-agg'd groupBys (hour histogram, then
+    * (type, dow, hod) cells), one broadcast of the 168-cell frame —
+    * no windows at all.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("y"))
+      // Unix hour 0 was a Thursday; dow here is just (h div 24) mod 7
+      // — any fixed weekday labeling yields the same 168-cell split
+      .withColumn("cell", expr("(h div 24) % 7 * 24 + h % 24"))
+    val cells = hourly.groupBy($"event_type", $"cell")
+      .agg(count(lit(1)).as("n_c"), sum($"y").as("s_c"))
+      .groupBy($"event_type")
+      .agg(sum(expr("(s_c * s_c * 1000000) div n_c")).as("within_micro"))
+    val tot = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"), sum($"y").as("sy"),
+        sum($"y" * $"y").as("syy"))
+    tot.join(broadcast(cells), Seq("event_type"))
+      .withColumn("ss_within_micro",
+        $"syy" * lit(1000000L) - $"within_micro")
+      .withColumn("ss_total_micro",
+        $"syy" * lit(1000000L) - expr("(sy * sy * 1000000) div n_hours"))
+      .select($"event_type", $"n_hours", $"sy", $"syy",
+        $"ss_within_micro", $"ss_total_micro",
+        when($"ss_total_micro" > 0L,
+          greatest(lit(0L),
+            round((lit(1.0) - $"ss_within_micro".cast("double") /
+              $"ss_total_micro".cast("double")) * lit(1.0e6)).cast("long")))
+          .otherwise(0L).as("strength_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val seasonalStrengthSql: String =
+    """WITH hourly AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       hc AS (
+         SELECT event_type, h, y,
+                (h // 24) % 7 * 24 + h % 24 AS cell
+         FROM hourly),
+       cells AS (
+         SELECT event_type,
+                CAST(sum((s_c * s_c * 1000000) // n_c) AS BIGINT)
+                  AS within_micro
+         FROM (SELECT event_type, cell, CAST(count(*) AS BIGINT) AS n_c,
+                      CAST(sum(y) AS BIGINT) AS s_c
+               FROM hc GROUP BY 1, 2) z
+         GROUP BY 1),
+       tot AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM hc GROUP BY 1),
+       m AS (
+         SELECT tot.event_type, n_hours, sy, syy,
+                syy * 1000000 - within_micro AS ss_within_micro,
+                syy * 1000000 - (sy * sy * 1000000) // n_hours
+                  AS ss_total_micro
+         FROM tot JOIN cells ON cells.event_type = tot.event_type)
+       SELECT event_type, n_hours, sy, syy,
+              CAST(ss_within_micro AS BIGINT) AS ss_within_micro,
+              CAST(ss_total_micro AS BIGINT) AS ss_total_micro,
+              CASE WHEN ss_total_micro > 0 THEN
+                greatest(0, CAST(round((1.0
+                  - CAST(ss_within_micro AS DOUBLE)
+                    / CAST(ss_total_micro AS DOUBLE)) * 1000000.0)
+                  AS BIGINT))
+              ELSE 0 END AS strength_ppm
+       FROM m ORDER BY event_type"""
+
   /** Binary-segmentation changepoint on the daily event-count
     * series (Scott & Knott 1974; the one-split primitive PELT
     * iterates): the day boundary whose two-segment split minimizes

@@ -128,6 +128,55 @@ object Search {
         ORDER BY burst_ppm DESC, coll_freq DESC, token
         LIMIT $k"""
 
+  /** Chao1 vocabulary-richness estimate per source (Chao,
+    * Scand. J. Stat. 1984; bias-corrected form): how many distinct
+    * tokens does a source REALLY have, given what one sample shows —
+    * Ĉ = V + F₁(F₁−1)/(2(F₂+1)), where F₁/F₂ are the singleton/
+    * doubleton counts of the frequency-of-frequencies spectrum (the
+    * Good–Turing table read for richness instead of mass). The
+    * coverage question Heaps' law fits asymptotically, answered
+    * nonparametrically per source — the "how much vocabulary is the
+    * crawl still missing" number for corpus planning. Exact integer
+    * milli-units: Ĉ·1000 = V·1000 + (F₁(F₁−1)·1000) div (2(F₂+1)),
+    * no fp anywhere.
+    *
+    * Scale shape: (source, token) counts → frequency spectrum — two
+    * partial-agg'd vocabulary-sized groupBys, nothing else.
+    */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(Dedup.tokensCol($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    tf.groupBy($"source")
+      .agg(count(lit(1)).as("v"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"v", $"f1", $"f2",
+        ($"v" * 1000L +
+          expr("(f1 * (f1 - 1) * 1000) div (2 * (f2 + 1))"))
+          .as("chao1_milli"))
+      .orderBy($"source")
+  }
+
+  val chao1RichnessSql: String =
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                       x -> trim(x)), x -> length(x) > 0)) AS token
+         FROM documents),
+       tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+       spec AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS v,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         FROM tf GROUP BY 1)
+       SELECT source, v, f1, f2,
+              CAST(v * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_milli
+       FROM spec ORDER BY source"""
+
   /** TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004):
     * PageRank over the word co-occurrence graph — a word matters
     * when it co-occurs with words that matter, the recursive signal

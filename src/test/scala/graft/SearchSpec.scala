@@ -639,6 +639,24 @@ class SearchSpec extends SparkSpec {
     assert(2 * hit > 2 * miss, "diagonal must dominate")
   }
 
+  test("chao1: crafted frequency spectra fold by hand; no-singleton and all-singleton extremes") {
+    import spark.implicits._
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("chao").toString
+    Seq(
+      (1L, "aa bb cc cc", "en", "s1"),  // V=3 F1=2 F2=1
+      (2L, "dd dd", "en", "s2"),        // V=1 F1=0 F2=1
+      (3L, "ee ff", "en", "s3"))        // V=2 F1=2 F2=0
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Search.chao1Richness(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == ((3L, 2L, 1L, 3000L + 2000L / 4L)))
+    assert(got("s2") == ((1L, 0L, 1L, 1000L))) // no singletons: Ĉ = V
+    assert(got("s3") == ((2L, 2L, 0L, 2000L + 2000L / 2L)))
+  }
+
   test("textrank: star word-graph matches an exact integer-iteration replay; the hub tops the board") {
     import spark.implicits._
     import graft.operators.Search

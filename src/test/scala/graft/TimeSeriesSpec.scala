@@ -939,6 +939,32 @@ import org.apache.spark.sql.functions.{call_function, hour}
     assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
   }
 
+  test("seasonal strength: a pure hour-of-week pattern reads 1e6, a constant series reads 0") {
+    import graft.operators.Events
+    import spark.implicits._
+    def rows(k: Long => Int) = (0L until 336L).flatMap { h =>
+      (0 until k(h)).map(i =>
+        (h * 1000 + i, new java.sql.Timestamp(h * 3600000L), 1L, "view"))
+    }
+    // counts determined ONLY by the 168-cell hour-of-week position,
+    // two full weeks: within-cell variance is exactly 0
+    def cell(h: Long) = (h / 24) % 7 * 24 + h % 24
+    val tmp = java.nio.file.Files.createTempDirectory("fs").toString
+    rows(h => 1 + (cell(h) % 3).toInt)
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val pure = Events.seasonalStrength(spark, tmp).collect().head
+    assert(pure.getAs[Long]("ss_within_micro") == 0L)
+    assert(pure.getAs[Long]("strength_ppm") == 1000000L)
+    // constant: the weekly pattern explains nothing (SS_total = 0)
+    val tmp2 = java.nio.file.Files.createTempDirectory("fs2").toString
+    rows(_ => 2).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    val flat = Events.seasonalStrength(spark, tmp2).collect().head
+    assert(flat.getAs[Long]("ss_total_micro") == 0L)
+    assert(flat.getAs[Long]("strength_ppm") == 0L)
+  }
+
   test("periodogram: a 24h impulse train reads full amplitude at p=24 and strictly less at 168; a constant series reads 0 at both") {
     import graft.operators.Events
     import spark.implicits._
