@@ -46,6 +46,312 @@ def run_capped(con, sql, seconds=ORACLE_TIMEOUT_S):
     finally:
         watchdog.cancel()
 
+# ── Reference oracles for the rows-only gates (r13 verdict item 1) ──
+# Each declared-rows-only gate (SparkEntry.rowsOnly) gets a plain-
+# Python re-derivation here: the deterministic DPs are replayed
+# exactly (integer or same-order IEEE arithmetic → value-for-value
+# compare), the sketches get an independent bound check against exact
+# values DuckDB computes. A reference returns a list of error strings
+# (empty = pass). Inputs come from DuckDB over the same parquet views
+# the SQL oracles use, so the only "trusted" code is this file.
+
+import math, re, zlib
+
+
+def _round_half_up(x):
+    # Scala math.round semantics for non-negative values (Python's
+    # round() is banker's rounding — 0.5 would go DOWN on even)
+    return int(math.floor(x + 0.5))
+
+
+def ref_compression_ratio(got, con, sf_dir):
+    """zlib replay: JVM Deflater(6) and Python zlib.compress(-, 6)
+    are the same zlib deflate (zlib wrapper, memLevel 8) — verified
+    byte-identical on this container. Exact per-doc compare."""
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchdf()
+    exp = []
+    for r in docs.itertuples(index=False):
+        data = r.text.encode("utf-8")
+        n = len(data)
+        c = len(zlib.compress(data, 6))
+        ppm = 1000000 if n == 0 else c * 1000000 // n
+        exp.append((int(r.doc_id), n, c, ppm))
+    exp.sort()
+    g = [(int(r.doc_id), int(r.n_bytes), int(r.deflate_bytes),
+          int(r.ratio_ppm))
+         for r in got.itertuples(index=False)]
+    g.sort()
+    if g != exp:
+        diffs = [(a, b) for a, b in zip(g, exp) if a != b][:3]
+        return [f"compression replay mismatch ({len(g)} vs {len(exp)} "
+                f"rows); first diffs {diffs}"]
+    return []
+
+
+def _hourly_spine(con):
+    return con.execute(
+        """WITH c AS (
+             SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1),
+           b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+           hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b)
+           SELECT hrs.h AS h, COALESCE(c.n, 0) AS n
+           FROM hrs LEFT JOIN c USING (h) ORDER BY h""").fetchdf()
+
+
+def ref_bursts(got, con, sf_dir, s=2.0, gamma=1.0):
+    """Kleinberg 2-state Viterbi replay (Events.burstIntervals): same
+    emission -(c*ln r - r), same gamma*ln n entry cost, same <=/>
+    tie-breaks, run over the gap-filled hourly spine."""
+    sp = _hourly_spine(con)
+    hs = [int(x) for x in sp.h]
+    cs = [int(x) for x in sp.n]
+    n = len(hs)
+    if n == 0:
+        return [] if len(got) == 0 else ["expected empty"]
+    base = max(sum(cs) / n, 1e-9)
+    burst = s * base
+
+    def emit(c, r):
+        return -(c * math.log(r) - r)
+    enter = gamma * math.log(float(n))
+    c0 = emit(cs[0], base)
+    c1 = enter + emit(cs[0], burst)
+    bp = [[0, 1]] + [[0, 0] for _ in range(n - 1)]
+    for i in range(1, n):
+        e0, e1 = emit(cs[i], base), emit(cs[i], burst)
+        stay0, from1 = c0, c1
+        n0 = min(stay0, from1) + e0
+        bp[i][0] = 0 if stay0 <= from1 else 1
+        stay1, from0 = c1, c0 + enter
+        n1 = min(stay1, from0) + e1
+        bp[i][1] = 1 if stay1 <= from0 else 0
+        c0, c1 = n0, n1
+    states = [0] * n
+    states[n - 1] = 0 if c0 <= c1 else 1
+    for i in range(n - 1, 0, -1):
+        states[i - 1] = bp[i][states[i]]
+    exp = []
+    i = 0
+    while i < n:
+        if states[i] == 1:
+            j = i
+            while j < n and states[j] == 1:
+                j += 1
+            exp.append((hs[i], hs[j - 1], j - i, sum(cs[i:j])))
+            i = j
+        else:
+            i += 1
+    g = sorted((int(r.start_h), int(r.end_h), int(r.n_hours),
+                int(r.n_events)) for r in got.itertuples(index=False))
+    if g != sorted(exp):
+        return [f"burst intervals mismatch: spark={g} ref={sorted(exp)}"]
+    return []
+
+
+def _dtw(a, b):
+    """Exact BIGINT DTW DP (functions/Dtw.compute replay)."""
+    n, m = len(a), len(b)
+    if n == 0 and m == 0:
+        return 0
+    if n == 0:
+        return sum(abs(x) for x in b)
+    if m == 0:
+        return sum(abs(x) for x in a)
+    prev = [0] * m
+    acc = 0
+    for j in range(m):
+        acc += abs(a[0] - b[j])
+        prev[j] = acc
+    for i in range(1, n):
+        cur = [prev[0] + abs(a[i] - b[0])] + [0] * (m - 1)
+        for j in range(1, m):
+            cur[j] = min(cur[j - 1], prev[j], prev[j - 1]) \
+                + abs(a[i] - b[j])
+        prev = cur
+    return prev[m - 1]
+
+
+def ref_dtw_profiles(got, con, sf_dir):
+    prof = con.execute(
+        """SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2""").fetchdf()
+    profiles = {}
+    for r in prof.itertuples(index=False):
+        profiles.setdefault(r.event_type, [0] * 24)[int(r.hod)] = int(r.n)
+    types = sorted(profiles)
+    exp = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            exp.append((ta, tb, _dtw(profiles[ta], profiles[tb])))
+    exp.sort(key=lambda t: (t[2], t[0], t[1]))
+    g = [(r.type_a, r.type_b, int(r.dtw_dist))
+         for r in got.itertuples(index=False)]
+    g.sort(key=lambda t: (t[2], t[0], t[1]))
+    if g != exp:
+        return [f"dtw mismatch: spark={g} ref={exp}"]
+    return []
+
+
+def _bpe_vocab(con):
+    df = con.execute(
+        """WITH toks AS (
+             SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+             FROM documents)
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM toks WHERE length(w) > 0 GROUP BY w""").fetchdf()
+    return [(list(r.w), int(r.f)) for r in df.itertuples(index=False)]
+
+
+def _bpe_merge_word(syms, a, b):
+    """Exhaustive left-to-right non-overlapping merge of (a, b)."""
+    out = []
+    j = 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def _bpe_train(con, k, min_freq=2):
+    """Bpe.trainMerges replay: per round, pair census weighted by word
+    frequency; top-1 by (freq DESC, a ASC, b ASC); rewrite."""
+    words = _bpe_vocab(con)
+    merges = []
+    for rank in range(1, k + 1):
+        census = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                census[p] = census.get(p, 0) + f
+        if not census:
+            break
+        (a, b), f = min(census.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_freq:
+            break
+        words = [(_bpe_merge_word(s, a, b), wf) for s, wf in words]
+        merges.append((rank, a, b, a + b, f))
+    return merges
+
+
+def ref_bpe_train(got, con, sf_dir):
+    exp = _bpe_train(con, 24)
+    g = [(int(r.rank), r.left, r.right, r.merged, int(r.freq))
+         for r in got.itertuples(index=False)]
+    g.sort()
+    if g != exp:
+        diffs = [(x, y) for x, y in zip(g, exp) if x != y][:3]
+        return [f"bpe merge table mismatch ({len(g)} vs {len(exp)} "
+                f"rows); first diffs {diffs}"]
+    return []
+
+
+def ref_bpe_encode(got, con, sf_dir):
+    merges = [(m[1], m[2]) for m in _bpe_train(con, 16)]
+
+    memo = {}
+
+    def encode(word):
+        if word not in memo:
+            syms = list(word)
+            for a, b in merges:
+                if len(syms) < 2:
+                    break
+                syms = _bpe_merge_word(syms, a, b)
+            memo[word] = syms
+        return memo[word]
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchdf()
+    exp = []
+    for r in docs.itertuples(index=False):
+        ws = [w for w in re.split(" +", r.text.strip(" ")) if w]
+        toks = [t for w in ws for t in encode(w)]
+        exp.append((int(r.doc_id), len(ws), len(toks), len(set(toks))))
+    exp.sort()
+    g = sorted((int(r.doc_id), int(r.n_words), int(r.n_bpe),
+                int(r.n_bpe_distinct)) for r in got.itertuples(index=False))
+    if g != exp:
+        diffs = [(x, y) for x, y in zip(g, exp) if x != y][:3]
+        return [f"bpe encode mismatch ({len(g)} vs {len(exp)} rows); "
+                f"first diffs {diffs}"]
+    return []
+
+
+def _sketch_row_checks(got, exacts, bound_ppm=50000):
+    """Shared audit for the sketch gates: the exact_value column must
+    equal the independent DuckDB exact, err_ppm must be internally
+    consistent with the row's own approx/exact, within_bound must
+    hold, and the approx must sit within the bound of the DUCKDB
+    exact (the independent check a same-engine re-run can't fake)."""
+    errs = []
+    seen = set()
+    for r in got.itertuples(index=False):
+        key = r[0]
+        seen.add(key)
+        if key not in exacts:
+            errs.append(f"unexpected row {key!r}")
+            continue
+        e_ref = exacts[key]
+        a, e = float(r.approx_value), float(r.exact_value)
+        if abs(e - e_ref) > 1e-6:
+            errs.append(f"{key}: exact_value {e} != reference {e_ref}")
+        want_ppm = 0 if e == 0 else _round_half_up(abs(a - e) / e * 1e6)
+        if int(r.err_ppm) != want_ppm:
+            errs.append(f"{key}: err_ppm {r.err_ppm} != recomputed {want_ppm}")
+        if bool(r.within_bound) != (want_ppm <= bound_ppm):
+            errs.append(f"{key}: within_bound inconsistent")
+        if e_ref != 0 and abs(a - e_ref) / e_ref > bound_ppm / 1e6:
+            errs.append(f"{key}: approx {a} outside {bound_ppm}ppm of "
+                        f"reference exact {e_ref}")
+    missing = set(exacts) - seen
+    if missing:
+        errs.append(f"missing rows {sorted(missing)}")
+    return errs
+
+
+def ref_profile_approx(got, con, sf_dir):
+    row = con.execute(
+        """SELECT count(DISTINCT doc_id), count(DISTINCT source),
+                  count(DISTINCT n_chars),
+                  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                       AS DOUBLE),
+                  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)
+                       AS DOUBLE)
+           FROM documents""").fetchone()
+    exacts = {"hll_distinct_doc_id": float(row[0]),
+              "hll_distinct_source": float(row[1]),
+              "hll_distinct_n_chars": float(row[2]),
+              "approx_p50_n_chars": row[3],
+              "approx_p99_n_chars": row[4]}
+    return _sketch_row_checks(got, exacts)
+
+
+def ref_hll_merge(got, con, sf_dir):
+    per = con.execute(
+        """SELECT lang, CAST(count(DISTINCT doc_id) AS DOUBLE)
+           FROM documents GROUP BY lang""").fetchall()
+    exacts = {lang: e for lang, e in per}
+    exacts["global(merged)"] = sum(exacts.values())
+    return _sketch_row_checks(got, exacts)
+
+
+REFERENCES = {
+    "text_compression_ratio": ref_compression_ratio,
+    "events_bursts": ref_bursts,
+    "events_dtw_profiles": ref_dtw_profiles,
+    "text_bpe_train": ref_bpe_train,
+    "text_bpe_encode": ref_bpe_encode,
+    "profile_approx": ref_profile_approx,
+    "profile_hll_merge": ref_hll_merge,
+}
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 no_spark = "--no-spark" in sys.argv
@@ -111,9 +417,21 @@ for name in names:
         fails.append(name); print(f"FAIL {name}: no spark output"); continue
     got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     if name not in oracle:
-        print(f"ok   {name}: rows-only ({len(got)} rows)")
-        if len(got) == 0:
-            fails.append(name); print(f"FAIL {name}: 0 rows")
+        if name in REFERENCES:
+            try:
+                errs = REFERENCES[name](got, con, sf_dir)
+            except Exception as e:
+                errs = [f"reference oracle raised {type(e).__name__}: {e}"]
+            if errs:
+                fails.append(name)
+                for m in errs[:5]:
+                    print(f"FAIL {name}: {m}")
+            else:
+                print(f"ok   {name}: reference ({len(got)} rows)")
+        else:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            if len(got) == 0:
+                fails.append(name); print(f"FAIL {name}: 0 rows")
         continue
     try:
         # HUGEINT tripwire (exact-typed twin of EntryConsistencySpec's
