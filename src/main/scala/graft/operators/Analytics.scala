@@ -1622,9 +1622,25 @@ object Analytics {
     * different operator (sampled permutations), refused here by the
     * require.
     */
+  /** Channel names are interpolated into generated CASE/VALUES text
+    * in BOTH engines, so they must be plain identifiers — a quote
+    * would break (or worse, rewrite) the generated expression. The
+    * require names the offender; callers with exotic channel labels
+    * should map them to slugs first.
+    */
+  private[operators] def requireSafeChannels(channels: Seq[String]): Unit = {
+    val bad = channels.filterNot(_.matches("[A-Za-z0-9_.-]+"))
+    require(bad.isEmpty,
+      s"channel names must match [A-Za-z0-9_.-]+ (they are spliced into " +
+        s"generated SQL); offending: ${bad.mkString(", ")}")
+    require(channels.distinct.size == channels.size,
+      s"duplicate channel names: ${channels.diff(channels.distinct).mkString(", ")}")
+  }
+
   def shapleyAttribution(spark: SparkSession, dir: String,
       channels: Seq[String] =
         Seq("click", "error", "signup", "view")): DataFrame = {
+    requireSafeChannels(channels)
     require(channels.size <= 10,
       s"shapleyAttribution enumerates 2^k coalitions: k=${channels.size} " +
         "is past the exact-lattice budget; use a sampled-permutation " +
@@ -1676,6 +1692,7 @@ object Analytics {
   def shapleyAttributionSql(
       channels: Seq[String] =
         Seq("click", "error", "signup", "view")): String = {
+    requireSafeChannels(channels)
     val chs = channels.sorted
     val k = chs.size
     def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)

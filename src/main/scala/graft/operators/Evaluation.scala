@@ -335,11 +335,16 @@ object Evaluation {
     val upTo = Window.orderBy($"score")
       .rowsBetween(Window.unboundedPreceding, 0)
     val totals = hist.agg(sum($"p").as("n_pos"), sum($"q").as("n_neg"))
+    // constant-key groupBy, not a global agg: on an EMPTY scored
+    // frame a global aggregate emits one all-NULL row while the
+    // oracle's LIMIT-1 CTE joined into the final SELECT emits zero —
+    // grouping makes empty→empty on both engines.
     hist.crossJoin(broadcast(totals))
       .withColumn("cum_p", sum($"p").over(upTo))
       .withColumn("cum_q", sum($"q").over(upTo))
       .withColumn("gap_scaled",
         abs($"cum_p" * $"n_neg" - $"cum_q" * $"n_pos"))
+      .groupBy(lit(1).as("one"))
       .agg(max($"n_pos").as("n_pos"), max($"n_neg").as("n_neg"),
         max(struct($"gap_scaled", $"score")).as("m"))
       .select($"n_pos", $"n_neg", $"m.score".as("ks_score"),

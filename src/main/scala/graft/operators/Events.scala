@@ -2176,6 +2176,15 @@ object Events {
     * at 0. Observed hours only (the [[mannKendallDaily]]-family
     * series contract).
     *
+    * BIGINT headroom (the cross-multiplied-rationals family budget,
+    * SCALING.md "Exactness" table): the widest term is
+    * sy²·10⁶ with sy = Σ hourly counts per type, so exactness holds
+    * while sy < 3.0·10⁶ events per type (and per-cell S_c²·10⁶
+    * likewise at the cell grain). Past that — ~10⁹ events/type at
+    * 100 TB — drop the micro factor to 10³ (per-mille) or pre-scale
+    * counts the [[graft.operators.Sampling.neymanAllocation]]
+    * hectochar way before the squares; the ratio is scale-invariant.
+    *
     * Scale shape: two partial-agg'd groupBys (hour histogram, then
     * (type, dow, hod) cells), one broadcast of the 168-cell frame —
     * no windows at all.
@@ -2290,8 +2299,14 @@ object Events {
           ($"q_tot" - $"q" -
             ($"s_tot" - $"s").cast("double") * ($"s_tot" - $"s") /
               ($"n" - $"i"))) * lit(1.0e6)).cast("long"))
+    // groupBy on a constant, NOT groupBy(): a global aggregate over
+    // the EMPTY candidate frame (single-distinct-day series — no
+    // i < n split exists) would emit one all-NULL row while the
+    // oracle's ORDER BY…LIMIT 1 over zero candidates joined FROM
+    // best, tot emits zero; grouping makes empty→empty on both
+    // engines (TimeSeriesSpec pins the degenerate case).
     cand
-      .groupBy()
+      .groupBy(lit(1).as("one"))
       .agg(min(struct($"cost_micro", $"d", $"i", $"s")).as("m"),
         max($"n").as("n_days"), max($"s_tot").as("s_tot"),
         max($"q_tot").as("q_tot"))

@@ -2110,6 +2110,11 @@ object Olap {
     * so Σ contrib·lnq is an exact BIGINT and H is one floor
     * division; α̂ = 10¹² div H_micro. Zero-revenue customers are
     * excluded (ln 0); an all-equal tail reads H = 0 → α pinned 0.
+    * k is pinned ≥ 1 (n_pos < 10 would read k = 0 and divide by
+    * zero); when no (k+1)-th observation exists at all (n_pos ≤ k,
+    * i.e. a single positive customer) the estimator is undefined
+    * and BOTH engines emit zero rows — the xk1 frame is empty and
+    * the final join is against it.
     */
   def hillTailRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2121,14 +2126,18 @@ object Olap {
       .withColumn("lnq", round(log($"cents".cast("double")) * lit(1.0e6))
         .cast("long"))
     val total = hist.agg(sum($"cnt").as("n_pos"))
-      .withColumn("k", expr("n_pos div 10"))
+      .withColumn("k", greatest(lit(1L), expr("n_pos div 10")))
     val before = Window.orderBy($"cents".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.crossJoin(broadcast(total))
       .withColumn("cum_excl", coalesce(sum($"cnt").over(before), lit(0L)))
       .withColumn("contrib",
         greatest(lit(0L), least($"cnt", $"k" - $"cum_excl")))
+    // constant-key groupBy so an empty filter (no (k+1)-th
+    // observation) yields ZERO rows, not one all-NULL aggregate row;
+    // the SQL twin is xk1's HAVING count(*) > 0
     val xk1 = cum.filter($"cum_excl" + $"cnt" >= $"k" + 1L)
+      .groupBy(lit(1).as("one"))
       .agg(max(struct($"cents", $"lnq")).as("m"))
       .select($"m.lnq".as("ln_xk1"))
     cum.agg(max($"n_pos").as("n_pos"), max($"k").as("k"),
@@ -2154,7 +2163,8 @@ object Olap {
                   AS lnq
          FROM pos GROUP BY 1),
        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pos,
-                    CAST(sum(cnt) AS BIGINT) // 10 AS k FROM hist),
+                    greatest(1, CAST(sum(cnt) AS BIGINT) // 10) AS k
+             FROM hist),
        c AS (
          SELECT cents, cnt, lnq, n_pos, k,
                 CAST(coalesce(sum(cnt) OVER (ORDER BY cents DESC
@@ -2167,7 +2177,8 @@ object Olap {
          FROM c),
        xk1 AS (
          SELECT CAST(max_by(lnq, cents) AS BIGINT) AS ln_xk1
-         FROM contrib WHERE cum_excl + cnt >= k + 1),
+         FROM contrib WHERE cum_excl + cnt >= k + 1
+         HAVING count(*) > 0),
        agg AS (
          SELECT CAST(max(n_pos) AS BIGINT) AS n_pos,
                 CAST(max(k) AS BIGINT) AS k,

@@ -881,7 +881,15 @@ object Sampling {
     * and the metric is n_chars; N_h·σ_h reduces to
     * √(n_h·Σx² − (Σx)²) exactly (the whole stratum is observed), so
     * the weight is one correctly-rounded IEEE sqrt over an exact
-    * BIGINT, quantized once. Integer seats are dealt by the
+    * BIGINT, quantized once. The moments are taken over HECTOCHAR
+    * units (x' = n_chars div 100) — allocation is scale-invariant in
+    * the metric's units (∝ N_h·σ_h), and the pre-scale buys 100×
+    * BIGINT headroom on the squared terms: n_h·Σx'² ≈ (n_h·x̄')²
+    * stays under 2⁶³ while n_h·x̄' < 3.0·10⁹, i.e. ~10⁸ docs per
+    * stratum at 3 kchar averages (raw chars would overflow at ~10⁶ —
+    * Spark non-ANSI would wrap silently while DuckDB raises). The
+    * rent is quantizing sub-100-char variance into the weight; the
+    * seat-dealing arithmetic below is unchanged and exact. Integer seats are dealt by the
     * largest-remainder (Hamilton) method: floor quotas exactly via
     * (B·w) div W, leftovers to the largest (B·w) mod W with a
     * source-name tie-break — fully deterministic, sums to B exactly.
@@ -897,8 +905,9 @@ object Sampling {
     import spark.implicits._
     val census = Tables.documents(spark, dir)
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("s1"),
-        sum($"n_chars" * $"n_chars").as("s2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("n_chars div 100")).as("s1"),
+        sum(expr("(n_chars div 100) * (n_chars div 100)")).as("s2"))
       .withColumn("w",
         round(sqrt(($"n_docs" * $"s2" - $"s1" * $"s1").cast("double")))
           .cast("long"))
@@ -921,8 +930,9 @@ object Sampling {
   def neymanAllocationSql(budget: Long = 100L): String =
     s"""WITH census AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(n_chars) AS BIGINT) AS s1,
-                 CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+                 CAST(sum(n_chars // 100) AS BIGINT) AS s1,
+                 CAST(sum((n_chars // 100) * (n_chars // 100)) AS BIGINT)
+                   AS s2
           FROM documents GROUP BY 1),
         wts AS (
           SELECT source, n_docs,

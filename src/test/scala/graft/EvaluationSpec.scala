@@ -855,6 +855,9 @@ class EvaluationSpec extends SparkSpec {
     val s = Evaluation.ksSeparationOf(same).collect().head
     assert(s.getAs[Long]("gap_scaled") == 0L)
     assert(s.getAs[Long]("ks_ppm") == 0L)
+    // empty scored frame: zero rows, matching the oracle's empty
+    // LIMIT-1 CTE (a global agg would emit one all-NULL row)
+    assert(Evaluation.ksSeparationOf(same.limit(0)).collect().isEmpty)
   }
 
   test("shapley attribution: single-channel journeys reduce to observed counts, symmetric journeys split evenly, efficiency closes in 24ths") {
@@ -887,6 +890,19 @@ class EvaluationSpec extends SparkSpec {
     // shares: click 96/144, view 48/144
     assert(got("click")._2 == 96L * 1000000L / 144L)
     assert(got("view")._2 == 48L * 1000000L / 144L)
+    // channel names are spliced into generated CASE/VALUES text:
+    // anything outside [A-Za-z0-9_.-]+ must be refused by name, on
+    // BOTH the frame and the oracle builder
+    val quoted = Seq("click", "o'brien")
+    intercept[IllegalArgumentException] {
+      Analytics.shapleyAttribution(spark, tmp, quoted)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.shapleyAttributionSql(quoted)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.shapleyAttributionSql(Seq("click", "click"))
+    }
   }
 
   test("brier decomposition: perfect separation closes Murphy's identity at brier 0; hand-fold on mixed cells") {

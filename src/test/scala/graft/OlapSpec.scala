@@ -902,6 +902,21 @@ class OlapSpec extends SparkSpec {
     val f = Olap.hillTailRevenue(spark, tmp2).collect().head
     assert(f.getAs[Long]("h_micro") == 0L)
     assert(f.getAs[Long]("alpha_micro") == 0L)
+    // n_pos < 10: k pins to 1 (not 0 — no NULL-bearing division row);
+    // H = ln x_(1) - ln x_(2) by hand
+    val tmp3 = java.nio.file.Files.createTempDirectory("hill3").toString
+    Seq((1L, 160.0), (2L, 80.0), (3L, 20.0), (4L, 20.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp3/orders.parquet")
+    val s = Olap.hillTailRevenue(spark, tmp3).collect().head
+    assert(s.getAs[Long]("n_pos") == 4L && s.getAs[Long]("k") == 1L)
+    assert(s.getAs[Long]("h_micro") == lnq(16000L) - lnq(8000L))
+    // single positive customer: no x_(k+1) exists, the estimator is
+    // undefined and both engines emit zero rows
+    val tmp4 = java.nio.file.Files.createTempDirectory("hill4").toString
+    Seq((1L, 160.0)).toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp4/orders.parquet")
+    assert(Olap.hillTailRevenue(spark, tmp4).collect().isEmpty)
   }
 
   test("lorenz: crafted 4-customer nation folds by hand; curve is monotone, under the diagonal, terminal share exactly 1e6") {

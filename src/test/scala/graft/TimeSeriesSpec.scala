@@ -1003,6 +1003,12 @@ import org.apache.spark.sql.functions.{call_function, hour}
     val f = Events.binsegDailyOf(flat).collect().head
     assert(f.getAs[Long]("split_last_left_day") == 0L)
     assert(f.getAs[Long]("gain_micro") == 0L)
+    // degenerate single-distinct-day series: no i < n split exists,
+    // so BOTH engines emit zero rows (the oracle's LIMIT-1 CTE joins
+    // empty; the Spark global agg must not emit an all-NULL row)
+    val single = Seq((3L, 7L)).toDF("d", "y")
+    assert(Events.binsegDailyOf(single).collect().isEmpty)
+    assert(Events.binsegDailyOf(single.limit(0)).collect().isEmpty)
   }
 
   test("entropy rate: deterministic chain reads 0, uniform fan-out reads ln k, pooled row is the weighted fold") {
