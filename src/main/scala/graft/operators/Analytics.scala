@@ -1743,6 +1743,104 @@ object Analytics {
        FROM phi, tot ORDER BY channel"""
   }
 
+  /** SAMPLED-permutation Shapley attribution (Castro, Gómez &
+    * Tejada, C&OR 2009) — the valve [[shapleyAttribution]]'s own
+    * `require` names for wide channel sets: instead of the 2^k
+    * coalition lattice, average each channel's marginal contribution
+    * over `nPerms` sampled permutations; the estimator is unbiased
+    * and its standard error shrinks as 1/√m.
+    *
+    * Determinism without a PRNG: permutation i orders channels by
+    * md5("i:channel") hex (the library's md5-hash-family device) —
+    * reproducible in ANY engine or language, which is what lets the
+    * driver's Python reference replay it value-for-value. The whole
+    * randomness budget is that fixed hash family; no seed state, no
+    * platform RNG.
+    *
+    * Scale shape: the corpus collapses to the same converting-user
+    * (mask) frame as the exact operator; the coalition values v(S)
+    * are computed ONLY for the ≤ m·k+1 distinct prefix masks the
+    * sampled permutations touch (broadcast of that domain-sized mask
+    * list against the user frame — never 2^k), so k can be large.
+    * All marginals are exact integers; the only fp is the terminal
+    * standard-error sqrt, emitted as the `se_micro` error-bound
+    * column the gate contract requires (`var_num` =
+    * m²·sample-variance stays exact BIGINT next to it).
+    *
+    * No SQL oracle: the permutation sample is data-INdependent but
+    * the md5-ordered permutation unrolling is a generated-text
+    * program, not a fixed query shape — the gate is declared
+    * rows-only and tools/selfcheck.py replays the whole estimator
+    * (hash family included) in plain Python, while the spec pins
+    * unbiasedness against the exact operator on a crafted lattice.
+    */
+  def shapleyAttributionSampled(spark: SparkSession, dir: String,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      nPerms: Int = 200): DataFrame = {
+    requireSafeChannels(channels)
+    require(channels.size <= 63, "bitmask channels capped at 63")
+    require(nPerms >= 2, "need >= 2 permutations for a sample variance")
+    val spark0 = spark
+    import spark0.implicits._
+    val chs = channels.sorted
+    val powerOf = chs.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // (channel, predecessor mask, successor mask) per permutation slot
+    val ladder = (1 to nPerms).flatMap { i =>
+      val perm = chs.sortBy(c => (md5hex(s"$i:$c"), c))
+      perm.scanLeft(("", 0L)) { case ((_, acc), c) =>
+        (c, acc | powerOf(c))
+      }.sliding(2).collect { case Seq((_, pred), (c, succ)) =>
+        (c, pred, succ)
+      }.toSeq
+    }
+    val maskExpr = chs.map(c =>
+      s"WHEN '$c' THEN ${powerOf(c)}L").mkString(
+      "CASE event_type ", " ", " ELSE NULL END")
+    val users = Tables.events(spark, dir)
+      .select($"user_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"),
+        coalesce(sum_distinct(expr(maskExpr)), lit(0L)).as("mask"))
+      .filter($"conv" === 1L)
+    // v(S) for exactly the masks the sample touches — m·k+1 at most;
+    // inner join streams the user frame against the BROADCAST mask
+    // list (the exact operator's subset-ladder shape), then the
+    // domain-sized left join fills untouched masks with v = 0
+    val needed = broadcast(
+      (ladder.flatMap(r => Seq(r._2, r._3)).distinct :+ 0L)
+        .distinct.toDF("s"))
+    val counts = users.join(needed, expr("(mask & s) = mask"))
+      .groupBy($"s").agg(count(lit(1)).as("cnt"))
+    val v = needed.join(counts, Seq("s"), "left")
+      .withColumn("v", coalesce($"cnt", lit(0L)))
+    val ladderDf = broadcast(ladder.toDF("channel", "s0", "s1"))
+    val phi = ladderDf
+      .join(v.select($"s".as("s0"), $"v".as("v0")), Seq("s0"))
+      .join(v.select($"s".as("s1"), $"v".as("v1")), Seq("s1"))
+      .groupBy($"channel")
+      .agg(sum($"v1" - $"v0").as("phi_sum"),
+        sum(($"v1" - $"v0") * ($"v1" - $"v0")).as("phi_sq_sum"))
+    val m = nPerms.toLong
+    phi
+      .withColumn("n_perms", lit(m))
+      .withColumn("mean_micro", expr(s"(phi_sum * 1000000) div $m"))
+      // var_num = m·Σd² − (Σd)² = m²·(population variance of the
+      // per-permutation marginals); SE of the mean = √(var/m)/√m =
+      // √var_num / m^(3/2) — ONE terminal sqrt, rounded to micro
+      .withColumn("var_num",
+        lit(m) * $"phi_sq_sum" - $"phi_sum" * $"phi_sum")
+      .withColumn("se_micro",
+        round(sqrt($"var_num".cast("double")) / (m.toDouble * math.sqrt(
+          m.toDouble)) * 1.0e6).cast("long"))
+      .select($"channel", $"n_perms", $"phi_sum", $"phi_sq_sum",
+        $"mean_micro", $"var_num", $"se_micro")
+      .orderBy($"channel")
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String,
       maxOffset: Int = 3): DataFrame = {
     import spark.implicits._

@@ -903,6 +903,28 @@ class EvaluationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Analytics.shapleyAttributionSql(Seq("click", "click"))
     }
+    // SAMPLED estimator on the same crafted lattice: deterministic
+    // (fixed md5 permutation family — two runs bit-identical),
+    // efficiency holds per permutation (Σ phi_sum = m·v(full) = m·6),
+    // dummy channels read exactly 0 with se 0, and the active
+    // channels' means land within 4·se of the exact Shapley values
+    // (φ_click = 4, φ_view = 2 — from the 24ths above)
+    val s1 = Analytics.shapleyAttributionSampled(spark, tmp, nPerms = 200)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(6)))).toMap
+    val s2 = Analytics.shapleyAttributionSampled(spark, tmp, nPerms = 200)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(6)))).toMap
+    assert(s1 == s2, "sampled shapley must be deterministic")
+    assert(s1.values.map(_._1).sum == 200L * 6L, s1.toString)
+    assert(s1("error") == ((0L, 0L, 0L)) && s1("signup") == ((0L, 0L, 0L)))
+    def near(c: String, exactMicro: Long): Unit = {
+      val (_, mean, se) = s1(c)
+      assert(math.abs(mean - exactMicro) <= 4L * se + 1L,
+        s"$c: mean=$mean exact=$exactMicro se=$se")
+    }
+    near("click", 4000000L)
+    near("view", 2000000L)
   }
 
   test("brier decomposition: perfect separation closes Murphy's identity at brier 0; hand-fold on mixed cells") {

@@ -342,8 +342,70 @@ def ref_hll_merge(got, con, sf_dir):
     return _sketch_row_checks(got, exacts)
 
 
+def ref_shapley_sampled(got, con, sf_dir,
+                        channels=("click", "error", "signup", "view"),
+                        n_perms=200):
+    """Full-estimator replay of Analytics.shapleyAttributionSampled:
+    same md5("i:channel") permutation family, same converting-user
+    mask frame (from DuckDB), same exact-integer marginals and
+    m^(3/2) standard error."""
+    import hashlib
+    chs = sorted(channels)
+    power = {c: 1 << i for i, c in enumerate(chs)}
+    mask_case = " ".join(f"WHEN '{c}' THEN {power[c]}" for c in chs)
+    masks = [int(m) for (m,) in con.execute(
+        f"""SELECT coalesce(CAST(sum(DISTINCT
+                CASE event_type {mask_case} ELSE NULL END) AS BIGINT), 0)
+            FROM events GROUP BY user_id
+            HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) = 1""").fetchall()]
+
+    def v(s):
+        return sum(1 for m in masks if (m & s) == m)
+
+    vmemo = {}
+
+    def vm(s):
+        if s not in vmemo:
+            vmemo[s] = v(s)
+        return vmemo[s]
+
+    sums = {c: 0 for c in chs}
+    sqs = {c: 0 for c in chs}
+    for i in range(1, n_perms + 1):
+        perm = sorted(chs, key=lambda c: (
+            hashlib.md5(f"{i}:{c}".encode()).hexdigest(), c))
+        acc = 0
+        for c in perm:
+            d = vm(acc | power[c]) - vm(acc)
+            sums[c] += d
+            sqs[c] += d * d
+            acc |= power[c]
+    m = n_perms
+
+    def div_trunc(a, b):
+        # Spark `div` truncates toward zero; Python // floors
+        return -((-a) // b) if a < 0 else a // b
+
+    exp = []
+    for c in chs:
+        var_num = m * sqs[c] - sums[c] * sums[c]
+        se = _round_half_up(math.sqrt(var_num) / (m * math.sqrt(m)) * 1e6)
+        exp.append((c, m, sums[c], sqs[c],
+                    div_trunc(sums[c] * 1000000, m), var_num, se))
+    exp.sort()
+    g = sorted((r.channel, int(r.n_perms), int(r.phi_sum),
+                int(r.phi_sq_sum), int(r.mean_micro), int(r.var_num),
+                int(r.se_micro)) for r in got.itertuples(index=False))
+    if g != exp:
+        diffs = [(x, y) for x, y in zip(g, exp) if x != y][:3]
+        return [f"sampled-shapley replay mismatch; first diffs {diffs}"]
+    return []
+
+
 REFERENCES = {
     "text_compression_ratio": ref_compression_ratio,
+    "analytics_attribution_shapley_sampled": ref_shapley_sampled,
     "events_bursts": ref_bursts,
     "events_dtw_profiles": ref_dtw_profiles,
     "text_bpe_train": ref_bpe_train,
