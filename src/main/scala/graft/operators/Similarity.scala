@@ -1033,15 +1033,13 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  def dbscanSql(simMin: Double = 0.35, minPts: Int = 2): String =
-    s"""WITH RECURSIVE e AS (
-          SELECT vec_id, embedding FROM embeddings),
-        p AS (
-          SELECT a.vec_id AS i, b.vec_id AS j
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-          WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
-                  >= $simMin),
-        nb AS (SELECT i AS v, j AS o FROM p
+  /** Shared CC/border/assign tail over CTEs `e` (vec_id) and `p`
+    * (i, j) — the [[dbscanSql]] body past the pair source, factored
+    * so [[dbscanLshSql]] swaps in the LSH-blocked pair frame without
+    * duplicating the clustering text.
+    */
+  private def dbscanTailSql(minPts: Int): String =
+    s"""nb AS (SELECT i AS v, j AS o FROM p
                UNION ALL SELECT j AS v, i AS o FROM p),
         core AS (SELECT v FROM nb GROUP BY v
                  HAVING count(*) >= $minPts),
@@ -1070,6 +1068,56 @@ object Similarity {
                CAST(coalesce(a.cluster, -1) AS BIGINT) AS cluster
         FROM e LEFT JOIN assigned a ON a.v = e.vec_id
         ORDER BY e.vec_id"""
+
+  def dbscanSql(simMin: Double = 0.35, minPts: Int = 2): String =
+    s"""WITH RECURSIVE e AS (
+          SELECT vec_id, embedding FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS i, b.vec_id AS j
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
+                  >= $simMin),
+        ${dbscanTailSql(minPts)}"""
+
+  /** DBSCAN over the LSH-BLOCKED pair frame — the scale valve
+    * [[dbscan]]'s pre-flight names (DBSCAN-LSH: candidate pairs from
+    * the hyperplane-bucket device instead of the n² frame, the
+    * recall-traded form the literature runs at corpus scale). Every
+    * admitted pair still passes the exact rounded-cosine ε test, so
+    * precision is 1 by construction and ONLY recall is traded —
+    * SimilaritySpec floors pair recall and role agreement against
+    * the exact clustering. The gate is hash-exact: DuckDB re-derives
+    * the identical hyperplane buckets, probes, cosine filter and CC.
+    */
+  def dbscanLsh(spark: SparkSession, dir: String, simMin: Double = 0.35,
+      minPts: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val pairs = embeddingDedupLsh(spark, dir, simMin)
+      .select($"vec_a".as("i"), $"vec_b".as("j"))
+    dbscanOf(emb.select($"vec_id"), pairs, minPts)
+  }
+
+  def dbscanLshSql(simMin: Double = 0.35, minPts: Int = 2,
+      nPlanes: Int = 16, chunkBits: Int = 4): String =
+    s"""WITH RECURSIVE ${chunkCtes(planesFor(nPlanes), chunkBits)},
+        probed AS (
+          SELECT vec_id, chunk_idx, xor(chunk, f.fl) AS chunk
+          FROM chunks CROSS JOIN unnest(${probeFlipsSql(chunkBits)}) f(fl)),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM probed x JOIN chunks y
+            ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+               AND x.vec_id < y.vec_id),
+        e AS (SELECT vec_id FROM embeddings),
+        p AS (
+          SELECT c.vec_a AS i, c.vec_b AS j
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.vec_a
+          JOIN embeddings b ON b.vec_id = c.vec_b
+          WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
+                  >= $simMin),
+        ${dbscanTailSql(minPts)}"""
 
   def recallEvalSql(): String = {
     val methods = Seq(

@@ -264,6 +264,31 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("embeddingDedupLsh"))
   }
 
+  test("dbscan-lsh: LSH-blocked pairs are a subset of exact ε-pairs (precision 1), pair recall and role agreement floored vs exact clustering") {
+    import spark.implicits._
+    val exactPairs = Similarity.dbscanPairs(
+      graft.Tables.embeddings(spark, SF).select($"vec_id", $"embedding"),
+      simMin = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Similarity.embeddingDedupLsh(spark, SF, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction: every admitted pair passed the
+    // exact rounded-cosine test
+    assert((lshPairs -- exactPairs).isEmpty,
+      s"false pairs: ${(lshPairs -- exactPairs).take(3)}")
+    val recall = (exactPairs & lshPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, f"pair recall=$recall%.2f")
+    // role agreement: the recall-traded clustering must agree with
+    // the exact one on most points (noise can only grow)
+    val exact = Similarity.dbscan(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lsh = Similarity.dbscanLsh(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agree = exact.count { case (v, role) => lsh(v) == role }
+    assert(agree.toDouble / exact.size >= 0.7,
+      s"role agreement ${agree}/${exact.size}")
+  }
+
   test("silhouette: two exact orthogonal clusters score 1.0; cluster set matches dbscan's non-noise labels") {
     import spark.implicits._
     val a = Array(1.0f, 0.0f)
