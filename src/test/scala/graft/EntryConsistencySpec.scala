@@ -22,6 +22,21 @@ class EntryConsistencySpec extends SparkSpec {
     assert(SparkEntry.rowsOnly.subsetOf(q))
   }
 
+  test("every rows-only gate carries a Python reference oracle in tools/selfcheck.py") {
+    // the r13 verdict's verification-gap close: rows-only means "no
+    // SQL spelling", never "unchecked" — each exempted gate must
+    // appear in selfcheck.py's REFERENCES dict so the driver-side
+    // replay verifies it. Textual pin (the dict maps "name": ref_fn).
+    val selfcheck = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/selfcheck.py")), "UTF-8")
+    val refsBlock = selfcheck.substring(selfcheck.indexOf("REFERENCES = {"))
+    val missing = SparkEntry.rowsOnly
+      .filterNot(k => refsBlock.contains(s"\"$k\":"))
+    assert(missing.isEmpty,
+      s"rows-only gates with no selfcheck.py reference oracle: " +
+        s"${missing.toSeq.sorted}")
+  }
+
   test("flagship entry returns rows (the driver's smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
