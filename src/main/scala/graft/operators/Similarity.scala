@@ -1158,10 +1158,28 @@ object Similarity {
     * is excluded, per the standard convention.
     */
   def dbscanSilhouette(spark: SparkSession, dir: String,
-      simMin: Double = 0.35, minPts: Int = 2): DataFrame = {
+      simMin: Double = 0.35, minPts: Int = 2): DataFrame =
+    silhouetteOf(spark, dir, dbscan(spark, dir, simMin, minPts))
+
+  /** Silhouette over the LSH-blocked clustering — the companion
+    * valve gate to [[dbscanLsh]]: at corpus scale the exact DBSCAN
+    * (and so its silhouette) refuses past the pair budget, while
+    * this pair runs — same canonical-medoid silhouette, clusters
+    * from the recall-traded pair frame. Hash-exact like its sibling
+    * (the oracle swaps the inner clustering text only).
+    */
+  def dbscanSilhouetteLsh(spark: SparkSession, dir: String,
+      simMin: Double = 0.35, minPts: Int = 2): DataFrame =
+    silhouetteOf(spark, dir, dbscanLsh(spark, dir, simMin, minPts))
+
+  /** Shared silhouette core over any (vec_id, role, cluster)
+    * assignment frame — see [[dbscanSilhouette]] for the contract.
+    */
+  private def silhouetteOf(spark: SparkSession, dir: String,
+      assignment: DataFrame): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val assigned = dbscan(spark, dir, simMin, minPts)
+    val assigned = assignment
       .filter($"cluster" =!= -1L)
       .select($"vec_id", $"cluster")
       .join(emb, "vec_id")
@@ -1191,8 +1209,16 @@ object Similarity {
   }
 
   def dbscanSilhouetteSql(simMin: Double = 0.35, minPts: Int = 2): String =
+    silhouetteSqlOver(dbscanSql(simMin, minPts))
+
+  def dbscanSilhouetteLshSql(simMin: Double = 0.35,
+      minPts: Int = 2): String =
+    silhouetteSqlOver(dbscanLshSql(simMin, minPts))
+
+  /** The silhouette oracle over any clustering subquery text. */
+  private def silhouetteSqlOver(clusteringSql: String): String =
     s"""WITH asg AS (
-          SELECT vec_id, cluster FROM (${dbscanSql(simMin, minPts)})
+          SELECT vec_id, cluster FROM ($clusteringSql)
           WHERE cluster <> -1),
         emb AS (SELECT vec_id, embedding FROM embeddings),
         pts AS (SELECT a.vec_id, a.cluster, e.embedding
