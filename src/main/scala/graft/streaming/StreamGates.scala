@@ -176,6 +176,155 @@ object StreamGates {
       .orderBy($"event_id")
   }
 
+  /** Gate `stream_hourly_rollup`: the watermarked tumbling-window
+    * aggregate (SURVEY 40) run live in COMPLETE mode — the memory
+    * sink holds the full aggregate after the last trigger, so no
+    * sentinel lifecycle is needed; a bounded replay has no late data
+    * for the watermark to drop. Oracle: the batch hourly aggregate.
+    */
+  def hourlyRollupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+      .select($"ts", $"event_type", $"value")
+    val n = sinkName("hrollup")
+    drain(EventStream.hourlyRollup(stream)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Complete).start())
+    spark.table(n).orderBy($"hour", $"event_type")
+  }
+
+  val hourlyRollupGateSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Gate `stream_sliding_rollup`: the hopping-window aggregate
+    * (SURVEY 40b, 3 h windows every 1 h) in complete mode. Oracle:
+    * each event fans into the 3 epoch-aligned windows containing it.
+    */
+  def slidingRollupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+      .select($"ts", $"value")
+    val n = sinkName("srollup")
+    drain(EventStream.slidingRollup(stream)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Complete).start())
+    spark.table(n).orderBy($"win_start")
+  }
+
+  val slidingRollupGateSql: String =
+    """WITH ev AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value
+         FROM events),
+       fan AS (
+         SELECT unnest(generate_series(h - 2, h)) AS ws, value FROM ev)
+       SELECT make_timestamp(ws * 3600000000) AS win_start,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM fan GROUP BY 1 ORDER BY 1"""
+
+  /** Gate `stream_sliding_dau`: exact sliding distinct users (SURVEY
+    * 41g — chained stateful dedup → windowed count) in APPEND mode:
+    * one far-future sentinel file advances the watermark so every
+    * real window finalizes and emits exactly once; sentinel-touched
+    * windows (all starting ≥ 17 h past the last real event) are cut
+    * by the win_start bound. Oracle: the 24-window fan-out +
+    * count(DISTINCT).
+    */
+  def slidingDauGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("sdau_stream_gate")
+    copyParquet(Paths.get(src), watch)
+    val maxMicros = Tables.events(spark, dir)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val stream = eventsStream(spark, watch.toString)
+      .select($"ts", $"user_id")
+    val n = sinkName("sdau")
+    val q = EventStream.slidingDau(stream)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      addSentinel(spark, src, watch, id = -1L,
+        tsMicros = maxMicros + 40L * 3600 * 1000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(n)
+      .filter($"win_start" <= timestamp_micros(lit(maxMicros)))
+      .orderBy($"win_start")
+  }
+
+  val slidingDauGateSql: String =
+    """WITH ev AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, user_id
+         FROM events),
+       fan AS (
+         SELECT unnest(generate_series(h - 23, h)) AS ws, user_id FROM ev)
+       SELECT make_timestamp(ws * 3600000000) AS win_start,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users_24h
+       FROM fan GROUP BY 1 ORDER BY 1"""
+
+  /** Gate `stream_sessionize`: the stateful gap sessionizer (SURVEY
+    * 41) run live — sessions close on the 30-minute gap inside the
+    * batch and the stragglers by event-time TIMEOUT once two
+    * sentinel files walk the watermark past them (the asOf
+    * lifecycle). The millisecond grain is the stream's own
+    * (java.sql.Timestamp.getTime): session bounds and the gap test
+    * floor to ms, and the oracle replays exactly that — epoch_us //
+    * 1000 arithmetic, ms-floored boundaries re-expanded to µs
+    * timestamps.
+    */
+  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("sess_stream_gate")
+    copyParquet(Paths.get(src), watch)
+    val maxMicros = Tables.events(spark, dir)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val stream = eventsStream(spark, watch.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent]
+    val n = sinkName("sess")
+    val q = EventStream.sessionize(stream)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      addSentinel(spark, src, watch, id = -1L,
+        tsMicros = maxMicros + 10L * 3600 * 1000000L)
+      q.processAllAvailable()
+      addSentinel(spark, src, watch, id = -2L,
+        tsMicros = maxMicros + 20L * 3600 * 1000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(n)
+      .filter($"user_id" =!= -1L)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionizeGateSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) // 1000 AS ms, value FROM events),
+       s AS (
+         SELECT user_id, ms, value,
+                CASE WHEN lag(ms) OVER w IS NULL
+                          OR ms - lag(ms) OVER w > 1800000
+                     THEN 1 ELSE 0 END AS brk
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+       g AS (
+         SELECT user_id, ms, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM s)
+       SELECT user_id, make_timestamp(min(ms) * 1000) AS session_start,
+              make_timestamp(max(ms) * 1000) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   /** Copy a parquet table (single file or directory of part files)
     * into the watch directory.
     */
