@@ -2130,6 +2130,38 @@ object Events {
       .orderBy($"period")
   }
 
+  /** Epoch-anchored oracle twin of [[periodogramEpochOf]] — r = h %
+    * p with NO min-h origin shift, the streaming-accumulator form
+    * (phase anchored at the epoch so an accumulator never needs to
+    * know the series start). Gates the live streaming periodogram.
+    */
+  val periodogramEpochSql: String = {
+    val basisRows = dftBasis
+      .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }
+      .mkString(",\n                 ")
+    s"""WITH hourly AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+         FROM events),
+       basis AS (
+         SELECT CAST(p AS BIGINT) AS period, CAST(r AS BIGINT) AS r,
+                CAST(c AS BIGINT) AS cosq, CAST(s AS BIGINT) AS sinq
+         FROM (VALUES $basisRows) t(p, r, c, s)),
+       m AS (
+         SELECT period,
+                CAST(count(*) AS BIGINT) AS total,
+                CAST(sum(cosq) AS BIGINT) AS c_micro,
+                CAST(sum(sinq) AS BIGINT) AS s_micro
+         FROM hourly JOIN basis ON basis.r = h % basis.period
+         GROUP BY 1)
+       SELECT period, total, c_micro, s_micro,
+              CASE WHEN total > 0 THEN
+                CAST(round(sqrt(CAST(c_micro AS DOUBLE) * c_micro
+                  + CAST(s_micro AS DOUBLE) * s_micro)
+                  / CAST(total AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS amp_ppm
+       FROM m ORDER BY period"""
+  }
+
   val periodogramSql: String = {
     val basisRows = dftBasis
       .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }

@@ -325,6 +325,107 @@ object StreamGates {
               round(sum(value), 4) AS sum_value
        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Gate `stream_periodogram`: the live 24 h/168 h rhythm monitor
+    * (SURVEY 41i.2 — 2 rows of exact BIGINT accumulator state) in
+    * complete mode; oracle is the epoch-anchored DFT, whose phase
+    * needs no series start — the property that makes it streamable.
+    */
+  def periodogramGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+      .select($"ts")
+    val n = sinkName("pgram")
+    drain(EventStream.periodogram(stream)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Complete).start())
+    spark.table(n).orderBy($"period")
+  }
+
+  val periodogramGateSql: String =
+    graft.operators.Events.periodogramEpochSql
+
+  /** Gate `stream_join_interval`: the stream-stream INNER interval
+    * join (SURVEY 41h's inner sibling) — clicks matched to same-user
+    * errors within 30 minutes, both sides live file-source streams
+    * over the same table. Inner matches emit as they arrive, so one
+    * drain completes the bounded replay; the watermarks exist for
+    * state eviction, not emission. Oracle: the plain interval join.
+    */
+  def joinIntervalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val watch = watchDirFor(s"$dir/events.parquet")
+    val left = eventsStream(spark, watch)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val right = eventsStream(spark, watch)
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val n = sinkName("ssj")
+    drain(EventStream.streamStreamJoin(left, right)
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Append).start())
+    spark.table(n).orderBy($"l_id", $"r_id")
+  }
+
+  val joinIntervalGateSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+                          date_trunc('microseconds', ts) AS ts, event_type
+                   FROM events)
+       SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+              l.ts AS l_ts, r.ts AS r_ts
+       FROM (SELECT * FROM ev WHERE event_type = 'click') l
+       JOIN (SELECT * FROM ev WHERE event_type = 'error') r
+         ON r.user_id = l.user_id AND r.ts >= l.ts
+            AND r.ts <= l.ts + INTERVAL 30 MINUTE
+       ORDER BY l_id, r_id"""
+
+  /** Gate `stream_join_left_outer`: the LEFT OUTER interval join
+    * (SURVEY 41h) — the null-padded "click that never errored" rows
+    * can only emit once the watermark PROVES no match can arrive, so
+    * the sentinel lifecycle walks the watermark past every real
+    * click's window; sentinel rows ride both sides (their
+    * event_type passes both filters) and are cut by the l_id bound.
+    */
+  def joinLeftOuterGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("ssj_outer_gate")
+    copyParquet(Paths.get(src), watch)
+    val maxMicros = Tables.events(spark, dir)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    def side(t: String) = eventsStream(spark, watch.toString)
+      .filter($"event_type".isin(t, "sentinel"))
+      .select($"event_id", $"user_id", $"ts")
+    val n = sinkName("ssjo")
+    val q = EventStream.streamStreamJoinLeftOuter(side("click"), side("error"))
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      addSentinel(spark, src, watch, id = -1L,
+        tsMicros = maxMicros + 10L * 3600 * 1000000L)
+      q.processAllAvailable()
+      addSentinel(spark, src, watch, id = -2L,
+        tsMicros = maxMicros + 20L * 3600 * 1000000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(n)
+      .filter($"l_id" >= 0L)
+      .orderBy($"l_id", $"r_id")
+  }
+
+  val joinLeftOuterGateSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+                          date_trunc('microseconds', ts) AS ts, event_type
+                   FROM events)
+       SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+              l.ts AS l_ts, r.ts AS r_ts
+       FROM (SELECT * FROM ev WHERE event_type = 'click') l
+       LEFT JOIN (SELECT * FROM ev WHERE event_type = 'error') r
+         ON r.user_id = l.user_id AND r.ts >= l.ts
+            AND r.ts <= l.ts + INTERVAL 30 MINUTE
+       ORDER BY l_id, r_id"""
+
   /** Copy a parquet table (single file or directory of part files)
     * into the watch directory.
     */
