@@ -478,10 +478,13 @@ class SamplingSpec extends SparkSpec {
   test("neyman allocation: zero-variance strata get nothing, equal weights split evenly, remainders deal deterministically and sum to B") {
     import spark.implicits._
     import graft.operators.Sampling
-    // A: constant lengths -> sigma 0 -> w 0; B and C: spread 100
-    // scaled variance each -> w = round(sqrt(100)) = 10
+    // moments run in HECTOCHAR units (n_chars div 100), so the
+    // fixture speaks in multiples of 100 chars: A constant -> sigma 0
+    // -> w 0; B and C: hectochar spread gives scaled variance 100
+    // each -> w = round(sqrt(100)) = 10
     val docs = Seq(
-      ("A", 10L), ("A", 10L), ("B", 5L), ("B", 15L), ("C", 10L), ("C", 20L))
+      ("A", 1000L), ("A", 1000L), ("B", 500L), ("B", 1500L),
+      ("C", 1000L), ("C", 2000L))
       .toDF("source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("ney").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
