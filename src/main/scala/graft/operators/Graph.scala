@@ -1240,28 +1240,8 @@ object Graph {
       // ~6 s for the sf0.1 round-1 support. Falls back to a shuffle
       // join past the broadcast budget (a 100 TB edge set is not a
       // broadcast candidate).
-      val degR = nb.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val oriented = nb
-        .join(degR.select($"src", $"deg".as("du")), "src")
-        .join(degR.select($"src".as("dst"), $"deg".as("dv")), "dst")
-        .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
-        .select($"src".as("u"), $"dst".as("v"), $"dv")
-      val edgeRows = nb.count() // checkpointed — metadata-cheap
-      val ost = oriented.select($"u".as("x"), $"v".as("y"))
-      val closer = if (edgeRows / 2 <= 20000000L) broadcast(ost) else ost
-      val wedges = oriented.select($"u", $"v".as("x"), $"dv".as("dx"))
-        .join(oriented.select($"u", $"v".as("y"), $"dv".as("dy")), "u")
-        .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
-        .select($"u", $"x", $"y")
-      val triangles = wedges.join(closer, Seq("x", "y"))
-      val support = triangles
-        .select(explode(array(
-          struct(least($"u", $"x").as("a"), greatest($"u", $"x").as("b")),
-          struct(least($"u", $"y").as("a"), greatest($"u", $"y").as("b")),
-          struct(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))))
-          .as("e"))
-        .select($"e.a".as("a"), $"e.b".as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+      // checkpointed — the count is metadata-cheap
+      val support = trussSupport(nb, nb.count())
       und = und.join(support, Seq("a", "b"))
         .filter($"sup" >= k - 2)
         .select($"a", $"b")
@@ -1270,6 +1250,38 @@ object Graph {
     }
     censuses.result().reduce(_ unionByName _).orderBy($"round")
       .localCheckpoint(true)
+  }
+
+  /** Per-edge triangle support for one truss round over a
+    * both-directions neighbor frame — the degree-oriented plan
+    * [[kTrussOf]] runs each round (exposed so PlanAuditSpec can pin
+    * the broadcast closure, which the gate's terminal checkpoint
+    * hides from the executed plan).
+    */
+  private[graft] def trussSupport(nb: DataFrame, edgeRows: Long): DataFrame = {
+    val spark = nb.sparkSession
+    import spark.implicits._
+    val degR = nb.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val oriented = nb
+      .join(degR.select($"src", $"deg".as("du")), "src")
+      .join(degR.select($"src".as("dst"), $"deg".as("dv")), "dst")
+      .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
+      .select($"src".as("u"), $"dst".as("v"), $"dv")
+    val ost = oriented.select($"u".as("x"), $"v".as("y"))
+    val closer = if (edgeRows / 2 <= 20000000L) broadcast(ost) else ost
+    val wedges = oriented.select($"u", $"v".as("x"), $"dv".as("dx"))
+      .join(oriented.select($"u", $"v".as("y"), $"dv".as("dy")), "u")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+      .select($"u", $"x", $"y")
+    val triangles = wedges.join(closer, Seq("x", "y"))
+    triangles
+      .select(explode(array(
+        struct(least($"u", $"x").as("a"), greatest($"u", $"x").as("b")),
+        struct(least($"u", $"y").as("a"), greatest($"u", $"y").as("b")),
+        struct(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))))
+        .as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
   }
 
   /** Oracle: the identical peeling rounds unrolled — wedge self-join

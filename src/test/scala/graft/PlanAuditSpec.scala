@@ -579,4 +579,43 @@ class PlanAuditSpec extends SparkSpec {
       s"subset fan-out not a broadcast nested loop:\n$p")
     assert(p.contains("partial"), s"user collapse not map-side partial:\n$p")
   }
+
+  test("analytics_attribution_shapley_sampled: mask probe + v joins ride broadcasts, no cartesian") {
+    val p = plan("analytics_attribution_shapley_sampled")
+    // the needed-mask probe is a broadcast nested loop (non-equi
+    // subset test) and the ladder/v joins are broadcast hash joins —
+    // the corpus-collapsed user frame never shuffles into a cartesian
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 >= 1,
+      s"mask probe not a broadcast nested loop:\n$p")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"ladder/v joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  /** The ktruss support census must stay the DEGREE-ORIENTED
+    * triangle plan (r14 re-plan receipt, SCALING.md): the closure
+    * probe against the oriented edge set rides a broadcast under the
+    * 20 M-edge budget, so the wedge stream never shuffles — a
+    * refactor that reverts to the all-wedge aggregate would
+    * re-introduce the 147 M-row shuffle this plan retired.
+    */
+  test("graph_ktruss: oriented-triangle closure probes a broadcast edge set") {
+    // the gate output is checkpointed (its executed plan is a scan of
+    // the checkpoint), so pin the per-round support builder directly
+    import org.apache.spark.sql.functions.col
+    val nb = graft.operators.Graph.copurchaseEdges(spark, SF)
+      .repartition(col("src")).localCheckpoint(true)
+    val p = graft.operators.Graph.trussSupport(nb, nb.count())
+      .queryExecution.executedPlan.toString
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1,
+      s"triangle closure not a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("sim_dbscan_lsh: candidate pairs come from bucket equi-joins — no cartesian, no all-pairs nested loop") {
+    val p = plan("sim_dbscan_lsh")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs nested loop leaked into the LSH path:\n$p")
+  }
 }
