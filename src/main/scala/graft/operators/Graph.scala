@@ -1178,9 +1178,11 @@ object Graph {
     * runs to an empty diff. Per-round lineage is truncated; each
     * round is Σ C(deg′,2) on the SHRINKING graph, and the first
     * round enforces the same wedge budget as the other wedge-stream
-    * operators. `edges` must carry BOTH directions of each
+    * operators. `edges` should carry BOTH directions of each
     * undirected edge (the [[copurchaseEdges]] convention) — round 1
-    * consumes it as the neighbor frame directly.
+    * then consumes it as the neighbor frame directly; a
+    * one-directional a<b edge list is detected by the count check
+    * and re-symmetrized instead (the pre-r14 behavior).
     */
   def kTrussOf(edges: DataFrame, k: Long, rounds: Int,
       wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
@@ -1211,18 +1213,26 @@ object Graph {
     // surviving UNDIRECTED edges as a<b pairs
     var und = e0.filter($"src" < $"dst")
       .select($"src".as("a"), $"dst".as("b")).localCheckpoint(true)
+    // Both-directions check for the round-1 fast path: a caller may
+    // pass ONE row per undirected a<b edge (the pre-r14 code
+    // tolerated that by re-symmetrizing every round). Counts are
+    // metadata-cheap on the checkpointed frames; the asymmetric case
+    // takes the explicit symmetrize instead of silently halving
+    // degrees.
+    val e0Symmetric = e0.count() == 2L * und.count()
     val censuses = Seq.newBuilder[DataFrame]
     def census(r: Long, frame: DataFrame): DataFrame =
       frame.select(lit(r).as("round"), count(lit(1)).as("n_edges"),
         sum($"a" + $"b").as("edge_sum"))
     censuses += census(0L, und)
     for (r <- 1 to rounds) {
-      // Round 1's neighbor frame IS e0 (both directions, already
-      // src-partitioned and checkpointed — re-deriving it
-      // re-materialized 2|E| rows for nothing); later rounds rebuild
-      // it from the SHRUNK survivor set.
+      // Round 1's neighbor frame IS e0 when e0 is symmetric (both
+      // directions, already src-partitioned and checkpointed —
+      // re-deriving it re-materialized 2|E| rows for nothing);
+      // one-directional inputs and later rounds rebuild it from the
+      // survivor set.
       val nb =
-        if (r == 1) e0
+        if (r == 1 && e0Symmetric) e0
         else und.select($"a".as("src"), $"b".as("dst"))
           .unionByName(und.select($"b".as("src"), $"a".as("dst")))
           .repartition($"src").localCheckpoint(true)
@@ -1268,7 +1278,14 @@ object Graph {
       .filter($"du" < $"dv" || ($"du" === $"dv" && $"src" < $"dst"))
       .select($"src".as("u"), $"dst".as("v"), $"dv")
     val ost = oriented.select($"u".as("x"), $"v".as("y"))
-    val closer = if (edgeRows / 2 <= 20000000L) broadcast(ost) else ost
+    // 4 M oriented rows ≈ 64 MB packed, a few hundred MB as a
+    // HashedRelation — comfortably inside an 8 g driver/executor;
+    // the r14 review flagged the earlier 20 M cutoff as heap-blind
+    // (a 20 M-row broadcast build can OOM where the shuffle plan
+    // completed). Past the cutoff the closure degrades to a shuffled
+    // join of the TRIANGLE-bounded wedge frame, never back to the
+    // all-wedge aggregate.
+    val closer = if (edgeRows / 2 <= 4000000L) broadcast(ost) else ost
     val wedges = oriented.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(oriented.select($"u", $"v".as("y"), $"dv".as("dy")), "u")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))

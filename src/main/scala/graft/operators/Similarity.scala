@@ -287,17 +287,26 @@ object Similarity {
     (4 * chunkBits, chunkBits) // 4 bands
   }
 
-  def embeddingDedupLshSql(threshold: Double = 0.35, nPlanes: Int = 16,
-      chunkBits: Int = 4): String =
-    s"""WITH ${chunkCtes(planesFor(nPlanes), chunkBits)},
+  /** The hyperplane-bucket candidate CTE chain (chunks → probes →
+    * distinct bucket pairs) shared by [[embeddingDedupLshSql]] and
+    * [[dbscanLshSql]] — one text, so a probe-scheme change cannot
+    * desynchronize the two hash-exact oracles.
+    */
+  private def lshCandCtes(nPlanes: Int, chunkBits: Int,
+      pairsName: String): String =
+    s"""${chunkCtes(planesFor(nPlanes), chunkBits)},
         probed AS (
           SELECT vec_id, chunk_idx, xor(chunk, f.fl) AS chunk
           FROM chunks CROSS JOIN unnest(${probeFlipsSql(chunkBits)}) f(fl)),
-        pairs AS (
+        $pairsName AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM probed x JOIN chunks y
             ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
-               AND x.vec_id < y.vec_id),
+               AND x.vec_id < y.vec_id)"""
+
+  def embeddingDedupLshSql(threshold: Double = 0.35, nPlanes: Int = 16,
+      chunkBits: Int = 4): String =
+    s"""WITH ${lshCandCtes(nPlanes, chunkBits, "pairs")},
         scored AS (
           SELECT p.vec_a, p.vec_b,
                  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
@@ -1100,15 +1109,7 @@ object Similarity {
 
   def dbscanLshSql(simMin: Double = 0.35, minPts: Int = 2,
       nPlanes: Int = 16, chunkBits: Int = 4): String =
-    s"""WITH RECURSIVE ${chunkCtes(planesFor(nPlanes), chunkBits)},
-        probed AS (
-          SELECT vec_id, chunk_idx, xor(chunk, f.fl) AS chunk
-          FROM chunks CROSS JOIN unnest(${probeFlipsSql(chunkBits)}) f(fl)),
-        cand AS (
-          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-          FROM probed x JOIN chunks y
-            ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
-               AND x.vec_id < y.vec_id),
+    s"""WITH RECURSIVE ${lshCandCtes(nPlanes, chunkBits, "cand")},
         e AS (SELECT vec_id FROM embeddings),
         p AS (
           SELECT c.vec_a AS i, c.vec_b AS j

@@ -29,6 +29,40 @@ object StreamGates {
   private def sinkName(tag: String): String =
     s"sg_${tag}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
 
+  /** Materialize the sink's contents and DROP the memory-sink view:
+    * the memory sink pins its whole collected output on the driver
+    * for the view's lifetime, and a bench board runs every gate 3× —
+    * localCheckpoint blocks, by contrast, are GC-reaped once the
+    * returned frame goes unreferenced (the repo-wide checkpoint
+    * rationale). Also deletes the gate's temp watch dirs: the stream
+    * is stopped and the result no longer reads files.
+    */
+  private def finish(spark: SparkSession, sink: String,
+      result: org.apache.spark.sql.DataFrame,
+      tempDirs: Seq[Path] = Nil): org.apache.spark.sql.DataFrame = {
+    val out = result.localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    tempDirs.foreach(deleteRecursively)
+    out
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
+
+  /** Max event-time in µs, None on an empty table (the sentinel
+    * lifecycle is skipped then — an empty stream's output is empty
+    * with the correct sink schema, no watermark walking needed).
+    */
+  private def maxEventMicros(spark: SparkSession, dir: String): Option[Long] = {
+    val row = Tables.events(spark, dir)
+      .agg(max(unix_micros(org.apache.spark.sql.functions.col("ts")))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
   /** File-source twin of [[graft.Tables.events]]: same
     * nanos/NTZ/timestamp normalization branch, applied to the
     * streaming frame so both physical testdata layouts work.
@@ -52,13 +86,13 @@ object StreamGates {
     * table as a single parquet file, so a single-file table is copied
     * into a temp watch dir (a directory-shaped table streams as-is).
     */
-  private def watchDirFor(src: String): String = {
+  private def watchDirFor(src: String): (String, Seq[Path]) = {
     val p = Paths.get(src)
-    if (Files.isDirectory(p)) src
+    if (Files.isDirectory(p)) (src, Nil)
     else {
       val watch = Files.createTempDirectory("stream_gate")
       copyParquet(p, watch)
-      watch.toString
+      (watch.toString, Seq(watch))
     }
   }
 
@@ -82,15 +116,16 @@ object StreamGates {
         $"c_mktsegment".as("segment"),
         $"c_nationkey".cast("long").as("nation"))
       .filter($"user_id" % 7 =!= 0)
-    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
       .select($"event_id", $"user_id")
     val n = sinkName("enrich")
     drain(EventStream.enrichWithDim(stream, dim, "user_id")
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Append).start())
-    spark.table(n)
+    finish(spark, n, spark.table(n)
       .select($"event_id", $"segment", $"nation")
-      .orderBy($"event_id")
+      .orderBy($"event_id"), tmp)
   }
 
   val enrichDimGateSql: String =
@@ -115,17 +150,18 @@ object StreamGates {
     import spark.implicits._
     val distinct = Tables.events(spark, dir)
       .select($"user_id").distinct().count()
-    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
     val n = sinkName("hh")
     drain(EventStream.heavyHitters(stream, parts, m = distinct.toInt + 8)
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Update).start())
-    spark.table(n)
+    finish(spark, n, spark.table(n)
       .groupBy($"user_id")
       .agg(max($"est").as("est"), max($"err").as("err"))
-      .orderBy($"user_id")
+      .orderBy($"user_id"), tmp)
   }
 
   val heavyHittersGateSql: String =
@@ -149,9 +185,9 @@ object StreamGates {
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("asof_stream_gate")
     copyParquet(Paths.get(src), watch)
-    // far-future sentinel timestamps from the batch frame's max ts
-    val maxMicros = Tables.events(spark, dir)
-      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    // far-future sentinel timestamps from the batch frame's max ts;
+    // None on an empty table — no sentinels needed, output is empty
+    val maxMicros = maxEventMicros(spark, dir)
     val stream = eventsStream(spark, watch.toString)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
@@ -164,16 +200,18 @@ object StreamGates {
       // two sentinel batches: the first advances the watermark past
       // every real event, the second triggers the flush of probes
       // the first certified (watermark updates between triggers)
-      addSentinel(spark, src, watch, id = -1L,
-        tsMicros = maxMicros + 40L * 3600 * 1000000L)
-      q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -2L,
-        tsMicros = maxMicros + 80L * 3600 * 1000000L)
-      q.processAllAvailable()
+      maxMicros.foreach { mx =>
+        addSentinel(spark, src, watch, id = -1L,
+          tsMicros = mx + 40L * 3600 * 1000000L)
+        q.processAllAvailable()
+        addSentinel(spark, src, watch, id = -2L,
+          tsMicros = mx + 80L * 3600 * 1000000L)
+        q.processAllAvailable()
+      }
     } finally q.stop()
-    spark.table(n)
+    finish(spark, n, spark.table(n)
       .filter($"user_id" =!= -1L)
-      .orderBy($"event_id")
+      .orderBy($"event_id"), Seq(watch))
   }
 
   /** Gate `stream_hourly_rollup`: the watermarked tumbling-window
@@ -184,13 +222,14 @@ object StreamGates {
     */
   def hourlyRollupGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
       .select($"ts", $"event_type", $"value")
     val n = sinkName("hrollup")
     drain(EventStream.hourlyRollup(stream)
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Complete).start())
-    spark.table(n).orderBy($"hour", $"event_type")
+    finish(spark, n, spark.table(n).orderBy($"hour", $"event_type"), tmp)
   }
 
   val hourlyRollupGateSql: String =
@@ -205,13 +244,14 @@ object StreamGates {
     */
   def slidingRollupGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
       .select($"ts", $"value")
     val n = sinkName("srollup")
     drain(EventStream.slidingRollup(stream)
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Complete).start())
-    spark.table(n).orderBy($"win_start")
+    finish(spark, n, spark.table(n).orderBy($"win_start"), tmp)
   }
 
   val slidingRollupGateSql: String =
@@ -238,8 +278,7 @@ object StreamGates {
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sdau_stream_gate")
     copyParquet(Paths.get(src), watch)
-    val maxMicros = Tables.events(spark, dir)
-      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val maxMicros = maxEventMicros(spark, dir)
     val stream = eventsStream(spark, watch.toString)
       .select($"ts", $"user_id")
     val n = sinkName("sdau")
@@ -248,13 +287,15 @@ object StreamGates {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -1L,
-        tsMicros = maxMicros + 40L * 3600 * 1000000L)
-      q.processAllAvailable()
+      maxMicros.foreach { mx =>
+        addSentinel(spark, src, watch, id = -1L,
+          tsMicros = mx + 40L * 3600 * 1000000L)
+        q.processAllAvailable()
+      }
     } finally q.stop()
-    spark.table(n)
-      .filter($"win_start" <= timestamp_micros(lit(maxMicros)))
-      .orderBy($"win_start")
+    finish(spark, n, spark.table(n)
+      .filter($"win_start" <= timestamp_micros(lit(maxMicros.getOrElse(0L))))
+      .orderBy($"win_start"), Seq(watch))
   }
 
   val slidingDauGateSql: String =
@@ -282,8 +323,7 @@ object StreamGates {
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sess_stream_gate")
     copyParquet(Paths.get(src), watch)
-    val maxMicros = Tables.events(spark, dir)
-      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val maxMicros = maxEventMicros(spark, dir)
     val stream = eventsStream(spark, watch.toString)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
@@ -293,16 +333,18 @@ object StreamGates {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -1L,
-        tsMicros = maxMicros + 10L * 3600 * 1000000L)
-      q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -2L,
-        tsMicros = maxMicros + 20L * 3600 * 1000000L)
-      q.processAllAvailable()
+      maxMicros.foreach { mx =>
+        addSentinel(spark, src, watch, id = -1L,
+          tsMicros = mx + 10L * 3600 * 1000000L)
+        q.processAllAvailable()
+        addSentinel(spark, src, watch, id = -2L,
+          tsMicros = mx + 20L * 3600 * 1000000L)
+        q.processAllAvailable()
+      }
     } finally q.stop()
-    spark.table(n)
+    finish(spark, n, spark.table(n)
       .filter($"user_id" =!= -1L)
-      .orderBy($"user_id", $"session_start")
+      .orderBy($"user_id", $"session_start"), Seq(watch))
   }
 
   val sessionizeGateSql: String =
@@ -332,13 +374,14 @@ object StreamGates {
     */
   def periodogramGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stream = eventsStream(spark, watchDirFor(s"$dir/events.parquet"))
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
       .select($"ts")
     val n = sinkName("pgram")
     drain(EventStream.periodogram(stream)
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Complete).start())
-    spark.table(n).orderBy($"period")
+    finish(spark, n, spark.table(n).orderBy($"period"), tmp)
   }
 
   val periodogramGateSql: String =
@@ -353,18 +396,15 @@ object StreamGates {
     */
   def joinIntervalGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val watch = watchDirFor(s"$dir/events.parquet")
-    val left = eventsStream(spark, watch)
-      .filter($"event_type" === "click")
-      .select($"event_id", $"user_id", $"ts")
-    val right = eventsStream(spark, watch)
-      .filter($"event_type" === "error")
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    def side(t: String) = eventsStream(spark, watch)
+      .filter($"event_type" === t)
       .select($"event_id", $"user_id", $"ts")
     val n = sinkName("ssj")
-    drain(EventStream.streamStreamJoin(left, right)
+    drain(EventStream.streamStreamJoin(side("click"), side("error"))
       .writeStream.format("memory").queryName(n)
       .outputMode(OutputMode.Append).start())
-    spark.table(n).orderBy($"l_id", $"r_id")
+    finish(spark, n, spark.table(n).orderBy($"l_id", $"r_id"), tmp)
   }
 
   val joinIntervalGateSql: String =
@@ -391,8 +431,7 @@ object StreamGates {
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("ssj_outer_gate")
     copyParquet(Paths.get(src), watch)
-    val maxMicros = Tables.events(spark, dir)
-      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val maxMicros = maxEventMicros(spark, dir)
     def side(t: String) = eventsStream(spark, watch.toString)
       .filter($"event_type".isin(t, "sentinel"))
       .select($"event_id", $"user_id", $"ts")
@@ -402,16 +441,18 @@ object StreamGates {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -1L,
-        tsMicros = maxMicros + 10L * 3600 * 1000000L)
-      q.processAllAvailable()
-      addSentinel(spark, src, watch, id = -2L,
-        tsMicros = maxMicros + 20L * 3600 * 1000000L)
-      q.processAllAvailable()
+      maxMicros.foreach { mx =>
+        addSentinel(spark, src, watch, id = -1L,
+          tsMicros = mx + 10L * 3600 * 1000000L)
+        q.processAllAvailable()
+        addSentinel(spark, src, watch, id = -2L,
+          tsMicros = mx + 20L * 3600 * 1000000L)
+        q.processAllAvailable()
+      }
     } finally q.stop()
-    spark.table(n)
+    finish(spark, n, spark.table(n)
       .filter($"l_id" >= 0L)
-      .orderBy($"l_id", $"r_id")
+      .orderBy($"l_id", $"r_id"), Seq(watch))
   }
 
   val joinLeftOuterGateSql: String =

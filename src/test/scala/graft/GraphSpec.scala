@@ -595,12 +595,23 @@ class GraphSpec extends SparkSpec {
     val rndUnd = (for {
       a <- 1L to 25L; b <- (a + 1) to 25L if rnd.nextDouble() < 0.25
     } yield (a, b)).toSeq
+    // one-directional a<b input must match the both-directions form
+    // (the round-1 fast path re-symmetrizes when the count check
+    // says the input is not already both-directions)
+    import spark.implicits._
+    val oneDir = rndUnd.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("src", "dst")
     val gotR = Graph.kTrussOf(toEdgeDf(rndUnd, 5), k = 5, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
     val expR = brute(rndUnd, 5L, 3).map { case (r, n, s) =>
       (r, n, if (n == 0) 0L else s) }
     assert(gotR.toSeq == expR, s"${gotR.toSeq} vs $expR")
+    val gotOneDir = Graph.kTrussOf(oneDir, k = 5, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    assert(gotOneDir.toSeq == expR,
+      s"one-directional input diverged: ${gotOneDir.toSeq} vs $expR")
   }
 
   test("Adamic-Adar enforces the wedge budget and the id packing bound") {
