@@ -67,10 +67,14 @@ object StreamGates {
     * nanos/NTZ/timestamp normalization branch, applied to the
     * streaming frame so both physical testdata layouts work.
     */
-  private def eventsStream(spark: SparkSession, path: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val df = spark.readStream.schema(schema).parquet(path)
+    val reader = spark.readStream.schema(schema)
+    val df = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m.toString))
+      .parquet(path)
     schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -184,11 +188,12 @@ object StreamGates {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("asof_stream_gate")
-    copyParquet(Paths.get(src), watch)
+    copyTimeOrdered(spark, src, watch)
     // far-future sentinel timestamps from the batch frame's max ts;
     // None on an empty table — no sentinels needed, output is empty
     val maxMicros = maxEventMicros(spark, dir)
-    val stream = eventsStream(spark, watch.toString)
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
     val n = sinkName("asof")
@@ -277,9 +282,10 @@ object StreamGates {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sdau_stream_gate")
-    copyParquet(Paths.get(src), watch)
+    copyTimeOrdered(spark, src, watch)
     val maxMicros = maxEventMicros(spark, dir)
-    val stream = eventsStream(spark, watch.toString)
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
       .select($"ts", $"user_id")
     val n = sinkName("sdau")
     val q = EventStream.slidingDau(stream)
@@ -322,9 +328,10 @@ object StreamGates {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sess_stream_gate")
-    copyParquet(Paths.get(src), watch)
+    copyTimeOrdered(spark, src, watch)
     val maxMicros = maxEventMicros(spark, dir)
-    val stream = eventsStream(spark, watch.toString)
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
     val n = sinkName("sess")
@@ -466,6 +473,48 @@ object StreamGates {
          ON r.user_id = l.user_id AND r.ts >= l.ts
             AND r.ts <= l.ts + INTERVAL 30 MINUTE
        ORDER BY l_id, r_id"""
+
+  /** Rewrite the events table into the watch directory as
+    * TIME-ORDERED RANGE files with ascending modification times, so
+    * the file source (oldest-first) replays them as a time-ordered
+    * micro-batch sequence — the arrival shape a production stream
+    * has. With maxFilesPerTrigger = 1 the watermark then advances
+    * between batches and stateful operators keep only the in-flight
+    * window in state (one giant batch pins the WHOLE table as
+    * "in-flight": the watermark is still 0 while it processes, which
+    * is exactly the OOM the ×100 receipt run hit). Ranges are
+    * time-disjoint, so no row is ever late — the equivalence
+    * contract is unchanged (StreamingSpec's chunked-replay cases are
+    * the same shape).
+    */
+  private def copyTimeOrdered(spark: SparkSession, src: String,
+      watch: Path, ranges: Int = 8): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(src)
+    val staging = Files.createTempDirectory("stream_ranges")
+    // range partition ids are ascending in ts; part file names are
+    // ascending in partition id — rename preserves the order
+    raw.repartitionByRange(ranges, org.apache.spark.sql.functions.col("ts"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = Files.list(staging).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (parts.hasNext) {
+      val f = parts.next()
+      val nm = f.getFileName.toString
+      if (nm.endsWith(".parquet") && !nm.startsWith("_") &&
+          !nm.startsWith(".")) names += f
+    }
+    val base = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 1000L * (names.size + 2))
+    names.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+      val dst = watch.resolve(f"input_$i%05d.parquet")
+      Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          base.toMillis + i * 1000L))
+    }
+    deleteRecursively(staging)
+  }
 
   /** Copy a parquet table (single file or directory of part files)
     * into the watch directory.
