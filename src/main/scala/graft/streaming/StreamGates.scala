@@ -107,6 +107,46 @@ object StreamGates {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable() finally q.stop()
 
+  /** The PRODUCTION sink for the append-mode gates: a parquet FILE
+    * sink (distributed, exactly-once via the checkpoint +
+    * _spark_metadata commit log) instead of the memory sink's
+    * driver-side collect — at ×100 the enriched-events gate was
+    * spending 27× its wall materializing 10 M rows on the driver.
+    * Returns a started query plus the reader of the committed
+    * output; the caller finishes with [[finishFiles]].
+    */
+  private def parquetSink(df: DataFrame, out: Path, cp: Path) =
+    df.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode(OutputMode.Append)
+
+  /** Read the file sink's committed output, materialize, and delete
+    * every temp dir (an empty stream commits no files — return an
+    * empty frame of the right schema).
+    */
+  private def finishFiles(spark: SparkSession, out: Path,
+      schema: org.apache.spark.sql.types.StructType,
+      sort: DataFrame => DataFrame,
+      tempDirs: Seq[Path]): DataFrame = {
+    val hasFiles = Files.exists(out) && {
+      val it = Files.list(out).iterator()
+      var found = false
+      while (it.hasNext && !found) {
+        val nm = it.next().getFileName.toString
+        found = nm.endsWith(".parquet") && !nm.startsWith("_")
+      }
+      found
+    }
+    val result =
+      if (hasFiles) sort(spark.read.parquet(out.toString))
+        .localCheckpoint(true)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    tempDirs.foreach(deleteRecursively)
+    result
+  }
+
   /** Gate `stream_enrich_dim`: [[EventStream.enrichWithDim]] over the
     * streamed fact table against the customer dim (keys ≡ 0 mod 7
     * dropped so the LEFT-join null path is exercised on real data —
@@ -123,13 +163,13 @@ object StreamGates {
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
       .select($"event_id", $"user_id")
-    val n = sinkName("enrich")
-    drain(EventStream.enrichWithDim(stream, dim, "user_id")
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start())
-    finish(spark, n, spark.table(n)
+    val enriched = EventStream.enrichWithDim(stream, dim, "user_id")
       .select($"event_id", $"segment", $"nation")
-      .orderBy($"event_id"), tmp)
+    val out = Files.createTempDirectory("enrich_out")
+    val cp = Files.createTempDirectory("enrich_cp")
+    drain(parquetSink(enriched, out, cp).start())
+    finishFiles(spark, out, enriched.schema,
+      _.orderBy($"event_id"), tmp ++ Seq(out, cp))
   }
 
   val enrichDimGateSql: String =
@@ -196,10 +236,10 @@ object StreamGates {
         maxFilesPerTrigger = Some(1))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
-    val n = sinkName("asof")
-    val q = EventStream.asOfEnrich(stream)
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start()
+    val enriched = EventStream.asOfEnrich(stream).toDF()
+    val out = Files.createTempDirectory("asof_out")
+    val cp = Files.createTempDirectory("asof_cp")
+    val q = parquetSink(enriched, out, cp).start()
     try {
       q.processAllAvailable()
       // two sentinel batches: the first advances the watermark past
@@ -214,9 +254,9 @@ object StreamGates {
         q.processAllAvailable()
       }
     } finally q.stop()
-    finish(spark, n, spark.table(n)
-      .filter($"user_id" =!= -1L)
-      .orderBy($"event_id"), Seq(watch))
+    finishFiles(spark, out, enriched.schema,
+      _.filter($"user_id" =!= -1L).orderBy($"event_id"),
+      Seq(watch, out, cp))
   }
 
   /** Gate `stream_hourly_rollup`: the watermarked tumbling-window
@@ -287,10 +327,10 @@ object StreamGates {
     val stream = eventsStream(spark, watch.toString,
         maxFilesPerTrigger = Some(1))
       .select($"ts", $"user_id")
-    val n = sinkName("sdau")
-    val q = EventStream.slidingDau(stream)
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start()
+    val dau = EventStream.slidingDau(stream)
+    val out = Files.createTempDirectory("sdau_out")
+    val cp = Files.createTempDirectory("sdau_cp")
+    val q = parquetSink(dau, out, cp).start()
     try {
       q.processAllAvailable()
       maxMicros.foreach { mx =>
@@ -299,9 +339,10 @@ object StreamGates {
         q.processAllAvailable()
       }
     } finally q.stop()
-    finish(spark, n, spark.table(n)
-      .filter($"win_start" <= timestamp_micros(lit(maxMicros.getOrElse(0L))))
-      .orderBy($"win_start"), Seq(watch))
+    finishFiles(spark, out, dau.schema,
+      _.filter($"win_start" <= timestamp_micros(lit(maxMicros.getOrElse(0L))))
+        .orderBy($"win_start"),
+      Seq(watch, out, cp))
   }
 
   val slidingDauGateSql: String =
@@ -334,10 +375,10 @@ object StreamGates {
         maxFilesPerTrigger = Some(1))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamEvent]
-    val n = sinkName("sess")
-    val q = EventStream.sessionize(stream)
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start()
+    val sessions = EventStream.sessionize(stream).toDF()
+    val out = Files.createTempDirectory("sess_out")
+    val cp = Files.createTempDirectory("sess_cp")
+    val q = parquetSink(sessions, out, cp).start()
     try {
       q.processAllAvailable()
       maxMicros.foreach { mx =>
@@ -349,9 +390,9 @@ object StreamGates {
         q.processAllAvailable()
       }
     } finally q.stop()
-    finish(spark, n, spark.table(n)
-      .filter($"user_id" =!= -1L)
-      .orderBy($"user_id", $"session_start"), Seq(watch))
+    finishFiles(spark, out, sessions.schema,
+      _.filter($"user_id" =!= -1L).orderBy($"user_id", $"session_start"),
+      Seq(watch, out, cp))
   }
 
   val sessionizeGateSql: String =
@@ -407,11 +448,12 @@ object StreamGates {
     def side(t: String) = eventsStream(spark, watch)
       .filter($"event_type" === t)
       .select($"event_id", $"user_id", $"ts")
-    val n = sinkName("ssj")
-    drain(EventStream.streamStreamJoin(side("click"), side("error"))
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start())
-    finish(spark, n, spark.table(n).orderBy($"l_id", $"r_id"), tmp)
+    val joined = EventStream.streamStreamJoin(side("click"), side("error"))
+    val out = Files.createTempDirectory("ssj_out")
+    val cp = Files.createTempDirectory("ssj_cp")
+    drain(parquetSink(joined, out, cp).start())
+    finishFiles(spark, out, joined.schema,
+      _.orderBy($"l_id", $"r_id"), tmp ++ Seq(out, cp))
   }
 
   val joinIntervalGateSql: String =
@@ -442,10 +484,11 @@ object StreamGates {
     def side(t: String) = eventsStream(spark, watch.toString)
       .filter($"event_type".isin(t, "sentinel"))
       .select($"event_id", $"user_id", $"ts")
-    val n = sinkName("ssjo")
-    val q = EventStream.streamStreamJoinLeftOuter(side("click"), side("error"))
-      .writeStream.format("memory").queryName(n)
-      .outputMode(OutputMode.Append).start()
+    val joined = EventStream.streamStreamJoinLeftOuter(
+      side("click"), side("error"))
+    val out = Files.createTempDirectory("ssjo_out")
+    val cp = Files.createTempDirectory("ssjo_cp")
+    val q = parquetSink(joined, out, cp).start()
     try {
       q.processAllAvailable()
       maxMicros.foreach { mx =>
@@ -457,9 +500,9 @@ object StreamGates {
         q.processAllAvailable()
       }
     } finally q.stop()
-    finish(spark, n, spark.table(n)
-      .filter($"l_id" >= 0L)
-      .orderBy($"l_id", $"r_id"), Seq(watch))
+    finishFiles(spark, out, joined.schema,
+      _.filter($"l_id" >= 0L).orderBy($"l_id", $"r_id"),
+      Seq(watch, out, cp))
   }
 
   val joinLeftOuterGateSql: String =
@@ -488,7 +531,22 @@ object StreamGates {
     * the same shape).
     */
   private def copyTimeOrdered(spark: SparkSession, src: String,
-      watch: Path, ranges: Int = 8): Unit = {
+      watch: Path): Unit = {
+    // size-adaptive: the range count exists to bound in-flight STATE,
+    // so it tracks bytes — one 32 MB range per step, capped at 32.
+    // A table small enough for one range takes the raw-copy fast
+    // path (no rewrite, single micro-batch — state fits trivially),
+    // so the production-shaped replay costs nothing at test SFs.
+    val srcPath = Paths.get(src)
+    val bytes =
+      if (Files.isDirectory(srcPath)) {
+        val it = Files.list(srcPath).iterator()
+        var b = 0L
+        while (it.hasNext) { val f = it.next(); if (!Files.isDirectory(f)) b += Files.size(f) }
+        b
+      } else Files.size(srcPath)
+    val ranges = math.min(32L, math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20))).toInt
+    if (ranges == 1) { copyParquet(srcPath, watch); return }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(src)
     val staging = Files.createTempDirectory("stream_ranges")
