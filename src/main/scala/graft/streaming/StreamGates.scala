@@ -517,6 +517,94 @@ object StreamGates {
             AND r.ts <= l.ts + INTERVAL 30 MINUTE
        ORDER BY l_id, r_id"""
 
+  /** Gate `stream_dedup`: [[EventStream.dedupByKey]] (SURVEY 41b,
+    * dropDuplicatesWithinWatermark) over the streamed event table,
+    * projected to the KEY SET — which surviving duplicate row passes
+    * first is partition-race nondeterminism, but the distinct key
+    * set is exact on a bounded replay (single batch: the watermark
+    * never passes an in-flight key, so no state eviction can split a
+    * key; the richer first-occurrence semantics are StreamingSpec's
+    * crafted-replay job). Oracle: SELECT DISTINCT.
+    */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
+      .select($"ts", $"user_id", $"event_type")
+    val deduped = EventStream
+      .dedupByKey(stream, Seq("user_id", "event_type"))
+      .select($"user_id", $"event_type")
+    val out = Files.createTempDirectory("dedup_out")
+    val cp = Files.createTempDirectory("dedup_cp")
+    drain(parquetSink(deduped, out, cp).start())
+    finishFiles(spark, out, deduped.schema,
+      _.orderBy($"user_id", $"event_type"), tmp ++ Seq(out, cp))
+  }
+
+  val dedupGateSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type"""
+
+  /** Gate `stream_cusum`: the Page (1954) one-sided CUSUM control
+    * chart ([[EventStream.cusumControl]], SURVEY 41f) run live. The
+    * alarm fold is sequential per series — max(0, s + (x − target −
+    * slack)) with reset on crossing — which SQL CAN express as a
+    * linear recursive CTE over the (ms, event_id)-ordered event
+    * sequence: the working set is one row per series per step, and
+    * every arithmetic step (add, max, compare) runs in the same
+    * order on both engines, so the emitted s_plus doubles are
+    * bit-identical. The stream's millisecond grain
+    * (Timestamp.getTime ordering) is replayed by the oracle's
+    * epoch_us // 1000 ordering.
+    */
+  def cusumGate(spark: SparkSession, dir: String, target: Double = 1.0,
+      slack: Double = 0.5, threshold: Double = 25.0): DataFrame = {
+    import spark.implicits._
+    val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
+    val stream = eventsStream(spark, watch)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamEvent]
+    val alarms = EventStream
+      .cusumControl(stream, target, slack, threshold).toDF()
+    val out = Files.createTempDirectory("cusum_out")
+    val cp = Files.createTempDirectory("cusum_cp")
+    drain(parquetSink(alarms, out, cp).start())
+    finishFiles(spark, out, alarms.schema,
+      _.orderBy($"event_type", $"event_id"), tmp ++ Seq(out, cp))
+  }
+
+  def cusumGateSql(target: Double = 1.0, slack: Double = 0.5,
+      threshold: Double = 25.0): String = {
+    val drift = target + slack
+    s"""WITH RECURSIVE e AS (
+          SELECT event_type AS series, event_id,
+                 date_trunc('microseconds', ts) AS ts, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+          FROM events),
+        rec AS (
+          SELECT series, CAST(0 AS BIGINT) AS rn,
+                 CAST(0.0 AS DOUBLE) AS s
+          FROM (SELECT DISTINCT series FROM e) t
+          UNION ALL
+          SELECT e.series, e.rn,
+                 CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                             rec.s + (e.value - $drift))
+                           > $threshold THEN CAST(0.0 AS DOUBLE)
+                      ELSE greatest(CAST(0.0 AS DOUBLE),
+                             rec.s + (e.value - $drift)) END
+          FROM rec JOIN e ON e.series = rec.series AND e.rn = rec.rn + 1),
+        alarms AS (
+          SELECT e.series AS event_type, e.event_id, e.ts,
+                 greatest(CAST(0.0 AS DOUBLE),
+                   rec.s + (e.value - $drift)) AS s_plus
+          FROM rec JOIN e ON e.series = rec.series AND e.rn = rec.rn + 1
+          WHERE greatest(CAST(0.0 AS DOUBLE),
+                  rec.s + (e.value - $drift)) > $threshold)
+        SELECT event_type, event_id, ts, s_plus
+        FROM alarms ORDER BY event_type, event_id"""
+  }
+
   /** Rewrite the events table into the watch directory as
     * TIME-ORDERED RANGE files with ascending modification times, so
     * the file source (oldest-first) replays them as a time-ordered
