@@ -1210,16 +1210,39 @@ object Graph {
         peeled
       }
     }
-    // surviving UNDIRECTED edges as a<b pairs
-    var und = e0.filter($"src" < $"dst")
-      .select($"src".as("a"), $"dst".as("b")).localCheckpoint(true)
-    // Both-directions check for the round-1 fast path: a caller may
-    // pass ONE row per undirected a<b edge (the pre-r14 code
-    // tolerated that by re-symmetrizing every round). Counts are
-    // metadata-cheap on the checkpointed frames; the asymmetric case
-    // takes the explicit symmetrize instead of silently halving
-    // degrees.
-    val e0Symmetric = e0.count() == 2L * und.count()
+    // Input-orientation contract (r14 advice): the round-1 fast path
+    // needs a BOTH-DIRECTIONS frame, and the old count test
+    // (|e0| == 2|filter(src<dst)|) accepted a mixed-orientation
+    // one-row-per-edge input whose orientations happened to balance —
+    // feeding halved degrees into trussSupport and silently dropping
+    // its src>dst edges. Now: one cheap orientation census, and only
+    // the ambiguous balanced case pays an exact swap-containment
+    // anti-join (set check; the census already pinned the counts).
+    // Supported shapes — both-directions, or one row per edge in ONE
+    // consistent orientation (either direction; canonicalized via
+    // least/greatest) — anything else throws instead of corrupting.
+    val orient = e0.agg(
+      sum(when($"src" < $"dst", 1L).otherwise(0L)),
+      sum(when($"src" > $"dst", 1L).otherwise(0L))).head()
+    val (ltN, gtN) = (Option(orient.get(0)).fold(0L)(_ => orient.getLong(0)),
+      Option(orient.get(1)).fold(0L)(_ => orient.getLong(1)))
+    val e0Symmetric = ltN == gtN && gtN > 0 && {
+      e0.select($"dst".as("src"), $"src".as("dst"))
+        .join(e0, Seq("src", "dst"), "left_anti").isEmpty
+    }
+    require(e0Symmetric || ltN == 0L || gtN == 0L,
+      "kTrussOf: edge frame is mixed-orientation but not symmetric — " +
+        "pass both directions per undirected edge, or one row per edge " +
+        "in a consistent orientation")
+    // surviving UNDIRECTED edges as a<b pairs (least/greatest handles
+    // the consistently-descending one-row-per-edge shape, which the
+    // old filter(src<dst) silently emptied)
+    var und = (if (e0Symmetric) e0.filter($"src" < $"dst")
+        .select($"src".as("a"), $"dst".as("b"))
+      else e0.filter($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b")))
+      .localCheckpoint(true)
     val censuses = Seq.newBuilder[DataFrame]
     def census(r: Long, frame: DataFrame): DataFrame =
       frame.select(lit(r).as("round"), count(lit(1)).as("n_edges"),

@@ -56,11 +56,35 @@ object StreamGates {
   /** Max event-time in µs, None on an empty table (the sentinel
     * lifecycle is skipped then — an empty stream's output is empty
     * with the correct sink schema, no watermark walking needed).
+    *
+    * The same single pass REQUIRES the sentinel value domain to be
+    * free in the real data (r14 advice): the lifecycle reserves
+    * event_type 'sentinel' (it rides both sides of the left-outer
+    * join filter) and negative event_id/user_id (the output cuts are
+    * `l_id >= 0` / `user_id =!= -1`). A generator change that starts
+    * emitting those values would silently corrupt gate output or
+    * drop real rows while the oracle keeps them — this require turns
+    * that into a loud failure naming the collision.
     */
   private def maxEventMicros(spark: SparkSession, dir: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
     val row = Tables.events(spark, dir)
-      .agg(max(unix_micros(org.apache.spark.sql.functions.col("ts")))).head()
-    if (row.isNullAt(0)) None else Some(row.getLong(0))
+      .agg(max(unix_micros(col("ts"))),
+        sum(when(col("event_type") === "sentinel", 1L).otherwise(0L)),
+        min(col("event_id")), min(col("user_id"))).head()
+    if (row.isNullAt(0)) None
+    else {
+      require(row.getLong(1) == 0L,
+        "stream gate sentinel lifecycle: events table already contains " +
+          "event_type 'sentinel' — the reserved marker would join as real data")
+      require(row.getLong(2) >= 0L,
+        s"stream gate sentinel lifecycle: min(event_id) = ${row.getLong(2)} " +
+          "< 0 collides with the sentinel id domain (output cut l_id >= 0)")
+      require(row.getLong(3) >= 0L,
+        s"stream gate sentinel lifecycle: min(user_id) = ${row.getLong(3)} " +
+          "< 0 collides with the sentinel user domain (output cut user_id <> -1)")
+      Some(row.getLong(0))
+    }
   }
 
   /** File-source twin of [[graft.Tables.events]]: same
@@ -219,10 +243,15 @@ object StreamGates {
     * far-future sentinel FILES land in the watched directory after
     * the real data drains, advancing the watermark past every real
     * probe so the append-mode output is complete (sentinel rows are
-    * filtered back out). The oracle is the SAME DuckDB ASOF JOIN the
-    * batch gate `events_asof_signup` uses — one SQL text, three
-    * implementations (batch composed, native exec, streaming) all
-    * hash-equal on the board.
+    * filtered back out). The oracle ([[asOfGateSql]]) replays the
+    * STREAM's OWN millisecond grain: AsofRef/AsofPending compare at
+    * Timestamp.getTime (ms), while the batch gates compare at the
+    * table's µs grain — on today's testdata the two agree (no
+    * same-millisecond signup-after-probe pair exists), but a ×100
+    * densification can mint one, and then the µs oracle would
+    * falsely fail the stream (r14 advice). The batch gates keep the
+    * µs DuckDB ASOF JOIN; this gate gets the ms-floored replay, the
+    * same grain split sessionizeGateSql already documents.
     */
   def asOfGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -258,6 +287,37 @@ object StreamGates {
       _.filter($"user_id" =!= -1L).orderBy($"event_id"),
       Seq(watch, out, cp))
   }
+
+  /** The ms-grain oracle for [[asOfGate]]: each non-signup probe
+    * matched to the latest same-user signup whose MILLISECOND floor
+    * is at-or-before the probe's millisecond floor — exactly the
+    * arithmetic [[EventStream.asOfEnrich]] runs (state timestamps are
+    * Timestamp.getTime). Ties at equal (ms, …) resolve to the max
+    * (ms, signup_id, signup_value) reference, the stream's
+    * payload-ascending last-wins tie-break, spelled as a descending
+    * row_number instead of DuckDB's ASOF (whose tie choice at equal
+    * keys is not contracted).
+    */
+  val asOfGateSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) // 1000 AS ms, user_id,
+                         event_type, value FROM events),
+        p AS (SELECT event_id, ms, user_id FROM e
+              WHERE event_type <> 'signup'),
+        s AS (SELECT user_id, ms, event_id AS signup_id,
+                     value AS signup_value
+              FROM e WHERE event_type = 'signup'),
+        best AS (
+          SELECT p.event_id, s.signup_id, s.signup_value,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY s.ms DESC, s.signup_id DESC,
+                            s.signup_value DESC) AS rk
+          FROM p JOIN s ON s.user_id = p.user_id AND s.ms <= p.ms)
+        SELECT p.event_id, p.user_id,
+               b.signup_id AS asof_signup_id,
+               round(b.signup_value, 4) AS asof_signup_value
+        FROM p LEFT JOIN best b
+          ON b.event_id = p.event_id AND b.rk = 1
+        ORDER BY p.event_id"""
 
   /** Gate `stream_hourly_rollup`: the watermarked tumbling-window
     * aggregate (SURVEY 40) run live in COMPLETE mode — the memory
@@ -574,8 +634,7 @@ object StreamGates {
   }
 
   def cusumGateSql(target: Double = 1.0, slack: Double = 0.5,
-      threshold: Double = 25.0): String = {
-    val drift = target + slack
+      threshold: Double = 25.0): String =
     s"""WITH RECURSIVE e AS (
           SELECT event_type AS series, event_id,
                  date_trunc('microseconds', ts) AS ts, value,
@@ -589,21 +648,20 @@ object StreamGates {
           UNION ALL
           SELECT e.series, e.rn,
                  CASE WHEN greatest(CAST(0.0 AS DOUBLE),
-                             rec.s + (e.value - $drift))
+                             rec.s + ((e.value - $target) - $slack))
                            > $threshold THEN CAST(0.0 AS DOUBLE)
                       ELSE greatest(CAST(0.0 AS DOUBLE),
-                             rec.s + (e.value - $drift)) END
+                             rec.s + ((e.value - $target) - $slack)) END
           FROM rec JOIN e ON e.series = rec.series AND e.rn = rec.rn + 1),
         alarms AS (
           SELECT e.series AS event_type, e.event_id, e.ts,
                  greatest(CAST(0.0 AS DOUBLE),
-                   rec.s + (e.value - $drift)) AS s_plus
+                   rec.s + ((e.value - $target) - $slack)) AS s_plus
           FROM rec JOIN e ON e.series = rec.series AND e.rn = rec.rn + 1
           WHERE greatest(CAST(0.0 AS DOUBLE),
-                  rec.s + (e.value - $drift)) > $threshold)
+                  rec.s + ((e.value - $target) - $slack)) > $threshold)
         SELECT event_type, event_id, ts, s_plus
         FROM alarms ORDER BY event_type, event_id"""
-  }
 
   /** Rewrite the events table into the watch directory as
     * TIME-ORDERED RANGE files with ascending modification times, so

@@ -612,6 +612,29 @@ class GraphSpec extends SparkSpec {
         if (r.isNullAt(2)) 0L else r.getLong(2)))
     assert(gotOneDir.toSeq == expR,
       s"one-directional input diverged: ${gotOneDir.toSeq} vs $expR")
+
+    // consistently-DESCENDING one-row-per-edge input: the old
+    // filter(src<dst) silently emptied it; now canonicalized
+    val oneDirDesc = rndUnd.map { case (a, b) =>
+      (math.max(a, b), math.min(a, b)) }.distinct.toDF("src", "dst")
+    val gotDesc = Graph.kTrussOf(oneDirDesc, k = 5, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    assert(gotDesc.toSeq == expR,
+      s"descending-orientation input diverged: ${gotDesc.toSeq} vs $expR")
+  }
+
+  test("k-truss rejects a balanced mixed-orientation edge frame (r14 advice)") {
+    import spark.implicits._
+    // one row per edge, orientations mixed so that exactly half the
+    // rows have src<dst — the shape the old count-equality check
+    // accepted as "both directions" while halving every degree
+    val mixed = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 2L))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kTrussOf(mixed, k = 3, rounds = 1)
+    }
+    assert(ex.getMessage.contains("mixed-orientation"), ex.getMessage)
   }
 
   test("Adamic-Adar enforces the wedge budget and the id packing bound") {

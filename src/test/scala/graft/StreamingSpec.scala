@@ -724,6 +724,34 @@ class StreamingSpec extends SparkSpec {
       s"diverged at $diff: stream=${diff.map(got.get)} batch=${diff.map(want.get)}")
   }
 
+  test("stream gates refuse an events table colliding with the sentinel value domain (r14 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = Tables.events(spark, SF).limit(20)
+    def poisonedDir(mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sentinel_domain").toString
+      base.unionByName(mutate(base.limit(1)))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // event_type 'sentinel' in real data would ride the left-outer
+    // join's isin(t, "sentinel") filter as a real row
+    val d1 = poisonedDir(_.withColumn("event_type", lit("sentinel")))
+    val e1 = intercept[IllegalArgumentException](
+      graft.streaming.StreamGates.asOfGate(spark, d1))
+    assert(e1.getMessage.contains("sentinel"), e1.getMessage)
+    // negative event_id collides with the l_id >= 0 output cut
+    val d2 = poisonedDir(_.withColumn("event_id", lit(-5L)))
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.StreamGates.joinLeftOuterGate(spark, d2))
+    assert(e2.getMessage.contains("event_id"), e2.getMessage)
+    // negative user_id collides with the user_id <> -1 cut
+    val d3 = poisonedDir(_.withColumn("user_id", lit(-1L)))
+    val e3 = intercept[IllegalArgumentException](
+      graft.streaming.StreamGates.sessionizeGate(spark, d3))
+    assert(e3.getMessage.contains("user_id"), e3.getMessage)
+  }
+
   test("crash recovery: intoManifestTable stays effectively-once across restart AND a forced batch replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
