@@ -578,31 +578,68 @@ object StreamGates {
        ORDER BY l_id, r_id"""
 
   /** Gate `stream_dedup`: [[EventStream.dedupByKey]] (SURVEY 41b,
-    * dropDuplicatesWithinWatermark) over the streamed event table,
-    * projected to the KEY SET — which surviving duplicate row passes
-    * first is partition-race nondeterminism, but the distinct key
-    * set is exact on a bounded replay (single batch: the watermark
-    * never passes an in-flight key, so no state eviction can split a
-    * key; the richer first-occurrence semantics are StreamingSpec's
-    * crafted-replay job). Oracle: SELECT DISTINCT.
+    * dropDuplicatesWithinWatermark) over the streamed event table —
+    * now carrying the FULL payload, not just the key set (r14 verdict
+    * item 2). Three things are board-verified per key:
+    *
+    *  - the distinct key set, exactly (one output row per key — an
+    *    extra or missing row breaks the hash);
+    *  - the surviving PAYLOAD is a genuine input row of its key
+    *    (`payload_ok`): the survivor's full (event_id, ts, user_id,
+    *    event_type, value) tuple must exist in the batch table.
+    *    WHICH duplicate survives is partition-race nondeterminism by
+    *    dropDuplicates' contract, so the deterministic, order-free
+    *    claim is MEMBERSHIP — a per-key min over the single emitted
+    *    survivor would just re-expose the race;
+    *  - a streamed `min(event_id)` per key (`min_event_id`): a second
+    *    live streaming aggregation over the same source, update-mode
+    *    re-emissions collapsed by the consumer-side min reduce (min
+    *    is monotone non-increasing across triggers — the
+    *    heavy-hitters gate's device), so the oracle gains a real
+    *    min() column that is exact under any micro-batch split.
     */
   def dedupGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
-      .select($"ts", $"user_id", $"event_type")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
     val deduped = EventStream
       .dedupByKey(stream, Seq("user_id", "event_type"))
-      .select($"user_id", $"event_type")
     val out = Files.createTempDirectory("dedup_out")
     val cp = Files.createTempDirectory("dedup_cp")
     drain(parquetSink(deduped, out, cp).start())
-    finishFiles(spark, out, deduped.schema,
-      _.orderBy($"user_id", $"event_type"), tmp ++ Seq(out, cp))
+    // second live query: per-key min(event_id), stateful streaming
+    // aggregation in update mode; consumer-side min collapses
+    // re-emissions deterministically
+    val n = sinkName("dedupmin")
+    drain(eventsStream(spark, watch)
+      .select($"user_id", $"event_type", $"event_id")
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"event_id").as("min_event_id"))
+      .writeStream.format("memory").queryName(n)
+      .outputMode(OutputMode.Update).start())
+    val mins = spark.table(n).groupBy($"user_id", $"event_type")
+      .agg(min($"min_event_id").as("min_event_id"))
+    val survivors = finishFiles(spark, out, deduped.schema, identity, Nil)
+    val batchRows = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .withColumn("__in", lit(1L))
+    val checked = survivors
+      .join(batchRows,
+        Seq("event_id", "ts", "user_id", "event_type", "value"), "left")
+      .select($"user_id", $"event_type", $"__in".isNotNull.as("payload_ok"))
+    finish(spark, n,
+      checked.join(mins, Seq("user_id", "event_type"), "left")
+        .select($"user_id", $"event_type", $"min_event_id", $"payload_ok")
+        .orderBy($"user_id", $"event_type"),
+      tmp ++ Seq(out, cp))
   }
 
   val dedupGateSql: String =
-    """SELECT DISTINCT user_id, event_type FROM events
+    """SELECT user_id, event_type,
+              CAST(min(event_id) AS BIGINT) AS min_event_id,
+              TRUE AS payload_ok
+       FROM events GROUP BY user_id, event_type
        ORDER BY user_id, event_type"""
 
   /** Gate `stream_cusum`: the Page (1954) one-sided CUSUM control
@@ -663,6 +700,69 @@ object StreamGates {
         SELECT event_type, event_id, ts, s_plus
         FROM alarms ORDER BY event_type, event_id"""
 
+  /** Gate `stream_into_manifest`: the streaming→lakehouse loop
+    * (SURVEY 41d) board-verified end-to-end —
+    * [[EventStream.intoManifestTable]] lands each micro-batch as ONE
+    * atomically-published [[graft.pipeline.ManifestTable]] version
+    * (foreachBatch → append with the batch id riding the manifest),
+    * and the gate then reads the LIVE table version back and hashes
+    * it against the plain batch oracle. The replay is forced
+    * multi-batch (`minRanges = 4`, maxFilesPerTrigger = 1) so the
+    * per-micro-batch commit path — not a single bulk append — is what
+    * the board compares; `multi_commit` rides as a verdict column.
+    *
+    * The effectively-once contract gets its own receipt: after the
+    * stream drains, the gate re-publishes the LIVE batch id (the
+    * at-least-once window is a crash between commit and checkpoint,
+    * so only the newest batch can legally replay) and asserts the
+    * version did not move — `replay_idempotent` on every row.
+    */
+  def intoManifestGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("manifest_stream_gate")
+    copyTimeOrdered(spark, src, watch, minRanges = 4)
+    val root = Files.createTempDirectory("manifest_stream_tbl")
+    val cp = Files.createTempDirectory("manifest_stream_cp")
+    val table = new graft.pipeline.ManifestTable(spark,
+      root.resolve("t").toString)
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    drain(EventStream.intoManifestTable(stream, table, cp.toString).start())
+    val result = table.currentVersion match {
+      case None => // empty source: nothing committed, empty output
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(stream.schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("multi_commit",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("replay_idempotent",
+              org.apache.spark.sql.types.BooleanType))))
+      case Some(v) =>
+        val replayOk = table.liveBatchId.exists { id =>
+          table.append(Tables.events(spark, dir).limit(1)
+            .select($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+            Some(id))
+          table.currentVersion.contains(v)
+        }
+        table.read()
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .withColumn("multi_commit", lit(table.history.size >= 2))
+          .withColumn("replay_idempotent", lit(replayOk))
+          .orderBy($"event_id")
+          .localCheckpoint(true)
+    }
+    Seq(watch, root, cp).foreach(deleteRecursively)
+    result
+  }
+
+  val intoManifestGateSql: String =
+    """SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+              event_type, value,
+              TRUE AS multi_commit, TRUE AS replay_idempotent
+       FROM events ORDER BY event_id"""
+
   /** Rewrite the events table into the watch directory as
     * TIME-ORDERED RANGE files with ascending modification times, so
     * the file source (oldest-first) replays them as a time-ordered
@@ -677,12 +777,14 @@ object StreamGates {
     * the same shape).
     */
   private def copyTimeOrdered(spark: SparkSession, src: String,
-      watch: Path): Unit = {
+      watch: Path, minRanges: Int = 1): Unit = {
     // size-adaptive: the range count exists to bound in-flight STATE,
     // so it tracks bytes — one 32 MB range per step, capped at 32.
     // A table small enough for one range takes the raw-copy fast
     // path (no rewrite, single micro-batch — state fits trivially),
     // so the production-shaped replay costs nothing at test SFs.
+    // `minRanges` floors the count for gates whose POINT is the
+    // multi-batch lifecycle (one manifest commit per micro-batch).
     val srcPath = Paths.get(src)
     val bytes =
       if (Files.isDirectory(srcPath)) {
@@ -691,7 +793,8 @@ object StreamGates {
         while (it.hasNext) { val f = it.next(); if (!Files.isDirectory(f)) b += Files.size(f) }
         b
       } else Files.size(srcPath)
-    val ranges = math.min(32L, math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20))).toInt
+    val ranges = math.min(32L, math.max(math.max(1L, minRanges.toLong),
+      (bytes + (32L << 20) - 1) / (32L << 20))).toInt
     if (ranges == 1) { copyParquet(srcPath, watch); return }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(src)
