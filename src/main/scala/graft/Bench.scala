@@ -116,23 +116,59 @@ object Bench {
           lb, loadAvg())
       }
     }
+    // Per-pass child telemetry (r14 verdict item 6): the warm child's
+    // pass-MAX showed fat tails (graph_adamic_adar [31, 46, 120])
+    // even with clearCache+gc between passes — before anyone reads
+    // the med/max columns as signal, the child self-reports per-pass
+    // RSS and GC time/count deltas so the tail attributes from the
+    // artifact (GC pressure vs page cache vs co-resident load).
+    def rssMb(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("VmRSS:") =>
+            l.split("\\s+")(1).toLong / 1024
+        }.getOrElse(-1L) finally src.close()
+      } catch { case _: Throwable => -1L }
+    def gcTotals(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+    }
     // ── child mode: 3 warm passes, write, exit ────────────────────
     childOut.foreach { outPath =>
+      final case class PassDiag(sec: Double, rssMb: Long, gcSec: Double,
+        gcN: Long)
+      val diags = Seq.newBuilder[PassDiag]
       def childPass(): Map[String, Timing] = {
+        val (gcMs0, gcN0) = gcTotals()
+        val t0 = System.nanoTime()
         val r = timeAll(selected)
         spark.catalog.clearCache()
         System.gc()
+        val (gcMs1, gcN1) = gcTotals()
+        diags += PassDiag((System.nanoTime() - t0) / 1e9, rssMb(),
+          (gcMs1 - gcMs0) / 1e3, gcN1 - gcN0)
         r
       }
       val ps = Seq(childPass(), childPass(), childPass())
       def f(v: Double) = if (v < 0) "-1" else BigDecimal(v)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-      val json = selected.keys.map { k =>
+      val ds = diags.result()
+      // diag rides under a key whose VALUE is an object, so the
+      // parent's per-gate triple regex cannot mistake it for a gate
+      val diagJson = "\"__pass_diag\":{" +
+        "\"pass_sec\":[" + ds.map(d => f(d.sec)).mkString(",") + "]," +
+        "\"rss_mb\":[" + ds.map(_.rssMb.toString).mkString(",") + "]," +
+        "\"gc_sec\":[" + ds.map(d => f(d.gcSec)).mkString(",") + "]," +
+        "\"gc_n\":[" + ds.map(_.gcN.toString).mkString(",") + "]}"
+      val json = (selected.keys.map { k =>
         s"\"" + k + "\":[" + ps.map { p =>
           val t = p(k)
           Seq(t.sec, t.loadBefore, t.loadAfter).map(f).mkString("[", ",", "]")
         }.mkString(",") + "]"
-      }.mkString("{", ",", "}")
+      }.toSeq :+ diagJson).mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       spark.stop()
@@ -145,6 +181,7 @@ object Bench {
     // One child total, 3 warm passes inside it; returns gate -> the 3
     // per-pass timings so the parent's min/spread/load logic sees the
     // same shape as its own passes.
+    var forkDiag: Option[String] = None
     def forkOnce(): Map[String, Seq[Timing]] = {
       if (forkGates.isEmpty) return Map.empty
       val out = java.nio.file.Files.createTempFile("bench_child_", ".json")
@@ -155,9 +192,16 @@ object Bench {
           a == "--add-opens" || a.endsWith("=ALL-UNNAMED") ||
             a.startsWith("-Xmx") || a.startsWith("-Xms") ||
             a.startsWith("-D")).toSeq
+      // SPARK_GRAFT_CHILD_GCLOG=1: unified GC logging in the child —
+      // the r14 pass-max diagnosis instrument; path lands on stderr
+      val gcArgs = sys.env.get("SPARK_GRAFT_CHILD_GCLOG").toSeq.flatMap { _ =>
+        val gclog = java.nio.file.Files.createTempFile("bench_child_gc_", ".log")
+        System.err.println(s"bench: child GC log at $gclog")
+        Seq(s"-Xlog:gc*:file=$gclog:time,uptime")
+      }
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      val cmd = Seq(javaBin) ++ jvmArgs ++
+      val cmd = Seq(javaBin) ++ jvmArgs ++ gcArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_ONLY", forkGates.keys.mkString(","))
@@ -165,11 +209,15 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
       pb.redirectErrorStream(true)
       val ok = try pb.start().waitFor() == 0 catch { case _: Throwable => false }
+      val childJson =
+        if (!ok) ""
+        else new String(java.nio.file.Files.readAllBytes(out),
+          java.nio.charset.StandardCharsets.UTF_8)
+      forkDiag = """"__pass_diag":(\{[^}]*\})""".r
+        .findFirstMatchIn(childJson).map(_.group(1))
       val parsed: Map[String, Seq[Timing]] =
         if (!ok) Map.empty
-        else ChildRow.findAllMatchIn(
-            new String(java.nio.file.Files.readAllBytes(out),
-              java.nio.charset.StandardCharsets.UTF_8))
+        else ChildRow.findAllMatchIn(childJson)
           .map { m =>
             m.group(1) -> Seq(
               Timing(m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble),
@@ -247,10 +295,11 @@ object Bench {
     // file path for readers who want the detail.
     val summaryPath = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(summaryPath.getParent)
+    val diagField = forkDiag.map(d => s""","fork_diag":$d""").getOrElse("")
     java.nio.file.Files.write(summaryPath,
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failed":$failed,"n":${results.size},"queries":$qs,""" +
-        s""""spread":$spread,"load":$loads,"sf":"$sfDir"}""" + "\n")
+        s""""spread":$spread,"load":$loads$diagField,"sf":"$sfDir"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n":${results.size},"detail":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()

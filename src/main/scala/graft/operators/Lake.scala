@@ -229,6 +229,59 @@ object Lake {
     t.read().select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Gate `lake_wap`: the Write-Audit-Publish composition
+    * ([[graft.pipeline.Wap.writeAuditPublish]], SURVEY 13w)
+    * board-verified end-to-end. Main starts as the click events; a
+    * CLEAN batch (the view events) and a DIRTY batch (the error
+    * events with a planted violation — event ids negated) each go
+    * through the full stage→audit→publish lifecycle under the same
+    * declarative rule (`no negative event_id`). The clean batch must
+    * merge into main; the dirty batch must leave main untouched
+    * while its staging branch retains the batch for inspection.
+    * Result = main's live rows after both runs — a plain filter
+    * oracle — with the three lifecycle verdicts riding as columns
+    * (the lake_sorted_export device), so a WAP that publishes dirt,
+    * blocks clean data, or loses the staged evidence hash-fails.
+    */
+  def wapRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.Wap
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_wap") + "/events")
+    t.write(ev.filter($"event_type" === "click"))
+    def audit(staged: DataFrame): DataFrame =
+      staged.agg(coalesce(sum(when($"event_id" < 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_violations"))
+        .select(lit("nonneg_event_id").as("rule"), $"n_violations")
+    val (cleanPub, _) = Wap.writeAuditPublish(t,
+      ev.filter($"event_type" === "view"),
+      graft.util.Scratch.dir("graft_lake_wap_clean") + "/events", audit)
+    val dirty = ev.filter($"event_type" === "error")
+      .withColumn("event_id", -$"event_id" - 1L)
+    val dirtyRoot = graft.util.Scratch.dir("graft_lake_wap_dirty") + "/events"
+    val (dirtyPub, dirtyReport) = Wap.writeAuditPublish(t, dirty,
+      dirtyRoot, audit)
+    // the staged branch must retain the dirty batch for inspection
+    val stagedDirty = new ManifestTable(spark, dirtyRoot).read()
+      .filter($"event_id" < 0).count()
+    val nDirty = dirty.count()
+    t.read().select($"event_id", $"user_id", $"event_type", $"value")
+      .withColumn("clean_published", lit(cleanPub))
+      .withColumn("dirty_published", lit(dirtyPub))
+      .withColumn("dirty_staged", lit(stagedDirty == nDirty && nDirty > 0 &&
+        dirtyReport == Seq(("nonneg_event_id", nDirty))))
+      .orderBy($"event_id")
+  }
+
+  val wapReadSql: String =
+    """SELECT event_id, user_id, event_type, value,
+              TRUE AS clean_published, FALSE AS dirty_published,
+              TRUE AS dirty_staged
+       FROM events WHERE event_type IN ('click', 'view')
+       ORDER BY event_id"""
+
   def branchMergeReadSql(cut: Long = 300): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars <= $cut OR source = 'src1'"""

@@ -69,6 +69,40 @@ object Search {
         $"hh.est".as("est"), $"hh.err".as("err"))
   }
 
+  /** Gate `text_ss_topk`: [[vocabularyApprox]] in EXACT mode —
+    * capacity ≥ the corpus's distinct-token count means the
+    * SpaceSaving eviction never fires, so est = true collection
+    * frequency and err = 0 for every entry (the sketch's exactness
+    * contract, the same device `stream_heavy_hitters` uses), and the
+    * result is oracle-able against the exact vocabulary counts. The
+    * error-bound behavior under SMALL capacities is HeavyHittersSpec's
+    * job; this gate pins the whole sketch path (update, partition
+    * merge, trim, eval tie-breaks) value-for-value on the board.
+    */
+  def vocabularyApproxExact(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val distinct = Dedup.tokenRows(spark, dir)
+      .select($"token").distinct().count()
+    vocabularyApprox(spark, dir, k, capacity = distinct.toInt + 8)
+  }
+
+  /** Oracle: exact counts ranked by the sketch's eval order — est
+    * desc, err asc (all zero here), token asc.
+    */
+  def vocabularyApproxExactSql(k: Int = 100): String =
+    s"""WITH tok AS (
+          SELECT unnest(list_filter(list_transform(string_split(trim(text), ' '),
+                        x -> trim(x)), x -> length(x) > 0)) AS token
+          FROM documents),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS est
+              FROM tok GROUP BY 1)
+        SELECT rk, token, est, CAST(0 AS BIGINT) AS err FROM (
+          SELECT CAST(row_number() OVER (ORDER BY est DESC, token)
+                      AS BIGINT) AS rk, *
+          FROM v)
+        WHERE rk <= $k"""
+
   def vocabularySql(k: Int = 50): String =
     s"""WITH tok AS (
           SELECT doc_id,
