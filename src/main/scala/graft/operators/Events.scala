@@ -247,6 +247,59 @@ object Events {
        SELECT hrs.h AS h, COALESCE(c.n, 0) AS n
        FROM hrs LEFT JOIN c USING (h)"""
 
+  /** Gate `events_spine_banded`: the banded two-phase SPINE window
+    * device ([[bandedSpine]], SURVEY's minute/second-grain valve)
+    * board-verified ACROSS band boundaries on real data. The gated
+    * operators that ride the device default to bandWidth 8192 —
+    * wider than the whole sf0.01/sf0.1 hour spine, so on the board
+    * the ghost machinery never engages and only TimeSeriesSpec's
+    * synthetic cases exercised it. This gate forces a small band
+    * (128 h) over the gap-filled spine, REQUIREs the spine actually
+    * spans several bands (no vacuous pass), computes a trailing
+    * 24-hour (sum, max) census, and hashes against DuckDB's plain
+    * unpartitioned ROWS-frame window — any ghost row leaking into
+    * the output, any band missing its cross-boundary prefix, any
+    * off-by-one in the −1 nudge shows up as a hash mismatch.
+    */
+  def spineBanded(spark: SparkSession, dir: String,
+      bandWidth: Long = 128L): DataFrame = {
+    import spark.implicits._
+    val spine = gapfillHourly(spark, dir)
+    val ends = spine.agg(min($"h").as("lo"), max($"h").as("hi")).head
+    val bands = Math.floorDiv(ends.getLong(1), bandWidth) -
+      Math.floorDiv(ends.getLong(0), bandWidth) + 1L
+    require(bands >= 3,
+      s"events_spine_banded: spine spans only $bands band(s) at " +
+        s"bandWidth=$bandWidth — the cross-band path would go unexercised")
+    bandedSpine(spine, "h", lookback = 24, bandWidth = bandWidth) { (df, w0) =>
+      val w = w0.rowsBetween(-23, 0)
+      df.withColumn("nw", count(lit(1)).over(w))
+        .withColumn("s24", sum($"n").over(w))
+        .withColumn("mx", max($"n").over(w))
+    }
+      .filter($"nw" === 24)
+      .select($"h", $"s24", $"mx")
+      .orderBy($"h")
+  }
+
+  val spineBandedSql: String =
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+       hrs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+       g AS (SELECT hrs.h AS h, COALESCE(c.n, 0) AS n
+             FROM hrs LEFT JOIN c USING (h)),
+       w AS (SELECT h,
+               count(*) OVER win AS nw,
+               sum(n) OVER win AS s24,
+               max(n) OVER win AS mx
+             FROM g
+             WINDOW win AS (ORDER BY h
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT h, CAST(s24 AS BIGINT) AS s24, CAST(mx AS BIGINT) AS mx
+       FROM w WHERE nw = 24 ORDER BY h"""
+
   /** Volume-anomaly detection on the gap-filled hourly series: flag
     * hours whose count deviates from the trailing 24-hour window by
     * more than z=2 standard deviations. The z-test is the integer

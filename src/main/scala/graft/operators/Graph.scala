@@ -640,6 +640,49 @@ object Graph {
       .orderBy($"deg")
   }
 
+  /** Gate `graph_budget_census`: the auto-budget pre-flight's census
+    * arithmetic ([[planGraphBudget]], the knob source for the whole
+    * graph family) board-verified against a DuckDB replay of the same
+    * degree census over the same both-directions co-purchase frame —
+    * (|V|, edge rows, max degree, Σ C(deg,2)) plus the two
+    * budget-threshold verdicts (`exactWedgesOk`, `trussPrePeel`)
+    * evaluated at the production default. The derived seedMod knobs
+    * are iterative fits with no SQL spelling and stay spec-pinned
+    * (GraphSpec's crafted-hub case); this gate pins the CENSUS those
+    * fits read, which is where a wrong answer would silently
+    * mis-budget every downstream operator.
+    */
+  def budgetCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = planGraphBudget(copurchaseEdges(spark, dir))
+    Seq((k.nodes, k.edgeRows, k.maxDeg, k.wedges, k.exactWedgesOk,
+        k.trussPrePeel))
+      .toDF("nodes", "edge_rows", "max_deg", "wedges",
+        "exact_wedges_ok", "truss_pre_peel")
+  }
+
+  val budgetCensusSql: String =
+    s"""WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION ALL
+         SELECT p2 AS src, p1 AS dst FROM pairs),
+       deg AS (
+         SELECT src, CAST(count(*) AS BIGINT) AS deg
+         FROM edges GROUP BY src)
+       SELECT CAST(count(*) AS BIGINT) AS nodes,
+              CAST(sum(deg) AS BIGINT) AS edge_rows,
+              CAST(max(deg) AS BIGINT) AS max_deg,
+              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges,
+              sum(deg * (deg - 1) // 2) <= $DefaultWedgeBudget
+                AS exact_wedges_ok,
+              sum(deg * (deg - 1) // 2) > $DefaultWedgeBudget
+                AS truss_pre_peel
+       FROM deg"""
+
   val degreesSql: String =
     """WITH pairs AS (
          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

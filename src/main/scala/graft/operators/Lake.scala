@@ -282,6 +282,115 @@ object Lake {
        FROM events WHERE event_type IN ('click', 'view')
        ORDER BY event_id"""
 
+  /** Gate `lake_check`: the Delta-style table-level CHECK constraint
+    * lifecycle (SURVEY 13s) board-verified end-to-end. Main starts as
+    * the click events; `event_id >= 0` is registered as a table
+    * constraint (the live data satisfies it — registration itself
+    * validates); a CLEAN batch (views) then lands through the
+    * constraint gate, a DIRTY batch (errors with negated ids) must be
+    * rejected WHOLE with nothing committed, and registering a
+    * constraint the live data violates (`event_id < 0`, false for
+    * every row) must itself be rejected without registering. Result =
+    * main's live rows — a plain filter oracle — with the rejection
+    * verdicts and the surviving constraint count riding as columns,
+    * so a constraint gate that admits dirt, blocks clean data, or
+    * silently registers a broken rule hash-fails.
+    */
+  def checkRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_check") + "/events")
+    t.write(ev.filter($"event_type" === "click"))
+    t.addCheck("event_id >= 0")
+    t.append(ev.filter($"event_type" === "view")) // clean: must pass the gate
+    val dirtyRejected = try {
+      t.append(ev.filter($"event_type" === "error")
+        .withColumn("event_id", -$"event_id" - 1L))
+      false
+    } catch { case _: IllegalArgumentException => true }
+    val badCheckRejected = try {
+      t.addCheck("event_id < 0") // every live row violates
+      false
+    } catch { case _: IllegalArgumentException => true }
+    t.read().select($"event_id", $"user_id", $"event_type", $"value")
+      .withColumn("n_checks", lit(t.checks.size.toLong))
+      .withColumn("dirty_rejected", lit(dirtyRejected))
+      .withColumn("bad_check_rejected", lit(badCheckRejected))
+      .orderBy($"event_id")
+  }
+
+  val checkReadSql: String =
+    """SELECT event_id, user_id, event_type, value,
+              CAST(1 AS BIGINT) AS n_checks,
+              TRUE AS dirty_rejected, TRUE AS bad_check_rejected
+       FROM events WHERE event_type IN ('click', 'view')
+       ORDER BY event_id"""
+
+  /** Gate `lake_history`: the DESCRIBE HISTORY metadata census
+    * (SURVEY lakehouse observability row) board-verified against
+    * data-derived quantities instead of constants. A scripted
+    * lifecycle — write(clicks) → append(views, batch 7) →
+    * addCheck → MoR box delete — leaves four readable versions whose
+    * (segments, delete files, checks, batch marker) census the
+    * manifest must report exactly, and each version's ROW COUNT is
+    * read back through [[ManifestTable.readVersion]] so the census is
+    * pinned to the events table's own counts (a history that
+    * misattributes a dv to the wrong version, drops the batch
+    * marker, or lets the delete bleed across versions hash-fails).
+    */
+  def historyRead(spark: SparkSession, dir: String,
+      delLo: Long = 0, delHi: Long = 500): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val t = new ManifestTable(spark,
+      graft.util.Scratch.dir("graft_lake_history") + "/events")
+    t.write(ev.filter($"event_type" === "click"), statCols = Seq("event_id"))
+    t.append(ev.filter($"event_type" === "view"), batchId = Some(7L),
+      statCols = Seq("event_id"))
+    t.addCheck("event_id >= 0")
+    t.deleteWhereMor(Seq(("event_id", delLo.toDouble, delHi.toDouble)),
+      "event_id")
+    // a box that matches nothing commits no version — fail loudly
+    // naming the data precondition instead of hash-mismatching
+    require(t.history.size == 4,
+      s"lake_history: delete box [$delLo,$delHi] matched no click/view " +
+        s"event_id — got ${t.history.size} versions, expected 4")
+    val rows = t.history.map { h =>
+      (h.version, h.segments.toLong, h.deleteFiles.toLong, h.checks.toLong,
+        h.batchId, t.readVersion(h.version).count())
+    }
+    rows.toDF("version", "segments", "delete_files", "n_checks",
+        "batch_id", "n_rows")
+      .orderBy($"version")
+  }
+
+  def historyReadSql(delLo: Long = 0, delHi: Long = 500): String =
+    s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                   WHERE event_type = 'click'),
+          cv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                 WHERE event_type IN ('click', 'view')),
+          d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND event_id BETWEEN $delLo AND $delHi)
+        SELECT CAST(version AS BIGINT) AS version,
+               CAST(segments AS BIGINT) AS segments,
+               CAST(delete_files AS BIGINT) AS delete_files,
+               CAST(n_checks AS BIGINT) AS n_checks,
+               CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM (
+          SELECT 1 AS version, 1 AS segments, 0 AS delete_files,
+                 0 AS n_checks, NULL AS batch_id,
+                 (SELECT n FROM c) AS n_rows
+          UNION ALL SELECT 2, 2, 0, 0, 7, (SELECT n FROM cv)
+          UNION ALL SELECT 3, 2, 0, 1, NULL, (SELECT n FROM cv)
+          UNION ALL SELECT 4, 2, 1, 1, NULL,
+                 (SELECT n FROM cv) - (SELECT n FROM d))
+        ORDER BY version"""
+
   def branchMergeReadSql(cut: Long = 300): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
         WHERE n_chars <= $cut OR source = 'src1'"""

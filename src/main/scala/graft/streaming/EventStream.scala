@@ -248,6 +248,31 @@ object EventStream {
         ()
       }
 
+  /** The full streaming→lakehouse maintenance loop (SURVEY's
+    * streaming-lakehouse integration row): each micro-batch lands as
+    * one atomic [[graft.pipeline.ManifestTable]] version (same
+    * effectively-once batch-id contract as [[intoManifestTable]])
+    * and the downstream [[graft.pipeline.MaterializedAgg]] is
+    * refreshed IN the same foreachBatch — full build on the first
+    * batch, O(|batch| + |groups|) delta folds after, so consumers
+    * of the MV state read a fresh-as-of-last-batch aggregate without
+    * ever scanning the accumulating base table. The refresh modes
+    * taken are appended to `modes` so callers (gates, ops tooling)
+    * can assert the loop really ran incrementally rather than
+    * recomputing per batch.
+    */
+  def intoMaintainedTable(stream: DataFrame,
+      table: graft.pipeline.ManifestTable,
+      mv: graft.pipeline.MaterializedAgg, checkpointDir: String,
+      modes: scala.collection.mutable.Buffer[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch, Some(batchId))
+        modes += mv.refresh()
+        ()
+      }
+
   def dedupByKey(events: DataFrame, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events

@@ -757,6 +757,63 @@ object StreamGates {
     result
   }
 
+  /** Gate `stream_mv_loop`: the streaming→lakehouse→MV maintenance
+    * loop ([[EventStream.intoMaintainedTable]], SURVEY's
+    * streaming-lakehouse integration row) run LIVE to completion —
+    * the events table replayed as ≥4 time-ordered micro-batches,
+    * each landing as an atomic ManifestTable version AND folding
+    * into the per-event-type MaterializedAgg inside the same
+    * foreachBatch. The gate REQUIREs the loop was genuinely
+    * incremental (first refresh "full", every later one "delta" —
+    * a loop that silently full-recomputes per batch fails loudly),
+    * then hashes the FINAL MV STATE — not the base table — against
+    * the plain batch aggregate: maintenance must be invisible to
+    * the result. Exact sums ride an integer-cents column derived
+    * before commit, so the fold order can't smear doubles.
+    */
+  def mvLoopGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("mv_loop_gate")
+    copyTimeOrdered(spark, src, watch, minRanges = 4)
+    val root = Files.createTempDirectory("mv_loop_tbl")
+    val cp = Files.createTempDirectory("mv_loop_cp")
+    val table = new graft.pipeline.ManifestTable(spark,
+      root.resolve("t").toString)
+    val mv = new graft.pipeline.MaterializedAgg(table,
+      new graft.pipeline.ManifestTable(spark, root.resolve("mv").toString),
+      groupCols = Seq("event_type"), sumCols = Seq("cents"))
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"ts", $"user_id", $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    drain(EventStream.intoMaintainedTable(stream, table, mv, cp.toString,
+      modes).start())
+    require(modes.nonEmpty, "stream_mv_loop: no micro-batch ever committed")
+    require(modes.head == "full",
+      s"stream_mv_loop: first refresh must build (got ${modes.head})")
+    val later = modes.tail.filterNot(_ == "noop") // empty batches may noop
+    require(later.nonEmpty && later.forall(_ == "delta"),
+      s"stream_mv_loop: later refreshes must be incremental (got $modes)")
+    val result = mv.read()
+      .select($"event_type", $"n_rows".as("n_events"),
+        $"sum_cents".as("cents_sum"))
+      .withColumn("first_full", lit(true))
+      .withColumn("incremental_after", lit(true))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    Seq(watch, root, cp).foreach(deleteRecursively)
+    result
+  }
+
+  val mvLoopGateSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents_sum,
+              TRUE AS first_full, TRUE AS incremental_after
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   val intoManifestGateSql: String =
     """SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
               event_type, value,

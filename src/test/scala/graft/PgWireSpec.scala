@@ -91,6 +91,57 @@ class PgWireSpec extends SparkSpec {
         assert(c2.query("SELECT count(*) FROM roundtrip")._2.head.head.get
           == "10", "injection reached the other table")
       } finally c2.close()
+      // (f) COPY fast path, binary lane: one COPY per partition, read
+      // back equal to the INSERT path's table cell for cell
+      val c3 = new PgWire.Conn("127.0.0.1", Port, "postgres", "graft")
+      try {
+        PgWire.createTable(c3, "copybin", df)
+        PgWire.writeTableCopy(df, "127.0.0.1", Port, "postgres", "graft",
+          "copybin")
+        val (_, viaInsert, _) = c3.query(
+          "SELECT DISTINCT id, label, score, seen_at, flag FROM roundtrip " +
+            "ORDER BY id") // roundtrip holds the df twice (step c)
+        val (_, viaCopy, _) = c3.query(
+          "SELECT id, label, score, seen_at, flag FROM copybin ORDER BY id")
+        // pg's float8 DISTINCT/display folds -0 and 0 arbitrarily —
+        // normalize the sign of zero like step (b) does
+        def z(rows: Seq[Seq[Option[String]]]) =
+          rows.map(_.map(_.map(c => if (c == "-0") "0" else c)))
+        assert(z(viaCopy) == z(viaInsert), s"copy=$viaCopy insert=$viaInsert")
+        // (g) text fallback lane: a numeric column routes the COPY to
+        // text format, where the escaping burden is real — prove a
+        // label made of every COPY-special character survives
+        val hostile = Seq(
+          (1L, "tab\there", BigDecimal("12345.67890")),
+          (2L, "line\nbreak \\N backslash\\", BigDecimal("-0.00001")),
+          (3L, null.asInstanceOf[String], BigDecimal("99999999.99999"))
+        ).toDF("id", "label", "amount")
+          .selectExpr("id", "label", "CAST(amount AS DECIMAL(13,5)) AS amount")
+        PgWire.createTable(c3, "copytxt", hostile)
+        PgWire.writeTableCopy(hostile, "127.0.0.1", Port, "postgres",
+          "graft", "copytxt")
+        val (_, ht, _) = c3.query(
+          "SELECT id, label, amount FROM copytxt ORDER BY id")
+        assert(ht.map(_(1)) == Seq(Some("tab\there"),
+          Some("line\nbreak \\N backslash\\"), None), ht.toString)
+        assert(ht.map(_(2).get) ==
+          Seq("12345.67890", "-0.00001", "99999999.99999"), ht.toString)
+        // (h) a mid-copy server rejection surfaces as the server's
+        // error at CopyDone, not silence (domain violation: null into
+        // a NOT NULL column)
+        c3.exec("CREATE TABLE strict_t (id bigint NOT NULL, label text)")
+        val withNull = Seq((1L, "ok"), (2L, "alsoOk")).toDF("id", "label")
+          .selectExpr("CAST(NULL AS BIGINT) AS id", "label")
+        val exc = intercept[org.apache.spark.SparkException] {
+          PgWire.writeTableCopy(withNull, "127.0.0.1", Port, "postgres",
+            "graft", "strict_t")
+        }
+        assert(exc.getMessage.contains("postgres error") ||
+          Option(exc.getCause).exists(_.getMessage.contains("postgres error")),
+          s"wanted the server's NOT NULL error, got: ${exc.getMessage}")
+        // the rejected COPY left nothing behind (COPY is atomic)
+        assert(c3.query("SELECT count(*) FROM strict_t")._2.head.head.get == "0")
+      } finally c3.close()
     } finally {
       su(s"/usr/local/bin/pg_ctl -D $data -m immediate stop")
       ()
