@@ -395,6 +395,43 @@ object GenderDict {
     entries.toDF("nm", "category")
   }
 
+  /** Gate `etl_gender_dict` (SURVEY 9b): the dictionary gender
+    * enrichment — accent fold → lowercase first-word lookup →
+    * reference category collapse (mostly_male→male,
+    * mostly_female→female, andy→unknown, miss→unknown) — over every
+    * document's first word, board-verified against a DuckDB oracle
+    * whose dictionary VALUES list is generated FROM
+    * [[entries]] itself (single source of truth: a dict edit that
+    * breaks the collapse or the fold shows up as a hash mismatch,
+    * never as two silently-divergent copies).
+    */
+  def etlGenderDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"text")
+    enrich(docs, $"text", dictDf(spark)).select($"doc_id", $"gender")
+  }
+
+  def etlGenderDictSql: String = {
+    val dictValues = entries
+      .map { case (n, c) => s"('${n.replace("'", "''")}', '$c')" }
+      .mkString(",\n          ")
+    s"""WITH dict(nm, category) AS (VALUES
+          $dictValues),
+        d AS (
+          SELECT doc_id,
+                 translate(lower(CASE WHEN strpos(text, ' ') > 0
+                   THEN substring(text, 1, strpos(text, ' ') - 1)
+                   ELSE text END), '$accentedChars', '$foldedChars') AS fw
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN category = 'mostly_male' THEN 'male'
+                    WHEN category = 'mostly_female' THEN 'female'
+                    WHEN category = 'andy' THEN 'unknown'
+                    WHEN category IS NULL THEN 'unknown'
+                    ELSE category END AS gender
+        FROM d LEFT JOIN dict ON fw = nm"""
+  }
+
   /** Enrich `df` with a gender column: broadcast-join `dict` on the
     * lowercased first word of `nameCol` (the reference capitalizes
     * before lookup, task.py:108 — case-folding subsumes that), then
