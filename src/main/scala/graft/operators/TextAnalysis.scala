@@ -227,6 +227,86 @@ object TextAnalysis {
          ' +', ' ', 'g')) AS clean_text
        FROM documents"""
 
+  /** HTML→text extraction (the crawl-dump step BEFORE every other
+    * curation operator: WET-style tag strip, not a DOM parse).
+    * Pipeline, all codegen'd `regexp_replace` — a map-only scan with
+    * zero shuffle, the right 100 TB shape for a per-document
+    * normalization:
+    *   1. drop `<head>…</head>` whole (title/meta/style boilerplate);
+    *   2. drop `<script>/<style>` blocks by BACKREFERENCE
+    *      (`</\1\s*>`), so markup inside a JS string cannot
+    *      terminate the block early;
+    *   3. drop `<!-- comments -->`;
+    *   4. block-level closers/voids (`<br>`, `</p>`, `</div>`,
+    *      `</h1..6>`, `</li>`, `</tr>`, `</table>`, `</ul>`, `</ol>`,
+    *      `</blockquote>`, `</pre>`, `<hr>`) → newline, so words from
+    *      adjacent blocks never concatenate;
+    *   5. every remaining tag → space;
+    *   6. decode the common entity set (`&nbsp; &lt; &gt; &quot;
+    *      &#39;` and LAST `&amp;`, the standard order that avoids
+    *      double-decoding);
+    *   7. collapse whitespace runs, trim.
+    * Malformed-HTML posture: heuristic by design (like the WET
+    * extractors) — an unclosed `<script>` eats to the next closer;
+    * documented, spec-pinned.
+    */
+  def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noHead = regexp_replace(c, "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    val noBlock = regexp_replace(noHead,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|hr|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/pre)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (from, to)) =>
+        regexp_replace(col, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Gate `text_html_extract`: [[stripHtml]] verified by INVERSION —
+    * each document is wrapped in-gate into a deterministic full HTML
+    * page (head with title/style boilerplate, a script whose JS
+    * string contains fake markup, a comment, an `<h1>` carrying the
+    * lang, the body with every space entity-encoded as `&nbsp;`) and
+    * the strip must recover exactly `lang ⊔ text` — the oracle is
+    * the PLAIN original expression, never a regex replay, so the two
+    * sides cannot share a bug. The wrap REQUIREs the corpus is
+    * HTML-safe (no raw `&<>` in text, the sentinel-domain rule), so
+    * a generator change fails loudly instead of hash-mismatching.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+    val unsafe = docs.agg(sum(when($"text".rlike("[&<>]")
+      || $"lang".rlike("[&<>]"), 1L).otherwise(0L)).as("n")).head.getLong(0)
+    require(unsafe == 0L,
+      s"text_html_extract: $unsafe document(s) contain raw &<> — the " +
+        "inversion wrap needs an HTML-safe corpus; escape step required")
+    val body = regexp_replace($"text", " ",
+      java.util.regex.Matcher.quoteReplacement("&nbsp;"))
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><meta charset=\"utf-8\">" +
+        "<title>boilerplate title</title><style>p{color:#000}</style>" +
+        "</head><body><script type=\"text/javascript\">var x = " +
+        "\"<p>not text</p>\";</script><h1>"),
+      $"lang",
+      lit("</h1><!-- nav boilerplate --><p>"),
+      body,
+      lit("</p></body></html>"))
+    docs.select($"doc_id", stripHtml(html).as("extracted"))
+  }
+
+  val htmlExtractSql: String =
+    """SELECT doc_id,
+         lang || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+           AS extracted
+       FROM documents"""
+
   /** #36c n-gram repetition ratio (the Gopher-style repetition
     * filter, Rae et al. 2021): fraction of a doc's 3-shingle
     * occurrences that are repeats of an already-seen shingle —
