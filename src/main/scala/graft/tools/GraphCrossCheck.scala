@@ -222,6 +222,20 @@ object GraphCrossCheck {
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (d, ns) => Seq(d, ns.length.toLong, ns.map(_._1).sum) })
 
+    // ── auto-budget pre-flight census (r15 gate) ──
+    {
+      val degs = adj.toSeq.map(_._2.length.toLong)
+      val wedges = degs.map(d => d * (d - 1) / 2).sum
+      val budget = graft.operators.Graph.DefaultWedgeBudget
+      check("graph_budget_census",
+        rows(graft.operators.Graph.budgetCensus(spark, dir)
+          .selectExpr("nodes", "edge_rows", "max_deg", "wedges",
+            "CAST(exact_wedges_ok AS LONG)", "CAST(truss_pre_peel AS LONG)")),
+        Seq(Seq(nodes.length.toLong, degs.sum, degs.max, wedges,
+          if (wedges <= budget) 1L else 0L,
+          if (wedges > budget) 1L else 0L)))
+    }
+
     // ── synchronous label propagation (3 rounds, min-label ties) ──
     {
       var lab = nodes.map(n => n -> n).toMap
