@@ -463,6 +463,25 @@ object Similarity {
     cents.zipWithIndex.map { case (c, ci) => (ci.toLong, c.map(_.toFloat)) }
   }
 
+  /** Gate `sim_kmeans_quantizer` (rows-only + selfcheck.py reference
+    * replay): the TRAINED spherical-k-means coarse quantizer
+    * ([[kmeansCentroids]], SURVEY 34e — the last LLM-pipeline row
+    * without a board check). No cross-ENGINE SQL oracle exists
+    * (DuckDB can't replay the Lloyd loop), but the trainer is fully
+    * driver-side DETERMINISTIC — vec_id-sorted sample, left-to-right
+    * float accumulation, first-k-distinct seeding, fixed iteration
+    * count — and IEEE-754 binary64 +,×,÷,√ are correctly rounded in
+    * both the JVM and CPython, so a pure-Python replay of the same
+    * operation ORDER reproduces every centroid bit for bit
+    * (`ref_kmeans_quantizer`, tools/selfcheck.py — the zlib-parity
+    * precedent, exact compare).
+    */
+  def kmeansQuantizerGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansCentroids(spark, dir, k = 16, sampleMax = 4096, iters = 10)
+      .toSeq.toDF("cell_id", "centroid")
+  }
+
   /** The centroid codebook / ids as SINGLE nested-array literals
     * (one Literal node each, not nlist·dim CreateArray children) —
     * the builder folds them into the nearest_cells kernel.

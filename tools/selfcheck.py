@@ -437,8 +437,94 @@ def ref_shapley_sampled(got, con, sf_dir,
     return []
 
 
+def ref_kmeans_quantizer(got, con, sf_dir):
+    """Bit-exact replay of Similarity.kmeansCentroidsOf (k=16,
+    sampleMax=4096, iters=10). The trainer is driver-side
+    deterministic — vec_id-sorted sample, left-to-right float
+    accumulation, first-k-distinct seeding, fixed iteration count —
+    and IEEE-754 binary64 +, *, /, sqrt are correctly rounded in both
+    the JVM and CPython, so replaying the same operation ORDER yields
+    the same doubles, and the final float32 cast (round-to-nearest-
+    even in both) the same floats. Exact compare, the zlib-parity
+    precedent. numpy dot is deliberately NOT used: its pairwise
+    summation changes the accumulation order."""
+    import math
+    import numpy as np
+    k, sample_max, iters = 16, 4096, 10
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id < {sample_max} ORDER BY vec_id").fetchall()
+    sample = []
+    for _, emb in rows:
+        v = [float(x) for x in emb]  # float32 -> exact double
+        n = 0.0
+        for x in v:
+            n += x * x
+        n = math.sqrt(n)
+        sample.append(v if n == 0.0 else [x / n for x in v])
+    if not sample:
+        return ["empty sample"]
+    dim = len(sample[0])
+
+    def renorm(c):
+        n = 0.0
+        for x in c:
+            n += x * x
+        n = math.sqrt(n)
+        return c if n == 0.0 else [x / n for x in c]
+
+    seen, seeds = set(), []
+    for v in sample:
+        t = tuple(v)
+        if t not in seen:
+            seen.add(t)
+            seeds.append(v)
+    if len(seeds) < k:
+        return [f"only {len(seeds)} distinct sample vectors < k={k}"]
+    cents = [list(c) for c in seeds[:k]]
+    for _ in range(iters):
+        assign = []
+        for p in sample:
+            best, best_c = float("-inf"), 0
+            for ci in range(k):
+                c = cents[ci]
+                dot = 0.0
+                for i in range(dim):
+                    dot += p[i] * c[i]
+                if dot > best:
+                    best, best_c = dot, ci
+            assign.append(best_c)
+        new = []
+        for ci in range(k):
+            mine = [i for i, a in enumerate(assign) if a == ci]
+            if not mine:
+                new.append(cents[ci])
+                continue
+            s = [0.0] * dim
+            for pi in mine:
+                v = sample[pi]
+                for i in range(dim):
+                    s[i] += v[i]
+            m = len(mine)
+            new.append(renorm([x / m for x in s]))
+        cents = new
+    exp = {ci: np.array(c, dtype=np.float32) for ci, c in enumerate(cents)}
+    g = {int(r.cell_id): np.asarray(r.centroid, dtype=np.float32)
+         for r in got.itertuples(index=False)}
+    if set(g) != set(exp):
+        return [f"cell ids {sorted(g)} != {sorted(exp)}"]
+    errs = []
+    for ci in sorted(exp):
+        if not np.array_equal(g[ci], exp[ci]):
+            bad = int(np.argmax(g[ci] != exp[ci]))
+            errs.append(f"cell {ci} dim {bad}: got {g[ci][bad]!r} "
+                        f"want {exp[ci][bad]!r}")
+    return errs
+
+
 REFERENCES = {
     "text_compression_ratio": ref_compression_ratio,
+    "sim_kmeans_quantizer": ref_kmeans_quantizer,
     "analytics_attribution_shapley_sampled": ref_shapley_sampled,
     "events_bursts": ref_bursts,
     "events_dtw_profiles": ref_dtw_profiles,
