@@ -424,4 +424,72 @@ object PgWire {
     try { val (c, r, _) = conn.query(sql); (c, r) }
     finally conn.close()
   }
+
+  /** Gate `sink_pgwire`: the literal `to_sql` warehouse target
+    * (reference task.py:143) board-verified END TO END — a per-user
+    * rollup of the events table is bulk-loaded into a REAL initdb'd
+    * Postgres through the v3 wire COPY path (executor-side
+    * per-partition sockets, binary format), read back over the same
+    * wire, and hashed against the plain DuckDB aggregate. The whole
+    * server lifecycle (initdb → pg_ctl -w start → load → read →
+    * immediate stop → delete) lives inside the gate; PgWireSpec
+    * already proves the lifecycle runs in this environment (the
+    * round suite passes it un-canceled), so absence of the binaries
+    * is REQUIREd loudly rather than silently skipped. Ports probe a
+    * small private range so concurrent benchmark passes cannot
+    * collide.
+    */
+  def sinkGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import scala.sys.process._
+    import spark.implicits._
+    require(new java.io.File("/usr/local/bin/initdb").exists,
+      "sink_pgwire: postgres binaries absent")
+    val agg = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .repartition(4) // the write is per-partition sockets — prove >1
+    val root = java.nio.file.Files.createTempDirectory("pgwire_gate").toFile
+    def su(cmd: String): Int =
+      Seq("su", "nobody", "-s", "/bin/sh", "-c", s"cd /tmp && $cmd").!
+    require(Seq("chown", "-R", "nobody", root.toString).! == 0,
+      "sink_pgwire: cannot hand the data dir to nobody")
+    val data = s"$root/data"
+    require(su(s"/usr/local/bin/initdb -D $data -A trust -U graft >/dev/null") == 0,
+      "sink_pgwire: initdb failed")
+    // -w: pg_ctl waits and FAILS if the server can't bind — that's
+    // what makes the port probe sound
+    val port = (54480 to 54489).find { p =>
+      su(s"/usr/local/bin/pg_ctl -w -D $data -o '-k $root -p $p " +
+        s"-c listen_addresses=127.0.0.1' -l $root/log start") == 0
+    }.getOrElse(throw new IllegalStateException(
+      "sink_pgwire: no free port in 54480-54489"))
+    try {
+      val conn = new Conn("127.0.0.1", port, "postgres", "graft")
+      try {
+        createTable(conn, "user_rollup", agg)
+        writeTableCopy(agg, "127.0.0.1", port, "postgres", "graft",
+          "user_rollup")
+        val (_, rows, _) = conn.query(
+          "SELECT user_id, n, cents FROM user_rollup")
+        rows.map(r => (r(0).get.toLong, r(1).get.toLong, r(2).get.toLong))
+          .toDF("user_id", "n", "cents")
+          .orderBy(col("user_id"))
+          .localCheckpoint(true)
+      } finally conn.close()
+    } finally {
+      su(s"/usr/local/bin/pg_ctl -D $data -m immediate stop")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  val sinkGateSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+       FROM events GROUP BY 1 ORDER BY 1"""
 }
