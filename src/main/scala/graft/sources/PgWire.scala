@@ -460,9 +460,12 @@ object PgWire {
       "sink_pgwire: initdb failed")
     // -w: pg_ctl waits and FAILS if the server can't bind — that's
     // what makes the port probe sound
+    // pg_ctl chatter is silenced: the gate may run inside Bench,
+    // whose harvester parses stdout's final JSON line
     val port = (54480 to 54489).find { p =>
       su(s"/usr/local/bin/pg_ctl -w -D $data -o '-k $root -p $p " +
-        s"-c listen_addresses=127.0.0.1' -l $root/log start") == 0
+        s"-c listen_addresses=127.0.0.1' -l $root/log start " +
+        ">/dev/null 2>&1") == 0
     }.getOrElse(throw new IllegalStateException(
       "sink_pgwire: no free port in 54480-54489"))
     try {
@@ -479,7 +482,7 @@ object PgWire {
           .localCheckpoint(true)
       } finally conn.close()
     } finally {
-      su(s"/usr/local/bin/pg_ctl -D $data -m immediate stop")
+      su(s"/usr/local/bin/pg_ctl -D $data -m immediate stop >/dev/null 2>&1")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
