@@ -475,11 +475,22 @@ object Similarity {
     * operation ORDER reproduces every centroid bit for bit
     * (`ref_kmeans_quantizer`, tools/selfcheck.py — the zlib-parity
     * precedent, exact compare).
+    *
+    * Output is SCALAR rows `(cell_id, dim, value)` — the codebook
+    * flattened one component per row (k×dim = 16×64 = 1024 rows,
+    * still metadata-scale) — because the board harness sorts gate
+    * output column-wise and an `array<float>` column is unsortable
+    * there (the round-15 red row). Same trained floats, sortable
+    * spelling.
     */
   def kmeansQuantizerGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     kmeansCentroids(spark, dir, k = 16, sampleMax = 4096, iters = 10)
-      .toSeq.toDF("cell_id", "centroid")
+      .toSeq
+      .flatMap { case (ci, c) =>
+        c.iterator.zipWithIndex.map { case (v, d) => (ci, d.toLong, v) }
+      }
+      .toDF("cell_id", "dim", "value")
   }
 
   /** The centroid codebook / ids as SINGLE nested-array literals

@@ -508,17 +508,23 @@ def ref_kmeans_quantizer(got, con, sf_dir):
             m = len(mine)
             new.append(renorm([x / m for x in s]))
         cents = new
-    exp = {ci: np.array(c, dtype=np.float32) for ci, c in enumerate(cents)}
-    g = {int(r.cell_id): np.asarray(r.centroid, dtype=np.float32)
+    # Gate emits SCALAR rows (cell_id, dim, value) — the codebook
+    # flattened so the board harness can sort it (r15 red-row fix).
+    exp = {(ci, d): np.float32(x)
+           for ci, c in enumerate(cents) for d, x in enumerate(c)}
+    g = {(int(r.cell_id), int(r.dim)): np.float32(r.value)
          for r in got.itertuples(index=False)}
     if set(g) != set(exp):
-        return [f"cell ids {sorted(g)} != {sorted(exp)}"]
+        extra = sorted(set(g) - set(exp))[:3]
+        miss = sorted(set(exp) - set(g))[:3]
+        return [f"(cell,dim) key mismatch; extra {extra} missing {miss}"]
     errs = []
-    for ci in sorted(exp):
-        if not np.array_equal(g[ci], exp[ci]):
-            bad = int(np.argmax(g[ci] != exp[ci]))
-            errs.append(f"cell {ci} dim {bad}: got {g[ci][bad]!r} "
-                        f"want {exp[ci][bad]!r}")
+    for key in sorted(exp):
+        if g[key] != exp[key] and not (np.isnan(g[key]) and np.isnan(exp[key])):
+            errs.append(f"cell {key[0]} dim {key[1]}: got {g[key]!r} "
+                        f"want {exp[key]!r}")
+            if len(errs) >= 5:
+                break
     return errs
 
 
