@@ -296,12 +296,39 @@ object Bench {
     val summaryPath = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(summaryPath.getParent)
     val diagField = forkDiag.map(d => s""","fork_diag":$d""").getOrElse("")
-    java.nio.file.Files.write(summaryPath,
-      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+    val summaryJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failed":$failed,"n":${results.size},"queries":$qs,""" +
-        s""""spread":$spread,"load":$loads$diagField,"sf":"$sfDir"}""" + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n":${results.size},"detail":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
+        s""""spread":$spread,"load":$loads$diagField,"sf":"$sfDir"}""" + "\n"
+    java.nio.file.Files.write(summaryPath,
+      summaryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Durable copy OUTSIDE target/ — target is wiped by `sbt clean`
+    // and gitignored, which is why the r15 driver-vs-builder ~70 s
+    // wall gap could not be attributed after the fact (the builder's
+    // instrumented per-gate summary had been overwritten and the
+    // harvested board line carries only the total). boards/ survives
+    // and can be committed as a round receipt.
+    val boardPath = java.nio.file.Paths.get("boards/bench_latest.json")
+    java.nio.file.Files.createDirectories(boardPath.getParent)
+    java.nio.file.Files.write(boardPath,
+      summaryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The harvester parses only the LAST ~2 KB of stdout, so the full
+    // 380-gate map cannot ride the line — but a 10% total move must
+    // still be attributable from the harvested artifact alone (the
+    // r15 verdict's measurement-opacity item). Two bounded digests:
+    // the 12 slowest gates (they carry most of the wall) and per-
+    // family second totals (prefix before the first '_'), both from
+    // the same per-gate minima the total sums.
+    val top = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt1(v) }
+      .mkString("{", ",", "}")
+    val fams = results.filter(_._2 >= 0).toSeq
+      .groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .map { case (f, kvs) => f -> kvs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
+      .map { case (f, v) => s"\"" + f + "\":" + fmt1(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n":${results.size},"top":$top,"fam":$fams,"detail":"${summaryPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
