@@ -374,9 +374,17 @@ object GenderDict {
     * char map (codegen'd, no regex), the two alphabets below are
     * position-aligned.
     */
-  private val accentedChars = "áàâäãåāéèêëēíìîïīóòôöõøőúùûüűýÿñńçćčśšşłżźžęąğıďđťřŕ"
+  // The trailing U+0307 (combining dot above) has NO counterpart in
+  // foldedChars, so translate DELETES it — in Spark and DuckDB alike.
+  // It appears when full-Unicode lower() meets the Turkish dotted
+  // capital İ (U+0130): the JVM lowers it to "i"+U+0307 while DuckDB
+  // lowers it to plain "i"; without the deletion the two engines
+  // derive different lookup keys for every İ-initial name
+  // (netflix_titles.csv has ~40 — found by the etl_netflix census
+  // gate's gender-distribution mismatch).
+  private val accentedChars = "áàâäãåāéèêëēíìîïīóòôöõøőúùûüűýÿñńçćčśšşłżźžęąğıďđťřŕ̇"
   private val foldedChars   = "aaaaaaaeeeeeiiiiiooooooouuuuuyynncccssslzzzeagiddtrr"
-  require(accentedChars.length == foldedChars.length)
+  require(accentedChars.length == foldedChars.length + 1)
 
   def foldAccents(c: Column): Column =
     translate(c, accentedChars, foldedChars)
@@ -411,10 +419,34 @@ object GenderDict {
     enrich(docs, $"text", dictDf(spark)).select($"doc_id", $"gender")
   }
 
+  /** The dictionary as a SQL VALUES body — single source of truth
+    * for every oracle that replays the enrichment (etl_gender_dict,
+    * etl_netflix): generated FROM [[entries]], never hand-copied.
+    */
+  def dictValuesSql: String = entries
+    .map { case (n, c) => s"('${n.replace("'", "''")}', '$c')" }
+    .mkString(",\n          ")
+
+  /** SQL spelling of the lookup key [[enrich]] computes:
+    * accent-fold(lower(first word of `e`)).
+    */
+  def lookupKeySql(e: String): String =
+    s"""translate(lower(CASE WHEN strpos($e, ' ') > 0
+         THEN substring($e, 1, strpos($e, ' ') - 1)
+         ELSE $e END), '$accentedChars', '$foldedChars')"""
+
+  /** SQL spelling of the reference category collapse
+    * (task.py:43-51) over a joined `category` column.
+    */
+  def categoryCollapseSql(categoryExpr: String): String =
+    s"""CASE WHEN $categoryExpr = 'mostly_male' THEN 'male'
+             WHEN $categoryExpr = 'mostly_female' THEN 'female'
+             WHEN $categoryExpr = 'andy' THEN 'unknown'
+             WHEN $categoryExpr IS NULL THEN 'unknown'
+             ELSE $categoryExpr END"""
+
   def etlGenderDictSql: String = {
-    val dictValues = entries
-      .map { case (n, c) => s"('${n.replace("'", "''")}', '$c')" }
-      .mkString(",\n          ")
+    val dictValues = dictValuesSql
     s"""WITH dict(nm, category) AS (VALUES
           $dictValues),
         d AS (

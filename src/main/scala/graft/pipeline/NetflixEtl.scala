@@ -117,4 +117,133 @@ object NetflixEtl {
 
   def runAndLoad(spark: SparkSession, csvPath: String, outDir: String): Star =
     runAndLoad(spark, csvPath, new graft.sources.ParquetSink(outDir))
+
+  /** The reference's own dataset path (read-only). */
+  val referenceCsv = "/root/reference/netflix_titles.csv"
+
+  /** Gate `etl_netflix` (SURVEY 13e): the LITERAL reference workload
+    * — task.py end to end on netflix_titles.csv — board-verified.
+    * The gate runs extract → transform → star load to a parquet
+    * lake, reads the WRITTEN tables back, and emits a census the
+    * DuckDB oracle replays over the same CSV (multiLine quoted
+    * fields and all): table counts, the gender distribution, crew
+    * role counts, the movie_crew personnel-id checksum (pins the
+    * rank-by-name surrogate assignment AND the bridge join), and the
+    * reference's own q5_1-style analytics (top director by title
+    * count, top personnel first name) with full tie-breaks.
+    *
+    * Output: (metric, s, n) — s carries the categorical leg of the
+    * distribution rows ('' for plain counts, so the column stays
+    * non-null for the sort).
+    */
+  def censusGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("netflix_star")
+    try {
+      runAndLoad(spark, referenceCsv, out.toString)
+      val shows = spark.read.parquet(s"$out/shows")
+      val personnel = spark.read.parquet(s"$out/personnel")
+      val crew = spark.read.parquet(s"$out/movie_crew")
+      val listings = spark.read.parquet(s"$out/listings")
+      def metric(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("metric"), lit("").as("s"),
+          count(lit(1)).as("n"))
+      val counts = metric("shows", shows)
+        .unionAll(metric("personnel", personnel))
+        .unionAll(metric("movie_crew", crew))
+        .unionAll(metric("listings", listings))
+      val genders = personnel.groupBy($"gender")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("gender").as("metric"), $"gender".as("s"), $"n")
+      val roles = crew.groupBy($"personnel_type")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("crew").as("metric"), $"personnel_type".as("s"), $"n")
+      val idSum = crew.agg(sum($"personnel_id").as("n"))
+        .select(lit("crew_id_sum").as("metric"), lit("").as("s"), $"n")
+      val topDirector = crew.filter($"personnel_type" === "director")
+        .groupBy($"personnel_id").agg(count(lit(1)).as("n"))
+        .join(broadcast(personnel.select($"id", $"name")),
+          $"personnel_id" === $"id")
+        .orderBy($"n".desc, $"name")
+        .limit(1)
+        .select(lit("top_director").as("metric"), $"name".as("s"), $"n")
+      val topFirstName = personnel.groupBy($"first_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"first_name")
+        .limit(1)
+        .select(lit("top_first_name").as("metric"),
+          $"first_name".as("s"), $"n")
+      counts.unionAll(genders).unionAll(roles).unionAll(idSum)
+        .unionAll(topDirector).unionAll(topFirstName)
+        .orderBy($"metric", $"s")
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
+  /** DuckDB replay of [[censusGate]] straight off the reference CSV.
+    * All columns read as VARCHAR (the census touches none of the
+    * typed ones, and PERMISSIVE vs strict typing must not diverge
+    * the parse); the dictionary VALUES ride in from
+    * [[GenderDict.dictValuesSql]] — one source of truth.
+    */
+  def censusGateSql: String = {
+    import graft.functions.GenderDict
+    s"""WITH dict(nm, category) AS (VALUES
+          ${GenderDict.dictValuesSql}),
+        shows AS (
+          SELECT * FROM read_csv('$referenceCsv', header = true,
+            all_varchar = true, quote = '"', escape = '"')),
+        actors AS (
+          SELECT show_id, trim(u.part) AS name
+          FROM shows, unnest(string_split("cast", ',')) AS u(part)
+          WHERE length(trim(u.part)) > 0),
+        directors AS (
+          SELECT show_id, trim(u.part) AS name
+          FROM shows, unnest(string_split(director, ',')) AS u(part)
+          WHERE length(trim(u.part)) > 0),
+        names AS (
+          SELECT name FROM actors UNION SELECT name FROM directors),
+        personnel AS (
+          SELECT row_number() OVER (ORDER BY name) AS id, name,
+                 CASE WHEN strpos(name, ' ') > 0
+                      THEN substring(name, 1, strpos(name, ' ') - 1)
+                      ELSE name END AS first_name,
+                 ${GenderDict.categoryCollapseSql("d.category")} AS gender
+          FROM names LEFT JOIN dict d
+            ON ${GenderDict.lookupKeySql("name")} = d.nm),
+        crew AS (
+          SELECT p.id AS personnel_id, c.show_id, c.personnel_type
+          FROM (SELECT show_id, name, 'cast' AS personnel_type FROM actors
+                UNION ALL
+                SELECT show_id, name, 'director' FROM directors) c
+          JOIN personnel p ON c.name = p.name),
+        listings AS (
+          SELECT show_id, u.part AS listing
+          FROM shows, unnest(string_split(listed_in, ',')) AS u(part))
+        SELECT metric, s, n FROM (
+          SELECT 'shows' AS metric, '' AS s,
+                 CAST(count(*) AS BIGINT) AS n FROM shows
+          UNION ALL SELECT 'personnel', '', count(*) FROM personnel
+          UNION ALL SELECT 'movie_crew', '', count(*) FROM crew
+          UNION ALL SELECT 'listings', '', count(*) FROM listings
+          UNION ALL SELECT 'gender', gender, count(*)
+            FROM personnel GROUP BY gender
+          UNION ALL SELECT 'crew', personnel_type, count(*)
+            FROM crew GROUP BY personnel_type
+          UNION ALL SELECT 'crew_id_sum', '',
+            CAST(sum(personnel_id) AS BIGINT) FROM crew
+          UNION ALL (SELECT 'top_director', p.name, count(*) AS n
+            FROM crew c JOIN personnel p ON c.personnel_id = p.id
+            WHERE c.personnel_type = 'director'
+            GROUP BY p.name ORDER BY n DESC, p.name LIMIT 1)
+          UNION ALL (SELECT 'top_first_name', first_name, count(*) AS n
+            FROM personnel GROUP BY first_name
+            ORDER BY n DESC, first_name LIMIT 1))
+        ORDER BY metric, s"""
+  }
 }
