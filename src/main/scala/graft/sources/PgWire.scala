@@ -371,7 +371,14 @@ object PgWire {
     * when every column supports it, text format otherwise; both
     * produce tables read-back-identical to [[writeTable]]. Same
     * at-least-once contract as the INSERT path (task retry re-copies
-    * the partition — idempotent only under a keyed target).
+    * the partition — idempotent only under a keyed target), but with
+    * a sharper failure story COPY gives for free: the stream is
+    * transactional per connection, so an attempt that dies before
+    * CopyDone commits NOTHING — a plain task retry lands the
+    * partition exactly once, and duplicates can only come from
+    * duplicate SUCCESS (speculative twins), where the keyed dedup
+    * read (`SELECT DISTINCT` / key-grouped) recovers exactness.
+    * Both legs exercised against a live server in PgWireSpec (i).
     */
   def writeTableCopy(df: DataFrame, host: String, port: Int, db: String,
       user: String, table: String, frameBytes: Int = 65536): Unit = {

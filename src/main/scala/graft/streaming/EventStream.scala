@@ -303,6 +303,31 @@ object EventStream {
       .select($"w.start".as("win_start"), $"users_24h")
   }
 
+  /** The SKETCH valve for [[slidingDau]] — the ×100 receipts name
+    * exact windowed distinct as the one stateful gate whose cost
+    * tracks distinct users (state = live (window, user) pairs; at
+    * 10⁸ DAU that is 24×10⁸ dedup rows per horizon, and the 18.5×
+    * ×100 wall). This variant holds ONE HyperLogLog++ sketch per
+    * live window instead: `approx_count_distinct` is an
+    * ImperativeAggregate with a merge path, so it rides the normal
+    * windowed-aggregation state store — a single stateful operator,
+    * no chained dedup, state O(live windows × 2^p registers)
+    * regardless of cardinality. rsd 0.02 → 2^12 registers ≈ 4 KB per
+    * window; 48 live windows ≈ 200 KB total where exact needs
+    * gigabytes. Same append-mode emit-once semantics: a window's
+    * estimate finalizes when the watermark passes its end.
+    */
+  def slidingDauHll(events: DataFrame, watermark: String = "2 hours",
+      rsd: Double = 0.02): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(window($"ts", "24 hours", "1 hour").as("w"), $"user_id")
+      .groupBy($"w")
+      .agg(approx_count_distinct($"user_id", rsd).as("users_est"))
+      .select($"w.start".as("win_start"), $"users_est")
+  }
+
   /** Streaming one-sided CUSUM control chart, per series
     * (event_type): the standard Page (1954) recursion
     * S⁺ ← max(0, S⁺ + (x − target − slack)) with an alarm emitted —

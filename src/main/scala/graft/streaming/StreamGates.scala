@@ -415,6 +415,81 @@ object StreamGates {
               CAST(count(DISTINCT user_id) AS BIGINT) AS users_24h
        FROM fan GROUP BY 1 ORDER BY 1"""
 
+  /** Gate `stream_sliding_dau_hll`: the SKETCH valve for
+    * [[slidingDauGate]] (SURVEY 41g2, r15 verdict item 7) — the ×100
+    * receipts name exact windowed distinct as the one stateful gate
+    * whose cost tracks distinct users; this gate runs the
+    * [[EventStream.slidingDauHll]] HyperLogLog++ variant LIVE (one
+    * ~4 KB sketch per live window instead of per-(window,user) dedup
+    * rows) through the same append-mode + sentinel-finalization
+    * lifecycle, then verifies it in-gate against the batch-exact
+    * 24-window fan-out computed over the same parquet.
+    *
+    * Output rides the EXACT count plus a verdict column: `est_ok` is
+    * true iff the stream's estimate both EXISTS for the window
+    * (emit-once finalization happened) and lands within the
+    * published envelope |est − exact| ≤ max(6·rsd·exact, 2) — 3× the
+    * 2·rsd ≈ 2σ bound, slack 2 for near-empty windows where HLL++
+    * sparse mode is integer-grained. The DuckDB oracle replays the
+    * exact count and asserts `TRUE AS est_ok`, so the gate is
+    * hash-exact and ANY missing window or out-of-envelope estimate
+    * flips the hash (the lake_wap verdict-column device). The
+    * estimate itself is deterministic (HLL hashing is seedless), but
+    * only Spark can compute it — hence the envelope verdict, not the
+    * raw estimate, is the compared surface.
+    */
+  def slidingDauHllGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val watch = Files.createTempDirectory("sdauhll_stream_gate")
+    copyTimeOrdered(spark, src, watch)
+    val maxMicros = maxEventMicros(spark, dir)
+    val stream = eventsStream(spark, watch.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"ts", $"user_id")
+    val est = EventStream.slidingDauHll(stream)
+    val out = Files.createTempDirectory("sdauhll_out")
+    val cp = Files.createTempDirectory("sdauhll_cp")
+    val q = parquetSink(est, out, cp).start()
+    try {
+      q.processAllAvailable()
+      maxMicros.foreach { mx =>
+        addSentinel(spark, src, watch, id = -1L,
+          tsMicros = mx + 40L * 3600 * 1000000L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = finishFiles(spark, out, est.schema, identity,
+      Seq(watch, out, cp))
+    val exact = Tables.events(spark, dir)
+      .select(floor(unix_micros($"ts") / lit(3600000000L)).cast(LongType)
+        .as("h"), $"user_id")
+      .select(explode(sequence($"h" - 23, $"h")).as("ws"), $"user_id")
+      .groupBy($"ws")
+      .agg(countDistinct($"user_id").as("users_24h"))
+      .select(timestamp_micros($"ws" * 3600000000L).as("win_start"),
+        $"users_24h")
+    exact
+      .join(streamed, Seq("win_start"), "left")
+      .select($"win_start", $"users_24h",
+        ($"users_est".isNotNull &&
+          abs($"users_est" - $"users_24h") <=
+            greatest($"users_24h" * lit(0.12), lit(2.0))).as("est_ok"))
+      .orderBy($"win_start")
+      .localCheckpoint(true)
+  }
+
+  val slidingDauHllGateSql: String =
+    """WITH ev AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, user_id
+         FROM events),
+       fan AS (
+         SELECT unnest(generate_series(h - 23, h)) AS ws, user_id FROM ev)
+       SELECT make_timestamp(ws * 3600000000) AS win_start,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users_24h,
+              TRUE AS est_ok
+       FROM fan GROUP BY 1 ORDER BY 1"""
+
   /** Gate `stream_sessionize`: the stateful gap sessionizer (SURVEY
     * 41) run live — sessions close on the 30-minute gap inside the
     * batch and the stragglers by event-time TIMEOUT once two

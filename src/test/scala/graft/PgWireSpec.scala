@@ -141,6 +141,41 @@ class PgWireSpec extends SparkSpec {
           s"wanted the server's NOT NULL error, got: ${exc.getMessage}")
         // the rejected COPY left nothing behind (COPY is atomic)
         assert(c3.query("SELECT count(*) FROM strict_t")._2.head.head.get == "0")
+        // (i) the at-least-once contract, exercised (r15 verdict
+        // item 8). Leg 1 — task attempt DIES mid-COPY: frames
+        // streamed, connection closed before CopyDone. COPY is
+        // transactional per connection, so the dead attempt commits
+        // NOTHING and the Spark task retry lands the partition
+        // exactly once — for the COPY lane, duplicates cannot come
+        // from failures, only from duplicate SUCCESS.
+        val rt = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+          .toDF("id", "label")
+        PgWire.createTable(c3, "retry_t", rt)
+        val dying = new PgWire.Conn("127.0.0.1", Port, "postgres", "graft")
+        dying.copyIn("COPY retry_t (\"id\", \"label\") FROM STDIN")
+        val partial = "1\talpha\n2\tbeta\n".getBytes("UTF-8")
+        dying.copyData(partial, partial.length)
+        dying.close() // no CopyDone — the attempt is dead
+        assert(c3.query("SELECT count(*) FROM retry_t")._2.head.head.get
+          == "0", "a mid-copy death must commit nothing")
+        PgWire.writeTableCopy(rt.repartition(1), "127.0.0.1", Port,
+          "postgres", "graft", "retry_t") // the retry
+        assert(c3.query("SELECT id, label FROM retry_t ORDER BY id")._2
+          .map(r => (r(0).get, r(1).get))
+          == Seq(("1", "alpha"), ("2", "beta"), ("3", "gamma")))
+        // Leg 2 — duplicate SUCCESS (a speculative twin copies the
+        // same partition again): rows double, and the keyed dedup
+        // read named by the contract (PgWire.writeTableCopy doc)
+        // recovers exactness deterministically.
+        PgWire.writeTableCopy(rt.repartition(1), "127.0.0.1", Port,
+          "postgres", "graft", "retry_t")
+        assert(c3.query("SELECT count(*) FROM retry_t")._2.head.head.get
+          == "6")
+        assert(c3.query(
+          "SELECT DISTINCT id, label FROM retry_t ORDER BY id")._2
+          .map(r => (r(0).get, r(1).get))
+          == Seq(("1", "alpha"), ("2", "beta"), ("3", "gamma")),
+          "keyed dedup read must recover the exact partition")
       } finally c3.close()
     } finally {
       su(s"/usr/local/bin/pg_ctl -D $data -m immediate stop")
