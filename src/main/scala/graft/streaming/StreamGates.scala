@@ -917,17 +917,35 @@ object StreamGates {
     // so the production-shaped replay costs nothing at test SFs.
     // `minRanges` floors the count for gates whose POINT is the
     // multi-batch lifecycle (one manifest commit per micro-batch).
+    //
+    // The fast path additionally requires a SINGLE data file: a
+    // multi-part directory raw-copied becomes one micro-batch PER
+    // PART of hash-partitioned (time-DISORDERED) slices — after the
+    // first batch the watermark sits near max(ts), every later part
+    // is late, and stateful operators silently drop most rows while
+    // paying full per-batch machinery (the ×10 ScaleGen tables are
+    // 32-part directories under 32 MB: exactly this trap). Such a
+    // source goes through the rewrite below even at ranges = 1,
+    // which coalesces it into one time-ordered file.
     val srcPath = Paths.get(src)
+    var dataFiles = 0L
     val bytes =
       if (Files.isDirectory(srcPath)) {
         val it = Files.list(srcPath).iterator()
         var b = 0L
-        while (it.hasNext) { val f = it.next(); if (!Files.isDirectory(f)) b += Files.size(f) }
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getFileName.toString
+          if (!Files.isDirectory(f) && nm.endsWith(".parquet") &&
+              !nm.startsWith("_") && !nm.startsWith(".")) {
+            b += Files.size(f); dataFiles += 1
+          }
+        }
         b
-      } else Files.size(srcPath)
+      } else { dataFiles = 1; Files.size(srcPath) }
     val ranges = math.min(32L, math.max(math.max(1L, minRanges.toLong),
       (bytes + (32L << 20) - 1) / (32L << 20))).toInt
-    if (ranges == 1) { copyParquet(srcPath, watch); return }
+    if (ranges == 1 && dataFiles <= 1) { copyParquet(srcPath, watch); return }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(src)
     val staging = Files.createTempDirectory("stream_ranges")
