@@ -307,24 +307,39 @@ object EventStream {
     * exact windowed distinct as the one stateful gate whose cost
     * tracks distinct users (state = live (window, user) pairs; at
     * 10⁸ DAU that is 24×10⁸ dedup rows per horizon, and the 18.5×
-    * ×100 wall). This variant holds ONE HyperLogLog++ sketch per
-    * live window instead: `approx_count_distinct` is an
-    * ImperativeAggregate with a merge path, so it rides the normal
-    * windowed-aggregation state store — a single stateful operator,
-    * no chained dedup, state O(live windows × 2^p registers)
-    * regardless of cardinality. rsd 0.02 → 2^12 registers ≈ 4 KB per
-    * window; 48 live windows ≈ 200 KB total where exact needs
-    * gigabytes. Same append-mode emit-once semantics: a window's
-    * estimate finalizes when the watermark passes its end.
+    * ×100 wall). Two chained windowed aggregations (SPARK-40925
+    * window-on-window, append mode):
+    *
+    *  1. tumbling 1 h → one DataSketches HLL sketch per hour
+    *     (`hll_sketch_agg`). Every event is touched ONCE — no window
+    *     fan-out at event grain (the single-stage spelling expands
+    *     each event into its 24 windows BEFORE the aggregate: 24×
+    *     the rows through the exchange, which is where the exact
+    *     gate's ×100 wall lives);
+    *  2. sliding 24 h / 1 h over the HOURLY SKETCHES
+    *     (`hll_union_agg` — HLL registers are max-merge, so union of
+    *     hourly sketches ≡ the sketch of the union): the 24× fan-out
+    *     now multiplies ~one row per hour, not per event.
+    *
+    * State: one ~2^lgK-register sketch per live hour + per live
+    * window — O(live windows), independent of cardinality, where
+    * exact dedup state is O(distinct (window, user) pairs): ~200 KB
+    * vs gigabytes at 10⁸ DAU. Emit-once append semantics preserved:
+    * an hourly sketch finalizes when the watermark passes its hour;
+    * a window's estimate finalizes when the watermark passes its
+    * end. The estimate is deterministic (seedless hashing,
+    * order-insensitive max-merge registers).
     */
   def slidingDauHll(events: DataFrame, watermark: String = "2 hours",
-      rsd: Double = 0.02): DataFrame = {
+      lgK: Int = 12): DataFrame = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
-      .select(window($"ts", "24 hours", "1 hour").as("w"), $"user_id")
-      .groupBy($"w")
-      .agg(approx_count_distinct($"user_id", rsd).as("users_est"))
+      .groupBy(window($"ts", "1 hour").as("hw"))
+      .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sk"))
+      .groupBy(window($"hw", "24 hours", "1 hour").as("w"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true)))
+        .as("users_est"))
       .select($"w.start".as("win_start"), $"users_est")
   }
 

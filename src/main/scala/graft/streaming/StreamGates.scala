@@ -419,18 +419,21 @@ object StreamGates {
     * [[slidingDauGate]] (SURVEY 41g2, r15 verdict item 7) — the ×100
     * receipts name exact windowed distinct as the one stateful gate
     * whose cost tracks distinct users; this gate runs the
-    * [[EventStream.slidingDauHll]] HyperLogLog++ variant LIVE (one
-    * ~4 KB sketch per live window instead of per-(window,user) dedup
-    * rows) through the same append-mode + sentinel-finalization
-    * lifecycle, then verifies it in-gate against the batch-exact
-    * 24-window fan-out computed over the same parquet.
+    * [[EventStream.slidingDauHll]] two-stage sketch LIVE (hourly
+    * `hll_sketch_agg` → window-on-window `hll_union_agg`: per-hour
+    * and per-window SKETCHES in state instead of per-(window,user)
+    * dedup rows, and no event-grain window fan-out) through the same
+    * append-mode + sentinel-finalization lifecycle, then verifies it
+    * in-gate against the batch-exact 24-window fan-out computed over
+    * the same parquet.
     *
     * Output rides the EXACT count plus a verdict column: `est_ok` is
     * true iff the stream's estimate both EXISTS for the window
     * (emit-once finalization happened) and lands within the
-    * published envelope |est − exact| ≤ max(6·rsd·exact, 2) — 3× the
-    * 2·rsd ≈ 2σ bound, slack 2 for near-empty windows where HLL++
-    * sparse mode is integer-grained. The DuckDB oracle replays the
+    * published envelope |est − exact| ≤ max(0.12·exact, 2) — ≈7σ for
+    * the lgK = 12 sketch (rsd ≈ 1.6%), slack 2 for near-empty
+    * windows where the sketch is integer-grained. The DuckDB oracle
+    * replays the
     * exact count and asserts `TRUE AS est_ok`, so the gate is
     * hash-exact and ANY missing window or out-of-envelope estimate
     * flips the hash (the lake_wap verdict-column device). The
@@ -461,12 +464,22 @@ object StreamGates {
     } finally q.stop()
     val streamed = finishFiles(spark, out, est.schema, identity,
       Seq(watch, out, cp))
+    // the in-gate exact twin rides dropDuplicates + count, not
+    // countDistinct: the map-side partial dedup collapses the 24×
+    // fan-out before the exchange, where countDistinct's expand-based
+    // two-phase distinct shuffles the full pair frame (measured 8×
+    // slower at ×10 — the gate's own oracle must not dominate the
+    // valve it verifies). Additionally reduced to the distinct
+    // (hour, user) frame FIRST: cross-hour repeat activity never
+    // enters the fan-out.
     val exact = Tables.events(spark, dir)
       .select(floor(unix_micros($"ts") / lit(3600000000L)).cast(LongType)
         .as("h"), $"user_id")
+      .dropDuplicates("h", "user_id")
       .select(explode(sequence($"h" - 23, $"h")).as("ws"), $"user_id")
+      .dropDuplicates("ws", "user_id")
       .groupBy($"ws")
-      .agg(countDistinct($"user_id").as("users_24h"))
+      .agg(count(lit(1)).as("users_24h"))
       .select(timestamp_micros($"ws" * 3600000000L).as("win_start"),
         $"users_24h")
     exact
