@@ -238,11 +238,18 @@ object EntityResolution {
         when(call_function("jaro_winkler", $"nm", $"nm2") >= 0.9, 1L)
           .otherwise(0L).as("ag_name"))
       .distinct()
-    val a = parts.select($"blk", $"pk".as("pk_a"), $"nm".as("nm_a"),
-      $"br".as("br_a"), $"tp".as("tp_a"), $"sz".as("sz_a"))
+    // the record side arrives as ONE parquet split, which fuses the
+    // whole within-block pair fan-out (~50 M probe+score evaluations
+    // at sf0.1) into a single task — measured 20 s single-threaded on
+    // the r16 probe; spreading it across the default parallelism
+    // restores the map-side parallelism (the block side broadcasts,
+    // so no co-location is lost)
+    val a = Similarity.spread(parts)
+      .select($"blk", $"pk".as("pk_a"), $"nm".as("nm_a"),
+        $"br".as("br_a"), $"tp".as("tp_a"), $"sz".as("sz_a"))
     val b = parts.select($"blk", $"pk".as("pk_b"), $"nm".as("nm_b"),
       $"br".as("br_b"), $"tp".as("tp_b"), $"sz".as("sz_b"))
-    a.join(b, Seq("blk")).filter($"pk_a" < $"pk_b")
+    a.join(broadcast(b), Seq("blk")).filter($"pk_a" < $"pk_b")
       .join(broadcast(namePairs),
         $"nm_a" === $"np_a" && $"nm_b" === $"np_b")
       .withColumn("ag_brand", when($"br_a" === $"br_b", 1L).otherwise(0L))

@@ -166,18 +166,29 @@ object Graph {
     */
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir)
+    // Both directions are emitted by the SAME generator (struct pair
+    // + its reverse), so the basket derivation runs once instead of
+    // once per union branch, and the dedup rides the hash(src)
+    // exchange: hash(src) clusters every (src, dst) group, so the
+    // dropDuplicates aggregate reuses the repartition's layout with
+    // no second exchange and the result comes out clustered on src —
+    // the layout every consumer in this family joins/aggregates on.
+    // Net plan: 1 lineitem scan + 2 exchanges (orderkey, src), where
+    // the union-of-projections spelling cost 2 scans + 3 exchanges
+    // (orderkey ×2, pair-distinct) and left the result unclustered.
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_list($"l_partkey")).as("parts"))
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
-             transform(slice(parts, i + 2, size(parts)),
-                       y -> struct(x AS p1, y AS p2))))""")).as("pr"))
-      .filter($"pr.p1" < $"pr.p2")
-      .select($"pr.p1".as("p1"), $"pr.p2".as("p2"))
-      .distinct()
-    pairs.select($"p1".as("src"), $"p2".as("dst"))
-      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
+             flatten(transform(slice(parts, i + 2, size(parts)),
+               y -> array(struct(x AS src, y AS dst),
+                          struct(y AS src, x AS dst))))))""")).as("pr"))
+      .filter($"pr.src" =!= $"pr.dst")
+      .select($"pr.src".as("src"), $"pr.dst".as("dst"))
+      .repartition($"src")
+      .dropDuplicates("src", "dst")
   }
 
   /** Gate: 5 integer-unit PageRank iterations, top 20 parts. */
@@ -437,7 +448,7 @@ object Graph {
   def kHopOf(edges: DataFrame, seedMod: Long, hops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     // each level is eagerly materialized (localCheckpoint): the next
     // level's lineage starts from the small (node, hop) set instead
     // of replaying every earlier frontier join — without this, level
@@ -733,7 +744,7 @@ object Graph {
   def ssspDistsOf(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     var dists = e.select($"src".as("node")).distinct()
       .filter($"node" % seedMod === 0)
       .withColumn("dist", lit(0L))
@@ -838,57 +849,94 @@ object Graph {
     import spark.implicits._
     def cached(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val e = cached(edges)
-    val deg = cached(e.groupBy($"src").agg(count(lit(1)).as("deg")))
+    // ONE materialization: [[copurchaseEdges]] hands the frame over
+    // already clustered on src (and localCheckpoint preserves the
+    // partitioning), so deg and both self-join sides run off this
+    // single checkpoint zero-exchange — the r16 probe charged ~4 s of
+    // the old gate to the extra e-checkpoint + repartition + count
+    // passes this replaces.
+    val nb = cached(edges)
+    val deg = cached(nb.groupBy($"src").agg(count(lit(1)).as("deg")))
+    // combined pre-flight — ONE node-sized aggregate over deg yields
+    // every runtime precondition and sizing knob:
+    // (1) id range: the single-long pair packing needs ids in
+    //     [0, 2³²) — out of range would COLLIDE keys (silently wrong
+    //     counts); both directions are present, so the src domain IS
+    //     the node domain and min/max(src) bound every dst too;
+    // (2) the wedge budget — EVERY apex's C(deg,2) wedges are this
+    //     operator's payload (orientation can't cap them), so past
+    //     the ceiling the guard names the sketch valve and throws;
+    // (3) |V| and |E| size the two small-side joins below.
+    var nodes, edgeRows, wedges = 0L
     if (materialize) {
-      // runtime preconditions, off the frames the plan caches anyway:
-      // (1) the single-long pair packing below needs ids in [0, 2³²)
-      //     — out of range would COLLIDE keys (silently wrong counts),
-      //     so the comment-level precondition is enforced here;
-      // (2) the wedge budget — EVERY apex's C(deg,2) wedges are this
-      //     operator's payload (orientation can't cap them), so past
-      //     the ceiling the guard names the sketch valve and throws
-      val b = e.agg(min($"dst".cast("long")).as("mn"),
-        max($"dst".cast("long")).as("mx")).head
-      if (!b.isNullAt(0)) {
-        val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val r = deg.agg(min($"src".cast("long")), max($"src".cast("long")),
+        count(lit(1)), sum($"deg"),
+        sum(expr("deg * (deg - 1) div 2"))).head
+      if (!r.isNullAt(0)) {
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
         require(mn >= 0L && mx < 4294967296L,
           s"neighborJaccardOf packs pairs as a*2^32+b, which needs node " +
             s"ids in [0, 2^32) — got [$mn, $mx]; remap ids first")
+        nodes = r.getLong(2)
+        edgeRows = r.getLong(3)
+        wedges = r.getLong(4)
       }
-      requireWedgeBudget(deg, "deg", wedgeBudget, "neighborJaccardOf",
-        "neighborJaccardSketchOf (adjacency-MinHash candidates + " +
-          "exact re-verify)")
+      if (wedges > wedgeBudget) throw new IllegalStateException(
+        s"neighborJaccardOf: wedge stream is sum C(deg,2) = $wedges > " +
+          s"budget $wedgeBudget — the exact form is past-budget at this " +
+          "scale; use neighborJaccardSketchOf (adjacency-MinHash " +
+          "candidates + exact re-verify), or raise wedgeBudget " +
+          "explicitly if you have the cluster for it")
     }
     // wedges around each apex: both directions are present, so the
     // apex's full neighborhood is its out-list; a < b emits each
     // unordered candidate pair once per shared neighbor. Generation
-    // is the co-partitioned self-join (the triangles device): one
-    // exchange lays the adjacency out on hash(src), both join sides
-    // reuse it zero-exchange, and the a < b filter + pair packing run
-    // inside whole-stage codegen — no per-apex C(deg,2) array ever
-    // materializes (a 10⁶-wedge hub row would). Pairs travel PACKED
-    // into one long (a·2³² + b — node ids must fit 32 bits, which
-    // the part-key domain does by orders of magnitude): the
-    // Σ C(deg,2) wedge stream is the dominant exchange, and a single
-    // 8-byte primitive key more than halves its width vs a two-field
-    // struct
-    val nb = cached(e.repartition($"src"))
-    if (materialize) nb.count()
+    // is the co-partitioned self-join (the triangles device); the
+    // a < b filter + pair packing run inside whole-stage codegen — no
+    // per-apex C(deg,2) array ever materializes (a 10⁶-wedge hub row
+    // would). Pairs travel PACKED into one long (a·2³² + b).
+    //
+    // The count itself is an explicit repartition on pk + aggregate,
+    // NOT a bare groupBy: candidate pairs barely repeat (sf0.1: 148 M
+    // wedges → 102 M distinct pairs), so map-side partial aggregation
+    // buys a 1.4× row cut while its per-map hash table holds the
+    // whole near-distinct key set — measured 41 s vs 15 s for the
+    // shuffle-raw-longs-then-aggregate-once shape (WedgeProbe, sf0.1,
+    // 32 cores). Partition count scales with the measured wedge
+    // stream (≥ session parallelism, ~3 M wedges per task) instead of
+    // being a local constant.
+    val aggParts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, wedges / 3000000L).toInt)
     val common = nb.select($"src", $"dst".as("a"))
       .join(nb.select($"src", $"dst".as("b")), "src")
       .filter($"a" < $"b")
       .select(($"a" * lit(4294967296L) + $"b").as("pk"))
+      .repartition(aggParts, $"pk")
       .groupBy($"pk")
       .agg(count(lit(1)).as("common"))
+    // adjacency exclusion on the SAME packed key: the candidate side
+    // keeps its hash(pk) layout from the aggregate (zero exchange on
+    // the 10⁸-row side; only the edge-sized side moves), and an edge
+    // set small enough to ship outright is broadcast — sized from the
+    // census, not guessed from plan statistics (the checkpointed
+    // frame's estimate is a default, so the planner alone would
+    // never pick the broadcast).
+    val adjPacked = nb.filter($"src" < $"dst")
+      .select(($"src" * lit(4294967296L) + $"dst").as("pk"))
+    val adjSide = if (materialize && edgeRows <= 8000000L)
+      broadcast(adjPacked) else adjPacked
+    val newLinks = common.join(adjSide, Seq("pk"), "left_anti")
       .select(expr("pk div 4294967296L").as("a"),
         ($"pk" % lit(4294967296L)).as("b"), $"common")
-    val newLinks = common
-      .join(e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"),
-        "left_anti")
+    // deg is node-sized: broadcast when the census says it fits
+    def degAs(k: String, v: String) =
+      deg.select($"src".as(k), $"deg".as(v))
+    def degSide(k: String, v: String) =
+      if (materialize && nodes <= 4000000L) broadcast(degAs(k, v))
+      else degAs(k, v)
     val composed = newLinks
-      .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
-      .join(deg.select($"src".as("b"), $"deg".as("db")), "b")
+      .join(degSide("a", "da"), "a")
+      .join(degSide("b", "db"), "b")
       .withColumn("jac_ppm",
         expr("(common * 1000000L) div (da + db - common)"))
       .select($"a", $"b", $"common", $"jac_ppm")
@@ -964,40 +1012,58 @@ object Graph {
     import spark.implicits._
     def cached(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val e = cached(edges)
-    val nb = cached(e.repartition($"src"))
+    // single checkpoint of the already-src-clustered edge frame (see
+    // [[neighborJaccardOf]] — same one-materialization rework)
+    val nb = cached(edges)
     // deg + weight on the hash(src) layout the self-join reuses
     val deg = nb.groupBy($"src").agg(count(lit(1)).as("deg"))
       .withColumn("w", expr(
         "CASE WHEN deg >= 2 THEN CAST(round(1000000.0 / ln(deg)) AS BIGINT) " +
           "ELSE CAST(0 AS BIGINT) END"))
+    // combined pre-flight, one node-sized aggregate (id range for the
+    // pair packing, wedge budget, |E| for the anti-join sizing) —
+    // [[neighborJaccardOf]] documents each clause
+    var edgeRows, wedges = 0L
     if (materialize) {
-      val b = e.agg(min($"dst".cast("long")).as("mn"),
-        max($"dst".cast("long")).as("mx")).head
-      if (!b.isNullAt(0)) {
-        val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val r = deg.agg(min($"src".cast("long")), max($"src".cast("long")),
+        sum($"deg"), sum(expr("deg * (deg - 1) div 2"))).head
+      if (!r.isNullAt(0)) {
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
         require(mn >= 0L && mx < 4294967296L,
           s"adamicAdarOf packs pairs as a*2^32+b, which needs node " +
             s"ids in [0, 2^32) — got [$mn, $mx]; remap ids first")
+        edgeRows = r.getLong(2)
+        wedges = r.getLong(3)
       }
-      requireWedgeBudget(deg, "deg", wedgeBudget, "adamicAdarOf",
-        "adamicAdarSketchOf (adjacency-MinHash candidates + exact " +
-          "integer micro-unit AA re-score)")
+      if (wedges > wedgeBudget) throw new IllegalStateException(
+        s"adamicAdarOf: wedge stream is sum C(deg,2) = $wedges > budget " +
+          s"$wedgeBudget — the exact form is past-budget at this scale; " +
+          "use adamicAdarSketchOf (adjacency-MinHash candidates + exact " +
+          "integer micro-unit AA re-score), or raise wedgeBudget " +
+          "explicitly if you have the cluster for it")
     }
     val nbw = cached(nb.join(deg.select($"src", $"w"), "src"))
-    if (materialize) nbw.count()
+    // wedge count+sum as repartition(pk) + single aggregate — the
+    // near-distinct candidate keys make map-side partial aggregation
+    // a net loss; [[neighborJaccardOf]] carries the measurements
+    val aggParts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, wedges / 3000000L).toInt)
     val scored = nbw.select($"src", $"w", $"dst".as("a"))
       .join(nb.select($"src", $"dst".as("b")), "src")
       .filter($"a" < $"b")
       .select(($"a" * lit(4294967296L) + $"b").as("pk"), $"w")
+      .repartition(aggParts, $"pk")
       .groupBy($"pk")
       .agg(count(lit(1)).as("common"), sum($"w").as("aa_micro"))
+    // adjacency exclusion on the packed key: candidate side keeps its
+    // hash(pk) layout (zero exchange), small edge sets broadcast
+    val adjPacked = nb.filter($"src" < $"dst")
+      .select(($"src" * lit(4294967296L) + $"dst").as("pk"))
+    val adjSide = if (materialize && edgeRows <= 8000000L)
+      broadcast(adjPacked) else adjPacked
+    val composed = scored.join(adjSide, Seq("pk"), "left_anti")
       .select(expr("pk div 4294967296L").as("a"),
         ($"pk" % lit(4294967296L)).as("b"), $"common", $"aa_micro")
-    val composed = scored
-      .join(e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"),
-        "left_anti")
-      .select($"a", $"b", $"common", $"aa_micro")
       .orderBy($"aa_micro".desc, $"a", $"b")
       .limit(topK)
     if (!materialize) composed else composed.localCheckpoint(true)
@@ -1145,7 +1211,7 @@ object Graph {
   def kCoreOf(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     var nodes = e.select($"src".as("node")).distinct().localCheckpoint(true)
     val censuses = Seq.newBuilder[DataFrame]
     censuses += nodes.select(lit(0L).as("round"),
@@ -1231,7 +1297,7 @@ object Graph {
       wedgeBudget: Long = DefaultWedgeBudget): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val eIn = edges.repartition($"src").localCheckpoint(true)
+    val eIn = edges.localCheckpoint(true)
     // Past-budget valve, LOSSLESS for k-truss: every k-truss edge has
     // both endpoints of induced degree ≥ k−1 (each lies on ≥ k−2
     // triangles of the truss), so the k-truss is contained in the
@@ -1978,7 +2044,7 @@ object Graph {
       topK: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.repartition($"src").localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     var x = e.select($"src".as("node")).distinct()
       .withColumn("score", lit(1000000L))
       .localCheckpoint(true)
@@ -2306,21 +2372,27 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     require(hops >= 2, s"hops=$hops: need at least 2 for any interior node")
-    val e = edges.repartition($"src").localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     val seeds = e.select($"src".as("node")).distinct()
       .filter($"node" % seedMod === 0)
       .select($"node".as("s"), $"node", lit(1L).as("sigma"))
       .localCheckpoint(true)
-    // forward: levels(l) = (s, node, sigma) at BFS distance l from s
+    // forward: levels(l) = (s, node, sigma) at BFS distance l from s.
+    // The σ-sum runs BEFORE the visited anti-join (aggregate before
+    // you shuffle): the raw frontier×edge stream repeats each
+    // (s, dst) ~deg times, so the partial aggregation collapses it
+    // map-side and the anti-join then runs on the collapsed frame —
+    // same result (the anti-join drops whole (s, dst) groups either
+    // way), orders of magnitude fewer rows through the exchange.
     val levels = new Array[DataFrame](hops + 1)
     levels(0) = seeds
     var vis = seeds.select($"s", $"node")
     for (l <- 1 to hops) {
       levels(l) = e.join(levels(l - 1), $"src" === $"node")
         .select($"s", $"dst", $"sigma")
+        .groupBy($"s", $"dst").agg(sum($"sigma").as("sigma"))
         .join(vis.select($"s".as("vs"), $"node".as("vn")),
           $"s" === $"vs" && $"dst" === $"vn", "left_anti")
-        .groupBy($"s", $"dst").agg(sum($"sigma").as("sigma"))
         .select($"s", $"dst".as("node"), $"sigma")
         .localCheckpoint(true)
       vis = vis.unionByName(levels(l).select($"s", $"node"))
@@ -2447,8 +2519,7 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     require(hops >= 1, s"hops=$hops: need at least 1 level")
-    val e = edges.select($"src", $"dst").repartition($"src")
-      .localCheckpoint(true)
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
     val seeds = e.select($"src".as("node")).distinct()
       .filter($"node" % seedMod === 0)
       .select($"node".as("s"), $"node")
@@ -2457,11 +2528,15 @@ object Graph {
     var vis = seeds
     var acc: DataFrame = null
     for (l <- 1 to hops) {
+      // distinct BEFORE the visited anti-join (aggregate before you
+      // shuffle): the raw frontier×edge stream repeats each (s, dst)
+      // ~deg times; collapsing it map-side first means the anti-join
+      // exchanges the collapsed set, not the 10⁸-row raw stream —
+      // identical result, the anti-join drops whole keys either way
       frontier = e.join(frontier, $"src" === $"node")
-        .select($"s", $"dst")
-        .join(vis.select($"s".as("vs"), $"node".as("vn")),
-          $"s" === $"vs" && $"dst" === $"vn", "left_anti")
         .select($"s", $"dst".as("node")).distinct()
+        .join(vis.select($"s".as("vs"), $"node".as("vn")),
+          $"s" === $"vs" && $"node" === $"vn", "left_anti")
         .localCheckpoint(true)
       vis = vis.unionByName(frontier).localCheckpoint(true)
       val lvl = frontier.withColumn("w",
@@ -2498,8 +2573,7 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     require(hops >= 1, s"hops=$hops: need at least 1 level")
-    val e = edges.select($"src", $"dst").repartition($"src")
-      .localCheckpoint(true)
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
     val seeds = e.select($"src".as("node")).distinct()
       .filter($"node" % seedMod === 0)
       .select($"node".as("s"), $"node")
@@ -2508,11 +2582,11 @@ object Graph {
     var vis = seeds
     var acc: DataFrame = null
     for (l <- 1 to hops) {
+      // distinct before the anti-join — see [[harmonicOf]]
       frontier = e.join(frontier, $"src" === $"node")
-        .select($"s", $"dst")
-        .join(vis.select($"s".as("vs"), $"node".as("vn")),
-          $"s" === $"vs" && $"dst" === $"vn", "left_anti")
         .select($"s", $"dst".as("node")).distinct()
+        .join(vis.select($"s".as("vs"), $"node".as("vn")),
+          $"s" === $"vs" && $"node" === $"vn", "left_anti")
         .localCheckpoint(true)
       vis = vis.unionByName(frontier).localCheckpoint(true)
       val lvl = frontier.withColumn("d", lit(l.toLong))

@@ -29,6 +29,34 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     call_function("vec_cosine", a, b)
 
+  /** Cosine from PRE-COMPUTED norms — bit-identical to [[cosineCol]]
+    * (`na`/`nb` must be sqrt(vec_dot(e, e)), the same sequential Σx²
+    * fold the fused kernel accumulates; the quotient and the
+    * zero-denominator → 0.0 guard are the same IEEE operations in the
+    * same order). On an all-pairs scan this cuts the per-pair kernel
+    * from three dot products to one: the norms are computed once per
+    * VECTOR instead of once per PAIR (guide §1.2 — don't recompute
+    * what a cheaper pass already knows).
+    */
+  def cosinePrenormed(ea: Column, eb: Column, na: Column,
+      nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, 0.0).otherwise(dotCol(ea, eb) / denom)
+  }
+
+  /** Spread a CPU-heavy kernel scan across the session's default
+    * parallelism. The gate corpora arrive as ONE parquet split, and a
+    * broadcast/nested-loop pair scan fuses its whole O(n·candidates)
+    * kernel loop into that single scan task — measured single-task
+    * 2.8-20 s stages on the r16 probe. Round-robin repartition
+    * restores map-side parallelism; the pair joins broadcast their
+    * other side, so no co-location is lost, and on a many-split
+    * production scan this is a cores-sized rebalance, not a collapse
+    * (defaultParallelism tracks the cluster, not a local constant).
+    */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Reference HOF formulation, kept for spec cross-validation of
     * the native kernels.
     */
@@ -57,11 +85,16 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+    val cands = spread(
+      emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb")))
+      .withColumn("c_n", sqrt(dotCol($"c_emb", $"c_emb")))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    cands.join(broadcast(queries), $"cand_id" =!= $"query_id")
+    cands.join(broadcast(queries
+        .withColumn("q_n", sqrt(dotCol($"q_emb", $"q_emb")))),
+        $"cand_id" =!= $"query_id")
       .select($"query_id", $"cand_id",
-        round(cosineCol($"q_emb", $"c_emb"), 4).as("cos"))
+        round(cosinePrenormed($"q_emb", $"c_emb", $"q_n", $"c_n"), 4)
+          .as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
@@ -101,13 +134,16 @@ object Similarity {
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"label".as("q_label"),
         $"embedding".as("q_emb"))
-    val cands = emb.select($"vec_id".as("cand_id"), $"label",
-      $"embedding".as("c_emb"))
+    val cands = spread(emb.select($"vec_id".as("cand_id"), $"label",
+      $"embedding".as("c_emb")))
+      .withColumn("c_n", sqrt(dotCol($"c_emb", $"c_emb")))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    cands.join(broadcast(queries),
+    cands.join(broadcast(queries
+        .withColumn("q_n", sqrt(dotCol($"q_emb", $"q_emb")))),
         $"label" === $"q_label" && $"cand_id" =!= $"query_id")
       .select($"query_id", $"cand_id", $"label",
-        round(cosineCol($"q_emb", $"c_emb"), 4).as("cos"))
+        round(cosinePrenormed($"q_emb", $"c_emb", $"q_n", $"c_n"), 4)
+          .as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"label", $"cos",
@@ -140,10 +176,14 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding")
-    val a = emb.select($"vec_id".as("vec_a"), $"label", $"embedding".as("e_a"))
+    val a = spread(
+      emb.select($"vec_id".as("vec_a"), $"label", $"embedding".as("e_a")))
+      .withColumn("n_a", sqrt(dotCol($"e_a", $"e_a")))
     val b = emb.select($"vec_id".as("vec_b"), $"label", $"embedding".as("e_b"))
-    a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", round(cosineCol($"e_a", $"e_b"), 4).as("cos"))
+      .withColumn("n_b", sqrt(dotCol($"e_b", $"e_b")))
+    a.join(broadcast(b), Seq("label")).filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(cosinePrenormed($"e_a", $"e_b", $"n_a", $"n_b"), 4).as("cos"))
       .filter($"cos" >= threshold)
   }
 
@@ -1025,10 +1065,15 @@ object Similarity {
     */
   def dbscanPairs(emb: DataFrame, simMin: Double): DataFrame = {
     import emb.sparkSession.implicits._
-    val a = emb.select($"vec_id".as("i"), $"embedding".as("ea"))
+    // streamed side spread across cores + per-vector norms (see
+    // [[spread]]/[[cosinePrenormed]]): same rounded cosine, one dot
+    // product per pair instead of three, 32 tasks instead of one
+    val a = spread(emb.select($"vec_id".as("i"), $"embedding".as("ea")))
+      .withColumn("na", sqrt(dotCol($"ea", $"ea")))
     val b = emb.select($"vec_id".as("j"), $"embedding".as("eb"))
-    a.join(b, $"i" < $"j")
-      .filter(round(cosineCol($"ea", $"eb"), 4) >= simMin)
+      .withColumn("nb", sqrt(dotCol($"eb", $"eb")))
+    a.join(broadcast(b), $"i" < $"j")
+      .filter(round(cosinePrenormed($"ea", $"eb", $"na", $"nb"), 4) >= simMin)
       .select($"i", $"j")
   }
 
@@ -1210,17 +1255,21 @@ object Similarity {
       assignment: DataFrame): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val assigned = assignment
+    val assigned = spread(assignment
       .filter($"cluster" =!= -1L)
       .select($"vec_id", $"cluster")
-      .join(emb, "vec_id")
+      .join(emb, "vec_id"))
+      .withColumn("e_n", sqrt(dotCol($"embedding", $"embedding")))
       .localCheckpoint(true)
     val canon = assigned.select($"cluster".as("c_id")).distinct()
       .join(emb.select($"vec_id".as("c_id"), $"embedding".as("c_emb")),
         "c_id")
+      .withColumn("c_n", sqrt(dotCol($"c_emb", $"c_emb")))
     val scored = assigned.crossJoin(broadcast(canon))
       .select($"vec_id", $"cluster", $"c_id",
-        (lit(1.0) - round(cosineCol($"embedding", $"c_emb"), 4)).as("d"))
+        (lit(1.0) - round(
+          cosinePrenormed($"embedding", $"c_emb", $"e_n", $"c_n"), 4))
+          .as("d"))
     val ab = scored.groupBy($"vec_id", $"cluster")
       .agg(min(when($"c_id" === $"cluster", $"d")).as("a"),
         min(when($"c_id" =!= $"cluster", $"d")).as("b"))
