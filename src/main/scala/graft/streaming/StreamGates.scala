@@ -29,6 +29,32 @@ object StreamGates {
   private def sinkName(tag: String): String =
     s"sg_${tag}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
 
+  /** Session the gate's streaming query runs on: a CHILD session with
+    * the stateful-stream state-partition count set explicitly. The
+    * number of state stores IS `spark.sql.shuffle.partitions` at the
+    * query's first start (the checkpoint pins it forever after), AQE
+    * cannot resize it (disabled in stateful workloads), and EVERY
+    * micro-batch pays a fixed per-partition lifecycle — state store
+    * open, version commit, snapshot/maintenance, task schedule — so
+    * inheriting the batch session's cores-sized default charges
+    * (cores × batches) fixed costs to queries whose per-batch volume
+    * is a few thousand rows. Measured at sf0.1/local[32]:
+    * stream_join_left_outer 38 s → 7-8 s with 2-8 state partitions
+    * (flat across 2/4/8 — the cost is the store count, not the data).
+    * This is the streaming sizing knob the guide's §2 "partitioning
+    * must be scale-adaptive" rule names: it tracks STREAM VOLUME per
+    * trigger, not cluster cores. SPARK_GRAFT_STREAM_SHUFFLE overrides
+    * for production (size so per-batch per-partition state stays in
+    * the store's comfort zone); the child session isolates the
+    * setting from the shared batch session driving everything else.
+    */
+  private def streamSession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt)
+    s
+  }
+
   /** Materialize the sink's contents and DROP the memory-sink view:
     * the memory sink pins its whole collected output on the driver
     * for the view's lifetime, and a bench board runs every gate 3× —
@@ -177,7 +203,8 @@ object StreamGates {
     * the StreamingSpec fixture promoted to the board). Stateless, so
     * one drain completes it; the oracle is the plain batch LEFT join.
     */
-  def enrichDimGate(spark: SparkSession, dir: String): DataFrame = {
+  def enrichDimGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val dim = Tables.customer(spark, dir)
       .select($"c_custkey".as("user_id"),
@@ -213,8 +240,9 @@ object StreamGates {
     * robust to any micro-batch split of the input files. Oracle: the
     * exact per-user batch counts.
     */
-  def heavyHittersGate(spark: SparkSession, dir: String,
+  def heavyHittersGate(spark0: SparkSession, dir: String,
       parts: Int = 4): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val distinct = Tables.events(spark, dir)
       .select($"user_id").distinct().count()
@@ -253,7 +281,8 @@ object StreamGates {
     * µs DuckDB ASOF JOIN; this gate gets the ms-floored replay, the
     * same grain split sessionizeGateSql already documents.
     */
-  def asOfGate(spark: SparkSession, dir: String): DataFrame = {
+  def asOfGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("asof_stream_gate")
@@ -325,7 +354,8 @@ object StreamGates {
     * sentinel lifecycle is needed; a bounded replay has no late data
     * for the watermark to drop. Oracle: the batch hourly aggregate.
     */
-  def hourlyRollupGate(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyRollupGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
@@ -347,7 +377,8 @@ object StreamGates {
     * (SURVEY 40b, 3 h windows every 1 h) in complete mode. Oracle:
     * each event fans into the 3 epoch-aligned windows containing it.
     */
-  def slidingRollupGate(spark: SparkSession, dir: String): DataFrame = {
+  def slidingRollupGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
@@ -378,7 +409,8 @@ object StreamGates {
     * by the win_start bound. Oracle: the 24-window fan-out +
     * count(DISTINCT).
     */
-  def slidingDauGate(spark: SparkSession, dir: String): DataFrame = {
+  def slidingDauGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sdau_stream_gate")
@@ -441,7 +473,8 @@ object StreamGates {
     * only Spark can compute it — hence the envelope verdict, not the
     * raw estimate, is the compared surface.
     */
-  def slidingDauHllGate(spark: SparkSession, dir: String): DataFrame = {
+  def slidingDauHllGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sdauhll_stream_gate")
@@ -513,7 +546,8 @@ object StreamGates {
     * 1000 arithmetic, ms-floored boundaries re-expanded to µs
     * timestamps.
     */
-  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("sess_stream_gate")
@@ -568,7 +602,8 @@ object StreamGates {
     * complete mode; oracle is the epoch-anchored DFT, whose phase
     * needs no series start — the property that makes it streamable.
     */
-  def periodogramGate(spark: SparkSession, dir: String): DataFrame = {
+  def periodogramGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
@@ -590,7 +625,8 @@ object StreamGates {
     * drain completes the bounded replay; the watermarks exist for
     * state eviction, not emission. Oracle: the plain interval join.
     */
-  def joinIntervalGate(spark: SparkSession, dir: String): DataFrame = {
+  def joinIntervalGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     def side(t: String) = eventsStream(spark, watch)
@@ -623,7 +659,8 @@ object StreamGates {
     * click's window; sentinel rows ride both sides (their
     * event_type passes both filters) and are cut by the l_id bound.
     */
-  def joinLeftOuterGate(spark: SparkSession, dir: String): DataFrame = {
+  def joinLeftOuterGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("ssj_outer_gate")
@@ -686,7 +723,8 @@ object StreamGates {
     *    heavy-hitters gate's device), so the oracle gains a real
     *    min() column that is exact under any micro-batch split.
     */
-  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+  def dedupGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
@@ -742,8 +780,9 @@ object StreamGates {
     * (Timestamp.getTime ordering) is replayed by the oracle's
     * epoch_us // 1000 ordering.
     */
-  def cusumGate(spark: SparkSession, dir: String, target: Double = 1.0,
+  def cusumGate(spark0: SparkSession, dir: String, target: Double = 1.0,
       slack: Double = 0.5, threshold: Double = 25.0): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val (watch, tmp) = watchDirFor(s"$dir/events.parquet")
     val stream = eventsStream(spark, watch)
@@ -805,7 +844,8 @@ object StreamGates {
     * so only the newest batch can legally replay) and asserts the
     * version did not move — `replay_idempotent` on every row.
     */
-  def intoManifestGate(spark: SparkSession, dir: String): DataFrame = {
+  def intoManifestGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("manifest_stream_gate")
@@ -859,7 +899,8 @@ object StreamGates {
     * the result. Exact sums ride an integer-cents column derived
     * before commit, so the fold order can't smear doubles.
     */
-  def mvLoopGate(spark: SparkSession, dir: String): DataFrame = {
+  def mvLoopGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val watch = Files.createTempDirectory("mv_loop_gate")
