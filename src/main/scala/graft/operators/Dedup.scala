@@ -338,9 +338,40 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "doc_a",
       idB: String = "doc_b"): DataFrame = {
-    val spark = pairs.sparkSession
+    val spark0 = pairs.sparkSession
+    // Size the label loop's shuffles from the MEASURED edge count
+    // (guide §2: partitioning must derive from input size, not a
+    // session constant). Each propagation round is 3-4 label-sized
+    // exchanges; at the session default every exchange ships
+    // (partitions × rounds) fixed-cost tasks regardless of data —
+    // measured on the dbscan family: ~6 AQE-stage jobs × 32 tasks per
+    // round over frames of a few hundred KB, ~0.6 s/round of pure
+    // scheduling. ~2M undirected edge rows (~100 MB) per reduce task,
+    // capped at 4096; the loop runs on a CHILD session so the width
+    // is session-local and the caller's session is untouched. The
+    // pair frame is materialized ONCE into a persisted RDD (this is
+    // the same single derivation pass the previous cache() paid) and
+    // both the count and the loop read from it. ~500k edge rows per
+    // reduce task: the round's work is CPU-bound label probing, so
+    // tasks are sized for compute balance, not shuffle-byte balance.
+    val pairsRdd = pairs.select(col(idA).as("src"), col(idB).as("dst")).rdd
+    pairsRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pairsRdd.count()
+    val undParts = math.min(4096L, 1L + (2L * m) / 500000L).toInt
+    val spark =
+      if (undParts >= spark0.sessionState.conf.numShufflePartitions) spark0
+      else {
+        val s = spark0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", undParts)
+        s
+      }
     import spark.implicits._
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        pairs.schema(idA).dataType),
+      org.apache.spark.sql.types.StructField("dst",
+        pairs.schema(idB).dataType)))
+    val e = spark.createDataFrame(pairsRdd, schema)
     val und = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .repartition($"src").cache()
     // materialize: persist the row RDD and rebuild a DataFrame on it —
@@ -376,8 +407,12 @@ object Dedup {
         liveRdd = stepRdd
         labels = step.select($"id", $"label")
       }
-      labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
-    } finally und.unpersist()
+      // re-wrap on the CALLER's session (the loop may have run on the
+      // sized child): the projection reads the persisted final-round
+      // RDD, so this is a wrapper, not a recomputation
+      val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+      spark0.createDataFrame(out.rdd, out.schema)
+    } finally { und.unpersist(); pairsRdd.unpersist() }
   }
 
   /** Gate query: clusters over the ≥0.5-jaccard pair graph. */
