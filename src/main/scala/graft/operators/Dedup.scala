@@ -577,7 +577,10 @@ object Dedup {
     */
   def cdcChunkRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    // O(len·4) gear-hash kernel per row — a single-split corpus fuses
+    // it into one task (2.0 s single-task on the r16 probe); spread
+    // restores map-side parallelism before the fan-out
+    Similarity.spread(docs)
       .select($"doc_id",
         trim(regexp_replace(lower($"text"), "\\s+", " ")).as("t"))
       .withColumn("cs", split($"t", ""))

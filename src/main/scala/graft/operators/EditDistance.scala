@@ -39,8 +39,11 @@ object EditDistance {
     val spark = docs0.sparkSession
     import spark.implicits._
     val nseg = k + 1
-    val docs = docs0
-      .select($"doc_id", substring($"text", 1, prefixLen).as("key"))
+    // the probe fan-out below (3 nested explodes per doc) is the
+    // kernel; a single-split corpus fuses it into one task (2.1 s
+    // single-task on the r16 probe) — spread before the fan-out
+    val docs = Similarity.spread(docs0
+        .select($"doc_id", substring($"text", 1, prefixLen).as("key")))
       .withColumn("len", length($"key"))
 
     // index: even k+1-partition of each key by ITS OWN length —

@@ -51,14 +51,31 @@ object Lake {
     */
   def bloomRead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one source materialization — the 8 segment writes below read
+    // the checkpoint blocks, not 8 re-scans of the parquet
     val orders = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .localCheckpoint(true)
     val t = new ManifestTable(spark,
       graft.util.Scratch.dir("graft_lake_bloom") + "/orders")
-    (0 until 8).foreach { i =>
-      t.append(orders.filter(pmod($"o_orderkey", lit(8L)) === i),
-        statCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
-    }
+    // Stage the 8 hash-split segments CONCURRENTLY, publish them as
+    // ONE atomic commit (guide §2.6 — independent jobs overlap, so
+    // one write's task tail back-fills with the next write's tasks;
+    // stage() is commit-free, so there is no optimistic-commit race
+    // to lose). Identical table state to 8 appends — same 8 segments,
+    // same per-segment stats and Bloom sidecars, one manifest —
+    // but 1 source scan + 1 manifest cycle instead of 8 sequential
+    // append lifecycles (scan + live-schema read + version commit
+    // each). The r16 probe charged ~4 s of this gate's 8.5 s to that
+    // driver-side parade (57 jobs, job wall only 4.6 s).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val segs = Await.result(Future.sequence((0 until 8).map { i =>
+      Future(t.stage(orders.filter(pmod($"o_orderkey", lit(8L)) === i), 1L,
+        statCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey")))
+    }), Duration.Inf)
+    t.commit(1L, segs, ownStaged = segs.map(_.dir))
     bloomProbes.foreach { k =>
       val cand = t.pointCandidates("o_orderkey", k).size
       require(cand < t.segmentCount,

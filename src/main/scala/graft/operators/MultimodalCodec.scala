@@ -337,7 +337,11 @@ object MultimodalCodec {
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
     require(maxHamming < 4, "4-chunk pigeonhole is lossless only to hamming 3")
-    val hashes = imagePHash(imageTableNoisy(spark, dir))
+    // the image decode + 8×8 aHash is the kernel; a single-split
+    // input fuses it into one task (1.2 s single-task on the r16
+    // probe) — spread the corpus before the decode
+    val hashes = imagePHash(imageTableNoisy(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
       .filter($"ok").select($"doc_id", $"phash")
       .localCheckpoint(true)
     val chunks = hashes.select($"doc_id", posexplode(array((0 until 4).map(c =>

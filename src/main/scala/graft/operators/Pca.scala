@@ -44,7 +44,10 @@ object Pca {
   def pcaMomentsOf(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = emb.select(expr(
+    // the 2,145-cell moment fan-out is the kernel; a single-split
+    // input fuses it into one task (measured 2.5 s single-task on the
+    // r16 probe) — spread restores map-side parallelism
+    val q = Similarity.spread(emb).select(expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
       .as("q"))
     val second = q
