@@ -2653,12 +2653,20 @@ object Analytics {
         max(expr("unix_timestamp(o_orderdate) div 86400")).as("last_day"),
         count(lit(1)).as("freq"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    // checkpoint between the three quintile passes: each bandedNtile
+    // runs TWO census aggregates (band counts + total) over its input
+    // plan, so an uncheckpointed fold re-executes every earlier
+    // pass's join+window inside every later pass's censuses — the
+    // r16 probe charged 58 s of task time to that re-execution
+    // pyramid. With the barrier each pass is 2 small aggregates + 1
+    // banded window over a customer-sized frame, O(3×) not O(3²×).
     val scored = Seq(
       ("last_day", expr("last_day div 32"), "r_score"),
       ("freq", expr("freq"), "f_score"),
       ("cents", expr("cents div 10000000"), "m_score"))
-      .foldLeft(cust) { case (df, (metric, band, out)) =>
+      .foldLeft(cust.localCheckpoint(true)) { case (df, (metric, band, out)) =>
         bandedNtile(df, metric, band, tie = "custkey", k = 5, out = out)
+          .localCheckpoint(true)
       }
     scored.groupBy($"r_score", $"f_score", $"m_score")
       .agg(count(lit(1)).as("n_customers"), sum($"custkey").as("custkey_sum"))

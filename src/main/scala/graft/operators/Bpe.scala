@@ -57,12 +57,33 @@ object Bpe {
     */
   def trainMerges(spark: SparkSession, dir: String, k: Int = 24,
       minFreq: Long = 2L): Seq[Merge] = {
-    import spark.implicits._
-    var words = vocab(Tables.documents(spark, dir))
-      .select($"f", expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"))
-      .localCheckpoint(true)
+    // The k census/rewrite rounds run over the VOCABULARY frame
+    // (distinct words × freq — corpus-independent size), so the
+    // loop's shuffle width derives from the measured vocabulary
+    // count, not the session constant (guide §2 scale-adaptive
+    // partitioning; the CC-loop device): at gate scale 24 rounds ×
+    // 32-partition exchanges over a few-thousand-row frame were pure
+    // task-scheduling overhead. ~500k words per reduce task, cap
+    // 4096; the loop runs on a child session so the width is
+    // session-local.
+    val words0 = {
+      import spark.implicits._
+      vocab(Tables.documents(spark, dir))
+        .select($"f", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+        .localCheckpoint(true)
+    }
+    val loopParts = math.min(4096L, 1L + words0.count() / 500000L).toInt
+    val sparkLoop =
+      if (loopParts >= spark.sessionState.conf.numShufflePartitions) spark
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", loopParts)
+        s
+      }
+    import sparkLoop.implicits._
+    var words = sparkLoop.createDataFrame(words0.rdd, words0.schema)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var done = false
