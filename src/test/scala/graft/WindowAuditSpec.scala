@@ -36,12 +36,11 @@ class WindowAuditSpec extends SparkSpec {
         "token count, bounded by max doc length) — the groupBy below " +
         "already collapsed the corpus; the window input is " +
         "domain-sized, not data-sized"),
-    "analytics_rfm" ->
-      ("three exclusive-prefix offset windows over the per-band " +
-        "count frames of bandedNtile (≤ a few hundred band rows " +
-        "each at any corpus size) — the groupBy below each already " +
-        "collapsed the customer frame; the customer-sized ranking " +
-        "windows are partitioned by band"),
+    // analytics_rfm retired (r16): its three bandedNtile passes now
+    // checkpoint between folds, so the (still tiny, band-count-sized)
+    // offset windows sit behind the checkpoint barrier and no longer
+    // appear in the gate's audited plan — the stale-exemption
+    // assertion below is what forced this removal
     "olap_share_of_total" ->
       ("grand total OVER () on the per-status aggregate frame " +
         "(|statuses| = 3 rows at any corpus size) — the groupBy " +
